@@ -1,0 +1,30 @@
+"""vmware_graph_spark — a PySpark-native analytics engine with the query
+and data-processing capabilities of the reference `pdrangeid/vmware-graph`
+(a Cypher ETL that ingests RVTools spreadsheets into a Neo4j property
+graph; see /root/reference/refresh-vmware.cypher).
+
+Architecture (Spark-first, not a translation):
+
+- ``sources``   — parquet "workbook" readers (one directory = one RVTools
+                  export, one parquet per sheet) + relational table loaders.
+- ``functions`` — scalar shims that pin down Cypher semantics on Spark
+                  (literal split, anchored regex match, try_cast int, ...),
+                  plus text-analysis and vector helpers.
+- ``operators`` — the engine's core algorithms: MERGE-style upsert
+                  (last-writer-wins, deterministic), undirected-edge
+                  canonicalization, snapshot diff (mark-and-sweep
+                  replacement), top-k, dedup family, similarity search.
+- ``store``     — the property-graph store: one vertex DataFrame per label
+                  + one canonical edge DataFrame; snapshot writer.
+- ``ingest``    — per-sheet ingest stages mirroring the reference's
+                  statements (refresh-vmware.cypher:34-277), re-expressed
+                  as declarative DataFrame pipelines.
+- ``plans``     — the refresh protocol (mark → ingest → sweep) as a pure
+                  snapshot rebuild + anti-join diff.
+- ``analytics`` — bulk graph analytics (degrees, connected components,
+                  PageRank, motif joins) over the vertex/edge tables.
+- ``streaming`` — Structured Streaming ingest of event streams with
+                  watermarks and windowed aggregation.
+"""
+
+__version__ = "0.1.0"

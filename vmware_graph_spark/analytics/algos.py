@@ -1,0 +1,119 @@
+"""Bulk graph analytics over (vertices, edges) DataFrames.
+
+The reference delegates querying to Neo4j/Cypher; per the north star
+("GraphX for analytics, not OLTP traversal") we provide the bulk
+algorithms directly on DataFrames — no GraphFrames dependency, the same
+join-iterate shape GraphX/Pregel uses, expressed in Spark SQL so AQE
+handles sizing.
+
+Inputs: vertices(id: string), edges(src: string, dst: string).
+Edges are treated as undirected for CC/degrees; PageRank is directed.
+
+Scale notes: each iteration is one shuffle on vertex id. Lineage is cut
+with localCheckpoint per iteration (on a cluster: reliable checkpoint
+dir) — without it the plan doubles every round. Convergence uses a
+count of changed labels, which AQE executes as a cheap partial agg.
+For web-scale graphs swap the label-propagation loop for the
+large-star/small-star algorithm (Kiveris et al., "Connected Components
+in MapReduce and Beyond") — same DataFrame skeleton, fewer rounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """Undirected degree per vertex id (parallel edges count once each)."""
+    both = edges.select(F.col("src").alias("id")).unionAll(
+        edges.select(F.col("dst").alias("id"))
+    )
+    return both.groupBy("id").agg(F.count("*").alias("degree"))
+
+
+def _sym(edges: DataFrame) -> DataFrame:
+    return edges.select("src", "dst").unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def connected_components(
+    vertices: DataFrame, edges: DataFrame, *, max_iters: int = 20
+) -> DataFrame:
+    """Min-label propagation: component id = min vertex id (lexicographic).
+
+    Returns (id, component). Deterministic: labels are ids, min is total.
+    """
+    sym = _sym(edges).distinct().localCheckpoint(eager=True)
+    labels = vertices.select("id", F.col("id").alias("component")).localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        # candidate = min(own label, min over neighbors' labels)
+        nbr = (
+            sym.join(labels, sym.src == labels.id)
+            .select(F.col("dst").alias("id"), "component")
+        )
+        new_labels = (
+            labels.select("id", "component")
+            .unionAll(nbr)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def pagerank(
+    vertices: DataFrame,
+    edges: DataFrame,
+    *,
+    iters: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Classic iterative PageRank on directed edges. Returns (id, rank).
+
+    Dangling mass is redistributed uniformly each round so ranks sum to
+    |V| (GraphX convention is un-normalized; we normalize to sum=|V|).
+    """
+    n = vertices.count()
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    ranks = vertices.select("id", F.lit(1.0).alias("rank"))
+    ranks = ranks.localCheckpoint(eager=True)
+    for _ in range(iters):
+        contribs = (
+            edges.join(ranks, edges.src == ranks.id)
+            .join(out_deg, "src")
+            .select(F.col("dst").alias("id"), (F.col("rank") / F.col("out_deg")).alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        # dangling nodes contribute their rank uniformly
+        dangling = (
+            ranks.join(out_deg, ranks.id == out_deg.src, "left_anti")
+            .agg(F.sum("rank"))
+            .collect()[0][0]
+            or 0.0
+        )
+        ranks = (
+            vertices.join(contribs, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("in_sum"), F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

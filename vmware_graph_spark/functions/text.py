@@ -1,0 +1,82 @@
+"""Text-analysis functions for the training-data-pipeline extensions.
+
+All pure Catalyst expressions (no Python UDFs): tokenization, shingling,
+quality scores, fingerprinting, and a deterministic n-gram language-ID
+heuristic. Each has an exact ANSI-SQL equivalent so the DuckDB oracle
+can verify it — the SQL twin lives next to the query in
+``vmware_graph_spark.queries``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens, empties removed (array<string>)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, " "), lambda t: t != "")
+
+
+def n_tokens(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as array<string> (MinHash/Jaccard input).
+
+    Built with sequence+transform+slice so it stays JVM-side; documents
+    shorter than n tokens yield an empty array.
+    """
+    t = tokens(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(0)))
+    return F.transform(idx, lambda i: F.array_join(F.slice(t, i, n), " "))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of whitespace-normalized,
+    lowercased text. Stable across engines (md5 is md5 everywhere)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.lower(F.regexp_replace(F.trim(c), r"\s+", " ")))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """#punctuation chars / #chars — one of the quality heuristics."""
+    c = F.col(col) if isinstance(col, str) else col
+    punct = F.length(F.regexp_replace(c, r"[^.,;:!?]", ""))
+    return punct.cast("double") / F.greatest(F.length(c), F.lit(1)).cast("double")
+
+
+# Tiny per-language stopword markers for the heuristic language ID.
+# Chosen to be regex-dialect-portable (Java regex and RE2 agree on \b).
+_LANG_MARKERS = [
+    ("es", r"\b(el|la|los|las|que|por)\b"),
+    ("de", r"\b(der|die|das|und|nicht)\b"),
+    ("fr", r"\b(le|les|des|une|est)\b"),
+    ("zh", r"\b(de|shi|le|zai|he)\b"),
+    ("en", r"\b(the|a|of|and|is)\b"),
+]
+
+
+def lang_id(col: Column | str) -> Column:
+    """First-match n-gram language heuristic over stopword markers.
+
+    Deliberately simple and deterministic (CASE over regexes) so the
+    DuckDB oracle can run the identical logic; a production pipeline
+    would swap in a fastText-style model behind the same column contract.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    expr = None
+    for lang, pat in _LANG_MARKERS:
+        cond = c.rlike(pat)
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    return expr.otherwise(F.lit("unknown"))
+
+
+def lang_id_sql(col: str) -> str:
+    """The DuckDB-SQL twin of :func:`lang_id` (same markers, same order)."""
+    whens = "\n".join(
+        f"WHEN regexp_matches({col}, '{pat}') THEN '{lang}'" for lang, pat in _LANG_MARKERS
+    )
+    return f"CASE {whens} ELSE 'unknown' END"

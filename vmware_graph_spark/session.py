@@ -1,0 +1,60 @@
+"""SparkSession construction with scale-appropriate defaults.
+
+Local tests run on ``local[N]``; the same settings are what we would
+submit to a large cluster (AQE on, sensible shuffle partitioning, Arrow
+for any pandas exchange). Nothing here is test-only magic.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Session defaults applied everywhere. At 100 TB the only knobs that
+# change are shuffle partition count (sized so post-shuffle partitions
+# land ~128-256 MB) and executor sizing, which live in submit conf, not
+# code. AQE coalescing makes the local value non-critical.
+ENGINE_CONF = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Parquet scans: keep pushdown on (default, but pinned explicitly
+    # because the oracle gate depends on scan-level filter semantics).
+    "spark.sql.parquet.filterPushdown": "true",
+    # Keep ANSI off: the reference's toInt() returns null on garbage
+    # (SURVEY §2.8) and try_cast/ANSI-off casting matches that.
+    "spark.sql.ansi.enabled": "false",
+}
+
+
+def get_spark(app_name: str = "vmware-graph-spark") -> SparkSession:
+    """Build (or reuse) the engine's SparkSession for local runs."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "12g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in ENGINE_CONF.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply engine conf to an externally provided session (driver gate).
+
+    The correctness driver hands us its own SparkSession; runtime-settable
+    confs (timezone, AQE) are applied so query semantics don't depend on
+    who built the session.
+    """
+    for k, v in ENGINE_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on a live session — keep going
+    return spark

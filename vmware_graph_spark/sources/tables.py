@@ -1,0 +1,38 @@
+"""Relational table loaders for the driver-provided parquet fixtures.
+
+One parquet file per table (TESTDATA.md). Scans stay declarative so
+Catalyst pushes filters/projections into the parquet reader — verified
+in tests via ``PushedFilters`` in the formatted plan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables — always broadcast-join sized at any SF the
+# TPC-H-ish schema produces (region: 5 rows, nation: 25).
+BROADCAST_TABLES = frozenset({"region", "nation"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    names = names or TABLES
+    return {n: load_table(spark, sf_dir, n) for n in names}
