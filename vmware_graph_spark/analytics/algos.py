@@ -44,9 +44,14 @@ def connected_components(
     """Min-label propagation: component id = min vertex id (lexicographic).
 
     Returns (id, component). Deterministic: labels are ids, min is total.
+    Raises if the label propagation has not converged within
+    ``max_iters`` — a silent partial result would be wrong for any graph
+    whose diameter exceeds the cap. (The O(log n)-round large-star/
+    small-star variant is the swap-in for web-scale diameters.)
     """
     sym = _sym(edges).distinct().localCheckpoint(eager=True)
     labels = vertices.select("id", F.col("id").alias("component")).localCheckpoint(eager=True)
+    changed = -1
     for _ in range(max_iters):
         # candidate = min(own label, min over neighbors' labels)
         nbr = (
@@ -70,6 +75,11 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} iterations; "
+            "raise max_iters (diameter exceeds cap)"
+        )
     return labels
 
 
@@ -97,21 +107,24 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("c").alias("in_sum"))
         )
-        # dangling nodes contribute their rank uniformly
+        # Dangling mass stays in the plan: a 1-row aggregate broadcast
+        # into the update — no driver collect, one job per iteration.
         dangling = (
             ranks.join(out_deg, ranks.id == out_deg.src, "left_anti")
-            .agg(F.sum("rank"))
-            .collect()[0][0]
-            or 0.0
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dangling"))
         )
         ranks = (
             vertices.join(contribs, "id", "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "id",
                 (
                     F.lit(1.0 - damping)
                     + F.lit(damping)
-                    * (F.coalesce(F.col("in_sum"), F.lit(0.0)) + F.lit(dangling / n))
+                    * (
+                        F.coalesce(F.col("in_sum"), F.lit(0.0))
+                        + F.col("__dangling") / F.lit(float(n))
+                    )
                 ).alias("rank"),
             )
             .localCheckpoint(eager=True)

@@ -14,9 +14,14 @@ from pyspark.sql import functions as F
 
 
 def tokens(col: Column | str) -> Column:
-    """Whitespace tokens, empties removed (array<string>)."""
+    """Whitespace tokens, empties removed (array<string>).
+
+    Splits on ``\\s+`` (any whitespace run — tabs/newlines included),
+    matching :func:`fingerprint`'s normalization; the DuckDB twin is
+    ``list_filter(string_split_regex(x, '\\s+'), t -> t <> '')``.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    return F.filter(F.split(c, " "), lambda t: t != "")
+    return F.filter(F.split(c, r"\s+"), lambda t: t != "")
 
 
 def n_tokens(col: Column | str) -> Column:
@@ -30,7 +35,11 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     shorter than n tokens yield an empty array.
     """
     t = tokens(col)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(0)))
+    # Guard the short-document case explicitly: F.sequence(1, 0) yields a
+    # DESCENDING [1, 0] (not an empty array), and slice(_, 0, n) throws.
+    idx = F.when(
+        F.size(t) >= n, F.sequence(F.lit(1), F.size(t) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
     return F.transform(idx, lambda i: F.array_join(F.slice(t, i, n), " "))
 
 
@@ -48,13 +57,15 @@ def punct_ratio(col: Column | str) -> Column:
     return punct.cast("double") / F.greatest(F.length(c), F.lit(1)).cast("double")
 
 
-# Tiny per-language stopword markers for the heuristic language ID.
-# Chosen to be regex-dialect-portable (Java regex and RE2 agree on \b).
+# Tiny per-language markers for the heuristic language ID. Chosen to be
+# regex-dialect-portable (Java regex and RE2 agree on \b and \x{...}).
+# zh is checked first: presence of any CJK Unified Ideograph is decisive,
+# whereas the Latin stopword markers can collide across languages.
 _LANG_MARKERS = [
+    ("zh", r"[\x{4e00}-\x{9fff}]"),
     ("es", r"\b(el|la|los|las|que|por)\b"),
     ("de", r"\b(der|die|das|und|nicht)\b"),
     ("fr", r"\b(le|les|des|une|est)\b"),
-    ("zh", r"\b(de|shi|le|zai|he)\b"),
     ("en", r"\b(the|a|of|and|is)\b"),
 ]
 

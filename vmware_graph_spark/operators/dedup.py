@@ -55,15 +55,27 @@ def jaccard_pairs(
     *,
     n: int = 1,
     threshold: float = 0.6,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs ≥ threshold.
 
     Shuffle profile: one explode+distinct, one self-join keyed on
-    shingle (skew-prone on stopword-like shingles — at scale, drop
-    shingles with document frequency above a cap before the join; the
-    cap is exposed for that), one pair-count aggregation.
+    shingle, one pair-count aggregation. The self-join is skew-prone on
+    stopword-like shingles: ``max_df`` drops shingles whose document
+    frequency exceeds the cap BEFORE the join (and before set sizes are
+    counted, so the score is a consistent Jaccard over the pruned
+    shingle universe). At 100 TB always set ``max_df`` — a single hot
+    shingle in N docs otherwise creates N² join rows.
     """
     sh = _shingle_table(df, id_col, text_col, n)
+    if max_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle", "left_semi")
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -150,12 +162,28 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    exact = jaccard_pairs(df, id_col, text_col, n=n, threshold=0.0)
-    return (
-        cands.join(exact, ["id_a", "id_b"])
-        .filter(F.col("jaccard") >= verify_threshold)
-        .select("id_a", "id_b", "jaccard")
+    # Verify ONLY the candidate pairs: join candidates to the per-doc
+    # shingle sets and count intersections for those pairs alone. The
+    # join keys are the candidate ids, so cost is O(|candidates| ×
+    # avg shingles), never the all-pairs self-join LSH exists to avoid.
+    sh = _shingle_table(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a_sh = cands.join(sh.withColumnRenamed("id", "id_a"), "id_a")
+    inter = (
+        a_sh.join(sh.withColumnRenamed("id", "id_b"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
     )
+    ja = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "na"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "nb"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+        )
+    )
+    return ja.filter(F.col("jaccard") >= verify_threshold).select("id_a", "id_b", "jaccard")
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 64) -> DataFrame:

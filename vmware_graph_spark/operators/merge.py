@@ -25,8 +25,6 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-# Column ordering sentinel for "new beats old" priority.
-_PRIORITY = "__merge_priority"
 _PICK = "__merge_pick"
 
 
@@ -40,6 +38,17 @@ def _drop_null_keys(df: DataFrame, keys: Sequence[str]) -> DataFrame:
     return df.filter(cond) if cond is not None else df
 
 
+def _dedup_one_per_key(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """One row per key, deterministically: duplicates within a batch are
+    resolved by a total ordering over all non-key columns (the
+    reference's row order is spreadsheet order, which Spark must not
+    depend on)."""
+    value_cols = [c for c in df.columns if c not in keys]
+    order = [F.col(c).asc_nulls_last() for c in value_cols] or [F.lit(1)]
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*order)
+    return df.withColumn(_PICK, F.row_number().over(w)).filter(F.col(_PICK) == 1).drop(_PICK)
+
+
 def upsert_last_writer_wins(
     existing: DataFrame | None,
     updates: DataFrame,
@@ -47,36 +56,54 @@ def upsert_last_writer_wins(
     *,
     updates_win: bool = True,
 ) -> DataFrame:
-    """Core upsert: one row per key, deterministic winner.
+    """Core upsert: one row per key, per-COLUMN merge semantics.
 
-    ``updates_win=True``  → MERGE … SET   (refresh-vmware.cypher:35,39-40)
-    ``updates_win=False`` → MERGE … ON CREATE SET (refresh-vmware.cypher:284-287)
+    ``updates_win=True``  → MERGE … SET   (refresh-vmware.cypher:35,39-40):
+    for a matched key, every property the update batch *carries* (i.e.
+    every column in ``updates``'s schema) is overwritten — including
+    with null, matching Cypher ``SET n.x = null`` property removal —
+    while properties only present on the existing row are preserved
+    (earlier ingest stages' writes on the same node survive).
 
-    Determinism: duplicates *within* ``updates`` are resolved by a total
-    ordering over all non-key columns (matching "last writer wins" under
-    any input order — the reference's row order is spreadsheet order,
-    which Spark must not depend on).
+    ``updates_win=False`` → MERGE … ON CREATE SET
+    (refresh-vmware.cypher:284-287): matched keys keep ALL existing
+    properties; only brand-new keys take the update values.
+
+    Shape: one window dedup per input + one full-outer hash join on the
+    key — all single-shuffle-per-stage on the key columns.
     """
-    updates = _drop_null_keys(updates, keys)
+    updates = _dedup_one_per_key(_drop_null_keys(updates, keys), keys)
     if existing is None:
-        both = updates.withColumn(_PRIORITY, F.lit(0))
-    else:
-        existing = _drop_null_keys(existing, keys)
-        updates = updates.withColumn(_PRIORITY, F.lit(0 if updates_win else 1))
-        existing = existing.withColumn(_PRIORITY, F.lit(1 if updates_win else 0))
-        both = updates.unionByName(existing, allowMissingColumns=True)
+        return updates
+    existing = _dedup_one_per_key(_drop_null_keys(existing, keys), keys)
 
-    value_cols = [c for c in both.columns if c not in keys and c != _PRIORITY]
-    # Total order: priority, then the row's own values — ties are
-    # identical rows, so the pick is deterministic regardless of
-    # partitioning or input order.
-    order = [F.col(_PRIORITY).asc()] + [F.col(c).asc_nulls_last() for c in value_cols]
-    w = Window.partitionBy(*keys).orderBy(*order)
-    return (
-        both.withColumn(_PICK, F.row_number().over(w))
-        .filter(F.col(_PICK) == 1)
-        .drop(_PICK, _PRIORITY)
-    )
+    u_cols = [c for c in updates.columns if c not in keys]
+    e_cols = [c for c in existing.columns if c not in keys]
+    u = updates.withColumn("__u_present", F.lit(True)).alias("u")
+    e = existing.withColumn("__e_present", F.lit(True)).alias("e")
+    joined = e.join(u, on=list(keys), how="full_outer")
+
+    u_matched = F.col("u.__u_present").isNotNull()
+    e_matched = F.col("e.__e_present").isNotNull()
+    out: list = [F.col(k) for k in keys]
+    for c in e_cols + [c for c in u_cols if c not in e_cols]:
+        in_u, in_e = c in u_cols, c in e_cols
+        if updates_win:
+            if in_u and in_e:
+                expr = F.when(u_matched, F.col(f"u.{c}")).otherwise(F.col(f"e.{c}"))
+            elif in_u:
+                expr = F.col(f"u.{c}")
+            else:
+                expr = F.col(f"e.{c}")
+        else:
+            if in_u and in_e:
+                expr = F.when(e_matched, F.col(f"e.{c}")).otherwise(F.col(f"u.{c}"))
+            elif in_e:
+                expr = F.col(f"e.{c}")
+            else:
+                expr = F.when(e_matched, F.lit(None)).otherwise(F.col(f"u.{c}"))
+        out.append(expr.alias(c))
+    return joined.select(*out)
 
 
 def merge_nodes(
@@ -107,9 +134,10 @@ def canonical_edges(edges: DataFrame, undirected_types: Sequence[str] = ()) -> D
     if not undirected_types:
         return edges
     is_und = F.col("rel_type").isin(list(undirected_types))
+    # Native ordered struct comparison — field-wise, no string render
+    # (a cast-to-string compare would collide on keys containing ', ').
     swap = is_und & (
-        F.struct("dst_label", "dst_key").cast("string")
-        < F.struct("src_label", "src_key").cast("string")
+        F.struct("dst_label", "dst_key") < F.struct("src_label", "src_key")
     )
     out = edges
     for a, b in (("src_label", "dst_label"), ("src_key", "dst_key")):

@@ -10,6 +10,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -30,7 +31,10 @@ BROADCAST_TABLES = frozenset({"region", "nation"})
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Load one fixture table; known-tiny dimension tables carry a
+    broadcast hint so every downstream join plans broadcast-hash."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return F.broadcast(df) if name in BROADCAST_TABLES else df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
