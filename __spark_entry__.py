@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship pipeline on sf0.001;
+``queries()``/``oracle_sql()`` expose the full operator registry in
+``vmware_graph_spark.queries`` (one entry per SURVEY.md §2 operator /
+LLM-pipeline extension, each with a DuckDB oracle twin unless the op is
+genuinely non-SQL-expressible).
 """
 
 from __future__ import annotations
@@ -12,27 +12,49 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: dedup + text-quality rollup over sf0.001 documents.
+
+    Exercises the engine's own kernels (exact_dedup fingerprint pass,
+    language-ID, token stats) end-to-end and returns a small stable
+    (lang_pred, n_docs, avg_tokens) DataFrame.
+    """
+    from vmware_graph_spark.functions.text import lang_id, n_tokens
+    from vmware_graph_spark.operators.dedup import exact_dedup
+    from vmware_graph_spark.session import tune
+    from vmware_graph_spark.sources.tables import load_table
+
+    tune(spark)
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    deduped = exact_dedup(docs, "doc_id", "text")
+    return (
+        deduped.select(lang_id("text").alias("lang_pred"), n_tokens("text").alias("n_tok"))
+        .groupBy("lang_pred")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from vmware_graph_spark.queries import QUERIES
+    from vmware_graph_spark.session import tune
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            tune(spark)
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: wrap(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from vmware_graph_spark.queries import ORACLE
+
+    return dict(ORACLE)

@@ -1,0 +1,77 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q1": sec, ...}, "sf": <sf>}
+
+Each query is forced with a noop write (full computation, no driver
+collect). The headline set spans the engine's surface: scan-agg, joins,
+windows, merge/upsert, dedup (exact + LSH), similarity, text, graph.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_region_revenue",
+    "window_topk_orders_per_customer",
+    "merge_nodes_set",
+    "merge_edges_undirected_canonical",
+    "snapshot_diff_orphans",
+    "exact_dedup_documents",
+    "minhash_lsh_pairs_documents",
+    "simhash_documents",
+    "cosine_topk_embeddings",
+    "text_stats",
+    "sessionize_user_events",
+    "connected_components_bipartite",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from vmware_graph_spark.queries import QUERIES
+    from vmware_graph_spark.session import get_spark
+
+    spark = get_spark("vmware-graph-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM + parquet footers once so timings measure the queries.
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,113 @@
+"""Tests for dedup / similarity kernels, including scale-shape guards."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vmware_graph_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    simhash,
+)
+from vmware_graph_spark.operators.similarity import cosine_topk, ivf_topk
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "totally different content about spark engines"),
+            (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        ],
+        ["id", "text"],
+    )
+
+
+def test_exact_dedup_min_id_survives(docs):
+    out = exact_dedup(docs, "id", "text")
+    assert sorted(r.id for r in out.collect()) == [1, 2, 3]
+
+
+def test_jaccard_pairs_finds_near_dup(docs):
+    out = jaccard_pairs(docs, "id", "text", n=2, threshold=0.5).collect()
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in out}
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0
+    assert (1, 2) in pairs and 0.5 <= pairs[(1, 2)] < 1.0
+
+
+def test_jaccard_max_df_prunes_hot_shingles(spark):
+    # 'common' appears in every doc; max_df=2 removes it, so no pair
+    # shares a shingle and the join produces nothing.
+    df = spark.createDataFrame(
+        [(1, "common a"), (2, "common b"), (3, "common c")], ["id", "text"]
+    )
+    assert jaccard_pairs(df, "id", "text", n=1, threshold=0.01, max_df=2).count() == 0
+
+
+def test_minhash_signature_width(docs):
+    sig = minhash_signatures(docs, "id", "text", n=2, num_hashes=8)
+    row = sig.filter(F.col("id") == 1).collect()[0]
+    assert len(row.sig) == 8
+    # identical docs → identical signatures
+    rows = {r.id: tuple(r.sig) for r in sig.collect()}
+    assert rows[1] == rows[4]
+
+
+def test_lsh_recovers_exact_and_near_dups(docs):
+    out = minhash_lsh_pairs(docs, "id", "text", n=2, num_hashes=8, bands=4, verify_threshold=0.5)
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert (1, 4) in pairs  # exact dup always collides in every band
+
+
+def test_lsh_plan_has_no_full_shingle_selfjoin(docs):
+    """Scale guard (VERDICT r1 #5): the verification join must be keyed
+    on candidate ids — the physical plan must not contain a self-join of
+    the shingle table on `shingle` alone. We assert the candidate-pair
+    columns participate in every join with the shingle table."""
+    out = minhash_lsh_pairs(docs, "id", "text", n=2, num_hashes=8, bands=4)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # the only equi-join on 'shingle' must also involve an id key
+    # (id_b), i.e. no join condition is shingle-only.
+    for line in plan.splitlines():
+        if "Join" in line and "shingle" in line and "band" not in line:
+            assert "id_b" in line or "id_a" in line, line
+
+
+def test_simhash_near_dups_close(docs):
+    out = {r.id: r.simhash for r in simhash(docs, "id", "text").collect()}
+    assert out[1] == out[4]
+    ham_near = bin(out[1] ^ out[2]).count("1")
+    ham_far = bin(out[1] ^ out[3]).count("1")
+    assert ham_near < ham_far
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    return spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.9, 0.1, 0.0, 0.0]),
+            (3, [0.0, 1.0, 0.0, 0.0]),
+            (4, [-1.0, 0.0, 0.0, 0.0]),
+        ],
+        ["vec_id", "embedding"],
+    )
+
+
+def test_cosine_topk_exact(vecs):
+    q = vecs.filter(F.col("vec_id") == 1)
+    out = cosine_topk(q, vecs, id_col="vec_id", vec_col="embedding", k=2).collect()
+    assert [(r.neighbor_id, r.rank) for r in out] == [(1, 1), (2, 2)]
+
+
+def test_ivf_topk_prunes_other_buckets(vecs):
+    q = vecs.filter(F.col("vec_id") == 1)
+    out = ivf_topk(q, vecs, id_col="vec_id", vec_col="embedding", k=4, bucket_dims=1)
+    ids = {r.neighbor_id for r in out.collect()}
+    assert 4 not in ids  # negative-x bucket never probed
+    assert 1 in ids and 2 in ids

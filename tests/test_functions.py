@@ -1,0 +1,95 @@
+"""Unit tests for scalar/text/vector function shims (SURVEY §2.8)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from vmware_graph_spark.functions.scalar import (
+    IPV4_RE,
+    concat_strict,
+    path_last,
+    path_parent,
+    rlike_full,
+    split_literal,
+    try_int,
+)
+from vmware_graph_spark.functions.text import (
+    fingerprint,
+    lang_id,
+    n_tokens,
+    tokens,
+    word_shingles,
+)
+from vmware_graph_spark.functions.vector import cosine, as_double_vec
+
+
+def one(spark, value, expr):
+    df = spark.createDataFrame([(value,)], ["x"])
+    return df.select(expr.alias("y")).collect()[0][0]
+
+
+def test_rlike_full_is_anchored(spark):
+    # Cypher `=~` full-match: '10.0.0.1x' must NOT match the IPv4 regex
+    # even though unanchored rlike finds '10.0.0.1' inside it.
+    assert one(spark, "10.0.0.1", rlike_full("x", IPV4_RE)) is True
+    assert one(spark, "10.0.0.1x", rlike_full("x", IPV4_RE)) is False
+    assert one(spark, "a10.0.0.1", rlike_full("x", IPV4_RE)) is False
+    assert one(spark, "256.1.1.1", rlike_full("x", IPV4_RE)) is False
+
+
+def test_split_literal_escapes_metachars(spark):
+    # '[' must split literally (datastore parse, refresh-vmware.cypher:249)
+    assert one(spark, "[ds1] vm/vm.vmdk", split_literal("x", "[")) == ["", "ds1] vm/vm.vmdk"]
+    assert one(spark, "a build-b", split_literal("x", " build-")) == ["a", "b"]
+
+
+def test_try_int(spark):
+    assert one(spark, "42", try_int("x")) == 42
+    assert one(spark, "garbage", try_int("x")) is None
+
+
+def test_concat_strict_null_propagates(spark):
+    df = spark.createDataFrame([("a", None)], "x string, y string")
+    assert df.select(concat_strict("x", "y").alias("z")).collect()[0][0] is None
+
+
+def test_path_helpers(spark):
+    p = "/DC1/Cluster1/Resources/poolA/poolB"
+    assert one(spark, p, path_last("x")) == "poolB"
+    assert one(spark, p, path_parent("x")) == "/DC1/Cluster1/Resources/poolA"
+    # leaf repeating an interior segment must not corrupt the parent
+    # (the reference's replace() approach would, SURVEY §2.10)
+    p2 = "/DC/Resources/a/a"
+    assert one(spark, p2, path_parent("x")) == "/DC/Resources/a"
+
+
+def test_tokens_whitespace(spark):
+    assert one(spark, "a\tb\nc  d", tokens("x")) == ["a", "b", "c", "d"]
+    assert one(spark, " a ", n_tokens("x")) == 1
+
+
+def test_word_shingles_short_doc_empty(spark):
+    assert one(spark, "a b", word_shingles("x", 3)) == []
+    assert one(spark, "a b c d", word_shingles("x", 3)) == ["a b c", "b c d"]
+
+
+def test_fingerprint_normalizes(spark):
+    a = one(spark, "Hello   World", fingerprint("x"))
+    b = one(spark, "  hello\tworld ", fingerprint("x"))
+    assert a == b
+
+
+def test_lang_id(spark):
+    assert one(spark, "the cat and the hat is a cat", lang_id("x")) == "en"
+    assert one(spark, "el gato que vive por la casa", lang_id("x")) == "es"
+    assert one(spark, "你好世界", lang_id("x")) == "zh"
+    assert one(spark, "zzz qqq", lang_id("x")) == "unknown"
+
+
+def test_cosine(spark):
+    df = spark.createDataFrame([([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 1.0])], ["a", "b"])
+    got = [r[0] for r in df.select(cosine(as_double_vec("a"), as_double_vec("b")).alias("c")).collect()]
+    assert math.isclose(got[0], 0.0, abs_tol=1e-12)
+    assert math.isclose(got[1], 1.0, rel_tol=1e-12)

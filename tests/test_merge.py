@@ -1,0 +1,107 @@
+"""Unit tests for the MERGE family (SURVEY §2.4) on tiny DataFrames."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vmware_graph_spark.operators.merge import (
+    canonical_edges,
+    merge_edges,
+    merge_nodes,
+)
+
+
+def rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_merge_set_updates_win(spark):
+    existing = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], ["k", "status", "price"]
+    )
+    updates = spark.createDataFrame([(2, "U", 99.0), (3, "c", 30.0)], ["k", "status", "price"])
+    out = merge_nodes(existing, updates, ["k"])
+    assert rows(out, "k", "status", "price") == [
+        (1, "a", 10.0),
+        (2, "U", 99.0),
+        (3, "c", 30.0),
+    ]
+
+
+def test_merge_on_create_existing_wins(spark):
+    existing = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    updates = spark.createDataFrame([(2, "U"), (3, "c")], ["k", "v"])
+    out = merge_nodes(existing, updates, ["k"], on_create_only=True)
+    assert rows(out, "k", "v") == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_merge_per_column_preserves_untouched_props(spark):
+    """MERGE…SET only overwrites properties the update batch carries:
+    columns absent from updates keep their existing values
+    (refresh-vmware.cypher:39-40 semantics — earlier stages' writes
+    survive later stages touching the same node)."""
+    existing = spark.createDataFrame([(1, "keep", 1.5)], ["k", "early_prop", "price"])
+    updates = spark.createDataFrame([(1, 9.9)], ["k", "price"])
+    out = merge_nodes(existing, updates, ["k"])
+    assert rows(out, "k", "early_prop", "price") == [(1, "keep", 9.9)]
+
+
+def test_merge_null_keys_dropped(spark):
+    existing = spark.createDataFrame([(1, "a")], ["k", "v"])
+    updates = spark.createDataFrame([(None, "x"), (2, "b")], ["k", "v"])
+    out = merge_nodes(existing, updates, ["k"])
+    assert rows(out, "k", "v") == [(1, "a"), (2, "b")]
+
+
+def test_merge_intra_batch_duplicates_deterministic(spark):
+    updates = spark.createDataFrame([(1, "z"), (1, "a")], ["k", "v"])
+    out = merge_nodes(None, updates, ["k"])
+    assert rows(out, "k", "v") == [(1, "a")]  # total order over value cols
+
+
+def test_merge_idempotent(spark):
+    existing = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    once = merge_nodes(existing, existing, ["k"])
+    twice = merge_nodes(once, existing, ["k"])
+    assert rows(once, "k", "v") == rows(twice, "k", "v") == [(1, "a"), (2, "b")]
+
+
+def _edge(spark, src, rel, dst):
+    return spark.createDataFrame(
+        [("L", src, rel, "L", dst)],
+        ["src_label", "src_key", "rel_type", "dst_label", "dst_key"],
+    )
+
+
+def test_undirected_edge_canonicalizes_both_directions(spark):
+    e = _edge(spark, "a", "T", "b").unionByName(_edge(spark, "b", "T", "a"))
+    out = merge_edges(None, e, undirected_types=["T"])
+    assert out.count() == 1
+    assert rows(out, "src_key", "dst_key") == [("a", "b")]
+
+
+def test_directed_edge_keeps_both_directions(spark):
+    e = _edge(spark, "a", "T", "b").unionByName(_edge(spark, "b", "T", "a"))
+    out = merge_edges(None, e)
+    assert out.count() == 2
+
+
+def test_canonical_edges_comma_keys_do_not_collide(spark):
+    """Struct comparison is field-wise: keys containing ', ' must not
+    merge distinct edges (the string-render collision from ADVICE r1)."""
+    e = spark.createDataFrame(
+        [
+            ("L", "a, b", "T", "L", "c"),
+            ("L", "a", "T", "L", "b, c"),
+        ],
+        ["src_label", "src_key", "rel_type", "dst_label", "dst_key"],
+    )
+    out = canonical_edges(e, ["T"])
+    assert out.distinct().count() == 2
+
+
+def test_edge_props_last_writer_wins(spark):
+    e1 = _edge(spark, "vm", "HW_VERSION", "v7").withColumn("upgradestatus", F.lit("none"))
+    e2 = _edge(spark, "vm", "HW_VERSION", "v7").withColumn("upgradestatus", F.lit("pending"))
+    out = merge_edges(e1, e2, prop_cols=["upgradestatus"])
+    assert rows(out, "src_key", "upgradestatus") == [("vm", "pending")]

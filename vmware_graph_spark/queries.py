@@ -1,0 +1,1117 @@
+"""Driver-contract query registry: Spark queries + DuckDB oracle twins.
+
+Every operator the engine claims (SURVEY.md §2 + the LLM-pipeline
+extensions) is exercised here as a deterministic query over the driver's
+parquet fixtures, paired with an ANSI-SQL oracle DuckDB runs on the same
+tables. Determinism rules that make the value-hash comparison work:
+
+- every computed/aggregate column is aliased IDENTICALLY in both sides;
+- double sums go through ``round(x, 4)::decimal(18,4)`` accumulation
+  (exact arithmetic in both engines) and are cast back to double at the
+  end, so parallel summation order cannot change low bits;
+- per-row double math (IEEE ops on the same inputs) is bit-identical
+  across engines, so filters compare unrounded values and outputs round
+  to 6 decimals on both sides;
+- timestamps/dates are formatted to strings in outputs (no tz/epoch
+  representation drift);
+- md5 is the only hash (same algorithm everywhere) — see
+  ``operators/dedup.py`` for why xxhash64 is avoided.
+
+Each query cites the SURVEY §2 rows it covers.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from vmware_graph_spark.functions.scalar import (
+    coalesce_default,
+    concat_strict,
+    path_last,
+    path_parent,
+    rlike_full,
+    split_literal,
+    try_int,
+)
+from vmware_graph_spark.functions.text import (
+    fingerprint,
+    lang_id,
+    lang_id_sql,
+    n_tokens,
+    punct_ratio,
+    tokens,
+    word_shingles,
+)
+from vmware_graph_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    simhash,
+)
+from vmware_graph_spark.operators.merge import merge_edges, merge_nodes
+from vmware_graph_spark.operators.similarity import cosine_topk, ivf_topk
+from vmware_graph_spark.operators.snapshot import snapshot_diff, sweep_edges
+from vmware_graph_spark.analytics.algos import connected_components, degrees, pagerank
+from vmware_graph_spark.sources.tables import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Shared SQL fragments (DuckDB dialect) mirroring functions/text.py exactly.
+# ---------------------------------------------------------------------------
+
+def _toks(c: str) -> str:
+    return rf"list_filter(string_split_regex({c}, '\s+'), x -> x <> '')"
+
+
+def _shingles(c: str, n: int) -> str:
+    """DuckDB twin of word_shingles: n-gram join over whitespace tokens."""
+    t = _toks(c)
+    return (
+        f"list_transform(range(1, greatest(len({t}) - {n - 2}, 1)), "
+        f"i -> array_to_string(list_slice({t}, i, i + {n - 1}), ' '))"
+    )
+
+
+def _h64(expr: str, seed: str) -> str:
+    """DuckDB twin of dedup._md5_hash64 (md5 → first 15 hex chars → int)."""
+    return f"('0x' || substr(md5({seed} || ':' || {expr}), 1, 15))::BIGINT"
+
+
+_FP = r"md5(lower(regexp_replace(trim({c}), '\s+', ' ', 'g')))"
+
+# revenue term used by the TPC-H-ish queries: per-row double product is
+# bit-identical across engines; round→decimal makes the SUM exact.
+_REV_SQL = "round(l_extendedprice * (1 - l_discount), 4)::DECIMAL(18,4)"
+
+
+def _rev_col():
+    return F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).cast(
+        "decimal(18,4)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational core: scans, aggregation, joins, windows (SURVEY §2.1-2.7, §2.11)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(l_quantity::DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+           CAST(sum(l_extendedprice::DECIMAL(18,2)) AS DOUBLE) AS sum_base_price,
+           CAST(sum({_REV_SQL}) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(round(l_extendedprice*(1-l_discount)*(1+l_tax), 6)::DECIMAL(18,6)) AS DOUBLE) AS sum_charge,
+           round(CAST(sum(l_quantity::DECIMAL(18,2)) AS DOUBLE) / count(*), 6) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: full-scan partial aggregation (A1/A2 extended).
+
+    Map-side combine does the heavy lifting; one shuffle on the 6-value
+    group key. Decimal accumulation keeps the sum order-independent.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    # charge's true value has up to 6 decimal digits (2+2+2): rounding at
+    # 6 never lands on a half-way boundary, so Spark's HALF_UP and
+    # DuckDB's rounding agree bit-for-bit. Rounding at 4 would NOT.
+    charge = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 6
+    ).cast("decimal(18,6)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_base_price"),
+        F.sum(_rev_col()).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        F.round(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double") / F.count("*"), 6
+        ).alias("avg_qty"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@query(
+    "q3_top_revenue_orders",
+    f"""
+    SELECT o.o_orderkey,
+           CAST(sum({_REV_SQL}) AS DOUBLE) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1999-06-30'
+      AND l.l_shipdate > TIMESTAMP '1999-06-30'
+    GROUP BY o.o_orderkey, order_date, o.o_orderpriority
+    ORDER BY revenue DESC, o.o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_top_revenue_orders(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way equi join + agg + total-order top-k (J1, sort/limit).
+
+    Join order left to Catalyst/AQE; customer side is filtered before the
+    join so the broadcast threshold can kick in. Top-k has an explicit
+    orderkey tiebreak so LIMIT is deterministic.
+    """
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1999-06-30").cast("timestamp")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1999-06-30").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(_rev_col()).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "revenue", "order_date", "o_orderpriority")
+    )
+
+
+@query(
+    "q5_region_revenue",
+    f"""
+    SELECT r_name, n_name, CAST(sum({_REV_SQL}) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def q5_region_revenue(spark, sf_dir):
+    """Star join through two broadcast dimensions (J1 chain, §2.11 joins).
+
+    supplier(100)/nation(25)/region(5) are all broadcast — the only
+    shuffle is the final group-by, and AQE coalesces it.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(_rev_col()).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "window_topk_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def window_topk_orders_per_customer(spark, sf_dir):
+    """Per-group top-k via window rank (§2.11 window functions)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@query(
+    "anti_join_customers_without_orders",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+    """,
+)
+def anti_join_customers_without_orders(spark, sf_dir):
+    """Left-anti join (J7 — the sweep primitive on relational data):
+    customers with no pending order (non-empty, unlike no-orders-at-all)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "semi_join_customers_with_open_orders",
+    """
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+    """,
+)
+def semi_join_customers_with_open_orders(spark, sf_dir):
+    """Left-semi join (J5 existence-qualified join)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@query(
+    "left_join_order_counts",
+    """
+    SELECT c_custkey, count(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def left_join_order_counts(spark, sf_dir):
+    """Left outer join preserving unmatched rows (J2)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "two_hop_region_customer_counts",
+    """
+    SELECT r_name, count(*) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def two_hop_region_customer_counts(spark, sf_dir):
+    """Two-hop join through a dimension chain (J4)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@query(
+    "cross_theta_high_balance_suppliers",
+    """
+    SELECT s_name, t.tier FROM supplier
+    CROSS JOIN (SELECT 'high' AS tier) t
+    WHERE s_acctbal >= 5000
+    """,
+)
+def cross_theta_high_balance_suppliers(spark, sf_dir):
+    """Cartesian with a 1-row broadcast dim + theta filter (J6 — the
+    Jumboframes pattern, refresh-vmware.cypher:151-152)."""
+    s = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") >= 5000)
+    tier = spark.createDataFrame([("high",)], ["tier"])
+    return s.crossJoin(F.broadcast(tier)).select("s_name", "tier")
+
+
+@query(
+    "rollup_nation_revenue",
+    f"""
+    SELECT coalesce(n_name, 'ALL') AS nation,
+           CAST(GROUPING(n_name) AS BIGINT) AS is_total,
+           CAST(sum({_REV_SQL}) AS DOUBLE) AS revenue
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY ROLLUP(n_name)
+    """,
+)
+def rollup_nation_revenue(spark, sf_dir):
+    """ROLLUP grouping sets (§2.11 grouping sets/cube/rollup)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .rollup("n_name")
+        .agg(
+            F.grouping("n_name").cast("bigint").alias("is_total"),
+            F.sum(_rev_col()).cast("double").alias("revenue"),
+        )
+        .select(
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+            "is_total",
+            "revenue",
+        )
+    )
+
+
+@query(
+    "cube_region_status_counts",
+    """
+    SELECT coalesce(r_name, 'ALL') AS region,
+           coalesce(o_orderstatus, 'ALL') AS status,
+           CAST(GROUPING(r_name) AS BIGINT) AS g_region,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           count(*) AS n
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY CUBE(r_name, o_orderstatus)
+    """,
+)
+def cube_region_status_counts(spark, sf_dir):
+    """CUBE over two dimensions (§2.11)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .cube("r_name", "o_orderstatus")
+        .agg(
+            F.grouping("r_name").cast("bigint").alias("g_region"),
+            F.grouping("o_orderstatus").cast("bigint").alias("g_status"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region"),
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            "g_region",
+            "g_status",
+            "n",
+        )
+    )
+
+
+@query(
+    "distinct_segment_nation",
+    "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+)
+def distinct_segment_nation(spark, sf_dir):
+    """DISTINCT projection (P8)."""
+    return load_table(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+@query(
+    "regex_full_match_classify",
+    """
+    SELECT doc_id,
+           CASE WHEN regexp_full_match(source, 'src[0-9]') THEN 'single_digit'
+                ELSE 'multi_digit' END AS src_class
+    FROM documents
+    """,
+)
+def regex_full_match_classify(spark, sf_dir):
+    """Anchored full-match regex + negation (P5/P6) — the Cypher ``=~``
+    semantics trap (refresh-vmware.cypher:110,119): ``src12`` must NOT
+    match ``src[0-9]`` even though unanchored rlike would find ``src1``."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.when(rlike_full("source", "src[0-9]"), F.lit("single_digit"))
+        .otherwise(F.lit("multi_digit"))
+        .alias("src_class"),
+    )
+
+
+@query(
+    "scalar_path_parsing",
+    """
+    WITH p AS (
+      SELECT n_name,
+             '/' || r_name || '/' || n_name || '/Resources/pool' || (n_nationkey % 3) AS path,
+             n_nationkey
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+    )
+    SELECT n_name AS nation, path,
+           path_parts[-1] AS leaf,
+           array_to_string(list_slice(path_parts, 1, greatest(len(path_parts) - 1, 1)), '/') AS parent,
+           TRY_CAST(split_part(path_parts[-1], 'pool', 2) AS INTEGER) AS pool_num,
+           n_name || ' pool' AS label,
+           coalesce(nullif(path_parts[1], ''), 'None Provided') AS head
+    FROM (SELECT *, string_split(path, '/') AS path_parts FROM p)
+    """,
+)
+def scalar_path_parsing(spark, sf_dir):
+    """The §2.8 scalar-shim family on synthetic resource-pool paths:
+    split_literal, path_last, path_parent, try_int, concat_strict,
+    coalesce_default (refresh-vmware.cypher:56-71 path parse shapes)."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    p = (
+        n.join(r, n.n_regionkey == r.r_regionkey)
+        .select(
+            "n_name",
+            F.concat(
+                F.lit("/"),
+                F.col("r_name"),
+                F.lit("/"),
+                F.col("n_name"),
+                F.lit("/Resources/pool"),
+                (F.col("n_nationkey") % 3).cast("string"),
+            ).alias("path"),
+        )
+    )
+    return p.select(
+        F.col("n_name").alias("nation"),
+        "path",
+        path_last("path").alias("leaf"),
+        path_parent("path").alias("parent"),
+        try_int(F.element_at(split_literal(path_last("path"), "pool"), -1)).alias("pool_num"),
+        concat_strict("n_name", F.lit(" pool")).alias("label"),
+        coalesce_default(F.nullif(F.element_at(split_literal("path", "/"), 1), F.lit("")), "None Provided").alias("head"),
+    )
+
+
+@query(
+    "explode_token_counts",
+    f"""
+    SELECT token, count(*) AS n
+    FROM (SELECT unnest({_toks('text')}) AS token FROM documents)
+    GROUP BY token
+    """,
+)
+def explode_token_counts(spark, sf_dir):
+    """UNWIND/explode + aggregation (L1/L4, refresh-vmware.cypher:109)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "json_extract_event_sums",
+    """
+    SELECT event_type,
+           CAST(sum(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def json_extract_event_sums(spark, sf_dir):
+    """Semi-structured JSON property extraction over the events table."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "events_hourly_windows",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           event_type, count(*) AS n,
+           CAST(sum(round(value, 4)::DECIMAL(18,4)) AS DOUBLE) AS sum_value
+    FROM events GROUP BY hour_start, event_type
+    """,
+)
+def events_hourly_windows(spark, sf_dir):
+    """Tumbling time-window aggregation (batch twin of the streaming
+    window op; §2.11 streaming)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round("value", 4).cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "sessionize_user_events",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    )
+    SELECT user_id,
+           CAST(1 + sum(CASE WHEN prev_ts IS NOT NULL
+                              AND date_diff('second', prev_ts, ts) > 1800
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+    FROM g GROUP BY user_id
+    """,
+)
+def sessionize_user_events(spark, sf_dir):
+    """Gaps-and-islands sessionization (30-min inactivity gap) via lag
+    window — the batch twin of streaming session windows."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")) > 1800
+    return (
+        e.withColumn("is_break", F.when(F.lag("ts").over(w).isNotNull() & gap, 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(
+            (1 + F.sum("is_break")).cast("bigint").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@query(
+    "count_distinct_users_per_type",
+    "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY event_type",
+)
+def count_distinct_users_per_type(spark, sf_dir):
+    """Exact distinct aggregation (A2)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(F.count_distinct("user_id").alias("n_users"))
+
+
+@query("approx_distinct_users_per_type")  # no oracle: HLL sketches differ per engine
+def approx_distinct_users_per_type(spark, sf_dir):
+    """approx_count_distinct (§2.11 approx aggregates) — rows-only check;
+    the HLL sketch is engine-specific by design. A pytest bounds its
+    error against the exact count."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users")
+    )
+
+
+@query("approx_percentile_value")  # no oracle: interpolation differs per engine
+def approx_percentile_value(spark, sf_dir):
+    """percentile_approx profiling (§2.11) — rows-only check + pytest
+    error bound."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.95], 10000).alias("p")
+    ).select("event_type", F.col("p")[0].alias("p50"), F.col("p")[1].alias("p95"))
+
+
+# ---------------------------------------------------------------------------
+# MERGE family / snapshot protocol on relational fixtures (SURVEY §2.4/2.5/2.9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "merge_nodes_set",
+    """
+    WITH existing AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 3 <> 0
+    ), updates AS (
+      SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice + 1000 AS o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 0
+    )
+    SELECT coalesce(e.o_orderkey, u.o_orderkey) AS o_orderkey,
+           CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderstatus ELSE e.o_orderstatus END AS o_orderstatus,
+           CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice ELSE e.o_totalprice END AS o_totalprice
+    FROM existing e FULL OUTER JOIN updates u ON e.o_orderkey = u.o_orderkey
+    """,
+)
+def merge_nodes_set(spark, sf_dir):
+    """Node MERGE…SET — updates overwrite matched keys, new keys insert
+    (M1/M2, refresh-vmware.cypher:35,39-40)."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    existing = o.filter(F.col("o_orderkey") % 3 != 0)
+    updates = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+    )
+    return merge_nodes(existing, updates, ["o_orderkey"])
+
+
+@query(
+    "merge_nodes_on_create",
+    """
+    WITH existing AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 3 <> 0
+    ), updates AS (
+      SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice + 1000 AS o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 0
+    )
+    SELECT coalesce(e.o_orderkey, u.o_orderkey) AS o_orderkey,
+           CASE WHEN e.o_orderkey IS NOT NULL THEN e.o_orderstatus ELSE u.o_orderstatus END AS o_orderstatus,
+           CASE WHEN e.o_orderkey IS NOT NULL THEN e.o_totalprice ELSE u.o_totalprice END AS o_totalprice
+    FROM existing e FULL OUTER JOIN updates u ON e.o_orderkey = u.o_orderkey
+    """,
+)
+def merge_nodes_on_create(spark, sf_dir):
+    """MERGE…ON CREATE SET — existing rows keep all properties (M3,
+    refresh-vmware.cypher:284-287)."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    existing = o.filter(F.col("o_orderkey") % 3 != 0)
+    updates = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+    )
+    return merge_nodes(existing, updates, ["o_orderkey"], on_create_only=True)
+
+
+@query(
+    "merge_edges_undirected_canonical",
+    """
+    WITH base AS (
+      SELECT 'supplier' AS s_lab, 's' || l_suppkey AS s_key,
+             'part' AS d_lab, 'p' || l_partkey AS d_key, l_linenumber
+      FROM lineitem
+    ), asserted AS (
+      SELECT CASE WHEN l_linenumber % 2 = 1 THEN d_lab ELSE s_lab END AS src_label,
+             CASE WHEN l_linenumber % 2 = 1 THEN d_key ELSE s_key END AS src_key,
+             'SUPPLIES' AS rel_type,
+             CASE WHEN l_linenumber % 2 = 1 THEN s_lab ELSE d_lab END AS dst_label,
+             CASE WHEN l_linenumber % 2 = 1 THEN s_key ELSE d_key END AS dst_key
+      FROM base
+    )
+    SELECT DISTINCT
+           CASE WHEN (dst_label, dst_key) < (src_label, src_key) THEN dst_label ELSE src_label END AS src_label,
+           CASE WHEN (dst_label, dst_key) < (src_label, src_key) THEN dst_key ELSE src_key END AS src_key,
+           rel_type,
+           CASE WHEN (dst_label, dst_key) < (src_label, src_key) THEN src_label ELSE dst_label END AS dst_label,
+           CASE WHEN (dst_label, dst_key) < (src_label, src_key) THEN src_key ELSE dst_key END AS dst_key
+    FROM asserted
+    """,
+)
+def merge_edges_undirected_canonical(spark, sf_dir):
+    """Undirected relationship MERGE: the same edge asserted in both
+    directions collapses to one canonical row (M4,
+    refresh-vmware.cypher:41,76 undirected patterns)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.lit("supplier").alias("src_label"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src_key"),
+        F.lit("SUPPLIES").alias("rel_type"),
+        F.lit("part").alias("dst_label"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst_key"),
+        "l_linenumber",
+    )
+    flipped = fwd.select(
+        F.when(F.col("l_linenumber") % 2 == 1, F.col("dst_label")).otherwise(F.col("src_label")).alias("src_label"),
+        F.when(F.col("l_linenumber") % 2 == 1, F.col("dst_key")).otherwise(F.col("src_key")).alias("src_key"),
+        "rel_type",
+        F.when(F.col("l_linenumber") % 2 == 1, F.col("src_label")).otherwise(F.col("dst_label")).alias("dst_label"),
+        F.when(F.col("l_linenumber") % 2 == 1, F.col("src_key")).otherwise(F.col("dst_key")).alias("dst_key"),
+    )
+    return merge_edges(None, flipped, undirected_types=["SUPPLIES"])
+
+
+@query(
+    "snapshot_diff_orphans",
+    """
+    WITH curr AS (
+      SELECT c_custkey, c_mktsegment FROM customer
+      WHERE c_custkey % 7 <> 0 AND c_mktsegment <> 'BUILDING'
+    ), tenants AS (SELECT DISTINCT c_mktsegment FROM curr)
+    SELECT p.c_custkey, p.c_mktsegment
+    FROM customer p JOIN tenants t ON p.c_mktsegment = t.c_mktsegment
+    WHERE NOT EXISTS (SELECT 1 FROM curr c WHERE c.c_custkey = p.c_custkey)
+    """,
+)
+def snapshot_diff_orphans(spark, sf_dir):
+    """Tenant-scoped snapshot diff (J7/D2 — the mark-and-sweep protocol,
+    refresh-vmware.cypher:26-31,527-530): rows of an absent tenant
+    (BUILDING) are NOT orphaned because that tenant isn't in this run."""
+    prev = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    curr = prev.filter((F.col("c_custkey") % 7 != 0) & (F.col("c_mktsegment") != "BUILDING"))
+    return snapshot_diff(prev, curr, ["c_custkey"], tenant_col="c_mktsegment")
+
+
+@query(
+    "sweep_incident_edges",
+    """
+    WITH edges AS (
+      SELECT 'customer' AS src_label, 'c' || o_custkey AS src_key,
+             'PLACED' AS rel_type, 'order' AS dst_label, 'o' || o_orderkey AS dst_key
+      FROM orders
+    ), orphans AS (
+      SELECT 'customer' AS label, 'c' || c_custkey AS key FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT 'order' AS label, 'o' || o_orderkey AS key FROM orders WHERE o_orderkey % 13 = 0
+    )
+    SELECT e.* FROM edges e
+    WHERE NOT EXISTS (SELECT 1 FROM orphans x WHERE x.label = e.src_label AND x.key = e.src_key)
+      AND NOT EXISTS (SELECT 1 FROM orphans x WHERE x.label = e.dst_label AND x.key = e.dst_key)
+    """,
+)
+def sweep_incident_edges(spark, sf_dir):
+    """Incident-edge delete for swept vertices (D1,
+    refresh-vmware.cypher:30-31): edges die if EITHER endpoint died."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    edges = o.select(
+        F.lit("customer").alias("src_label"),
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("src_key"),
+        F.lit("PLACED").alias("rel_type"),
+        F.lit("order").alias("dst_label"),
+        F.concat(F.lit("o"), F.col("o_orderkey")).alias("dst_key"),
+    )
+    orphans = (
+        c.filter(F.col("c_custkey") % 10 == 0)
+        .select(F.lit("customer").alias("label"), F.concat(F.lit("c"), F.col("c_custkey")).alias("key"))
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 13 == 0).select(
+                F.lit("order").alias("label"), F.concat(F.lit("o"), F.col("o_orderkey")).alias("key")
+            )
+        )
+    )
+    return sweep_edges(edges, orphans)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis + dedup family over documents (LLM-pipeline extensions)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "exact_dedup_documents",
+    f"""
+    SELECT doc_id, source, lang FROM (
+      SELECT doc_id, source, lang,
+             row_number() OVER (PARTITION BY {_FP.format(c='text')} ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def exact_dedup_documents(spark, sf_dir):
+    """Exact dedup by content fingerprint, min-id survivor."""
+    d = load_table(spark, sf_dir, "documents")
+    return exact_dedup(d, "doc_id", "text").select("doc_id", "source", "lang")
+
+
+@query(
+    "text_stats",
+    f"""
+    SELECT doc_id,
+           CAST(len({_toks('text')}) AS INTEGER) AS n_tok,
+           round(len(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
+                 / greatest(len(text), 1), 6) AS punct,
+           {lang_id_sql('text')} AS lang_pred,
+           {_FP.format(c='text')} AS fp
+    FROM documents
+    """,
+)
+def text_stats(spark, sf_dir):
+    """Token count, punctuation-quality score, language-ID heuristic,
+    and document fingerprint — the text-analysis battery."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        n_tokens("text").alias("n_tok"),
+        F.round(punct_ratio("text"), 6).alias("punct"),
+        lang_id("text").alias("lang_pred"),
+        fingerprint("text").alias("fp"),
+    )
+
+
+@query(
+    "shingle_stats",
+    f"""
+    SELECT doc_id,
+           CAST(len({_shingles('text', 3)}) AS INTEGER) AS n_shingles,
+           {_shingles('text', 3)}[1] AS first_shingle
+    FROM documents
+    """,
+)
+def shingle_stats(spark, sf_dir):
+    """Word 3-gram shingling (MinHash input) — count + first shingle."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = word_shingles("text", 3)
+    return d.select(
+        "doc_id",
+        F.size(sh).alias("n_shingles"),
+        F.element_at(sh, 1).alias("first_shingle"),
+    )
+
+
+_SH3_CTE = f"""
+    toks AS (SELECT doc_id, {_toks('text')} AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id AS id,
+                  unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                        i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS shingle
+           FROM toks),
+    sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id)
+"""
+
+
+@query(
+    "jaccard_pairs_documents",
+    f"""
+    WITH {_SH3_CTE},
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b,
+           round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+    FROM pairs JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+    WHERE inter::DOUBLE / (sa.n_sh + sb.n_sh - inter) >= 0.4
+    """,
+)
+def jaccard_pairs_documents(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs (inverted shingle index)."""
+    d = load_table(spark, sf_dir, "documents")
+    out = jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.4)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@query(
+    "minhash_signatures_documents",
+    f"""
+    WITH {_SH3_CTE},
+    hx AS (
+      SELECT id, i AS h_idx,
+             min({_h64('shingle', 'i')}) AS h_val
+      FROM sh CROSS JOIN (SELECT unnest(range(8)) AS i)
+      GROUP BY id, i
+    )
+    SELECT id AS doc_id, CAST(h_idx AS INTEGER) AS h_idx, h_val FROM hx
+    """,
+)
+def minhash_signatures_documents(spark, sf_dir):
+    """MinHash signatures (md5-based, engine-portable), exploded to one
+    row per (doc, hash index) so the value-hash compare is scale-free."""
+    d = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(d, "doc_id", "text", n=3, num_hashes=8)
+    return sig.select(
+        F.col("id").alias("doc_id"), F.posexplode("sig").alias("h_idx", "h_val")
+    )
+
+
+@query(
+    "minhash_lsh_pairs_documents",
+    f"""
+    WITH {_SH3_CTE},
+    hx AS (
+      SELECT id, i AS h_idx, min({_h64('shingle', 'i')}) AS h_val
+      FROM sh CROSS JOIN (SELECT unnest(range(8)) AS i)
+      GROUP BY id, i
+    ),
+    buckets AS (
+      SELECT id, h_idx // 2 AS band,
+             md5(string_agg(h_val::VARCHAR, ',' ORDER BY h_idx)) AS bucket
+      FROM hx GROUP BY id, h_idx // 2
+    ),
+    cands AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+    ),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS inter
+      FROM cands c JOIN sh x ON x.id = c.id_a JOIN sh y ON y.id = c.id_b AND y.shingle = x.shingle
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+    FROM inter i JOIN sizes sa ON sa.id = i.id_a JOIN sizes sb ON sb.id = i.id_b
+    WHERE inter::DOUBLE / (sa.n_sh + sb.n_sh - inter) >= 0.4
+    """,
+)
+def minhash_lsh_pairs_documents(spark, sf_dir):
+    """MinHash→LSH banding→candidate verification. Candidates-only
+    verification (never all-pairs) — the 100 TB-safe shape."""
+    d = load_table(spark, sf_dir, "documents")
+    out = minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, num_hashes=8, bands=4, verify_threshold=0.4
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@query(
+    "simhash_documents",
+    f"""
+    WITH tok AS (
+      SELECT doc_id AS id, unnest({_toks('text')}) AS tok FROM documents
+    ),
+    h AS (SELECT id, {_h64('tok', "'0'")} AS h FROM tok),
+    bits AS (
+      SELECT id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM h CROSS JOIN (SELECT unnest(range(48)) AS i)
+      GROUP BY id, i
+    )
+    SELECT id AS doc_id,
+           CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits GROUP BY id
+    """,
+)
+def simhash_documents(spark, sf_dir):
+    """SimHash fingerprints (48-bit here so the value stays positive in
+    every engine's signed bigint)."""
+    d = load_table(spark, sf_dir, "documents")
+    return simhash(d, "doc_id", "text", bits=48).select(
+        F.col("id").alias("doc_id"), "simhash"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_COS = (
+    "list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))"
+)
+
+
+@query(
+    "cosine_topk_embeddings",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    s AS (SELECT query_id, neighbor_id, {_COS} AS cos FROM c CROSS JOIN q),
+    r AS (SELECT query_id, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+          FROM s)
+    SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank FROM r WHERE rank <= 5
+    """,
+)
+def cosine_topk_embeddings(spark, sf_dir):
+    """Exact brute-force cosine top-k (broadcast query set)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    return cosine_topk(q, e, id_col="vec_id", vec_col="embedding", k=5)
+
+
+@query(
+    "ivf_topk_embeddings",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+             concat(CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+                    CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+                    CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+                    CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+      FROM embeddings WHERE vec_id < 8
+    ),
+    c AS (
+      SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
+             concat(CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+                    CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+                    CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+                    CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+      FROM embeddings
+    ),
+    s AS (SELECT query_id, neighbor_id, {_COS} AS cos FROM c JOIN q USING (bucket)),
+    r AS (SELECT query_id, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+          FROM s)
+    SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank FROM r WHERE rank <= 5
+    """,
+)
+def ivf_topk_embeddings(spark, sf_dir):
+    """Bucketed ANN baseline (sign quantizer) — probe own bucket only."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    return ivf_topk(q, e, id_col="vec_id", vec_col="embedding", k=5, bucket_dims=4)
+
+
+# ---------------------------------------------------------------------------
+# Graph analytics (§2.11)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "degrees_customer_order_graph",
+    """
+    WITH edges AS (
+      SELECT 'c' || o_custkey AS src, 'o' || o_orderkey AS dst FROM orders
+    )
+    SELECT id, count(*) AS degree FROM (
+      SELECT src AS id FROM edges UNION ALL SELECT dst AS id FROM edges
+    ) GROUP BY id
+    """,
+)
+def degrees_customer_order_graph(spark, sf_dir):
+    """Undirected degree distribution over the customer-order graph."""
+    o = load_table(spark, sf_dir, "orders")
+    edges = o.select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("o"), F.col("o_orderkey")).alias("dst"),
+    )
+    return degrees(edges)
+
+
+@query(
+    "connected_components_bipartite",
+    """
+    WITH cust AS (SELECT 'c' || c_custkey AS cid, 'n' || c_nationkey AS nid FROM customer),
+    m AS (SELECT nid, min(cid) AS mc FROM cust GROUP BY nid)
+    SELECT cid AS id, mc AS component FROM cust JOIN m USING (nid)
+    UNION ALL
+    SELECT 'n' || n_nationkey AS id, coalesce(mc, 'n' || n_nationkey) AS component
+    FROM nation LEFT JOIN m ON m.nid = 'n' || n_nationkey
+    """,
+)
+def connected_components_bipartite(spark, sf_dir):
+    """Connected components on the customer-nation bipartite graph; the
+    oracle derives the expected labeling independently (component = min
+    string id of the nation's star, since 'c…' < 'n…')."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    cid = F.concat(F.lit("c"), F.col("c_custkey"))
+    nid = F.concat(F.lit("n"), F.col("c_nationkey"))
+    vertices = (
+        c.select(cid.alias("id"))
+        .unionByName(n.select(F.concat(F.lit("n"), F.col("n_nationkey")).alias("id")))
+        .distinct()
+    )
+    edges = c.select(cid.alias("src"), nid.alias("dst"))
+    return connected_components(vertices, edges, max_iters=10)
+
+
+@query("pagerank_customer_nation")  # no oracle: iterative float fixpoint
+def pagerank_customer_nation(spark, sf_dir):
+    """PageRank over the bipartite graph (directed both ways so no node
+    is a sink) — rows-only driver check; a pytest asserts rank mass and
+    per-node values against a NumPy reference implementation."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    cid = F.concat(F.lit("c"), F.col("c_custkey"))
+    nid = F.concat(F.lit("n"), F.col("c_nationkey"))
+    vertices = (
+        c.select(cid.alias("id"))
+        .unionByName(n.select(F.concat(F.lit("n"), F.col("n_nationkey")).alias("id")))
+        .distinct()
+    )
+    edges = c.select(cid.alias("src"), nid.alias("dst")).unionByName(
+        c.select(nid.alias("src"), cid.alias("dst"))
+    )
+    ranks = pagerank(vertices, edges, iters=5)
+    return ranks.select("id", F.round("rank", 6).alias("rank"))

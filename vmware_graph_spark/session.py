@@ -27,6 +27,9 @@ ENGINE_CONF = {
     # Keep ANSI off: the reference's toInt() returns null on garbage
     # (SURVEY §2.8) and try_cast/ANSI-off casting matches that.
     "spark.sql.ansi.enabled": "false",
+    # The events fixture stores TIMESTAMP(NANOS) which Spark refuses by
+    # default; read as long and convert in sources.tables.load_table.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

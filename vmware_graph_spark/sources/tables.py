@@ -34,6 +34,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table; known-tiny dimension tables carry a
     broadcast hint so every downstream join plans broadcast-hash."""
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # events.ts is parquet TIMESTAMP(NANOS): with nanosAsLong (session.py)
+    # it arrives as bigint nanoseconds — convert to a proper timestamp
+    # (integer µs division, matching DuckDB's ns→µs narrowing).
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return F.broadcast(df) if name in BROADCAST_TABLES else df
 
 
