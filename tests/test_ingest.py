@@ -1,0 +1,273 @@
+"""Golden tests for the ingest layer + refresh protocol (SURVEY §5.2-5.3).
+
+Workbook A (tests/fixtures.py) exercises every branch; assertions below
+are hand-derived from refresh-vmware.cypher semantics. Module-scoped
+fixtures build the graph once.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import fixtures
+from vmware_graph_spark.ingest import refresh, run_ingest
+from vmware_graph_spark.store.graph import US
+
+
+@pytest.fixture(scope="module")
+def built(spark):
+    sheets = fixtures.workbook(spark, "A")
+    store = run_ingest(spark, sheets, fixtures.seeds(spark))
+    edges = {
+        (r.src_label, r.src_key, r.rel_type, r.dst_label, r.dst_key)
+        for r in store.edges().collect()
+    }
+    return store, edges
+
+
+def k(*parts):
+    return US.join(parts)
+
+
+def edge_set(edges, rel):
+    return {(s_k, d_k) for (s_l, s_k, r, d_l, d_k) in edges if r == rel}
+
+
+# -- node goldens ----------------------------------------------------------
+
+
+def test_unknown_cluster_host_dropped(built):
+    store, _ = built
+    hosts = {r.objid for r in store.vertices("Vspherehost").collect()}
+    assert hosts == {"host-1", "host-2", "host-3", "host-4"}  # host-5 gone
+
+
+def test_cluster_props(built):
+    store, _ = built
+    rows = {r.name: r for r in store.vertices("Vcentercluster").collect()}
+    assert rows["ClusterA"].hosts == "green"  # bug §0.2.6 declared behavior
+    assert rows["ClusterA"].ha == "True"
+    assert rows["ClusterC"].managedby == "uid-2"
+
+
+def test_vm_dedup_and_typed_props(built):
+    store, _ = built
+    vms = {r.uuid: r for r in store.vertices("Virtualmachine").collect()}
+    assert len(vms) == 6
+    # intra-batch duplicate resolved deterministically (min over value cols)
+    assert vms["vm-uuid-6"].note == "aa earlier row"
+    # toInt on garbage → null; fqdn read from the ROW (bug §0.2.3 fixed)
+    assert vms["vm-uuid-4"].memory is None
+    assert vms["vm-uuid-1"].memory == 8192
+    assert vms["vm-uuid-1"].fqdn == "web01.corp.example"
+
+
+def test_ip_fqdn_classification(built):
+    store, _ = built
+    ntp = {(r.kind, r.address) for r in store.vertices("Ntpserver").collect()}
+    # 256.1.1.1 fails the anchored IPv4 match → fqdn branch (P5 trap)
+    assert ntp == {("ip", "10.0.0.1"), ("fqdn", "ntp1.corp.example"), ("fqdn", "256.1.1.1")}
+    dns = {(r.kind, r.address) for r in store.vertices("Dnsserver").collect()}
+    # '10.0.0.1x' must NOT classify as ip (unanchored rlike would match)
+    assert ("fqdn", "10.0.0.1x") in dns
+    assert ("ip", "8.8.8.8") in dns and ("ip", "1.2.3.4") in dns
+
+
+def test_coalesce_defaults(built):
+    store, _ = built
+    vendors = {r.name for r in store.vertices("Crmmanufacturer").collect()}
+    assert vendors == {"Dell Inc.", "None Provided"}
+    speeds = {r.name for r in store.vertices("Vmnicspeed").collect()}
+    assert speeds == {"10000 Mb", "No link"}
+
+
+def test_resource_pool_tree(built):
+    store, _ = built
+    pools = {(r.vc, r.path): r for r in store.vertices("Vresourcepool").collect()}
+    assert ("vcenter1.example", "/DC1/ClusterA/Resources/prod/web") in pools
+    assert pools[("vcenter1.example", "/DC1/ClusterA/Resources/prod/web")].name == "web"
+    # vInfo-created pool (FOREACH conditional, cypher:199)
+    assert ("vcenter1.example", "/DC1/ClusterB/Resources/dev/api") in pools
+    # sentinel pools from vCluster (cypher:36)
+    assert ("vcenter1.example", "None Configured") in pools
+    assert ("vcenter2.example", "None Configured") in pools
+
+
+# -- edge goldens ----------------------------------------------------------
+
+
+def test_child_resource_pool_edges(built):
+    _, edges = built
+    got = edge_set(edges, "CHILD_RESOURCE_POOL")
+    assert got == {
+        (k("vcenter1.example", "/DC1/ClusterA/Resources/prod/web"),
+         k("vcenter1.example", "/DC1/ClusterA/Resources/prod")),
+    }
+
+
+def test_child_resource_of_edges(built):
+    _, edges = built
+    got = edge_set(edges, "CHILD_RESOURCE_OF")
+    assert got == {
+        (k("vcenter1.example", "/DC1/ClusterA/Resources/prod/web"),
+         k("vcenter1.example", "/DC1/ClusterA/Resources/prod")),
+        (k("vcenter1.example", "/DC1/ClusterB/Resources/dev/api"),
+         k("vcenter1.example", "/DC1/ClusterB/Resources/dev")),
+    }
+
+
+def test_folder_hierarchy_and_dc_edges(built):
+    _, edges = built
+    in_folder = edge_set(edges, "IN_FOLDER")
+    assert (k("vm-uuid-1", "uid-1"), "/DC1/Web") in in_folder
+    assert (k("vm-uuid-3", "uid-1"), "/DC1/Web/Frontend") in in_folder
+    assert ("/DC1/Web/Frontend", "/DC1/Web") in in_folder  # folder→parent
+    dc = edge_set(edges, "LOCATED_IN_DC")
+    assert ("/DC1/Web", k("DC1", "uid-1")) in dc  # rootless folder → DC
+    assert ("/DC1/Solo", k("DC1", "uid-1")) in dc
+    cl = edge_set(edges, "LOCATED_IN_CLUSTER")
+    # vm2: RP exactly '/…/Resources' (no pool node) → VM → cluster
+    assert (k("vm-uuid-2", "uid-1"), k("ClusterA", "uid-1")) in cl
+    # vm5's pool has no parent pool → pool → cluster
+    assert (k("vcenter2.example", "/DC2/ClusterC/Resources/test"), k("ClusterC", "uid-2")) in cl
+
+
+def test_network_fanout(built):
+    _, edges = built
+    pg = edge_set(edges, "IN_PORTGROUP")
+    vm1 = k("vm-uuid-1", "uid-1")
+    # vm1: #1 PG-Web, #2 PG-DB, #3/#4 null → 'Not Configured'
+    assert (vm1, k("PG-Web", "uid-1")) in pg
+    assert (vm1, k("PG-DB", "uid-1")) in pg
+    assert (vm1, k("Not Configured", "uid-1")) in pg
+    # adapter-level portgroup join (vNetwork): PG-Web@esx1 hit, PG-Missing not
+    assert (k("00:50:56:aa:bb:01", "vm-uuid-1"), k("PG-Web", "esx1.example", "uid-1")) in pg
+    assert not any(s == k("00:50:56:aa:bb:02", "vm-uuid-1") for s, _ in pg)
+
+
+def test_jumboframes_theta_join(built):
+    _, edges = built
+    jumbo = edge_set(edges, "HAS_JUMBO_FRAMES")
+    assert jumbo == {(k("vSwitch0", "esx1.example"), "enabled")}  # only MTU 9000
+
+
+def test_domain_two_hop_drops_unseeded(built):
+    _, edges = built
+    dom = edge_set(edges, "OF_DOMAIN")
+    srcs = {s for s, _ in dom}
+    assert k("host-2", "uid-1") not in srcs  # other.example not seeded
+    assert {k("host-1", "uid-1"), k("host-3", "uid-1"), k("host-4", "uid-2")} <= srcs
+    comp = edge_set(edges, "ESX_HOST_FOR")
+    assert (k("host-1", "uid-1"), "Acme Corp") in comp
+
+
+def test_datastore_host_explode_trim(built):
+    _, edges = built
+    conn = edge_set(edges, "CONNECTED_DATASTORE")
+    assert conn == {
+        (k("host-1", "uid-1"), "ds:///vmfs/volumes/aaa/"),
+        (k("host-2", "uid-1"), "ds:///vmfs/volumes/aaa/"),  # ' esx2.example' trimmed
+        (k("host-4", "uid-2"), "ds:///vmfs/volumes/bbb/"),
+    }
+
+
+def test_vdisk_path_parse_and_qualified_join(built):
+    _, edges = built
+    ds = edge_set(edges, "ON_DATASTORE")
+    # d1: '[DS-A] …' and DS-A connected to esx1 → edge; d2: DS-C not
+    # connected to esx1 → J5 existence join fails → no edge.
+    # ON_DATASTORE is undirected-merged → canonical endpoint order is
+    # (Vdatastore, Virtualdisk) by label sort.
+    assert ds == {("ds:///vmfs/volumes/aaa/", "[DS-A] web01/web01.vmdk")}
+    vdisk = edge_set(edges, "VDISK_FOR_VM")
+    assert ("[DS-C] db01/db01.vmdk", k("vm-uuid-2", "uid-1")) in vdisk  # node+edge exist
+
+
+def test_hw_version_edges(built):
+    _, edges = built
+    hw = edge_set(edges, "HW_VERSION")
+    assert (k("vm-uuid-1", "uid-1"), "14") in hw
+    assert (k("vm-uuid-2", "uid-1"), "11") in hw
+
+
+def test_esx_version_build_split(built):
+    store, edges = built
+    builds = {r.build for r in store.vertices("Vsphereesxbuild").collect()}
+    assert builds == {"15160138", "20328353"}
+    bo = edge_set(edges, "BUILD_OF")
+    assert ("15160138", "VMware ESXi 6.7.0") in bo
+    assert ("14836122", "VMware vCenter Server 6.7.0") in bo  # vCenter build
+
+
+# -- protocol tests --------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def refreshed(spark, built):
+    store_a, _ = built
+    sheets_prime = fixtures.workbook(spark, "Aprime")
+    return refresh(spark, sheets_prime, fixtures.seeds(spark), prev=store_a)
+
+
+def test_refresh_idempotent(spark, built):
+    store_a, edges_a = built
+    result = refresh(spark, fixtures.workbook(spark, "A"), fixtures.seeds(spark), prev=store_a)
+    assert result.orphans.count() == 0
+    edges_again = {
+        (r.src_label, r.src_key, r.rel_type, r.dst_label, r.dst_key)
+        for r in result.store.edges().collect()
+    }
+    assert edges_again == edges_a
+    for label in store_a.labels():
+        assert result.store.vertices(label).count() == store_a.vertices(label).count(), label
+
+
+def test_sweep_removes_exactly_the_dropped_entities(refreshed):
+    orphans = {(r.label, r.key) for r in refreshed.orphans.collect()}
+    assert orphans == {
+        ("Vspherehost", k("host-3", "uid-1")),
+        ("Virtualmachine", k("vm-uuid-2", "uid-1")),
+        ("Vdatastore", "ds:///vmfs/volumes/ccc/"),
+    }
+
+
+def test_sweep_final_state(refreshed):
+    store = refreshed.store
+    hosts = {r.objid for r in store.vertices("Vspherehost").collect()}
+    assert hosts == {"host-1", "host-2", "host-4"}
+    vms = {r.uuid for r in store.vertices("Virtualmachine").collect()}
+    assert "vm-uuid-2" not in vms and "vm-uuid-7" in vms
+    urls = {r.url for r in store.vertices("Vdatastore").collect()}
+    assert "ds:///vmfs/volumes/ccc/" not in urls
+
+
+def test_sweep_edges_and_unmanaged_nodes(refreshed):
+    """Edges incident to swept nodes die; label tables without a
+    managedby column (Virtualdisk, dims) keep stale nodes EDGE-less —
+    same observable state as the reference's mark (which can only see
+    n.managedby) + relationship delete."""
+    store = refreshed.store
+    edges = {
+        (r.src_label, r.src_key, r.rel_type, r.dst_label, r.dst_key)
+        for r in store.edges().collect()
+    }
+    gone = {k("host-3", "uid-1"), k("vm-uuid-2", "uid-1"), "ds:///vmfs/volumes/ccc/"}
+    assert not any(s in gone or d in gone for (_, s, _, _, d) in edges)
+    # vm-2's disk node survives (no managedby) but is edge-less
+    disks = {r.path for r in store.vertices("Virtualdisk").collect()}
+    assert "[DS-C] db01/db01.vmdk" in disks
+    assert not any(s == "[DS-C] db01/db01.vmdk" for (_, s, _, _, _) in edges)
+    # dim node from host-3's NTP entry survives, its USES_NTP edge died
+    # (Ntpserver has no managedby — never swept)
+    assert not any(r == "USES_NTP" and s == k("host-3", "uid-1") for (_, s, r, _, _) in edges)
+
+
+def test_tenant_scoping_other_tenant_untouched(refreshed):
+    """uid-2's graph must be byte-identical through a refresh that only
+    changed uid-1 entities."""
+    store = refreshed.store
+    vms2 = {r.uuid for r in store.vertices("Virtualmachine").collect() if r.managedby == "uid-2"}
+    assert vms2 == {"vm-uuid-5"}
+    hosts2 = {r.objid for r in store.vertices("Vspherehost").collect() if r.managedby == "uid-2"}
+    assert hosts2 == {"host-4"}

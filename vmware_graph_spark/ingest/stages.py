@@ -1,0 +1,951 @@
+"""Per-sheet ingest stages: RVTools workbook → property-graph store.
+
+One function per ingest statement of the reference's pass 1
+(refresh-vmware.cypher:33-277), re-expressed as declarative DataFrame
+transforms feeding ``GraphStore`` upserts. Each stage docstring cites
+the statement it reproduces. Known reference bugs are NOT replicated —
+see SURVEY §0.2 (bug ledger) — and two documented divergences:
+
+- Vresourcepool identity is (vc, path) everywhere, where the reference
+  mixes (name,cluster,dc,vc) [cypher:66] and (path,vc) [cypher:199];
+  under the reference's keying, equally-named pools at different depths
+  of the same cluster collapse into one node — ours stay distinct.
+- parent paths are computed structurally (functions.scalar.path_parent)
+  instead of ``replace(path,'/'+name,'')`` [cypher:64,216-217], which
+  corrupts paths whose leaf repeats an interior segment.
+
+Cypher MATCH = inner join (rows without a match are silently dropped);
+OPTIONAL MATCH = left join; MERGE on a null key fails the row (we drop
+it). All three semantics live in operators.merge / plain joins here.
+
+Scale notes: every MATCH against a dimension label is a broadcast join
+(dim tables are ≪ MB). The only large-large joins are rows⋈VM and
+rows⋈host tables, which hash-partition on the natural key — same key
+every stage, so AQE reuses the exchange where plans allow.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vmware_graph_spark.functions.scalar import (
+    IPV4_RE,
+    path_last,
+    path_parent,
+    rlike_full,
+    split_literal,
+    try_int,
+)
+from vmware_graph_spark.store.graph import GraphStore, node_key
+
+UID = "VI SDK UUID"
+SERVER = "VI SDK Server"
+
+
+def _edges(
+    df: DataFrame,
+    src_label: str,
+    src_key,
+    rel_type: str,
+    dst_label: str,
+    dst_key,
+    props: Mapping[str, F.Column] | None = None,
+) -> DataFrame:
+    cols = [
+        F.lit(src_label).alias("src_label"),
+        src_key.alias("src_key"),
+        F.lit(rel_type).alias("rel_type"),
+        F.lit(dst_label).alias("dst_label"),
+        dst_key.alias("dst_key"),
+    ]
+    for name, expr in (props or {}).items():
+        cols.append(expr.alias(name))
+    return df.select(*cols)
+
+
+def _dim(store: GraphStore, df: DataFrame, label: str, name_expr, extra=None) -> None:
+    """MERGE a single-key dimension label from an expression column."""
+    cols = [name_expr.alias("name")]
+    for k, e in (extra or {}).items():
+        cols.append(e.alias(k))
+    store.upsert_nodes(label, df.select(*cols).filter(F.col("name").isNotNull()).distinct())
+
+
+# --------------------------------------------------------------------------
+# Stage: vCluster → Vcenterserver / Vcentercluster (+sentinels)
+# --------------------------------------------------------------------------
+
+
+def stage_vcluster(store: GraphStore, sheets: Mapping[str, DataFrame]) -> None:
+    """refresh-vmware.cypher:34-41.
+
+    Creates the vCenter node (uid key), the per-tenant cluster nodes
+    with status/capacity props, two sentinel nodes ('None Configured'
+    resource pool, 'None Provided' portgroup) and the undirected
+    cluster—vCenter edge. The reference's bug at :37 (REMOVEs
+    vrp.unverified instead of vpg) is moot here: snapshot semantics
+    re-assert both sentinels every run.
+    """
+    row = sheets["vCluster"]
+    store.upsert_nodes(
+        "Vcenterserver",
+        row.select(F.col(UID).alias("uid"), F.col(SERVER).alias("name")).distinct(),
+    )
+    store.upsert_nodes(
+        "Vresourcepool",
+        row.select(
+            F.col(SERVER).alias("vc"),
+            F.lit("None Configured").alias("path"),
+            F.lit("None Configured").alias("name"),
+        ).distinct(),
+    )
+    store.upsert_nodes(
+        "Vmportgroup",
+        row.select(
+            F.lit("None Provided").alias("name"), F.col(UID).alias("managedby")
+        ).distinct(),
+    )
+    store.upsert_nodes(
+        "Vcentercluster",
+        row.select(
+            F.col("Name").alias("name"),
+            F.col(UID).alias("managedby"),
+            # bug §0.2.6 kept as declared behavior: status → `hosts`
+            F.col("OverallStatus").alias("hosts"),
+            F.col("TotalCpu").alias("cpu"),
+            F.col("NumCpuCores").alias("CpuCored"),
+            F.col("TotalMemory").alias("memory"),
+            F.col("HA enabled").alias("ha"),
+            F.col("DRS enabled").alias("drs"),
+        ),
+    )
+    store.add_edges(
+        _edges(
+            row,
+            "Vcentercluster",
+            node_key(F.col("Name"), F.col(UID)),
+            "CONTROLLED_BY_VC",
+            "Vcenterserver",
+            node_key(F.col(UID)),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Stage: vInfo (first block) → vCenter version/build dims
+# --------------------------------------------------------------------------
+
+
+def stage_vcenter_version(store: GraphStore, sheets: Mapping[str, DataFrame]) -> None:
+    """refresh-vmware.cypher:44-51: DISTINCT server type → split
+    ' build-' → version + build dims + BUILD_OF / IS_VCENTER_BUILD."""
+    row = sheets["vInfo"]
+    vc = store.vertices("Vcenterserver")
+    parts = (
+        row.select(
+            F.col("VI SDK Server type").alias("vcversion"),
+            F.col(SERVER).alias("vcserver"),
+        )
+        .distinct()
+        .select(
+            "vcserver",
+            split_literal("vcversion", " build-").getItem(0).alias("vname"),
+            split_literal("vcversion", " build-").getItem(1).alias("build"),
+        )
+        # MATCH (vc {name:vcserver}) — inner join drops unknown servers
+        .join(vc.select(F.col("name").alias("vcserver"), "uid"), "vcserver")
+        # null build would fail the Cypher MERGE → row dropped
+        .filter(F.col("vname").isNotNull() & F.col("build").isNotNull())
+    )
+    _dim(store, parts, "Vcenterversion", F.col("vname"))
+    store.upsert_nodes("Vcenterbuild", parts.select(F.col("build")).distinct())
+    store.add_edges(
+        _edges(parts, "Vcenterbuild", node_key("build"), "BUILD_OF", "Vcenterversion", node_key("vname"))
+    )
+    store.add_edges(
+        _edges(parts, "Vcenterserver", node_key("uid"), "IS_VCENTER_BUILD", "Vcenterbuild", node_key("build"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Stage: vRP → Vspheredatacenter + Vresourcepool tree
+# --------------------------------------------------------------------------
+
+
+def stage_vrp(store: GraphStore, sheets: Mapping[str, DataFrame]) -> None:
+    """refresh-vmware.cypher:55-71: the path→hierarchy pattern.
+
+    ``/DC/Cluster/Resources/a/b`` splits on 'Resources' into the
+    datacenter/cluster head and the pool tail; pools become nodes keyed
+    (vc, full path) with parent edges via a self-join on the parent
+    path (§2.10 pattern 1).
+    """
+    row = sheets["vRP"]
+    rp = split_literal(F.col("Resource pool"), "Resources")
+    parsed = row.select(
+        "*",
+        F.element_at(split_literal(rp.getItem(0), "/"), 2).alias("datacenter"),
+        F.element_at(split_literal(rp.getItem(0), "/"), 3).alias("cluster"),
+        rp.getItem(1).alias("resourcepool"),
+    )
+    vc = store.vertices("Vcenterserver").select(F.col("name").alias("__vcname"), F.col("uid").alias("__vcuid"))
+    vcc = store.vertices("Vcentercluster").select(
+        F.col("name").alias("__ccname"), F.col("managedby").alias("__ccuid")
+    )
+    # MATCH vc by name AND vcc by (cluster, uid) — inner joins (:59)
+    joined = (
+        parsed.join(vc, parsed[SERVER] == vc.__vcname)
+        .join(vcc, (F.col("cluster") == vcc.__ccname) & (F.col(UID) == vcc.__ccuid), "inner")
+        .drop("__ccname")
+    )
+    store.upsert_nodes(
+        "Vspheredatacenter",
+        joined.select(F.col("datacenter").alias("name"), F.col(UID).alias("managedby")).distinct(),
+    )
+    store.add_edges(
+        _edges(joined, "Vcentercluster", node_key("cluster", F.col(UID)), "LOCATED_IN_DC",
+               "Vspheredatacenter", node_key("datacenter", F.col(UID)))
+    )
+    store.add_edges(
+        _edges(joined, "Vspheredatacenter", node_key("datacenter", F.col(UID)),
+               "CONTROLLED_BY_VC", "Vcenterserver", node_key(F.col(UID)))
+    )
+    pools = joined.select(
+        "*",
+        path_last("resourcepool").alias("pool"),
+        path_parent("resourcepool").alias("parentpath"),
+    ).filter(F.col("pool") != "")
+    store.upsert_nodes(
+        "Vresourcepool",
+        pools.select(
+            F.col(SERVER).alias("vc"),
+            F.col("Resource pool").alias("path"),
+            F.col("pool").alias("name"),
+            F.col("cluster"),
+            F.col("datacenter").alias("dc"),
+            F.col("# VMs").alias("vms"),
+            F.col("# vCPUs").alias("cpus"),
+            F.col("Mem Configured").alias("memcfg"),
+        ),
+    )
+    store.add_edges(
+        _edges(pools, "Vresourcepool", node_key(F.col(SERVER), F.col("Resource pool")),
+               "MEMBER_OF_CLUSTER", "Vcentercluster", node_key("cluster", F.col(UID)))
+    )
+    # parent pool self-join (:70-71): parent node exists iff another row
+    # of this sheet claims the parent's full path (within the same vc).
+    parent_full = F.concat(
+        F.element_at(split_literal(F.col("Resource pool"), "Resources"), 1),
+        F.lit("Resources"),
+        F.col("parentpath"),
+    )
+    with_parent = pools.select(
+        F.col(SERVER).alias("vc"), F.col("Resource pool").alias("path"),
+        F.when(F.col("parentpath") != "", parent_full).alias("parent_path"),
+    )
+    parents = pools.select(
+        F.col(SERVER).alias("vc"), F.col("Resource pool").alias("parent_path")
+    ).distinct()
+    linked = with_parent.join(parents, ["vc", "parent_path"], "inner")
+    store.add_edges(
+        _edges(linked, "Vresourcepool", node_key("vc", "path"), "CHILD_RESOURCE_POOL",
+               "Vresourcepool", node_key("vc", "parent_path"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Stage: vHost → Vspherehost + 12 dimension links + domain tail
+# --------------------------------------------------------------------------
+
+
+def stage_vhost(store: GraphStore, sheets: Mapping[str, DataFrame]) -> None:
+    """refresh-vmware.cypher:73-103."""
+    row = sheets["vHost"]
+    vc = store.vertices("Vcenterserver").select(F.col("name").alias("__vcname"), F.col("uid").alias("__vcuid"))
+    vcc = store.vertices("Vcentercluster").select(
+        F.col("name").alias("__ccname"), F.col("managedby").alias("__ccuid")
+    )
+    joined = (
+        row.join(vc, row[SERVER] == vc.__vcname)
+        .join(vcc, (row["Cluster"] == vcc.__ccname) & (row[UID] == vcc.__ccuid))
+    )
+    host_key = node_key(F.col("Object ID"), F.col(UID))
+    store.upsert_nodes(
+        "Vspherehost",
+        joined.select(
+            F.col("Object ID").alias("objid"),
+            F.col(UID).alias("managedby"),
+            F.col("Host").alias("name"),
+            F.col("NumHosts").alias("hosts"),
+            F.col("# CPU").alias("cpu"),
+            F.col("# Cores").alias("cores"),
+            F.col("# Memory").alias("memory"),
+            F.col("Memory usage %").alias("memusage"),
+            F.col("# VMs").alias("vms"),
+            F.col("Assigned License(s)").alias("license"),
+            F.col("Max EVC").alias("chipset"),
+            F.col("Boot time").alias("boot"),
+            F.col("Service tag").alias("servicetag"),
+        ),
+    )
+    store.add_edges(_edges(joined, "Vspherehost", host_key, "CONTROLLED_BY_VC",
+                           "Vcenterserver", node_key(F.col(UID))))
+    store.add_edges(_edges(joined, "Vspherehost", host_key, "MEMBER_OF_CLUSTER",
+                           "Vcentercluster", node_key("Cluster", F.col(UID))))
+
+    esx_ver = split_literal(F.col("ESX Version"), " build-").getItem(0)
+    esx_build = split_literal(F.col("ESX Version"), " build-").getItem(1)
+    vendor = F.coalesce(F.col("Vendor"), F.lit("None Provided"))
+    model = F.coalesce(F.col("Model"), F.lit("None Provided"))
+    bios_ver = F.coalesce(F.col("BIOS Version"), F.lit("None Provided"))
+
+    _dim(store, joined, "Vconfigstatus", F.col("Config status"))
+    _dim(store, joined, "Vspherecpupwrmgpol", F.col("`Current CPU power man. policy`"))
+    _dim(store, joined, "Vspherehostpwrmgpol", F.col("Host Power Policy"))
+    _dim(store, joined, "Cpumodel", F.col("CPU Model"))
+    _dim(store, joined, "Vsphereesxversion", esx_ver)
+    store.upsert_nodes(
+        "Vsphereesxbuild", joined.select(esx_build.alias("build")).filter(esx_build.isNotNull()).distinct()
+    )
+    _dim(store, joined, "Crmmanufacturer", vendor)
+    _dim(store, joined, "Crmmodel", model)
+    store.upsert_nodes(
+        "Biosversion",
+        joined.select(bios_ver.alias("version"), F.col("BIOS Date").alias("date"))
+        .filter(F.col("BIOS Date").isNotNull())
+        .distinct(),
+    )
+
+    for rel, dst_label, dst_key in [
+        ("CONFIG_STATUS", "Vconfigstatus", node_key(F.col("Config status"))),
+        ("IN_CPU_POW_MGMT", "Vspherecpupwrmgpol", node_key(F.col("`Current CPU power man. policy`"))),
+        ("IN_HOST_POW_PLCY", "Vspherehostpwrmgpol", node_key(F.col("Host Power Policy"))),
+        ("HAS_CPU", "Cpumodel", node_key(F.col("CPU Model"))),
+        ("IS_ESX_BUILD", "Vsphereesxbuild", node_key(esx_build)),
+        ("IS_ESX_VERSION", "Vsphereesxversion", node_key(esx_ver)),
+        ("MANUFACTURED_BY", "Crmmanufacturer", node_key(vendor)),
+        ("ASSET_MODEL", "Crmmodel", node_key(model)),
+        ("BIOS_VERSION", "Biosversion", node_key(bios_ver, F.col("BIOS Date"))),
+    ]:
+        store.add_edges(_edges(joined, "Vspherehost", host_key, rel, dst_label, dst_key))
+    store.add_edges(
+        _edges(joined, "Vsphereesxbuild", node_key(esx_build), "BUILD_OF",
+               "Vsphereesxversion", node_key(esx_ver))
+    )
+    store.add_edges(
+        _edges(joined, "Biosversion", node_key(bios_ver, F.col("BIOS Date")),
+               "MANUFACTURED_BY", "Crmmanufacturer", node_key(vendor))
+    )
+
+    # domain tail (:100-103): 2-hop MATCH through the seeded
+    # Clientdomain—Company edge; inner semantics drop unseeded domains.
+    cd = store.vertices("Clientdomain")
+    comp_edges = (
+        store.edges()
+        .filter(
+            (F.col("rel_type") == "OF_COMPANY")
+            | ((F.col("src_label") == "Clientdomain") & (F.col("dst_label") == "Company"))
+            | ((F.col("src_label") == "Company") & (F.col("dst_label") == "Clientdomain"))
+        )
+    )
+    if cd is not None:
+        dom = F.coalesce(F.col("Domain"), F.lit("None Provided"))
+        sym = comp_edges.select(
+            F.when(F.col("src_label") == "Clientdomain", F.col("src_key")).otherwise(F.col("dst_key")).alias("__cdkey"),
+            F.when(F.col("src_label") == "Clientdomain", F.col("dst_key")).otherwise(F.col("src_key")).alias("__cokey"),
+        ).distinct()
+        tail = (
+            joined.select("*", dom.alias("__dom"))
+            .join(cd.select(F.col("name").alias("__dom")), "__dom")
+            .join(sym, node_key("__dom") == sym.__cdkey)
+        )
+        store.add_edges(_edges(tail, "Vspherehost", host_key, "OF_DOMAIN",
+                               "Clientdomain", node_key("__dom")))
+        store.add_edges(_edges(tail, "Vspherehost", host_key, "ESX_HOST_FOR",
+                               "Company", F.col("__cokey")))
+
+
+# --------------------------------------------------------------------------
+# Stage: NTP / DNS classification (the IP-vs-FQDN branch)
+# --------------------------------------------------------------------------
+
+
+def _server_list_stage(
+    store: GraphStore,
+    sheets: Mapping[str, DataFrame],
+    *,
+    col: str,
+    label: str,
+    rel: str,
+) -> None:
+    """refresh-vmware.cypher:106-139: explode a comma-joined server
+    list, trim, classify each entry with the ANCHORED IPv4 regex
+    (Cypher `=~` full-match — the P5 trap), and upsert ip-keyed vs
+    fqdn-keyed dimension nodes + USES_* edges."""
+    row = sheets["vHost"]
+    hosts = store.vertices("Vspherehost").select(
+        F.col("objid").alias("__objid"), F.col("name").alias("__hname"), F.col("managedby").alias("__huid")
+    )
+    # MATCH {objid, name} (:107) — objid + name equality, any tenant
+    j = row.join(
+        hosts,
+        (row["Object ID"] == hosts.__objid) & (row["Host"] == hosts.__hname),
+    )
+    entries = (
+        j.filter(F.col(col).isNotNull())
+        .select("__objid", "__huid", F.explode(split_literal(F.col(col), ",")).alias("raw"))
+        .select("__objid", "__huid", F.trim("raw").alias("address"))
+    )
+    is_ip = rlike_full(F.col("address"), IPV4_RE)
+    classified = entries.select(
+        "__objid", "__huid",
+        F.when(is_ip, F.lit("ip")).otherwise(F.lit("fqdn")).alias("kind"),
+        "address",
+    )
+    store.upsert_nodes(
+        label,
+        classified.select(
+            "kind", "address",
+            F.when(F.col("kind") == "ip", F.col("address")).alias("ipaddress"),
+            F.when(F.col("kind") == "fqdn", F.col("address")).alias("fqdn"),
+        ).distinct(),
+    )
+    store.add_edges(
+        _edges(classified, "Vspherehost", node_key("__objid", "__huid"), rel,
+               label, node_key("kind", "address"))
+    )
+
+
+def stage_ntp(store: GraphStore, sheets: Mapping[str, DataFrame]) -> None:
+    _server_list_stage(store, sheets, col="NTP Server(s)", label="Ntpserver", rel="USES_NTP")
+
+
+def stage_dns(store: GraphStore, sheets: Mapping[str, DataFrame]) -> None:
+    _server_list_stage(store, sheets, col="DNS Servers", label="Dnsserver", rel="USES_DNS")
+
+
+# --------------------------------------------------------------------------
+# Host-network stages: vSwitch / vPort / vNIC (share the edge-hop join)
+# --------------------------------------------------------------------------
+
+
+def _rows_host_cluster(store: GraphStore, row: DataFrame) -> DataFrame:
+    """The J3 edge-hop MATCH (vmh {name:Host})--(vcc {name:Cluster,
+    managedby:uid}) [cypher:143,156,168]: host by NAME joined to the
+    cluster through any existing edge, either direction."""
+    hosts = store.vertices("Vspherehost").select(
+        F.col("name").alias("__hname"), node_key("objid", "managedby").alias("__hkey")
+    )
+    clusters = store.vertices("Vcentercluster").select(
+        F.col("name").alias("__cname"), F.col("managedby").alias("__cuid"),
+        node_key("name", "managedby").alias("__ckey"),
+    )
+    e = store.edges().select("src_label", "src_key", "dst_label", "dst_key")
+    sym = e.unionByName(
+        e.select(
+            F.col("dst_label").alias("src_label"), F.col("dst_key").alias("src_key"),
+            F.col("src_label").alias("dst_label"), F.col("src_key").alias("dst_key"),
+        )
+    )
+    hop = (
+        sym.filter((F.col("src_label") == "Vspherehost") & (F.col("dst_label") == "Vcentercluster"))
+        .select(F.col("src_key").alias("__hkey"), F.col("dst_key").alias("__ckey"))
+        .distinct()
+    )
+    linked = hosts.join(hop, "__hkey").join(clusters, "__ckey")
+    return (
+        row.join(
+            linked,
+            (row["Host"] == linked.__hname)
+            & (row["Cluster"] == linked.__cname)
+            & (row[UID] == linked.__cuid),
+        )
+    )
+
+
+def stage_vswitch(store: GraphStore, sheets: Mapping[str, DataFrame]) -> None:
+    """refresh-vmware.cypher:142-152 (+ the J6 Jumboframes theta join)."""
+    j = _rows_host_cluster(store, sheets["vSwitch"])
+    sw_key = node_key(F.col("Switch"), F.col("Host"))
+    store.upsert_nodes(
+        "Vswitch",
+        j.select(
+            F.col("Switch").alias("name"),
+            F.col("Host").alias("host"),
+            F.col("# Ports").alias("ports"),
+            F.col("Free Ports").alias("freeports"),
+            F.col("Promiscuous Mode").alias("promiscuous"),
+            F.col("Mac Changes").alias("macchanges"),
+            F.col("Forged Transmits").alias("forged"),
+            F.col("Traffic Shaping").alias("shaping"),
+            F.col("Notify Switch").alias("notifysw"),
+            try_int(F.col("MTU")).alias("mtu"),
+            F.col("Offload").alias("offload"),
+        ),
+    )
+    store.add_edges(_edges(j, "Vswitch", sw_key, "VSWITCH_FOR_HOST", "Vspherehost", F.col("__hkey")))
+    # Vlbpolicy here has NO coalesce (:148) — null Policy fails the row
+    pol = j.filter(F.col("Policy").isNotNull())
+    _dim(store, pol, "Vlbpolicy", F.col("Policy"))
+    store.add_edges(_edges(pol, "Vswitch", sw_key, "LOAD_BALANCING_POLICY", "Vlbpolicy", node_key(F.col("Policy"))))
+    # Jumboframes (:151-152): cartesian with the 1-row seed, theta mtu>=9000
+    jumbo = store.vertices("Jumboframes")
+    if jumbo is not None:
+        big = j.filter(try_int(F.col("MTU")) >= 9000).crossJoin(
+            F.broadcast(jumbo.filter(F.col("name") == "enabled").select(F.col("name").alias("__jmb")))
+        )
+        store.add_edges(_edges(big, "Vswitch", sw_key, "HAS_JUMBO_FRAMES", "Jumboframes", node_key("__jmb")))
+
+
+def stage_vport(store: GraphStore, sheets: Mapping[str, DataFrame]) -> None:
+    """refresh-vmware.cypher:155-163."""
+    j = _rows_host_cluster(store, sheets["vPort"])
+    vsw = store.vertices("Vswitch").select(
+        F.col("name").alias("__swname"), F.col("host").alias("__swhost"),
+        node_key("name", "host").alias("__swkey"),
+    )
+    j = j.join(vsw, (j["Switch"] == vsw.__swname) & (j["Host"] == vsw.__swhost))
+    pg_key = node_key(F.col("Port Group"), F.col("Host"), F.col(UID))
+    store.upsert_nodes(
+        "Vportgroup",
+        j.select(F.col("Port Group").alias("name"), F.col(UID).alias("managedby")).distinct(),
+    )
+    store.upsert_nodes(
+        "Vhostportgroup",
+        j.select(
+            F.col("Port Group").alias("name"),
+            F.col("Host").alias("host"),
+            F.col(UID).alias("managedby"),
+            F.col("VLAN").alias("vlan"),
+            F.col("Promiscuous Mode").alias("promiscuous"),
+            F.col("Mac Changes").alias("macchanges"),
+            F.col("Forged Transmits").alias("forged"),
+            F.col("Traffic Shaping").alias("shaping"),
+        ),
+    )
+    _dim(store, j, "Vlbpolicy", F.coalesce(F.col("Policy"), F.lit("None Provided")))
+    store.add_edges(_edges(j, "Vhostportgroup", pg_key, "HOST_PG_FOR",
+                           "Vportgroup", node_key(F.col("Port Group"), F.col(UID))))
+    store.add_edges(_edges(j, "Vhostportgroup", pg_key, "STANDARD_PG_ON", "Vspherehost", F.col("__hkey")))
+    store.add_edges(_edges(j, "Vswitch", F.col("__swkey"), "LOAD_BALANCING_POLICY",
+                           "Vlbpolicy", node_key(F.coalesce(F.col("Policy"), F.lit("None Provided")))))
+
+
+def stage_vnic(store: GraphStore, sheets: Mapping[str, DataFrame]) -> None:
+    """refresh-vmware.cypher:166-176."""
+    j = _rows_host_cluster(store, sheets["vNIC"])
+    vsw = store.vertices("Vswitch").select(
+        F.col("name").alias("__swname"), F.col("host").alias("__swhost"),
+        node_key("name", "host").alias("__swkey"),
+    )
+    j = j.join(vsw, (j["Switch"] == vsw.__swname) & (j["Host"] == vsw.__swhost))
+    speed = F.coalesce(F.col("Speed"), F.lit("No link"))
+    driver = F.coalesce(F.col("Driver"), F.lit("None Provided"))
+    nic_key = node_key(F.col("Network Device"), F.col("Host"))
+    store.upsert_nodes(
+        "Vmnic",
+        j.select(
+            F.col("Network Device").alias("name"),
+            F.col("Host").alias("host"),
+            F.col("MAC").alias("mac"),
+            F.col("WakeOn").alias("wake"),
+            F.col("PCI").alias("pci"),
+        ),
+    )
+    _dim(store, j, "Vmnicdriver", driver)
+    _dim(store, j, "Vmnicspeed", speed)
+    store.add_edges(_edges(j, "Vmnic", nic_key, "USES_DRIVER", "Vmnicdriver", node_key(driver)))
+    store.add_edges(_edges(j, "Vmnic", nic_key, "LINK_SPEED", "Vmnicspeed", node_key(speed)))
+    store.add_edges(_edges(j, "Vmnic", nic_key, "PNIC_OF_HOST", "Vspherehost", F.col("__hkey")))
+    store.add_edges(_edges(j, "Vswitch", F.col("__swkey"), "NETWORK_ADAPTERS", "Vmnic", nic_key))
+
+
+# --------------------------------------------------------------------------
+# Stage: vInfo → Virtualmachine (the hardest sheet: conditionals,
+# fan-out, folder & pool hierarchies)
+# --------------------------------------------------------------------------
+
+
+def stage_vinfo_vms(store: GraphStore, sheets: Mapping[str, DataFrame]) -> None:
+    """refresh-vmware.cypher:179-224.
+
+    Covers M6 (FOREACH-CASE conditional MERGEs), the Network #1-4
+    fan-out (§2.10-6), the folder/pool hierarchy self-joins
+    (§2.10-1/2), and the HW_VERSION edge property. Reference bug
+    §0.2.3 (fqdn read from the node instead of the row) is fixed:
+    fqdn := row.`DNS Name`.
+    """
+    row = sheets["vInfo"]
+    vm_key = node_key(F.col("VM UUID"), F.col(UID))
+    folder_head = F.element_at(split_literal(F.col("Folder"), "/"), 2)
+    rp_cluster = F.element_at(split_literal(F.col("Resource pool"), "/"), 3)
+
+    store.upsert_nodes(
+        "Virtualmachine",
+        row.select(
+            F.col("VM UUID").alias("uuid"),
+            F.col(UID).alias("managedby"),
+            F.col("VM").alias("name"),
+            F.col("DNS Name").alias("fqdn"),
+            F.col("PowerOn").alias("poweron"),
+            F.col("Change Version").alias("changedon"),
+            F.col("Annotation").alias("note"),
+            F.col("VM ID").alias("vmid"),
+            F.col("Consolidation Needed").alias("needsconsolidation"),
+            F.col("CPUs").alias("cpus"),
+            try_int(F.col("Memory")).alias("memory"),
+            try_int(F.col("NICs")).alias("nics"),
+            try_int(F.col("Disks")).alias("disks"),
+            F.col("CBT").alias("cbt"),
+        ),
+    )
+
+    # Vcpus dim: name = CPUs + ' vCPUs' (Cypher int+string concat), qty prop
+    vcpu_name = F.concat(F.col("CPUs").cast("string"), F.lit(" vCPUs"))
+    _dim(store, row, "Vcpus", vcpu_name, extra={"qty": try_int(F.col("CPUs"))})
+    hw_name = try_int(F.col("HW version"))
+    store.upsert_nodes(
+        "Vhwver", row.select(hw_name.alias("name")).filter(hw_name.isNotNull()).distinct()
+    )
+    # HW_VERSION carries the one edge property in the whole reference
+    hw_edges = _edges(
+        row, "Virtualmachine", vm_key, "HW_VERSION", "Vhwver", node_key(hw_name),
+        props={"upgradestatus": F.col("HW upgrade status")},
+    )
+    store.add_edges(hw_edges.drop("upgradestatus"))
+    store._hw_version_props = hw_edges  # kept for prop queries
+
+    store.add_edges(_edges(row, "Virtualmachine", vm_key, "HAS_VCPUS", "Vcpus", node_key(vcpu_name)))
+    for rel, label, col in [
+        ("CONNECTION_STATE", "Vconnectionstate", "Connection state"),
+        ("CONFIG_STATUS", "Vconfigstatus", "Config status"),
+        ("IN_POWER_STATE", "Vmpwrstate", "Powerstate"),
+        ("IN_GUEST_STATE", "Vmpgueststate", "Guest state"),
+        ("HEARTBEAT", "Vmheartbeat", "Heartbeat"),
+    ]:
+        _dim(store, row, label, F.col(col))
+        store.add_edges(_edges(row, "Virtualmachine", vm_key, rel, label, node_key(F.col(col))))
+
+    # FOREACH-CASE conditionals (M6, :199-203) → filtered sub-upserts
+    rp_cond = F.col("Resource pool").isNotNull() & (F.size(split_literal(F.col("Resource pool"), "/")) > 4)
+    rp_rows = row.filter(rp_cond)
+    store.upsert_nodes(
+        "Vresourcepool",
+        rp_rows.select(
+            F.col(SERVER).alias("vc"),
+            F.col("Resource pool").alias("path"),
+            path_last("Resource pool").alias("name"),
+        ),
+    )
+    store.add_edges(_edges(rp_rows, "Virtualmachine", vm_key, "IN_RESOURCE_POOL",
+                           "Vresourcepool", node_key(F.col(SERVER), F.col("Resource pool"))))
+
+    fl_cond = F.col("Folder").isNotNull() & (F.size(split_literal(F.col("Folder"), "/")) > 2)
+    fl_rows = row.filter(fl_cond)
+    store.upsert_nodes(
+        "Vfolder",
+        fl_rows.select(F.col("Folder").alias("path"), path_last("Folder").alias("name")),
+    )
+    store.add_edges(_edges(fl_rows, "Virtualmachine", vm_key, "IN_FOLDER",
+                           "Vfolder", node_key(F.col("Folder"))))
+
+    for rel, col in [("OS_VIA_TOOLS", "OS according to the VMware Tools"),
+                     ("OS_VIA_CONFIG", "OS according to the configuration file")]:
+        os_rows = row.filter(F.col(col).isNotNull())
+        _dim(store, os_rows, "Vmos", F.col(col))
+        store.add_edges(_edges(os_rows, "Virtualmachine", vm_key, rel, "Vmos", node_key(F.col(col))))
+
+    # Network #1-4 fan-out (:204-211): nulls coalesce to 'Not Configured'
+    for i in (1, 2, 3, 4):
+        net = F.coalesce(F.col(f"Network #{i}"), F.lit("Not Configured"))
+        store.upsert_nodes(
+            "Vportgroup",
+            row.select(net.alias("name"), F.col(UID).alias("managedby")).distinct(),
+        )
+        store.add_edges(_edges(row, "Virtualmachine", vm_key, "IN_PORTGROUP",
+                               "Vportgroup", node_key(net, F.col(UID))))
+
+    # hierarchy tail (:213-223) — all lookups against the store state
+    # AFTER this stage's upserts (Cypher sees its own MERGEs)
+    folders = store.vertices("Vfolder").select(F.col("path").alias("__flpath"))
+    pools = store.vertices("Vresourcepool").select(
+        F.col("vc").alias("__rpvc"), F.col("path").alias("__rppath")
+    )
+    vdc = store.vertices("Vspheredatacenter").select(
+        F.col("name").alias("__dcname"), F.col("managedby").alias("__dcuid")
+    )
+    vcc = store.vertices("Vcentercluster").select(
+        F.col("name").alias("__ccname"), F.col("managedby").alias("__ccuid")
+    )
+
+    t = (
+        row.select(
+            "*",
+            vm_key.alias("__vmkey"),
+            folder_head.alias("__fhead"),
+            rp_cluster.alias("__rpcluster"),
+        )
+        # OPTIONAL MATCH vdc / vcc (:180-181)
+        .join(vdc, (F.col("__fhead") == vdc.__dcname) & (F.col(UID) == vdc.__dcuid), "left")
+        .join(vcc, (F.col("__rpcluster") == vcc.__ccname) & (F.col(UID) == vcc.__ccuid), "left")
+        # OPTIONAL MATCH vfl {path:Folder} (:214)
+        .join(folders, F.col("Folder") == folders.__flpath, "left")
+        # OPTIONAL MATCH vrp {path:Resource pool} (:215) — scoped to vc
+        .join(pools, (F.col("Resource pool") == pools.__rppath) & (F.col(SERVER) == pools.__rpvc), "left")
+    )
+    pf = pools.select(F.col("__rpvc").alias("__pvc"), F.col("__rppath").alias("__prppath"))
+    ff = folders.select(F.col("__flpath").alias("__pflpath"))
+    t = (
+        t.withColumn("__flparent", F.when(F.col("__flpath").isNotNull(), path_parent("__flpath")))
+        .withColumn("__rpparent", F.when(F.col("__rppath").isNotNull(), path_parent("__rppath")))
+        # OPTIONAL MATCH parent folder / pool (:216-217)
+        .join(ff, F.col("__flparent") == ff.__pflpath, "left")
+        .join(pf, (F.col("__rpparent") == pf.__prppath) & (F.col(SERVER) == pf.__pvc), "left")
+    )
+
+    has_fl, has_pfl = F.col("__flpath").isNotNull(), F.col("__pflpath").isNotNull()
+    has_rp, has_prp = F.col("__rppath").isNotNull(), F.col("__prppath").isNotNull()
+    has_dc, has_cc = F.col("__dcname").isNotNull(), F.col("__ccname").isNotNull()
+    dc_key = node_key("__dcname", "__dcuid")
+    cc_key = node_key("__ccname", "__ccuid")
+
+    store.add_edges(_edges(t.filter(has_fl & has_pfl), "Vfolder", node_key("__flpath"),
+                           "IN_FOLDER", "Vfolder", node_key("__pflpath")))
+    store.add_edges(_edges(t.filter(has_fl & ~has_pfl & has_dc), "Vfolder", node_key("__flpath"),
+                           "LOCATED_IN_DC", "Vspheredatacenter", dc_key))
+    store.add_edges(_edges(t.filter(~has_fl & has_dc), "Virtualmachine", F.col("__vmkey"),
+                           "LOCATED_IN_DC", "Vspheredatacenter", dc_key))
+    store.add_edges(_edges(t.filter(has_rp & has_prp), "Vresourcepool", node_key(F.col(SERVER), "__rppath"),
+                           "CHILD_RESOURCE_OF", "Vresourcepool", node_key(F.col(SERVER), "__prppath")))
+    store.add_edges(_edges(t.filter(has_cc & has_rp & ~has_prp), "Vresourcepool",
+                           node_key(F.col(SERVER), "__rppath"), "LOCATED_IN_CLUSTER", "Vcentercluster", cc_key))
+    store.add_edges(_edges(t.filter(has_cc & ~has_rp), "Virtualmachine", F.col("__vmkey"),
+                           "LOCATED_IN_CLUSTER", "Vcentercluster", cc_key))
+
+
+# --------------------------------------------------------------------------
+# Stage: vDatastore / vDisk / vNetwork / vPartition / vSnapshot
+# --------------------------------------------------------------------------
+
+
+def stage_vdatastore(store: GraphStore, sheets: Mapping[str, DataFrame]) -> None:
+    """refresh-vmware.cypher:228-240. Bug §0.2.4 (`ds.verion` typo) is
+    fixed: the property is ``version``."""
+    row = sheets["vDatastore"]
+    vc = store.vertices("Vcenterserver").select(F.col("uid").alias("__vcuid"))
+    j = row.join(vc, row[UID] == vc.__vcuid)
+    ds_key = node_key(F.col("URL"))
+    store.upsert_nodes(
+        "Vdatastore",
+        j.select(
+            F.col("URL").alias("url"),
+            F.col("Name").alias("name"),
+            F.col("Accessible").alias("accessible"),
+            F.col("Capacity MB").alias("capacity"),
+            F.col("In Use MB").alias("inuse"),
+            F.col("Free MB").alias("free"),
+            F.col("# Hosts").alias("hosts"),
+            F.col("Version").alias("version"),
+            F.col("SIOC enabled").alias("sio"),
+            F.col("# VMs").alias("vms"),
+            F.col("Address").alias("address"),
+            F.col(UID).alias("managedby"),
+        ),
+    )
+    _dim(store, j, "Vconfigstatus", F.col("Config status"))
+    store.add_edges(_edges(j, "Vdatastore", ds_key, "CONFIG_STATUS",
+                           "Vconfigstatus", node_key(F.col("Config status"))))
+    _dim(store, j, "Vdatastoretype", F.col("Type"))
+    store.add_edges(_edges(j, "Vdatastore", ds_key, "DATASTORE_TYPE",
+                           "Vdatastoretype", node_key(F.col("Type"))))
+    # hosts explode + trim (:237-239) — join hosts by (trimmed name, uid)
+    hosts = store.vertices("Vspherehost").select(
+        F.col("name").alias("__hname"), F.col("managedby").alias("__huid"),
+        node_key("objid", "managedby").alias("__hkey"),
+    )
+    exploded = (
+        j.filter(F.col("Hosts").isNotNull())
+        .select("URL", F.col(UID).alias("__uid"), F.explode(split_literal(F.col("Hosts"), ",")).alias("raw"))
+        .select("URL", "__uid", F.trim("raw").alias("__hname"))
+        .join(hosts, ["__hname"])
+        .filter(F.col("__uid") == F.col("__huid"))
+    )
+    store.add_edges(_edges(exploded, "Vspherehost", F.col("__hkey"), "CONNECTED_DATASTORE",
+                           "Vdatastore", node_key(F.col("URL"))))
+
+
+def stage_vdisk(store: GraphStore, sheets: Mapping[str, DataFrame]) -> None:
+    """refresh-vmware.cypher:243-251: virtual disks + the datastore-name
+    path parse ``[dsname] vm/vm.vmdk`` (§2.10-5) with the J5
+    existence-qualified datastore join."""
+    row = sheets["vDisk"]
+    vms = store.vertices("Virtualmachine").select(
+        F.col("uuid").alias("__vmuuid"), F.col("managedby").alias("__vmuid"),
+        node_key("uuid", "managedby").alias("__vmkey"),
+    )
+    j = row.join(vms, (row["VM UUID"] == vms.__vmuuid) & (row[UID] == vms.__vmuid))
+    vd_key = node_key(F.col("Path"))
+    store.upsert_nodes(
+        "Virtualdisk",
+        j.select(
+            F.col("Path").alias("path"),
+            F.col("Disk").alias("disk"),
+            F.col("Capacity MB").alias("capacity"),
+            F.col("Thin").alias("thin"),
+            F.col("Controller").alias("controller"),
+            F.col("Disk Mode").alias("mode"),
+            F.col("Eagerly Scrub").alias("eager"),
+            F.col("Template").alias("template"),
+        ),
+    )
+    store.add_edges(_edges(j, "Virtualdisk", vd_key, "VDISK_FOR_VM", "Virtualmachine", F.col("__vmkey")))
+    # datastore name parse (:249): regexp_extract of the [bracket] head
+    dsname = F.regexp_extract(F.col("Path"), r"^\[([^\]]*)\]", 1)
+    # J5 (:250): ds {name,managedby} connected (any edge) to host {name:Host,managedby}
+    ds = store.vertices("Vdatastore").select(
+        F.col("name").alias("__dsname"), F.col("managedby").alias("__dsuid"),
+        node_key("url").alias("__dskey"),
+    )
+    hosts = store.vertices("Vspherehost").select(
+        F.col("name").alias("__hname"), F.col("managedby").alias("__huid2"),
+        node_key("objid", "managedby").alias("__hkey2"),
+    )
+    e = store.edges().select("src_label", "src_key", "dst_label", "dst_key")
+    sym = e.unionByName(e.select(
+        F.col("dst_label").alias("src_label"), F.col("dst_key").alias("src_key"),
+        F.col("src_label").alias("dst_label"), F.col("src_key").alias("dst_key"),
+    ))
+    ds_host = (
+        sym.filter((F.col("src_label") == "Vdatastore") & (F.col("dst_label") == "Vspherehost"))
+        .select(F.col("src_key").alias("__dskey"), F.col("dst_key").alias("__hkey2"))
+        .distinct()
+    )
+    qualified = ds.join(ds_host, "__dskey").join(hosts, "__hkey2")
+    withds = (
+        j.select("Path", "Host", F.col(UID).alias("__uid"), vd_key.alias("__vdkey"), dsname.alias("__parsed_ds"))
+        .join(
+            qualified,
+            (F.col("__parsed_ds") == qualified.__dsname)
+            & (F.col("__uid") == qualified.__dsuid)
+            & (F.col("Host") == qualified.__hname)
+            & (F.col("__uid") == qualified.__huid2),
+        )
+        .select("__vdkey", "__dskey")
+        .distinct()
+    )
+    store.add_edges(_edges(withds, "Virtualdisk", F.col("__vdkey"), "ON_DATASTORE",
+                           "Vdatastore", F.col("__dskey")))
+
+
+def stage_vnetwork(store: GraphStore, sheets: Mapping[str, DataFrame]) -> None:
+    """refresh-vmware.cypher:254-263."""
+    row = sheets["vNetwork"]
+    vms = store.vertices("Virtualmachine").select(
+        F.col("uuid").alias("__vmuuid"), F.col("managedby").alias("__vmuid"),
+        node_key("uuid", "managedby").alias("__vmkey"),
+    )
+    vc = store.vertices("Vcenterserver").select(F.col("name").alias("__vcname"))
+    j = (
+        row.join(vc, row[SERVER] == vc.__vcname)
+        .join(vms, (row["VM UUID"] == vms.__vmuuid) & (row[UID] == vms.__vmuid))
+    )
+    ad_key = node_key(F.col("Mac Address"), F.col("VM UUID"))
+    store.upsert_nodes(
+        "Vmadapter",
+        j.select(
+            F.col("Mac Address").alias("mac"),
+            F.col("VM UUID").alias("vmuuid"),
+            F.col("Starts Connected").alias("startconnected"),
+            F.col("IP Address").alias("ip"),
+        ),
+    )
+    store.add_edges(_edges(j, "Vmadapter", ad_key, "ADAPTER_FOR", "Virtualmachine", F.col("__vmkey")))
+    _dim(store, j, "Vmadaptertype", F.col("Adapter"))
+    store.add_edges(_edges(j, "Vmadapter", ad_key, "ADAPTER_TYPE",
+                           "Vmadaptertype", node_key(F.col("Adapter"))))
+    # portgroup tail (:261-263): MATCH Vhostportgroup {name:Network,host,managedby}
+    pg = store.vertices("Vhostportgroup").select(
+        F.col("name").alias("__pgname"), F.col("host").alias("__pghost"), F.col("managedby").alias("__pguid"),
+        node_key("name", "host", "managedby").alias("__pgkey"),
+    )
+    tail = j.join(
+        pg,
+        (j["Network"] == pg.__pgname) & (j["Host"] == pg.__pghost) & (j[UID] == pg.__pguid),
+    )
+    store.add_edges(_edges(tail, "Vmadapter", ad_key, "IN_PORTGROUP", "Vhostportgroup", F.col("__pgkey")))
+
+
+def stage_vpartition(store: GraphStore, sheets: Mapping[str, DataFrame]) -> None:
+    """refresh-vmware.cypher:266-270."""
+    row = sheets["vPartition"]
+    vms = store.vertices("Virtualmachine").select(
+        F.col("uuid").alias("__vmuuid"), F.col("managedby").alias("__vmuid"),
+        node_key("uuid", "managedby").alias("__vmkey"),
+    )
+    vc = store.vertices("Vcenterserver").select(F.col("name").alias("__vcname"))
+    j = (
+        row.join(vc, row[SERVER] == vc.__vcname)
+        .join(vms, (row["VM UUID"] == vms.__vmuuid) & (row[UID] == vms.__vmuid))
+    )
+    store.upsert_nodes(
+        "Vpartition",
+        j.select(
+            F.col("Disk").alias("disk"),
+            F.col("VM UUID").alias("vmuuid"),
+            F.col("Capacity MB").alias("capacity"),
+            F.col("Consumed MB").alias("consumed"),
+            F.col("Free %").alias("free"),
+        ),
+    )
+    store.add_edges(_edges(j, "Vpartition", node_key(F.col("Disk"), F.col("VM UUID")),
+                           "PARTITION_FOR", "Virtualmachine", F.col("__vmkey")))
+
+
+def stage_vsnapshot(store: GraphStore, sheets: Mapping[str, DataFrame]) -> None:
+    """refresh-vmware.cypher:273-277."""
+    row = sheets["vSnapshot"]
+    vms = store.vertices("Virtualmachine").select(
+        F.col("uuid").alias("__vmuuid"), F.col("managedby").alias("__vmuid"),
+        node_key("uuid", "managedby").alias("__vmkey"),
+    )
+    vc = store.vertices("Vcenterserver").select(F.col("name").alias("__vcname"))
+    j = (
+        row.join(vc, row[SERVER] == vc.__vcname)
+        .join(vms, (row["VM UUID"] == vms.__vmuuid) & (row[UID] == vms.__vmuid))
+    )
+    store.upsert_nodes(
+        "Vsnapshot",
+        j.select(
+            F.col("Name").alias("name"),
+            F.col("VM UUID").alias("vmuuid"),
+            F.col("Description").alias("description"),
+            F.col("Date / time").alias("timestamp"),
+            F.col("Size MB (total)").alias("size"),
+        ),
+    )
+    store.add_edges(_edges(j, "Vsnapshot", node_key(F.col("Name"), F.col("VM UUID")),
+                           "SNAPSHOT_OF", "Virtualmachine", F.col("__vmkey")))
+
+
+# The reference's statement order (pass 1) — later stages join against
+# nodes earlier stages created.
+STAGES = [
+    stage_vcluster,
+    stage_vcenter_version,
+    stage_vrp,
+    stage_vhost,
+    stage_ntp,
+    stage_dns,
+    stage_vswitch,
+    stage_vport,
+    stage_vnic,
+    stage_vinfo_vms,
+    stage_vdatastore,
+    stage_vdisk,
+    stage_vnetwork,
+    stage_vpartition,
+    stage_vsnapshot,
+]

@@ -1,0 +1,253 @@
+"""Property-graph store: vertex-table-per-label + one canonical edge table.
+
+Replaces the reference's Neo4j storage + DDL (refresh-vmware.cypher:2-20):
+there are no indexes in Spark — every MERGE key lookup becomes an
+equi-join, and the unique constraints become the merge discipline (one
+row per natural key, enforced by ``operators.merge``).
+
+Design for 100 TB:
+- vertex tables are columnar parquet, one directory per label; the big
+  labels (Virtualmachine, Virtualdisk) dominate and get hash layout on
+  their key via bucketed writes; dimension labels are tiny and always
+  broadcast into joins.
+- the edge table is ONE DataFrame ``(src_label, src_key, rel_type,
+  dst_label, dst_key)`` partitioned by rel_type on disk, so motif/hop
+  queries prune to the relationship types they touch.
+- node identity in the edge table is the label + a single string key:
+  ``concat_ws(US, natural key cols)`` (US = unit separator, cannot occur
+  in RVTools cell values), keeping the edge schema fixed while labels
+  keep composite natural keys.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vmware_graph_spark.operators.merge import EDGE_COLS, merge_edges, merge_nodes
+
+# Unit separator joins composite natural keys into the edge-table key.
+US = "\x1f"
+
+# Natural key per label (SURVEY §1.3; MERGE patterns in
+# refresh-vmware.cypher cited per stage in ingest/stages.py).
+LABEL_KEYS: dict[str, tuple[str, ...]] = {
+    # core entities
+    "Vcenterserver": ("uid",),
+    "Vcentercluster": ("name", "managedby"),
+    "Vspheredatacenter": ("name", "managedby"),
+    "Vresourcepool": ("vc", "path"),  # documented divergence, see stages.py
+    "Vspherehost": ("objid", "managedby"),
+    "Vswitch": ("name", "host"),
+    "Vportgroup": ("name", "managedby"),
+    "Vhostportgroup": ("name", "host", "managedby"),
+    "Vmnic": ("name", "host"),
+    "Virtualmachine": ("uuid", "managedby"),
+    "Vfolder": ("path",),
+    "Vdatastore": ("url",),
+    "Virtualdisk": ("path",),
+    "Vmadapter": ("mac", "vmuuid"),
+    "Vpartition": ("disk", "vmuuid"),
+    "Vsnapshot": ("name", "vmuuid"),
+    # dimension labels (dedup-by-MERGE, global, broadcast-sized)
+    "Vcenterversion": ("name",),
+    "Vcenterbuild": ("build",),
+    "Vconfigstatus": ("name",),
+    "Vspherecpupwrmgpol": ("name",),
+    "Vspherehostpwrmgpol": ("name",),
+    "Cpumodel": ("name",),
+    "Vsphereesxversion": ("name",),
+    "Vsphereesxbuild": ("build",),
+    "Crmmanufacturer": ("name",),
+    "Crmmodel": ("name",),
+    "Biosversion": ("version", "date"),
+    "Ntpserver": ("kind", "address"),  # ip/fqdn key split, cypher:111,120
+    "Dnsserver": ("kind", "address"),
+    "Vlbpolicy": ("name",),
+    "Vmnicdriver": ("name",),
+    "Vmnicspeed": ("name",),
+    "Vcpus": ("name",),
+    "Vhwver": ("name",),
+    "Vconnectionstate": ("name",),
+    "Vmpwrstate": ("name",),
+    "Vmpgueststate": ("name",),
+    "Vmheartbeat": ("name",),
+    "Vmos": ("name",),
+    "Vdatastoretype": ("name",),
+    "Vmadaptertype": ("name",),
+    "Vmportgroup": ("name", "managedby"),
+    # externally seeded (MATCH-only in the reference, SURVEY §0.2.7)
+    "Clientdomain": ("name",),
+    "Company": ("name",),
+    "Jumboframes": ("name",),
+}
+
+# Relationship types the reference merges with the undirected pattern
+# (a)-[:T]-(b): both assertion directions are the same edge.
+UNDIRECTED_TYPES: tuple[str, ...] = (
+    "CONTROLLED_BY_VC",  # :41,:76 (also asserted directed at :62 — canonicalized)
+    "LINK_SPEED",  # :173
+    "PNIC_OF_HOST",  # :174
+    "OS_VIA_TOOLS",  # :202
+    "OS_VIA_CONFIG",  # :203
+    "VDISK_FOR_VM",  # :248
+    "ON_DATASTORE",  # :251
+    "ADAPTER_FOR",  # :257
+    "ADAPTER_TYPE",  # :259
+    "PARTITION_FOR",  # :269
+    "SNAPSHOT_OF",  # :276
+)
+
+
+def node_key(*cols) -> F.Column:
+    """Composite natural key → single edge-table key string.
+
+    NULL if ANY component is null (concat_ws would silently skip nulls
+    and fabricate a phantom key; Cypher MERGE on a null key property
+    fails the row instead — the null key propagates to the edge rows,
+    which operators.merge then drops).
+    """
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    any_null = None
+    for c in cs:
+        any_null = c.isNull() if any_null is None else (any_null | c.isNull())
+    return F.when(any_null, F.lit(None).cast("string")).otherwise(F.concat_ws(US, *cs))
+
+
+class GraphStore:
+    """In-memory (lazy DataFrame) snapshot of the property graph.
+
+    Ingest stages call ``upsert_nodes``/``add_edges``; the store keeps
+    one DataFrame per label plus a list of edge batches that
+    ``edges()`` merges/canonicalizes on demand. Everything is lazy —
+    a refresh builds one big DAG and materializes at write time.
+    """
+
+    def __init__(self, spark: SparkSession, *, checkpoint: bool = True):
+        self.spark = spark
+        self._vertices: dict[str, DataFrame] = {}
+        self._edge_batches: list[DataFrame] = []
+        self._edges_cache: DataFrame | None = None
+        # Upserts compose: without lineage truncation the plan for label
+        # L after stage N embeds every prior stage's joins, and Catalyst
+        # analysis cost grows super-linearly (a 15-stage ingest never
+        # finishes analyzing). localCheckpoint per upsert is the
+        # single-JVM analog of persisting stage outputs; on a cluster
+        # the snapshot writer (``write``) plays the same role.
+        self._checkpoint = checkpoint
+
+    def _cut(self, df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=True) if self._checkpoint else df
+
+    # -- vertices ----------------------------------------------------------
+
+    def upsert_nodes(
+        self, label: str, updates: DataFrame, *, on_create_only: bool = False
+    ) -> DataFrame:
+        """MERGE ``updates`` into the label table (M1-M3 semantics)."""
+        keys = LABEL_KEYS[label]
+        merged = self._cut(
+            merge_nodes(self._vertices.get(label), updates, keys, on_create_only=on_create_only)
+        )
+        self._vertices[label] = merged
+        return merged
+
+    def vertices(self, label: str) -> DataFrame | None:
+        return self._vertices.get(label)
+
+    def labels(self) -> list[str]:
+        return sorted(self._vertices)
+
+    def vertex_keys(self, label: str) -> DataFrame:
+        """(label, key) pairs for a label — the edge-table id space."""
+        keys = LABEL_KEYS[label]
+        return self._vertices[label].select(
+            F.lit(label).alias("label"), node_key(*keys).alias("key")
+        )
+
+    def all_vertex_keys(self) -> DataFrame:
+        out = None
+        for label in self.labels():
+            part = self.vertex_keys(label)
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    # -- edges -------------------------------------------------------------
+
+    def add_edges(self, edges: DataFrame) -> None:
+        """Queue an edge batch (src_label, src_key, rel_type, dst_label,
+        dst_key). Null-keyed endpoints are dropped (Cypher MERGE on a
+        null property fails the row)."""
+        self._edge_batches.append(edges.select(*EDGE_COLS))
+        self._edges_cache = None
+
+    def edges(self) -> DataFrame:
+        """The canonical, deduplicated edge table."""
+        if self._edges_cache is not None:
+            return self._edges_cache
+        if not self._edge_batches:
+            schema = "src_label string, src_key string, rel_type string, dst_label string, dst_key string"
+            self._edges_cache = self.spark.createDataFrame([], schema)
+            return self._edges_cache
+        batch = self._edge_batches[0]
+        for b in self._edge_batches[1:]:
+            batch = batch.unionByName(b)
+        self._edges_cache = self._cut(
+            merge_edges(None, batch, undirected_types=UNDIRECTED_TYPES)
+        )
+        return self._edges_cache
+
+    # -- GraphFrames-style analytics views ---------------------------------
+
+    def analytics_views(self) -> tuple[DataFrame, DataFrame]:
+        """(vertices(id,label,key), edges(src,dst,rel_type)) with a
+        stable surrogate id = label + US + key — directly consumable by
+        analytics.algos (degrees/CC/PageRank) and motif joins."""
+        v = self.all_vertex_keys().select(
+            F.concat_ws(US, "label", "key").alias("id"), "label", "key"
+        )
+        e = self.edges().select(
+            F.concat_ws(US, "src_label", "src_key").alias("src"),
+            F.concat_ws(US, "dst_label", "dst_key").alias("dst"),
+            "rel_type",
+        )
+        return v, e
+
+    # -- snapshot persistence (S4) -----------------------------------------
+
+    def write(self, path: str) -> None:
+        """Snapshot writer: one parquet dir per label + edges partitioned
+        by rel_type (partition pruning for per-type hop queries)."""
+        for label in self.labels():
+            self._vertices[label].write.mode("overwrite").parquet(
+                os.path.join(path, "vertices", label)
+            )
+        self.edges().write.mode("overwrite").partitionBy("rel_type").parquet(
+            os.path.join(path, "edges")
+        )
+
+    @classmethod
+    def read(cls, spark: SparkSession, path: str) -> "GraphStore":
+        store = cls(spark)
+        vdir = os.path.join(path, "vertices")
+        if os.path.isdir(vdir):
+            for label in sorted(os.listdir(vdir)):
+                store._vertices[label] = spark.read.parquet(os.path.join(vdir, label))
+        edir = os.path.join(path, "edges")
+        if os.path.isdir(edir):
+            store._edge_batches = [
+                spark.read.parquet(edir).select(
+                    "src_label", "src_key", "rel_type", "dst_label", "dst_key"
+                )
+            ]
+        return store
+
+    # -- counts (S5 progress sink) -----------------------------------------
+
+    def counts(self) -> dict[str, int]:
+        out = {f"v:{label}": self._vertices[label].count() for label in self.labels()}
+        out["edges"] = self.edges().count()
+        return out
