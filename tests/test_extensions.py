@@ -1,0 +1,165 @@
+"""Tests for the round-2 extension operators: multiprobe/hyperplane ANN,
+SimHash pairs, cosine near-dup, multimodal plumbing, BFS/motif."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from vmware_graph_spark.analytics.motif import bfs_distances, two_hop_motif
+from vmware_graph_spark.operators.dedup import (
+    cosine_pairs_exact,
+    cosine_pairs_lsh,
+    simhash_pairs,
+)
+from vmware_graph_spark.operators.multimodal import (
+    as_media,
+    decode_media,
+    fingerprint_features,
+    frame_sample,
+)
+from vmware_graph_spark.operators.similarity import cosine_topk, hyperplane_topk, ivf_topk
+
+
+def _clustered_vectors(n_clusters=20, per_cluster=10, dim=16, seed=3):
+    """Deterministic clustered vectors: base per cluster + tiny jitter —
+    intra-cluster cosine ≈ 1, inter ≈ random."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        base = rng.randn(dim)
+        base /= np.linalg.norm(base)
+        for j in range(per_cluster):
+            v = base + 0.05 * rng.randn(dim)
+            rows.append((vid, c, [float(x) for x in v]))
+            vid += 1
+    return rows
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    return spark.createDataFrame(
+        _clustered_vectors(), "vec_id int, cluster int, embedding array<double>"
+    )
+
+
+def test_hyperplane_topk_recall(clustered):
+    """Recall ≥ 0.9 vs exact top-k on clustered data (VERDICT item 10)."""
+    q = clustered.filter(F.col("vec_id") % 10 == 0)  # one query per cluster
+    exact = cosine_topk(q, clustered, id_col="vec_id", vec_col="embedding", k=5)
+    ann = hyperplane_topk(
+        q, clustered, id_col="vec_id", vec_col="embedding", dim=16, k=5, planes=6, nprobe=7
+    )
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in ann.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.9, recall
+
+
+def test_hyperplane_bucket_balance(clustered):
+    """±1 hyperplanes must not funnel most vectors into one bucket (the
+    r1 sign-of-first-dims skew failure)."""
+    from vmware_graph_spark.operators.similarity import hyperplane_bucket
+
+    counts = (
+        clustered.select(hyperplane_bucket("embedding", 16, 6).alias("b"))
+        .groupBy("b")
+        .count()
+        .collect()
+    )
+    assert max(c["count"] for c in counts) <= 0.25 * 200
+
+
+def test_ivf_multiprobe_recall_improves(clustered):
+    q = clustered.filter(F.col("vec_id") % 10 == 0)
+    exact = cosine_topk(q, clustered, id_col="vec_id", vec_col="embedding", k=5)
+    one = ivf_topk(q, clustered, id_col="vec_id", vec_col="embedding", k=5, bucket_dims=4, nprobe=1)
+    multi = ivf_topk(q, clustered, id_col="vec_id", vec_col="embedding", k=5, bucket_dims=4, nprobe=5)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    r1 = len(e & {(r.query_id, r.neighbor_id) for r in one.collect()}) / len(e)
+    r5 = len(e & {(r.query_id, r.neighbor_id) for r in multi.collect()}) / len(e)
+    assert r5 >= r1
+    assert r5 >= 0.75
+
+
+def test_cosine_pairs_lsh_matches_exact_on_near_dups(clustered):
+    exact = {
+        (r.id_a, r.id_b) for r in cosine_pairs_exact(clustered, "vec_id", "embedding", threshold=0.98).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in cosine_pairs_lsh(
+            clustered, "vec_id", "embedding", dim=16, threshold=0.98, planes=6, nprobe=7
+        ).collect()
+    }
+    assert lsh <= exact  # no false positives (exact verification)
+    assert len(lsh & exact) / max(len(exact), 1) >= 0.9  # high recall
+
+
+def test_simhash_pairs_pigeonhole(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "the quick brown fox jumps over the lazy cat tonight"),
+            (3, "completely unrelated text about database engines and joins"),
+        ],
+        ["id", "text"],
+    )
+    out = {(r.id_a, r.id_b): r.hamming for r in simhash_pairs(docs, "id", "text", max_hamming=10, pieces=12).collect()}
+    assert (1, 2) in out
+    assert (1, 3) not in out and (2, 3) not in out
+    with pytest.raises(ValueError):
+        simhash_pairs(docs, "id", "text", max_hamming=4, pieces=4)
+
+
+def test_multimodal_fingerprint_features(spark):
+    docs = spark.createDataFrame([(1, "hello world"), (2, "spark engine")], ["doc_id", "text"])
+    media = as_media(docs, "doc_id", F.col("text").cast("binary"))
+    out = {r.asset_id: r for r in fingerprint_features(media).collect()}
+    want = hashlib.md5(b"hello world").hexdigest()
+    assert out[1].media_md5 == want
+    assert out[1].features[0] == int(want[:8], 16) / float(1 << 32)
+    assert len(out[1].features) == 4
+
+
+def test_multimodal_decode_stub_raises(spark):
+    docs = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    media = as_media(docs, "doc_id", F.col("text").cast("binary"))
+    with pytest.raises(NotImplementedError):
+        decode_media(media)
+
+
+def test_frame_sample_grid(spark):
+    docs = spark.createDataFrame([(1, "v")], ["doc_id", "text"])
+    media = as_media(docs, "doc_id", F.col("text").cast("binary"), media_type="video/mp4")
+    media = media.withColumn(
+        "meta",
+        F.struct(F.lit(None).cast("int").alias("width"), F.lit(None).cast("int").alias("height"),
+                 F.lit(2500).alias("duration_ms")),
+    )
+    frames = sorted(r.frame_ts_ms for r in frame_sample(media, every_ms=1000).collect())
+    assert frames == [0, 1000, 2000]
+
+
+def test_bfs_and_motif(spark):
+    edges = spark.createDataFrame(
+        [("r", "A", "n1"), ("r", "A", "n2"), ("n1", "B", "c1"), ("n2", "B", "c2"), ("c2", "B", "d1")],
+        ["src_key_", "rel", "dst_key_"],
+    ).select(
+        F.lit("L").alias("src_label"), F.col("src_key_").alias("src_key"),
+        F.col("rel").alias("rel_type"), F.lit("L").alias("dst_label"),
+        F.col("dst_key_").alias("dst_key"),
+    )
+    motif = {(r.a, r.b, r.c) for r in two_hop_motif(edges, "A", "B").collect()}
+    assert motif == {("r", "n1", "c1"), ("r", "n2", "c2")}
+
+    v = spark.createDataFrame([(x,) for x in ["r", "n1", "n2", "c1", "c2", "d1", "iso"]], ["id"])
+    e = edges.select(F.col("src_key").alias("src"), F.col("dst_key").alias("dst"))
+    src = spark.createDataFrame([("r",)], ["id"])
+    dist = {r.id: r.dist for r in bfs_distances(v, e, src).collect()}
+    assert dist == {"r": 0, "n1": 1, "n2": 1, "c1": 2, "c2": 2, "d1": 3}

@@ -1,0 +1,92 @@
+"""Structured Streaming tests: stream results must match the batch twins."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vmware_graph_spark.sources.tables import load_table
+from vmware_graph_spark.streaming import (
+    dedup_within_watermark,
+    read_event_stream,
+    run_available_to_memory,
+    sessionize_stream,
+    windowed_event_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark, tmp_path_factory):
+    """Events re-written as 3 parquet files (µs timestamps) so the file
+    source produces multiple micro-batches."""
+    path = str(tmp_path_factory.mktemp("events_stream"))
+    load_table(spark, SF, "events").repartition(3).write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_windowed_counts_match_batch(spark, event_dir):
+    stream = windowed_event_counts(read_event_stream(spark, event_dir), window="1 hour")
+    run_available_to_memory(stream, "win_counts", output_mode="complete")
+    got = {
+        (r.window_start, r.event_type): (r.n, round(r.sum_value, 6))
+        for r in spark.table("win_counts").collect()
+    }
+    batch = (
+        spark.read.parquet(event_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    )
+    want = {(r.w.start, r.event_type): (r.n, round(r.s, 6)) for r in batch}
+    assert got == want
+
+
+def test_dedup_within_watermark(spark, event_dir, tmp_path):
+    dup_dir = str(tmp_path / "dup")
+    df = spark.read.parquet(event_dir)
+    df.unionByName(df.limit(200)).repartition(2).write.parquet(dup_dir)
+    stream = dedup_within_watermark(read_event_stream(spark, dup_dir), watermark="24 hours")
+    run_available_to_memory(stream, "dedup_events")
+    assert spark.table("dedup_events").select("event_id").distinct().count() == spark.table(
+        "dedup_events"
+    ).count()
+    assert spark.table("dedup_events").count() == df.select("event_id").distinct().count()
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    """The stateful sessionizer's final per-user counts must equal the
+    batch gaps-and-islands computation."""
+    rows = [
+        (1, "2024-01-01 10:00:00"), (1, "2024-01-01 10:10:00"),  # session 1
+        (1, "2024-01-01 12:00:00"),  # gap > 30 min → session 2
+        (2, "2024-01-01 09:00:00"),  # session 1
+        (2, "2024-01-02 09:00:00"), (2, "2024-01-02 09:29:00"),  # session 2
+    ]
+    df = spark.createDataFrame(
+        [(i, u, t, "click", 1.0, "{}") for i, (u, t) in enumerate(rows)],
+        "event_id long, user_id long, ts string, event_type string, value double, props string",
+    ).select("event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id", "event_type", "value", "props")
+    path = str(tmp_path / "sess")
+    df.coalesce(1).write.parquet(path)
+
+    stream = sessionize_stream(read_event_stream(spark, path), gap_seconds=1800)
+    run_available_to_memory(stream, "sessions", output_mode="update")
+    out = spark.table("sessions")
+    # update mode can emit several rows per user: the final state is the
+    # one with the highest event count
+    final = {
+        r.user_id: r.n_sessions
+        for r in out.withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+                    "user_id"
+                ).orderBy(F.col("n_events").desc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    assert final == {1: 2, 2: 2}

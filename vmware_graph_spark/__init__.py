@@ -18,9 +18,9 @@ Architecture (Spark-first, not a translation):
                   + one canonical edge DataFrame; snapshot writer.
 - ``ingest``    — per-sheet ingest stages mirroring the reference's
                   statements (refresh-vmware.cypher:34-277), re-expressed
-                  as declarative DataFrame pipelines.
-- ``plans``     — the refresh protocol (mark → ingest → sweep) as a pure
-                  snapshot rebuild + anti-join diff.
+                  as declarative DataFrame pipelines, plus the refresh
+                  protocol (mark → ingest → sweep) as a pure snapshot
+                  rebuild + anti-join diff.
 - ``analytics`` — bulk graph analytics (degrees, connected components,
                   PageRank, motif joins) over the vertex/edge tables.
 - ``streaming`` — Structured Streaming ingest of event streams with

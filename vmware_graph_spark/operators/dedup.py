@@ -186,6 +186,125 @@ def minhash_lsh_pairs(
     return ja.filter(F.col("jaccard") >= verify_threshold).select("id_a", "id_b", "jaccard")
 
 
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    bits: int = 48,
+    max_hamming: int = 3,
+    pieces: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs within a Hamming radius, via piece-table join.
+
+    Pigeonhole: if hamming(a,b) ≤ max_hamming < pieces, at least one of
+    the ``pieces`` signature slices is identical — so candidates come
+    from an equi-join on (piece index, piece value), never all-pairs.
+    Candidates are then verified with an exact popcount. Requires
+    ``max_hamming < pieces``.
+    """
+    if max_hamming >= pieces:
+        raise ValueError("pigeonhole requires max_hamming < pieces")
+    width = bits // pieces
+    sig = simhash(df, id_col, text_col, bits=bits)
+    slices = [
+        F.struct(
+            F.lit(i).alias("piece"),
+            F.shiftright(F.col("simhash"), i * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("value"),
+        )
+        for i in range(pieces)
+    ]
+    tab = sig.select("id", "simhash", F.explode(F.array(*slices)).alias("p")).select(
+        "id", "simhash", F.col("p.piece").alias("piece"), F.col("p.value").alias("value")
+    )
+    a, b = tab.alias("a"), tab.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.piece") == F.col("b.piece"))
+            & (F.col("a.value") == F.col("b.value"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cands.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def cosine_pairs_exact(
+    df: DataFrame, id_col: str, vec_col: str, *, threshold: float = 0.9
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs — exact all-pairs baseline.
+
+    O(n²) by construction: the correctness oracle for
+    :func:`cosine_pairs_lsh`, which is the 100 TB path. Use only on
+    broadcast-small inputs.
+    """
+    from vmware_graph_spark.functions.vector import as_double_vec, cosine
+
+    a = df.select(F.col(id_col).alias("id_a"), as_double_vec(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("id_b"), as_double_vec(vec_col).alias("__vb"))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine(F.col("__va"), F.col("__vb")))
+    )
+    return pairs.filter(F.col("cos") >= threshold).select("id_a", "id_b", "cos")
+
+
+def cosine_pairs_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    dim: int,
+    threshold: float = 0.9,
+    planes: int = 8,
+    nprobe: int = 9,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via hyperplane-LSH blocking.
+
+    Vectors are bucketed by random-hyperplane sign hash; pairs are
+    scored only within a bucket (plus Hamming-1 probe buckets), so cost
+    is Σ bucket² instead of n². High-cosine pairs share most hyperplane
+    signs, so recall at threshold ≥0.9 is near-1 with 8 planes + probes.
+    """
+    from vmware_graph_spark.functions.vector import as_double_vec, cosine
+    from vmware_graph_spark.operators.similarity import _probe_buckets, hyperplane_bucket
+
+    bucket = hyperplane_bucket(vec_col, dim, planes)
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        as_double_vec(vec_col).alias("__va"),
+        F.explode(_probe_buckets(bucket, planes, nprobe)).alias("__bucket"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        as_double_vec(vec_col).alias("__vb"),
+        bucket.alias("__bucket"),
+    )
+    pairs = (
+        a.join(b, "__bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__va", "__vb")
+        .distinct()
+        .withColumn("cos", cosine(F.col("__va"), F.col("__vb")))
+    )
+    return pairs.filter(F.col("cos") >= threshold).select("id_a", "id_b", "cos")
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 64) -> DataFrame:
     """(id, simhash: bigint) — sign-of-sum fingerprint over token hashes.
 

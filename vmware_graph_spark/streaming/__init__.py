@@ -1,0 +1,15 @@
+from vmware_graph_spark.streaming.events import (
+    dedup_within_watermark,
+    read_event_stream,
+    run_available_to_memory,
+    sessionize_stream,
+    windowed_event_counts,
+)
+
+__all__ = [
+    "read_event_stream",
+    "windowed_event_counts",
+    "dedup_within_watermark",
+    "sessionize_stream",
+    "run_available_to_memory",
+]

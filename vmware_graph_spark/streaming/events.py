@@ -1,0 +1,154 @@
+"""Structured Streaming over the events table (SURVEY §2.11 streaming).
+
+The reference is batch-only; these are the north-star streaming
+extensions: watermarked tumbling/sliding windows, exactly-once dedup
+within the watermark, and a custom stateful sessionizer via
+``applyInPandasWithState`` — the one genuinely stateful operator we
+take on (SURVEY §7 hard parts).
+
+All operators take/return streaming DataFrames; tests drive them with
+the parquet file source + ``availableNow`` and assert against the batch
+twins in ``queries.py``, so stream and batch semantics stay locked.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENT_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over an events parquet directory. One file per
+    micro-batch keeps tests deterministic; production would swap in a
+    Kafka source with the same downstream schema."""
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    *,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling/sliding window counts per event type.
+
+    Late rows beyond the watermark are dropped; state for closed
+    windows is evicted — bounded state at any scale.
+    """
+    w = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(w.alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, *, watermark: str = "2 hours") -> DataFrame:
+    """Exactly-once event delivery: drop duplicate event_ids arriving
+    within the watermark horizon (CDC-style refresh dedup). State size
+    is bounded by the watermark — the unbounded-keys pitfall of plain
+    dropDuplicates on a stream."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+_SESSION_STATE = StructType(
+    [
+        StructField("session_count", IntegerType()),
+        StructField("last_ts_ms", LongType()),
+        StructField("event_count", LongType()),
+    ]
+)
+_SESSION_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_sessions", IntegerType()),
+        StructField("n_events", LongType()),
+        StructField("last_ts", TimestampType()),
+    ]
+)
+
+
+def sessionize_stream(events: DataFrame, *, gap_seconds: int = 1800) -> DataFrame:
+    """Custom stateful operator: per-user session counting with an
+    inactivity gap, via applyInPandasWithState (update mode).
+
+    State per user = (sessions so far, last event time, events so far);
+    a batch's events are sorted by event time and extend or break the
+    current session. Emits the running totals each update.
+    """
+    gap_ms = gap_seconds * 1000
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            sessions, last_ms, total = state.get
+        else:
+            sessions, last_ms, total = 0, None, 0
+        ts_ms: list[int] = []
+        for pdf in pdfs:
+            ts_ms.extend(int(t.value // 1_000_000) for t in pd.to_datetime(pdf["ts"]))
+        ts_ms.sort()
+        for t in ts_ms:
+            if last_ms is None or t - last_ms > gap_ms:
+                sessions += 1
+            last_ms = t
+            total += 1
+        state.update((sessions, last_ms, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_sessions": [sessions],
+                "n_events": [total],
+                "last_ts": [pd.Timestamp(last_ms, unit="ms")],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, _SESSION_OUT, _SESSION_STATE, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def run_available_to_memory(sdf: DataFrame, name: str, *, output_mode: str = "append") -> None:
+    """Drain all available input through the streaming query into a
+    memory sink table ``name`` (test/driver harness helper)."""
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
