@@ -1541,3 +1541,612 @@ def ingest_rp_hierarchy_stage(spark, sf_dir):
     stage_vcluster(store, {"vCluster": _vcluster_sheet(spark, sf_dir)})
     stage_vrp(store, {"vRP": vrp})
     return store.edges().filter(F.col("rel_type") == "CHILD_RESOURCE_POOL")
+
+
+# ---------------------------------------------------------------------------
+# Ingest-stage queries, part 2: vHost / vSwitch / vInfo / vDatastore / vDisk
+# sheets derived from supplier/customer/orders so every remaining stage of
+# refresh-vmware.cypher pass 1 gets an oracle row. Sheet builders are
+# shared with the full-refresh query.
+# ---------------------------------------------------------------------------
+
+# supplier ⋈ nation ⋈ region base: one host per supplier, cluster = nation,
+# tenant = region ('vc-<r_name>' vCenter uid, per _vcluster_sheet).
+_HOST_BASE_SQL = f"""
+  SELECT s_suppkey AS sk, n_name AS cluster, 'vc-' || r_name AS uid, {_SRV_SQL} AS srv
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+"""
+
+
+def _host_base(spark, sf_dir):
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    srv = F.concat(F.regexp_replace(F.lower("r_name"), " ", ""), F.lit(".example"))
+    return (
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .select(
+            F.col("s_suppkey").alias("sk"),
+            F.col("n_name").alias("cluster"),
+            F.concat(F.lit("vc-"), F.col("r_name")).alias("uid"),
+            srv.alias("srv"),
+        )
+    )
+
+
+def _s(expr) -> F.Column:
+    return expr.cast("string")
+
+
+def _vhost_sheet(spark, sf_dir, *, prime: bool = False):
+    """vHost sheet: one host per supplier. sk%11==0 rows point at the
+    unknown 'ClusterX' (J1 inner-join drop); Vendor/Model null every 5th
+    (coalesce default), BIOS Version null every 6th, BIOS Date null every
+    7th (null-key MERGE failure). variant prime drops every 10th host
+    (mark-and-sweep orphan set)."""
+    b = _host_base(spark, sf_dir)
+    if prime:
+        b = b.filter(F.col("sk") % 10 != 0)
+    sk = F.col("sk")
+    status = F.when(sk % 3 == 0, "green").when(sk % 3 == 1, "yellow").otherwise("red")
+    return b.select(
+        F.col("uid").alias("VI SDK UUID"),
+        F.col("srv").alias("VI SDK Server"),
+        F.concat(F.lit("host-"), _s(sk)).alias("Object ID"),
+        F.concat(F.lit("esx"), _s(sk), F.lit(".example")).alias("Host"),
+        F.when(sk % 11 == 0, "ClusterX").otherwise(F.col("cluster")).alias("Cluster"),
+        F.lit(1).alias("NumHosts"),
+        (sk % 2 + 2).alias("# CPU"),
+        F.lit(16).alias("# Cores"),
+        ((sk % 4 + 1).cast("double") * 1.0e9).alias("# Memory"),
+        ((sk % 100).cast("double") / 2.0).alias("Memory usage %"),
+        (sk % 20).alias("# VMs"),
+        F.lit("vSphere Ent").alias("Assigned License(s)"),
+        F.concat(F.lit("evc-"), _s(sk % 3)).alias("Max EVC"),
+        F.lit("2024-01-01 00:00:00").alias("Boot time"),
+        F.concat(F.lit("ST-"), _s(sk)).alias("Service tag"),
+        status.alias("Config status"),
+        F.when(sk % 2 == 0, "Balanced").otherwise("Low power").alias(
+            "Current CPU power man. policy"
+        ),
+        F.concat(F.lit("HP-"), _s(sk % 2)).alias("Host Power Policy"),
+        F.concat(F.lit("Xeon-"), _s(sk % 4)).alias("CPU Model"),
+        F.concat(
+            F.lit("VMware ESXi "), _s(sk % 2 + 6), F.lit(".0 build-"), _s(sk % 7 + 10000)
+        ).alias("ESX Version"),
+        F.when(sk % 5 != 0, F.concat(F.lit("Vendor-"), _s(sk % 3))).alias("Vendor"),
+        F.when(sk % 5 != 0, F.concat(F.lit("Model-"), _s(sk % 3))).alias("Model"),
+        F.when(sk % 6 != 0, F.concat(F.lit("B-"), _s(sk % 4))).alias("BIOS Version"),
+        F.when(sk % 7 != 0, F.concat(F.lit("2021-0"), _s(sk % 8 + 1))).alias("BIOS Date"),
+        F.lit(None).cast("string").alias("Domain"),
+        F.concat(
+            F.lit("10.0."), _s(sk % 200), F.lit(".1, ntp"), _s(sk), F.lit(".example")
+        ).alias("NTP Server(s)"),
+        F.when(sk % 9 != 0, F.concat(F.lit("8.8.8.8 , dns"), _s(sk % 4), F.lit(".example"))).alias(
+            "DNS Servers"
+        ),
+    )
+
+
+@query(
+    "ingest_vhost_stage",
+    f"""
+    WITH h AS ({_HOST_BASE_SQL}),
+    j AS (
+      SELECT sk, cluster, uid, 'host-' || sk || chr(31) || uid AS hkey,
+             CASE sk % 3 WHEN 0 THEN 'green' WHEN 1 THEN 'yellow' ELSE 'red' END AS status,
+             'VMware ESXi ' || (sk % 2 + 6) || '.0' AS esxver,
+             CASE WHEN sk % 5 = 0 THEN 'None Provided' ELSE 'Vendor-' || (sk % 3) END AS vendor,
+             CASE WHEN sk % 6 = 0 THEN 'None Provided' ELSE 'B-' || (sk % 4) END AS biosver,
+             CASE WHEN sk % 7 = 0 THEN NULL ELSE '2021-0' || (sk % 8 + 1) END AS biosdate
+      FROM h WHERE sk % 11 <> 0
+    )
+    SELECT DISTINCT * FROM (
+      SELECT 'Vspherehost' AS src_label, hkey AS src_key, 'MEMBER_OF_CLUSTER' AS rel_type,
+             'Vcentercluster' AS dst_label, cluster || chr(31) || uid AS dst_key FROM j
+      UNION ALL
+      SELECT 'Vspherehost', hkey, 'CONFIG_STATUS', 'Vconfigstatus', status FROM j
+      UNION ALL
+      SELECT 'Vspherehost', hkey, 'IS_ESX_VERSION', 'Vsphereesxversion', esxver FROM j
+      UNION ALL
+      SELECT 'Vspherehost', hkey, 'MANUFACTURED_BY', 'Crmmanufacturer', vendor FROM j
+      UNION ALL
+      SELECT 'Biosversion', biosver || chr(31) || biosdate, 'MANUFACTURED_BY',
+             'Crmmanufacturer', vendor FROM j WHERE biosdate IS NOT NULL
+      UNION ALL
+      SELECT 'Vspherehost', hkey, 'BIOS_VERSION', 'Biosversion',
+             biosver || chr(31) || biosdate FROM j WHERE biosdate IS NOT NULL
+    )
+    """,
+)
+def ingest_vhost_stage(spark, sf_dir):
+    """The vHost ingest stage (refresh-vmware.cypher:73-103): J1 composite
+    -key inner join (unknown-cluster rows dropped), the ESX version/build
+    split, coalesce defaults for Vendor/Model/BIOS, and the null-key
+    MERGE drop (BIOS Date null → no Biosversion node or edge)."""
+    from vmware_graph_spark.ingest.stages import stage_vcluster, stage_vhost
+    from vmware_graph_spark.store.graph import GraphStore
+
+    store = GraphStore(spark)
+    stage_vcluster(store, {"vCluster": _vcluster_sheet(spark, sf_dir)})
+    stage_vhost(store, {"vHost": _vhost_sheet(spark, sf_dir)})
+    return store.edges().filter(
+        F.col("rel_type").isin(
+            "MEMBER_OF_CLUSTER", "CONFIG_STATUS", "IS_ESX_VERSION",
+            "MANUFACTURED_BY", "BIOS_VERSION",
+        )
+    )
+
+
+def _vswitch_sheet(spark, sf_dir):
+    """vSwitch sheet: one standard switch per host. MTU is a STRING with
+    a garbage value every 3rd row ≡ 2 (try_int → null); Policy null
+    every 4th row (no-coalesce Vlbpolicy MERGE failure, cypher:148)."""
+    b = _host_base(spark, sf_dir)
+    sk = F.col("sk")
+    mtu = (
+        F.when(sk % 3 == 0, "9000").when(sk % 3 == 1, "1500").otherwise("not-a-number")
+    )
+    return b.select(
+        F.col("uid").alias("VI SDK UUID"),
+        F.col("srv").alias("VI SDK Server"),
+        F.concat(F.lit("vsw"), _s(sk % 2)).alias("Switch"),
+        F.concat(F.lit("esx"), _s(sk), F.lit(".example")).alias("Host"),
+        F.col("cluster").alias("Cluster"),
+        F.lit(128).alias("# Ports"),
+        F.lit(100).alias("Free Ports"),
+        F.lit("Reject").alias("Promiscuous Mode"),
+        F.lit("Accept").alias("Mac Changes"),
+        F.lit("Accept").alias("Forged Transmits"),
+        F.lit("None").alias("Traffic Shaping"),
+        F.lit("Yes").alias("Notify Switch"),
+        mtu.alias("MTU"),
+        F.lit("Enabled").alias("Offload"),
+        F.when(sk % 4 != 0, F.concat(F.lit("P-"), _s(sk % 2))).alias("Policy"),
+    )
+
+
+def _seed_hosts(spark, sf_dir, store):
+    """Seed Vspherehost vertices + host—cluster MEMBER_OF_CLUSTER edges
+    (what stage_vhost would have produced) for stages that consume them
+    through the J3 edge-hop."""
+    b = _host_base(spark, sf_dir)
+    store.upsert_nodes(
+        "Vspherehost",
+        b.select(
+            F.concat(F.lit("host-"), _s(F.col("sk"))).alias("objid"),
+            F.col("uid").alias("managedby"),
+            F.concat(F.lit("esx"), _s(F.col("sk")), F.lit(".example")).alias("name"),
+        ),
+    )
+    from vmware_graph_spark.store.graph import US
+
+    store.add_edges(
+        b.select(
+            F.lit("Vspherehost").alias("src_label"),
+            F.concat(F.lit("host-"), _s(F.col("sk")), F.lit(US), F.col("uid")).alias("src_key"),
+            F.lit("MEMBER_OF_CLUSTER").alias("rel_type"),
+            F.lit("Vcentercluster").alias("dst_label"),
+            F.concat(F.col("cluster"), F.lit(US), F.col("uid")).alias("dst_key"),
+        )
+    )
+
+
+@query(
+    "ingest_vswitch_jumbo_stage",
+    f"""
+    WITH h AS ({_HOST_BASE_SQL}),
+    j AS (
+      SELECT sk, uid, 'vsw' || (sk % 2) || chr(31) || 'esx' || sk || '.example' AS swkey,
+             'host-' || sk || chr(31) || uid AS hkey
+      FROM h
+    )
+    SELECT DISTINCT * FROM (
+      SELECT 'Vswitch' AS src_label, swkey AS src_key, 'VSWITCH_FOR_HOST' AS rel_type,
+             'Vspherehost' AS dst_label, hkey AS dst_key FROM j
+      UNION ALL
+      SELECT 'Vswitch', swkey, 'LOAD_BALANCING_POLICY', 'Vlbpolicy', 'P-' || (sk % 2)
+      FROM j WHERE sk % 4 <> 0
+      UNION ALL
+      SELECT 'Vswitch', swkey, 'HAS_JUMBO_FRAMES', 'Jumboframes', 'enabled'
+      FROM j WHERE sk % 3 = 0
+    )
+    """,
+)
+def ingest_vswitch_jumbo_stage(spark, sf_dir):
+    """The vSwitch stage (refresh-vmware.cypher:142-152): the J3
+    edge-hop row⋈host⋈cluster join, try_cast MTU, the no-coalesce
+    Vlbpolicy branch, and the J6 Jumboframes broadcast-cartesian theta
+    join (mtu >= 9000)."""
+    from vmware_graph_spark.ingest.stages import stage_vcluster, stage_vswitch
+    from vmware_graph_spark.store.graph import GraphStore
+
+    store = GraphStore(spark)
+    stage_vcluster(store, {"vCluster": _vcluster_sheet(spark, sf_dir)})
+    _seed_hosts(spark, sf_dir, store)
+    store.upsert_nodes(
+        "Jumboframes", spark.createDataFrame([("enabled",)], "name string")
+    )
+    stage_vswitch(store, {"vSwitch": _vswitch_sheet(spark, sf_dir)})
+    return store.edges().filter(
+        F.col("rel_type").isin("VSWITCH_FOR_HOST", "LOAD_BALANCING_POLICY", "HAS_JUMBO_FRAMES")
+    )
+
+
+# customer ⋈ nation ⋈ region base: one VM per customer.
+_VM_BASE_SQL = f"""
+  SELECT c_custkey AS ck, c_name AS vmname, n_name AS cluster, r_name AS rname,
+         'vc-' || r_name AS uid, {_SRV_SQL} AS srv
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+"""
+
+# Resource-pool / folder shapes exercised by the vInfo sheet (M6 cases):
+#  ck%15==0 : nested pool  <base>/sub  — CHILD_RESOURCE_OF iff parent node
+#  ck%3==0  : pool <base> (5 segments > 4 → pool node + IN_RESOURCE_POOL)
+#  ck%3==1  : '/DC-r/n/Resources' (4 segments → condition fails, no pool)
+#  else     : NULL
+#  ck%2==0  : '/RootFolder/f<k>' (3 segments > 2 → folder node + IN_FOLDER)
+#  else     : '/DC-<r>' (2 segments → no folder; head matches the DC →
+#             VM LOCATED_IN_DC)
+_RP_BASE_SQL = "'/DC-' || rname || '/' || cluster || '/Resources/p' || (ck % 5)"
+
+
+def _vinfo_sheet(spark, sf_dir, *, prime: bool = False):
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    srv = F.concat(F.regexp_replace(F.lower("r_name"), " ", ""), F.lit(".example"))
+    b = (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .select(
+            F.col("c_custkey").alias("ck"),
+            F.col("c_name").alias("vmname"),
+            F.col("n_name").alias("cluster"),
+            F.col("r_name").alias("rname"),
+            F.concat(F.lit("vc-"), F.col("r_name")).alias("uid"),
+            srv.alias("srv"),
+        )
+    )
+    if prime:
+        b = b.filter(F.col("ck") % 13 != 0)
+    ck = F.col("ck")
+    rp_base = F.concat(
+        F.lit("/DC-"), F.col("rname"), F.lit("/"), F.col("cluster"),
+        F.lit("/Resources/p"), _s(ck % 5),
+    )
+    rp = (
+        F.when(ck % 15 == 0, F.concat(rp_base, F.lit("/sub")))
+        .when(ck % 3 == 0, rp_base)
+        .when(
+            ck % 3 == 1,
+            F.concat(F.lit("/DC-"), F.col("rname"), F.lit("/"), F.col("cluster"), F.lit("/Resources")),
+        )
+    )
+    folder = F.when(ck % 2 == 0, F.concat(F.lit("/RootFolder/f"), _s(ck % 7))).otherwise(
+        F.concat(F.lit("/DC-"), F.col("rname"))
+    )
+    stype = F.concat(
+        F.lit("VMware vCenter Server "), _s(F.length("rname") % 3 + 6), F.lit(".0 build-"),
+        _s(F.length("rname") + 14000000),
+    )
+    return b.select(
+        F.col("uid").alias("VI SDK UUID"),
+        F.col("srv").alias("VI SDK Server"),
+        stype.alias("VI SDK Server type"),
+        F.concat(F.lit("vm-"), _s(ck)).alias("VM UUID"),
+        F.col("vmname").alias("VM"),
+        F.concat(F.lit("vmid-"), _s(ck)).alias("VM ID"),
+        F.concat(F.lit("vm"), _s(ck), F.lit(".example")).alias("DNS Name"),
+        F.lit("poweredOn").alias("PowerOn"),
+        F.lit("1").alias("Change Version"),
+        F.lit(None).cast("string").alias("Annotation"),
+        F.lit("False").alias("Consolidation Needed"),
+        (ck % 8 + 1).alias("CPUs"),
+        F.lit("4096").alias("Memory"),
+        F.lit("1").alias("NICs"),
+        F.lit("2").alias("Disks"),
+        F.lit("False").alias("CBT"),
+        _s(ck % 3 + 17).alias("HW version"),
+        F.lit("None").alias("HW upgrade status"),
+        F.lit("connected").alias("Connection state"),
+        F.lit("green").alias("Config status"),
+        F.when(ck % 2 == 0, "poweredOn").otherwise("poweredOff").alias("Powerstate"),
+        F.lit("running").alias("Guest state"),
+        F.lit("green").alias("Heartbeat"),
+        rp.alias("Resource pool"),
+        folder.alias("Folder"),
+        F.concat(F.lit("OS-"), _s(ck % 4)).alias("OS according to the VMware Tools"),
+        F.concat(F.lit("OS-"), _s(ck % 4)).alias("OS according to the configuration file"),
+        F.concat(F.lit("net-"), _s(ck % 10)).alias("Network #1"),
+        F.lit(None).cast("string").alias("Network #2"),
+        F.when(ck % 4 == 0, F.concat(F.lit("n3-"), _s(ck % 3))).alias("Network #3"),
+        F.lit(None).cast("string").alias("Network #4"),
+    )
+
+
+@query(
+    "ingest_vinfo_conditional_stage",
+    f"""
+    WITH b AS ({_VM_BASE_SQL}),
+    j AS (
+      SELECT ck, cluster, rname, uid, srv,
+             'vm-' || ck || chr(31) || uid AS vmkey,
+             CASE WHEN ck % 15 = 0 THEN {_RP_BASE_SQL} || '/sub'
+                  WHEN ck % 3 = 0 THEN {_RP_BASE_SQL}
+             END AS rppath,
+             CASE WHEN ck % 15 = 0 THEN {_RP_BASE_SQL} END AS rpparent,
+             CASE WHEN ck % 2 = 0 THEN '/RootFolder/f' || (ck % 7) END AS flpath
+      FROM b
+    ),
+    pools AS (SELECT DISTINCT srv, rppath FROM j WHERE rppath IS NOT NULL)
+    SELECT DISTINCT * FROM (
+      SELECT 'Virtualmachine' AS src_label, vmkey AS src_key,
+             'IN_RESOURCE_POOL' AS rel_type, 'Vresourcepool' AS dst_label,
+             srv || chr(31) || rppath AS dst_key FROM j WHERE rppath IS NOT NULL
+      UNION ALL
+      SELECT 'Virtualmachine', vmkey, 'IN_FOLDER', 'Vfolder', flpath
+      FROM j WHERE flpath IS NOT NULL
+      UNION ALL  -- Network #1 fan-out + coalesced 'Not Configured' (#2/#4)
+      SELECT 'Virtualmachine', vmkey, 'IN_PORTGROUP', 'Vportgroup',
+             'net-' || (ck % 10) || chr(31) || uid FROM j
+      UNION ALL
+      SELECT 'Virtualmachine', vmkey, 'IN_PORTGROUP', 'Vportgroup',
+             'Not Configured' || chr(31) || uid FROM j
+      UNION ALL
+      SELECT 'Virtualmachine', vmkey, 'IN_PORTGROUP', 'Vportgroup',
+             'n3-' || (ck % 3) || chr(31) || uid FROM j WHERE ck % 4 = 0
+      UNION ALL  -- hierarchy tail: nested pool → parent pool iff parent exists
+      SELECT 'Vresourcepool', j.srv || chr(31) || j.rppath, 'CHILD_RESOURCE_OF',
+             'Vresourcepool', j.srv || chr(31) || j.rpparent
+      FROM j JOIN pools p ON p.srv = j.srv AND p.rppath = j.rpparent
+      UNION ALL  -- pool without parent node → LOCATED_IN_CLUSTER
+      SELECT 'Vresourcepool', j.srv || chr(31) || j.rppath, 'LOCATED_IN_CLUSTER',
+             'Vcentercluster', j.cluster || chr(31) || j.uid
+      FROM j LEFT JOIN pools p ON p.srv = j.srv AND p.rppath = j.rpparent
+      WHERE j.rppath IS NOT NULL AND p.rppath IS NULL
+      UNION ALL  -- RP named but no pool node (4 segments) → VM in cluster
+      SELECT 'Virtualmachine', vmkey, 'LOCATED_IN_CLUSTER', 'Vcentercluster',
+             cluster || chr(31) || uid FROM j WHERE ck % 3 = 1 AND ck % 15 <> 0
+      UNION ALL  -- no folder node, head matches the DC → VM located in DC
+      SELECT 'Virtualmachine', vmkey, 'LOCATED_IN_DC', 'Vspheredatacenter',
+             'DC-' || rname || chr(31) || uid FROM j WHERE ck % 2 = 1
+    )
+    """,
+)
+def ingest_vinfo_conditional_stage(spark, sf_dir):
+    """The vInfo→Virtualmachine stage (refresh-vmware.cypher:179-224):
+    M6 FOREACH-CASE conditionals (pool path > 4 segments, folder > 2),
+    the Network #1-4 fan-out with 'Not Configured' coalesce (§2.10-6),
+    and the folder/pool hierarchy tail (:213-223) with its OPTIONAL
+    MATCH parent self-joins."""
+    from vmware_graph_spark.ingest.stages import stage_vcluster, stage_vinfo_vms
+    from vmware_graph_spark.store.graph import GraphStore
+
+    store = GraphStore(spark)
+    stage_vcluster(store, {"vCluster": _vcluster_sheet(spark, sf_dir)})
+    r = load_table(spark, sf_dir, "region")
+    store.upsert_nodes(
+        "Vspheredatacenter",
+        r.select(
+            F.concat(F.lit("DC-"), F.col("r_name")).alias("name"),
+            F.concat(F.lit("vc-"), F.col("r_name")).alias("managedby"),
+        ),
+    )
+    stage_vinfo_vms(store, {"vInfo": _vinfo_sheet(spark, sf_dir)})
+    return store.edges().filter(
+        F.col("rel_type").isin(
+            "IN_RESOURCE_POOL", "IN_FOLDER", "IN_PORTGROUP",
+            "CHILD_RESOURCE_OF", "LOCATED_IN_CLUSTER", "LOCATED_IN_DC",
+        )
+    )
+
+
+def _vdatastore_sheet(spark, sf_dir, *, prime: bool = False):
+    """vDatastore sheet: one datastore per nation; `Hosts` is the
+    sorted ' , '-joined list of the nation's host names plus a ghost
+    entry (unknown host → dropped by the join), exercising the
+    explode+trim pattern (cypher:237-239)."""
+    b = _host_base(spark, sf_dir)
+    if prime:
+        b = b.filter(F.col("cluster") != "ALGERIA")
+    hosts_list = F.concat(
+        F.array_join(
+            F.array_sort(
+                F.collect_list(F.concat(F.lit("esx"), _s(F.col("sk")), F.lit(".example")))
+            ),
+            " , ",
+        ),
+        F.lit(" , ghost.example"),
+    )
+    agg = b.groupBy("cluster", "uid", "srv").agg(hosts_list.alias("Hosts"))
+    nk = F.length(F.col("cluster")) % 2
+    return agg.select(
+        F.col("uid").alias("VI SDK UUID"),
+        F.col("srv").alias("VI SDK Server"),
+        F.concat(F.lit("ds://"), F.col("cluster"), F.lit("-"), F.col("uid")).alias("URL"),
+        F.concat(F.lit("ds-"), F.col("cluster")).alias("Name"),
+        F.lit("True").alias("Accessible"),
+        F.lit(1048576).alias("Capacity MB"),
+        F.lit(524288).alias("In Use MB"),
+        F.lit(524288).alias("Free MB"),
+        F.lit(4).alias("# Hosts"),
+        F.lit("6.81").alias("Version"),
+        F.lit("False").alias("SIOC enabled"),
+        F.lit(25).alias("# VMs"),
+        F.concat(F.lit("addr-"), F.col("cluster")).alias("Address"),
+        F.lit("green").alias("Config status"),
+        F.when(nk == 0, "VMFS").otherwise("NFS").alias("Type"),
+        F.col("Hosts"),
+    )
+
+
+@query(
+    "ingest_vdatastore_stage",
+    f"""
+    WITH h AS ({_HOST_BASE_SQL}),
+    ds AS (
+      SELECT cluster, uid, 'ds://' || cluster || '-' || uid AS url FROM h GROUP BY ALL
+    )
+    SELECT DISTINCT * FROM (
+      SELECT 'Vspherehost' AS src_label, 'host-' || sk || chr(31) || uid AS src_key,
+             'CONNECTED_DATASTORE' AS rel_type, 'Vdatastore' AS dst_label,
+             'ds://' || cluster || '-' || uid AS dst_key FROM h
+      UNION ALL
+      SELECT 'Vdatastore', url, 'DATASTORE_TYPE', 'Vdatastoretype',
+             CASE WHEN length(cluster) % 2 = 0 THEN 'VMFS' ELSE 'NFS' END FROM ds
+    )
+    """,
+)
+def ingest_vdatastore_stage(spark, sf_dir):
+    """The vDatastore stage (refresh-vmware.cypher:228-240): the Hosts
+    comma-list explode + trim join back to Vspherehost (ghost entries
+    dropped), plus the Vdatastoretype dimension."""
+    from vmware_graph_spark.ingest.stages import stage_vcluster, stage_vdatastore
+    from vmware_graph_spark.store.graph import GraphStore
+
+    store = GraphStore(spark)
+    stage_vcluster(store, {"vCluster": _vcluster_sheet(spark, sf_dir)})
+    _seed_hosts(spark, sf_dir, store)
+    stage_vdatastore(store, {"vDatastore": _vdatastore_sheet(spark, sf_dir)})
+    return store.edges().filter(
+        F.col("rel_type").isin("CONNECTED_DATASTORE", "DATASTORE_TYPE")
+    )
+
+
+def _vdisk_sheet(spark, sf_dir, *, prime: bool = False):
+    """vDisk sheet: one disk per order; Path is the '[dsname] vm/…'
+    form except every 7th row, which has no bracket head (parse yields
+    '' → no datastore match → node without ON_DATASTORE edge)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    b = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .select(
+            F.col("o_orderkey").alias("ok"),
+            F.col("c_custkey").alias("ck"),
+            F.col("n_name").alias("cluster"),
+            F.concat(F.lit("vc-"), F.col("r_name")).alias("uid"),
+            F.concat(F.regexp_replace(F.lower("r_name"), " ", ""), F.lit(".example")).alias("srv"),
+        )
+    )
+    if prime:
+        b = b.filter(F.col("ok") % 17 != 0)
+    ok = F.col("ok")
+    path = F.when(
+        ok % 7 != 0,
+        F.concat(F.lit("[ds-"), F.col("cluster"), F.lit("] vm"), _s(ok), F.lit("/vm.vmdk")),
+    ).otherwise(F.concat(F.lit("vm"), _s(ok), F.lit("/flat.vmdk")))
+    return b.select(
+        F.col("uid").alias("VI SDK UUID"),
+        F.col("srv").alias("VI SDK Server"),
+        F.concat(F.lit("vm-"), _s(F.col("ck"))).alias("VM UUID"),
+        F.concat(F.lit("esxn-"), F.col("cluster"), F.lit(".example")).alias("Host"),
+        path.alias("Path"),
+        F.lit("Hard disk 1").alias("Disk"),
+        (ok % 100 + 1).alias("Capacity MB"),
+        F.lit("True").alias("Thin"),
+        F.lit("SCSI0").alias("Controller"),
+        F.lit("persistent").alias("Disk Mode"),
+        F.lit("False").alias("Eagerly Scrub"),
+        F.lit("False").alias("Template"),
+    )
+
+
+def _seed_vm_ds_host(spark, sf_dir, store):
+    """Seed Virtualmachine (one per customer), one host + datastore per
+    nation, and the ds—host CONNECTED_DATASTORE edges the J5 qualified
+    join hops through."""
+    from vmware_graph_spark.store.graph import US
+
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    cb = (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+    )
+    store.upsert_nodes(
+        "Virtualmachine",
+        cb.select(
+            F.concat(F.lit("vm-"), _s(F.col("c_custkey"))).alias("uuid"),
+            F.concat(F.lit("vc-"), F.col("r_name")).alias("managedby"),
+            F.col("c_name").alias("name"),
+        ),
+    )
+    nb = n.join(r, n.n_regionkey == r.r_regionkey).select(
+        F.col("n_name").alias("cluster"),
+        F.concat(F.lit("vc-"), F.col("r_name")).alias("uid"),
+    )
+    store.upsert_nodes(
+        "Vspherehost",
+        nb.select(
+            F.concat(F.lit("hostn-"), F.col("cluster")).alias("objid"),
+            F.col("uid").alias("managedby"),
+            F.concat(F.lit("esxn-"), F.col("cluster"), F.lit(".example")).alias("name"),
+        ),
+    )
+    store.upsert_nodes(
+        "Vdatastore",
+        nb.select(
+            F.concat(F.lit("ds://"), F.col("cluster"), F.lit("-"), F.col("uid")).alias("url"),
+            F.concat(F.lit("ds-"), F.col("cluster")).alias("name"),
+            F.col("uid").alias("managedby"),
+        ),
+    )
+    store.add_edges(
+        nb.select(
+            F.lit("Vdatastore").alias("src_label"),
+            F.concat(F.lit("ds://"), F.col("cluster"), F.lit("-"), F.col("uid")).alias("src_key"),
+            F.lit("CONNECTED_DATASTORE").alias("rel_type"),
+            F.lit("Vspherehost").alias("dst_label"),
+            F.concat(F.lit("hostn-"), F.col("cluster"), F.lit(US), F.col("uid")).alias("dst_key"),
+        )
+    )
+
+
+@query(
+    "ingest_vdisk_path_parse_stage",
+    f"""
+    WITH b AS (
+      SELECT o_orderkey AS ok, c_custkey AS ck, n_name AS cluster, 'vc-' || r_name AS uid
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    ),
+    j AS (
+      SELECT ok, cluster, uid, 'vm-' || ck || chr(31) || uid AS vmkey,
+             CASE WHEN ok % 7 <> 0
+                  THEN '[ds-' || cluster || '] vm' || ok || '/vm.vmdk'
+                  ELSE 'vm' || ok || '/flat.vmdk' END AS path
+      FROM b
+    )
+    SELECT DISTINCT * FROM (
+      SELECT 'Virtualdisk' AS src_label, path AS src_key, 'VDISK_FOR_VM' AS rel_type,
+             'Virtualmachine' AS dst_label, vmkey AS dst_key FROM j
+      UNION ALL  -- ON_DATASTORE is undirected-merged; canonical order puts
+                 -- Vdatastore first ('Vd' < 'Vi')
+      SELECT 'Vdatastore', 'ds://' || cluster || '-' || uid, 'ON_DATASTORE',
+             'Virtualdisk', path FROM j WHERE ok % 7 <> 0
+    )
+    """,
+)
+def ingest_vdisk_path_parse_stage(spark, sf_dir):
+    """The vDisk stage (refresh-vmware.cypher:243-251): the datastore-
+    name path parse '[dsname] vm/vm.vmdk' (§2.10-5 regexp_extract) and
+    the J5 existence-qualified ds—host join; bracketless paths parse to
+    '' and produce no ON_DATASTORE edge."""
+    from vmware_graph_spark.ingest.stages import stage_vdisk
+    from vmware_graph_spark.store.graph import GraphStore
+
+    store = GraphStore(spark)
+    _seed_vm_ds_host(spark, sf_dir, store)
+    stage_vdisk(store, {"vDisk": _vdisk_sheet(spark, sf_dir)})
+    return store.edges().filter(F.col("rel_type").isin("VDISK_FOR_VM", "ON_DATASTORE"))
