@@ -2150,3 +2150,201 @@ def ingest_vdisk_path_parse_stage(spark, sf_dir):
     _seed_vm_ds_host(spark, sf_dir, store)
     stage_vdisk(store, {"vDisk": _vdisk_sheet(spark, sf_dir)})
     return store.edges().filter(F.col("rel_type").isin("VDISK_FOR_VM", "ON_DATASTORE"))
+
+
+# ---------------------------------------------------------------------------
+# Full-workbook refresh: every sheet, ingested twice, orphans swept.
+# ---------------------------------------------------------------------------
+
+
+def _vrp_sheet(spark, sf_dir):
+    """vRP sheet: one parent + one child pool per nation (same shapes as
+    ingest_rp_hierarchy_stage)."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    j = n.join(r, n.n_regionkey == r.r_regionkey)
+    srv = F.concat(F.regexp_replace(F.lower("r_name"), " ", ""), F.lit(".example"))
+    base = F.concat(
+        F.lit("/DC-"), F.col("r_name"), F.lit("/"), F.col("n_name"),
+        F.lit("/Resources/p"), F.col("n_nationkey").cast("string"),
+    )
+    child = F.concat(base, F.lit("/s"), F.col("n_nationkey").cast("string"))
+
+    def sheet(path_expr):
+        return j.select(
+            F.concat(F.lit("vc-"), F.col("r_name")).alias("VI SDK UUID"),
+            srv.alias("VI SDK Server"),
+            path_expr.alias("Resource pool"),
+            F.lit(5).alias("# VMs"),
+            F.lit(10).alias("# vCPUs"),
+            F.lit(1.0e9).alias("Mem Configured"),
+        )
+
+    return sheet(base).unionByName(sheet(child))
+
+
+def _vport_sheet(spark, sf_dir):
+    b = _host_base(spark, sf_dir)
+    sk = F.col("sk")
+    return b.select(
+        F.col("uid").alias("VI SDK UUID"),
+        F.col("srv").alias("VI SDK Server"),
+        F.concat(F.lit("vsw"), _s(sk % 2)).alias("Switch"),
+        F.concat(F.lit("esx"), _s(sk), F.lit(".example")).alias("Host"),
+        F.col("cluster").alias("Cluster"),
+        F.concat(F.lit("pg-"), _s(sk % 4)).alias("Port Group"),
+        (sk % 100).alias("VLAN"),
+        F.lit("Reject").alias("Promiscuous Mode"),
+        F.lit("Accept").alias("Mac Changes"),
+        F.lit("Accept").alias("Forged Transmits"),
+        F.lit("None").alias("Traffic Shaping"),
+        F.when(sk % 4 != 0, F.concat(F.lit("P-"), _s(sk % 2))).alias("Policy"),
+    )
+
+
+def _vnic_sheet(spark, sf_dir):
+    b = _host_base(spark, sf_dir)
+    sk = F.col("sk")
+    return b.select(
+        F.col("uid").alias("VI SDK UUID"),
+        F.col("srv").alias("VI SDK Server"),
+        F.concat(F.lit("vsw"), _s(sk % 2)).alias("Switch"),
+        F.concat(F.lit("esx"), _s(sk), F.lit(".example")).alias("Host"),
+        F.col("cluster").alias("Cluster"),
+        F.lit("vmnic0").alias("Network Device"),
+        F.concat(F.lit("aa:bb:"), _s(sk)).alias("MAC"),
+        F.lit("true").alias("WakeOn"),
+        F.concat(F.lit("0000:"), _s(sk)).alias("PCI"),
+        F.when(sk % 5 != 0, F.lit("10000")).alias("Speed"),
+        F.when(sk % 6 != 0, F.lit("ixgbe")).alias("Driver"),
+    )
+
+
+def _vm_detail_base(spark, sf_dir, *, prime: bool = False):
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    srv = F.concat(F.regexp_replace(F.lower("r_name"), " ", ""), F.lit(".example"))
+    b = (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .select(
+            F.col("c_custkey").alias("ck"),
+            F.concat(F.lit("vc-"), F.col("r_name")).alias("uid"),
+            srv.alias("srv"),
+        )
+    )
+    return b.filter(F.col("ck") % 13 != 0) if prime else b
+
+
+def _vnetwork_sheet(spark, sf_dir):
+    b = _vm_detail_base(spark, sf_dir)
+    ck = F.col("ck")
+    return b.select(
+        F.col("uid").alias("VI SDK UUID"),
+        F.col("srv").alias("VI SDK Server"),
+        F.concat(F.lit("vm-"), _s(ck)).alias("VM UUID"),
+        F.concat(F.lit("mac-"), _s(ck)).alias("Mac Address"),
+        F.lit("true").alias("Starts Connected"),
+        F.concat(F.lit("10.1."), _s(ck % 250), F.lit(".5")).alias("IP Address"),
+        F.lit("vmxnet3").alias("Adapter"),
+        F.concat(F.lit("pg-"), _s(ck % 4)).alias("Network"),
+        F.lit("unknown-host.example").alias("Host"),
+    )
+
+
+def _vpartition_sheet(spark, sf_dir):
+    b = _vm_detail_base(spark, sf_dir)
+    ck = F.col("ck")
+    return b.select(
+        F.col("uid").alias("VI SDK UUID"),
+        F.col("srv").alias("VI SDK Server"),
+        F.concat(F.lit("vm-"), _s(ck)).alias("VM UUID"),
+        F.concat(F.lit("/dev/sd"), _s(ck % 3)).alias("Disk"),
+        (ck % 500 + 100).alias("Capacity MB"),
+        (ck % 100).alias("Consumed MB"),
+        ((ck % 100).cast("double") / 100.0).alias("Free %"),
+    )
+
+
+def _vsnapshot_sheet(spark, sf_dir):
+    b = _vm_detail_base(spark, sf_dir).filter(F.col("ck") % 7 == 0)
+    ck = F.col("ck")
+    return b.select(
+        F.col("uid").alias("VI SDK UUID"),
+        F.col("srv").alias("VI SDK Server"),
+        F.concat(F.lit("vm-"), _s(ck)).alias("VM UUID"),
+        F.concat(F.lit("snap-"), _s(ck)).alias("Name"),
+        F.lit("pre-upgrade").alias("Description"),
+        F.lit("2024-05-01 12:00:00").alias("Date / time"),
+        (ck % 1000).alias("Size MB (total)"),
+    )
+
+
+def _workbook(spark, sf_dir, *, prime: bool = False):
+    """The full 12-sheet synthetic RVTools workbook derived from the
+    TPC-H fixtures. ``prime`` drops every 10th host and every 13th VM —
+    the A→A′ delta the mark-and-sweep refresh must detect."""
+    return {
+        "vCluster": _vcluster_sheet(spark, sf_dir),
+        "vInfo": _vinfo_sheet(spark, sf_dir, prime=prime),
+        "vRP": _vrp_sheet(spark, sf_dir),
+        "vHost": _vhost_sheet(spark, sf_dir, prime=prime),
+        "vSwitch": _vswitch_sheet(spark, sf_dir),
+        "vPort": _vport_sheet(spark, sf_dir),
+        "vNIC": _vnic_sheet(spark, sf_dir),
+        "vDatastore": _vdatastore_sheet(spark, sf_dir),
+        "vDisk": _vdisk_sheet(spark, sf_dir),
+        "vNetwork": _vnetwork_sheet(spark, sf_dir),
+        "vPartition": _vpartition_sheet(spark, sf_dir),
+        "vSnapshot": _vsnapshot_sheet(spark, sf_dir),
+    }
+
+
+@query(
+    "ingest_refresh_sweep",
+    f"""
+    WITH h AS ({_HOST_BASE_SQL}),
+    hosts_a AS (SELECT sk, uid FROM h WHERE sk % 11 <> 0),
+    vmb AS ({_VM_BASE_SQL}),
+    nets_a AS (
+      SELECT 'net-' || (ck % 10) AS name, uid FROM vmb
+      UNION SELECT 'Not Configured', uid FROM vmb
+      UNION SELECT 'n3-' || (ck % 3), uid FROM vmb WHERE ck % 4 = 0
+    ),
+    nets_b AS (
+      SELECT 'net-' || (ck % 10) AS name, uid FROM vmb WHERE ck % 13 <> 0
+      UNION SELECT 'Not Configured', uid FROM vmb WHERE ck % 13 <> 0
+      UNION SELECT 'n3-' || (ck % 3), uid FROM vmb WHERE ck % 4 = 0 AND ck % 13 <> 0
+    )
+    SELECT 'Vspherehost' AS label, 'host-' || sk || chr(31) || uid AS key
+    FROM hosts_a WHERE sk % 10 = 0
+    UNION ALL
+    SELECT 'Virtualmachine', 'vm-' || ck || chr(31) || uid FROM vmb WHERE ck % 13 = 0
+    UNION ALL
+    SELECT 'Vhostportgroup',
+           'pg-' || (sk % 4) || chr(31) || 'esx' || sk || '.example' || chr(31) || uid
+    FROM hosts_a WHERE sk % 10 = 0
+    UNION ALL
+    SELECT 'Vportgroup', name || chr(31) || uid FROM (
+      (SELECT DISTINCT 'pg-' || (sk % 4) AS name, uid FROM hosts_a
+       UNION SELECT name, uid FROM nets_a)
+      EXCEPT
+      (SELECT DISTINCT 'pg-' || (sk % 4) AS name, uid FROM hosts_a WHERE sk % 10 <> 0
+       UNION SELECT name, uid FROM nets_b)
+    )
+    """,
+)
+def ingest_refresh_sweep(spark, sf_dir):
+    """The mark-and-sweep refresh protocol end-to-end (refresh-
+    vmware.cypher:26-31,527-530 → SURVEY §2.9): full 12-sheet workbook
+    ingested as snapshot A, then refreshed with A′ (minus every 10th
+    host / 13th VM). Output = the orphan (label, key) set the sweep
+    deletes: dropped hosts, dropped VMs, their host-portgroups, and any
+    portgroup whose every carrier vanished — while dimension labels
+    without a tenant key are never swept."""
+    from vmware_graph_spark.ingest.refresh import refresh, run_ingest
+
+    prev = run_ingest(spark, _workbook(spark, sf_dir))
+    res = refresh(spark, _workbook(spark, sf_dir, prime=True), prev=prev)
+    return res.orphans.select("label", "key")
