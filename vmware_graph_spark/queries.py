@@ -2348,3 +2348,190 @@ def ingest_refresh_sweep(spark, sf_dir):
     prev = run_ingest(spark, _workbook(spark, sf_dir))
     res = refresh(spark, _workbook(spark, sf_dir, prime=True), prev=prev)
     return res.orphans.select("label", "key")
+
+
+# ---------------------------------------------------------------------------
+# Ingest-stage queries, part 3: vPort / vNIC / vNetwork / vPartition /
+# vSnapshot — the remaining pass-1 statements, each with an oracle twin.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ingest_vport_stage",
+    f"""
+    WITH h AS ({_HOST_BASE_SQL}),
+    j AS (
+      SELECT sk, uid, 'pg-' || (sk % 4) AS pg, 'esx' || sk || '.example' AS host,
+             'vsw' || (sk % 2) || chr(31) || 'esx' || sk || '.example' AS swkey,
+             'host-' || sk || chr(31) || uid AS hkey
+      FROM h
+    )
+    SELECT DISTINCT * FROM (
+      SELECT 'Vhostportgroup' AS src_label,
+             pg || chr(31) || host || chr(31) || uid AS src_key,
+             'HOST_PG_FOR' AS rel_type, 'Vportgroup' AS dst_label,
+             pg || chr(31) || uid AS dst_key FROM j
+      UNION ALL
+      SELECT 'Vhostportgroup', pg || chr(31) || host || chr(31) || uid,
+             'STANDARD_PG_ON', 'Vspherehost', hkey FROM j
+      UNION ALL  -- coalesced Vlbpolicy (:159) on top of vSwitch's (:148)
+      SELECT 'Vswitch', swkey, 'LOAD_BALANCING_POLICY', 'Vlbpolicy',
+             CASE WHEN sk % 4 = 0 THEN 'None Provided' ELSE 'P-' || (sk % 2) END
+      FROM j
+    )
+    """,
+)
+def ingest_vport_stage(spark, sf_dir):
+    """The vPort stage (refresh-vmware.cypher:155-163): J3 edge-hop
+    row⋈host⋈cluster, the row⋈Vswitch name+host join, Vportgroup /
+    Vhostportgroup upserts, and the COALESCED Vlbpolicy branch (:159 —
+    unlike vSwitch's :148, null Policy maps to 'None Provided')."""
+    from vmware_graph_spark.ingest.stages import stage_vcluster, stage_vport, stage_vswitch
+    from vmware_graph_spark.store.graph import GraphStore
+
+    store = GraphStore(spark)
+    stage_vcluster(store, {"vCluster": _vcluster_sheet(spark, sf_dir)})
+    _seed_hosts(spark, sf_dir, store)
+    stage_vswitch(store, {"vSwitch": _vswitch_sheet(spark, sf_dir)})
+    stage_vport(store, {"vPort": _vport_sheet(spark, sf_dir)})
+    return store.edges().filter(
+        F.col("rel_type").isin("HOST_PG_FOR", "STANDARD_PG_ON", "LOAD_BALANCING_POLICY")
+    )
+
+
+@query(
+    "ingest_vnic_stage",
+    f"""
+    WITH h AS ({_HOST_BASE_SQL}),
+    j AS (
+      SELECT sk, uid, 'vmnic0' || chr(31) || 'esx' || sk || '.example' AS nickey,
+             'vsw' || (sk % 2) || chr(31) || 'esx' || sk || '.example' AS swkey,
+             'host-' || sk || chr(31) || uid AS hkey,
+             CASE WHEN sk % 6 = 0 THEN 'None Provided' ELSE 'ixgbe' END AS driver,
+             CASE WHEN sk % 5 = 0 THEN 'No link' ELSE '10000' END AS speed
+      FROM h
+    )
+    SELECT DISTINCT * FROM (
+      SELECT 'Vmnic' AS src_label, nickey AS src_key, 'USES_DRIVER' AS rel_type,
+             'Vmnicdriver' AS dst_label, driver AS dst_key FROM j
+      UNION ALL  -- undirected (:173-174); Vmnic sorts before both peers
+      SELECT 'Vmnic', nickey, 'LINK_SPEED', 'Vmnicspeed', speed FROM j
+      UNION ALL
+      SELECT 'Vmnic', nickey, 'PNIC_OF_HOST', 'Vspherehost', hkey FROM j
+      UNION ALL
+      SELECT 'Vswitch', swkey, 'NETWORK_ADAPTERS', 'Vmnic', nickey FROM j
+    )
+    """,
+)
+def ingest_vnic_stage(spark, sf_dir):
+    """The vNIC stage (refresh-vmware.cypher:166-176): coalesce
+    defaults for Driver/Speed dims, the undirected LINK_SPEED /
+    PNIC_OF_HOST merges (canonical endpoint order), and the Vswitch
+    NETWORK_ADAPTERS edge."""
+    from vmware_graph_spark.ingest.stages import stage_vcluster, stage_vnic, stage_vswitch
+    from vmware_graph_spark.store.graph import GraphStore
+
+    store = GraphStore(spark)
+    stage_vcluster(store, {"vCluster": _vcluster_sheet(spark, sf_dir)})
+    _seed_hosts(spark, sf_dir, store)
+    stage_vswitch(store, {"vSwitch": _vswitch_sheet(spark, sf_dir)})
+    stage_vnic(store, {"vNIC": _vnic_sheet(spark, sf_dir)})
+    return store.edges().filter(
+        F.col("rel_type").isin("USES_DRIVER", "LINK_SPEED", "PNIC_OF_HOST", "NETWORK_ADAPTERS")
+    )
+
+
+@query(
+    "ingest_vnetwork_stage",
+    f"""
+    WITH b AS ({_VM_BASE_SQL}),
+    j AS (
+      SELECT ck, uid, 'mac-' || ck || chr(31) || 'vm-' || ck AS adkey,
+             'vm-' || ck || chr(31) || uid AS vmkey,
+             'pg-' || (ck % 4) || chr(31) || 'unknown-host.example' || chr(31) || uid AS pgkey
+      FROM b
+    )
+    SELECT DISTINCT * FROM (
+      -- ADAPTER_FOR is undirected (:257): Virtualmachine sorts first
+      SELECT 'Virtualmachine' AS src_label, vmkey AS src_key,
+             'ADAPTER_FOR' AS rel_type, 'Vmadapter' AS dst_label, adkey AS dst_key FROM j
+      UNION ALL
+      SELECT 'Vmadapter', adkey, 'ADAPTER_TYPE', 'Vmadaptertype', 'vmxnet3' FROM j
+      UNION ALL
+      SELECT 'Vmadapter', adkey, 'IN_PORTGROUP', 'Vhostportgroup', pgkey FROM j
+    )
+    """,
+)
+def ingest_vnetwork_stage(spark, sf_dir):
+    """The vNetwork stage (refresh-vmware.cypher:254-263): Vmadapter
+    upsert keyed (mac, vmuuid), undirected ADAPTER_FOR/ADAPTER_TYPE
+    merges, and the portgroup tail MATCH against Vhostportgroup by
+    (name, host, managedby)."""
+    from vmware_graph_spark.ingest.stages import stage_vcluster, stage_vnetwork
+    from vmware_graph_spark.store.graph import GraphStore
+
+    store = GraphStore(spark)
+    stage_vcluster(store, {"vCluster": _vcluster_sheet(spark, sf_dir)})
+    _seed_vm_ds_host(spark, sf_dir, store)
+    r = load_table(spark, sf_dir, "region")
+    store.upsert_nodes(
+        "Vhostportgroup",
+        r.select(F.concat(F.lit("vc-"), F.col("r_name")).alias("managedby"))
+        .crossJoin(spark.range(4).select(F.concat(F.lit("pg-"), F.col("id").cast("string")).alias("name")))
+        .select("name", F.lit("unknown-host.example").alias("host"), "managedby"),
+    )
+    stage_vnetwork(store, {"vNetwork": _vnetwork_sheet(spark, sf_dir)})
+    return store.edges().filter(
+        F.col("rel_type").isin("ADAPTER_FOR", "ADAPTER_TYPE", "IN_PORTGROUP")
+    )
+
+
+@query(
+    "ingest_vpartition_stage",
+    f"""
+    WITH b AS ({_VM_BASE_SQL})
+    -- PARTITION_FOR is undirected (:269): Virtualmachine sorts first
+    SELECT DISTINCT 'Virtualmachine' AS src_label,
+           'vm-' || ck || chr(31) || uid AS src_key,
+           'PARTITION_FOR' AS rel_type, 'Vpartition' AS dst_label,
+           '/dev/sd' || (ck % 3) || chr(31) || 'vm-' || ck AS dst_key
+    FROM b
+    """,
+)
+def ingest_vpartition_stage(spark, sf_dir):
+    """The vPartition stage (refresh-vmware.cypher:266-270): Vpartition
+    upsert keyed (disk, vmuuid) and the undirected PARTITION_FOR merge
+    (endpoints canonicalized)."""
+    from vmware_graph_spark.ingest.stages import stage_vcluster, stage_vpartition
+    from vmware_graph_spark.store.graph import GraphStore
+
+    store = GraphStore(spark)
+    stage_vcluster(store, {"vCluster": _vcluster_sheet(spark, sf_dir)})
+    _seed_vm_ds_host(spark, sf_dir, store)
+    stage_vpartition(store, {"vPartition": _vpartition_sheet(spark, sf_dir)})
+    return store.edges().filter(F.col("rel_type") == "PARTITION_FOR")
+
+
+@query(
+    "ingest_vsnapshot_stage",
+    f"""
+    WITH b AS ({_VM_BASE_SQL})
+    -- SNAPSHOT_OF is undirected (:276): Virtualmachine sorts first
+    SELECT DISTINCT 'Virtualmachine' AS src_label,
+           'vm-' || ck || chr(31) || uid AS src_key,
+           'SNAPSHOT_OF' AS rel_type, 'Vsnapshot' AS dst_label,
+           'snap-' || ck || chr(31) || 'vm-' || ck AS dst_key
+    FROM b WHERE ck % 7 = 0
+    """,
+)
+def ingest_vsnapshot_stage(spark, sf_dir):
+    """The vSnapshot stage (refresh-vmware.cypher:273-277): Vsnapshot
+    upsert keyed (name, vmuuid) and the undirected SNAPSHOT_OF merge."""
+    from vmware_graph_spark.ingest.stages import stage_vcluster, stage_vsnapshot
+    from vmware_graph_spark.store.graph import GraphStore
+
+    store = GraphStore(spark)
+    stage_vcluster(store, {"vCluster": _vcluster_sheet(spark, sf_dir)})
+    _seed_vm_ds_host(spark, sf_dir, store)
+    stage_vsnapshot(store, {"vSnapshot": _vsnapshot_sheet(spark, sf_dir)})
+    return store.edges().filter(F.col("rel_type") == "SNAPSHOT_OF")
