@@ -2535,3 +2535,119 @@ def ingest_vsnapshot_stage(spark, sf_dir):
     _seed_vm_ds_host(spark, sf_dir, store)
     stage_vsnapshot(store, {"vSnapshot": _vsnapshot_sheet(spark, sf_dir)})
     return store.edges().filter(F.col("rel_type") == "SNAPSHOT_OF")
+
+
+@query(
+    "ingest_vhost_domain_stage",
+    f"""
+    WITH h AS ({_HOST_BASE_SQL}),
+    j AS (
+      SELECT sk, uid, 'host-' || sk || chr(31) || uid AS hkey,
+             'corp' || (sk % 3) || '.example' AS dom
+      FROM h WHERE sk % 11 <> 0 AND sk % 2 = 0 AND sk % 3 IN (0, 1)
+    )
+    SELECT DISTINCT * FROM (
+      SELECT 'Vspherehost' AS src_label, hkey AS src_key, 'OF_DOMAIN' AS rel_type,
+             'Clientdomain' AS dst_label, dom AS dst_key FROM j
+      UNION ALL
+      SELECT 'Vspherehost', hkey, 'ESX_HOST_FOR', 'Company',
+             'Acme-' || (sk % 3) FROM j
+    )
+    """,
+)
+def ingest_vhost_domain_stage(spark, sf_dir):
+    """The vHost domain tail (refresh-vmware.cypher:100-103): the J4
+    two-hop MATCH (Clientdomain {name:dom})--(Company) against
+    EXTERNALLY SEEDED nodes (§0.2.7) — rows whose domain has no seeded
+    Clientdomain—Company pair are silently dropped (corp2 unseeded;
+    null Domain coalesces to 'None Provided', also unseeded)."""
+    from vmware_graph_spark.ingest.stages import stage_vcluster, stage_vhost
+    from vmware_graph_spark.store.graph import GraphStore, US
+
+    store = GraphStore(spark)
+    stage_vcluster(store, {"vCluster": _vcluster_sheet(spark, sf_dir)})
+    seeds = spark.createDataFrame(
+        [("corp0.example", "Acme-0"), ("corp1.example", "Acme-1")], "dom string, co string"
+    )
+    store.upsert_nodes("Clientdomain", seeds.select(F.col("dom").alias("name")))
+    store.upsert_nodes("Company", seeds.select(F.col("co").alias("name")))
+    store.add_edges(
+        seeds.select(
+            F.lit("Clientdomain").alias("src_label"), F.col("dom").alias("src_key"),
+            F.lit("OF_COMPANY").alias("rel_type"),
+            F.lit("Company").alias("dst_label"), F.col("co").alias("dst_key"),
+        )
+    )
+    sk = split_literal(F.col("Object ID"), "-").getItem(1).cast("int")
+    sheet = _vhost_sheet(spark, sf_dir).withColumn(
+        "Domain", F.when(sk % 2 == 0, F.concat(F.lit("corp"), _s(sk % 3), F.lit(".example")))
+    )
+    stage_vhost(store, {"vHost": sheet})
+    return store.edges().filter(F.col("rel_type").isin("OF_DOMAIN", "ESX_HOST_FOR"))
+
+
+@query(
+    "snapshot_write_read_roundtrip",
+    f"""
+    SELECT n_name AS name, 'vc-' || r_name AS managedby,
+           {_STATUS_SQL} AS hosts,
+           CASE WHEN n_nationkey % 2 = 0 THEN 'True' ELSE 'False' END AS ha
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    UNION ALL
+    SELECT n_name, 'vc-' || r_name, 'CONTROLLED_BY_VC', 'vc-' || r_name
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def snapshot_write_read_roundtrip(spark, sf_dir):
+    """The S4 node sink: snapshot writer (one parquet dir per label,
+    edges partitioned by rel_type for partition pruning) + reader
+    round-trip. Returns cluster rows AND their CONTROLLED_BY_VC edges
+    read back from the on-disk snapshot, proving both surfaces survive
+    persistence bit-exactly."""
+    import tempfile
+
+    from vmware_graph_spark.ingest.stages import stage_vcluster
+    from vmware_graph_spark.store.graph import GraphStore
+
+    store = GraphStore(spark)
+    stage_vcluster(store, {"vCluster": _vcluster_sheet(spark, sf_dir)})
+    path = tempfile.mkdtemp(prefix="vgs_snapshot_")
+    store.write(path)
+    back = GraphStore.read(spark, path)
+    clusters = back.vertices("Vcentercluster").select("name", "managedby", "hosts", "ha")
+    edges = back.edges().filter(F.col("rel_type") == "CONTROLLED_BY_VC").select(
+        F.col("src_key").alias("name"), F.col("dst_key").alias("managedby"),
+        F.col("rel_type").alias("hosts"), F.col("dst_key").alias("ha"),
+    )
+    # cluster edge src_key is name<US>uid — strip back to the bare name
+    edges = edges.withColumn("name", split_literal(F.col("name"), "\x1f").getItem(0))
+    return clusters.unionByName(edges)
+
+
+@query(
+    "ingest_progress_counts",
+    """
+    SELECT 'v:Vcenterserver' AS metric, count(DISTINCT r_name) AS n FROM region
+    UNION ALL
+    SELECT 'v:Vcentercluster', count(*) FROM nation
+    UNION ALL
+    SELECT 'v:Vresourcepool', count(DISTINCT r_name) FROM region
+    UNION ALL
+    SELECT 'v:Vmportgroup', count(DISTINCT r_name) FROM region
+    UNION ALL
+    SELECT 'edges', count(*) FROM nation
+    """,
+)
+def ingest_progress_counts(spark, sf_dir):
+    """The S5 progress sink (refresh-vmware.cypher:54,224 'RETURN
+    count(vm)'): per-label node counts + edge count after a stage, as
+    a (metric, n) DataFrame."""
+    from vmware_graph_spark.ingest.stages import stage_vcluster
+    from vmware_graph_spark.store.graph import GraphStore
+
+    store = GraphStore(spark)
+    stage_vcluster(store, {"vCluster": _vcluster_sheet(spark, sf_dir)})
+    counts = store.counts()
+    return spark.createDataFrame(
+        [(k, v) for k, v in sorted(counts.items())], "metric string, n bigint"
+    )
