@@ -2651,3 +2651,71 @@ def ingest_progress_counts(spark, sf_dir):
     return spark.createDataFrame(
         [(k, v) for k, v in sorted(counts.items())], "metric string, n bigint"
     )
+
+
+@query(
+    "streaming_hourly_event_counts",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           event_type, count(*) AS n,
+           CAST(sum(round(value, 4)::DECIMAL(18,4)) AS DOUBLE) AS sum_value
+    FROM events GROUP BY hour_start, event_type
+    """,
+)
+def streaming_hourly_event_counts(spark, sf_dir):
+    """REAL Structured Streaming run (§2.11): events re-fed as a 3-file
+    parquet stream (maxFilesPerTrigger=1 → 3 micro-batches), watermarked
+    tumbling-window agg, availableNow drain into a memory sink, read
+    back as the result. Complete mode + decimal accumulation make the
+    output identical to the batch oracle."""
+    import tempfile
+    import uuid
+
+    from vmware_graph_spark.streaming.events import (
+        read_event_stream,
+        run_available_to_memory,
+        windowed_event_counts,
+    )
+
+    path = tempfile.mkdtemp(prefix="vgs_stream_")
+    load_table(spark, sf_dir, "events").repartition(3).write.mode("overwrite").parquet(path)
+    sdf = windowed_event_counts(read_event_stream(spark, path), exact_sums=True)
+    name = "stream_hourly_" + uuid.uuid4().hex[:8]
+    run_available_to_memory(sdf, name, output_mode="complete")
+    return spark.table(name).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+        "event_type",
+        "n",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+
+
+@query(
+    "grouping_sets_nation_status_revenue",
+    """
+    SELECT n_name, o_orderstatus,
+           CAST(sum(round(o_totalprice, 4)::DECIMAL(18,4)) AS DOUBLE) AS revenue,
+           count(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((n_name), (o_orderstatus), ())
+    """,
+)
+def grouping_sets_nation_status_revenue(spark, sf_dir):
+    """Explicit GROUPING SETS (§2.11, alongside cube/rollup): per-nation
+    and per-status revenue plus the grand total in one pass — Spark
+    expands to a single expand+hash-agg, no re-scan per set."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    j = o.join(c, o.o_custkey == c.c_custkey).join(n, c.c_nationkey == n.n_nationkey)
+    j.createOrReplaceTempView("__gs_orders")
+    return spark.sql(
+        """
+        SELECT n_name, o_orderstatus,
+               CAST(sum(CAST(round(o_totalprice, 4) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               count(*) AS n_orders
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((n_name), (o_orderstatus), ())
+        """
+    )

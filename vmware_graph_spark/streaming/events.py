@@ -52,17 +52,25 @@ def windowed_event_counts(
     window: str = "1 hour",
     slide: str | None = None,
     watermark: str = "2 hours",
+    exact_sums: bool = False,
 ) -> DataFrame:
     """Watermarked tumbling/sliding window counts per event type.
 
     Late rows beyond the watermark are dropped; state for closed
-    windows is evicted — bounded state at any scale.
+    windows is evicted — bounded state at any scale. ``exact_sums``
+    accumulates in decimal (order-independent, engine-reproducible —
+    the queries.py determinism contract) instead of raw double.
     """
     w = F.window("ts", window, slide) if slide else F.window("ts", window)
+    sum_expr = (
+        F.sum(F.round("value", 4).cast("decimal(18,4)")).cast("double")
+        if exact_sums
+        else F.sum("value")
+    )
     return (
         events.withWatermark("ts", watermark)
         .groupBy(w.alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .agg(F.count("*").alias("n"), sum_expr.alias("sum_value"))
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
