@@ -140,7 +140,11 @@ class GraphStore:
         self._checkpoint = checkpoint
 
     def _cut(self, df: DataFrame) -> DataFrame:
-        return df.localCheckpoint(eager=True) if self._checkpoint else df
+        # eager=False truncates the SQL plan to a LogicalRDD immediately
+        # (same Catalyst-analysis relief as eager=True) but defers
+        # computation, so a 15-stage ingest schedules one job chain at
+        # the terminal action instead of ~60 blocking jobs.
+        return df.localCheckpoint(eager=False) if self._checkpoint else df
 
     # -- vertices ----------------------------------------------------------
 
