@@ -89,3 +89,45 @@ def test_pagerank_rank_mass_conserved(spark):
     got = pagerank(v, e, iters=5)
     total = got.agg(F.sum("rank")).collect()[0][0]
     assert abs(total - 20.0) < 1e-6
+
+
+def test_star_cc_matches_min_label(spark):
+    """large-star/small-star CC labels == min-label CC labels on a
+    multi-component graph."""
+    from vmware_graph_spark.analytics.algos import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "e"), ("f", "f")], "src string, dst string"
+    )
+    ids = [(x,) for x in "abcdefg"]
+    vertices = spark.createDataFrame(ids, "id string")
+    star = {(r.id, r.component) for r in connected_components_star(vertices, edges).collect()}
+    prop = {(r.id, r.component) for r in connected_components(vertices, edges).collect()}
+    assert star == prop
+    assert ("g", "g") in star  # isolated vertex labels itself
+
+
+def test_star_cc_beats_diameter_bound(spark):
+    """A 64-node path has diameter 63: min-label with 10 iters must
+    raise, star CC converges in O(log n) rounds and labels everything
+    with the path's minimum id."""
+    import pytest as _pytest
+
+    from vmware_graph_spark.analytics.algos import (
+        connected_components,
+        connected_components_star,
+    )
+
+    n = 64
+    ids = [f"v{i:03d}" for i in range(n)]
+    edges = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(n - 1)], "src string, dst string"
+    )
+    vertices = spark.createDataFrame([(x,) for x in ids], "id string")
+    with _pytest.raises(RuntimeError):
+        connected_components(vertices, edges, max_iters=10)
+    got = connected_components_star(vertices, edges, max_iters=10)
+    assert {r.component for r in got.collect()} == {"v000"}

@@ -2719,3 +2719,34 @@ def grouping_sets_nation_status_revenue(spark, sf_dir):
         GROUP BY GROUPING SETS ((n_name), (o_orderstatus), ())
         """
     )
+
+
+@query(
+    "connected_components_star_bipartite",
+    """
+    WITH cust AS (SELECT 'c' || c_custkey AS cid, 'n' || c_nationkey AS nid FROM customer),
+    m AS (SELECT nid, min(cid) AS mc FROM cust GROUP BY nid)
+    SELECT cid AS id, mc AS component FROM cust JOIN m USING (nid)
+    UNION ALL
+    SELECT 'n' || n_nationkey AS id, coalesce(mc, 'n' || n_nationkey) AS component
+    FROM nation LEFT JOIN m ON m.nid = 'n' || n_nationkey
+    """,
+)
+def connected_components_star_bipartite(spark, sf_dir):
+    """Large-star/small-star CC (Kiveris et al. SoCC'14) on the same
+    bipartite graph as connected_components_bipartite — the O(log n)-
+    round 100 TB path, oracle-checked to produce the identical
+    labeling."""
+    from vmware_graph_spark.analytics.algos import connected_components_star
+
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    cid = F.concat(F.lit("c"), F.col("c_custkey"))
+    nid = F.concat(F.lit("n"), F.col("c_nationkey"))
+    vertices = (
+        c.select(cid.alias("id"))
+        .unionByName(n.select(F.concat(F.lit("n"), F.col("n_nationkey")).alias("id")))
+        .distinct()
+    )
+    edges = c.select(cid.alias("src"), nid.alias("dst"))
+    return connected_components_star(vertices, edges)
