@@ -35,6 +35,8 @@ HEADLINE = [
     "text_stats",
     "sessionize_user_events",
     "connected_components_bipartite",
+    "ingest_vhost_stage",
+    "ingest_vinfo_conditional_stage",
 ]
 
 
