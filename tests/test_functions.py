@@ -93,3 +93,34 @@ def test_cosine(spark):
     got = [r[0] for r in df.select(cosine(as_double_vec("a"), as_double_vec("b")).alias("c")).collect()]
     assert math.isclose(got[0], 0.0, abs_tol=1e-12)
     assert math.isclose(got[1], 1.0, rel_tol=1e-12)
+
+
+def test_bpe_tokens_pieces(spark):
+    from vmware_graph_spark.functions.text import bpe_tokens
+
+    df = spark.createDataFrame([("Hello, world's 42 cats!",)], "t string")
+    [row] = df.select(bpe_tokens("t").alias("p")).collect()
+    assert row.p == ["Hello", ",", " world", "'s", " 42", " cats", "!"]
+
+
+def test_stopword_ratio_bounds(spark):
+    from vmware_graph_spark.functions.text import stopword_ratio
+
+    df = spark.createDataFrame(
+        [("the cat is on the mat",), ("qwerty zxcvb",), ("",)], "t string"
+    )
+    vals = [r.r for r in df.select(stopword_ratio("t").alias("r")).collect()]
+    assert abs(vals[0] - 4 / 6) < 1e-9
+    assert vals[1] == 0.0
+    assert vals[2] == 0.0  # empty text guard, no division by zero
+
+
+def test_rolling_fingerprint_order_sensitive(spark):
+    from vmware_graph_spark.functions.text import rolling_fingerprint
+
+    df = spark.createDataFrame([("a b c", "c b a")], "x string, y string")
+    [row] = df.select(
+        rolling_fingerprint("x").alias("fx"), rolling_fingerprint("y").alias("fy")
+    ).collect()
+    assert row.fx != row.fy  # order matters, unlike fingerprint()
+    assert 0 <= row.fx < 2147483647

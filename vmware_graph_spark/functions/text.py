@@ -91,3 +91,56 @@ def lang_id_sql(col: str) -> str:
         f"WHEN regexp_matches({col}, '{pat}') THEN '{lang}'" for lang, pat in _LANG_MARKERS
     )
     return f"CASE {whens} ELSE 'unknown' END"
+
+
+# GPT-2-style pre-tokenizer pieces: contractions, space-prefixed word /
+# number / punctuation runs. Portable across Java regex and RE2 (no
+# lookarounds), so the DuckDB oracle replays it verbatim.
+BPE_PIECE_RE = r"(?:'s|'t|'re|'ve|'m|'ll|'d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+# Tiny English stopword core for quality scoring (kept deliberately
+# small and frozen — a moving list would churn every oracle).
+STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "as", "with", "was", "at", "by", "be", "this",
+    "are", "from", "not", "but", "have",
+)
+
+
+def bpe_tokens(col: Column | str) -> Column:
+    """BPE-ish subword pieces via the regex pre-tokenizer (the
+    whitespace tokenizer's counterpart for LLM token budgeting)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(BPE_PIECE_RE), 0)
+
+
+def n_bpe_tokens(col: Column | str) -> Column:
+    return F.size(bpe_tokens(col))
+
+
+def stopword_ratio(col: Column | str) -> Column:
+    """Fraction of whitespace tokens that are core English stopwords —
+    the classic cheap quality signal (high ratio ≈ natural prose,
+    near-zero ≈ code/tables/noise)."""
+    t = tokens(col)
+    sw = F.filter(t, lambda x: F.lower(x).isin(*STOPWORDS))
+    return F.when(
+        F.size(t) > 0, F.size(sw).cast("double") / F.size(t).cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def rolling_fingerprint(col: Column | str) -> Column:
+    """Rabin-Karp polynomial rolling hash over the token stream
+    (order-sensitive document fingerprint, unlike the order-normalized
+    md5 ``fingerprint``). Engine-reproducible: per-token md5→int, fold
+    (acc·1000003 + h) mod (2³¹−1); all arithmetic stays < 2⁶³."""
+    t = tokens(col)
+
+    def h(x):
+        return F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("bigint")
+
+    return F.aggregate(
+        t,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * F.lit(1000003) + h(x)) % F.lit(2147483647),
+    )

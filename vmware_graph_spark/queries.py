@@ -2750,3 +2750,44 @@ def connected_components_star_bipartite(spark, sf_dir):
     )
     edges = c.select(cid.alias("src"), nid.alias("dst"))
     return connected_components_star(vertices, edges)
+
+
+@query(
+    "text_quality_stats",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '(?:''s|''t|''re|''ve|''m|''ll|''d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'
+           )) AS INTEGER) AS n_bpe,
+           round(CASE WHEN len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) > 0
+                 THEN len(list_filter(list_filter(string_split_regex(text, '\s+'), x -> x <> ''),
+                          x -> list_contains(['the','a','an','and','or','of','to','in','is','it',
+                                              'that','for','on','as','with','was','at','by','be','this',
+                                              'are','from','not','but','have'], lower(x))))::DOUBLE
+                      / len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+                 ELSE 0.0 END, 6) AS stop_ratio,
+           list_reduce(
+             list_prepend(0::BIGINT,
+               list_transform(list_filter(string_split_regex(text, '\s+'), x -> x <> ''),
+                              x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)),
+             (acc, h) -> (acc * 1000003 + h) % 2147483647) AS rolling_fp
+    FROM documents
+    """,
+)
+def text_quality_stats(spark, sf_dir):
+    """LLM-pipeline text battery, part 2: BPE-ish regex token count
+    (token budgeting), stopword-ratio quality score, and the
+    order-sensitive Rabin-Karp rolling-hash fingerprint."""
+    from vmware_graph_spark.functions.text import (
+        n_bpe_tokens,
+        rolling_fingerprint,
+        stopword_ratio,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        n_bpe_tokens("text").alias("n_bpe"),
+        F.round(stopword_ratio("text"), 6).alias("stop_ratio"),
+        rolling_fingerprint("text").alias("rolling_fp"),
+    )
