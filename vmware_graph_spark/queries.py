@@ -2791,3 +2791,33 @@ def text_quality_stats(spark, sf_dir):
         F.round(stopword_ratio("text"), 6).alias("stop_ratio"),
         rolling_fingerprint("text").alias("rolling_fp"),
     )
+
+
+@query(
+    "set_ops_segments_replace",
+    """
+    WITH a AS (SELECT DISTINCT c_mktsegment AS s FROM customer),
+    b AS (SELECT DISTINCT c_mktsegment AS s FROM customer WHERE c_acctbal > 9990)
+    SELECT 'both' AS tag, s AS segment FROM (SELECT s FROM a INTERSECT SELECT s FROM b)
+    UNION ALL
+    SELECT 'a_only', s FROM (SELECT s FROM a EXCEPT SELECT s FROM b)
+    UNION ALL
+    SELECT 'renamed', replace(trim(' ' || s || ' '), 'MACHINERY', 'MACHINES') FROM a
+    """,
+)
+def set_ops_segments_replace(spark, sf_dir):
+    """Set operators (§2.11: intersect / except) + the literal
+    replace/trim/concat scalar family (§2.8, cypher:64,216,239)."""
+    c = load_table(spark, sf_dir, "customer")
+    a = c.select(F.col("c_mktsegment").alias("s")).distinct()
+    b = c.filter(F.col("c_acctbal") > 9990).select(F.col("c_mktsegment").alias("s")).distinct()
+    both = a.intersect(b).select(F.lit("both").alias("tag"), F.col("s").alias("segment"))
+    a_only = a.exceptAll(b).select(F.lit("a_only").alias("tag"), F.col("s").alias("segment"))
+    renamed = a.select(
+        F.lit("renamed").alias("tag"),
+        F.replace(
+            F.trim(F.concat(F.lit(" "), F.col("s"), F.lit(" "))),
+            F.lit("MACHINERY"), F.lit("MACHINES"),
+        ).alias("segment"),
+    )
+    return both.unionByName(a_only).unionByName(renamed)
