@@ -1,0 +1,82 @@
+"""Incremental MERGE INTO sink: upsert, sweep, tenant scoping, pruning."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from vmware_graph_spark.store.incremental import IncrementalTable
+
+
+def _rows(df):
+    return {tuple(r) for r in df.select("k", "v", "managedby").collect()}
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return IncrementalTable(spark, str(tmp_path / "tbl"), keys=["k"])
+
+
+def _seed(spark, table):
+    base = spark.createDataFrame(
+        [Row(k="a", v=1, managedby="vcA"), Row(k="b", v=2, managedby="vcA"),
+         Row(k="x", v=9, managedby="vcB")]
+    )
+    table.merge(base)
+    return base
+
+
+def test_initial_load_and_upsert(spark, table):
+    _seed(spark, table)
+    assert _rows(table.read()) == {("a", 1, "vcA"), ("b", 2, "vcA"), ("x", 9, "vcB")}
+
+    # MERGE…SET: matched key overwritten, new key inserted, vcB untouched.
+    table.merge(spark.createDataFrame(
+        [Row(k="a", v=10, managedby="vcA"), Row(k="c", v=3, managedby="vcA")]
+    ))
+    assert _rows(table.read()) == {
+        ("a", 10, "vcA"), ("b", 2, "vcA"), ("c", 3, "vcA"), ("x", 9, "vcB")
+    }
+
+
+def test_sweep_deletes_only_touched_tenant(spark, table):
+    _seed(spark, table)
+    # Refresh vcA with only key "a": sweep drops vcA's "b", never vcB.
+    table.merge(
+        spark.createDataFrame([Row(k="a", v=11, managedby="vcA")]),
+        delete_missing=True,
+    )
+    assert _rows(table.read()) == {("a", 11, "vcA"), ("x", 9, "vcB")}
+
+
+def test_idempotent_refresh(spark, table):
+    _seed(spark, table)
+    batch = spark.createDataFrame(
+        [Row(k="a", v=1, managedby="vcA"), Row(k="b", v=2, managedby="vcA")]
+    )
+    table.merge(batch, delete_missing=True)
+    first = _rows(table.read())
+    table.merge(batch, delete_missing=True)
+    assert _rows(table.read()) == first
+
+
+def test_on_create_only_preserves_existing(spark, table):
+    _seed(spark, table)
+    table.merge(
+        spark.createDataFrame(
+            [Row(k="a", v=99, managedby="vcA"), Row(k="new", v=7, managedby="vcA")]
+        ),
+        on_create_only=True,
+    )
+    rows = _rows(table.read())
+    assert ("a", 1, "vcA") in rows  # existing wins
+    assert ("new", 7, "vcA") in rows  # insert-only lands
+
+
+def test_partition_pruned_read(spark, table):
+    _seed(spark, table)
+    plan = table.read(["vcA"])._jdf.queryExecution().executedPlan().toString()
+    # Tenant filter must reach the scan as a partition filter, not a
+    # post-scan row filter over all partitions.
+    assert "PartitionFilters: [" in plan
+    assert "vcA" in plan

@@ -2821,3 +2821,92 @@ def set_ops_segments_replace(spark, sf_dir):
         ).alias("segment"),
     )
     return both.unionByName(a_only).unionByName(renamed)
+
+
+@query(
+    "incremental_merge_sweep",
+    """
+    SELECT c_mktsegment AS tenant, count(*) AS n,
+           CAST(sum(CAST(round(c_acctbal + 100, 2) AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer WHERE c_mktsegment = 'BUILDING' AND c_custkey % 3 <> 0
+    GROUP BY c_mktsegment
+    UNION ALL
+    SELECT c_mktsegment, count(*),
+           CAST(sum(CAST(round(c_acctbal, 2) AS DECIMAL(18,2))) AS DOUBLE)
+    FROM customer WHERE c_mktsegment <> 'BUILDING'
+    GROUP BY c_mktsegment
+    """,
+)
+def incremental_merge_sweep(spark, sf_dir):
+    """Incremental MERGE INTO sink (S4 incremental variant, SURVEY §2.9:
+    'WHEN NOT MATCHED BY SOURCE … DELETE'): load customers into a
+    tenant-partitioned parquet table (tenant = mktsegment), then refresh
+    the BUILDING tenant with a batch that updates 2/3 of its keys
+    (+100 balance) and omits the rest — sweep semantics must delete the
+    omitted keys while every other tenant partition is untouched (and,
+    thanks to dynamic partition overwrite, never rewritten)."""
+    import tempfile
+
+    from vmware_graph_spark.store.incremental import IncrementalTable
+
+    c = load_table(spark, sf_dir, "customer")
+    base = c.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_acctbal").alias("bal"),
+        F.col("c_mktsegment").alias("tenant"),
+    )
+    tbl = IncrementalTable(
+        spark, tempfile.mkdtemp(prefix="vgs_incr_") + "/t", keys=["k"], tenant_col="tenant"
+    )
+    tbl.merge(base)
+    updates = base.filter(
+        (F.col("tenant") == "BUILDING") & (F.col("k") % 3 != 0)
+    ).withColumn("bal", F.col("bal") + 100)
+    tbl.merge(updates, delete_missing=True)
+    return tbl.read().groupBy("tenant").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round("bal", 2).cast("decimal(18,2)")).cast("double").alias("total_bal"),
+    )
+
+
+@query(
+    "bucketed_colocated_join",
+    f"""
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum({_REV_SQL}) AS DOUBLE) AS revenue
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def bucketed_colocated_join(spark, sf_dir):
+    """Shuffle-free co-located fact-fact join (§2.11 join-strategy row;
+    replaces the reference's index DDL refresh-vmware.cypher:2-20 as the
+    big-join accelerator): orders and lineitem are written hash-bucketed
+    + sorted on the order key, so the join itself plans with ZERO
+    Exchange — the shuffle is paid once at layout time and amortized
+    across every query that reuses it. 64 local buckets stand in for
+    ~16k buckets at 100 TB."""
+    import tempfile
+
+    from vmware_graph_spark.sources.bucketed import bucketed_join, write_bucketed
+
+    root = tempfile.mkdtemp(prefix="vgs_buckets_")
+    o = write_bucketed(
+        load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus"),
+        "vgs_orders_bucketed", ["o_orderkey"], num_buckets=16, path=root + "/o",
+    )
+    l = write_bucketed(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        ),
+        "vgs_lineitem_bucketed", ["l_orderkey"], num_buckets=16, path=root + "/l",
+    )
+    j = bucketed_join(o.withColumnRenamed("o_orderkey", "l_orderkey"), l, ["l_orderkey"])
+    return j.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).cast(
+                "decimal(18,4)"
+            )
+        ).cast("double").alias("revenue"),
+    )
