@@ -131,3 +131,40 @@ def test_star_cc_beats_diameter_bound(spark):
         connected_components(vertices, edges, max_iters=10)
     got = connected_components_star(vertices, edges, max_iters=10)
     assert {r.component for r in got.collect()} == {"v000"}
+
+
+def test_pagerank_fixed_tracks_float_pagerank(spark):
+    """Fixed-point micro-ranks ≈ float ranks (quantization + floor-div
+    error stays well under 1e-3 per vertex on a small graph)."""
+    from vmware_graph_spark.analytics.algos import pagerank_fixed
+
+    ids = ["a", "b", "c", "d"]
+    edge_list = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")]  # d dangling
+    v = spark.createDataFrame([(i,) for i in ids], ["id"])
+    e = spark.createDataFrame(edge_list, ["src", "dst"])
+    flt = {r.id: r.rank for r in pagerank(v, e, iters=6, damping=0.85).collect()}
+    fxd = {r.id: r.rank_micros for r in pagerank_fixed(v, e, iters=6).collect()}
+    assert set(fxd) == set(flt)
+    for x in ids:
+        assert abs(fxd[x] / 1e6 - flt[x]) < 1e-3, (x, fxd[x], flt[x])
+
+
+def test_pagerank_fixed_deterministic_across_partitionings(spark):
+    """The whole point: identical bigint ranks under different
+    parallelism/partition layouts."""
+    from vmware_graph_spark.analytics.algos import pagerank_fixed
+
+    v = spark.createDataFrame([(str(i),) for i in range(30)], ["id"])
+    e = spark.createDataFrame(
+        [(str(i), str((i * 7 + 3) % 30)) for i in range(30)]
+        + [(str(i), str((i * 11 + 5) % 30)) for i in range(30)],
+        ["src", "dst"],
+    )
+    a = sorted(map(tuple, pagerank_fixed(v, e, iters=4).collect()))
+    b = sorted(
+        map(
+            tuple,
+            pagerank_fixed(v.repartition(13), e.repartition(7), iters=4).collect(),
+        )
+    )
+    assert a == b

@@ -132,6 +132,65 @@ def pagerank(
     return ranks
 
 
+def pagerank_fixed(
+    vertices: DataFrame,
+    edges: DataFrame,
+    *,
+    iters: int = 5,
+    damping_pct: int = 85,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic fixed-point PageRank: (id, rank_micros: bigint).
+
+    Same dataflow as :func:`pagerank` (one shuffle per iteration,
+    dangling mass as an in-plan 1-row broadcast, no driver collect) but
+    ALL arithmetic is scaled 64-bit integer with floor division, so the
+    result is bit-identical regardless of engine, partitioning, or
+    summation order — float PageRank's per-partition sum order wiggles
+    the low bits, which makes exact cross-engine verification
+    impossible; this variant is the auditable twin. Update rule:
+
+        r' = (100-d)*scale/100 + (d * (in_sum + dangling div n)) div 100
+        where in_sum = sum over in-neighbors of (r div out_deg)
+
+    Integer headroom: ranks stay O(scale·n/|dangling-free|); with
+    scale=1e6 the 64-bit budget holds past 10^9 vertices.
+    """
+    n = vertices.count()
+    base = (100 - damping_pct) * scale // 100
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    ranks = vertices.select("id", F.lit(scale).cast("long").alias("rank"))
+    ranks = ranks.localCheckpoint(eager=True)
+    for _ in range(iters):
+        contribs = (
+            edges.join(ranks, edges.src == ranks.id)
+            .join(out_deg, "src")
+            .select(F.col("dst").alias("id"), F.expr("rank div out_deg").alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        dangling = ranks.join(out_deg, ranks.id == out_deg.src, "left_anti").agg(
+            F.coalesce(F.sum("rank"), F.lit(0)).cast("long").alias("__dangling")
+        )
+        ranks = (
+            vertices.join(contribs, "id", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_pct} * (coalesce(in_sum, cast(0 as long))"
+                        f" + (__dangling div {n}))) div 100"
+                    )
+                ).cast("long").alias("rank_micros"),
+            )
+            .withColumnRenamed("rank_micros", "rank")
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("id", F.col("rank").alias("rank_micros"))
+
+
 def _large_star(e: DataFrame) -> DataFrame:
     """Large-star round: every neighbor v > u re-parents to
     min(N(u) ∪ {u}). Pure join+groupBy — no per-node neighbor lists

@@ -2910,3 +2910,60 @@ def bucketed_colocated_join(spark, sf_dir):
             )
         ).cast("double").alias("revenue"),
     )
+
+
+def _pagerank_fixed_sql(iters: int) -> str:
+    """Unrolled fixed-point PageRank oracle (DuckDB): r0..r{iters} CTEs.
+
+    Mirrors analytics.algos.pagerank_fixed bit-for-bit: BIGINT ranks
+    scaled by 1e6, floor division (// here, `div` in Spark), dangling
+    mass redistributed via an aggregate subquery. Integer arithmetic is
+    exact, so summation order cannot perturb the comparison — this is
+    what makes an iterative graph algorithm hash-verifiable at all.
+    """
+    ctes = [
+        "v AS (SELECT DISTINCT 'c' || c_custkey AS id FROM customer "
+        "UNION SELECT 'n' || n_nationkey FROM nation)",
+        "e AS (SELECT 'c' || c_custkey AS src, 'n' || c_nationkey AS dst FROM customer "
+        "UNION ALL SELECT 'n' || c_nationkey, 'c' || c_custkey FROM customer)",
+        "deg AS (SELECT src, count(*) AS out_deg FROM e GROUP BY src)",
+        "nv AS (SELECT count(*) AS n FROM v)",
+        "r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank FROM v)",
+    ]
+    for i in range(iters):
+        ctes.append(
+            f"d{i} AS (SELECT coalesce(sum(rank), 0) AS dm FROM r{i} "
+            "WHERE id NOT IN (SELECT src FROM deg))"
+        )
+        ctes.append(
+            f"r{i + 1} AS (SELECT v.id, CAST(150000 + (85 * (coalesce(s.in_sum, 0) "
+            f"+ (SELECT dm FROM d{i}) // (SELECT n FROM nv))) // 100 AS BIGINT) AS rank "
+            "FROM v LEFT JOIN (SELECT e.dst AS id, sum(r.rank // deg.out_deg) AS in_sum "
+            f"FROM e JOIN r{i} r ON e.src = r.id JOIN deg ON e.src = deg.src "
+            "GROUP BY e.dst) s ON v.id = s.id)"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, rank AS rank_micros FROM r{iters}"
+
+
+@query("pagerank_fixedpoint_customer_nation", _pagerank_fixed_sql(5))
+def pagerank_fixedpoint_customer_nation(spark, sf_dir):
+    """Fixed-point PageRank over the customer↔nation bipartite graph
+    (§2.11 graph algorithms): scaled-integer arithmetic makes the
+    iterative fixpoint deterministic across engines/partitionings, so
+    unlike float PageRank (pagerank_customer_nation, rows-only) this one
+    is fully hash-verified against an unrolled-CTE DuckDB oracle."""
+    from vmware_graph_spark.analytics.algos import pagerank_fixed
+
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    cid = F.concat(F.lit("c"), F.col("c_custkey"))
+    nid = F.concat(F.lit("n"), F.col("c_nationkey"))
+    vertices = (
+        c.select(cid.alias("id"))
+        .unionByName(n.select(F.concat(F.lit("n"), F.col("n_nationkey")).alias("id")))
+        .distinct()
+    )
+    edges = c.select(cid.alias("src"), nid.alias("dst")).unionByName(
+        c.select(nid.alias("src"), cid.alias("dst"))
+    )
+    return pagerank_fixed(vertices, edges, iters=5)
