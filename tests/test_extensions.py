@@ -163,3 +163,31 @@ def test_bfs_and_motif(spark):
     src = spark.createDataFrame([("r",)], ["id"])
     dist = {r.id: r.dist for r in bfs_distances(v, e, src).collect()}
     assert dist == {"r": 0, "n1": 1, "n2": 1, "c1": 2, "c2": 2, "d1": 3}
+
+
+def test_extract_frames_partitions_bytes(spark):
+    from vmware_graph_spark.operators.multimodal import as_media, extract_frames
+
+    df = spark.createDataFrame([(1, "abcdefghij"), (2, "xy")], ["doc_id", "text"])
+    media = as_media(df, "doc_id", F.col("text").cast("binary"))
+    rows = extract_frames(media, n_frames=4).collect()
+    by_asset = {}
+    for r in rows:
+        by_asset.setdefault(r.asset_id, []).append(r)
+    # slices tile the payload exactly: lengths sum to total, 4 per asset
+    assert len(by_asset[1]) == 4 and sum(r.frame_len for r in by_asset[1]) == 10
+    assert len(by_asset[2]) == 4 and sum(r.frame_len for r in by_asset[2]) == 2
+    import hashlib
+    first = next(r for r in by_asset[1] if r.frame_idx == 0)
+    assert first.frame_md5 == hashlib.md5(b"ab").hexdigest()
+
+
+def test_resize_media_deterministic(spark):
+    from vmware_graph_spark.operators.multimodal import as_media, resize_media
+
+    df = spark.createDataFrame([(1, "hello")], ["doc_id", "text"])
+    media = as_media(df, "doc_id", F.col("text").cast("binary"))
+    r = resize_media(media, width=64, height=48).collect()[0]
+    import hashlib
+    assert (r.width, r.height) == (64, 48)
+    assert r.thumb_md5 == hashlib.md5(b"hello|64x48").hexdigest()

@@ -110,3 +110,58 @@ def frame_sample(df: DataFrame, *, every_ms: int = 1000) -> DataFrame:
         "asset_id",
         F.explode(F.sequence(F.lit(0), n)).alias("frame_idx"),
     ).select("asset_id", (F.col("frame_idx") * every_ms).alias("frame_ts_ms"))
+
+
+def extract_frames(df: DataFrame, *, n_frames: int = 4) -> DataFrame:
+    """Split each media payload into ``n_frames`` contiguous byte slices
+    — the deterministic stand-in for video frame extraction (a real
+    deployment replaces the slicer with a codec read at each frame
+    offset; the Spark surface — Arrow batch in, exploded frame rows
+    out — is identical). Emits (asset_id, frame_idx, frame_len,
+    frame_md5); the md5 is over the raw slice bytes so an oracle can
+    recompute it without shipping the bytes."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"asset_id": [], "frame_idx": [], "frame_len": [], "frame_md5": []}
+            for aid, m in zip(pdf["asset_id"], pdf["media"]):
+                b = bytes(m)
+                L = len(b)
+                for i in range(n_frames):
+                    lo = i * L // n_frames
+                    hi = (i + 1) * L // n_frames
+                    rows["asset_id"].append(aid)
+                    rows["frame_idx"].append(i)
+                    rows["frame_len"].append(hi - lo)
+                    rows["frame_md5"].append(hashlib.md5(b[lo:hi]).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(
+        run, "asset_id bigint, frame_idx int, frame_len bigint, frame_md5 string"
+    )
+
+
+def resize_media(df: DataFrame, *, width: int = 64, height: int = 48) -> DataFrame:
+    """Thumbnail/resize STUB with real plumbing: the codec resample is
+    faked as md5(media || '|WxH') so the output is deterministic and
+    SQL-recomputable, while the batch shape (one Arrow pass, fixed
+    target dims in the closure) matches a real Pillow/ffmpeg resize."""
+    import hashlib
+
+    tag = f"|{width}x{height}".encode()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "width": width,
+                    "height": height,
+                    "thumb_md5": [
+                        hashlib.md5(bytes(m) + tag).hexdigest() for m in pdf["media"]
+                    ],
+                }
+            )
+
+    return df.mapInPandas(run, "asset_id bigint, width int, height int, thumb_md5 string")

@@ -2967,3 +2967,49 @@ def pagerank_fixedpoint_customer_nation(spark, sf_dir):
         c.select(nid.alias("src"), cid.alias("dst"))
     )
     return pagerank_fixed(vertices, edges, iters=5)
+
+
+@query(
+    "multimodal_frames_resize",
+    """
+    WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents),
+    frames AS (
+        SELECT doc_id AS asset_id, 'frame' || i AS item,
+               md5(substr(text, (i*L)//4 + 1, ((i+1)*L)//4 - (i*L)//4)) AS payload_md5,
+               ((i+1)*L)//4 - (i*L)//4 AS n
+        FROM d, (VALUES (0),(1),(2),(3)) t(i)
+    ),
+    thumbs AS (
+        SELECT doc_id, 'thumb64x48', md5(text || '|64x48'), 3072 FROM d
+    )
+    SELECT * FROM frames UNION ALL SELECT * FROM thumbs
+    """,
+)
+def multimodal_frames_resize(spark, sf_dir):
+    """Multimodal decode pipeline (frame-sample + resize stubs over
+    mapInPandas): each document's bytes ride as an opaque media column;
+    frames are contiguous byte slices, the thumbnail is a deterministic
+    fake resample — both md5-tagged so DuckDB recomputes the Python
+    Arrow-batch path value-for-value (ASCII fixture ⇒ char ops == byte
+    ops)."""
+    from vmware_graph_spark.operators.multimodal import (
+        as_media,
+        extract_frames,
+        resize_media,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    media = as_media(d, "doc_id", F.col("text").cast("binary"))
+    frames = extract_frames(media, n_frames=4).select(
+        "asset_id",
+        F.concat(F.lit("frame"), F.col("frame_idx")).alias("item"),
+        F.col("frame_md5").alias("payload_md5"),
+        F.col("frame_len").alias("n"),
+    )
+    thumbs = resize_media(media, width=64, height=48).select(
+        "asset_id",
+        F.lit("thumb64x48").alias("item"),
+        F.col("thumb_md5").alias("payload_md5"),
+        (F.col("width") * F.col("height")).cast("long").alias("n"),
+    )
+    return frames.unionByName(thumbs)
