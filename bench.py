@@ -51,8 +51,20 @@ def main() -> None:
     spark = get_spark("vmware-graph-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM + parquet footers once so timings measure the queries.
-    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    # Warm the JVM + parquet footers + codegen paths (agg/join/window/
+    # shuffle) once so the first timed query doesn't absorb cold-start.
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    li.count()
+    from pyspark.sql import Window as _W
+    from pyspark.sql import functions as _F
+
+    warm = spark.range(10_000).withColumn("g", _F.col("id") % 7)
+    (
+        warm.join(warm.groupBy("g").agg(_F.sum("id").alias("s")), "g")
+        .withColumn("rn", _F.row_number().over(_W.partitionBy("g").orderBy("id")))
+        .agg(_F.sum("rn"))
+        .collect()
+    )
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

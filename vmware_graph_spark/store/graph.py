@@ -126,7 +126,9 @@ class GraphStore:
     a refresh builds one big DAG and materializes at write time.
     """
 
-    def __init__(self, spark: SparkSession, *, checkpoint: bool = True):
+    def __init__(
+        self, spark: SparkSession, *, checkpoint: bool = True, checkpoint_every: int = 1
+    ):
         self.spark = spark
         self._vertices: dict[str, DataFrame] = {}
         self._edge_batches: list[DataFrame] = []
@@ -134,17 +136,35 @@ class GraphStore:
         # Upserts compose: without lineage truncation the plan for label
         # L after stage N embeds every prior stage's joins, and Catalyst
         # analysis cost grows super-linearly (a 15-stage ingest never
-        # finishes analyzing). localCheckpoint per upsert is the
+        # finishes analyzing). localCheckpoint (eager=False — defers
+        # computation, so the refresh stays one job chain) is the
         # single-JVM analog of persisting stage outputs; on a cluster
         # the snapshot writer (``write``) plays the same role.
+        #
+        # The cut itself is not free: the .rdd conversion inside
+        # localCheckpoint runs full physical planning of the chain so
+        # far (~95% of a measured single-stage ingest was driver-side
+        # planning, not execution). ``checkpoint_every`` trades cut
+        # frequency against plan depth: >1 skips cuts until a label has
+        # accumulated that many upserts. Measured on the full 2-pass
+        # 12-sheet refresh at sf0.01, every=1 wins (172 s vs 178 s at 2,
+        # 211 s at 4 — deeper uncut chains make every *subsequent*
+        # analysis pass costlier), while isolated single-stage runs
+        # prefer 4 by ~15%. Default 1; raise only for few-stage flows.
         self._checkpoint = checkpoint
+        self._every = max(1, checkpoint_every)
+        self._since_cut: dict[str, int] = {}
 
-    def _cut(self, df: DataFrame) -> DataFrame:
-        # eager=False truncates the SQL plan to a LogicalRDD immediately
-        # (same Catalyst-analysis relief as eager=True) but defers
-        # computation, so a 15-stage ingest schedules one job chain at
-        # the terminal action instead of ~60 blocking jobs.
-        return df.localCheckpoint(eager=False) if self._checkpoint else df
+    def _cut(self, df: DataFrame, label: str | None = None) -> DataFrame:
+        if not self._checkpoint:
+            return df
+        if label is not None:
+            n = self._since_cut.get(label, 0) + 1
+            if n < self._every:
+                self._since_cut[label] = n
+                return df
+            self._since_cut[label] = 0
+        return df.localCheckpoint(eager=False)
 
     # -- vertices ----------------------------------------------------------
 
@@ -154,7 +174,8 @@ class GraphStore:
         """MERGE ``updates`` into the label table (M1-M3 semantics)."""
         keys = LABEL_KEYS[label]
         merged = self._cut(
-            merge_nodes(self._vertices.get(label), updates, keys, on_create_only=on_create_only)
+            merge_nodes(self._vertices.get(label), updates, keys, on_create_only=on_create_only),
+            label,
         )
         self._vertices[label] = merged
         return merged
