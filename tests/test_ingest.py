@@ -271,3 +271,34 @@ def test_tenant_scoping_other_tenant_untouched(refreshed):
     assert vms2 == {"vm-uuid-5"}
     hosts2 = {r.objid for r in store.vertices("Vspherehost").collect() if r.managedby == "uid-2"}
     assert hosts2 == {"host-4"}
+
+
+def test_read_workbook_dir_mixed_formats(spark, tmp_path):
+    """S1 workbook reader: parquet preferred, CSV arrives all-string
+    (the apoc.load.xls value model), absent sheets skipped."""
+    from vmware_graph_spark.sources.workbook import read_workbook_dir
+
+    wb = tmp_path / "wb"
+    wb.mkdir()
+    spark.createDataFrame(
+        [("c1", "vc-1", "3")], ["Name", "VI SDK UUID", "NumHosts"]
+    ).write.parquet(str(wb / "vCluster.parquet"))
+    (wb / "vHost.csv").write_text("Host,Cluster,# CPU\nh1,c1,16\n")
+
+    sheets = read_workbook_dir(spark, str(wb))
+    assert set(sheets) == {"vCluster", "vHost"}
+    host = sheets["vHost"]
+    assert [f.dataType.simpleString() for f in host.schema.fields] == ["string"] * 3
+    assert host.collect()[0]["# CPU"] == "16"
+
+
+def test_read_workbook_xlsx_stub_gated(spark, tmp_path):
+    from vmware_graph_spark.sources.workbook import read_workbook_xlsx
+
+    try:
+        import openpyxl  # noqa: F401
+        pytest.skip("openpyxl present; stub gate not exercised")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="openpyxl"):
+        read_workbook_xlsx(spark, str(tmp_path / "x.xlsx"))
