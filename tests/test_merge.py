@@ -105,3 +105,27 @@ def test_edge_props_last_writer_wins(spark):
     e2 = _edge(spark, "vm", "HW_VERSION", "v7").withColumn("upgradestatus", F.lit("pending"))
     out = merge_edges(e1, e2, prop_cols=["upgradestatus"])
     assert rows(out, "src_key", "upgradestatus") == [("vm", "pending")]
+
+
+def test_salted_join_matches_plain_join(spark):
+    from vmware_graph_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(i % 3, f"v{i}") for i in range(200)], ["k", "payload"]
+    )
+    small = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], ["k", "dim"])
+    got = sorted(map(tuple, salted_join(big, small, ["k"], salts=4).collect()))
+    want = sorted(map(tuple, big.join(small, "k").collect()))
+    assert got == want
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """All rows share one key; the salt must split them across >1 value."""
+    from pyspark.sql import functions as F
+    from vmware_graph_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(1, f"p{i}") for i in range(100)], ["k", "payload"])
+    small = spark.createDataFrame([(1, "dim")], ["k", "d"])
+    b = big.withColumn("__salt", F.pmod(F.hash("payload"), F.lit(8)))
+    assert b.select("__salt").distinct().count() > 1
+    assert salted_join(big, small, ["k"], salts=8).count() == 100

@@ -3013,3 +3013,37 @@ def multimodal_frames_resize(spark, sf_dir):
         (F.col("width") * F.col("height")).cast("long").alias("n"),
     )
     return frames.unionByName(thumbs)
+
+
+@query(
+    "salted_join_region_revenue",
+    """
+    SELECT r_name, count(*) AS n,
+           CAST(sum(CAST(round(c_acctbal, 2) AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def salted_join_region_revenue(spark, sf_dir):
+    """Skew-mitigated join (§2.11 skew row): the hot-key fan-in of
+    customer→nation is spread over 8 deterministic hash salts; the
+    salted join is row-identical to the plain join, so the plain-SQL
+    oracle verifies the rewrite exactly."""
+    from vmware_graph_spark.operators.skew import salted_join
+
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name", "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region")
+    j = salted_join(c, n, ["c_nationkey"], salts=8)
+    return (
+        j.join(r, j.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round("c_acctbal", 2).cast("decimal(18,2)")).cast("double").alias("total_bal"),
+        )
+    )
