@@ -3047,3 +3047,37 @@ def salted_join_region_revenue(spark, sf_dir):
             F.sum(F.round("c_acctbal", 2).cast("decimal(18,2)")).cast("double").alias("total_bal"),
         )
     )
+
+
+@query(
+    "running_totals_per_customer",
+    """
+    SELECT o_custkey, o_orderkey,
+           count(*) OVER w AS run_n,
+           CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) OVER w AS DOUBLE) AS run_spend
+    FROM orders
+    WHERE o_custkey % 50 = 0
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def running_totals_per_customer(spark, sf_dir):
+    """Frame-based analytic windows (§2.11: rowsBetween running
+    aggregates): cumulative order count + spend per customer in
+    (date, orderkey) order — a fully deterministic frame, so the
+    decimal-accumulated running sum hash-matches exactly."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 50 == 0)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count("*").over(w).alias("run_n"),
+        F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("run_spend"),
+    )
