@@ -1,0 +1,125 @@
+"""Deterministic, engine-portable approximate-aggregate sketches.
+
+Spark's built-in ``approx_count_distinct`` / ``percentile_approx`` are
+HLL- and KLL-based: correct, fast, but engine-specific — their outputs
+can never hash-match a DuckDB oracle. This module provides the same
+*capabilities* (distinct-count estimation, quantile estimation over a
+sample) as pure Catalyst expressions over an md5-derived uniform hash,
+so the SAME value is computed by Spark and by the ANSI-SQL oracle twin.
+
+Scale design (100 TB):
+
+- ``kmv_distinct`` is a K-Minimum-Values (theta) sketch: one
+  ``distinct`` shuffle on (group, hash) followed by a per-group window
+  that keeps only the ``k`` smallest hashes. Work after the distinct is
+  O(k) per group and the final aggregate is a k-row-per-group reduce —
+  no collect, no driver state, parallel across groups.
+- ``hash_sample`` is deterministic Bernoulli sampling by hash
+  threshold: a pure filter, fully pushed below any downstream shuffle,
+  reproducible across runs/engines (unlike ``rand()``-based sampling)
+  and stable under repartitioning (unlike ``df.sample``).
+- ``disc_percentile`` picks the value at rank ``ceil(p * n)`` per
+  group — the classic "type 1" discrete quantile. It sorts only within
+  each group partition (single window shuffle). Combined with
+  ``hash_sample`` it is the scale path for quantiles: sample fraction f
+  bounds the sort to f·N rows while the hash keeps it deterministic.
+
+Reference parity: the reference engine exposes no approximate
+aggregates (refresh-vmware.cypher has only count()); these back the
+SURVEY §2.11 approx-aggregate commitment with oracle-checkable math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: 2^60 — the hash universe size; 15 hex chars = 60 bits fits in int64.
+HASH_SPACE = 1 << 60
+
+
+def uniform_hash60(col, seed: int = 0):
+    """Deterministic 60-bit uniform hash of ``col`` (any castable type).
+
+    md5 → first 15 hex chars → bigint, identical in Spark
+    (``conv(substring(md5(x),1,15),16,10)``) and DuckDB
+    (``('0x' || substr(md5(x),1,15))::BIGINT``).
+    """
+    tagged = F.concat(F.lit(f"{seed}:"), F.col(col).cast("string") if isinstance(col, str) else col.cast("string"))
+    return F.conv(F.substring(F.md5(tagged), 1, 15), 16, 10).cast("bigint")
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 256,
+    seed: int = 0,
+) -> DataFrame:
+    """KMV distinct-count estimate per group: ``est_distinct`` (bigint).
+
+    Keeps the ``k`` smallest distinct hash values per group; when fewer
+    than ``k`` distinct values exist the estimate is exact, otherwise
+    ``(k-1) / h_k`` scaled to the hash space (h_k = k-th smallest).
+    Relative standard error ≈ 1/sqrt(k-2).
+
+    All arithmetic is integer-or-IEEE-double with an explicit
+    ``round`` — bit-identical between Spark and the DuckDB oracle.
+    """
+    h = uniform_hash60(value_col, seed).alias("__h")
+    w = Window.partitionBy(*group_cols).orderBy("__h")
+    kept = (
+        df.select(*group_cols, h)
+        .distinct()
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+    )
+    est = F.when(
+        F.count("*") < k, F.count("*").cast("double")
+    ).otherwise(
+        (F.lit(float(k - 1)) * F.lit(float(HASH_SPACE))) / F.max("__h").cast("double")
+    )
+    return kept.groupBy(*group_cols).agg(
+        F.round(est).cast("bigint").alias("est_distinct")
+    )
+
+
+def hash_sample(df: DataFrame, key_col: str, fraction: float, seed: int = 0) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows whose 60-bit hash of
+    ``key_col`` falls below ``fraction`` of the hash space.
+
+    A pure filter — Catalyst pushes it to the scan, and the kept set is
+    a function of the data alone (stable across partitioning, runs, and
+    engines)."""
+    return df.filter(uniform_hash60(key_col, seed) < int(fraction * HASH_SPACE))
+
+
+def disc_percentile(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    ps: list[float],
+    out_names: list[str] | None = None,
+) -> DataFrame:
+    """Discrete (type-1) percentiles per group: value at rank
+    ``ceil(p * n)`` in ascending ``value_col`` order.
+
+    No interpolation — the result is an actual data value, so it is
+    engine-exact by construction. One window shuffle per call covers
+    every requested percentile."""
+    out_names = out_names or [f"p{int(p * 100)}" for p in ps]
+    w = Window.partitionBy(*group_cols).orderBy(value_col)
+    ranked = df.select(*group_cols, value_col).withColumn(
+        "__rn", F.row_number().over(w)
+    ).withColumn("__n", F.count("*").over(Window.partitionBy(*group_cols)))
+    aggs = [
+        F.max(
+            F.when(
+                F.col("__rn")
+                == F.greatest(F.lit(1), F.ceil(F.lit(p) * F.col("__n"))),
+                F.col(value_col),
+            )
+        ).alias(name)
+        for p, name in zip(ps, out_names)
+    ]
+    return ranked.groupBy(*group_cols).agg(*aggs)

@@ -56,6 +56,11 @@ from vmware_graph_spark.operators.dedup import (
     simhash,
     simhash_pairs,
 )
+from vmware_graph_spark.functions.sketch import (
+    disc_percentile,
+    hash_sample,
+    kmv_distinct,
+)
 from vmware_graph_spark.operators.merge import merge_edges, merge_nodes
 from vmware_graph_spark.operators.similarity import cosine_topk, ivf_topk
 from vmware_graph_spark.operators.snapshot import snapshot_diff, sweep_edges
@@ -3081,3 +3086,68 @@ def running_totals_per_customer(spark, sf_dir):
         .cast("double")
         .alias("run_spend"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic approx-aggregate sketches (§2.11) — oracle-checkable math
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "kmv_distinct_users_per_type",
+    """
+    WITH hashed AS (
+      SELECT DISTINCT event_type,
+             CAST('0x' || substr(md5('0:' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+      FROM events WHERE user_id IS NOT NULL
+    ), ranked AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM hashed
+    )
+    SELECT event_type,
+           CAST(round(CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+                           ELSE 255.0 * 1152921504606846976.0 / CAST(max(h) AS DOUBLE)
+                      END) AS BIGINT) AS est_distinct
+    FROM ranked WHERE rn <= 256 GROUP BY event_type
+    """,
+)
+def kmv_distinct_users_per_type(spark, sf_dir):
+    """KMV/theta-sketch distinct count (§2.11 approx aggregates) — the
+    engine-portable twin of ``approx_count_distinct``: same capability,
+    but md5-hash-based so the estimate hash-matches the DuckDB oracle
+    exactly. RSE ≈ 1/sqrt(254) ≈ 6%; a pytest bounds it vs the exact
+    count. Scale: one distinct shuffle + O(k)-per-group window."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    return kmv_distinct(e, ["event_type"], "user_id", k=256, seed=0)
+
+
+@query(
+    "sampled_percentile_value",
+    """
+    WITH sample AS (
+      SELECT event_type, value FROM events
+      WHERE value IS NOT NULL
+        AND CAST('0x' || substr(md5('1:' || CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT)
+            < 115292150460684704
+    ), ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+             count(*)    OVER (PARTITION BY event_type) AS n
+      FROM sample
+    )
+    SELECT event_type,
+           max(CASE WHEN rn = greatest(1, CAST(ceil(0.50 * n) AS BIGINT)) THEN value END) AS p50,
+           max(CASE WHEN rn = greatest(1, CAST(ceil(0.95 * n) AS BIGINT)) THEN value END) AS p95
+    FROM ranked GROUP BY event_type
+    """,
+)
+def sampled_percentile_value(spark, sf_dir):
+    """Deterministic-sample discrete percentiles (§2.11) — the
+    oracle-checkable twin of ``percentile_approx``: a 10% hash-Bernoulli
+    sample (stable across engines/partitionings, unlike rand()) then the
+    type-1 quantile at rank ceil(p*n). At 100 TB the sample fraction
+    bounds the per-group sort; the filter pushes to the scan."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    s = hash_sample(e, "event_id", 0.1, seed=1)
+    return disc_percentile(s, ["event_type"], "value", [0.50, 0.95], ["p50", "p95"])
