@@ -1348,6 +1348,29 @@ _SRV_SQL = "replace(lower(r_name), ' ', '') || '.example'"
 _STATUS_SQL = "CASE n_nationkey % 3 WHEN 0 THEN 'green' WHEN 1 THEN 'yellow' ELSE 'red' END"
 
 
+def _sheet_fixture(fn):
+    """Cut the lineage of a synthetic sheet once at the builder boundary.
+
+    The sheet fixtures are deep derived plans (joins over the TPC-H
+    tables); every ingest branch that consumes one would otherwise
+    replan the whole fixture subtree per upsert/edge batch —
+    measured ~35% of stage-query wall time at sf0.1 is exactly that
+    repeated Catalyst analysis. ``localCheckpoint(eager=False)`` turns
+    the fixture into a flat LogicalRDD while keeping the refresh a
+    single job chain. The REAL ingest path (workbook parquet sheets,
+    ``sources/workbook.py``) is deliberately NOT cut: parquet scans are
+    already flat and must keep column pruning / filter pushdown.
+    """
+    import functools
+
+    @functools.wraps(fn)
+    def wrap(spark, sf_dir, **kw):
+        return fn(spark, sf_dir, **kw).localCheckpoint(eager=False)
+
+    return wrap
+
+
+@_sheet_fixture
 def _vcluster_sheet(spark, sf_dir):
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
@@ -1585,6 +1608,7 @@ def _s(expr) -> F.Column:
     return expr.cast("string")
 
 
+@_sheet_fixture
 def _vhost_sheet(spark, sf_dir, *, prime: bool = False):
     """vHost sheet: one host per supplier. sk%11==0 rows point at the
     unknown 'ClusterX' (J1 inner-join drop); Vendor/Model null every 5th
@@ -1685,6 +1709,7 @@ def ingest_vhost_stage(spark, sf_dir):
     )
 
 
+@_sheet_fixture
 def _vswitch_sheet(spark, sf_dir):
     """vSwitch sheet: one standard switch per host. MTU is a STRING with
     a garbage value every 3rd row ≡ 2 (try_int → null); Policy null
@@ -1799,6 +1824,7 @@ _VM_BASE_SQL = f"""
 _RP_BASE_SQL = "'/DC-' || rname || '/' || cluster || '/Resources/p' || (ck % 5)"
 
 
+@_sheet_fixture
 def _vinfo_sheet(spark, sf_dir, *, prime: bool = False):
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
@@ -1950,6 +1976,7 @@ def ingest_vinfo_conditional_stage(spark, sf_dir):
     )
 
 
+@_sheet_fixture
 def _vdatastore_sheet(spark, sf_dir, *, prime: bool = False):
     """vDatastore sheet: one datastore per nation; `Hosts` is the
     sorted ' , '-joined list of the nation's host names plus a ghost
@@ -2022,6 +2049,7 @@ def ingest_vdatastore_stage(spark, sf_dir):
     )
 
 
+@_sheet_fixture
 def _vdisk_sheet(spark, sf_dir, *, prime: bool = False):
     """vDisk sheet: one disk per order; Path is the '[dsname] vm/…'
     form except every 7th row, which has no bracket head (parse yields
@@ -2162,6 +2190,7 @@ def ingest_vdisk_path_parse_stage(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+@_sheet_fixture
 def _vrp_sheet(spark, sf_dir):
     """vRP sheet: one parent + one child pool per nation (same shapes as
     ingest_rp_hierarchy_stage)."""
@@ -2188,6 +2217,7 @@ def _vrp_sheet(spark, sf_dir):
     return sheet(base).unionByName(sheet(child))
 
 
+@_sheet_fixture
 def _vport_sheet(spark, sf_dir):
     b = _host_base(spark, sf_dir)
     sk = F.col("sk")
@@ -2207,6 +2237,7 @@ def _vport_sheet(spark, sf_dir):
     )
 
 
+@_sheet_fixture
 def _vnic_sheet(spark, sf_dir):
     b = _host_base(spark, sf_dir)
     sk = F.col("sk")
@@ -2242,6 +2273,7 @@ def _vm_detail_base(spark, sf_dir, *, prime: bool = False):
     return b.filter(F.col("ck") % 13 != 0) if prime else b
 
 
+@_sheet_fixture
 def _vnetwork_sheet(spark, sf_dir):
     b = _vm_detail_base(spark, sf_dir)
     ck = F.col("ck")
@@ -2258,6 +2290,7 @@ def _vnetwork_sheet(spark, sf_dir):
     )
 
 
+@_sheet_fixture
 def _vpartition_sheet(spark, sf_dir):
     b = _vm_detail_base(spark, sf_dir)
     ck = F.col("ck")
@@ -2272,6 +2305,7 @@ def _vpartition_sheet(spark, sf_dir):
     )
 
 
+@_sheet_fixture
 def _vsnapshot_sheet(spark, sf_dir):
     b = _vm_detail_base(spark, sf_dir).filter(F.col("ck") % 7 == 0)
     ck = F.col("ck")
