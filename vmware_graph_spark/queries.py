@@ -1230,10 +1230,56 @@ def cosine_pairs_embeddings(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
 
 
-@query("cosine_pairs_lsh_embeddings")  # rows-only: LSH blocking is recall<1 by design
+def _lsh_pairs_oracle_sql(
+    dim: int = 64, planes: int = 6, nprobe: int = 7, threshold: float = 0.4, seed: int = 7
+) -> str:
+    """Replay hyperplane-LSH bucketing in ANSI SQL with the SAME plane
+    constants the Spark operator derives (md5-seeded, so both sides are
+    pure functions of (dim, planes, seed)). This makes the
+    recall<1-by-design LSH output exactly oracle-checkable: the oracle
+    is not 'the true pairs' but 'the pairs THIS blocking must emit'."""
+    from vmware_graph_spark.operators.similarity import _hyperplanes
+
+    hp = _hyperplanes(dim, planes, seed)
+    plane_sql = ["[" + ", ".join(f"{x:.1f}" for x in row) + "]" for row in hp]
+    bits = "\n        || ".join(
+        f"(CASE WHEN list_dot_product(e, {pl}) >= 0 THEN '1' ELSE '0' END)"
+        for pl in plane_sql
+    )
+    flips = ["bucket"]
+    for i in range(min(nprobe - 1, planes)):
+        flips.append(
+            f"substr(bucket, 1, {i}) || "
+            f"(CASE WHEN substr(bucket, {i + 1}, 1) = '1' THEN '0' ELSE '1' END)"
+            f" || substr(bucket, {i + 2}, {planes - i - 1})"
+        )
+    probes = ",\n        ".join(flips)
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    b AS (SELECT vec_id, e, {bits} AS bucket FROM v),
+    probes AS (
+      SELECT vec_id, probe FROM b, UNNEST([{probes}]) AS t(probe)
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, h.vec_id AS id_b
+      FROM probes a JOIN b h ON a.probe = h.bucket AND a.vec_id < h.vec_id
+    ),
+    scored AS (
+      SELECT id_a, id_b,
+             list_dot_product(x.e, y.e)
+               / (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e))) AS cos
+      FROM cand JOIN v x ON cand.id_a = x.vec_id JOIN v y ON cand.id_b = y.vec_id
+    )
+    SELECT id_a, id_b, round(cos, 6) AS cos FROM scored WHERE cos >= {threshold}
+    """
+
+
+@query("cosine_pairs_lsh_embeddings", _lsh_pairs_oracle_sql())
 def cosine_pairs_lsh_embeddings(spark, sf_dir):
     """Hyperplane-LSH-blocked cosine pairs — the 100 TB path (Σ bucket²
-    instead of n²); subset-of-exact and recall are pinned in pytest."""
+    instead of n²); subset-of-exact and recall are pinned in pytest.
+    Oracle-verified: the DuckDB twin replays the exact bucketing with
+    the same md5-derived plane constants inlined as literals."""
     e = load_table(spark, sf_dir, "embeddings")
     out = cosine_pairs_lsh(e, "vec_id", "embedding", dim=64, threshold=0.4, planes=6, nprobe=7)
     return out.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
