@@ -1,0 +1,107 @@
+"""Physical-plan audits for the headline queries (scale guardrails).
+
+These assert the *shape* Catalyst picks, not timings: broadcasts where a
+dim table is join input, column pruning reaching the parquet scan,
+filter pushdown, and the absence of accidental cartesian products.
+A plan regression here is what turns into a shuffle explosion at 100 TB,
+long before any local benchmark notices.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from vmware_graph_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def executed_plan(spark, name: str) -> str:
+    """Full formatted physical plan (toString() truncates ReadSchema /
+    PushedFilters, so capture explain('formatted') instead)."""
+    df = QUERIES[name](spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q5_broadcasts_dimension_tables(spark):
+    plan = executed_plan(spark, "q5_region_revenue")
+    # region (5 rows) and nation (25 rows) must come in as broadcasts,
+    # never shuffle the fact side by their keys.
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_q1_scan_prunes_unused_columns(spark):
+    plan = executed_plan(spark, "q1_pricing_summary")
+    # The pricing summary aggregates 6 lineitem columns; nothing else —
+    # not the wide comment string, not the dates — may reach the scan.
+    assert "l_comment" not in plan
+    assert "l_shipdate" not in plan
+    assert "ReadSchema: struct<l_quantity" in plan
+
+
+def test_q3_filters_pushed_to_scans(spark):
+    plan = executed_plan(spark, "q3_top_revenue_orders")
+    # Every per-table predicate must reach its parquet reader.
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "GreaterThan(l_shipdate" in plan
+    assert "LessThan(o_orderdate" in plan
+
+
+def test_headline_queries_have_no_cartesian(spark):
+    # cross_theta_high_balance_suppliers is the one documented theta
+    # join; every other registry headline must stay cartesian-free.
+    for name in [
+        "q1_pricing_summary",
+        "q3_top_revenue_orders",
+        "q5_region_revenue",
+        "window_topk_orders_per_customer",
+        "merge_nodes_set",
+        "merge_edges_undirected_canonical",
+        "snapshot_diff_orphans",
+        "exact_dedup_documents",
+        "minhash_lsh_pairs_documents",
+        "simhash_documents",
+        "text_stats",
+        "sessionize_user_events",
+    ]:
+        plan = executed_plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_cosine_topk_broadcasts_query_side(spark):
+    # The exact brute-force baseline is a crossJoin — it is only
+    # scale-sane because the query side is an explicit broadcast.
+    plan = executed_plan(spark, "cosine_topk_embeddings")
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_semi_and_anti_joins_stay_semi(spark):
+    # Existence checks must compile to semi/anti joins (no fact-side
+    # blowup through an inner join + distinct).
+    plan = executed_plan(spark, "semi_join_customers_with_open_orders")
+    assert "LeftSemi" in plan, plan[:2000]
+    plan = executed_plan(spark, "anti_join_customers_without_orders")
+    assert "LeftAnti" in plan, plan[:2000]
+
+
+def test_events_scan_prunes_props(spark):
+    # props is the wide JSON blob; aggregation queries must not read it.
+    plan = executed_plan(spark, "count_distinct_users_per_type")
+    assert "props" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["exact_dedup_documents", "kmv_distinct_users_per_type"]
+)
+def test_single_wide_shuffle_dedup_paths(spark, name):
+    # hash-dedup and KMV are one-shuffle designs: the plan may reuse
+    # exchanges but must not contain a join at all.
+    plan = executed_plan(spark, name)
+    assert "Join" not in plan, name
