@@ -191,3 +191,26 @@ def test_resize_media_deterministic(spark):
     import hashlib
     assert (r.width, r.height) == (64, 48)
     assert r.thumb_md5 == hashlib.md5(b"hello|64x48").hexdigest()
+
+
+def test_shortest_paths_multi_landmark(spark):
+    from vmware_graph_spark.analytics.motif import shortest_paths
+
+    # Two landmarks sharing part of a path; 'iso' unreachable.
+    v = spark.createDataFrame([(x,) for x in ["a", "b", "c", "d", "iso"]], ["id"])
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "c"), ("c", "a")], ["src", "dst"]
+    )
+    lm = spark.createDataFrame([("a",), ("d",)], ["id"])
+    got = {
+        (r.id, r.landmark): r.dist
+        for r in shortest_paths(v, e, lm, max_hops=5, directed=True).collect()
+    }
+    assert got == {
+        ("a", "a"): 0, ("b", "a"): 1, ("c", "a"): 2,
+        ("d", "d"): 0, ("c", "d"): 1, ("a", "d"): 2, ("b", "d"): 3,
+    }
+    # undirected: every vertex except iso reaches both landmarks
+    und = shortest_paths(v, e, lm, max_hops=5, directed=False)
+    assert und.filter(F.col("id") == "iso").count() == 0
+    assert und.count() == 8

@@ -3231,3 +3231,54 @@ def sampled_percentile_value(spark, sf_dir):
     e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     s = hash_sample(e, "event_id", 0.1, seed=1)
     return disc_percentile(s, ["event_type"], "value", [0.50, 0.95], ["p50", "p95"])
+
+
+@query(
+    "shortest_paths_region_landmarks",
+    """
+    SELECT 'r' || r_regionkey AS id, 'r' || r_regionkey AS landmark, 0 AS dist
+    FROM region
+    UNION ALL
+    SELECT 'n' || n_nationkey, 'r' || n_regionkey, 1 FROM nation
+    UNION ALL
+    SELECT 'c' || c_custkey, 'r' || n_regionkey, 2
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    UNION ALL
+    SELECT 'o' || o_orderkey, 'r' || n_regionkey, 3
+    FROM orders JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderkey % 10 = 0
+    """,
+)
+def shortest_paths_region_landmarks(spark, sf_dir):
+    """GraphFrames-style shortestPaths (§2.11): per-(vertex, landmark)
+    hop distance over the region→nation→customer→order tree, landmarks
+    = the 5 regions. The oracle derives each layer's distance
+    structurally (nation 1, customer 2, its orders 3)."""
+    from vmware_graph_spark.analytics.motif import shortest_paths
+
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    rid = F.concat(F.lit("r"), F.col("r_regionkey"))
+    nid = F.concat(F.lit("n"), F.col("n_nationkey"))
+    cid = F.concat(F.lit("c"), F.col("c_custkey"))
+    oid = F.concat(F.lit("o"), F.col("o_orderkey"))
+    vertices = (
+        r.select(rid.alias("id"))
+        .unionByName(n.select(nid.alias("id")))
+        .unionByName(c.select(cid.alias("id")))
+        .unionByName(o.select(oid.alias("id")))
+    )
+    edges = (
+        n.select(F.concat(F.lit("r"), F.col("n_regionkey")).alias("src"), nid.alias("dst"))
+        .unionByName(
+            c.select(F.concat(F.lit("n"), F.col("c_nationkey")).alias("src"), cid.alias("dst"))
+        )
+        .unionByName(
+            o.select(F.concat(F.lit("c"), F.col("o_custkey")).alias("src"), oid.alias("dst"))
+        )
+    )
+    landmarks = r.select(rid.alias("id"))
+    return shortest_paths(vertices, edges, landmarks, max_hops=5, directed=True)
