@@ -3282,3 +3282,130 @@ def shortest_paths_region_landmarks(spark, sf_dir):
     )
     landmarks = r.select(rid.alias("id"))
     return shortest_paths(vertices, edges, landmarks, max_hops=5, directed=True)
+
+
+_STOP_SQL = (
+    "CASE WHEN len({t}) > 0 THEN "
+    "len(list_filter({t}, x -> list_contains(["
+    "'the','a','an','and','or','of','to','in','is','it',"
+    "'that','for','on','as','with','was','at','by','be','this',"
+    "'are','from','not','but','have'], lower(x))))::DOUBLE / len({t}) "
+    "ELSE 0.0 END"
+)
+
+
+@query(
+    "corpus_prep_pipeline",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang, source,
+             CAST(len({_toks('text')}) AS INTEGER) AS n_tok,
+             round({_STOP_SQL.format(t=_toks('text'))}, 6) AS stop_ratio,
+             {lang_id_sql('text')} AS lang_pred,
+             {_FP.format(c='text')} AS fp
+      FROM documents
+    ), kept AS (
+      SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM scored
+      WHERE lang_pred = 'en' AND n_tok >= 10 AND stop_ratio >= 0.02
+    )
+    SELECT doc_id, lang, source, n_tok, stop_ratio FROM kept WHERE rn = 1
+    """,
+)
+def corpus_prep_pipeline(spark, sf_dir):
+    """End-to-end training-corpus prep (the LLM-pipeline composite):
+    language-ID gate → token-count floor → stopword-ratio quality gate
+    → exact near-dup removal (fingerprint, min-id survivor). One scan,
+    one window shuffle on the fingerprint; every stage is a Catalyst
+    expression, so at 100 TB the gates run scan-side before the only
+    shuffle."""
+    from vmware_graph_spark.functions.text import stopword_ratio
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        n_tokens("text").alias("n_tok"),
+        F.round(stopword_ratio("text"), 6).alias("stop_ratio"),
+        lang_id("text").alias("lang_pred"),
+        fingerprint("text").alias("fp"),
+    ).filter(
+        (F.col("lang_pred") == "en") & (F.col("n_tok") >= 10) & (F.col("stop_ratio") >= 0.02)
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "n_tok", "stop_ratio")
+    )
+
+
+@query(
+    "near_dedup_clusters",
+    f"""
+    WITH RECURSIVE {_SH3_CTE},
+    hx AS (
+      SELECT id, i AS h_idx, min({_h64('shingle', 'i')}) AS h_val
+      FROM sh CROSS JOIN (SELECT unnest(range(8)) AS i)
+      GROUP BY id, i
+    ),
+    buckets AS (
+      SELECT id, h_idx // 2 AS band,
+             md5(string_agg(h_val::VARCHAR, ',' ORDER BY h_idx)) AS bucket
+      FROM hx GROUP BY id, h_idx // 2
+    ),
+    cands AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+    ),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS inter
+      FROM cands c JOIN sh x ON x.id = c.id_a JOIN sh y ON y.id = c.id_b AND y.shingle = x.shingle
+      GROUP BY c.id_a, c.id_b
+    ),
+    pairs AS (
+      SELECT i.id_a, i.id_b
+      FROM inter i JOIN sizes sa ON sa.id = i.id_a JOIN sizes sb ON sb.id = i.id_b
+      WHERE inter::DOUBLE / (sa.n_sh + sb.n_sh - inter) >= 0.4
+    ),
+    sym AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a
+    ),
+    rep AS (
+      SELECT a AS doc_id, least(min(b), a) AS component FROM reach GROUP BY a
+    )
+    SELECT d.doc_id, coalesce(r.component, d.doc_id) AS component,
+           CAST(coalesce(r.component, d.doc_id) = d.doc_id AS BOOLEAN) AS is_canonical
+    FROM documents d LEFT JOIN rep r ON d.doc_id = r.doc_id
+    """,
+)
+def near_dedup_clusters(spark, sf_dir):
+    """Near-dup clustering, the full dedup composite: MinHash→LSH
+    banding→candidate-verified Jaccard pairs → large-star/small-star
+    connected components → canonical min-id representative per cluster.
+    Every document gets (component, is_canonical); downstream corpus
+    prep keeps is_canonical rows. The oracle replays the pair SQL and
+    closes it with a recursive-CTE transitive closure. Scale: the pair
+    graph is LSH-sparse, and the star contraction is O(log n) rounds."""
+    from vmware_graph_spark.analytics.algos import connected_components_star
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, num_hashes=8, bands=4, verify_threshold=0.4
+    )
+    vertices = d.select(F.col("doc_id").alias("id"))
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    cc = connected_components_star(vertices, edges)
+    return cc.select(
+        F.col("id").alias("doc_id"),
+        "component",
+        (F.col("component") == F.col("id")).alias("is_canonical"),
+    )
