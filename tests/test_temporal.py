@@ -1,0 +1,83 @@
+"""Unit semantics for the temporal joins (operators/temporal.py)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from vmware_graph_spark.operators.temporal import asof_join, range_join
+
+
+def ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+def test_asof_backward_latest_and_ties(spark):
+    left = spark.createDataFrame(
+        [("u", 1, ts("2024-01-01 10:00:00")),
+         ("u", 2, ts("2024-01-01 12:00:00")),
+         ("u", 3, ts("2024-01-01 08:00:00"))],
+        ["k", "lid", "ts"],
+    )
+    right = spark.createDataFrame(
+        [("u", ts("2024-01-01 09:00:00"), "a"),
+         ("u", ts("2024-01-01 10:00:00"), "b"),   # tie with lid=1 → matches (<=)
+         ("u", ts("2024-01-01 11:30:00"), "c")],
+        ["k", "ts", "val"],
+    )
+    out = {
+        r.lid: (r.r_val, r.r_ts)
+        for r in asof_join(left, right, "k", "ts", "ts", right_cols=["val"]).collect()
+    }
+    assert out[1][0] == "b"            # equal timestamp included
+    assert out[2][0] == "c"            # latest prior, not just any prior
+    assert out[3] == (None, None)      # nothing at or before 08:00
+
+
+def test_asof_key_isolation(spark):
+    left = spark.createDataFrame([("a", 1, ts("2024-01-01 10:00:00"))], ["k", "lid", "ts"])
+    right = spark.createDataFrame([("b", ts("2024-01-01 09:00:00"), "x")], ["k", "ts", "val"])
+    row = asof_join(left, right, "k", "ts", "ts", right_cols=["val"]).collect()[0]
+    assert row.r_val is None  # other key's rows never leak
+
+
+def test_range_join_boundaries_and_multibin(spark):
+    pts = spark.createDataFrame(
+        [("u", i, ts(t)) for i, t in [
+            (1, "2024-01-01 10:00:00"),   # == start: included
+            (2, "2024-01-01 17:00:00"),   # == end: included
+            (3, "2024-01-01 17:00:01"),   # past end: excluded
+            (4, "2024-01-01 13:30:00"),   # interior, different bin than start
+        ]],
+        ["k", "pid", "ts"],
+    )
+    iv = spark.createDataFrame(
+        [("u", ts("2024-01-01 10:00:00"), ts("2024-01-01 17:00:00"))],
+        ["k", "s", "e"],
+    )
+    got = {r.pid for r in range_join(pts, iv, "k", "ts", "s", "e", bin_seconds=3600).collect()}
+    assert got == {1, 2, 4}
+
+
+def test_range_join_overlapping_intervals(spark):
+    pts = spark.createDataFrame([("u", 1, ts("2024-01-01 12:00:00"))], ["k", "pid", "ts"])
+    iv = spark.createDataFrame(
+        [("u", "i1", ts("2024-01-01 11:00:00"), ts("2024-01-01 13:00:00")),
+         ("u", "i2", ts("2024-01-01 11:30:00"), ts("2024-01-01 12:30:00")),
+         ("u", "i3", ts("2024-01-01 13:00:00"), ts("2024-01-01 14:00:00")),
+         ("u", "bad", ts("2024-01-01 14:00:00"), ts("2024-01-01 13:00:00"))],
+        ["k", "iid", "s", "e"],
+    )
+    got = {r.iid for r in range_join(pts, iv, "k", "ts", "s", "e", bin_seconds=600).collect()}
+    assert got == {"i1", "i2"}  # i3 doesn't contain, bad is degenerate
+
+
+def test_range_join_plan_is_equijoin(spark):
+    # The whole point: no BroadcastNestedLoopJoin / CartesianProduct.
+    pts = spark.createDataFrame([("u", 1, ts("2024-01-01 12:00:00"))], ["k", "pid", "ts"])
+    iv = spark.createDataFrame(
+        [("u", ts("2024-01-01 11:00:00"), ts("2024-01-01 13:00:00"))], ["k", "s", "e"]
+    )
+    plan = range_join(pts, iv, "k", "ts", "s", "e")._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

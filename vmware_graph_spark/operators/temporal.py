@@ -1,0 +1,100 @@
+"""Temporal joins Spark lacks as builtins: as-of join and range join.
+
+Both are named operators a time-series / training-data pipeline needs
+(event attribution, interval containment) that naive SQL expresses as
+inequality joins — which Spark executes as broadcast-nested-loop or
+cartesian at 100 TB. These implementations restore linear shapes:
+
+- ``asof_join``: union + carry-forward window. One shuffle on the join
+  key; the "latest right row at or before the left timestamp" is a
+  ``last(..., ignorenulls=True)`` over the merged, time-ordered stream.
+  No row explosion, no inequality join, works at any key cardinality.
+- ``range_join``: interval bucketization. Intervals explode to the
+  fixed-width bins they cover, points map to their single bin, and the
+  equi-join on (key, bin) + residual BETWEEN filter replaces the
+  inequality join. Bin width trades explode fan-out (long intervals)
+  against bucket selectivity.
+
+DuckDB oracles: native ``ASOF JOIN`` / plain ``BETWEEN`` join — the
+reference semantics these must reproduce exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    *,
+    right_cols: list[str],
+    prefix: str = "r_",
+) -> DataFrame:
+    """For each left row, attach the latest right row of the same ``on``
+    key with ``right_ts <= left_ts`` (backward as-of, ties included).
+
+    Right rows must be unique per (on, right_ts) — pre-aggregate if
+    not; the carried payload is a single struct so all right columns
+    come from the SAME matched row. Left rows with no prior right row
+    keep nulls. Output: every left column, plus ``prefix + right_ts``
+    and ``prefix + c`` for each ``right_cols`` entry.
+    """
+    payload = F.struct(F.col(right_ts).alias("__ts"), *[F.col(c) for c in right_cols])
+    r = right.select(
+        F.col(on),
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__side"),
+        payload.alias("__payload"),
+    )
+    l = left.withColumn("__t", F.col(left_ts)).withColumn(
+        "__side", F.lit(1)
+    ).withColumn("__payload", F.lit(None).cast(r.schema["__payload"].dataType))
+
+    merged = l.unionByName(r, allowMissingColumns=True)
+    # right rows sort before left rows at equal timestamps → <= semantics
+    w = (
+        Window.partitionBy(on)
+        .orderBy("__t", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
+    out = carried.filter(F.col("__side") == 1).select(
+        *[F.col(c) for c in left.columns],
+        F.col("__match.__ts").alias(f"{prefix}{right_ts}"),
+        *[F.col(f"__match.{c}").alias(f"{prefix}{c}") for c in right_cols],
+    )
+    return out
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    *,
+    bin_seconds: int = 3600,
+) -> DataFrame:
+    """Inner-join each point to every interval of the same key that
+    contains it (``start_ts <= point_ts <= end_ts``), without an
+    inequality join: intervals explode to the ``bin_seconds``-wide
+    epoch bins they span, points hash to their single bin, and the
+    equi-join on (key, bin) carries a residual BETWEEN filter. A point
+    occupies exactly one bin, so no post-join dedup is needed.
+    """
+    s_bin = F.floor(F.unix_timestamp(start_ts) / bin_seconds)
+    e_bin = F.floor(F.unix_timestamp(end_ts) / bin_seconds)
+    iv = intervals.filter(F.col(start_ts) <= F.col(end_ts)).withColumn(
+        "__bin", F.explode(F.sequence(s_bin, e_bin))
+    )
+    pt = points.withColumn("__bin", F.floor(F.unix_timestamp(point_ts) / bin_seconds))
+    joined = pt.join(iv, [on, "__bin"]).filter(
+        (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) <= F.col(end_ts))
+    )
+    return joined.drop("__bin")

@@ -3409,3 +3409,90 @@ def near_dedup_clusters(spark, sf_dir):
         "component",
         (F.col("component") == F.col("id")).alias("is_canonical"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins (as-of, range) — event attribution / interval containment
+# ---------------------------------------------------------------------------
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+@query(
+    "asof_join_clicks_views",
+    f"""
+    WITH clicks AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+    ), views AS (
+      SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'view'
+    )
+    SELECT c.user_id, c.event_id,
+           strftime(c.ts, '{_TS_FMT_DUCK}') AS click_ts,
+           v.event_id AS view_event_id,
+           strftime(v.ts, '{_TS_FMT_DUCK}') AS view_ts,
+           v.value AS view_value
+    FROM clicks c ASOF LEFT JOIN views v
+      ON c.user_id = v.user_id AND v.ts <= c.ts
+    """,
+)
+def asof_join_clicks_views(spark, sf_dir):
+    """Backward as-of join (event attribution): each click is matched to
+    the user's latest view at or before it. The Spark side is the
+    union + carry-forward window (one shuffle on user_id, no inequality
+    join); the oracle is DuckDB's native ASOF LEFT JOIN."""
+    from vmware_graph_spark.operators.temporal import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    out = asof_join(
+        clicks, views, "user_id", "ts", "ts", right_cols=["event_id", "value"], prefix="v_"
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", _TS_FMT_SPARK).alias("click_ts"),
+        F.col("v_event_id").alias("view_event_id"),
+        F.date_format("v_ts", _TS_FMT_SPARK).alias("view_ts"),
+        F.col("v_value").alias("view_value"),
+    )
+
+
+@query(
+    "range_join_user_windows",
+    f"""
+    WITH iv AS (
+      SELECT user_id, min(ts) AS w_start, min(ts) + INTERVAL 6 HOUR AS w_end
+      FROM events GROUP BY user_id
+    )
+    SELECT e.user_id, e.event_id,
+           strftime(e.ts, '{_TS_FMT_DUCK}') AS ts,
+           strftime(iv.w_start, '{_TS_FMT_DUCK}') AS w_start
+    FROM events e JOIN iv
+      ON e.user_id = iv.user_id AND e.ts >= iv.w_start AND e.ts <= iv.w_end
+    """,
+)
+def range_join_user_windows(spark, sf_dir):
+    """Range (interval-containment) join via bin bucketization: events
+    falling in each user's first-6-hours window. The equi-join on
+    (user, hour-bin) + residual BETWEEN replaces the inequality join a
+    naive plan turns into a broadcast-nested-loop at scale."""
+    from vmware_graph_spark.operators.temporal import range_join
+
+    e = load_table(spark, sf_dir, "events")
+    iv = (
+        e.groupBy("user_id")
+        .agg(F.min("ts").alias("w_start"))
+        .withColumn("w_end", F.col("w_start") + F.expr("INTERVAL 6 HOURS"))
+    )
+    pts = e.select("user_id", "event_id", "ts")
+    out = range_join(pts, iv, "user_id", "ts", "w_start", "w_end", bin_seconds=3600)
+    return out.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", _TS_FMT_SPARK).alias("ts"),
+        F.date_format("w_start", _TS_FMT_SPARK).alias("w_start"),
+    )
