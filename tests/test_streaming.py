@@ -90,3 +90,51 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
         .collect()
     }
     assert final == {1: 2, 2: 2}
+
+
+def test_interval_join_stream_matches_batch(spark, event_dir):
+    """Stream-stream click↔view interval join must equal the batch
+    inequality join over the same inputs."""
+    from vmware_graph_spark.streaming import interval_join_stream
+
+    def clicks(df):
+        return df.filter(F.col("event_type") == "click").select(
+            "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+        )
+
+    def views(df):
+        return df.filter(F.col("event_type") == "view").select(
+            F.col("user_id").alias("user_id"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+
+    joined = interval_join_stream(
+        clicks(read_event_stream(spark, event_dir)),
+        views(read_event_stream(spark, event_dir)),
+        "user_id",
+        "click_ts",
+        "view_ts",
+        max_delay_seconds=1800,
+        # The fixture files are NOT time-ordered, so every micro-batch
+        # contains rows 'late' w.r.t. the watermark the previous batch
+        # advanced to. A watermark covering the full 30-day span keeps
+        # the comparison to the batch twin exact; production would rely
+        # on roughly-ordered arrival and use a tight horizon.
+        watermark="960 hours",
+    )
+    run_available_to_memory(joined, "cv_join")
+    got = {
+        (r.click_id, r.view_id) for r in spark.table("cv_join").collect()
+    }
+
+    b = spark.read.parquet(event_dir)
+    bc, bv = clicks(b), views(b)
+    batch = bc.join(
+        bv,
+        (bc.user_id == bv.user_id)
+        & (bv.view_ts <= bc.click_ts)
+        & (bv.view_ts >= bc.click_ts - F.expr("INTERVAL 1800 SECONDS")),
+    )
+    want = {(r.click_id, r.view_id) for r in batch.collect()}
+    assert got == want and len(want) > 0

@@ -136,9 +136,20 @@ def minhash_lsh_pairs(
     Bands of r = num_hashes/bands rows; docs sharing any band bucket are
     candidates; candidates are verified with exact Jaccard so the output
     has no false positives (false-negative rate set by (b, r)).
+
+    The shingle table feeds both the signature aggregation and the
+    candidate verification (sizes + two intersection joins); it is
+    lineage-cut once so the tokenize+explode runs a single time — on a
+    cluster the same role is played by persisting the shingle stage.
     """
     rows = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n=n, num_hashes=num_hashes)
+    sh = _shingle_table(df, id_col, text_col, n).localCheckpoint(eager=False)
+    mins = [F.min(_md5_hash64(F.col("shingle"), i)).alias(f"h{i}") for i in range(num_hashes)]
+    sig = (
+        sh.groupBy("id")
+        .agg(*mins)
+        .select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+    )
     band_cols = []
     for b in range(bands):
         piece = F.slice(F.col("sig"), b * rows + 1, rows)
@@ -166,7 +177,6 @@ def minhash_lsh_pairs(
     # shingle sets and count intersections for those pairs alone. The
     # join keys are the candidate ids, so cost is O(|candidates| ×
     # avg shingles), never the all-pairs self-join LSH exists to avoid.
-    sh = _shingle_table(df, id_col, text_col, n)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a_sh = cands.join(sh.withColumnRenamed("id", "id_a"), "id_a")
     inter = (

@@ -1,5 +1,6 @@
 from vmware_graph_spark.streaming.events import (
     dedup_within_watermark,
+    interval_join_stream,
     read_event_stream,
     run_available_to_memory,
     sessionize_stream,
@@ -10,6 +11,7 @@ __all__ = [
     "read_event_stream",
     "windowed_event_counts",
     "dedup_within_watermark",
+    "interval_join_stream",
     "sessionize_stream",
     "run_available_to_memory",
 ]

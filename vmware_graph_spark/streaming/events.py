@@ -149,6 +149,34 @@ def sessionize_stream(events: DataFrame, *, gap_seconds: int = 1800) -> DataFram
     )
 
 
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    *,
+    max_delay_seconds: int = 3600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner interval join: each left event pairs with the
+    right events of the same key in ``[left_ts - max_delay, left_ts]``.
+
+    Both sides carry a watermark AND the join condition bounds
+    right_ts relative to left_ts — the two things Structured Streaming
+    needs to evict join state (without the time bound, state grows
+    forever). Column names must be disjoint apart from ``on``.
+    """
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = (
+        (l[on] == r[on])
+        & (r[right_ts] <= l[left_ts])
+        & (r[right_ts] >= l[left_ts] - F.expr(f"INTERVAL {max_delay_seconds} SECONDS"))
+    )
+    return l.join(r, cond).drop(r[on])
+
+
 def run_available_to_memory(sdf: DataFrame, name: str, *, output_mode: str = "append") -> None:
     """Drain all available input through the streaming query into a
     memory sink table ``name`` (test/driver harness helper)."""
