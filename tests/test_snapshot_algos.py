@@ -168,3 +168,15 @@ def test_pagerank_fixed_deterministic_across_partitionings(spark):
         )
     )
     assert a == b
+
+
+def test_triangle_count_known_graphs(spark):
+    from vmware_graph_spark.analytics.algos import triangle_count
+
+    # K4 has 4 triangles; every vertex is in exactly 3. Extra parallel /
+    # reversed / self edges must not change counts.
+    k4 = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    noisy = k4 + [("b", "a"), ("c", "c"), ("a", "b")] + [("x", "y")]  # no tri for x,y
+    e = spark.createDataFrame(noisy, ["src", "dst"])
+    got = {r.id: r.triangles for r in triangle_count(e).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}

@@ -3496,3 +3496,51 @@ def range_join_user_windows(spark, sf_dir):
         F.date_format("ts", _TS_FMT_SPARK).alias("ts"),
         F.date_format("w_start", _TS_FMT_SPARK).alias("w_start"),
     )
+
+
+@query(
+    "triangle_counts_cooccurrence",
+    """
+    WITH grp AS (
+      SELECT DISTINCT user_id, event_type, CAST(ts AS DATE) AS d
+      FROM events WHERE user_id % 10 = 0
+    ),
+    e AS (
+      SELECT DISTINCT a.user_id AS u, b.user_id AS v
+      FROM grp a JOIN grp b
+        ON a.event_type = b.event_type AND a.d = b.d AND a.user_id < b.user_id
+    ),
+    tri AS (
+      SELECT ab.u AS a, ab.v AS b, bc.v AS c
+      FROM e ab JOIN e bc ON ab.v = bc.u JOIN e ac ON ac.u = ab.u AND ac.v = bc.v
+    ),
+    ids AS (
+      SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+    )
+    SELECT id, count(*) AS triangles FROM ids GROUP BY id
+    """,
+)
+def triangle_counts_cooccurrence(spark, sf_dir):
+    """Per-vertex triangle counts (§2.11 graph algorithms) over the
+    user co-occurrence graph (sampled users sharing an (event_type,
+    day) cell are pairwise linked). Wedge-closure two-join formulation;
+    the oracle replays the same canonical u<v<w join chain."""
+    from vmware_graph_spark.analytics.algos import triangle_count
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)
+    grp = e.select(
+        "user_id", "event_type", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    a = grp.alias("a")
+    b = grp.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.d") == F.col("b.d"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(F.col("a.user_id").alias("src"), F.col("b.user_id").alias("dst"))
+        .distinct()
+    )
+    return triangle_count(edges)
