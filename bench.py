@@ -37,6 +37,9 @@ HEADLINE = [
     "connected_components_bipartite",
     "ingest_vhost_stage",
     "ingest_vinfo_conditional_stage",
+    "corpus_prep_pipeline",
+    "near_dedup_clusters",
+    "asof_join_clicks_views",
 ]
 
 

@@ -3544,3 +3544,38 @@ def triangle_counts_cooccurrence(spark, sf_dir):
         .distinct()
     )
     return triangle_count(edges)
+
+
+@query(
+    "sql_topk_orders_per_nation",
+    """
+    WITH ranked AS (
+      SELECT n_name, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY n_name
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+    )
+    SELECT n_name, o_orderkey, o_totalprice FROM ranked WHERE rn <= 3
+    """,
+)
+def sql_topk_orders_per_nation(spark, sf_dir):
+    """The raw-SQL entry path: tables registered as temp views and the
+    query stated in ANSI SQL via spark.sql — same text modulo view
+    names as the oracle, proving the SQL surface is first-class (not
+    just the DataFrame DSL)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_sql_orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_sql_customer")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("v_sql_nation")
+    return spark.sql(
+        """
+        WITH ranked AS (
+          SELECT n_name, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY n_name
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM v_sql_orders JOIN v_sql_customer ON o_custkey = c_custkey
+                            JOIN v_sql_nation ON c_nationkey = n_nationkey
+        )
+        SELECT n_name, o_orderkey, o_totalprice FROM ranked WHERE rn <= 3
+        """
+    )
