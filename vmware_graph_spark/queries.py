@@ -3579,3 +3579,48 @@ def sql_topk_orders_per_nation(spark, sf_dir):
         SELECT n_name, o_orderkey, o_totalprice FROM ranked WHERE rn <= 3
         """
     )
+
+
+@query(
+    "session_window_event_counts",
+    f"""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WHERE user_id % 10 = 0
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           strftime(min(ts), '{'{'}fmt{'}'}') AS session_start,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value, 4) AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM sessions GROUP BY user_id, session_id
+    """.replace("{fmt}", "%Y-%m-%d %H:%M:%S.%f"),
+)
+def session_window_event_counts(spark, sf_dir):
+    """Native session windows (§2.11 windows): F.session_window with a
+    30-minute inactivity gap — the built-in, watermark-compatible twin
+    of the applyInPandasWithState sessionizer. The oracle derives the
+    same sessions with the classic gaps-and-islands lag + running-sum.
+    Session start identifies the session, so outputs hash-match."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round("value", 4).cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
