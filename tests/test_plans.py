@@ -105,3 +105,11 @@ def test_single_wide_shuffle_dedup_paths(spark, name):
     # exchanges but must not contain a join at all.
     plan = executed_plan(spark, name)
     assert "Join" not in plan, name
+
+
+def test_ingest_stage_plans_cartesian_free(spark):
+    # The graph-ingest stages are the reference's core workload; their
+    # MERGE/join chains must never degrade to cartesian shapes.
+    for name in ["ingest_vcluster_stage", "ingest_vhost_stage"]:
+        plan = executed_plan(spark, name)
+        assert "CartesianProduct" not in plan, name
