@@ -3624,3 +3624,100 @@ def session_window_event_counts(spark, sf_dir):
             "sum_value",
         )
     )
+
+
+@query(
+    "vector_centroids_by_label",
+    """
+    SELECT label, i - 1 AS dim,
+           round(CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE), 6) AS DECIMAL(18,6)))
+                      AS DOUBLE) / count(*), 6) AS centroid
+    FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    GROUP BY label, i
+    """,
+)
+def vector_centroids_by_label(spark, sf_dir):
+    """Grouped vector mean (the IVF/k-means training primitive):
+    per-label centroid of the embedding column, as (label, dim, value)
+    rows. posexplode → one decimal-accumulated agg keyed on
+    (label, dim) — fan-out is the vector width, the shuffle is a plain
+    map-side-combined groupBy, and no vector ever sits whole in an
+    aggregation buffer (the shape that survives 100 TB and dim=4k)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    expl = e.select("label", F.posexplode("embedding").alias("dim", "v"))
+    return expl.groupBy("label", "dim").agg(
+        F.round(
+            F.sum(F.round(F.col("v").cast("double"), 6).cast("decimal(18,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("centroid")
+    )
+
+
+@query(
+    "ivf_assign_learned_centroids",
+    """
+    WITH cent AS (
+      SELECT label AS clabel, i - 1 AS dim,
+             round(CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE), 6) AS DECIMAL(18,6)))
+                        AS DOUBLE) / count(*), 6) AS c
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+      GROUP BY label, i
+    ),
+    vecd AS (
+      SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    scores AS (
+      SELECT vec_id, clabel,
+             CAST(sum(CAST(round(v * c, 12) AS DECIMAL(28,12))) AS DOUBLE) AS dot
+      FROM vecd JOIN cent USING (dim)
+      GROUP BY vec_id, clabel
+    ),
+    best AS (
+      SELECT vec_id, clabel, dot,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, clabel) AS rn
+      FROM scores
+    )
+    SELECT vec_id, clabel AS assigned_label, round(dot, 6) AS score
+    FROM best WHERE rn = 1
+    """,
+)
+def ivf_assign_learned_centroids(spark, sf_dir):
+    """IVF coarse quantization with LEARNED centroids (the k-means
+    assignment step): train per-label centroids, then assign every
+    vector to its max-inner-product centroid. Both phases are
+    relational vector algebra — explode to (id, dim, v), join the
+    broadcast-sized centroid table on dim, decimal-accumulated dot
+    product, window argmax — so the whole pipeline is engine-exact and
+    shuffle-bounded (no vector ever crosses the wire whole)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    vecd = e.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "vf")
+    ).select("vec_id", "dim", F.col("vf").cast("double").alias("v"))
+    cent = (
+        e.select(F.col("label").alias("clabel"), F.posexplode("embedding").alias("dim", "vf"))
+        .groupBy("clabel", "dim")
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("vf").cast("double"), 6).cast("decimal(18,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("c")
+        )
+    )
+    scores = (
+        vecd.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "clabel")
+        .agg(
+            F.sum(F.round(F.col("v") * F.col("c"), 12).cast("decimal(28,12)"))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("dot").desc(), "clabel")
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("clabel").alias("assigned_label"), F.round("dot", 6).alias("score"))
+    )
