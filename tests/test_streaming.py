@@ -138,3 +138,52 @@ def test_interval_join_stream_matches_batch(spark, event_dir):
     )
     want = {(r.click_id, r.view_id) for r in batch.collect()}
     assert got == want and len(want) > 0
+
+
+def test_stream_merge_into_incremental_table(spark, event_dir, tmp_path):
+    """Streaming CDC refresh: micro-batches MERGE INTO the
+    tenant-partitioned incremental table; the drained table equals the
+    batch content, and a later correction batch wins on its keys."""
+    from vmware_graph_spark.store.incremental import IncrementalTable
+    from vmware_graph_spark.streaming import read_event_stream, stream_merge_into
+
+    table = IncrementalTable(
+        spark, str(tmp_path / "tbl"), ["event_id"], tenant_col="event_type"
+    )
+    stream = read_event_stream(spark, event_dir).select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    stream_merge_into(stream, table, str(tmp_path / "ckpt"))
+
+    batch = spark.read.parquet(event_dir).select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    # partitionBy moves the tenant column to the end on read-back;
+    # exceptAll is positional, so re-project to the batch column order.
+    got = table.read().select("event_id", "event_type", "user_id", "value")
+    assert got.count() == batch.count()
+    assert got.exceptAll(batch).isEmpty()
+
+    # Correction feed: new values for 10 clicks — update must win.
+    fixes = (
+        batch.filter(F.col("event_type") == "click")
+        .limit(10)
+        .withColumn("value", F.lit(-1.0))
+    )
+    fix_dir = str(tmp_path / "fixes")
+    fixes.coalesce(1).write.parquet(fix_dir)
+    stream_merge_into(
+        read_event_stream_projected(spark, fix_dir), table, str(tmp_path / "ckpt2")
+    )
+    assert table.read().filter(F.col("value") == -1.0).count() == 10
+    assert table.read().count() == batch.count()
+
+
+def read_event_stream_projected(spark, path):
+    from vmware_graph_spark.streaming import read_event_stream
+
+    return (
+        spark.readStream.schema("event_id bigint, event_type string, user_id bigint, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )

@@ -4,6 +4,7 @@ from vmware_graph_spark.streaming.events import (
     read_event_stream,
     run_available_to_memory,
     sessionize_stream,
+    stream_merge_into,
     windowed_event_counts,
 )
 
@@ -13,5 +14,6 @@ __all__ = [
     "dedup_within_watermark",
     "interval_join_stream",
     "sessionize_stream",
+    "stream_merge_into",
     "run_available_to_memory",
 ]

@@ -177,6 +177,36 @@ def interval_join_stream(
     return l.join(r, cond).drop(r[on])
 
 
+def stream_merge_into(
+    sdf: DataFrame,
+    table,
+    checkpoint_dir: str,
+    *,
+    delete_missing: bool = False,
+) -> None:
+    """CDC-style streaming refresh: drain the change stream into an
+    ``store.incremental.IncrementalTable`` via ``foreachBatch`` — each
+    micro-batch is one tenant-scoped MERGE INTO (upsert + optional
+    not-matched-by-source sweep), giving the reference's refresh
+    protocol a continuous-arrival form. The checkpoint directory makes
+    delivery exactly-once across restarts; the merge itself is
+    idempotent per batch (last-writer-wins on the natural key), so
+    replays converge."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        table.merge(batch_df, delete_missing=delete_missing)
+
+    q = (
+        sdf.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_available_to_memory(sdf: DataFrame, name: str, *, output_mode: str = "append") -> None:
     """Drain all available input through the streaming query into a
     memory sink table ``name`` (test/driver harness helper)."""
