@@ -90,3 +90,83 @@ def test_canonical_edges_direction_invariant(spark, pairs):
     fwd = canonical_edges(edges_df(pairs), ["LINKS"]).collect()
     rev = canonical_edges(edges_df([(b, a) for a, b in pairs]), ["LINKS"]).collect()
     assert sorted(map(tuple, fwd)) == sorted(map(tuple, rev))
+
+
+# -- temporal: as-of join vs brute-force reference ---------------------------
+
+_events_batch = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),      # key
+        st.integers(min_value=0, max_value=100),    # left ts (seconds)
+    ),
+    min_size=1,
+    max_size=25,
+)
+_right_batch = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),
+        st.integers(min_value=0, max_value=100),
+    ),
+    min_size=0,
+    max_size=25,
+    unique=True,  # right side must be unique per (key, ts) by contract
+)
+
+
+@PROP
+@given(_events_batch, _right_batch)
+def test_asof_join_matches_bruteforce(spark, lefts, rights):
+    from datetime import datetime, timedelta
+
+    from vmware_graph_spark.operators.temporal import asof_join
+
+    base = datetime(2024, 1, 1)
+    ldf = spark.createDataFrame(
+        [(k, i, base + timedelta(seconds=t)) for i, (k, t) in enumerate(lefts)],
+        "k int, lid int, ts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(k, base + timedelta(seconds=t), t) for (k, t) in rights],
+        "k int, ts timestamp, val int",
+    )
+    got = {
+        r.lid: r.r_val
+        for r in asof_join(ldf, rdf, "k", "ts", "ts", right_cols=["val"]).collect()
+    }
+    for i, (k, t) in enumerate(lefts):
+        prior = [rv for (rk, rv) in rights if rk == k and rv <= t]
+        want = max(prior) if prior else None
+        assert got[i] == want, (i, k, t, got[i], want)
+
+
+# -- sketches: KMV exactness below k, discrete percentile = sorted index -----
+
+
+@PROP
+@given(st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=60))
+def test_kmv_exact_when_distinct_below_k(spark, values):
+    from vmware_graph_spark.functions.sketch import kmv_distinct
+
+    df = spark.createDataFrame([("g", v) for v in values], "g string, v int")
+    got = kmv_distinct(df, ["g"], "v", k=64).collect()[0]["est_distinct"]
+    assert got == len(set(values))
+
+
+@PROP
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=1,
+        max_size=60,
+    ),
+    st.floats(min_value=0.01, max_value=1.0),
+)
+def test_disc_percentile_is_sorted_index(spark, values, p):
+    import math
+
+    from vmware_graph_spark.functions.sketch import disc_percentile
+
+    df = spark.createDataFrame([("g", float(v)) for v in values], "g string, v double")
+    got = disc_percentile(df, ["g"], "v", [p], ["q"]).collect()[0]["q"]
+    want = sorted(values)[max(1, math.ceil(p * len(values))) - 1]
+    assert got == want
