@@ -193,3 +193,85 @@ def hyperplane_topk(
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     return _topk(scored, k)
+
+
+def centroids_by_label(df: DataFrame, label_col: str, vec_col: str) -> DataFrame:
+    """Per-label centroid as (clabel, dim, c) rows — the k-means
+    'update' step in relational form. Decimal-accumulated so the result
+    is a pure function of the data (engine-exact), and no vector ever
+    sits whole in an aggregation buffer."""
+    return (
+        df.select(F.col(label_col).alias("clabel"), F.posexplode(vec_col).alias("dim", "vf"))
+        .groupBy("clabel", "dim")
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("vf").cast("double"), 6).cast("decimal(18,6)"))
+                .cast("double")
+                / F.count("*"),
+                6,
+            ).alias("c")
+        )
+    )
+
+
+def assign_to_centroids(
+    df: DataFrame, id_col: str, vec_col: str, centroids: DataFrame
+) -> DataFrame:
+    """k-means 'assignment' step: each vector → its max-inner-product
+    centroid, via explode → broadcast dim-join → decimal-accumulated
+    dot → window argmax. Output (id, assigned_label, dot)."""
+    vecd = df.select(
+        F.col(id_col).alias("__id"), F.posexplode(vec_col).alias("dim", "vf")
+    ).select("__id", "dim", F.col("vf").cast("double").alias("v"))
+    scores = (
+        vecd.join(F.broadcast(centroids), "dim")
+        .groupBy("__id", "clabel")
+        .agg(
+            F.sum(F.round(F.col("v") * F.col("c"), 12).cast("decimal(28,12)"))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    w = Window.partitionBy("__id").orderBy(F.col("dot").desc(), "clabel")
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("__id").alias(id_col), F.col("clabel").alias("assigned_label"), "dot")
+    )
+
+
+def ivf_learned_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    *,
+    k: int = 5,
+) -> DataFrame:
+    """Full learned-IVF search: train centroids (update step), assign
+    corpus + queries (assignment step), then exact cosine top-k WITHIN
+    the query's assigned cluster only. The inverted-list probe is an
+    equi-join on assigned_label — cost Σ cluster² instead of n·|Q|."""
+    cent = centroids_by_label(df, label_col, vec_col)
+    corpus_assign = assign_to_centroids(df, id_col, vec_col, cent)
+    query_assign = assign_to_centroids(queries, id_col, vec_col, cent)
+
+    corpus = df.select(
+        F.col(id_col).alias("cid"), as_double_vec(vec_col).alias("__vc")
+    ).join(corpus_assign.select(F.col(id_col).alias("cid"), "assigned_label"), "cid")
+    qs = queries.select(
+        F.col(id_col).alias("qid"), as_double_vec(vec_col).alias("__vq")
+    ).join(query_assign.select(F.col(id_col).alias("qid"), "assigned_label"), "qid")
+
+    scored = (
+        qs.join(corpus, "assigned_label")
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn("cos", cosine(F.col("__vq"), F.col("__vc")))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "cid")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", "cos", "rank")
+    )

@@ -3654,10 +3654,8 @@ def vector_centroids_by_label(spark, sf_dir):
     )
 
 
-@query(
-    "ivf_assign_learned_centroids",
-    """
-    WITH cent AS (
+_CENT_ASSIGN_CTE = """
+    cent AS (
       SELECT label AS clabel, i - 1 AS dim,
              round(CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE), 6) AS DECIMAL(18,6)))
                         AS DOUBLE) / count(*), 6) AS c
@@ -3674,13 +3672,20 @@ def vector_centroids_by_label(spark, sf_dir):
       FROM vecd JOIN cent USING (dim)
       GROUP BY vec_id, clabel
     ),
-    best AS (
+    assign AS (
       SELECT vec_id, clabel, dot,
              row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, clabel) AS rn
       FROM scores
     )
+"""
+
+
+@query(
+    "ivf_assign_learned_centroids",
+    f"""
+    WITH {_CENT_ASSIGN_CTE}
     SELECT vec_id, clabel AS assigned_label, round(dot, 6) AS score
-    FROM best WHERE rn = 1
+    FROM assign WHERE rn = 1
     """,
 )
 def ivf_assign_learned_centroids(spark, sf_dir):
@@ -3691,33 +3696,51 @@ def ivf_assign_learned_centroids(spark, sf_dir):
     broadcast-sized centroid table on dim, decimal-accumulated dot
     product, window argmax — so the whole pipeline is engine-exact and
     shuffle-bounded (no vector ever crosses the wire whole)."""
+    from vmware_graph_spark.operators.similarity import (
+        assign_to_centroids,
+        centroids_by_label,
+    )
+
     e = load_table(spark, sf_dir, "embeddings")
-    vecd = e.select(
-        "vec_id", F.posexplode("embedding").alias("dim", "vf")
-    ).select("vec_id", "dim", F.col("vf").cast("double").alias("v"))
-    cent = (
-        e.select(F.col("label").alias("clabel"), F.posexplode("embedding").alias("dim", "vf"))
-        .groupBy("clabel", "dim")
-        .agg(
-            F.round(
-                F.sum(F.round(F.col("vf").cast("double"), 6).cast("decimal(18,6)")).cast("double")
-                / F.count("*"),
-                6,
-            ).alias("c")
-        )
+    cent = centroids_by_label(e, "label", "embedding")
+    out = assign_to_centroids(e, "vec_id", "embedding", cent)
+    return out.select("vec_id", "assigned_label", F.round("dot", 6).alias("score"))
+
+
+@query(
+    "ivf_learned_topk_embeddings",
+    f"""
+    WITH {_CENT_ASSIGN_CTE},
+    a1 AS (SELECT vec_id, clabel AS assigned_label FROM assign WHERE rn = 1),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    pairs AS (
+      SELECT qa.vec_id AS qid, ca.vec_id AS cid
+      FROM a1 qa JOIN a1 ca ON qa.assigned_label = ca.assigned_label
+      WHERE qa.vec_id % 50 = 0 AND ca.vec_id <> qa.vec_id
+    ),
+    sc AS (
+      SELECT qid, cid,
+             list_dot_product(x.e, y.e)
+               / (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e))) AS cos
+      FROM pairs JOIN v x ON pairs.qid = x.vec_id JOIN v y ON pairs.cid = y.vec_id
+    ),
+    ranked AS (
+      SELECT qid, cid, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+      FROM sc
     )
-    scores = (
-        vecd.join(F.broadcast(cent), "dim")
-        .groupBy("vec_id", "clabel")
-        .agg(
-            F.sum(F.round(F.col("v") * F.col("c"), 12).cast("decimal(28,12)"))
-            .cast("double")
-            .alias("dot")
-        )
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("dot").desc(), "clabel")
-    return (
-        scores.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("clabel").alias("assigned_label"), F.round("dot", 6).alias("score"))
-    )
+    SELECT qid, cid, round(cos, 6) AS cos, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def ivf_learned_topk_embeddings(spark, sf_dir):
+    """End-to-end learned IVF: train per-label centroids (update step),
+    assign corpus + queries (assignment step), exact cosine top-5
+    within the query's assigned inverted list only. Query set =
+    vec_id % 50 == 0. The probe is an equi-join on assigned_label —
+    Σ cluster² work instead of n·|Q| brute force."""
+    from vmware_graph_spark.operators.similarity import ivf_learned_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") % 50 == 0)
+    out = ivf_learned_topk(e, qs, "vec_id", "embedding", "label", k=5)
+    return out.select("qid", "cid", F.round("cos", 6).alias("cos"), "rank")
