@@ -1460,7 +1460,10 @@ def ingest_vcluster_stage(spark, sf_dir):
     from vmware_graph_spark.ingest.stages import stage_vcluster
     from vmware_graph_spark.store.graph import GraphStore
 
-    store = GraphStore(spark)
+    # isolated few-stage run: fewer lineage cuts win (store/graph.py
+    # checkpoint_every note; measured sweet spot 2 across the stage
+    # queries — full refreshes keep the default 1)
+    store = GraphStore(spark, checkpoint_every=2)
     stage_vcluster(store, {"vCluster": _vcluster_sheet(spark, sf_dir)})
     return store.vertices("Vcentercluster").select(
         "name", "managedby", "hosts", "cpu", "CpuCored", "memory", "ha", "drs"
@@ -1505,7 +1508,10 @@ def ingest_version_split_stage(spark, sf_dir):
             (F.col("r_regionkey") + 14000000).cast("string"),
         ).alias("VI SDK Server type"),
     )
-    store = GraphStore(spark)
+    # isolated few-stage run: fewer lineage cuts win (store/graph.py
+    # checkpoint_every note; measured sweet spot 2 across the stage
+    # queries — full refreshes keep the default 1)
+    store = GraphStore(spark, checkpoint_every=2)
     stage_vcluster(store, {"vCluster": _vcluster_sheet(spark, sf_dir)})
     stage_vcenter_version(store, {"vInfo": vinfo})
     return store.edges().filter(F.col("rel_type").isin("BUILD_OF", "IS_VCENTER_BUILD"))
@@ -1560,7 +1566,10 @@ def ingest_ntp_classify_stage(spark, sf_dir):
         F.col("s_name").alias("Host"),
         ntp.alias("NTP Server(s)"),
     )
-    store = GraphStore(spark)
+    # isolated few-stage run: fewer lineage cuts win (store/graph.py
+    # checkpoint_every note; measured sweet spot 2 across the stage
+    # queries — full refreshes keep the default 1)
+    store = GraphStore(spark, checkpoint_every=2)
     store.upsert_nodes("Vspherehost", hosts)
     stage_ntp(store, {"vHost": sheet})
     return store.vertices("Ntpserver").select("kind", "address")
@@ -1611,7 +1620,10 @@ def ingest_rp_hierarchy_stage(spark, sf_dir):
         )
 
     vrp = sheet(base).unionByName(sheet(child))
-    store = GraphStore(spark)
+    # isolated few-stage run: fewer lineage cuts win (store/graph.py
+    # checkpoint_every note; measured sweet spot 2 across the stage
+    # queries — full refreshes keep the default 1)
+    store = GraphStore(spark, checkpoint_every=2)
     stage_vcluster(store, {"vCluster": _vcluster_sheet(spark, sf_dir)})
     stage_vrp(store, {"vRP": vrp})
     return store.edges().filter(F.col("rel_type") == "CHILD_RESOURCE_POOL")
@@ -1744,7 +1756,10 @@ def ingest_vhost_stage(spark, sf_dir):
     from vmware_graph_spark.ingest.stages import stage_vcluster, stage_vhost
     from vmware_graph_spark.store.graph import GraphStore
 
-    store = GraphStore(spark)
+    # isolated few-stage run: fewer lineage cuts win (store/graph.py
+    # checkpoint_every note; measured sweet spot 2 across the stage
+    # queries — full refreshes keep the default 1)
+    store = GraphStore(spark, checkpoint_every=2)
     stage_vcluster(store, {"vCluster": _vcluster_sheet(spark, sf_dir)})
     stage_vhost(store, {"vHost": _vhost_sheet(spark, sf_dir)})
     return store.edges().filter(
@@ -1839,7 +1854,10 @@ def ingest_vswitch_jumbo_stage(spark, sf_dir):
     from vmware_graph_spark.ingest.stages import stage_vcluster, stage_vswitch
     from vmware_graph_spark.store.graph import GraphStore
 
-    store = GraphStore(spark)
+    # isolated few-stage run: fewer lineage cuts win (store/graph.py
+    # checkpoint_every note; measured sweet spot 2 across the stage
+    # queries — full refreshes keep the default 1)
+    store = GraphStore(spark, checkpoint_every=2)
     stage_vcluster(store, {"vCluster": _vcluster_sheet(spark, sf_dir)})
     _seed_hosts(spark, sf_dir, store)
     store.upsert_nodes(
@@ -2003,7 +2021,10 @@ def ingest_vinfo_conditional_stage(spark, sf_dir):
     from vmware_graph_spark.ingest.stages import stage_vcluster, stage_vinfo_vms
     from vmware_graph_spark.store.graph import GraphStore
 
-    store = GraphStore(spark)
+    # isolated few-stage run: fewer lineage cuts win (store/graph.py
+    # checkpoint_every note; measured sweet spot 2 across the stage
+    # queries — full refreshes keep the default 1)
+    store = GraphStore(spark, checkpoint_every=2)
     stage_vcluster(store, {"vCluster": _vcluster_sheet(spark, sf_dir)})
     r = load_table(spark, sf_dir, "region")
     store.upsert_nodes(
@@ -2086,7 +2107,10 @@ def ingest_vdatastore_stage(spark, sf_dir):
     from vmware_graph_spark.ingest.stages import stage_vcluster, stage_vdatastore
     from vmware_graph_spark.store.graph import GraphStore
 
-    store = GraphStore(spark)
+    # isolated few-stage run: fewer lineage cuts win (store/graph.py
+    # checkpoint_every note; measured sweet spot 2 across the stage
+    # queries — full refreshes keep the default 1)
+    store = GraphStore(spark, checkpoint_every=2)
     stage_vcluster(store, {"vCluster": _vcluster_sheet(spark, sf_dir)})
     _seed_hosts(spark, sf_dir, store)
     stage_vdatastore(store, {"vDatastore": _vdatastore_sheet(spark, sf_dir)})
@@ -2225,7 +2249,10 @@ def ingest_vdisk_path_parse_stage(spark, sf_dir):
     from vmware_graph_spark.ingest.stages import stage_vdisk
     from vmware_graph_spark.store.graph import GraphStore
 
-    store = GraphStore(spark)
+    # isolated few-stage run: fewer lineage cuts win (store/graph.py
+    # checkpoint_every note; measured sweet spot 2 across the stage
+    # queries — full refreshes keep the default 1)
+    store = GraphStore(spark, checkpoint_every=2)
     _seed_vm_ds_host(spark, sf_dir, store)
     stage_vdisk(store, {"vDisk": _vdisk_sheet(spark, sf_dir)})
     return store.edges().filter(F.col("rel_type").isin("VDISK_FOR_VM", "ON_DATASTORE"))
@@ -2474,7 +2501,10 @@ def ingest_vport_stage(spark, sf_dir):
     from vmware_graph_spark.ingest.stages import stage_vcluster, stage_vport, stage_vswitch
     from vmware_graph_spark.store.graph import GraphStore
 
-    store = GraphStore(spark)
+    # isolated few-stage run: fewer lineage cuts win (store/graph.py
+    # checkpoint_every note; measured sweet spot 2 across the stage
+    # queries — full refreshes keep the default 1)
+    store = GraphStore(spark, checkpoint_every=2)
     stage_vcluster(store, {"vCluster": _vcluster_sheet(spark, sf_dir)})
     _seed_hosts(spark, sf_dir, store)
     stage_vswitch(store, {"vSwitch": _vswitch_sheet(spark, sf_dir)})
@@ -2516,7 +2546,10 @@ def ingest_vnic_stage(spark, sf_dir):
     from vmware_graph_spark.ingest.stages import stage_vcluster, stage_vnic, stage_vswitch
     from vmware_graph_spark.store.graph import GraphStore
 
-    store = GraphStore(spark)
+    # isolated few-stage run: fewer lineage cuts win (store/graph.py
+    # checkpoint_every note; measured sweet spot 2 across the stage
+    # queries — full refreshes keep the default 1)
+    store = GraphStore(spark, checkpoint_every=2)
     stage_vcluster(store, {"vCluster": _vcluster_sheet(spark, sf_dir)})
     _seed_hosts(spark, sf_dir, store)
     stage_vswitch(store, {"vSwitch": _vswitch_sheet(spark, sf_dir)})
@@ -2555,7 +2588,10 @@ def ingest_vnetwork_stage(spark, sf_dir):
     from vmware_graph_spark.ingest.stages import stage_vcluster, stage_vnetwork
     from vmware_graph_spark.store.graph import GraphStore
 
-    store = GraphStore(spark)
+    # isolated few-stage run: fewer lineage cuts win (store/graph.py
+    # checkpoint_every note; measured sweet spot 2 across the stage
+    # queries — full refreshes keep the default 1)
+    store = GraphStore(spark, checkpoint_every=2)
     stage_vcluster(store, {"vCluster": _vcluster_sheet(spark, sf_dir)})
     _seed_vm_ds_host(spark, sf_dir, store)
     r = load_table(spark, sf_dir, "region")
@@ -2590,7 +2626,10 @@ def ingest_vpartition_stage(spark, sf_dir):
     from vmware_graph_spark.ingest.stages import stage_vcluster, stage_vpartition
     from vmware_graph_spark.store.graph import GraphStore
 
-    store = GraphStore(spark)
+    # isolated few-stage run: fewer lineage cuts win (store/graph.py
+    # checkpoint_every note; measured sweet spot 2 across the stage
+    # queries — full refreshes keep the default 1)
+    store = GraphStore(spark, checkpoint_every=2)
     stage_vcluster(store, {"vCluster": _vcluster_sheet(spark, sf_dir)})
     _seed_vm_ds_host(spark, sf_dir, store)
     stage_vpartition(store, {"vPartition": _vpartition_sheet(spark, sf_dir)})
@@ -2615,7 +2654,10 @@ def ingest_vsnapshot_stage(spark, sf_dir):
     from vmware_graph_spark.ingest.stages import stage_vcluster, stage_vsnapshot
     from vmware_graph_spark.store.graph import GraphStore
 
-    store = GraphStore(spark)
+    # isolated few-stage run: fewer lineage cuts win (store/graph.py
+    # checkpoint_every note; measured sweet spot 2 across the stage
+    # queries — full refreshes keep the default 1)
+    store = GraphStore(spark, checkpoint_every=2)
     stage_vcluster(store, {"vCluster": _vcluster_sheet(spark, sf_dir)})
     _seed_vm_ds_host(spark, sf_dir, store)
     stage_vsnapshot(store, {"vSnapshot": _vsnapshot_sheet(spark, sf_dir)})
@@ -2649,7 +2691,10 @@ def ingest_vhost_domain_stage(spark, sf_dir):
     from vmware_graph_spark.ingest.stages import stage_vcluster, stage_vhost
     from vmware_graph_spark.store.graph import GraphStore, US
 
-    store = GraphStore(spark)
+    # isolated few-stage run: fewer lineage cuts win (store/graph.py
+    # checkpoint_every note; measured sweet spot 2 across the stage
+    # queries — full refreshes keep the default 1)
+    store = GraphStore(spark, checkpoint_every=2)
     stage_vcluster(store, {"vCluster": _vcluster_sheet(spark, sf_dir)})
     seeds = spark.createDataFrame(
         [("corp0.example", "Acme-0"), ("corp1.example", "Acme-1")], "dom string, co string"
@@ -2694,7 +2739,10 @@ def snapshot_write_read_roundtrip(spark, sf_dir):
     from vmware_graph_spark.ingest.stages import stage_vcluster
     from vmware_graph_spark.store.graph import GraphStore
 
-    store = GraphStore(spark)
+    # isolated few-stage run: fewer lineage cuts win (store/graph.py
+    # checkpoint_every note; measured sweet spot 2 across the stage
+    # queries — full refreshes keep the default 1)
+    store = GraphStore(spark, checkpoint_every=2)
     stage_vcluster(store, {"vCluster": _vcluster_sheet(spark, sf_dir)})
     path = tempfile.mkdtemp(prefix="vgs_snapshot_")
     store.write(path)
@@ -2730,7 +2778,10 @@ def ingest_progress_counts(spark, sf_dir):
     from vmware_graph_spark.ingest.stages import stage_vcluster
     from vmware_graph_spark.store.graph import GraphStore
 
-    store = GraphStore(spark)
+    # isolated few-stage run: fewer lineage cuts win (store/graph.py
+    # checkpoint_every note; measured sweet spot 2 across the stage
+    # queries — full refreshes keep the default 1)
+    store = GraphStore(spark, checkpoint_every=2)
     stage_vcluster(store, {"vCluster": _vcluster_sheet(spark, sf_dir)})
     counts = store.counts()
     return spark.createDataFrame(
