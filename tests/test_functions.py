@@ -124,3 +124,14 @@ def test_rolling_fingerprint_order_sensitive(spark):
     ).collect()
     assert row.fx != row.fy  # order matters, unlike fingerprint()
     assert 0 <= row.fx < 2147483647
+
+
+def test_register_views_enables_pure_sql(spark):
+    from vmware_graph_spark.sources.tables import register_views
+
+    views = register_views(spark, "/root/testdata/sf0.001", prefix="t_")
+    assert len(views) == 10
+    n = spark.sql(
+        "SELECT count(*) AS n FROM t_customer c JOIN t_nation n ON c.c_nationkey = n.n_nationkey"
+    ).collect()[0]["n"]
+    assert n == spark.sql("SELECT count(*) FROM t_customer").collect()[0][0] > 0

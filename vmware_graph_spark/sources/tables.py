@@ -46,3 +46,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     names = names or TABLES
     return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, *, prefix: str = "") -> list[str]:
+    """Register every fixture table as a temp view (``prefix + name``)
+    so pure-SQL workflows (`spark.sql`) see the same catalog the DuckDB
+    oracle does. Returns the view names registered."""
+    out = []
+    for name in TABLES:
+        view = f"{prefix}{name}"
+        load_table(spark, sf_dir, name).createOrReplaceTempView(view)
+        out.append(view)
+    return out
