@@ -214,3 +214,23 @@ def test_shortest_paths_multi_landmark(spark):
     und = shortest_paths(v, e, lm, max_hops=5, directed=False)
     assert und.filter(F.col("id") == "iso").count() == 0
     assert und.count() == 8
+
+
+def test_audio_windows_hop_arithmetic(spark):
+    import hashlib
+
+    from vmware_graph_spark.operators.multimodal import as_media, audio_windows
+
+    df = spark.createDataFrame([(1, "x" * 300), (2, "")], ["doc_id", "text"])
+    media = as_media(df, "doc_id", F.col("text").cast("binary"))
+    rows = audio_windows(media, window_bytes=256, hop_bytes=128).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.asset_id, []).append(r)
+    # 300 bytes, hop 128 → windows at 0 (len 256), 128 (len 172), 256 (len 44)
+    w1 = sorted(by[1], key=lambda r: r.win_idx)
+    assert [(r.start_byte, r.win_len) for r in w1] == [(0, 256), (128, 172), (256, 44)]
+    want = int.from_bytes(hashlib.md5(b"x" * 256).digest()[:4], "big") / 4294967296.0
+    assert abs(w1[0].energy - want) < 1e-12
+    # empty payload still yields exactly one empty window row
+    assert [(r.start_byte, r.win_len) for r in by[2]] == [(0, 0)]

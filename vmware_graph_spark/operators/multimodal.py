@@ -165,3 +165,43 @@ def resize_media(df: DataFrame, *, width: int = 64, height: int = 48) -> DataFra
             )
 
     return df.mapInPandas(run, "asset_id bigint, width int, height int, thumb_md5 string")
+
+
+def audio_windows(
+    df: DataFrame, *, window_bytes: int = 256, hop_bytes: int = 128
+) -> DataFrame:
+    """Audio feature-window STUB with real plumbing: overlapping
+    fixed-size byte windows (window/hop, the STFT batch shape) over the
+    payload, emitting a deterministic pseudo-energy per window —
+    md5-derived, so an oracle can recompute it from the bytes. A real
+    deployment swaps the energy stub for a PCM decode + RMS/FFT inside
+    the same mapInPandas; the schema, hop arithmetic, and Arrow batch
+    path are the production ones."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"asset_id": [], "win_idx": [], "start_byte": [], "win_len": [], "energy": []}
+            for aid, m in zip(pdf["asset_id"], pdf["media"]):
+                b = bytes(m)
+                n = len(b)
+                i = 0
+                start = 0
+                while start < n or i == 0:
+                    chunk = b[start : start + window_bytes]
+                    h = hashlib.md5(chunk).digest()
+                    rows["asset_id"].append(aid)
+                    rows["win_idx"].append(i)
+                    rows["start_byte"].append(start)
+                    rows["win_len"].append(len(chunk))
+                    rows["energy"].append(int.from_bytes(h[:4], "big") / 4294967296.0)
+                    i += 1
+                    start += hop_bytes
+                    if not chunk:
+                        break
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(
+        run,
+        "asset_id bigint, win_idx int, start_byte bigint, win_len bigint, energy double",
+    )

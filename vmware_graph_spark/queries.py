@@ -3795,3 +3795,27 @@ def ivf_learned_topk_embeddings(spark, sf_dir):
     qs = e.filter(F.col("vec_id") % 50 == 0)
     out = ivf_learned_topk(e, qs, "vec_id", "embedding", "label", k=5)
     return out.select("qid", "cid", F.round("cos", 6).alias("cos"), "rank")
+
+
+@query(
+    "multimodal_audio_windows",
+    """
+    SELECT doc_id AS asset_id,
+           CAST(s // 8 AS INTEGER) AS win_idx,
+           s AS start_byte,
+           least(16, 32 - s) AS win_len,
+           ('0x' || substr(md5(substr(md5(text), s + 1, 16)), 1, 8))::BIGINT
+             / 4294967296.0 AS energy
+    FROM documents, UNNEST([0, 8, 16, 24]) AS t(s)
+    """,
+)
+def multimodal_audio_windows(spark, sf_dir):
+    """Audio plumbing: binary payload → overlapping STFT-shaped windows
+    (window 16 / hop 8 over the 32-byte md5-hex payload, so the oracle
+    can re-slice in SQL without shipping bytes) with a deterministic
+    md5 pseudo-energy per window, via Arrow-batched mapInPandas."""
+    from vmware_graph_spark.operators.multimodal import as_media, audio_windows
+
+    d = load_table(spark, sf_dir, "documents")
+    media = as_media(d, "doc_id", F.md5("text").cast("binary"))
+    return audio_windows(media, window_bytes=16, hop_bytes=8)
