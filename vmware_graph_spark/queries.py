@@ -3819,3 +3819,51 @@ def multimodal_audio_windows(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     media = as_media(d, "doc_id", F.md5("text").cast("binary"))
     return audio_windows(media, window_bytes=16, hop_bytes=8)
+
+
+@query(
+    "tfidf_top_terms",
+    f"""
+    WITH terms AS (
+      SELECT doc_id, unnest({_toks('text')}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * round(ln(n.n_docs / dfreq.df), 8) AS score
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+      FROM scored
+    )
+    SELECT doc_id, term, round(score, 6) AS score, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def tfidf_top_terms(spark, sf_dir):
+    """TF-IDF top-5 terms per document (the SURVEY §2.11 text-analysis
+    commitment): tf = in-doc term count, idf = ln(N/df) rounded to 8
+    places on both engines (kills cross-libm ulp drift before the
+    product), one shuffle each for tf, df, and the ranking window. The
+    df table is broadcast-sized relative to the corpus at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    terms = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # corpus size joins in lazily (1-row broadcast) — no eager action
+    n_docs = d.agg(F.count("*").cast("double").alias("n_docs"))
+    scored = tf.join(dfreq, "term").crossJoin(F.broadcast(n_docs)).select(
+        "doc_id",
+        "term",
+        (F.col("tf") * F.round(F.log(F.col("n_docs") / F.col("df")), 8)).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("doc_id", "term", F.round("score", 6).alias("score"), "rank")
+    )
