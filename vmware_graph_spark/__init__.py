@@ -13,7 +13,9 @@ Architecture (Spark-first, not a translation):
 - ``operators`` — the engine's core algorithms: MERGE-style upsert
                   (last-writer-wins, deterministic), undirected-edge
                   canonicalization, snapshot diff (mark-and-sweep
-                  replacement), top-k, dedup family, similarity search.
+                  replacement), top-k, dedup family, similarity search
+                  (incl. learned-centroid IVF), temporal as-of/range
+                  joins, skew salting, multimodal column plumbing.
 - ``store``     — the property-graph store: one vertex DataFrame per label
                   + one canonical edge DataFrame; snapshot writer.
 - ``ingest``    — per-sheet ingest stages mirroring the reference's
@@ -22,9 +24,12 @@ Architecture (Spark-first, not a translation):
                   protocol (mark → ingest → sweep) as a pure snapshot
                   rebuild + anti-join diff.
 - ``analytics`` — bulk graph analytics (degrees, connected components,
-                  PageRank, motif joins) over the vertex/edge tables.
+                  PageRank, BFS/shortest paths, triangle counts, motif
+                  joins) over the vertex/edge tables.
 - ``streaming`` — Structured Streaming ingest of event streams with
-                  watermarks and windowed aggregation.
+                  watermarks, windowed aggregation, stream-stream
+                  interval joins, stateful sessionization, and CDC-style
+                  foreachBatch MERGE INTO.
 """
 
 __version__ = "0.1.0"
