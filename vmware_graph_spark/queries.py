@@ -3867,3 +3867,34 @@ def tfidf_top_terms(spark, sf_dir):
         .filter(F.col("rank") <= 5)
         .select("doc_id", "term", F.round("score", 6).alias("score"), "rank")
     )
+
+
+@query(
+    "jaccard_pairs_capped_df",
+    f"""
+    WITH {_SH3_CTE},
+    dfreq AS (SELECT shingle, count(*) AS c FROM sh GROUP BY shingle),
+    shf AS (
+      SELECT sh.id, sh.shingle FROM sh JOIN dfreq USING (shingle) WHERE dfreq.c <= 3
+    ),
+    sizesf AS (SELECT id, count(*) AS n_sh FROM shf GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+      FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT i.id_a, i.id_b,
+           round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+    FROM inter i JOIN sizesf sa ON sa.id = i.id_a JOIN sizesf sb ON sb.id = i.id_b
+    WHERE inter::DOUBLE / (sa.n_sh + sb.n_sh - inter) >= 0.3
+    """,
+)
+def jaccard_pairs_capped_df(spark, sf_dir):
+    """Exact Jaccard pairs WITH the hot-shingle cap engaged
+    (max_df=3 actually prunes this corpus — p90 of shingle df is 3):
+    the 100 TB contract for the inverted-index self-join, verified
+    oracle-equal on the pruned shingle universe. Without the cap a
+    single stopword-like shingle in N docs creates N² join rows."""
+    d = load_table(spark, sf_dir, "documents")
+    out = jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.3, max_df=3)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
