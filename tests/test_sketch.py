@@ -120,3 +120,19 @@ def test_hash_space_matches_hash_width(spark):
 
     mx = df.select(F.max(uniform_hash60("v")).alias("m")).collect()[0]["m"]
     assert 0 < mx < HASH_SPACE
+
+
+def test_stratified_sample_fractions(spark):
+    from vmware_graph_spark.functions.sketch import stratified_hash_sample
+
+    e = load_table(spark, SF, "events")
+    s = stratified_hash_sample(
+        e, "event_id", "event_type", {"click": 0.5, "view": 0.0}, default_fraction=1.0
+    )
+    got = {r.event_type: r.n for r in s.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    totals = {r.event_type: r.n for r in e.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    assert "view" not in got                       # fraction 0 drops all
+    assert got["signup"] == totals["signup"]       # default 1.0 keeps all
+    n, k = totals["click"], got["click"]
+    sigma = (n * 0.25) ** 0.5
+    assert abs(k - 0.5 * n) <= 5 * sigma           # ~50% of clicks kept

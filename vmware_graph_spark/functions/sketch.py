@@ -123,3 +123,31 @@ def disc_percentile(
         for p, name in zip(ps, out_names)
     ]
     return ranked.groupBy(*group_cols).agg(*aggs)
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    *,
+    default_fraction: float = 0.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic stratified sampling: per-stratum keep fractions
+    (the data-mixture knob of a training pipeline — e.g. upsample one
+    source, downsample another) as a single hash-threshold filter.
+
+    Like :func:`hash_sample`, the kept set is a pure function of the
+    data: reproducible across engines, runs, and partitionings, and
+    the filter pushes to the scan. Strata not listed keep
+    ``default_fraction``.
+    """
+    thr = F.lit(int(default_fraction * HASH_SPACE))
+    expr = None
+    for stratum, frac in sorted(fractions.items()):
+        cond = F.col(strata_col) == stratum
+        lit = F.lit(int(frac * HASH_SPACE))
+        expr = F.when(cond, lit) if expr is None else expr.when(cond, lit)
+    threshold = thr if expr is None else expr.otherwise(thr)
+    return df.filter(uniform_hash60(key_col, seed) < threshold)

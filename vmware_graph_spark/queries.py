@@ -3898,3 +3898,41 @@ def jaccard_pairs_capped_df(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     out = jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.3, max_df=3)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@query(
+    "stratified_sample_mixture",
+    """
+    SELECT event_type, count(*) AS n_kept,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    WHERE CAST('0x' || substr(md5('2:' || CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT)
+          < CASE event_type
+              WHEN 'click'    THEN 576460752303423488
+              WHEN 'view'     THEN 230584300921369408
+              WHEN 'purchase' THEN 57646075230342352
+              ELSE 23058430092136940
+            END
+    GROUP BY event_type
+    """,
+)
+def stratified_sample_mixture(spark, sf_dir):
+    """Deterministic stratified sampling (the training-data mixture
+    knob): per-event-type keep fractions (click 50%, view 20%,
+    purchase 5%, rest 2%) as one hash-threshold filter — reproducible
+    across engines/partitionings, pushed to the scan. Output is the
+    per-stratum kept-row census."""
+    from vmware_graph_spark.functions.sketch import stratified_hash_sample
+
+    e = load_table(spark, sf_dir, "events")
+    s = stratified_hash_sample(
+        e,
+        "event_id",
+        "event_type",
+        {"click": 0.5, "view": 0.2, "purchase": 0.05},
+        default_fraction=0.02,
+        seed=2,
+    )
+    return s.groupBy("event_type").agg(
+        F.count("*").alias("n_kept"), F.countDistinct("user_id").alias("n_users")
+    )
