@@ -3936,3 +3936,46 @@ def stratified_sample_mixture(spark, sf_dir):
     return s.groupBy("event_type").agg(
         F.count("*").alias("n_kept"), F.countDistinct("user_id").alias("n_users")
     )
+
+
+@query(
+    "pack_documents_token_budget",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source, CAST(len({_toks('text')}) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, source, n_tok,
+             coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS cum_before
+      FROM toks
+    )
+    SELECT doc_id, source, n_tok,
+           CAST(cum_before // 2048 AS BIGINT) AS bin_id
+    FROM packed
+    """,
+)
+def pack_documents_token_budget(spark, sf_dir):
+    """Sequence packing for training batches: assign documents to
+    fixed token-budget bins (2048) by exclusive running token count,
+    packed per source shard. The window is PARTITIONED by shard, so
+    packing parallelizes across shards at any scale (a global pack
+    would serialize — the per-shard form is what a 100 TB pipeline
+    actually runs). Deterministic: doc_id order, no RNG."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "source", n_tokens("text").cast("bigint").alias("n_tok"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return toks.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        F.floor(F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / 2048)
+        .cast("bigint")
+        .alias("bin_id"),
+    )
