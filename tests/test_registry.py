@@ -1,0 +1,38 @@
+"""Registry integrity: fast structural checks on the driver contract
+(no SparkSession needed — these run in milliseconds and catch contract
+drift before the oracle gate does)."""
+
+from __future__ import annotations
+
+import re
+
+from vmware_graph_spark.queries import ORACLE, QUERIES
+
+
+def test_every_oracle_key_has_a_query():
+    assert set(ORACLE) <= set(QUERIES), set(ORACLE) - set(QUERIES)
+
+
+def test_rows_only_queries_are_the_documented_three():
+    # Anything without an oracle must be one of the engine-specific-by-
+    # design trio (each of which has a hash-verified deterministic twin
+    # elsewhere in the registry). Growing this set silently would erode
+    # the correctness gate.
+    rows_only = set(QUERIES) - set(ORACLE)
+    assert rows_only == {
+        "approx_distinct_users_per_type",
+        "approx_percentile_value",
+        "pagerank_customer_nation",
+    }, rows_only
+
+
+def test_query_names_are_snake_case_and_documented():
+    for name, fn in QUERIES.items():
+        assert re.fullmatch(r"[a-z][a-z0-9_]+", name), name
+        assert fn.__doc__ and len(fn.__doc__.strip()) > 20, name
+
+
+def test_oracle_sql_is_nonempty_ansi():
+    for name, sql in ORACLE.items():
+        assert sql.strip().upper().startswith(("SELECT", "WITH")), name
+        assert "spark" not in sql.lower(), name  # pure ANSI/DuckDB side
