@@ -302,3 +302,65 @@ def test_read_workbook_xlsx_stub_gated(spark, tmp_path):
         pass
     with pytest.raises(NotImplementedError, match="openpyxl"):
         read_workbook_xlsx(spark, str(tmp_path / "x.xlsx"))
+
+
+def test_cli_refresh_end_to_end(spark, tmp_path):
+    """python -m vmware_graph_spark refresh: full build, then a
+    mark-and-sweep refresh with the A' workbook sweeps exactly the
+    dropped entities (in-process main() against real dirs)."""
+    import json
+
+    from vmware_graph_spark.__main__ import main
+    from tests.fixtures import workbook
+
+    wb_a = str(tmp_path / "wbA")
+    wb_a2 = str(tmp_path / "wbA2")
+    snap = str(tmp_path / "snap")
+    for path, variant in ((wb_a, "A"), (wb_a2, "Aprime")):
+        sheets = workbook(spark, variant=variant)
+        for name, df in sheets.items():
+            df.coalesce(1).write.mode("overwrite").parquet(f"{path}/{name}.parquet")
+
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main(["refresh", wb_a, snap]) == 0
+    first = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert first["orphans_swept"] == 0 and first["edges"] > 0
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main(["refresh", wb_a2, snap]) == 0
+    second = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert second["orphans_swept"] > 0  # A' drops entities → swept
+
+    assert main(["bogus"]) == 2
+
+
+def test_publish_swaps_snapshot_under_live_lineage(spark, tmp_path):
+    """publish() must stay safe when the new graph's lineage still reads
+    the previous snapshot at the same path — overwrite-in-place would
+    delete input parquet files mid-scan (the rebuild-refresh shape)."""
+    from vmware_graph_spark.store.graph import GraphStore
+
+    path = str(tmp_path / "snap")
+    s1 = GraphStore(spark)
+    s1.upsert_nodes("Vcenterserver", spark.createDataFrame([("vc1",)], ["uid"]))
+    s1.write(path)
+
+    prev = GraphStore.read(spark, path)
+    s2 = GraphStore(spark)
+    s2.upsert_nodes(
+        "Vcenterserver",
+        prev.vertices("Vcenterserver").unionByName(
+            spark.createDataFrame([("vc2",)], ["uid"])
+        ),
+    )
+    s2.publish(path)  # lineage reads `path` while it is replaced
+
+    out = GraphStore.read(spark, path)
+    assert {r.uid for r in out.vertices("Vcenterserver").collect()} == {"vc1", "vc2"}
+    # staging/backup dirs are cleaned up after the swap
+    assert not (tmp_path / "snap.staging").exists()
+    assert not (tmp_path / "snap.old").exists()

@@ -113,3 +113,35 @@ def test_ingest_stage_plans_cartesian_free(spark):
     for name in ["ingest_vcluster_stage", "ingest_vhost_stage"]:
         plan = executed_plan(spark, name)
         assert "CartesianProduct" not in plan, name
+
+
+def test_small_scan_rebalance_keeps_pushdown(spark):
+    """load_table's round-robin rebalance (single-row-group parquet
+    cannot split, so small-SF scans arrive single-partition) must not
+    block predicate pushdown or column pruning from reaching the scan."""
+    from pyspark.sql import functions as F
+
+    from vmware_graph_spark.sources.tables import load_table
+
+    df = (
+        load_table(spark, SF, "lineitem")
+        .filter(F.col("l_shipdate") > "1995-01-01")
+        .select("l_quantity")
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "GreaterThan(l_shipdate" in plan
+    assert "ReadSchema: struct<l_quantity" in plan
+    # and the fan-out side really is multi-partition now
+    assert df.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+
+
+def test_split_small_scan_noop_when_wide_enough(spark):
+    from vmware_graph_spark.sources.tables import split_small_scan
+
+    wide = spark.range(1000).repartition(
+        spark.sparkContext.defaultParallelism + 4
+    )
+    assert split_small_scan(wide, spark) is wide

@@ -29,8 +29,38 @@ TABLES = (
 # TPC-H-ish schema produces (region: 5 rows, nation: 25).
 BROADCAST_TABLES = frozenset({"region", "nation"})
 
+# Tables whose consumers do per-row CPU-heavy fan-out (shingling, md5
+# hashing, vector math) or wide-scan aggregation: worth one linear
+# shuffle to spread a non-splittable small scan across cores. The
+# join/merge-pipeline tables (customer/orders/...) are NOT listed —
+# their first shuffle redistributes anyway, so a scan-level rebalance
+# only adds an exchange and per-stage task overhead (measured +1-4 s on
+# the checkpoint-heavy ingest stage queries at sf0.1).
+REBALANCE_TABLES = frozenset({"documents", "embeddings", "lineitem"})
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+
+def split_small_scan(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Round-robin repartition a scan that yields fewer partitions than
+    cores.
+
+    Single-row-group parquet files cannot be split by byte range, so a
+    small-SF fixture scans as ONE partition and every downstream
+    CPU-heavy fan-out (shingling, hashing, mapInPandas) runs on one
+    core. The cure is one linear shuffle of the compact input rows. At
+    production scale the scan already yields >= cores partitions and
+    this is a no-op — the partition-count probe is planning-only, no
+    job. Catalyst still pushes filters/pruning through the repartition
+    into the scan (asserted in tests/test_plans.py).
+    """
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, *, rebalance: bool = True
+) -> DataFrame:
     """Load one fixture table; known-tiny dimension tables carry a
     broadcast hint so every downstream join plans broadcast-hash."""
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
@@ -40,7 +70,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.simpleString() == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return F.broadcast(df) if name in BROADCAST_TABLES else df
+    if name in BROADCAST_TABLES:
+        return F.broadcast(df)
+    if rebalance and name in REBALANCE_TABLES:
+        return split_small_scan(df, spark)
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

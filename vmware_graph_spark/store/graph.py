@@ -22,6 +22,7 @@ Design for 100 TB:
 from __future__ import annotations
 
 import os
+import shutil
 from collections.abc import Mapping, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -31,6 +32,11 @@ from vmware_graph_spark.operators.merge import EDGE_COLS, merge_edges, merge_nod
 
 # Unit separator joins composite natural keys into the edge-table key.
 US = "\x1f"
+
+EDGE_SCHEMA = (
+    "src_label string, src_key string, rel_type string, "
+    "dst_label string, dst_key string"
+)
 
 # Natural key per label (SURVEY §1.3; MERGE patterns in
 # refresh-vmware.cypher cited per stage in ingest/stages.py).
@@ -214,8 +220,7 @@ class GraphStore:
         if self._edges_cache is not None:
             return self._edges_cache
         if not self._edge_batches:
-            schema = "src_label string, src_key string, rel_type string, dst_label string, dst_key string"
-            self._edges_cache = self.spark.createDataFrame([], schema)
+            self._edges_cache = self.spark.createDataFrame([], EDGE_SCHEMA)
             return self._edges_cache
         batch = self._edge_batches[0]
         for b in self._edge_batches[1:]:
@@ -254,6 +259,27 @@ class GraphStore:
             os.path.join(path, "edges")
         )
 
+    def publish(self, path: str) -> None:
+        """Write the snapshot to a staging dir, then swap it into place.
+
+        Required when this graph's lineage still reads the *previous*
+        snapshot at ``path`` (the rebuild-refresh case, refresh-vmware
+        .cypher:26-31): ``write(path)`` would delete the input parquet
+        files mid-scan. On a cluster the same pattern is a new snapshot
+        prefix plus a pointer flip — never overwrite-in-place.
+        """
+        staging = path.rstrip("/") + ".staging"
+        backup = path.rstrip("/") + ".old"
+        for d in (staging, backup):
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+        self.write(staging)
+        if os.path.isdir(path):
+            os.rename(path, backup)
+        os.rename(staging, path)
+        if os.path.isdir(backup):
+            shutil.rmtree(backup)
+
     @classmethod
     def read(cls, spark: SparkSession, path: str) -> "GraphStore":
         store = cls(spark)
@@ -263,8 +289,10 @@ class GraphStore:
                 store._vertices[label] = spark.read.parquet(os.path.join(vdir, label))
         edir = os.path.join(path, "edges")
         if os.path.isdir(edir):
+            # Explicit schema: a snapshot written from an edge-less graph
+            # has no parquet data files to infer from.
             store._edge_batches = [
-                spark.read.parquet(edir).select(
+                spark.read.schema(EDGE_SCHEMA).parquet(edir).select(
                     "src_label", "src_key", "rel_type", "dst_label", "dst_key"
                 )
             ]
