@@ -111,3 +111,34 @@ def test_ivf_topk_prunes_other_buckets(vecs):
     ids = {r.neighbor_id for r in out.collect()}
     assert 4 not in ids  # negative-x bucket never probed
     assert 1 in ids and 2 in ids
+
+
+def test_fuzzy_pairs_blocked_edit_distance(spark):
+    from vmware_graph_spark.operators.dedup import fuzzy_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "red ring"),
+            (2, "rad ring"),     # distance 1 to red ring
+            (3, "blue widget"),
+            (4, "blue ring"),    # distance 3 to red ring, same block
+            (5, "red  ring"),    # double space: same tokens, distance 1
+        ],
+        ["id", "name"],
+    )
+    out = fuzzy_pairs(df, "id", "name", max_distance=2)
+    pairs = {(r.id_a, r.id_b): r.distance for r in out.collect()}
+    assert pairs[(1, 2)] == 1
+    assert pairs[(1, 5)] == 1
+    assert (1, 4) not in pairs  # beyond radius
+    assert (3, 4) not in pairs  # different block (widget vs ring)
+    assert all(a < b for a, b in pairs)
+
+
+def test_fuzzy_pairs_never_crosses_blocks(spark):
+    """The candidate join is an equi-join on the blocking key — a pair
+    with no shared block must be absent even at distance 0."""
+    from vmware_graph_spark.operators.dedup import fuzzy_pairs
+
+    df = spark.createDataFrame([(1, "alpha x"), (2, "alpha y")], ["id", "name"])
+    assert fuzzy_pairs(df, "id", "name", max_distance=10).count() == 0

@@ -135,3 +135,34 @@ def test_register_views_enables_pure_sql(spark):
         "SELECT count(*) AS n FROM t_customer c JOIN t_nation n ON c.c_nationkey = n.n_nationkey"
     ).collect()[0]["n"]
     assert n == spark.sql("SELECT count(*) FROM t_customer").collect()[0][0] > 0
+
+
+def test_redact_pii_scrubs_and_counts(spark):
+    from vmware_graph_spark.functions.text import (
+        EMAIL_RE,
+        IPV4_IN_TEXT_RE,
+        count_pattern,
+        redact_pii,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b-c@corp.example and host 10.0.0.1 end"),
+            (2, "no pii here"),
+            (3, "two ips 192.168.1.9 8.8.8.8 one mail x@y.zz"),
+        ],
+        ["id", "t"],
+    )
+    out = df.select(
+        "id",
+        redact_pii(F.col("t")).alias("red"),
+        count_pattern(F.col("t"), EMAIL_RE).alias("ne"),
+        count_pattern(F.col("t"), IPV4_IN_TEXT_RE).alias("ni"),
+    ).collect()
+    rows = {r.id: r for r in out}
+    assert rows[1].red == "mail [EMAIL] and host [IP] end"
+    assert (rows[1].ne, rows[1].ni) == (1, 1)
+    assert rows[2].red == "no pii here" and rows[2].ne == 0 and rows[2].ni == 0
+    assert rows[3].red == "two ips [IP] [IP] one mail [EMAIL]"
+    assert (rows[3].ne, rows[3].ni) == (1, 2)

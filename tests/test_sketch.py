@@ -136,3 +136,24 @@ def test_stratified_sample_fractions(spark):
     n, k = totals["click"], got["click"]
     sigma = (n * 0.25) ** 0.5
     assert abs(k - 0.5 * n) <= 5 * sigma           # ~50% of clicks kept
+
+
+def test_weighted_sample_deterministic_and_weight_biased(spark):
+    """Same input -> same sample; heavy keys are overrepresented
+    relative to their population share (the point of the operator)."""
+    from vmware_graph_spark.functions.sketch import weighted_sample
+    from pyspark.sql import functions as F
+
+    df = spark.range(2000).select(
+        F.col("id"),
+        # 10% of rows carry 50x the weight of the rest
+        F.when(F.col("id") % 10 == 0, 500.0).otherwise(10.0).alias("w"),
+    )
+    s1 = weighted_sample(df, "id", "w", 100)
+    s2 = weighted_sample(df, "id", "w", 100)
+    ids1 = [r.id for r in s1.collect()]
+    assert ids1 == [r.id for r in s2.collect()]
+    assert len(ids1) == 100 and len(set(ids1)) == 100
+    heavy = sum(1 for i in ids1 if i % 10 == 0)
+    # heavy stratum is 10% of rows but 85% of total weight
+    assert heavy > 50

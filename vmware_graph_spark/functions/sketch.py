@@ -151,3 +151,29 @@ def stratified_hash_sample(
         expr = F.when(cond, lit) if expr is None else expr.when(cond, lit)
     threshold = thr if expr is None else expr.otherwise(thr)
     return df.filter(uniform_hash60(key_col, seed) < threshold)
+
+
+def weighted_sample(
+    df: DataFrame, key_col: str, weight_col: str, n: int, seed: int = 0
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (priority /
+    exponential-race sampling, Efraimidis–Spirakis A-ES).
+
+    Each row draws u = uniform-hash(key) ∈ (0,1) and a priority
+    ``-ln(u) / weight``; the global n smallest priorities are the
+    sample, so inclusion probability scales with weight — the
+    data-mixture knob for length- or quality-weighted corpus draws.
+    Deterministic: the draw is a hash of the key, not an RNG, so the
+    sample is a function of the data alone. The top-n runs as
+    ``orderBy().limit(n)`` — Spark's distributed TakeOrdered (per-
+    partition partial top-n, then a single n-row merge), never a global
+    sort. ln() is rounded to 10 decimals to kill cross-libm ulp drift
+    before ranking; ties (astronomically rare) break on the key.
+    """
+    u = (uniform_hash60(key_col, seed).cast("double") + 0.5) / float(HASH_SPACE)
+    priority = F.round(-F.log(u) / F.col(weight_col).cast("double"), 10)
+    return (
+        df.withColumn("priority", priority)
+        .orderBy("priority", key_col)
+        .limit(n)
+    )

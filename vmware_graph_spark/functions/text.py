@@ -144,3 +144,26 @@ def rolling_fingerprint(col: Column | str) -> Column:
         F.lit(0).cast("bigint"),
         lambda acc, x: (acc * F.lit(1000003) + h(x)) % F.lit(2147483647),
     )
+
+
+#: PII patterns kept to constructs with identical semantics in Java
+#: regex (Spark) and RE2 (DuckDB): char classes, \d, \b, bounded reps.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_IN_TEXT_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def redact_pii(col: Column | str, *, email_token: str = "[EMAIL]", ip_token: str = "[IP]") -> Column:
+    """Scrub emails then IPv4 literals from free text (training-data
+    hygiene pass). Pure Catalyst ``regexp_replace`` — global replace,
+    JVM-side; email first so an address's domain dots are gone before
+    the IP pattern scans."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(
+        F.regexp_replace(c, EMAIL_RE, email_token), IPV4_IN_TEXT_RE, ip_token
+    )
+
+
+def count_pattern(col: Column | str, pattern: str) -> Column:
+    """Occurrence count of ``pattern`` in ``col`` (0 for no match)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(pattern), 0))

@@ -338,3 +338,45 @@ def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 64) -> Dat
         term = F.shiftleft(bit, i)
         sig = term if sig is None else sig.bitwiseOR(term)
     return agg.select("id", sig.alias("simhash"))
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    *,
+    max_distance: int = 3,
+    block=None,
+) -> DataFrame:
+    """Blocked fuzzy-duplicate pairs by Levenshtein edit distance.
+
+    The entity-resolution primitive behind name/title dedup: candidate
+    pairs come from an equi-join on a blocking key (default: the name's
+    last whitespace token — the head noun for product/entity names),
+    NEVER an all-pairs cross join; the O(len²) edit-distance kernel runs
+    only inside blocks. Hot blocks are this operator's skew knob — the
+    same contract as ``jaccard_pairs(max_df=...)``: cap or salt
+    over-large blocks at scale. JVM-side throughout (``F.levenshtein``
+    is a codegen'd built-in).
+    """
+    b = (
+        block
+        if block is not None
+        else F.element_at(F.split(F.col(name_col), r"\s+"), -1)
+    )
+    t = df.select(
+        F.col(id_col).alias("id"), F.col(name_col).alias("name"), b.alias("blk")
+    )
+    a, c = t.alias("a"), t.alias("b")
+    d = F.levenshtein(F.col("a.name"), F.col("b.name"))
+    return (
+        a.join(c, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+            d.alias("distance"),
+        )
+        .filter(F.col("distance") <= max_distance)
+    )

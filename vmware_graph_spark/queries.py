@@ -3979,3 +3979,185 @@ def pack_documents_token_budget(spark, sf_dir):
         .cast("bigint")
         .alias("bin_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Entity-resolution + training-data hygiene extensions
+# ---------------------------------------------------------------------------
+
+@query(
+    "fuzzy_pairs_part_names",
+    r"""
+    WITH t AS (
+      SELECT p_partkey AS id, p_name AS name,
+             list_extract(
+               list_filter(string_split_regex(p_name, '\s+'), x -> x <> ''), -1
+             ) AS blk
+      FROM part
+    )
+    SELECT a.id AS id_a, b.id AS id_b, a.name AS name_a, b.name AS name_b,
+           levenshtein(a.name, b.name) AS distance
+    FROM t a JOIN t b ON a.blk = b.blk AND a.id < b.id
+    WHERE levenshtein(a.name, b.name) BETWEEN 1 AND 2
+    """,
+)
+def fuzzy_pairs_part_names(spark, sf_dir):
+    """Blocked fuzzy-duplicate pairs (entity resolution over product
+    names): block on the head noun (last token), Levenshtein in [1,2]
+    inside blocks only — near-but-not-exact, since identical names are
+    exact_dedup's job. Candidate generation is an equi-join on the
+    blocking key, never an all-pairs cross join; the O(len^2)
+    edit-distance kernel is the JVM built-in. Hot blocks are the skew
+    knob (cap/salt at scale, same contract as jaccard max_df)."""
+    from vmware_graph_spark.operators.dedup import fuzzy_pairs
+
+    p = load_table(spark, sf_dir, "part")
+    return fuzzy_pairs(p, "p_partkey", "p_name", max_distance=2).filter(
+        F.col("distance") >= 1
+    )
+
+
+@query(
+    "bm25_top_terms",
+    f"""
+    WITH terms AS (
+      SELECT doc_id, unnest({_toks('text')}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, count(*) AS dl FROM terms GROUP BY doc_id),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY term),
+    n AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(ln(1 + (n.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)), 8)
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / n.avgdl)) AS score
+      FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+      FROM scored
+    )
+    SELECT doc_id, term, round(score, 6) AS score, rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def bm25_top_terms(spark, sf_dir):
+    """BM25 (k1=1.2, b=0.75) top-5 terms per document — the retrieval-
+    grade upgrade of tfidf_top_terms. idf = ln(1+(N-df+0.5)/(df+0.5))
+    rounded to 8 places (the one libm call); everything else is IEEE
+    +,*,/ on identical inputs, bit-equal across engines. Shuffle
+    profile: tf, dl, df aggregations (df and the 1-row corpus stats are
+    broadcast-sized), then one ranking window — same shape at any SF."""
+    d = load_table(spark, sf_dir, "documents")
+    terms = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = terms.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    dfreq = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = dl.agg(
+        F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    idf = F.round(
+        F.log(F.lit(1) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)), 8
+    )
+    score = (
+        idf
+        * (F.col("tf") * 2.2)
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "term", score.alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("doc_id", "term", F.round("score", 6).alias("score"), "rank")
+    )
+
+
+from vmware_graph_spark.functions.text import EMAIL_RE, IPV4_IN_TEXT_RE  # noqa: E402
+
+# The synthetic pii fixture column: deterministic contact/host tail
+# appended to each document so the redaction pass has real work to do,
+# constructed identically in both engines (same operator-in-query
+# fixture pattern as the ingest sheet builders).
+_PII_SQL = (
+    "text || ' contact user' || doc_id || '@mail.example; host 10.0.' || "
+    "(doc_id % 200) || '.' || (doc_id % 250) || "
+    "CASE WHEN doc_id % 3 = 0 THEN ' gw 192.168.1.' || (doc_id % 100) ELSE '' END"
+)
+
+
+@query(
+    "redact_pii_stats",
+    f"""
+    WITH p AS (SELECT doc_id, {_PII_SQL} AS pii FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(pii, '{EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(pii, '{IPV4_IN_TEXT_RE}')) AS n_ips,
+           md5(regexp_replace(
+                 regexp_replace(pii, '{EMAIL_RE}', '[EMAIL]', 'g'),
+                 '{IPV4_IN_TEXT_RE}', '[IP]', 'g')) AS redacted_md5
+    FROM p
+    """,
+)
+def redact_pii_stats(spark, sf_dir):
+    """PII scrubbing for training corpora: count + redact emails and
+    IPv4 literals (patterns restricted to constructs with identical
+    Java-regex/RE2 semantics), verified value-for-value by md5 of the
+    redacted text. Pure Catalyst regexp_replace/extract_all — a
+    map-only pass with no shuffle at any scale; the pii column is a
+    deterministic in-query fixture so the redactor has real work."""
+    from vmware_graph_spark.functions.text import count_pattern, redact_pii
+
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    pii = F.concat(
+        F.col("text"), F.lit(" contact user"), did,
+        F.lit("@mail.example; host 10.0."), (F.col("doc_id") % 200).cast("string"),
+        F.lit("."), (F.col("doc_id") % 250).cast("string"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" gw 192.168.1."), (F.col("doc_id") % 100).cast("string")),
+        ).otherwise(""),
+    )
+    return d.select(
+        "doc_id",
+        count_pattern(pii, EMAIL_RE).alias("n_emails"),
+        count_pattern(pii, IPV4_IN_TEXT_RE).alias("n_ips"),
+        F.md5(redact_pii(pii)).alias("redacted_md5"),
+    )
+
+
+@query(
+    "weighted_sample_docs",
+    """
+    WITH p AS (
+      SELECT doc_id, n_chars,
+             round(
+               -ln((('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                    + 0.5) / 1152921504606846976.0)
+               / CAST(n_chars AS DOUBLE), 10) AS priority
+      FROM documents
+    )
+    SELECT doc_id, n_chars, round(priority, 6) AS priority
+    FROM p ORDER BY priority, doc_id LIMIT 200
+    """,
+)
+def weighted_sample_docs(spark, sf_dir):
+    """Deterministic weighted sampling without replacement (priority /
+    exponential-race, Efraimidis–Spirakis): inclusion probability
+    scales with n_chars — the length-weighted data-mixture draw. The
+    draw is a hash of doc_id (no RNG), so the sample is a function of
+    the data alone; top-n executes as distributed TakeOrdered (per-
+    partition partial top-n + one n-row merge), never a global sort."""
+    from vmware_graph_spark.functions.sketch import weighted_sample
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = weighted_sample(d, "doc_id", "n_chars", 200)
+    return out.select("doc_id", "n_chars", F.round("priority", 6).alias("priority"))
