@@ -4161,3 +4161,122 @@ def weighted_sample_docs(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     out = weighted_sample(d, "doc_id", "n_chars", 200)
     return out.select("doc_id", "n_chars", F.round("priority", 6).alias("priority"))
+
+
+@query(
+    "funnel_view_click_purchase",
+    f"""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    v AS (SELECT user_id, min(ts) AS view_ts FROM events
+          WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS click_ts
+          FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.view_ts
+          WHERE e.event_type = 'click' GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS purchase_ts
+          FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.click_ts
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT u.user_id,
+           CASE WHEN p.purchase_ts IS NOT NULL THEN 3
+                WHEN c.click_ts IS NOT NULL THEN 2
+                WHEN v.view_ts IS NOT NULL THEN 1 ELSE 0 END AS funnel_depth,
+           strftime(v.view_ts, '{_TS_FMT_DUCK}') AS view_ts,
+           strftime(c.click_ts, '{_TS_FMT_DUCK}') AS click_ts,
+           strftime(p.purchase_ts, '{_TS_FMT_DUCK}') AS purchase_ts
+    FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+           LEFT JOIN p USING (user_id)
+    """,
+)
+def funnel_view_click_purchase(spark, sf_dir):
+    """Ordered funnel attribution (view -> click -> purchase): per user,
+    the earliest view, the earliest click strictly after it, the
+    earliest purchase strictly after that, and the depth reached.
+    Pure min-aggregate + re-join relational shape — each stage is one
+    shuffle keyed on user_id that AQE can co-locate, no per-user
+    sequence materialization, no window over the whole event stream —
+    so the plan is identical at any event volume. Timestamps emit as
+    strings (engine-neutral representation)."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    u = e.select("user_id").distinct()
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts_t"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("view_ts_t"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts_t"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("click_ts_t"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts_t"))
+    )
+    depth = (
+        F.when(F.col("purchase_ts_t").isNotNull(), 3)
+        .when(F.col("click_ts_t").isNotNull(), 2)
+        .when(F.col("view_ts_t").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        u.join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            depth.cast("int").alias("funnel_depth"),
+            F.date_format("view_ts_t", _TS_FMT_SPARK).alias("view_ts"),
+            F.date_format("click_ts_t", _TS_FMT_SPARK).alias("click_ts"),
+            F.date_format("purchase_ts_t", _TS_FMT_SPARK).alias("purchase_ts"),
+        )
+    )
+
+
+@query(
+    "quantize_embeddings_int8",
+    """
+    WITH a AS (
+      SELECT vec_id,
+             embedding::DOUBLE[] AS e,
+             list_aggregate(list_transform(embedding::DOUBLE[], x -> abs(x)), 'max')
+               AS amax
+      FROM embeddings
+    )
+    SELECT vec_id, i AS dim,
+           CAST(floor(e[i + 1] * 127.0 / amax + 0.5) AS INTEGER) AS q,
+           round(amax / 127.0, 9) AS scale
+    FROM a CROSS JOIN (SELECT unnest(range(64)) AS i)
+    WHERE amax > 0 AND i < len(e)
+    """,
+)
+def quantize_embeddings_int8(spark, sf_dir):
+    """Symmetric per-vector int8 quantization (the storage/bandwidth
+    path for 100 TB embedding stores: 4x smaller vectors, ANN candidate
+    generation over int8 with float re-rank). q_i = floor(x_i*127/amax
+    + 0.5) — floor(+0.5) instead of round() because the two engines'
+    round-half rules differ while floor is exact IEEE; all math in
+    double (float inputs upcast exactly). Map-only Catalyst transform +
+    posexplode, no shuffle; emitted exploded (vec_id, dim, q) so the
+    value-hash compare is scale-free."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("e"),
+        F.expr("array_max(transform(embedding, x -> abs(cast(x as double))))").alias(
+            "amax"
+        ),
+    ).filter(F.col("amax") > 0)
+    q = a.select(
+        "vec_id",
+        F.round(F.col("amax") / 127.0, 9).alias("scale"),
+        F.posexplode(
+            F.expr(
+                "transform(e, x -> cast(floor(x * 127.0 / amax + 0.5) as int))"
+            )
+        ).alias("dim", "q"),
+    )
+    return q.select("vec_id", "dim", "q", "scale")
