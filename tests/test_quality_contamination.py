@@ -1,0 +1,94 @@
+"""Tests for repetition stats, n-gram contamination, and semantic dedup."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vmware_graph_spark.operators.dedup import (
+    ngram_contamination,
+    semantic_dedup,
+    semantic_dedup_pairs,
+)
+from vmware_graph_spark.operators.quality import repetition_stats
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a b a b a b"),            # heavy bigram repetition
+            (2, "w x y z"),                # all distinct
+            (3, "solo"),                   # one token, no bigrams
+        ],
+        ["id", "text"],
+    )
+
+
+def test_repetition_stats_values(corpus):
+    rows = {r.id: r for r in repetition_stats(corpus, "id", "text").collect()}
+    # doc 1: 6 tokens, 2 distinct → dup ratio 4/6; bigrams: "a b" x3,
+    # "b a" x2 → top fraction 3/5.
+    assert rows[1].n_tok == 6
+    assert rows[1].dup_tok_ratio == pytest.approx(1 - 2 / 6, abs=1e-6)
+    assert rows[1].top_bigram_frac == pytest.approx(3 / 5, abs=1e-6)
+    # doc 2: no repeats; 3 distinct bigrams → top fraction 1/3.
+    assert rows[2].dup_tok_ratio == 0.0
+    assert rows[2].top_bigram_frac == pytest.approx(1 / 3, abs=1e-6)
+    # doc 3: no bigrams → 0.0, not null.
+    assert rows[3].top_bigram_frac == 0.0
+
+
+def test_ngram_contamination_rates(spark):
+    train = spark.createDataFrame(
+        [(10, "the quick brown fox jumps"), (11, "over the lazy dog today")],
+        ["id", "text"],
+    )
+    test = spark.createDataFrame(
+        [
+            (1, "the quick brown fox sleeps"),  # shares "the quick brown" etc.
+            (2, "completely novel material here"),
+        ],
+        ["id", "text"],
+    )
+    rows = {r.test_id: r for r in ngram_contamination(train, test, "id", "text", n=3).collect()}
+    # doc 1: 3-grams = {the quick brown, quick brown fox, brown fox sleeps};
+    # first two occur in train doc 10.
+    assert rows[1].n_grams == 3 and rows[1].n_hit == 2
+    assert rows[1].hit_rate == pytest.approx(2 / 3, abs=1e-6)
+    assert rows[2].n_hit == 0 and rows[2].hit_rate == 0.0
+
+
+@pytest.fixture(scope="module")
+def clustered_vecs(spark):
+    # cluster 0: v1 ≈ v2 (cos 1.0), v3 orthogonal; cluster 1: v4 alone
+    # but identical to v1 — cross-cluster pairs must NOT be considered.
+    return spark.createDataFrame(
+        [
+            (1, 0, [1.0, 0.0]),
+            (2, 0, [2.0, 0.0]),
+            (3, 0, [0.0, 1.0]),
+            (4, 1, [1.0, 0.0]),
+        ],
+        ["id", "cl", "vec"],
+    )
+
+
+def test_semantic_dedup_pairs_cluster_blocked(clustered_vecs):
+    pairs = semantic_dedup_pairs(
+        clustered_vecs, "id", "vec", "cl", threshold=0.9
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+
+
+def test_semantic_dedup_min_id_survivor(clustered_vecs):
+    out = semantic_dedup(clustered_vecs, "id", "vec", "cl", threshold=0.9)
+    kept = {r.id: r.kept for r in out.collect()}
+    assert kept == {1: True, 2: False, 3: True, 4: True}
+
+
+def test_semantic_dedup_plan_has_no_cross_join(clustered_vecs):
+    plan = semantic_dedup_pairs(
+        clustered_vecs, "id", "vec", "cl", threshold=0.9
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan

@@ -340,6 +340,117 @@ def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 64) -> Dat
     return agg.select("id", sig.alias("simhash"))
 
 
+def ngram_contamination(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+) -> DataFrame:
+    """Train/test n-gram contamination check.
+
+    For every *test* document, counts how many of its distinct word
+    n-grams also occur anywhere in the *train* corpus — the standard
+    eval-set decontamination signal (a test doc whose grams are mostly
+    covered by training data is leaked). Output: one row per test doc
+    ``(test_id, n_grams, n_hit, hit_rate)``.
+
+    Shape: two explode+distinct passes, then ONE hash join keyed on the
+    shingle (test grams ⋈ distinct train grams) and one groupBy(test
+    id). Cost is linear in corpus gram count — no self-join, no pair
+    blowup — so the same plan runs on a 100 TB train corpus; the train
+    side is reduced to distinct grams first, which is the smaller
+    relation and the natural build side.
+    """
+    tr = (
+        _shingle_table(train, id_col, text_col, n)
+        .select("shingle")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    te = _shingle_table(test, id_col, text_col, n)
+    joined = te.join(tr, "shingle", "left")
+    return (
+        joined.groupBy(F.col("id").alias("test_id"))
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).alias("n_hit"),
+        )
+        .withColumn(
+            "hit_rate",
+            F.round(F.col("n_hit").cast("double") / F.col("n_grams").cast("double"), 6),
+        )
+    )
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cluster_col: str,
+    *,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Within-cluster embedding-cosine duplicate pairs (SemDeDup blocking).
+
+    The semantic-dedup design from the SemDeDup line of work: vectors
+    are first partitioned into clusters (k-means assignment — here any
+    precomputed ``cluster_col``, e.g. ``assign_to_centroids``'s output
+    or a fixture label), and cosine similarity is computed ONLY inside
+    a cluster. Cost is Σ|cluster|² instead of n² — the clustering is
+    what makes embedding dedup feasible at 100 TB, and cluster size is
+    the skew knob (cap or split over-large clusters).
+    """
+    from vmware_graph_spark.functions.vector import as_double_vec, cosine
+
+    t = df.select(
+        F.col(id_col).alias("id"),
+        F.col(cluster_col).alias("cl"),
+        as_double_vec(vec_col).alias("__v"),
+    )
+    a, b = t.alias("a"), t.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.cl") == F.col("b.cl")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.cl").alias("cluster"),
+            cosine(F.col("a.__v"), F.col("b.__v")).alias("cos"),
+        )
+    )
+    return pairs.filter(F.col("cos") >= threshold)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cluster_col: str,
+    *,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """SemDeDup keep/drop decision: flag every row, min-id survivor rule.
+
+    A row is dropped when some SAME-CLUSTER row with a smaller id is
+    within the cosine threshold (the deterministic greedy used by
+    cluster-blocked semantic dedup — one representative per near-dup
+    neighborhood, no iterative clustering). Returns the full input id
+    set with a ``kept`` flag so downstream filters/audits see both
+    sides of the decision.
+    """
+    dropped = (
+        semantic_dedup_pairs(df, id_col, vec_col, cluster_col, threshold=threshold)
+        .select(F.col("id_b").alias("__drop_id"))
+        .distinct()
+    )
+    return (
+        df.join(dropped, F.col(id_col) == F.col("__drop_id"), "left")
+        .withColumn("kept", F.col("__drop_id").isNull())
+        .drop("__drop_id")
+    )
+
+
 def fuzzy_pairs(
     df: DataFrame,
     id_col: str,

@@ -4280,3 +4280,104 @@ def quantize_embeddings_int8(spark, sf_dir):
         ).alias("dim", "q"),
     )
     return q.select("vec_id", "dim", "q", "scale")
+
+
+@query(
+    "repetition_stats_documents",
+    f"""
+    WITH toks AS (SELECT doc_id, {_toks('text')} AS t FROM documents),
+    tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+    ts AS (SELECT doc_id, count(*) AS n_tok, count(DISTINCT tok) AS n_distinct
+           FROM tok GROUP BY doc_id),
+    big AS (SELECT doc_id, unnest({_shingles('text', 2)}) AS gram FROM documents),
+    bc AS (SELECT doc_id, gram, count(*) AS c FROM big GROUP BY doc_id, gram),
+    bs AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_grams FROM bc GROUP BY doc_id)
+    SELECT ts.doc_id, CAST(ts.n_tok AS INTEGER) AS n_tok,
+           round(1.0 - n_distinct::DOUBLE / ts.n_tok, 6) AS dup_tok_ratio,
+           coalesce(round(top_c::DOUBLE / n_grams, 6), 0.0) AS top_bigram_frac
+    FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
+    """,
+)
+def repetition_stats_documents(spark, sf_dir):
+    """Gopher-style repetition filters: duplicate-token fraction and
+    most-frequent-bigram fraction per document. Two explode→hash-agg
+    chains (no doc-to-doc joins, map-side combine throughout) joined on
+    doc id — linear in corpus token count, the shape that holds at
+    100 TB."""
+    from vmware_graph_spark.operators.quality import repetition_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    return repetition_stats(d, "doc_id", "text").withColumnRenamed("id", "doc_id")
+
+
+@query(
+    "ngram_contamination_check",
+    f"""
+    WITH tr AS (
+      SELECT DISTINCT unnest({_shingles('text', 3)}) AS shingle
+      FROM documents WHERE source NOT IN ('src0', 'src1')
+    ),
+    te AS (
+      SELECT DISTINCT doc_id AS id, unnest({_shingles('text', 3)}) AS shingle
+      FROM documents WHERE source IN ('src0', 'src1')
+    ),
+    j AS (
+      SELECT te.id, CASE WHEN tr.shingle IS NOT NULL THEN 1 END AS hit
+      FROM te LEFT JOIN tr USING (shingle)
+    )
+    SELECT id AS test_id,
+           CAST(count(*) AS INTEGER) AS n_grams,
+           CAST(coalesce(sum(hit), 0) AS INTEGER) AS n_hit,
+           round(coalesce(sum(hit), 0)::DOUBLE / count(*), 6) AS hit_rate
+    FROM j GROUP BY id
+    """,
+)
+def ngram_contamination_check(spark, sf_dir):
+    """Eval-set decontamination: per held-out doc (sources src0/src1 as
+    the 'test' split), the fraction of its distinct word 3-grams that
+    occur anywhere in the rest of the corpus (the 'train' split). One
+    hash join keyed on the gram against the distinct-gram train table —
+    linear, no self-join, 100 TB-safe."""
+    from vmware_graph_spark.operators.dedup import ngram_contamination
+
+    d = load_table(spark, sf_dir, "documents")
+    test = d.filter(F.col("source").isin("src0", "src1"))
+    train = d.filter(~F.col("source").isin("src0", "src1"))
+    out = ngram_contamination(train, test, "doc_id", "text", n=3)
+    return out.select(
+        "test_id",
+        F.col("n_grams").cast("int").alias("n_grams"),
+        F.col("n_hit").cast("int").alias("n_hit"),
+        "hit_rate",
+    )
+
+
+@query(
+    "semantic_dedup_embeddings",
+    """
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    dup AS (
+      SELECT DISTINCT b.vec_id AS id
+      FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.e, b.e)
+              / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+            >= 0.3
+    )
+    SELECT v.vec_id, v.label,
+           CASE WHEN dup.id IS NULL THEN 1 ELSE 0 END AS kept
+    FROM v LEFT JOIN dup ON v.vec_id = dup.id
+    """,
+)
+def semantic_dedup_embeddings(spark, sf_dir):
+    """SemDeDup: cluster-blocked embedding-cosine dedup. Cosine runs
+    ONLY inside a cluster (the fixture ``label`` stands in for the
+    k-means assignment — compose with ``assign_to_centroids`` for the
+    learned path), so cost is Σ|cluster|² not n²; min-id survivor rule,
+    every row returned with a kept flag for audits."""
+    from vmware_graph_spark.operators.dedup import semantic_dedup
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    out = semantic_dedup(e, "vec_id", "embedding", "label", threshold=0.3)
+    return out.select(
+        "vec_id", "label", F.col("kept").cast("int").alias("kept")
+    )
