@@ -591,7 +591,17 @@ def sessionize_user_events(spark, sf_dir):
     window — the batch twin of streaming session windows."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")) > 1800
+    # timestamp_diff works on TIMESTAMP_NTZ (parquet ts has no tz; a
+    # cast-to-long would throw DATATYPE_MISMATCH on Spark 4). Truncate
+    # to whole seconds first: the gap counts second *boundaries*
+    # (DuckDB date_diff semantics), not floor of the true difference.
+    prev = F.lag("ts").over(w)
+    gap = (
+        F.timestamp_diff(
+            "SECOND", F.date_trunc("second", prev), F.date_trunc("second", F.col("ts"))
+        )
+        > 1800
+    )
     return (
         e.withColumn("is_break", F.when(F.lag("ts").over(w).isNotNull() & gap, 1).otherwise(0))
         .groupBy("user_id")
