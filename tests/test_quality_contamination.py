@@ -92,3 +92,61 @@ def test_semantic_dedup_plan_has_no_cross_join(clustered_vecs):
         clustered_vecs, "id", "vec", "cl", threshold=0.9
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+def test_shared_ngram_fraction_values(spark):
+    from vmware_graph_spark.operators.quality import shared_ngram_fraction
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),      # trigrams: abc bcd cde
+            (2, "a b c x y"),      # trigrams: abc bcx cxy — shares abc with doc 1
+            (3, "p q r s"),        # trigrams: pqr qrs — unique
+            (4, "hi"),             # < 3 tokens → no trigrams, must survive
+        ],
+        ["id", "text"],
+    )
+    rows = {r.id: r for r in shared_ngram_fraction(docs, "id", "text", n=3).collect()}
+    assert rows[1].n_grams == 3 and rows[1].n_shared == 1
+    assert rows[1].shared_frac == pytest.approx(1 / 3, abs=1e-6)
+    assert rows[2].n_grams == 3 and rows[2].n_shared == 1
+    assert rows[3].n_shared == 0 and rows[3].shared_frac == 0.0
+    assert rows[4].n_grams == 0 and rows[4].shared_frac == 0.0
+
+
+def test_shared_ngram_fraction_min_docs(spark):
+    from vmware_graph_spark.operators.quality import shared_ngram_fraction
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "a b c")], ["id", "text"]
+    )
+    # "a b c" appears in 3 docs; min_docs=4 → nothing is shared.
+    rows = shared_ngram_fraction(docs, "id", "text", n=3, min_docs=4).collect()
+    assert all(r.n_shared == 0 for r in rows)
+
+
+def test_top_ngrams_order_and_ties(spark):
+    from vmware_graph_spark.operators.quality import top_ngrams
+
+    docs = spark.createDataFrame(
+        [(1, "x y x y"), (2, "a b x y"), (3, "a b")], ["id", "text"]
+    )
+    # bigram counts: "x y"=3 ("x y","y x"→ wait recount below), ties lexical.
+    out = top_ngrams(docs, "text", n=2, k=3).collect()
+    # counts: doc1 → "x y","y x","x y"; doc2 → "a b","b x","x y"; doc3 → "a b"
+    # ⇒ "x y"=3, "a b"=2, then "b x"=1 < "y x"=1 lexically.
+    assert [(r.gram, r.cnt, r.rnk) for r in out] == [
+        ("x y", 3, 1),
+        ("a b", 2, 2),
+        ("b x", 1, 3),
+    ]
+
+
+def test_top_ngrams_plan_is_take_ordered(spark):
+    from vmware_graph_spark.operators.quality import top_ngrams
+
+    docs = spark.createDataFrame([(1, "a b c a b")], ["id", "text"])
+    plan = (
+        top_ngrams(docs, "text", n=2, k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan

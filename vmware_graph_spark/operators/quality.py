@@ -15,7 +15,7 @@ linearly to a 100 TB corpus.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from vmware_graph_spark.functions.text import tokens, word_shingles
@@ -60,3 +60,71 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.lit(0.0),
         ).alias("top_bigram_frac"),
     )
+
+def shared_ngram_fraction(
+    df: DataFrame, id_col: str, text_col: str, *, n: int = 3, min_docs: int = 2
+) -> DataFrame:
+    """(id, n_grams, n_shared, shared_frac) — cross-document boilerplate
+    signal (Dolma's "duplicate n-gram fraction" family): per document,
+    the fraction of its DISTINCT word n-grams that occur in at least
+    ``min_docs`` documents corpus-wide. High values flag templated /
+    near-duplicated content that per-document repetition stats miss.
+
+    Shape: explode → per-doc distinct (one shuffle on the 64-bit gram
+    hash), document-frequency agg (map-side combined), one hash join
+    back on the gram hash, one agg on id. Grams are hashed to 60-bit
+    ints (engine-portable md5 scheme, dedup._md5_hash64) BEFORE any
+    shuffle so the exchanged rows carry 8-byte keys instead of ~n·word
+    strings — the difference between a manageable and an explosive
+    shuffle at 100 TB. Documents shorter than n tokens surface with
+    n_grams=0, shared_frac=0.0 (kept, not dropped).
+    """
+    from vmware_graph_spark.operators.dedup import _md5_hash64
+
+    sh = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(word_shingles(text_col, n)).alias("gram"),
+        )
+        .select("id", _md5_hash64(F.col("gram"), 0).alias("g"))
+        .distinct()
+    )
+    freq = sh.groupBy("g").agg(F.count("*").alias("df"))
+    stats = (
+        sh.join(freq, "g")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("df") >= min_docs, 1).otherwise(0)).alias("n_shared"),
+        )
+    )
+    ids = df.select(F.col(id_col).alias("id")).distinct()
+    return ids.join(stats, "id", "left").select(
+        "id",
+        F.coalesce(F.col("n_grams"), F.lit(0)).cast("int").alias("n_grams"),
+        F.coalesce(F.col("n_shared"), F.lit(0)).cast("int").alias("n_shared"),
+        F.coalesce(
+            F.round(
+                F.col("n_shared").cast("double") / F.col("n_grams").cast("double"), 6
+            ),
+            F.lit(0.0),
+        ).alias("shared_frac"),
+    )
+
+
+def top_ngrams(df: DataFrame, text_col: str, *, n: int = 2, k: int = 50) -> DataFrame:
+    """(gram, cnt, rnk) — the k most frequent word n-grams corpus-wide,
+    ties broken lexicographically (vocabulary induction / BPE-merge prep
+    and stopword-list discovery).
+
+    Shape: explode → map-side-combined count, then ``orderBy().limit(k)``
+    which Catalyst executes as TakeOrderedAndProject — each partition
+    keeps its local top-k and only k rows per partition reach the
+    driver-side merge, so no global sort materializes. The rank column
+    is computed by a window AFTER the limit, over k rows only.
+    """
+    g = df.select(F.explode(word_shingles(text_col, n)).alias("gram"))
+    counts = g.groupBy("gram").agg(F.count("*").alias("cnt"))
+    topk = counts.orderBy(F.col("cnt").desc(), F.col("gram").asc()).limit(k)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("gram").asc())
+    return topk.withColumn("rnk", F.row_number().over(w).cast("int"))

@@ -4391,3 +4391,55 @@ def semantic_dedup_embeddings(spark, sf_dir):
     return out.select(
         "vec_id", "label", F.col("kept").cast("int").alias("kept")
     )
+
+@query(
+    "shared_ngram_fraction_documents",
+    f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id AS id, {_h64('gram', "'0'")} AS g
+      FROM (SELECT doc_id, unnest({_shingles('text', 3)}) AS gram FROM documents)
+    ),
+    fr AS (SELECT g, count(*) AS df FROM sh GROUP BY g),
+    st AS (
+      SELECT id, count(*) AS n_grams,
+             sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS n_shared
+      FROM sh JOIN fr USING (g) GROUP BY id
+    )
+    SELECT d.doc_id, CAST(coalesce(n_grams, 0) AS INTEGER) AS n_grams,
+           CAST(coalesce(n_shared, 0) AS INTEGER) AS n_shared,
+           coalesce(round(n_shared::DOUBLE / n_grams, 6), 0.0) AS shared_frac
+    FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN st ON d.doc_id = st.id
+    """,
+)
+def shared_ngram_fraction_documents(spark, sf_dir):
+    """Cross-document boilerplate signal (Dolma-style duplicate-n-gram
+    fraction): per doc, the share of its distinct word 3-grams that occur
+    in ≥2 documents corpus-wide. Grams are md5-hashed to 60-bit ints
+    before the shuffle (8-byte exchange keys, engine-portable)."""
+    from vmware_graph_spark.operators.quality import shared_ngram_fraction
+
+    d = load_table(spark, sf_dir, "documents")
+    return shared_ngram_fraction(d, "doc_id", "text", n=3, min_docs=2).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+@query(
+    "top_ngrams_corpus",
+    f"""
+    WITH g AS (SELECT unnest({_shingles('text', 2)}) AS gram FROM documents),
+    c AS (SELECT gram, count(*) AS cnt FROM g GROUP BY gram),
+    r AS (SELECT gram, cnt,
+                 row_number() OVER (ORDER BY cnt DESC, gram) AS rnk
+          FROM c)
+    SELECT gram, cnt, CAST(rnk AS INTEGER) AS rnk FROM r WHERE rnk <= 50
+    """,
+)
+def top_ngrams_corpus(spark, sf_dir):
+    """Corpus-wide top-50 word bigrams with deterministic lexicographic
+    tie-break (vocab/BPE-merge prep). orderBy().limit(k) compiles to
+    TakeOrderedAndProject — per-partition local top-k, no global sort."""
+    from vmware_graph_spark.operators.quality import top_ngrams
+
+    d = load_table(spark, sf_dir, "documents")
+    return top_ngrams(d, "text", n=2, k=50)
