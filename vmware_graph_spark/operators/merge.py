@@ -55,6 +55,7 @@ def upsert_last_writer_wins(
     keys: Sequence[str],
     *,
     updates_win: bool = True,
+    assume_unique_existing: bool = False,
 ) -> DataFrame:
     """Core upsert: one row per key, per-COLUMN merge semantics.
 
@@ -69,13 +70,39 @@ def upsert_last_writer_wins(
     (refresh-vmware.cypher:284-287): matched keys keep ALL existing
     properties; only brand-new keys take the update values.
 
-    Shape: one window dedup per input + one full-outer hash join on the
-    key — all single-shuffle-per-stage on the key columns.
+    Shape: when the two schemas carry the SAME column set, per-column
+    merge degenerates to whole-row pick and the whole upsert fuses into
+    ONE union + window shuffle (the winner-preference tag leads the
+    ordering, the deterministic value-column order breaks intra-batch
+    ties exactly as ``_dedup_one_per_key`` would). Differing schemas
+    take the general path: one window dedup per non-unique input + one
+    full-outer hash join on the key. ``assume_unique_existing=True``
+    (safe for merge outputs being re-merged, e.g. GraphStore chains)
+    skips re-deduplicating ``existing`` there — one less shuffle and a
+    much shallower plan across a 15-stage ingest.
     """
-    updates = _dedup_one_per_key(_drop_null_keys(updates, keys), keys)
+    updates = _drop_null_keys(updates, keys)
     if existing is None:
-        return updates
-    existing = _dedup_one_per_key(_drop_null_keys(existing, keys), keys)
+        return _dedup_one_per_key(updates, keys)
+    if set(updates.columns) == set(existing.columns):
+        tag = "__from_updates"
+        both = updates.withColumn(tag, F.lit(1)).unionByName(
+            _drop_null_keys(existing, keys).withColumn(tag, F.lit(0))
+        )
+        value_cols = [c for c in existing.columns if c not in keys]
+        pref = F.col(tag).desc() if updates_win else F.col(tag).asc()
+        w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+            pref, *[F.col(c).asc_nulls_last() for c in value_cols]
+        )
+        return (
+            both.withColumn(_PICK, F.row_number().over(w))
+            .filter(F.col(_PICK) == 1)
+            .select(*keys, *value_cols)
+        )
+    updates = _dedup_one_per_key(updates, keys)
+    existing = _drop_null_keys(existing, keys)
+    if not assume_unique_existing:
+        existing = _dedup_one_per_key(existing, keys)
 
     u_cols = [c for c in updates.columns if c not in keys]
     e_cols = [c for c in existing.columns if c not in keys]
@@ -112,9 +139,16 @@ def merge_nodes(
     keys: Sequence[str],
     *,
     on_create_only: bool = False,
+    assume_unique_existing: bool = False,
 ) -> DataFrame:
     """Node MERGE (M1-M3, SURVEY §2.4)."""
-    return upsert_last_writer_wins(existing, updates, keys, updates_win=not on_create_only)
+    return upsert_last_writer_wins(
+        existing,
+        updates,
+        keys,
+        updates_win=not on_create_only,
+        assume_unique_existing=assume_unique_existing,
+    )
 
 
 # Relationship types the reference merges with the undirected pattern

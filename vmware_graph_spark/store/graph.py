@@ -179,8 +179,16 @@ class GraphStore:
     ) -> DataFrame:
         """MERGE ``updates`` into the label table (M1-M3 semantics)."""
         keys = LABEL_KEYS[label]
+        # existing is always this store's previous merge output → already
+        # one row per key; skip the defensive re-dedup shuffle.
         merged = self._cut(
-            merge_nodes(self._vertices.get(label), updates, keys, on_create_only=on_create_only),
+            merge_nodes(
+                self._vertices.get(label),
+                updates,
+                keys,
+                on_create_only=on_create_only,
+                assume_unique_existing=True,
+            ),
             label,
         )
         self._vertices[label] = merged
