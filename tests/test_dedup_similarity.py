@@ -142,3 +142,37 @@ def test_fuzzy_pairs_never_crosses_blocks(spark):
 
     df = spark.createDataFrame([(1, "alpha x"), (2, "alpha y")], ["id", "name"])
     assert fuzzy_pairs(df, "id", "name", max_distance=10).count() == 0
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark, docs):
+    """Signature-only estimation: exact dups estimate 1.0; near-dups
+    (8/10 shared tokens per 3-gram shift) land within 0.4 of exact; the
+    unrelated doc never surfaces above the floor."""
+    from vmware_graph_spark.operators.dedup import minhash_estimate_pairs
+
+    est = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_estimate_pairs(
+            docs, "id", "text", n=3, num_hashes=16, bands=4, min_estimate=0.0
+        ).collect()
+    }
+    assert est[(1, 4)] == 1.0  # identical docs agree at every position
+    assert (1, 3) not in est and (2, 3) not in est  # unrelated: no shared band
+    if (1, 2) in est:
+        exact = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in jaccard_pairs(docs, "id", "text", n=3, threshold=0.0).collect()
+        }
+        assert abs(est[(1, 2)] - exact[(1, 2)]) <= 0.4
+
+
+def test_minhash_estimate_plan_never_touches_shingles_for_scoring(spark, docs):
+    """The scoring join must read signatures only: after the bucket
+    join, no explode of shingle arrays may appear downstream (one
+    explode for signature building is expected)."""
+    from vmware_graph_spark.operators.dedup import minhash_estimate_pairs
+
+    df = minhash_estimate_pairs(docs, "id", "text", n=3, num_hashes=8, bands=4)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # builds: one explode for the shingle table + one for band structs
+    assert plan.count("Generate explode") <= 2, plan

@@ -150,3 +150,28 @@ def test_top_ngrams_plan_is_take_ordered(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_unigram_logprob_hand_computed(spark):
+    import math
+
+    from vmware_graph_spark.operators.quality import unigram_logprob
+
+    # corpus: "a a b" + "b c" → tf: a=2, b=2, c=1; total=5
+    d = spark.createDataFrame([(1, "a a b"), (2, "b c")], ["id", "text"])
+    got = {r["id"]: (r["n_tok"], r["mean_logprob"]) for r in
+           unigram_logprob(d, "id", "text").collect()}
+    lp = {t: round(math.log(tf / 5), 6) for t, tf in {"a": 2, "b": 2, "c": 1}.items()}
+    assert got[1][0] == 3
+    assert got[1][1] == round((2 * lp["a"] + lp["b"]) / 3, 6)
+    assert got[2] == (2, round((lp["b"] + lp["c"]) / 2, 6))
+
+
+def test_unigram_logprob_rare_scores_below_common(spark):
+    from vmware_graph_spark.operators.quality import unigram_logprob
+
+    rows = [(i, "the common phrase repeats") for i in range(20)]
+    rows.append((99, "zxqv wvut qqzz"))  # singleton garbage tokens
+    d = spark.createDataFrame(rows, ["id", "text"])
+    got = {r["id"]: r["mean_logprob"] for r in unigram_logprob(d, "id", "text").collect()}
+    assert got[99] < got[0]

@@ -180,3 +180,43 @@ def test_triangle_count_known_graphs(spark):
     e = spark.createDataFrame(noisy, ["src", "dst"])
     got = {r.id: r.triangles for r in triangle_count(e).collect()}
     assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_label_propagation_star_adopts_hub_then_votes(spark):
+    from vmware_graph_spark.analytics.algos import label_propagation
+
+    # Star a-(b,c,d): round 1 — leaves adopt 'a' (only neighbor); hub
+    # ties across distinct leaf labels -> min ('b'). Round 2 — leaves
+    # all see hub's 'b'; hub sees leaves' unanimous 'a' vote.
+    v = spark.createDataFrame([("a",), ("b",), ("c",), ("d",)], ["id"])
+    e = spark.createDataFrame([("a", "b"), ("a", "c"), ("a", "d")], ["src", "dst"])
+    got = {r["id"]: r["label"] for r in label_propagation(v, e, iters=2).collect()}
+    assert got == {"a": "a", "b": "b", "c": "b", "d": "b"}
+
+
+def test_label_propagation_deterministic_across_partitionings(spark):
+    from vmware_graph_spark.analytics.algos import label_propagation
+
+    v = spark.range(40).select(F.concat(F.lit("v"), F.col("id")).alias("id"))
+    e = spark.range(39).select(
+        F.concat(F.lit("v"), F.col("id")).alias("src"),
+        F.concat(F.lit("v"), (F.col("id") + 1) % 40).alias("dst"),
+    )
+    a = sorted(map(tuple, label_propagation(v, e, iters=3).collect()))
+    b = sorted(
+        map(
+            tuple,
+            label_propagation(v.repartition(7), e.repartition(3), iters=3).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_label_propagation_isolated_vertex_keeps_own_label(spark):
+    from vmware_graph_spark.analytics.algos import label_propagation
+
+    v = spark.createDataFrame([("x",), ("y",), ("z",)], ["id"])
+    e = spark.createDataFrame([("x", "y")], ["src", "dst"])
+    got = {r["id"]: r["label"] for r in label_propagation(v, e, iters=1).collect()}
+    assert got["z"] == "z"
+    assert got["x"] == "y" and got["y"] == "x"

@@ -116,6 +116,52 @@ def connected_components(
     return labels
 
 
+def label_propagation(
+    vertices: DataFrame, edges: DataFrame, *, iters: int = 3
+) -> DataFrame:
+    """Synchronous label-propagation community detection. Returns
+    (id, label) after exactly ``iters`` rounds (GraphFrames
+    ``labelPropagation`` analog, made deterministic).
+
+    Each round every vertex adopts the label most frequent among its
+    neighbors (undirected; the vertex's own label does NOT vote),
+    breaking count ties by the smaller label — the standard LPA vote
+    with a total tie order, so the result is a pure function of the
+    graph, independent of partitioning and retries (GraphFrames uses
+    hash-based tie-breaks and warns its output is nondeterministic;
+    a fixed iteration count is the convention since LPA does not
+    converge in general — it oscillates on bipartite structures).
+
+    Scale: per round one shuffle keyed on (vertex, label) for the vote
+    count and one window per vertex for the arg-max — the same
+    join-aggregate skeleton as PageRank, lineage-cut per round.
+    Isolated vertices keep their own label.
+    """
+    from pyspark.sql import Window
+
+    sym = _sym(edges).distinct().localCheckpoint(eager=True)
+    labels = vertices.select("id", F.col("id").alias("label")).localCheckpoint(eager=True)
+    for _ in range(iters):
+        votes = (
+            sym.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"), "label")
+            .agg(F.count("*").alias("c"))
+        )
+        w = Window.partitionBy("id").orderBy(F.col("c").desc(), F.col("label").asc())
+        winners = (
+            votes.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("id", "label")
+        )
+        labels = (
+            labels.select("id", F.col("label").alias("__old"))
+            .join(winners, "id", "left")
+            .select("id", F.coalesce("label", "__old").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
 def pagerank(
     vertices: DataFrame,
     edges: DataFrame,

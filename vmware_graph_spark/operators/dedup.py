@@ -196,6 +196,78 @@ def minhash_lsh_pairs(
     return ja.filter(F.col("jaccard") >= verify_threshold).select("id_a", "id_b", "jaccard")
 
 
+def minhash_estimate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    min_estimate: float = 0.0,
+) -> DataFrame:
+    """LSH candidate pairs scored by SIGNATURE-ONLY Jaccard estimation.
+
+    Same banding as :func:`minhash_lsh_pairs`, but the score is the
+    fraction of agreeing MinHash positions (an unbiased estimator of
+    Jaccard) instead of the exact set intersection. The verification
+    join touches only the fixed-width signature table — ``num_hashes``
+    longs per doc — never the shingle sets, so the per-candidate cost
+    is O(num_hashes) regardless of document length. This is the 100 TB
+    fast path when an approximate score is acceptable (e.g. a first
+    dedup sweep later re-verified exactly on the survivors); the
+    exact-verification variant is the no-false-positives path.
+    """
+    rows = num_hashes // bands
+    sh = _shingle_table(df, id_col, text_col, n)
+    mins = [F.min(_md5_hash64(F.col("shingle"), i)).alias(f"h{i}") for i in range(num_hashes)]
+    sig = (
+        sh.groupBy("id")
+        .agg(*mins)
+        .select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+        .localCheckpoint(eager=False)
+    )
+    band_cols = []
+    for b in range(bands):
+        piece = F.slice(F.col("sig"), b * rows + 1, rows)
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(",", *[
+                F.element_at(piece, i + 1).cast("string") for i in range(rows)
+            ])).alias("bucket"))
+        )
+    buckets = sig.select("id", F.explode(F.array(*band_cols)).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a = buckets.alias("a")
+    b_ = buckets.alias("b")
+    cands = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    scored = (
+        cands.join(sig.select(F.col("id").alias("id_a"), F.col("sig").alias("__sa")), "id_a")
+        .join(sig.select(F.col("id").alias("id_b"), F.col("sig").alias("__sb")), "id_b")
+        .withColumn(
+            "est_jaccard",
+            F.aggregate(
+                F.zip_with("__sa", "__sb", lambda x, y: (x == y).cast("int")),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            ).cast("double")
+            / F.lit(float(num_hashes)),
+        )
+    )
+    return scored.filter(F.col("est_jaccard") >= min_estimate).select(
+        "id_a", "id_b", "est_jaccard"
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str,

@@ -112,6 +112,43 @@ def shared_ngram_fraction(
     )
 
 
+def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_tok, mean_logprob) — perplexity-proxy quality score.
+
+    Scores each document by the mean natural-log probability of its
+    tokens under the corpus's OWN unigram distribution — the cheap
+    stand-in for the LM-perplexity filter in corpus-quality pipelines
+    (CCNet/RedPajama family): documents of rare/garbage tokens score
+    very negative, templated boilerplate scores near the top.
+
+    Shape: one explode feeding (a) the global vocab count (map-side
+    combined; vocab ≪ corpus, broadcast back) and (b) a per-doc
+    aggregation — two hash aggs and one broadcast join, linear at
+    100 TB. Determinism: per-token ln() is IEEE-identical across
+    engines on the same double inputs; the per-doc mean accumulates
+    round(·,6) decimals so partition order can't move low bits.
+    """
+    tok = df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok"))
+    vocab = tok.groupBy("tok").agg(F.count("*").alias("tf"))
+    total = vocab.agg(F.sum("tf").alias("n_total"))
+    scored = (
+        tok.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "__lp",
+            F.round(
+                F.log(F.col("tf").cast("double") / F.col("n_total").cast("double")), 6
+            ).cast("decimal(18,6)"),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.count("*").cast("int").alias("n_tok"),
+        F.round(
+            F.sum("__lp").cast("double") / F.count("*").cast("double"), 6
+        ).alias("mean_logprob"),
+    )
+
+
 def top_ngrams(df: DataFrame, text_col: str, *, n: int = 2, k: int = 50) -> DataFrame:
     """(gram, cnt, rnk) — the k most frequent word n-grams corpus-wide,
     ties broken lexicographically (vocabulary induction / BPE-merge prep

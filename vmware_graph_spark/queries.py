@@ -4443,3 +4443,145 @@ def top_ngrams_corpus(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents")
     return top_ngrams(d, "text", n=2, k=50)
+
+
+@query(
+    "minhash_estimate_pairs_documents",
+    f"""
+    WITH {_SH3_CTE},
+    hx AS (
+      SELECT id, i AS h_idx, min({_h64('shingle', 'i')}) AS h_val
+      FROM sh CROSS JOIN (SELECT unnest(range(8)) AS i)
+      GROUP BY id, i
+    ),
+    buckets AS (
+      SELECT id, h_idx // 2 AS band,
+             md5(string_agg(h_val::VARCHAR, ',' ORDER BY h_idx)) AS bucket
+      FROM hx GROUP BY id, h_idx // 2
+    ),
+    cands AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+    ),
+    est AS (
+      SELECT c.id_a, c.id_b,
+             sum(CASE WHEN ha.h_val = hb.h_val THEN 1 ELSE 0 END)::DOUBLE / 8 AS e
+      FROM cands c
+      JOIN hx ha ON ha.id = c.id_a
+      JOIN hx hb ON hb.id = c.id_b AND hb.h_idx = ha.h_idx
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT id_a, id_b, round(e, 6) AS est_jaccard FROM est WHERE e >= 0.25
+    """,
+)
+def minhash_estimate_pairs_documents(spark, sf_dir):
+    """LSH candidate pairs scored by signature-only Jaccard estimation
+    (fraction of agreeing MinHash positions): the verification join
+    touches only the fixed-width signature table — O(num_hashes) per
+    candidate regardless of document length, never the shingle sets.
+    The 100 TB fast path when an approximate score suffices;
+    minhash_lsh_pairs_documents is the exact-verification twin."""
+    from vmware_graph_spark.operators.dedup import minhash_estimate_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    out = minhash_estimate_pairs(
+        d, "doc_id", "text", n=3, num_hashes=8, bands=4, min_estimate=0.25
+    )
+    return out.select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+
+
+@query(
+    "unigram_logprob_quality",
+    rf"""
+    WITH tok AS (
+      SELECT doc_id AS id, unnest({_toks('text')}) AS tok FROM documents
+    ),
+    vocab AS (SELECT tok, count(*) AS tf FROM tok GROUP BY tok),
+    total AS (SELECT sum(tf) AS n_total FROM vocab)
+    SELECT id AS doc_id, count(*)::INTEGER AS n_tok,
+           round(CAST(sum(round(ln(tf::DOUBLE / n_total::DOUBLE), 6)::DECIMAL(18,6)) AS DOUBLE)
+                 / count(*)::DOUBLE, 6) AS mean_logprob
+    FROM tok JOIN vocab USING (tok) CROSS JOIN total
+    GROUP BY id
+    """,
+)
+def unigram_logprob_quality(spark, sf_dir):
+    """Perplexity-proxy quality score: mean ln-probability of a doc's
+    tokens under the corpus's own unigram distribution (the cheap
+    stand-in for LM-perplexity corpus filters). Two hash aggs + one
+    broadcast vocab join — linear at 100 TB. Determinism: per-token ln
+    is IEEE-identical across engines; the mean accumulates round(·,6)
+    decimals so partition order cannot move low bits."""
+    from vmware_graph_spark.operators.quality import unigram_logprob
+
+    d = load_table(spark, sf_dir, "documents")
+    return unigram_logprob(d, "doc_id", "text").withColumnRenamed("id", "doc_id")
+
+
+_LPA_ROUND_SQL = """
+    v{i} AS (
+      SELECT e.src AS id, l.label, count(*) AS c
+      FROM sym e JOIN l{p} l ON l.id = e.dst
+      GROUP BY e.src, l.label
+    ),
+    w{i} AS (
+      SELECT id, label FROM v{i}
+      QUALIFY row_number() OVER (PARTITION BY id ORDER BY c DESC, label ASC) = 1
+    ),
+    l{i} AS (
+      SELECT l{p}.id, coalesce(w{i}.label, l{p}.label) AS label
+      FROM l{p} LEFT JOIN w{i} ON w{i}.id = l{p}.id
+    )"""
+
+
+@query(
+    "label_propagation_communities",
+    """
+    WITH verts AS (
+      SELECT 'o' || o_orderkey AS id FROM orders
+      UNION SELECT 'c' || c_custkey FROM customer
+      UNION SELECT 'n' || n_nationkey FROM nation
+    ),
+    dedges AS (
+      SELECT 'o' || o_orderkey AS src, 'c' || o_custkey AS dst FROM orders
+      UNION ALL
+      SELECT 'c' || c_custkey, 'n' || c_nationkey FROM customer
+    ),
+    sym AS (
+      SELECT DISTINCT src, dst FROM
+        (SELECT src, dst FROM dedges UNION ALL SELECT dst, src FROM dedges)
+    ),
+    l0 AS (SELECT id, id AS label FROM verts),"""
+    + ",".join(_LPA_ROUND_SQL.format(i=i, p=i - 1) for i in (1, 2, 3))
+    + """
+    SELECT id, label FROM l3
+    """,
+)
+def label_propagation_communities(spark, sf_dir):
+    """Synchronous label propagation (3 rounds, deterministic min-label
+    tie-break) over the order-customer-nation tripartite graph —
+    community detection with a total tie order, so the labeling is a
+    pure function of the graph (GraphFrames' labelPropagation is
+    explicitly nondeterministic; this one hash-matches an oracle that
+    replays the votes in SQL). One (vertex,label) count shuffle + one
+    arg-max window per round."""
+    from vmware_graph_spark.analytics.algos import label_propagation
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    oid = F.concat(F.lit("o"), F.col("o_orderkey"))
+    ocid = F.concat(F.lit("c"), F.col("o_custkey"))
+    cid = F.concat(F.lit("c"), F.col("c_custkey"))
+    nid = F.concat(F.lit("n"), F.col("c_nationkey"))
+    vertices = (
+        o.select(oid.alias("id"))
+        .unionByName(c.select(cid.alias("id")))
+        .unionByName(n.select(F.concat(F.lit("n"), F.col("n_nationkey")).alias("id")))
+        .distinct()
+    )
+    edges = o.select(oid.alias("src"), ocid.alias("dst")).unionByName(
+        c.select(cid.alias("src"), nid.alias("dst"))
+    )
+    return label_propagation(vertices, edges, iters=3)
