@@ -145,3 +145,42 @@ def test_split_small_scan_noop_when_wide_enough(spark):
         spark.sparkContext.defaultParallelism + 4
     )
     assert split_small_scan(wide, spark) is wide
+
+
+def test_runtime_bloom_filter_available_for_selective_shuffle_joins(spark):
+    """Spark's runtime bloom filter (InjectRuntimeFilter) is ON in the
+    engine conf: a selective dim-side filter is turned into a bloom
+    pre-filter on the fact side BEFORE the shuffle — at 100 TB this is
+    the difference between shuffling the whole fact table and shuffling
+    the ~matching fraction. Local fixtures sit below the default
+    size thresholds (10 GB scans — the right production default), so
+    the test lowers the application-side threshold to prove the rule
+    fires; on a real cluster the defaults engage it automatically."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderpriority").count()
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in plan.lower(), plan[:3000]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -175,3 +175,33 @@ def test_unigram_logprob_rare_scores_below_common(spark):
     d = spark.createDataFrame(rows, ["id", "text"])
     got = {r["id"]: r["mean_logprob"] for r in unigram_logprob(d, "id", "text").collect()}
     assert got[99] < got[0]
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    from vmware_graph_spark.operators.quality import chunk_documents
+
+    toks = " ".join(str(i) for i in range(10))  # 10 tokens
+    d = spark.createDataFrame([(1, toks), (2, "only three tokens"), (3, "")],
+                              ["id", "text"])
+    got = sorted(
+        map(tuple, chunk_documents(d, "id", "text", size=4, stride=3).collect())
+    )
+    # doc 1: starts 0,3,6,9 → windows of 4,4,4 and tail of 1
+    assert got == [
+        (1, 0, 4, "0 1 2 3"),
+        (1, 1, 4, "3 4 5 6"),
+        (1, 2, 4, "6 7 8 9"),
+        (1, 3, 1, "9"),
+        (2, 0, 3, "only three tokens"),
+    ]
+
+
+def test_chunk_documents_no_shuffle(spark):
+    from vmware_graph_spark.operators.quality import chunk_documents
+
+    d = spark.createDataFrame([(1, "a b c")], ["id", "text"])
+    plan = (
+        chunk_documents(d, "id", "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan

@@ -220,3 +220,40 @@ def test_label_propagation_isolated_vertex_keeps_own_label(spark):
     got = {r["id"]: r["label"] for r in label_propagation(v, e, iters=1).collect()}
     assert got["z"] == "z"
     assert got["x"] == "y" and got["y"] == "x"
+
+
+def test_k_core_triangle_with_tail(spark):
+    from vmware_graph_spark.analytics.algos import k_core
+
+    # triangle a-b-c plus tail c-d: 2-core = the triangle, d peeled.
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")], ["src", "dst"]
+    )
+    got = {r["id"]: r["core_degree"] for r in k_core(e, 2).collect()}
+    assert got == {"a": 2, "b": 2, "c": 2}
+
+
+def test_k_core_cascade_needs_multiple_rounds(spark):
+    from vmware_graph_spark.analytics.algos import k_core
+
+    # path a-b-c-d-e with k=2: endpoints peel first, then the cascade
+    # empties the graph — fixpoint is the empty core.
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")], ["src", "dst"]
+    )
+    assert k_core(e, 2).count() == 0
+    # fixed-round mode after 1 round still holds the inner path b-c-d.
+    one = {r["id"] for r in k_core(e, 2, rounds=1).collect()}
+    assert one == {"b", "c", "d"}
+
+
+def test_k_core_ignores_parallel_edges_and_self_loops(spark):
+    from vmware_graph_spark.analytics.algos import k_core
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "a"), ("a", "b")], ["src", "dst"]
+    )
+    # degree counts distinct neighbors: a-b is one edge, so 2-core empty.
+    assert k_core(e, 2).count() == 0
+    got = {r["id"]: r["core_degree"] for r in k_core(e, 1).collect()}
+    assert got == {"a": 1, "b": 1}

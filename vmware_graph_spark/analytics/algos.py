@@ -162,6 +162,68 @@ def label_propagation(
     return labels
 
 
+def k_core(
+    edges: DataFrame, k: int, *, rounds: int | None = None, max_iters: int = 50
+) -> DataFrame:
+    """The k-core of an undirected graph: iteratively peel vertices of
+    degree < k until none remain. Returns surviving (id, core_degree).
+
+    Two modes:
+    - ``rounds=None`` (library default): peel to the fixpoint, raising
+      if ``max_iters`` rounds don't reach it (a silent partial peel
+      would overstate the core).
+    - ``rounds=R``: exactly R synchronous peel rounds — the
+      deterministic finite unrolling an external oracle can replay.
+
+    Scale: each round is one degree aggregation plus two semi-joins
+    (both endpoints must survive), lineage-cut per round — the standard
+    distributed k-core; the number of rounds is bounded by the
+    degeneracy ordering depth, typically ≪ vertex count. Parallel
+    edges/self-loops are removed up front (degree = distinct
+    neighbors).
+    """
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_rounds = rounds if rounds is not None else max_iters
+    converged = rounds is not None  # fixed-round mode needs no fixpoint
+    for _ in range(n_rounds):
+        deg = (
+            e.select(F.col("u").alias("id"))
+            .unionAll(e.select(F.col("v").alias("id")))
+            .groupBy("id")
+            .agg(F.count("*").alias("degree"))
+        )
+        keep = deg.filter(F.col("degree") >= k).select("id")
+        e2 = (
+            e.join(keep.withColumnRenamed("id", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("id", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        if rounds is None:
+            if e2.count() == e.count():
+                e = e2
+                converged = True
+                break
+        e = e2
+    if not converged:
+        raise RuntimeError(
+            f"k_core did not reach a fixpoint in {max_iters} rounds; raise max_iters"
+        )
+    return (
+        e.select(F.col("u").alias("id"))
+        .unionAll(e.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("core_degree"))
+    )
+
+
 def pagerank(
     vertices: DataFrame,
     edges: DataFrame,

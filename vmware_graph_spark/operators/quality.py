@@ -149,6 +149,46 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def chunk_documents(
+    df: DataFrame, id_col: str, text_col: str, *, size: int = 64, stride: int = 48
+) -> DataFrame:
+    """(id, chunk_id, chunk_n_tok, chunk_text) — fixed-size token
+    windows with overlap (``size - stride`` tokens), the
+    context-length-fitting step of training/RAG corpus prep.
+
+    One projection + one explode — no shuffle at all: chunking is
+    embarrassingly parallel and stays wherever the scan partitioned the
+    corpus. Chunk starts are ``0, stride, 2·stride, …`` up to the last
+    index that begins a non-empty window; token-less documents yield no
+    chunks. Guard: Spark's ``sequence(a, b)`` is DESCENDING when
+    ``b < a`` (never empty), so the stop bound is clamped with
+    ``greatest`` instead of relying on an empty sequence.
+    """
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+    t = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("__t")).withColumn(
+        "__n", F.size("__t")
+    )
+    t = t.filter(F.col("__n") > 0)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(
+            F.lit(0),
+            (F.floor((F.col("__n") - 1) / stride) * stride).cast("int"),
+        ),
+        F.lit(stride),
+    )
+    ch = t.select(
+        "id", "__t", F.posexplode(starts).alias("chunk_id", "__start")
+    ).withColumn("__chunk", F.slice("__t", F.col("__start") + 1, size))
+    return ch.select(
+        "id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size("__chunk").cast("int").alias("chunk_n_tok"),
+        F.array_join("__chunk", " ").alias("chunk_text"),
+    )
+
+
 def top_ngrams(df: DataFrame, text_col: str, *, n: int = 2, k: int = 50) -> DataFrame:
     """(gram, cnt, rnk) — the k most frequent word n-grams corpus-wide,
     ties broken lexicographically (vocabulary induction / BPE-merge prep

@@ -4585,3 +4585,73 @@ def label_propagation_communities(spark, sf_dir):
         c.select(cid.alias("src"), nid.alias("dst"))
     )
     return label_propagation(vertices, edges, iters=3)
+
+
+_KCORE_ROUND_SQL = """
+    d{i} AS (
+      SELECT id FROM (SELECT u AS id FROM e{p} UNION ALL SELECT v FROM e{p})
+      GROUP BY id HAVING count(*) >= 25
+    ),
+    e{i} AS (
+      SELECT e.u, e.v FROM e{p} e
+      JOIN d{i} a ON a.id = e.u JOIN d{i} b ON b.id = e.v
+    )"""
+
+
+@query(
+    "k_core_supplier_part",
+    """
+    WITH e0 AS (
+      SELECT DISTINCT 'p' || l_partkey AS u, 's' || l_suppkey AS v FROM lineitem
+    ),"""
+    + ",".join(_KCORE_ROUND_SQL.format(i=i, p=i - 1) for i in (1, 2, 3))
+    + """
+    SELECT id, count(*) AS core_degree
+    FROM (SELECT u AS id FROM e3 UNION ALL SELECT v FROM e3)
+    GROUP BY id
+    """,
+)
+def k_core_supplier_part(spark, sf_dir):
+    """k-core decomposition (k=25, 3 synchronous peel rounds) of the
+    part-supplier co-occurrence graph from lineitem — the dense-subgraph
+    primitive (spam/botnet cluster mining, community cores). Fixed-round
+    mode so the oracle replays the peel exactly; the library's default
+    mode peels to the fixpoint and raises when truncated. Each round is
+    one degree agg + two semi-joins, lineage-cut — no driver loops."""
+    from vmware_graph_spark.analytics.algos import k_core
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    )
+    return k_core(edges, 25, rounds=3)
+
+
+@query(
+    "chunk_documents_overlap",
+    f"""
+    WITH t AS (SELECT doc_id, {_toks('text')} AS toks FROM documents),
+    nn AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+    s AS (
+      SELECT doc_id, toks,
+             unnest(range(0, ((n - 1) // 24) * 24 + 1, 24)) AS start
+      FROM nn
+    )
+    SELECT doc_id, CAST(start // 24 AS INTEGER) AS chunk_id,
+           CAST(len(list_slice(toks, start + 1, start + 32)) AS INTEGER) AS chunk_n_tok,
+           array_to_string(list_slice(toks, start + 1, start + 32), ' ') AS chunk_text
+    FROM s
+    """,
+)
+def chunk_documents_overlap(spark, sf_dir):
+    """Fixed-size token chunking with overlap (size 32, stride 24 — 8
+    tokens shared between neighbors): the context-length-fitting step of
+    training/RAG corpus prep. Pure projection + explode, zero shuffle —
+    chunking stays wherever the scan partitioned the corpus."""
+    from vmware_graph_spark.operators.quality import chunk_documents
+
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_documents(d, "doc_id", "text", size=32, stride=24).withColumnRenamed(
+        "id", "doc_id"
+    )
