@@ -176,3 +176,48 @@ def test_minhash_estimate_plan_never_touches_shingles_for_scoring(spark, docs):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # builds: one explode for the shingle table + one for band structs
     assert plan.count("Generate explode") <= 2, plan
+
+
+def test_dedup_against_flags_exact_near_and_kept(spark):
+    from vmware_graph_spark.operators.dedup import dedup_against
+
+    ref = spark.createDataFrame(
+        [
+            (101, "the quick brown fox jumps over the lazy dog"),
+            (102, "completely unrelated reference material here"),
+        ],
+        ["id", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "The  quick brown fox jumps over the lazy dog"),  # exact (normalized)
+            (2, "the quick brown fox jumps over the lazy cat"),   # near-dup of 101
+            (3, "entirely novel content with fresh wording"),     # kept
+        ],
+        ["id", "text"],
+    )
+    got = {
+        r["id"]: (r["exact_dup"], r["near_dup"], r["kept"])
+        for r in dedup_against(
+            new, ref, "id", "text", n=3, num_hashes=16, bands=8,
+            verify_threshold=0.3,
+        ).collect()
+    }
+    assert got[1][0] is True and got[1][2] is False
+    assert got[2] == (False, True, False)
+    assert got[3] == (False, False, True)
+
+
+def test_dedup_against_never_self_pairs_reference(spark):
+    """The reference corpus must not join against itself: with two
+    identical ref docs and one unrelated new doc, no candidate pair
+    forms and every new row is kept."""
+    from vmware_graph_spark.operators.dedup import dedup_against
+
+    ref = spark.createDataFrame(
+        [(101, "dup dup dup dup one two three"), (102, "dup dup dup dup one two three")],
+        ["id", "text"],
+    )
+    new = spark.createDataFrame([(1, "nothing in common at all here")], ["id", "text"])
+    out = dedup_against(new, ref, "id", "text", n=3, num_hashes=8, bands=4).collect()
+    assert len(out) == 1 and out[0]["kept"] is True

@@ -205,3 +205,23 @@ def test_chunk_documents_no_shuffle(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan, plan
+
+
+def test_profile_columns_wide_single_pass(spark):
+    from vmware_graph_spark.operators.quality import profile_columns
+
+    d = spark.createDataFrame(
+        [(1, "x"), (2, None), (2, "y")], ["k", "s"]
+    )
+    got = {r["col_name"]: r for r in profile_columns(d, ["k", "s"]).collect()}
+    assert got["k"]["n_rows"] == 3 and got["k"]["n_null"] == 0
+    assert got["k"]["n_distinct"] == 2
+    assert got["k"]["min_value"] == "1" and got["k"]["max_value"] == "2"
+    assert got["s"]["n_null"] == 1 and got["s"]["n_distinct"] == 2
+    # single wide aggregate: exactly one Exchange pair (partial/final),
+    # never one scan per column.
+    plan = (
+        profile_columns(d, ["k", "s"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Scan ExistingRDD") <= 1

@@ -187,3 +187,29 @@ def read_event_stream_projected(spark, path):
         .option("maxFilesPerTrigger", 1)
         .parquet(path)
     )
+
+
+def test_stream_static_enrich_broadcasts_dim_and_drops_unmatched(spark, tmp_path):
+    from vmware_graph_spark.streaming.events import (
+        read_event_stream,
+        run_available_to_memory,
+        stream_static_enrich,
+    )
+    from pyspark.sql import functions as F
+    import uuid
+
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:01", 7, "click", 1.0, "{}"),
+         (2, "2024-01-01 00:00:02", 8, "view", 2.0, "{}")],
+        "event_id long, ts_s string, user_id long, event_type string, value double, props string",
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+             "user_id", "event_type", "value", "props")
+    p = str(tmp_path / "ev")
+    ev.write.parquet(p)
+    dim = spark.createDataFrame([(7, "gold")], ["user_id", "segment"])
+    out = stream_static_enrich(read_event_stream(spark, p), dim, "user_id")
+    name = "t_enrich_" + uuid.uuid4().hex[:8]
+    run_available_to_memory(out, name)
+    rows = spark.table(name).select("event_id", "segment").collect()
+    # inner join: user 8 (no dim row) dropped; user 7 enriched.
+    assert [(r["event_id"], r["segment"]) for r in rows] == [(1, "gold")]

@@ -268,6 +268,103 @@ def minhash_estimate_pairs(
     )
 
 
+def dedup_against(
+    new: DataFrame,
+    ref: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    verify_threshold: float = 0.5,
+) -> DataFrame:
+    """Dedup a NEW batch against an existing REFERENCE corpus
+    (incremental-ingestion dedup): every new row is flagged
+    ``exact_dup`` (normalized fingerprint already present in ref),
+    ``near_dup`` (MinHash-LSH candidate against ref verified at
+    ``verify_threshold`` Jaccard), and ``kept`` (neither).
+
+    This is the shape a 100 TB pipeline actually runs day-to-day — the
+    reference corpus is NOT re-paired against itself (its signatures
+    and fingerprints are loaded, ideally precomputed); candidates come
+    from a cross-corpus band-bucket join only, so cost scales with the
+    new batch, not the corpus. Verification joins candidates to the two
+    shingle tables (exact Jaccard, no false positives), mirroring
+    :func:`minhash_lsh_pairs`.
+    """
+    rows = num_hashes // bands
+    fp_new = new.select(F.col(id_col).alias("id"), fingerprint(text_col).alias("__fp"))
+    fp_ref = ref.select(fingerprint(text_col).alias("__fp")).distinct()
+    exact = (
+        fp_new.join(fp_ref.withColumn("__hit", F.lit(1)), "__fp", "left")
+        .select("id", (F.col("__hit").isNotNull()).alias("exact_dup"))
+    )
+
+    sh_new = _shingle_table(new, id_col, text_col, n).localCheckpoint(eager=False)
+    sh_ref = _shingle_table(ref, id_col, text_col, n).localCheckpoint(eager=False)
+
+    def _sig(sh: DataFrame) -> DataFrame:
+        mins = [
+            F.min(_md5_hash64(F.col("shingle"), i)).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+        return (
+            sh.groupBy("id")
+            .agg(*mins)
+            .select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+        )
+
+    def _buckets(sig: DataFrame) -> DataFrame:
+        band_cols = []
+        for b in range(bands):
+            piece = F.slice(F.col("sig"), b * rows + 1, rows)
+            band_cols.append(
+                F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(",", *[
+                    F.element_at(piece, i + 1).cast("string") for i in range(rows)
+                ])).alias("bucket"))
+            )
+        return sig.select("id", F.explode(F.array(*band_cols)).alias("bb")).select(
+            "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        )
+
+    cands = (
+        _buckets(_sig(sh_new)).withColumnRenamed("id", "id_new")
+        .join(
+            _buckets(_sig(sh_ref)).withColumnRenamed("id", "id_ref"),
+            ["band", "bucket"],
+        )
+        .select("id_new", "id_ref")
+        .distinct()
+    )
+    sizes_new = sh_new.groupBy("id").agg(F.count("*").alias("n_new"))
+    sizes_ref = sh_ref.groupBy("id").agg(F.count("*").alias("n_ref"))
+    inter = (
+        cands.join(sh_new.withColumnRenamed("id", "id_new"), "id_new")
+        .join(sh_ref.withColumnRenamed("id", "id_ref"), ["id_ref", "shingle"])
+        .groupBy("id_new", "id_ref")
+        .agg(F.count("*").alias("inter"))
+    )
+    near_ids = (
+        inter.join(sizes_new.withColumnRenamed("id", "id_new"), "id_new")
+        .join(sizes_ref.withColumnRenamed("id", "id_ref"), "id_ref")
+        .filter(
+            F.col("inter").cast("double")
+            / (F.col("n_new") + F.col("n_ref") - F.col("inter")).cast("double")
+            >= verify_threshold
+        )
+        .select(F.col("id_new").alias("id"))
+        .distinct()
+        .withColumn("__near", F.lit(1))
+    )
+    out = exact.join(near_ids, "id", "left").select(
+        "id",
+        "exact_dup",
+        F.col("__near").isNotNull().alias("near_dup"),
+    )
+    return out.withColumn("kept", ~F.col("exact_dup") & ~F.col("near_dup"))
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str,

@@ -15,6 +15,8 @@ linearly to a 100 TB corpus.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -147,6 +149,45 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.sum("__lp").cast("double") / F.count("*").cast("double"), 6
         ).alias("mean_logprob"),
     )
+
+
+def profile_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """(column, n_rows, n_null, n_distinct, min_value, max_value) — the
+    per-column data census every ingest/quality pipeline runs first
+    (schema drift, null explosions, cardinality surprises).
+
+    One wide aggregation computes every column's stats in a single
+    pass/shuffle (count + conditional-null count + distinct + min/max
+    per column are all agg buffers in the same hash aggregate), then the
+    1×(6·k) row is exploded into the long (column, stats) format on the
+    driver side of the agg — no per-column scans, no collect. min/max
+    are cast to string so mixed-type columns share one schema.
+    """
+    aggs: list = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.extend(
+            [
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__null_{c}"),
+                F.countDistinct(F.col(c)).alias(f"__nd_{c}"),
+                F.min(F.col(c).cast("string")).alias(f"__min_{c}"),
+                F.max(F.col(c).cast("string")).alias(f"__max_{c}"),
+            ]
+        )
+    wide = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"__null_{c}").alias("n_null"),
+                F.col(f"__nd_{c}").alias("n_distinct"),
+                F.col(f"__min_{c}").alias("min_value"),
+                F.col(f"__max_{c}").alias("max_value"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.explode(rows).alias("p")).select("p.*")
 
 
 def chunk_documents(

@@ -4655,3 +4655,160 @@ def chunk_documents_overlap(spark, sf_dir):
     return chunk_documents(d, "doc_id", "text", size=32, stride=24).withColumnRenamed(
         "id", "doc_id"
     )
+
+
+@query(
+    "dedup_new_against_corpus",
+    f"""
+    WITH newd AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+    refd AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+    fpn AS (SELECT doc_id AS id, {_FP.format(c='text')} AS fp FROM newd),
+    fpr AS (SELECT DISTINCT {_FP.format(c='text')} AS fp FROM refd),
+    shn AS (SELECT DISTINCT doc_id AS id, unnest({_shingles('text', 3)}) AS shingle FROM newd),
+    shr AS (SELECT DISTINCT doc_id AS id, unnest({_shingles('text', 3)}) AS shingle FROM refd),
+    hxn AS (
+      SELECT id, i AS h_idx, min({_h64('shingle', 'i')}) AS h_val
+      FROM shn CROSS JOIN (SELECT unnest(range(8)) AS i) GROUP BY id, i
+    ),
+    hxr AS (
+      SELECT id, i AS h_idx, min({_h64('shingle', 'i')}) AS h_val
+      FROM shr CROSS JOIN (SELECT unnest(range(8)) AS i) GROUP BY id, i
+    ),
+    bn AS (
+      SELECT id, h_idx // 2 AS band,
+             md5(string_agg(h_val::VARCHAR, ',' ORDER BY h_idx)) AS bucket
+      FROM hxn GROUP BY id, h_idx // 2
+    ),
+    br AS (
+      SELECT id, h_idx // 2 AS band,
+             md5(string_agg(h_val::VARCHAR, ',' ORDER BY h_idx)) AS bucket
+      FROM hxr GROUP BY id, h_idx // 2
+    ),
+    cands AS (
+      SELECT DISTINCT a.id AS id_new, b.id AS id_ref
+      FROM bn a JOIN br b ON a.band = b.band AND a.bucket = b.bucket
+    ),
+    szn AS (SELECT id, count(*) AS n_sh FROM shn GROUP BY id),
+    szr AS (SELECT id, count(*) AS n_sh FROM shr GROUP BY id),
+    inter AS (
+      SELECT c.id_new, c.id_ref, count(*) AS inter
+      FROM cands c
+      JOIN shn x ON x.id = c.id_new
+      JOIN shr y ON y.id = c.id_ref AND y.shingle = x.shingle
+      GROUP BY c.id_new, c.id_ref
+    ),
+    near AS (
+      SELECT DISTINCT i.id_new AS id FROM inter i
+      JOIN szn ON szn.id = i.id_new JOIN szr ON szr.id = i.id_ref
+      WHERE inter::DOUBLE / (szn.n_sh + szr.n_sh - inter) >= 0.5
+    )
+    SELECT f.id AS doc_id,
+           CAST(CASE WHEN f.fp IN (SELECT fp FROM fpr) THEN 1 ELSE 0 END AS INTEGER) AS exact_dup,
+           CAST(CASE WHEN near.id IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS near_dup,
+           CAST(CASE WHEN f.fp NOT IN (SELECT fp FROM fpr) AND near.id IS NULL
+                THEN 1 ELSE 0 END AS INTEGER) AS kept
+    FROM fpn f LEFT JOIN near ON near.id = f.id
+    """,
+)
+def dedup_new_against_corpus(spark, sf_dir):
+    """Incremental-ingestion dedup: flag a NEW batch (doc_id % 5 = 0)
+    against the existing corpus (the rest) — exact fingerprint hit,
+    MinHash-LSH near-dup at Jaccard ≥ 0.5, and the kept survivors. The
+    reference side is never self-paired; candidates come from the
+    cross-corpus band join only, so cost follows the new batch, not the
+    corpus — the day-to-day dedup shape at 100 TB."""
+    from vmware_graph_spark.operators.dedup import dedup_against
+
+    d = load_table(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") % 5 == 0)
+    ref = d.filter(F.col("doc_id") % 5 != 0)
+    out = dedup_against(new, ref, "doc_id", "text", n=3, num_hashes=8, bands=4,
+                        verify_threshold=0.5)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("exact_dup").cast("int").alias("exact_dup"),
+        F.col("near_dup").cast("int").alias("near_dup"),
+        F.col("kept").cast("int").alias("kept"),
+    )
+
+
+_PROFILE_COL_SQL = """
+      SELECT '{c}' AS col_name, count(*) AS n_rows,
+             CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             count(DISTINCT {c}) AS n_distinct,
+             min(CAST({c} AS VARCHAR)) AS min_value,
+             max(CAST({c} AS VARCHAR)) AS max_value
+      FROM events"""
+
+
+@query(
+    "profile_events_columns",
+    "\n    UNION ALL".join(
+        _PROFILE_COL_SQL.format(c=c)
+        for c in ("event_id", "user_id", "event_type", "props")
+    ),
+)
+def profile_events_columns(spark, sf_dir):
+    """Per-column data census (null count, distinct cardinality,
+    min/max) — the first pass of any ingest/quality pipeline (schema
+    drift, null explosions, cardinality surprises). ONE wide hash
+    aggregate computes every column's stats in a single scan+shuffle;
+    the 1-row result explodes into long format. The oracle recomputes
+    each column independently."""
+    from vmware_graph_spark.operators.quality import profile_columns
+
+    e = load_table(spark, sf_dir, "events")
+    return profile_columns(e, ["event_id", "user_id", "event_type", "props"])
+
+
+@query(
+    "streaming_segment_hourly_counts",
+    """
+    WITH dim AS (SELECT DISTINCT user_id, 'seg' || (user_id % 5) AS segment FROM events)
+    SELECT strftime(date_trunc('hour', e.ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           d.segment, count(*) AS n,
+           CAST(sum(round(e.value, 4)::DECIMAL(18,4)) AS DOUBLE) AS sum_value
+    FROM events e JOIN dim d ON e.user_id = d.user_id
+    GROUP BY hour_start, segment
+    """,
+)
+def streaming_segment_hourly_counts(spark, sf_dir):
+    """Stream-static enrichment (REAL streaming run): the event stream
+    joins a broadcast user→segment dimension per micro-batch, then a
+    watermarked hourly window aggregates per segment — the standard
+    streaming enrichment+rollup. The static side re-plans every batch
+    (a refreshed dim is picked up live); the stream side never shuffles
+    for the join. Drained with availableNow into a memory sink and
+    compared to the batch SQL twin."""
+    import tempfile
+    import uuid
+
+    from vmware_graph_spark.streaming.events import (
+        read_event_stream,
+        run_available_to_memory,
+        stream_static_enrich,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.select(
+        "user_id", F.concat(F.lit("seg"), F.col("user_id") % 5).alias("segment")
+    ).distinct()
+    path = tempfile.mkdtemp(prefix="vgs_stream_seg_")
+    ev.repartition(3).write.mode("overwrite").parquet(path)
+    enriched = stream_static_enrich(read_event_stream(spark, path), dim, "user_id")
+    agg = (
+        enriched.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "segment")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round("value", 4).cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+    )
+    name = "stream_seg_" + uuid.uuid4().hex[:8]
+    run_available_to_memory(agg, name, output_mode="complete")
+    return spark.table(name).select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+        "segment",
+        "n",
+        "sum_value",
+    )

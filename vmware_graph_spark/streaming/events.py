@@ -81,6 +81,18 @@ def windowed_event_counts(
     )
 
 
+def stream_static_enrich(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream-static equi-join (the enrichment pattern): each
+    micro-batch joins against the static dimension — Spark re-plans the
+    static side per batch, so a dim refreshed on disk is picked up
+    without restarting the stream. The dim is broadcast (dimension
+    tables are broadcast-sized by definition here); the stream side
+    never shuffles for the join, keeping per-batch latency flat at any
+    corpus scale. Inner join: unmatched stream rows are dropped
+    (reference J1 inner-join semantics)."""
+    return stream.join(F.broadcast(dim), on, "inner")
+
+
 def dedup_within_watermark(events: DataFrame, *, watermark: str = "2 hours") -> DataFrame:
     """Exactly-once event delivery: drop duplicate event_ids arriving
     within the watermark horizon (CDC-style refresh dedup). State size
