@@ -234,3 +234,35 @@ def test_audio_windows_hop_arithmetic(spark):
     assert abs(w1[0].energy - want) < 1e-12
     # empty payload still yields exactly one empty window row
     assert [(r.start_byte, r.win_len) for r in by[2]] == [(0, 0)]
+
+
+def test_truncate_normalize_unit_norm_and_rank_preserving(spark):
+    """Truncated+renormalized vectors are unit-L2, and their dot
+    products equal the cosine of the raw sliced vectors (cosine is
+    scale-invariant, so renorm must not change neighbor order)."""
+    from pyspark.sql import functions as F
+
+    from vmware_graph_spark.functions.vector import cosine, dot
+    from vmware_graph_spark.operators.similarity import truncate_normalize
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0, 100.0]), (2, [6.0, 8.0, -50.0]), (3, [-4.0, 3.0, 0.0])],
+        ["id", "vec"],
+    )
+    t = truncate_normalize(df, "vec", 2, out_col="tv")
+    norms = [
+        r["n"]
+        for r in t.select(
+            F.aggregate("tv", F.lit(0.0), lambda a, x: a + x * x).alias("n")
+        ).collect()
+    ]
+    assert all(abs(n - 1.0) < 1e-12 for n in norms)
+    a = t.filter(F.col("id") == 1).select(F.col("tv").alias("ta")).crossJoin(
+        t.filter(F.col("id") == 2).select(F.col("tv").alias("tb"))
+    )
+    got = a.select(dot(F.col("ta"), F.col("tb")).alias("d")).collect()[0]["d"]
+    raw = df.filter(F.col("id") == 1).select(
+        F.slice("vec", 1, 2).alias("ra")
+    ).crossJoin(df.filter(F.col("id") == 2).select(F.slice("vec", 1, 2).alias("rb")))
+    want = raw.select(cosine(F.col("ra"), F.col("rb")).alias("c")).collect()[0]["c"]
+    assert abs(got - want) < 1e-9

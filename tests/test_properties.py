@@ -170,3 +170,48 @@ def test_disc_percentile_is_sorted_index(spark, values, p):
     got = disc_percentile(df, ["g"], "v", [p], ["q"]).collect()[0]["q"]
     want = sorted(values)[max(1, math.ceil(p * len(values))) - 1]
     assert got == want
+
+
+@PROP
+@given(
+    st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=30),
+    st.integers(min_value=1, max_value=8),
+    st.integers(min_value=1, max_value=8),
+)
+def test_chunking_covers_every_token_exactly(spark, tok_counts, size, stride):
+    """Invariants for any stride ≤ size: chunk starts are multiples of
+    stride; every token of every doc appears in ≥1 chunk; no chunk
+    exceeds ``size`` tokens; concatenating stride-prefixes of the
+    chunks reconstructs the document. (stride > size is rejected by the
+    operator — gapped coverage would silently drop tokens.)"""
+    from hypothesis import assume
+
+    from vmware_graph_spark.operators.quality import chunk_documents
+
+    assume(stride <= size)
+    rows = [
+        (i, " ".join(f"t{i}_{j}" for j in range(n))) for i, n in enumerate(tok_counts)
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    got = chunk_documents(df, "id", "text", size=size, stride=stride).collect()
+    by_doc: dict[int, list] = {}
+    for r in got:
+        assert 1 <= r["chunk_n_tok"] <= size
+        by_doc.setdefault(r["id"], []).append(r)
+    for i, n in enumerate(tok_counts):
+        chunks = sorted(by_doc.get(i, []), key=lambda r: r["chunk_id"])
+        if n == 0:
+            assert not chunks
+            continue
+        # chunk c starts at c*stride; stride-prefix concat == document
+        rebuilt = []
+        for r in chunks:
+            toks = r["chunk_text"].split(" ")
+            assert len(toks) == r["chunk_n_tok"]
+            rebuilt.extend(toks[:stride])
+        assert rebuilt[:n] == [f"t{i}_{j}" for j in range(n)]
+        covered = set()
+        for r in chunks:
+            start = r["chunk_id"] * stride
+            covered.update(range(start, start + r["chunk_n_tok"]))
+        assert covered == set(range(n))

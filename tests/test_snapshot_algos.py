@@ -257,3 +257,28 @@ def test_k_core_ignores_parallel_edges_and_self_loops(spark):
     assert k_core(e, 2).count() == 0
     got = {r["id"]: r["core_degree"] for r in k_core(e, 1).collect()}
     assert got == {"a": 1, "b": 1}
+
+
+def test_hits_hand_computed_two_rounds(spark):
+    from vmware_graph_spark.analytics.algos import hits
+
+    # a->c, b->c, c->d : authorities concentrate on c then d; hubs on a,b.
+    v = spark.createDataFrame([("a",), ("b",), ("c",), ("d",)], ["id"])
+    e = spark.createDataFrame([("a", "c"), ("b", "c"), ("c", "d")], ["src", "dst"])
+    got = {r["id"]: (r["hub"], r["authority"]) for r in hits(v, e, iters=2).collect()}
+    # round 1: a1 = {c:2, d:1}; h1 = {a:2, b:2, c:1}
+    # round 2: a2 = {c: h(a)+h(b)=4, d: h(c)=1}; h2 = {a:4, b:4, c:1}
+    assert got == {"a": (4, 0), "b": (4, 0), "c": (1, 4), "d": (0, 1)}
+
+
+def test_hits_deterministic_across_partitionings(spark):
+    from vmware_graph_spark.analytics.algos import hits
+
+    v = spark.range(30).select(F.concat(F.lit("v"), F.col("id")).alias("id"))
+    e = spark.range(60).select(
+        F.concat(F.lit("v"), F.col("id") % 30).alias("src"),
+        F.concat(F.lit("v"), (F.col("id") * 7 + 3) % 30).alias("dst"),
+    )
+    x = sorted(map(tuple, hits(v, e, iters=3).collect()))
+    y = sorted(map(tuple, hits(v.repartition(5), e.repartition(11), iters=3).collect()))
+    assert x == y

@@ -162,6 +162,48 @@ def label_propagation(
     return labels
 
 
+def hits(
+    vertices: DataFrame, edges: DataFrame, *, iters: int = 2
+) -> DataFrame:
+    """HITS hubs-and-authorities, unnormalized integer power iteration.
+    Returns (id, hub, authority) after exactly ``iters`` rounds.
+
+    Classic HITS normalizes each round; for a FIXED iteration count the
+    normalization only rescales (the ranking is unchanged), so this
+    implementation keeps pure bigint accumulation — h₀=1,
+    aᵢ = Σ_incoming hᵢ₋₁, hᵢ = Σ_outgoing aᵢ — which is exactly
+    reproducible in any engine (no float summation order to pin) and
+    lets the oracle unroll the rounds in SQL. Scale: two shuffles per
+    round keyed on vertex id (the same join-aggregate skeleton as
+    PageRank), lineage-cut per round; isolated vertices carry 0s.
+    """
+    e = edges.select("src", "dst").localCheckpoint(eager=True)
+    h = vertices.select("id", F.lit(1).cast("bigint").alias("hub"))
+    a = None
+    for _ in range(iters):
+        a = (
+            e.join(h.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("hub").alias("authority"))
+        )
+        h = (
+            e.join(a.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("authority").alias("hub"))
+        ).localCheckpoint(eager=True)
+    out = (
+        vertices.select("id")
+        .join(h, "id", "left")
+        .join(a, "id", "left")
+        .select(
+            "id",
+            F.coalesce("hub", F.lit(0)).cast("bigint").alias("hub"),
+            F.coalesce("authority", F.lit(0)).cast("bigint").alias("authority"),
+        )
+    )
+    return out
+
+
 def k_core(
     edges: DataFrame, k: int, *, rounds: int | None = None, max_iters: int = 50
 ) -> DataFrame:

@@ -207,6 +207,10 @@ def chunk_documents(
     """
     if stride <= 0 or size <= 0:
         raise ValueError("size and stride must be positive")
+    if stride > size:
+        # stride > size leaves every (stride-size)-token gap uncovered —
+        # silent data loss for a training corpus; reject loudly.
+        raise ValueError("stride must be <= size (gaps would drop tokens)")
     t = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("__t")).withColumn(
         "__n", F.size("__t")
     )

@@ -56,6 +56,24 @@ def cosine_topk(
     return _topk(_score(queries, candidates, id_col, vec_col), k)
 
 
+def truncate_normalize(df: DataFrame, vec_col: str, dims: int, *, out_col: str | None = None) -> DataFrame:
+    """Matryoshka truncation: keep the leading ``dims`` dimensions and
+    L2-renormalize to unit length, so downstream dot products ARE
+    cosines on the truncated space.
+
+    The storage/latency knob for MRL-style embeddings: a 64→16 dim
+    truncation is a 4× scan and shuffle reduction for every similarity
+    pass over the corpus, re-rankable later against the full vectors.
+    Pure per-row Catalyst expressions (slice + fold + transform), no
+    shuffle; the fold order is pinned (left-to-right) so the oracle's
+    ``list_dot_product`` reproduces the norm bit-for-bit.
+    """
+    out = out_col or vec_col
+    t = F.slice(as_double_vec(vec_col), 1, dims)
+    nrm = F.sqrt(F.aggregate(t, F.lit(0.0), lambda a, x: a + x * x))
+    return df.withColumn(out, F.transform(t, lambda x: x / nrm))
+
+
 def sign_bucket(vec_col, dims: int = 4):
     """Coarse quantizer: concatenated sign bits of the first ``dims``
     dimensions → up to 2^dims buckets. Deterministic + SQL-expressible

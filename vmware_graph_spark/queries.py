@@ -4812,3 +4812,111 @@ def streaming_segment_hourly_counts(spark, sf_dir):
         "n",
         "sum_value",
     )
+
+
+@query(
+    "matryoshka_topk_embeddings",
+    """
+    WITH t AS (
+      SELECT vec_id,
+             list_transform(list_slice(embedding::DOUBLE[], 1, 16),
+                            x -> x / sqrt(list_dot_product(list_slice(embedding::DOUBLE[], 1, 16),
+                                                           list_slice(embedding::DOUBLE[], 1, 16)))) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM t WHERE vec_id < 8),
+    c AS (SELECT vec_id AS neighbor_id, v AS cv FROM t),
+    s AS (SELECT query_id, neighbor_id, list_dot_product(qv, cv) AS cos FROM c CROSS JOIN q),
+    r AS (SELECT query_id, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+          FROM s)
+    SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank FROM r WHERE rank <= 5
+    """,
+)
+def matryoshka_topk_embeddings(spark, sf_dir):
+    """Matryoshka-truncated similarity search: embeddings cut to their
+    leading 16 dims and unit-renormalized (truncate_normalize), then
+    brute-force top-5 by dot product — on unit vectors dot IS cosine.
+    The 4× scan/shuffle-reduction storage path for MRL-style
+    embeddings; the full-dim cosine_topk_embeddings is the re-rank
+    baseline it approximates."""
+    from vmware_graph_spark.functions.vector import dot
+    from vmware_graph_spark.operators.similarity import truncate_normalize
+
+    e = load_table(spark, sf_dir, "embeddings")
+    t = truncate_normalize(e, "embedding", 16, out_col="__v")
+    q = t.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("__v").alias("__qv")
+    )
+    c = t.select(F.col("vec_id").alias("neighbor_id"), F.col("__v").alias("__cv"))
+    s = c.crossJoin(F.broadcast(q)).withColumn(
+        "cosine", dot(F.col("__qv"), F.col("__cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        s.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+@query(
+    "hits_order_customer_nation",
+    """
+    WITH verts AS (
+      SELECT 'o' || o_orderkey AS id FROM orders
+      UNION SELECT 'c' || c_custkey FROM customer
+      UNION SELECT 'n' || n_nationkey FROM nation
+    ),
+    e AS (
+      SELECT 'o' || o_orderkey AS src, 'c' || o_custkey AS dst FROM orders
+      UNION ALL
+      SELECT 'c' || c_custkey, 'n' || c_nationkey FROM customer
+    ),
+    a1 AS (SELECT dst AS id, count(*)::BIGINT AS authority FROM e GROUP BY dst),
+    h1 AS (
+      SELECT e.src AS id, sum(a1.authority)::BIGINT AS hub
+      FROM e JOIN a1 ON a1.id = e.dst GROUP BY e.src
+    ),
+    a2 AS (
+      SELECT e.dst AS id, sum(h1.hub)::BIGINT AS authority
+      FROM e JOIN h1 ON h1.id = e.src GROUP BY e.dst
+    ),
+    h2 AS (
+      SELECT e.src AS id, sum(a2.authority)::BIGINT AS hub
+      FROM e JOIN a2 ON a2.id = e.dst GROUP BY e.src
+    )
+    SELECT v.id, coalesce(h2.hub, 0) AS hub, coalesce(a2.authority, 0) AS authority
+    FROM verts v LEFT JOIN h2 ON h2.id = v.id LEFT JOIN a2 ON a2.id = v.id
+    """,
+)
+def hits_order_customer_nation(spark, sf_dir):
+    """HITS hubs/authorities (2 integer power-iteration rounds, h₀=1)
+    over the directed order→customer→nation graph: nations surface as
+    the dominant authorities, orders of high-activity customers as the
+    strongest hubs. Unnormalized bigint accumulation makes every round
+    exactly engine-reproducible (no float sum order); the oracle
+    unrolls both rounds in SQL. Two keyed shuffles per round."""
+    from vmware_graph_spark.analytics.algos import hits
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    vertices = (
+        o.select(F.concat(F.lit("o"), F.col("o_orderkey")).alias("id"))
+        .unionByName(c.select(F.concat(F.lit("c"), F.col("c_custkey")).alias("id")))
+        .unionByName(n.select(F.concat(F.lit("n"), F.col("n_nationkey")).alias("id")))
+        .distinct()
+    )
+    edges = o.select(
+        F.concat(F.lit("o"), F.col("o_orderkey")).alias("src"),
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
+    ).unionByName(
+        c.select(
+            F.concat(F.lit("c"), F.col("c_custkey")).alias("src"),
+            F.concat(F.lit("n"), F.col("c_nationkey")).alias("dst"),
+        )
+    )
+    return hits(vertices, edges, iters=2)
