@@ -266,3 +266,24 @@ def test_truncate_normalize_unit_norm_and_rank_preserving(spark):
     ).crossJoin(df.filter(F.col("id") == 2).select(F.slice("vec", 1, 2).alias("rb")))
     want = raw.select(cosine(F.col("ra"), F.col("rb")).alias("c")).collect()[0]["c"]
     assert abs(got - want) < 1e-9
+
+
+def test_rrf_fusion_prefers_doubly_ranked_neighbors(spark):
+    """A neighbor present in both rankings outscores one ranked equally
+    high in only one list: 1/(60+1) alone < 1/(60+2) + 1/(60+2)."""
+    from pyspark.sql import functions as F
+
+    ranks = {"a": (1, None), "b": (2, 2)}
+    rows = [
+        ("q", n, ra, rb) for n, (ra, rb) in ranks.items()
+    ]
+    df = spark.createDataFrame(rows, ["query_id", "neighbor_id", "rnk_a", "rnk_b"])
+    fused = df.select(
+        "neighbor_id",
+        (
+            F.coalesce(1.0 / (F.col("rnk_a") + 60), F.lit(0.0))
+            + F.coalesce(1.0 / (F.col("rnk_b") + 60), F.lit(0.0))
+        ).alias("rrf"),
+    ).collect()
+    got = {r["neighbor_id"]: r["rrf"] for r in fused}
+    assert got["b"] > got["a"]

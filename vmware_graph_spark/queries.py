@@ -4920,3 +4920,98 @@ def hits_order_customer_nation(spark, sf_dir):
         )
     )
     return hits(vertices, edges, iters=2)
+
+
+@query(
+    "rrf_fused_topk_embeddings",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    sa AS (SELECT query_id, neighbor_id, {_COS} AS cos FROM c CROSS JOIN q),
+    ra AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM sa
+    ),
+    ta AS (SELECT query_id, neighbor_id, rnk FROM ra WHERE rnk <= 20),
+    tr AS (
+      SELECT vec_id,
+             list_transform(list_slice(embedding::DOUBLE[], 1, 16),
+                            x -> x / sqrt(list_dot_product(list_slice(embedding::DOUBLE[], 1, 16),
+                                                           list_slice(embedding::DOUBLE[], 1, 16)))) AS v
+      FROM embeddings
+    ),
+    qb AS (SELECT vec_id AS query_id, v AS qv FROM tr WHERE vec_id < 8),
+    cb AS (SELECT vec_id AS neighbor_id, v AS cv FROM tr),
+    sb AS (SELECT query_id, neighbor_id, list_dot_product(qv, cv) AS cos FROM cb CROSS JOIN qb),
+    rb AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM sb
+    ),
+    tb AS (SELECT query_id, neighbor_id, rnk FROM rb WHERE rnk <= 20),
+    fused AS (
+      SELECT coalesce(ta.query_id, tb.query_id) AS query_id,
+             coalesce(ta.neighbor_id, tb.neighbor_id) AS neighbor_id,
+             coalesce(1.0 / (60 + ta.rnk), 0.0) + coalesce(1.0 / (60 + tb.rnk), 0.0) AS rrf
+      FROM ta FULL OUTER JOIN tb
+        ON ta.query_id = tb.query_id AND ta.neighbor_id = tb.neighbor_id
+    ),
+    final AS (
+      SELECT query_id, neighbor_id, rrf,
+             row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, neighbor_id) AS rank
+      FROM fused
+    )
+    SELECT query_id, neighbor_id, round(rrf, 6) AS rrf, rank
+    FROM final WHERE rank <= 5
+    """,
+)
+def rrf_fused_topk_embeddings(spark, sf_dir):
+    """Reciprocal-rank fusion of two retrieval rankings — full-dim
+    cosine top-20 and matryoshka-16 truncated top-20 — the standard
+    ensemble-retrieval combiner (RRF, k=60): score = Σ 1/(60+rank),
+    summed as exactly TWO coalesced terms via a full outer join on
+    (query, neighbor), so the addition order is fixed and
+    engine-reproducible. Per-query top-5 by fused score, min-neighbor
+    tie-break. Each branch is the already-verified top-k shape; the
+    fusion adds one outer join + one window — no new shuffle class."""
+    from vmware_graph_spark.functions.vector import dot
+    from vmware_graph_spark.operators.similarity import cosine_topk, truncate_normalize
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    ta = cosine_topk(q, e, id_col="vec_id", vec_col="embedding", k=20).select(
+        "query_id", "neighbor_id", F.col("rank").alias("rnk_a")
+    )
+    t = truncate_normalize(e, "embedding", 16, out_col="__v")
+    qb = t.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("__v").alias("__qv")
+    )
+    cb = t.select(F.col("vec_id").alias("neighbor_id"), F.col("__v").alias("__cv"))
+    sb = cb.crossJoin(F.broadcast(qb)).withColumn(
+        "cos", dot(F.col("__qv"), F.col("__cv"))
+    )
+    wb = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    tb = (
+        sb.withColumn("rnk_b", F.row_number().over(wb))
+        .filter(F.col("rnk_b") <= 20)
+        .select("query_id", "neighbor_id", "rnk_b")
+    )
+    fused = ta.join(tb, ["query_id", "neighbor_id"], "full_outer").select(
+        "query_id",
+        "neighbor_id",
+        (
+            F.coalesce(1.0 / (F.col("rnk_a") + 60), F.lit(0.0))
+            + F.coalesce(1.0 / (F.col("rnk_b") + 60), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", F.round("rrf", 6).alias("rrf"), "rank")
+    )
