@@ -24,8 +24,9 @@ Architecture (Spark-first, not a translation):
                   protocol (mark → ingest → sweep) as a pure snapshot
                   rebuild + anti-join diff.
 - ``analytics`` — bulk graph analytics (degrees, connected components,
-                  PageRank, BFS/shortest paths, triangle counts, motif
-                  joins) over the vertex/edge tables.
+                  PageRank, BFS/shortest paths, triangle counts, k-core,
+                  label propagation, HITS, motif joins) over the
+                  vertex/edge tables.
 - ``streaming`` — Structured Streaming ingest of event streams with
                   watermarks, windowed aggregation, stream-stream
                   interval joins, stateful sessionization, and CDC-style

@@ -5015,3 +5015,108 @@ def rrf_fused_topk_embeddings(spark, sf_dir):
         .filter(F.col("rank") <= 5)
         .select("query_id", "neighbor_id", F.round("rrf", 6).alias("rrf"), "rank")
     )
+
+
+@query(
+    "zscore_outliers_by_type",
+    """
+    WITH stats AS (
+      SELECT event_type, count(*) AS n,
+             CAST(sum(round(value, 4)::DECIMAL(18,4)) AS DOUBLE) AS s,
+             CAST(sum(round(value * value, 4)::DECIMAL(22,4)) AS DOUBLE) AS sq
+      FROM events GROUP BY event_type
+    ),
+    z AS (
+      SELECT e.event_id, e.event_type, e.value,
+             (e.value - s.s / s.n) / sqrt(s.sq / s.n - (s.s / s.n) * (s.s / s.n)) AS zs
+      FROM events e JOIN stats s ON e.event_type = s.event_type
+    )
+    SELECT event_id, event_type, value, round(zs, 6) AS zscore
+    FROM z WHERE abs(zs) > 2.5
+    """,
+)
+def zscore_outliers_by_type(spark, sf_dir):
+    """Per-group z-score outlier flagging (the numeric data-quality
+    screen): mean/variance per event type from ONE pass of exact
+    decimal sums (sum and sum-of-squares — order-independent), broadcast
+    back (5 groups), per-row z in pure IEEE doubles, flag |z| > 2.5.
+    Two shuffles total (the stats agg + nothing on the probe side:
+    the stats join is broadcast), linear at any scale."""
+    e = load_table(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round("value", 4).cast("decimal(18,4)")).cast("double").alias("s"),
+        F.sum(F.round(F.col("value") * F.col("value"), 4).cast("decimal(22,4)"))
+        .cast("double")
+        .alias("sq"),
+    )
+    mean = F.col("s") / F.col("n")
+    std = F.sqrt(F.col("sq") / F.col("n") - mean * mean)
+    z = e.join(F.broadcast(stats), "event_type").withColumn(
+        "zs", (F.col("value") - mean) / std
+    )
+    return z.filter(F.abs("zs") > 2.5).select(
+        "event_id", "event_type", "value", F.round("zs", 6).alias("zscore")
+    )
+
+
+@query(
+    "association_rules_part_pairs",
+    """
+    WITH items AS (SELECT DISTINCT l_orderkey AS oid, l_partkey AS pid FROM lineitem),
+    n AS (SELECT count(DISTINCT oid) AS n_orders FROM items),
+    cnts AS (SELECT pid, count(*) AS c FROM items GROUP BY pid),
+    pairs AS (
+      SELECT a.pid AS pa, b.pid AS pb, count(*) AS cnt
+      FROM items a JOIN items b ON a.oid = b.oid AND a.pid < b.pid
+      GROUP BY a.pid, b.pid
+    )
+    SELECT pa, pb, cnt,
+           round(cnt::DOUBLE / n.n_orders, 6) AS support,
+           round(cnt::DOUBLE / ca.c, 6) AS conf_a_to_b,
+           round(cnt::DOUBLE / cb.c, 6) AS conf_b_to_a,
+           round((cnt::DOUBLE * n.n_orders) / (ca.c::DOUBLE * cb.c), 6) AS lift
+    FROM pairs CROSS JOIN n
+    JOIN cnts ca ON ca.pid = pairs.pa
+    JOIN cnts cb ON cb.pid = pairs.pb
+    WHERE cnt >= 2
+    """,
+)
+def association_rules_part_pairs(spark, sf_dir):
+    """Market-basket association rules over order baskets: part pairs
+    co-purchased in ≥2 orders with support, both-direction confidence,
+    and lift. The pair self-join is keyed on the order id, so fan-out
+    per order is basket-size² — baskets are small and bounded (the
+    hot-KEY knob at scale is a basket-size cap, the same contract as
+    jaccard max_df); item counts broadcast back into the rule metrics.
+    All ratios are single IEEE divisions of exact integer counts —
+    engine-reproducible without decimal scaffolding."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("oid"), F.col("l_partkey").alias("pid")
+    ).distinct()
+    n_orders = items.select(F.countDistinct("oid").alias("n_orders"))
+    cnts = items.groupBy("pid").agg(F.count("*").alias("c"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.oid") == F.col("b.oid")) & (F.col("a.pid") < F.col("b.pid")))
+        .groupBy(F.col("a.pid").alias("pa"), F.col("b.pid").alias("pb"))
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+    )
+    out = (
+        pairs.crossJoin(F.broadcast(n_orders))
+        .join(F.broadcast(cnts.withColumnRenamed("pid", "pa").withColumnRenamed("c", "ca")), "pa")
+        .join(F.broadcast(cnts.withColumnRenamed("pid", "pb").withColumnRenamed("c", "cb")), "pb")
+    )
+    return out.select(
+        "pa", "pb", "cnt",
+        F.round(F.col("cnt").cast("double") / F.col("n_orders"), 6).alias("support"),
+        F.round(F.col("cnt").cast("double") / F.col("ca"), 6).alias("conf_a_to_b"),
+        F.round(F.col("cnt").cast("double") / F.col("cb"), 6).alias("conf_b_to_a"),
+        F.round(
+            (F.col("cnt").cast("double") * F.col("n_orders"))
+            / (F.col("ca").cast("double") * F.col("cb")),
+            6,
+        ).alias("lift"),
+    )
