@@ -81,3 +81,34 @@ def test_range_join_plan_is_equijoin(spark):
     )
     plan = range_join(pts, iv, "k", "ts", "s", "e")._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_resample_grid_ffill_semantics(spark):
+    """Daily-grid forward fill: null before the first event, events at
+    exactly the grid instant are included (<=), latest-at-same-ts wins
+    via the max-event_id dedup."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    from vmware_graph_spark.operators.temporal import asof_join
+
+    e = spark.createDataFrame(
+        [
+            (1, "2024-01-02 00:00:00", 7, 10.0),
+            (2, "2024-01-02 00:00:00", 7, 20.0),  # same instant, higher id wins
+            (3, "2024-01-03 12:00:00", 7, 30.0),
+        ],
+        ["event_id", "ts_s", "user_id", "value"],
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"), "user_id", "value")
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    ev = e.withColumn("rn", F.row_number().over(w)).filter("rn = 1").select(
+        "user_id", "ts", "value"
+    )
+    grid = spark.createDataFrame(
+        [(7, f"2024-01-0{d} 00:00:00") for d in (1, 2, 3, 4)], ["user_id", "g_s"]
+    ).select("user_id", F.col("g_s").cast("timestamp").alias("gts"))
+    got = {
+        r["gts"].day: r["r_value"]
+        for r in asof_join(grid, ev, "user_id", "gts", "ts", right_cols=["value"]).collect()
+    }
+    assert got == {1: None, 2: 20.0, 3: 20.0, 4: 30.0}

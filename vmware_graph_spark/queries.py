@@ -5120,3 +5120,61 @@ def association_rules_part_pairs(spark, sf_dir):
             6,
         ).alias("lift"),
     )
+
+
+@query(
+    "resample_daily_ffill_user_values",
+    """
+    WITH ev AS (
+      SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ),
+    b AS (SELECT date_trunc('day', min(ts)) AS d0, date_trunc('day', max(ts)) AS d1 FROM events),
+    days AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS gts FROM b),
+    users AS (SELECT DISTINCT user_id FROM events),
+    grid AS (SELECT user_id, gts FROM users CROSS JOIN days)
+    SELECT g.user_id, strftime(g.gts, '%Y-%m-%d %H:%M:%S') AS grid_ts, e.value AS value
+    FROM grid g ASOF LEFT JOIN ev e ON g.user_id = e.user_id AND e.ts <= g.gts
+    """,
+)
+def resample_daily_ffill_user_values(spark, sf_dir):
+    """Time-series resampling to a daily grid with forward fill: every
+    (user, day) point carries the user's latest event value at or
+    before it (null before the first event) — the gap-filling step of
+    metric/feature pipelines. Events are first deduped to one row per
+    (user, ts) (max event_id wins) so the fill is deterministic; the
+    fill itself is the engine's as-of operator — union + carry-forward
+    window, ONE shuffle on user_id, no inequality join — against a
+    users × days grid built from one broadcast bounds row. DuckDB
+    replays it with a native ASOF LEFT JOIN."""
+    from vmware_graph_spark.operators.temporal import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    ev = (
+        e.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "ts", "value")
+    )
+    bounds = e.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    days = bounds.select(
+        F.explode(
+            F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+        ).alias("gts")
+    )
+    users = e.select("user_id").distinct()
+    grid = users.crossJoin(F.broadcast(days))
+    filled = asof_join(
+        grid, ev, "user_id", "gts", "ts", right_cols=["value"], prefix="r_"
+    )
+    return filled.select(
+        "user_id",
+        F.date_format("gts", "yyyy-MM-dd HH:mm:ss").alias("grid_ts"),
+        F.col("r_value").alias("value"),
+    )
