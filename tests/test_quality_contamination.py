@@ -225,3 +225,38 @@ def test_profile_columns_wide_single_pass(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Scan ExistingRDD") <= 1
+
+
+def test_dedup_lines_removes_cross_doc_boilerplate(spark):
+    # 2-token lines; "NAV BAR" opens both docs → boilerplate; the rest
+    # is unique. Doc 3 is pure boilerplate → empty kept_text, not null.
+    from vmware_graph_spark.operators.quality import dedup_lines
+
+    df = spark.createDataFrame(
+        [
+            (1, "NAV BAR alpha beta gamma delta"),
+            (2, "NAV BAR epsilon zeta"),
+            (3, "NAV BAR"),
+        ],
+        ["id", "text"],
+    )
+    rows = {
+        r.id: r
+        for r in dedup_lines(df, "id", "text", line_tokens=2, min_docs=2).collect()
+    }
+    assert rows[1].n_lines == 3 and rows[1].n_kept == 2
+    assert rows[1].kept_text == "alpha beta gamma delta"  # original order
+    assert rows[2].n_kept == 1 and rows[2].kept_text == "epsilon zeta"
+    assert rows[3].n_kept == 0 and rows[3].kept_text == ""
+
+
+def test_dedup_lines_df_counts_distinct_docs_not_occurrences(spark):
+    # "x y" twice within ONE doc is not cross-document boilerplate.
+    from vmware_graph_spark.operators.quality import dedup_lines
+
+    df = spark.createDataFrame([(1, "x y x y"), (2, "p q")], ["id", "text"])
+    rows = {
+        r.id: r
+        for r in dedup_lines(df, "id", "text", line_tokens=2, min_docs=2).collect()
+    }
+    assert rows[1].n_kept == 2 and rows[1].kept_text == "x y x y"

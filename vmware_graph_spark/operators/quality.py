@@ -234,6 +234,64 @@ def chunk_documents(
     )
 
 
+def dedup_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    line_tokens: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """(id, n_lines, n_kept, kept_text) — C4-style cross-corpus exact
+    line deduplication: split each document into consecutive
+    ``line_tokens``-token lines (non-overlapping, the fixture corpus has
+    no newlines so token windows stand in for lines), drop every line
+    whose exact text occurs in ≥ ``min_docs`` DISTINCT documents
+    (boilerplate: navigation strings, license headers, templated
+    sentences), and reassemble the survivors in original order.
+
+    Shape: the line split is `chunk_documents` (projection + explode,
+    no shuffle). Line document-frequency is ONE hash aggregation keyed
+    on ``md5(line)`` — never the raw text, so the shuffle carries
+    16-byte keys, not line bodies. The boilerplate set (lines with
+    df ≥ min_docs) is typically tiny relative to the corpus and joins
+    back by hash; reassembly is one groupBy(id) with an order-stable
+    ``array_sort(collect_list(struct(line_id, text)))`` — `collect_list`
+    alone is NOT order-stable under shuffle. Two shuffles total,
+    both on compact keys; linear to a 100 TB corpus.
+    """
+    lines = chunk_documents(
+        df, id_col, text_col, size=line_tokens, stride=line_tokens
+    ).select(
+        "id",
+        F.col("chunk_id").alias("line_id"),
+        F.col("chunk_text").alias("line_text"),
+        F.md5("chunk_text").alias("__h"),
+    )
+    boiler = (
+        lines.groupBy("__h")
+        .agg(F.countDistinct("id").alias("__df"))
+        .filter(F.col("__df") >= min_docs)
+        .select("__h", F.lit(True).alias("__dup"))
+    )
+    flagged = lines.join(boiler, "__h", "left")
+    kept_struct = F.when(
+        F.col("__dup").isNull(), F.struct("line_id", "line_text")
+    )  # collect_list skips nulls → only kept lines accumulate
+    return flagged.groupBy("id").agg(
+        F.count("*").cast("int").alias("n_lines"),
+        F.sum(F.when(F.col("__dup").isNull(), 1).otherwise(0))
+        .cast("int")
+        .alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["line_text"]
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+
+
 def top_ngrams(df: DataFrame, text_col: str, *, n: int = 2, k: int = 50) -> DataFrame:
     """(gram, cnt, rnk) — the k most frequent word n-grams corpus-wide,
     ties broken lexicographically (vocabulary induction / BPE-merge prep

@@ -4658,6 +4658,48 @@ def chunk_documents_overlap(spark, sf_dir):
 
 
 @query(
+    "dedup_lines_corpus",
+    f"""
+    WITH t AS (SELECT doc_id, {_toks('text')} AS toks FROM documents),
+    nn AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+    s AS (
+      SELECT doc_id, toks, unnest(range(0, ((n - 1) // 3) * 3 + 1, 3)) AS start
+      FROM nn
+    ),
+    lines AS (
+      SELECT doc_id, start // 3 AS line_id,
+             array_to_string(list_slice(toks, start + 1, start + 3), ' ') AS lt
+      FROM s
+    ),
+    boiler AS (
+      SELECT lt FROM lines GROUP BY lt HAVING count(DISTINCT doc_id) >= 2
+    )
+    SELECT l.doc_id,
+           CAST(count(*) AS INTEGER) AS n_lines,
+           CAST(sum(CASE WHEN b.lt IS NULL THEN 1 ELSE 0 END) AS INTEGER) AS n_kept,
+           coalesce(array_to_string(
+             list(l.lt ORDER BY l.line_id) FILTER (WHERE b.lt IS NULL), ' '
+           ), '') AS kept_text
+    FROM lines l LEFT JOIN boiler b USING (lt)
+    GROUP BY l.doc_id
+    """,
+)
+def dedup_lines_corpus(spark, sf_dir):
+    """C4-style cross-corpus line dedup: 3-token lines occurring in ≥2
+    distinct documents are boilerplate and removed; survivors reassemble
+    in order. Line frequency is one hash agg on md5(line) (16-byte
+    shuffle keys, never line bodies); reassembly is one order-stable
+    array_sort(collect_list(struct)) groupBy — two compact-key shuffles,
+    linear at corpus scale."""
+    from vmware_graph_spark.operators.quality import dedup_lines
+
+    d = load_table(spark, sf_dir, "documents")
+    return dedup_lines(d, "doc_id", "text", line_tokens=3, min_docs=2).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+@query(
     "dedup_new_against_corpus",
     f"""
     WITH newd AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
