@@ -3229,6 +3229,53 @@ def running_totals_per_customer(spark, sf_dir):
     )
 
 
+@query(
+    "ntile_spend_quartiles_by_nation",
+    """
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS DOUBLE) AS spend
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT c_nationkey, o_custkey, spend,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM spend JOIN customer ON c_custkey = o_custkey
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY spend DESC, o_custkey)
+    """,
+)
+def ntile_spend_quartiles_by_nation(spark, sf_dir):
+    """Distribution-rank windows (§2.11: ntile / percent_rank /
+    cume_dist): per-nation spend quartiles with a total tie-break
+    (custkey), so every rank is deterministic. Partitioned by nation —
+    never a global ORDER BY window, which would serialize to one task;
+    at 100 TB the same shape holds because each nation's customers fit
+    a partition, and skewed tenants split via AQE."""
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("spend")
+        )
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("spend"), F.asc("o_custkey"))
+    return (
+        spend.join(c, spend["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_nationkey",
+            "o_custkey",
+            "spend",
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deterministic approx-aggregate sketches (§2.11) — oracle-checkable math
 # ---------------------------------------------------------------------------
