@@ -2970,6 +2970,113 @@ def set_ops_segments_replace(spark, sf_dir):
 
 
 @query(
+    "pivot_nation_orderstatus",
+    """
+    SELECT c_nationkey,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+    FROM orders JOIN customer ON c_custkey = o_custkey
+    GROUP BY c_nationkey
+    """,
+)
+def pivot_nation_orderstatus(spark, sf_dir):
+    """Pivot reshaping (§2.11): order counts per nation spread across
+    one column per order status. The pivot values are DECLARED
+    (``pivot(col, values)``), not discovered — the discovery variant
+    runs an extra collect-distinct job, a needless scan at 100 TB.
+    One hash-agg shuffle; the status→column spread is map-side."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderstatus")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    j = o.join(c, o["o_custkey"] == c["c_custkey"])
+    p = j.groupBy("c_nationkey").pivot("o_orderstatus", ["F", "O", "P"]).count()
+    return p.select(
+        "c_nationkey",
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
+    )
+
+
+@query(
+    "unpivot_nation_metrics",
+    """
+    WITH m AS (
+      SELECT c_nationkey,
+             CAST(count(*) AS DOUBLE) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+      FROM orders JOIN customer ON c_custkey = o_custkey
+      GROUP BY c_nationkey
+    )
+    SELECT c_nationkey, 'n_orders' AS metric, n_orders AS value FROM m
+    UNION ALL
+    SELECT c_nationkey, 'total_spend', total_spend FROM m
+    """,
+)
+def unpivot_nation_metrics(spark, sf_dir):
+    """Unpivot/melt reshaping (§2.11): wide per-nation metrics to long
+    (nation, metric, value) rows via ``DataFrame.unpivot`` — the
+    Catalyst Expand operator, a zero-shuffle row fan-out (the inverse
+    of pivot)."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    m = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("double").alias("n_orders"),
+            F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_spend"),
+        )
+    )
+    return m.unpivot(
+        ids=["c_nationkey"],
+        values=["n_orders", "total_spend"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+@query(
+    "nullsafe_join_user_cohorts",
+    """
+    WITH e AS (
+      SELECT nullif(user_id % 10, 0) AS cohort, ts FROM events
+    ),
+    a AS (SELECT cohort, count(*) AS n_early FROM e WHERE day(ts) <= 15 GROUP BY cohort),
+    b AS (SELECT cohort, count(*) AS n_late  FROM e WHERE day(ts) >  15 GROUP BY cohort)
+    SELECT a.cohort, a.n_early, b.n_late
+    FROM a JOIN b ON a.cohort IS NOT DISTINCT FROM b.cohort
+    """,
+)
+def nullsafe_join_user_cohorts(spark, sf_dir):
+    """Null-safe equi-join (`<=>`): early- vs late-month event counts
+    per user cohort where cohort 0 is nullified — a plain equi-join
+    silently DROPS the null cohort on both sides; ``eqNullSafe`` keeps
+    it matched. Still hash-partitionable (null hashes like any key), so
+    the join stays a one-shuffle hash join at scale."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.nullif(F.col("user_id") % 10, F.lit(0)).alias("cohort"), "ts"
+    )
+    a = (
+        e.filter(F.dayofmonth("ts") <= 15)
+        .groupBy("cohort")
+        .agg(F.count("*").alias("n_early"))
+        .alias("a")
+    )
+    b = (
+        e.filter(F.dayofmonth("ts") > 15)
+        .groupBy("cohort")
+        .agg(F.count("*").alias("n_late"))
+        .alias("b")
+    )
+    return a.join(b, F.col("a.cohort").eqNullSafe(F.col("b.cohort"))).select(
+        F.col("a.cohort").alias("cohort"), "n_early", "n_late"
+    )
+
+
+@query(
     "incremental_merge_sweep",
     """
     SELECT c_mktsegment AS tenant, count(*) AS n,
