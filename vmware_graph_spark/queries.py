@@ -3337,6 +3337,92 @@ def running_totals_per_customer(spark, sf_dir):
 
 
 @query(
+    "histogram_event_values",
+    """
+    SELECT event_type,
+           CAST(least(floor(value / 50.0), 9) AS INTEGER) AS bucket,
+           count(*) AS n,
+           CAST(round(min(value), 2) AS DOUBLE) AS lo,
+           CAST(round(max(value), 2) AS DOUBLE) AS hi
+    FROM events
+    GROUP BY event_type, CAST(least(floor(value / 50.0), 9) AS INTEGER)
+    """,
+)
+def histogram_event_values(spark, sf_dir):
+    """Fixed-width histogram profiling (§2.11): event values binned into
+    width-50 buckets (top bucket clamped open-ended), count + observed
+    min/max per bin. One map-side-combined hash agg — the constant-memory
+    way to see a distribution at 100 TB, vs a sort-based percentile."""
+    e = load_table(spark, sf_dir, "events")
+    bucket = F.least(F.floor(F.col("value") / 50.0), F.lit(9)).cast("int")
+    return (
+        e.groupBy("event_type", bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+        )
+    )
+
+
+@query(
+    "corr_value_user_by_type",
+    """
+    WITH m AS (
+      SELECT event_type,
+             count(*) AS n,
+             CAST(sum(round(value, 4)::DECIMAL(18,4)) AS DOUBLE) AS sx,
+             CAST(sum(CAST(user_id % 97 AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+             CAST(sum(round(value * value, 4)::DECIMAL(22,4)) AS DOUBLE) AS sxx,
+             CAST(sum(CAST((user_id % 97) * (user_id % 97) AS DECIMAL(22,4))) AS DOUBLE) AS syy,
+             CAST(sum(round(value * (user_id % 97), 4)::DECIMAL(22,4)) AS DOUBLE) AS sxy
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS pearson_r
+    FROM m
+    """,
+)
+def corr_value_user_by_type(spark, sf_dir):
+    """Pearson correlation per group (§2.11 stats aggregates), computed
+    from decimal-accumulated moments instead of ``F.corr`` — same one
+    hash-agg shuffle shape, but the sums are exact so the result is
+    order-independent and hash-matches the oracle bit-for-bit (built-in
+    corr's double accumulation drifts with partitioning)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("value").alias("x"),
+        (F.col("user_id") % 97).cast("double").alias("y"),
+    )
+    m = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round("x", 4).cast("decimal(18,4)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(18,4)")).cast("double").alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 4).cast("decimal(22,4)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(22,4)")).cast("double").alias("syy"),
+        F.sum(F.round(F.col("x") * F.col("y"), 4).cast("decimal(22,4)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    return m.select(
+        "event_type",
+        "n",
+        F.round(
+            (n * F.col("sxy") - sx * sy)
+            / (
+                F.sqrt(n * F.col("sxx") - sx * sx)
+                * F.sqrt(n * F.col("syy") - sy * sy)
+            ),
+            6,
+        ).alias("pearson_r"),
+    )
+
+
+@query(
     "ntile_spend_quartiles_by_nation",
     """
     WITH spend AS (
