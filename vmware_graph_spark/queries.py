@@ -1780,6 +1780,55 @@ def ingest_vhost_stage(spark, sf_dir):
     )
 
 
+@query(
+    "graph_cluster_capacity_rollup",
+    f"""
+    WITH h AS ({_HOST_BASE_SQL})
+    SELECT cluster, uid AS vcenter,
+           count(*) AS n_hosts,
+           sum(CAST(sk % 4 + 1 AS DOUBLE) * 1e9) AS total_memory,
+           CAST(sum(sk % 2 + 2) AS BIGINT) AS total_cpus
+    FROM h WHERE sk % 11 <> 0
+    GROUP BY cluster, uid
+    """,
+)
+def graph_cluster_capacity_rollup(spark, sf_dir):
+    """SURVEY §7's flagship analytic, answered over the GRAPH, not the
+    sheet: ingest vCluster+vHost, then traverse Vspherehost
+    —MEMBER_OF_CLUSTER→ Vcentercluster through the canonical edge table
+    joined back to host vertex props — hosts, total memory, and total
+    vCPUs per cluster per vCenter. The edge table is rel_type-pruned
+    before the join and host props arrive via the vertex table's
+    natural key (memory values are exact 1e9 multiples, so the double
+    sum is order-independent)."""
+    from vmware_graph_spark.ingest.stages import stage_vcluster, stage_vhost
+    from vmware_graph_spark.store.graph import GraphStore, US, node_key
+
+    store = GraphStore(spark, checkpoint_every=2)
+    stage_vcluster(store, {"vCluster": _vcluster_sheet(spark, sf_dir)})
+    stage_vhost(store, {"vHost": _vhost_sheet(spark, sf_dir)})
+    member = store.edges().filter(F.col("rel_type") == "MEMBER_OF_CLUSTER")
+    hosts = store.vertices("Vspherehost").select(
+        node_key("objid", "managedby").alias("src_key"), "memory", "cpu"
+    )
+    j = member.join(hosts, "src_key")
+    return (
+        j.groupBy("dst_key")
+        .agg(
+            F.count("*").alias("n_hosts"),
+            F.sum("memory").alias("total_memory"),
+            F.sum("cpu").cast("bigint").alias("total_cpus"),
+        )
+        .select(
+            F.split_part(F.col("dst_key"), F.lit(US), F.lit(1)).alias("cluster"),
+            F.split_part(F.col("dst_key"), F.lit(US), F.lit(2)).alias("vcenter"),
+            "n_hosts",
+            "total_memory",
+            "total_cpus",
+        )
+    )
+
+
 @_sheet_fixture
 def _vswitch_sheet(spark, sf_dir):
     """vSwitch sheet: one standard switch per host. MTU is a STRING with
