@@ -80,3 +80,34 @@ def test_partition_pruned_read(spark, table):
     # post-scan row filter over all partitions.
     assert "PartitionFilters: [" in plan
     assert "vcA" in plan
+
+
+def test_snapshot_changes_column_attribution(spark):
+    from vmware_graph_spark.operators.snapshot import snapshot_changes
+
+    prev = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, None, 30), (4, "d", 40)],
+        ["k", "s", "v"],
+    )
+    curr = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 21), (3, "now-set", 30), (5, "e", 50)],
+        ["k", "s", "v"],
+    )
+    rows = {r.k: r for r in snapshot_changes(prev, curr, ["k"]).collect()}
+    assert 1 not in rows  # unchanged keys are not reported
+    assert rows[2].change == "changed" and rows[2].changed_cols == ["s", "v"]
+    # null → value counts as a change (null-safe comparison)
+    assert rows[3].change == "changed" and rows[3].changed_cols == ["s"]
+    assert rows[4].change == "removed" and rows[4].changed_cols == []
+    assert rows[5].change == "added" and rows[5].changed_cols == []
+
+
+def test_snapshot_changes_rejects_missing_compare_cols(spark):
+    import pytest as _pytest
+
+    from vmware_graph_spark.operators.snapshot import snapshot_changes
+
+    prev = spark.createDataFrame([(1, "a")], ["k", "s"])
+    curr = spark.createDataFrame([(1,)], ["k"])
+    with _pytest.raises(ValueError, match="absent from curr"):
+        snapshot_changes(prev, curr, ["k"], compare_cols=["s"])

@@ -58,3 +58,59 @@ def sweep_edges(edges: DataFrame, orphan_ids: DataFrame) -> DataFrame:
     return edges.join(src_gone, ["src_label", "src_key"], "left_anti").join(
         dst_gone, ["dst_label", "dst_key"], "left_anti"
     )
+
+
+def snapshot_changes(
+    prev: DataFrame,
+    curr: DataFrame,
+    keys: Sequence[str],
+    *,
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """CDC-style column-attributed diff between two snapshots:
+    (keys…, change, changed_cols).
+
+    ``change`` is 'added' (key only in ``curr``), 'removed' (only in
+    ``prev``), or 'changed' (both sides, ≥1 compared column differs —
+    null-safely, so null→value and value→null both count); unchanged
+    keys are not reported. ``changed_cols`` lists the differing columns
+    in schema order ('added'/'removed' rows get an empty list).
+
+    This is what downstream consumers of the refresh protocol (§2.9)
+    subscribe to instead of re-scanning snapshots: ONE full-outer hash
+    join on the natural key, column comparison entirely map-side, and
+    the output is the (typically tiny) change set — at 100 TB the join
+    is the only shuffle and partition-prunes by tenant like the sweep.
+    """
+    cols = [c for c in (compare_cols or prev.columns) if c not in keys]
+    missing = [c for c in cols if c not in curr.columns]
+    if missing:
+        raise ValueError(f"compare_cols absent from curr: {missing}")
+    p = prev.select(*keys, *cols, F.lit(True).alias("__p")).alias("p")
+    c = curr.select(*keys, *cols, F.lit(True).alias("__c")).alias("c")
+    j = p.join(c, on=list(keys), how="full_outer")
+    diffs = F.array_compact(
+        F.array(
+            *[
+                F.when(
+                    ~F.col(f"p.{col}").eqNullSafe(F.col(f"c.{col}")), F.lit(col)
+                )
+                for col in cols
+            ]
+        )
+    )
+    change = (
+        F.when(F.col("p.__p").isNull(), F.lit("added"))
+        .when(F.col("c.__c").isNull(), F.lit("removed"))
+        .when(F.size(diffs) > 0, F.lit("changed"))
+    )
+    return (
+        j.select(
+            *keys,
+            change.alias("change"),
+            F.when(change == "changed", diffs)
+            .otherwise(F.array().cast("array<string>"))
+            .alias("changed_cols"),
+        )
+        .filter(F.col("change").isNotNull())
+    )

@@ -3019,6 +3019,78 @@ def set_ops_segments_replace(spark, sf_dir):
 
 
 @query(
+    "snapshot_changes_customers",
+    """
+    WITH curr AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 5 = 0 THEN round(c_acctbal + 10, 2)
+                  ELSE c_acctbal END AS c_acctbal,
+             CASE WHEN c_custkey % 3 = 0 THEN 'CHANGED'
+                  ELSE c_mktsegment END AS c_mktsegment
+      FROM customer WHERE c_custkey % 7 <> 0
+      UNION ALL
+      SELECT c_custkey + 1000000, c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 11 = 0
+    ),
+    j AS (
+      SELECT c_custkey, p.pp, c.cc,
+             CASE WHEN p.c_acctbal IS DISTINCT FROM c.c_acctbal
+                  THEN 'c_acctbal' END AS d1,
+             CASE WHEN p.c_mktsegment IS DISTINCT FROM c.c_mktsegment
+                  THEN 'c_mktsegment' END AS d2
+      FROM (SELECT c_custkey, c_acctbal, c_mktsegment, TRUE AS pp FROM customer) p
+      FULL JOIN (SELECT *, TRUE AS cc FROM curr) c USING (c_custkey)
+    )
+    SELECT * FROM (
+      SELECT c_custkey,
+             CASE WHEN pp IS NULL THEN 'added'
+                  WHEN cc IS NULL THEN 'removed'
+                  WHEN d1 IS NOT NULL OR d2 IS NOT NULL THEN 'changed' END AS change,
+             CASE WHEN pp IS NOT NULL AND cc IS NOT NULL
+                       AND (d1 IS NOT NULL OR d2 IS NOT NULL)
+                  THEN concat_ws(',', d1, d2) ELSE '' END AS changed_cols
+      FROM j
+    ) WHERE change IS NOT NULL
+    """,
+)
+def snapshot_changes_customers(spark, sf_dir):
+    """Column-attributed CDC diff between refresh snapshots (§2.9
+    downstream): added / removed / changed keys with the exact columns
+    that moved — one full-outer hash join, comparison map-side, only
+    the change set comes back. The fixture mutates customer: every 7th
+    key removed, 5th balance bumped, 3rd segment rewritten, 11th
+    re-added under a new key."""
+    from vmware_graph_spark.operators.snapshot import snapshot_changes
+
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    prev = c.select("c_custkey", "c_acctbal", "c_mktsegment")
+    curr = (
+        c.filter(k % 7 != 0)
+        .select(
+            "c_custkey",
+            F.when(k % 5 == 0, F.round(F.col("c_acctbal") + 10, 2))
+            .otherwise(F.col("c_acctbal"))
+            .alias("c_acctbal"),
+            F.when(k % 3 == 0, F.lit("CHANGED"))
+            .otherwise(F.col("c_mktsegment"))
+            .alias("c_mktsegment"),
+        )
+        .unionByName(
+            c.filter(k % 11 == 0).select(
+                (k + 1000000).alias("c_custkey"), "c_acctbal", "c_mktsegment"
+            )
+        )
+    )
+    out = snapshot_changes(
+        prev, curr, ["c_custkey"], compare_cols=["c_acctbal", "c_mktsegment"]
+    )
+    return out.select(
+        "c_custkey", "change", F.array_join("changed_cols", ",").alias("changed_cols")
+    )
+
+
+@query(
     "pivot_nation_orderstatus",
     """
     SELECT c_nationkey,
