@@ -157,3 +157,30 @@ def test_weighted_sample_deterministic_and_weight_biased(spark):
     heavy = sum(1 for i in ids1 if i % 10 == 0)
     # heavy stratum is 10% of rows but 85% of total weight
     assert heavy > 50
+
+
+def test_hash_split_stable_under_corpus_growth(spark):
+    from vmware_graph_spark.functions.sketch import hash_split
+
+    small = spark.range(100).withColumnRenamed("id", "k")
+    big = spark.range(1000).withColumnRenamed("id", "k")
+    s1 = {r.k: r.split for r in hash_split(small, "k").collect()}
+    s2 = {r.k: r.split for r in hash_split(big, "k").collect()}
+    # appending rows never flips an existing key's split
+    assert all(s2[k] == v for k, v in s1.items())
+    # all three bands populated, proportions roughly 80/10/10
+    from collections import Counter
+
+    c = Counter(s2.values())
+    assert set(c) == {"train", "val", "test"}
+    assert 700 < c["train"] < 900
+
+
+def test_hash_split_validates_args(spark):
+    import pytest as _pytest
+
+    from vmware_graph_spark.functions.sketch import hash_split
+
+    df = spark.range(5).withColumnRenamed("id", "k")
+    with _pytest.raises(ValueError):
+        hash_split(df, "k", weights=(0.5, 0.5), names=("only",))

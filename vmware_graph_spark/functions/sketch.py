@@ -94,6 +94,51 @@ def hash_sample(df: DataFrame, key_col: str, fraction: float, seed: int = 0) -> 
     return df.filter(uniform_hash60(key_col, seed) < int(fraction * HASH_SPACE))
 
 
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    *,
+    weights: tuple[float, ...] = (0.8, 0.1, 0.1),
+    names: tuple[str, ...] = ("train", "val", "test"),
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: adds a ``split`` column
+    chosen by where the key's 60-bit hash lands in cumulative
+    ``weights`` bands.
+
+    Pure projection — no shuffle, no rand(). A row's split is a
+    function of its key alone, so it survives reruns, repartitioning,
+    and corpus growth (appending documents never flips an existing
+    document's split — the property position-based splits lack, and the
+    one that prevents silent train/test leakage across dataset
+    versions)."""
+    if len(weights) != len(names) or not names:
+        raise ValueError("weights and names must be non-empty and same length")
+    total = sum(weights)
+    h = uniform_hash60(key_col, seed)
+    chain = None
+    acc = 0.0
+    for w, name in zip(weights[:-1], names[:-1]):
+        acc += w / total
+        cond = h < int(acc * HASH_SPACE)
+        chain = F.when(cond, name) if chain is None else chain.when(cond, name)
+    split = chain.otherwise(names[-1]) if chain is not None else F.lit(names[-1])
+    return df.withColumn("split", split)
+
+
+def split_thresholds(
+    weights: tuple[float, ...] = (0.8, 0.1, 0.1),
+) -> list[int]:
+    """The integer hash-space cut points ``hash_split`` uses, exposed so
+    oracle SQL replicates the float accumulation bit-for-bit."""
+    total = sum(weights)
+    out, acc = [], 0.0
+    for w in weights[:-1]:
+        acc += w / total
+        out.append(int(acc * HASH_SPACE))
+    return out
+
+
 def disc_percentile(
     df: DataFrame,
     group_cols: list[str],

@@ -3590,6 +3590,49 @@ def ntile_spend_quartiles_by_nation(spark, sf_dir):
     )
 
 
+def _split_sql_case() -> str:
+    from vmware_graph_spark.functions.sketch import split_thresholds
+
+    t1, t2 = split_thresholds((0.8, 0.1, 0.1))
+    h = "('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+    return (
+        f"CASE WHEN {h} < {t1} THEN 'train' "
+        f"WHEN {h} < {t2} THEN 'val' ELSE 'test' END"
+    )
+
+
+@query(
+    "hash_split_documents",
+    f"""
+    SELECT {_split_sql_case()} AS split, lang,
+           count(*) AS n,
+           round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars
+    FROM documents
+    GROUP BY {_split_sql_case()}, lang
+    """,
+)
+def hash_split_documents(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test split by doc_id hash —
+    no rand(), no row positions: a document's split is a pure function
+    of its key, so it never flips across reruns, repartitioning, or
+    corpus growth (the property that prevents train/test leakage
+    between dataset versions). The split column is a zero-shuffle
+    projection; this query rolls it up per (split, lang)."""
+    from vmware_graph_spark.functions.sketch import hash_split
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        hash_split(d, "doc_id")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("n_chars").cast("double") / F.count("*"), 4).alias(
+                "avg_chars"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deterministic approx-aggregate sketches (§2.11) — oracle-checkable math
 # ---------------------------------------------------------------------------
