@@ -221,3 +221,26 @@ def test_dedup_against_never_self_pairs_reference(spark):
     new = spark.createDataFrame([(1, "nothing in common at all here")], ["id", "text"])
     out = dedup_against(new, ref, "id", "text", n=3, num_hashes=8, bands=4).collect()
     assert len(out) == 1 and out[0]["kept"] is True
+
+
+def test_cosine_topk_arrow_matches_jvm_fold(spark):
+    from vmware_graph_spark.operators.similarity import cosine_topk, cosine_topk_arrow
+
+    vecs = [
+        (i, [((i * 7 + j * 3) % 11) / 5.0 - 1.0 for j in range(8)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    q = df.filter("vec_id < 3")
+    jvm = cosine_topk(q, df, id_col="vec_id", vec_col="embedding", k=5)
+    arrow = cosine_topk_arrow(q, df, id_col="vec_id", vec_col="embedding", k=5)
+    assert sorted(map(tuple, jvm.collect())) == sorted(map(tuple, arrow.collect()))
+
+
+def test_cosine_topk_arrow_empty_queries(spark):
+    from vmware_graph_spark.operators.similarity import cosine_topk_arrow
+
+    df = spark.createDataFrame([(1, [1.0, 0.0])], ["vec_id", "embedding"])
+    out = cosine_topk_arrow(
+        df.filter("vec_id < 0"), df, id_col="vec_id", vec_col="embedding", k=3
+    )
+    assert out.count() == 0

@@ -56,6 +56,64 @@ def cosine_topk(
     return _topk(_score(queries, candidates, id_col, vec_col), k)
 
 
+def cosine_topk_arrow(
+    queries: DataFrame, candidates: DataFrame, *, id_col: str, vec_col: str, k: int = 10
+) -> DataFrame:
+    """Exact cosine top-k scored in an Arrow-batched ``mapInPandas``
+    kernel — the Python-side fast path for WIDE vectors, where a numpy
+    batch beats the JVM ``aggregate`` fold's per-element lambda calls.
+
+    Same contract and results as ``cosine_topk``: the query set is
+    driver-collected (it must be broadcast-small — identical assumption
+    to the crossJoin(broadcast(q)) baseline) and shipped in the task
+    closure as one numpy matrix; each Arrow batch of candidates scores
+    against ALL queries at once. Summation is accumulated dimension-by-
+    dimension (an explicit left fold, NOT numpy's pairwise ``sum``), so
+    every cosine is bit-identical to the JVM path and the DuckDB
+    oracle. Plan shape matches the baseline too: no shuffle until the
+    final per-query top-k window."""
+    import numpy as np
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows:
+        empty = "query_id bigint, neighbor_id bigint, cosine double, rank int"
+        return candidates.sparkSession.createDataFrame([], empty)
+    q_ids = [r[0] for r in q_rows]
+    qm = np.array([list(map(float, r[1])) for r in q_rows])  # (nq, d)
+    d = qm.shape[1]
+    qn2 = np.zeros(len(q_ids))
+    for j in range(d):  # left-fold norms, matching functions.vector.dot
+        qn2 = qn2 + qm[:, j] * qm[:, j]
+    qn = np.sqrt(qn2)
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cm = np.array([list(map(float, v)) for v in pdf[vec_col]])  # (nb, d)
+            acc = np.zeros((cm.shape[0], len(q_ids)))
+            cn2 = np.zeros(cm.shape[0])
+            for j in range(d):  # dim-by-dim accumulation = left fold
+                acc = acc + cm[:, j : j + 1] * qm[None, :, j]
+                cn2 = cn2 + cm[:, j] * cm[:, j]
+            cos = acc / (qn[None, :] * np.sqrt(cn2)[:, None])
+            nb = cm.shape[0]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.tile(q_ids, nb),
+                    "neighbor_id": pdf[id_col].to_numpy().repeat(len(q_ids)),
+                    "cosine": cos.ravel(),
+                }
+            )
+
+    scored = candidates.select(id_col, vec_col).mapInPandas(
+        score, "query_id bigint, neighbor_id bigint, cosine double"
+    )
+    return _topk(scored, k)
+
+
 def truncate_normalize(df: DataFrame, vec_col: str, dims: int, *, out_col: str | None = None) -> DataFrame:
     """Matryoshka truncation: keep the leading ``dims`` dimensions and
     L2-renormalize to unit length, so downstream dot products ARE

@@ -1029,6 +1029,32 @@ def cosine_topk_embeddings(spark, sf_dir):
 
 
 @query(
+    "cosine_topk_arrow_embeddings",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+               WHERE vec_id >= 8 AND vec_id < 14),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    s AS (SELECT query_id, neighbor_id, {_COS} AS cos FROM c CROSS JOIN q),
+    r AS (SELECT query_id, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+          FROM s)
+    SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank FROM r WHERE rank <= 7
+    """,
+)
+def cosine_topk_arrow_embeddings(spark, sf_dir):
+    """The Arrow-batched pandas/numpy scoring path (mapInPandas): same
+    exact top-k contract as the JVM fold, but each Arrow batch scores
+    against the whole query matrix at once — the Python fast path for
+    wide vectors. Dimension-by-dimension accumulation keeps the fold
+    order, so the cosines hash-match the JVM path and this oracle."""
+    from vmware_graph_spark.operators.similarity import cosine_topk_arrow
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 14))
+    return cosine_topk_arrow(q, e, id_col="vec_id", vec_col="embedding", k=7)
+
+
+@query(
     "ivf_topk_embeddings",
     f"""
     WITH q AS (
