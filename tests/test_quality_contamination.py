@@ -260,3 +260,16 @@ def test_dedup_lines_df_counts_distinct_docs_not_occurrences(spark):
         for r in dedup_lines(df, "id", "text", line_tokens=2, min_docs=2).collect()
     }
     assert rows[1].n_kept == 2 and rows[1].kept_text == "x y x y"
+
+
+def test_grouped_trimmed_stats_drops_tails(spark):
+    from vmware_graph_spark.operators.quality import grouped_trimmed_stats
+
+    # group a: 10 values 1..10 with trim=0.1 → drop 1 low + 1 high →
+    # mean of 2..9 = 5.5; group b too small to trim (floor(0.1*3)=0).
+    rows = [("a", float(v)) for v in range(1, 11)] + [("b", 2.0), ("b", 4.0), ("b", 9.0)]
+    df = spark.createDataFrame(rows, ["g", "value"])
+    out = {r.g: r for r in grouped_trimmed_stats(df, ["g"], "value", trim=0.1).collect()}
+    assert out["a"].n == 10 and out["a"].n_used == 8
+    assert out["a"].trimmed_mean == 5.5
+    assert out["b"].n_used == 3 and out["b"].trimmed_mean == 5.0

@@ -292,6 +292,52 @@ def dedup_lines(
     )
 
 
+def grouped_trimmed_stats(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    *,
+    trim: float = 0.1,
+) -> DataFrame:
+    """(group…, n, n_used, trimmed_mean) via ``groupBy().applyInPandas``
+    — the batch grouped-map Arrow path (each group's rows arrive as ONE
+    pandas frame): drop the lowest and highest ``floor(trim·n)`` values,
+    average the rest.
+
+    Robust-mean screening for metric columns (the outlier-resistant
+    sibling of the z-score screen). Determinism: the trimmed multiset
+    is value-sorted so tie order can't change it, and the sum runs over
+    10^4-scaled int64 — exact, order-independent, and equal to the
+    oracle's DECIMAL(18,4) accumulation; the final division is the same
+    single IEEE op in both engines. One shuffle (the groupBy); each
+    group must fit a worker's memory — true for per-metric groups at
+    any corpus size, NOT for a global group (use the window variant
+    then)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    gcols = list(group_cols)
+    schema = ", ".join(
+        [f"{c} {t}" for c, t in df.select(*gcols).dtypes]
+        + ["n bigint", "n_used bigint", "trimmed_mean double"]
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(pdf[value_col].to_numpy())
+        n = len(v)
+        k = int(math.floor(trim * n))
+        used = v[k : n - k]
+        ints = np.round(used * 10000.0).astype(np.int64)
+        mean = (int(ints.sum()) / 10**4) / len(used) if len(used) else None
+        out = {c: [pdf[c].iloc[0]] for c in gcols}
+        out.update({"n": [n], "n_used": [len(used)], "trimmed_mean": [mean]})
+        return pd.DataFrame(out)
+
+    return df.select(*gcols, value_col).groupBy(*gcols).applyInPandas(kernel, schema)
+
+
 def top_ngrams(df: DataFrame, text_col: str, *, n: int = 2, k: int = 50) -> DataFrame:
     """(gram, cnt, rnk) — the k most frequent word n-grams corpus-wide,
     ties broken lexicographically (vocabulary induction / BPE-merge prep

@@ -3570,6 +3570,37 @@ def corr_value_user_by_type(spark, sf_dir):
 
 
 @query(
+    "trimmed_mean_value_by_type",
+    """
+    WITH ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    trimmed AS (
+      SELECT * FROM ranked
+      WHERE rn > CAST(floor(0.1 * n) AS BIGINT)
+        AND rn <= n - CAST(floor(0.1 * n) AS BIGINT)
+    )
+    SELECT event_type, max(n) AS n, count(*) AS n_used,
+           CAST(sum(round(value, 4)::DECIMAL(18,4)) AS DOUBLE) / count(*) AS trimmed_mean
+    FROM trimmed GROUP BY event_type
+    """,
+)
+def trimmed_mean_value_by_type(spark, sf_dir):
+    """Grouped-map Arrow path (``groupBy().applyInPandas``): per-type
+    10%-trimmed mean — each group lands in the Python worker as one
+    pandas frame, values sort locally, and the trimmed sum runs over
+    10^4-scaled int64 so it equals the oracle's decimal accumulation
+    exactly. The one shuffle is the groupBy itself."""
+    from vmware_graph_spark.operators.quality import grouped_trimmed_stats
+
+    e = load_table(spark, sf_dir, "events")
+    return grouped_trimmed_stats(e, ["event_type"], "value", trim=0.1)
+
+
+@query(
     "ntile_spend_quartiles_by_nation",
     """
     WITH spend AS (
