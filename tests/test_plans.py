@@ -184,3 +184,33 @@ def test_runtime_bloom_filter_available_for_selective_shuffle_joins(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_tenant_partitioned_snapshot_prunes_scan(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from vmware_graph_spark.store.graph import GraphStore
+
+    store = GraphStore(spark)
+    store.upsert_nodes(
+        "Vcentercluster",
+        spark.createDataFrame(
+            [("c1", "vc-A", "2"), ("c2", "vc-A", "3"), ("c3", "vc-B", "4")],
+            ["name", "managedby", "hosts"],
+        ),
+    )
+    path = str(tmp_path / "snap")
+    store.write(path, partition_vertices_by=("managedby",))
+
+    back = GraphStore.read(spark, path)
+    df = back.vertices("Vcentercluster").filter(F.col("managedby") == "vc-A")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # tenant filter becomes a partition filter on the scan, not a row filter
+    assert "PartitionFilters" in plan and "managedby" in plan.split("PartitionFilters", 1)[1][:200]
+    assert df.count() == 2
+    # dimension labels without the column still round-trip unpartitioned
+    store.upsert_nodes(
+        "Vconfigstatus", spark.createDataFrame([("green",)], ["name"])
+    )
+    store.write(path + "2", partition_vertices_by=("managedby",))
+    assert GraphStore.read(spark, path + "2").vertices("Vconfigstatus").count() == 1

@@ -256,13 +256,27 @@ class GraphStore:
 
     # -- snapshot persistence (S4) -----------------------------------------
 
-    def write(self, path: str) -> None:
+    def write(
+        self, path: str, *, partition_vertices_by: Sequence[str] = ()
+    ) -> None:
         """Snapshot writer: one parquet dir per label + edges partitioned
-        by rel_type (partition pruning for per-type hop queries)."""
+        by rel_type (partition pruning for per-type hop queries).
+
+        ``partition_vertices_by`` (typically ``("managedby",)``) adds
+        hive-style partitioning to every label that carries those
+        columns — the tenancy layout for scale: a per-vCenter refresh
+        or sweep then scans ONLY that tenant's directories (partition
+        pruning, asserted in tests/test_plans.py), instead of filtering
+        a full-corpus scan. Labels without the columns (global
+        dimension labels) write unpartitioned as before.
+        """
         for label in self.labels():
-            self._vertices[label].write.mode("overwrite").parquet(
-                os.path.join(path, "vertices", label)
-            )
+            df = self._vertices[label]
+            cols = [c for c in partition_vertices_by if c in df.columns]
+            w = df.write.mode("overwrite")
+            if cols:
+                w = w.partitionBy(*cols)
+            w.parquet(os.path.join(path, "vertices", label))
         self.edges().write.mode("overwrite").partitionBy("rel_type").parquet(
             os.path.join(path, "edges")
         )
