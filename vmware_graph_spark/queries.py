@@ -912,6 +912,49 @@ def jaccard_pairs_documents(spark, sf_dir):
 
 
 @query(
+    "behavior_similarity_users",
+    f"""
+    WITH seq AS (
+      SELECT user_id AS id,
+             array_to_string(list(event_type ORDER BY ts, event_id), ' ') AS behavior
+      FROM events WHERE user_id % 20 = 0 GROUP BY user_id
+    ),
+    sh AS (SELECT DISTINCT id, unnest({_shingles('behavior', 2)}) AS shingle FROM seq),
+    sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b,
+           round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+    FROM pairs JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+    WHERE inter::DOUBLE / (sa.n_sh + sb.n_sh - inter) >= 0.5
+    """,
+)
+def behavior_similarity_users(spark, sf_dir):
+    """Trajectory-style behavioral similarity (REPOSE/top-k-trajectory
+    family, PAPERS.md): each user's time-ordered event-type sequence
+    becomes a behavior 'document', and users whose transition-bigram
+    SETS overlap (Jaccard ≥ 0.5) pair up — the same inverted-index
+    Jaccard kernel as text near-dup, pointed at sequences. The sequence
+    build is one order-stable array_sort(collect_list(struct)) groupBy;
+    everything downstream reuses the dedup kernel's shuffle shape."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 20 == 0)
+    seq = e.groupBy(F.col("user_id").alias("id")).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            " ",
+        ).alias("behavior")
+    )
+    out = jaccard_pairs(seq, "id", "behavior", n=2, threshold=0.5)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@query(
     "minhash_signatures_documents",
     f"""
     WITH {_SH3_CTE},
