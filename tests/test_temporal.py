@@ -112,3 +112,25 @@ def test_resample_grid_ffill_semantics(spark):
         for r in asof_join(grid, ev, "user_id", "gts", "ts", right_cols=["value"]).collect()
     }
     assert got == {1: None, 2: 20.0, 3: 20.0, 4: 30.0}
+
+
+def test_incremental_topk_equals_full_recompute(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from vmware_graph_spark.operators.temporal import incremental_topk
+
+    df = spark.createDataFrame(
+        [(i, float((i * 37) % 101)) for i in range(200)], ["k", "v"]
+    )
+    base = df.filter("k % 3 != 0")
+    delta = df.filter("k % 3 = 0")
+    base_topk = base.orderBy(F.col("v").desc(), "k").limit(10)
+    inc = incremental_topk(base_topk, delta, order_cols=["-v", "k"], k=10)
+    w = Window.orderBy(F.col("v").desc(), "k")
+    full = (
+        df.orderBy(F.col("v").desc(), "k")
+        .limit(10)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+    )
+    assert sorted(map(tuple, inc.collect())) == sorted(map(tuple, full.collect()))

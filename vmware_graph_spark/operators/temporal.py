@@ -21,6 +21,8 @@ reference semantics these must reproduce exactly.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -98,3 +100,36 @@ def range_join(
         (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) <= F.col(end_ts))
     )
     return joined.drop("__bin")
+
+
+def incremental_topk(
+    prev_topk: DataFrame,
+    delta: DataFrame,
+    *,
+    order_cols: Sequence[str],
+    k: int,
+) -> DataFrame:
+    """Maintain a global top-k under batch arrival (the incremental
+    top-k pattern, PAPERS.md EDBT 2020): merge the PREVIOUS top-k (at
+    most k rows — never the full history) with the new batch and re-rank.
+
+    Correct because top-k is a monotone semigroup under union:
+    topk(A ∪ B) = topk(topk(A) ∪ B). Each refresh therefore touches
+    k + |delta| rows instead of the full corpus — at 100 TB of
+    accumulated history this is the difference between a streaming-able
+    maintenance job and a nightly full re-sort. ``order_cols`` must be
+    a TOTAL order ('-col' prefix for descending) or ranks are
+    nondeterministic; the global sort is a TakeOrderedAndProject
+    (per-partition heaps, k rows to the driver-side merge), never a
+    full exchange.
+    """
+    cols = []
+    for c in order_cols:
+        cols.append(F.col(c[1:]).desc() if c.startswith("-") else F.col(c).asc())
+    merged = prev_topk.unionByName(delta.select(*prev_topk.columns))
+    w = Window.orderBy(*cols)
+    return (
+        merged.orderBy(*cols)
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+    )

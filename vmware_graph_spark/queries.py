@@ -3088,6 +3088,39 @@ def set_ops_segments_replace(spark, sf_dir):
 
 
 @query(
+    "incremental_topk_orders",
+    """
+    SELECT o_orderkey, round(o_totalprice, 2) AS totalprice, rank FROM (
+      SELECT o_orderkey, o_totalprice,
+             row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rank
+      FROM orders
+    ) WHERE rank <= 50
+    """,
+)
+def incremental_topk_orders(spark, sf_dir):
+    """Incremental top-k maintenance (PAPERS.md EDBT 2020 pattern):
+    top-50 orders by price computed as topk(topk(base) ∪ delta) — the
+    oracle ranks the WHOLE table, proving the algebraic merge property.
+    Each refresh touches k + |delta| rows, never the accumulated
+    history; both sorts are TakeOrderedAndProject (per-partition heaps),
+    no full exchange."""
+    from vmware_graph_spark.operators.temporal import incremental_topk
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    base = o.filter(F.col("o_orderkey") % 20 != 0)
+    delta = o.filter(F.col("o_orderkey") % 20 == 0)
+    base_topk = (
+        base.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey")).limit(50)
+    )
+    out = incremental_topk(
+        base_topk, delta, order_cols=["-o_totalprice", "o_orderkey"], k=50
+    )
+    return out.select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("totalprice"), "rank"
+    )
+
+
+@query(
     "snapshot_changes_customers",
     """
     WITH curr AS (
