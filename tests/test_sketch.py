@@ -184,3 +184,21 @@ def test_hash_split_validates_args(spark):
     df = spark.range(5).withColumnRenamed("id", "k")
     with _pytest.raises(ValueError):
         hash_split(df, "k", weights=(0.5, 0.5), names=("only",))
+
+
+def test_cms_never_underestimates_and_finds_heavy_hitters(spark):
+    from vmware_graph_spark.functions.sketch import cms_heavy_hitters
+
+    # 'hot' appears 60×, 'warm' 20×, 100 singletons force collisions
+    # into a deliberately tiny 16-counter sketch.
+    rows = (
+        [("hot",)] * 60 + [("warm",)] * 20 + [(f"cold-{i}",) for i in range(100)]
+    )
+    df = spark.createDataFrame(rows, ["v"])
+    est = {r.value: r.est for r in cms_heavy_hitters(df, "v", width=16, depth=4).collect()}
+    true = {"hot": 60, "warm": 20, **{f"cold-{i}": 1 for i in range(100)}}
+    # one-sided error: estimates never drop below the true count
+    assert all(est[v] >= c for v, c in true.items())
+    # heavy hitters clear a threshold the tail cannot reach by collisions alone
+    heavy = {r.value for r in cms_heavy_hitters(df, "v", width=16, depth=4, min_count=50).collect()}
+    assert "hot" in heavy and "warm" not in heavy

@@ -139,6 +139,51 @@ def split_thresholds(
     return out
 
 
+def cms_heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    *,
+    width: int = 64,
+    depth: int = 4,
+    min_count: int = 1,
+) -> DataFrame:
+    """Count-min-sketch heavy hitters: (value, est) for every distinct
+    value whose CMS estimate ≥ ``min_count``; ``est`` never
+    underestimates the true count (one-sided error ≤ e·N/width with
+    probability 1 − e^-depth).
+
+    The sketch is ``depth`` md5 hash rows × ``width`` counters — a
+    (depth·width)-cell table that REPLACES a full distinct-count
+    shuffle when the value domain is huge: counters aggregate map-side
+    into O(depth·width) state regardless of cardinality, then only the
+    (typically few) probe values re-hash and take the row-wise min.
+    md5 bucketing keeps every cell — and therefore every estimate —
+    bit-identical to the DuckDB oracle, unlike JVM-hash sketches."""
+    v = df.select(F.col(value_col).cast("string").alias("__v"))
+    rows_i = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("__i")
+    probes = v.select("__v", rows_i)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("__i").cast("string"), F.lit(":"), F.col("__v"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    hashed = probes.withColumn("__b", h % width)
+    counters = hashed.groupBy("__i", "__b").agg(F.count("*").alias("__c"))
+    probe_vals = hashed.select("__v", "__i", "__b").distinct()
+    est = (
+        probe_vals.join(counters, ["__i", "__b"])
+        .groupBy("__v")
+        .agg(F.min("__c").alias("est"))
+    )
+    return est.filter(F.col("est") >= min_count).select(
+        F.col("__v").alias("value"), "est"
+    )
+
+
 def disc_percentile(
     df: DataFrame,
     group_cols: list[str],

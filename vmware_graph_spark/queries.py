@@ -3801,6 +3801,41 @@ def kmv_distinct_users_per_type(spark, sf_dir):
 
 
 @query(
+    "cms_heavy_hitter_props",
+    """
+    WITH v AS (
+      SELECT json_extract_string(props, '$.k') AS v FROM events
+    ),
+    probes AS (
+      SELECT v, i,
+             ('0x' || substr(md5(i || ':' || v), 1, 15))::BIGINT % 64 AS b
+      FROM v CROSS JOIN (VALUES (0), (1), (2), (3)) t(i)
+    ),
+    counters AS (SELECT i, b, count(*) AS c FROM probes GROUP BY i, b),
+    est AS (
+      SELECT v, min(c) AS est
+      FROM (SELECT DISTINCT v, i, b FROM probes) p JOIN counters USING (i, b)
+      GROUP BY v
+    )
+    SELECT v AS value, est FROM est WHERE est >= 150
+    """,
+)
+def cms_heavy_hitter_props(spark, sf_dir):
+    """Count-min-sketch heavy hitters over the events' JSON ``k`` prop:
+    4 md5 hash rows × 64 counters (deliberately narrower than the
+    domain, so collisions and the one-sided overestimate are really
+    exercised), values with estimate ≥ 150 survive. Constant
+    O(depth·width) aggregation state regardless of domain cardinality —
+    the frequency twin of the KMV distinct sketch."""
+    from vmware_graph_spark.functions.sketch import cms_heavy_hitters
+
+    e = load_table(spark, sf_dir, "events").select(
+        F.get_json_object("props", "$.k").alias("kv")
+    )
+    return cms_heavy_hitters(e, "kv", width=64, depth=4, min_count=150)
+
+
+@query(
     "sampled_percentile_value",
     """
     WITH sample AS (
