@@ -244,3 +244,24 @@ def test_cosine_topk_arrow_empty_queries(spark):
         df.filter("vec_id < 0"), df, id_col="vec_id", vec_col="embedding", k=3
     )
     assert out.count() == 0
+
+
+def test_pq_adc_recovers_cluster_structure(spark):
+    from vmware_graph_spark.operators.similarity import pq_codebook, pq_encode, pq_topk
+
+    # three well-separated clusters in 8-dim; PQ must keep neighbors
+    # within-cluster despite 4-code-per-subspace compression.
+    base = {0: [5.0] * 8, 1: [-5.0] * 8, 2: [5.0] * 4 + [-5.0] * 4}
+    rows = [
+        (c * 20 + i, [b + ((i * 7 + j) % 5) / 10.0 for j, b in enumerate(base[c])])
+        for c in base
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cb = pq_codebook(df, "vec_id", "embedding", sublen=4, k=4, iters=4)
+    codes = pq_encode(df, "vec_id", "embedding", cb)
+    assert codes.count() == 60 * 2  # two subspaces per vector
+    q = df.filter("vec_id IN (0, 20, 40)")
+    top = pq_topk(q, codes, cb, id_col="vec_id", vec_col="embedding", k=5)
+    for r in top.collect():
+        assert r.neighbor_id // 20 == r.query_id // 20, r

@@ -114,6 +114,164 @@ def cosine_topk_arrow(
     return _topk(scored, k)
 
 
+def _pq_centroids(x: DataFrame, assign: DataFrame, sublen: int) -> DataFrame:
+    """Centroid update: (dim, code, c, sub) from per-(id, sub) code
+    assignments. Decimal-accumulated mean — a pure function of data."""
+    j = x.withColumn("sub", (F.col("dim") / sublen).cast("int")).join(
+        assign, ["id", "sub"]
+    )
+    return (
+        j.groupBy("dim", "code")
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("v"), 6).cast("decimal(18,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("c")
+        )
+        .withColumn("sub", (F.col("dim") / sublen).cast("int"))
+    )
+
+
+def _pq_assign(x: DataFrame, codebook: DataFrame) -> DataFrame:
+    """Assignment step: per (id, sub) the L2-nearest code (ties to the
+    lowest code), via broadcast codebook join + decimal residual sums +
+    argmin window."""
+    j = x.join(F.broadcast(codebook), "dim")
+    d2 = j.groupBy("id", "sub", "code").agg(
+        F.sum(
+            F.round((F.col("v") - F.col("c")) * (F.col("v") - F.col("c")), 12).cast(
+                "decimal(28,12)"
+            )
+        ).alias("d2")
+    )
+    w = Window.partitionBy("id", "sub").orderBy(F.col("d2").asc(), F.col("code").asc())
+    return (
+        d2.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("id", "sub", "code")
+    )
+
+
+def pq_codebook(
+    train: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    sublen: int = 8,
+    k: int = 16,
+    iters: int = 1,
+) -> DataFrame:
+    """Product-quantization codebook: (dim, code, c, sub) — per
+    subspace (``sublen`` consecutive dims) and code, k-means centroids
+    refined by ``iters - 1`` Lloyd update-assign rounds from a
+    STRUCTURE-AWARE deterministic init: each subvector's sign pattern,
+    md5-hashed onto the ``k`` codes. Sign patterns put geometrically
+    distinct subvectors in distinct seed clusters (a hash of the row id
+    would average across clusters and give k near-identical centroids
+    k-means cannot split), while md5 keeps the init — and every
+    argmin-with-lowest-code-tie round after it — a pure, engine-exact
+    function of the data. Codes that lose all members simply drop out.
+    Each round is one broadcast join + two bounded shuffles,
+    lineage-cut between rounds."""
+    x = train.select(
+        F.col(id_col).alias("id"), F.posexplode(as_double_vec(vec_col)).alias("dim", "v")
+    )
+    pats = x.groupBy(
+        "id", (F.col("dim") / sublen).cast("int").alias("sub")
+    ).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "dim",
+                            F.when(F.col("v") >= 0, "1").otherwise("0").alias("s"),
+                        )
+                    )
+                ),
+                lambda r: r["s"],
+            ),
+            "",
+        ).alias("pat")
+    )
+    assign = pats.select(
+        "id",
+        "sub",
+        (F.conv(F.substring(F.md5("pat"), 1, 15), 16, 10).cast("bigint") % k)
+        .cast("int")
+        .alias("code"),
+    )
+    cb = _pq_centroids(x, assign, sublen)
+    for _ in range(max(0, iters - 1)):
+        cb = _pq_centroids(x, _pq_assign(x, cb), sublen).localCheckpoint(eager=False)
+    return cb
+
+
+def pq_encode(
+    df: DataFrame, id_col: str, vec_col: str, codebook: DataFrame
+) -> DataFrame:
+    """(id, sub, code): each vector's nearest codebook entry per
+    subspace (L2, ties to the lowest code). The encoded table is the
+    PQ compression payoff — ``d/sublen`` single-byte codes per vector
+    instead of ``d`` floats (32× at sublen=8/k≤256), which is what a
+    100 TB corpus scans during candidate generation. Relational
+    throughout: explode → broadcast codebook join → decimal-summed
+    residuals → per-(id, sub) argmin window."""
+    x = df.select(
+        F.col(id_col).alias("id"), F.posexplode(as_double_vec(vec_col)).alias("dim", "v")
+    )
+    return _pq_assign(x, codebook)
+
+
+def pq_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebook: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: per query, build
+    the (sub, code) → partial-dot lookup table against the codebook,
+    then score every encoded vector as the sum of its subspaces' table
+    entries — approximate inner product without ever touching raw
+    candidate vectors. The LUT is |Q|·(d/sublen)·k rows (broadcast
+    -sized); the only big join is codes ⋈ LUT on (sub, code), and the
+    per-pair reduce adds exactly d/sublen decimal terms, so the score
+    is engine-exact."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.posexplode(as_double_vec(vec_col)).alias("dim", "qv"),
+    )
+    lut = (
+        q.join(F.broadcast(codebook), "dim")
+        .groupBy("query_id", "sub", "code")
+        .agg(
+            F.sum(
+                F.round(F.col("qv") * F.col("c"), 12).cast("decimal(28,12)")
+            ).alias("pdot")
+        )
+    )
+    sc = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .groupBy("query_id", "id")
+        .agg(F.sum("pdot").cast("double").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("id").asc())
+    return (
+        sc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            F.round("score", 6).alias("score"),
+            "rank",
+        )
+    )
+
+
 def truncate_normalize(df: DataFrame, vec_col: str, dims: int, *, out_col: str | None = None) -> DataFrame:
     """Matryoshka truncation: keep the leading ``dims`` dimensions and
     L2-renormalize to unit length, so downstream dot products ARE

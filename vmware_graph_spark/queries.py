@@ -4287,6 +4287,85 @@ def vector_centroids_by_label(spark, sf_dir):
     )
 
 
+@query(
+    "pq_adc_topk_embeddings",
+    """
+    WITH vecd AS (
+      SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    pats AS (
+      SELECT vec_id, CAST(dim // 8 AS INT) AS sub,
+             string_agg(CASE WHEN v >= 0 THEN '1' ELSE '0' END, '' ORDER BY dim) AS pat
+      FROM vecd GROUP BY vec_id, dim // 8
+    ),
+    a0 AS (
+      SELECT vec_id, sub,
+             CAST(('0x' || substr(md5(pat), 1, 15))::BIGINT % 16 AS INT) AS code
+      FROM pats
+    ),
+    cb AS (
+      SELECT dim, code,
+             round(CAST(sum(CAST(round(v, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(*), 6) AS c
+      FROM vecd v JOIN a0 ON v.vec_id = a0.vec_id AND CAST(v.dim // 8 AS INT) = a0.sub
+      GROUP BY dim, code
+    ),
+    enc0 AS (
+      SELECT v.vec_id, CAST(cb.dim // 8 AS INT) AS sub, cb.code,
+             sum(CAST(round((v.v - cb.c) * (v.v - cb.c), 12) AS DECIMAL(28,12))) AS d2
+      FROM vecd v JOIN cb ON v.dim = cb.dim
+      GROUP BY v.vec_id, cb.dim // 8, cb.code
+    ),
+    enc AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT vec_id, sub, code,
+               row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+        FROM enc0
+      ) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT q.vec_id AS query_id, CAST(cb.dim // 8 AS INT) AS sub, cb.code,
+             sum(CAST(round(q.v * cb.c, 12) AS DECIMAL(28,12))) AS pdot
+      FROM vecd q JOIN cb ON q.dim = cb.dim
+      WHERE q.vec_id < 6
+      GROUP BY q.vec_id, cb.dim // 8, cb.code
+    ),
+    sc AS (
+      SELECT l.query_id, e.vec_id AS neighbor_id, CAST(sum(l.pdot) AS DOUBLE) AS score
+      FROM enc e JOIN lut l ON e.sub = l.sub AND e.code = l.code
+      GROUP BY l.query_id, e.vec_id
+    ),
+    r AS (
+      SELECT query_id, neighbor_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+      FROM sc
+    )
+    SELECT query_id, neighbor_id, round(score, 6) AS score, rank FROM r WHERE rank <= 5
+    """,
+)
+def pq_adc_topk_embeddings(spark, sf_dir):
+    """Product quantization end-to-end: 8×8-dim subspaces, 16 codes per
+    subspace (codebook = one deterministic k-means update from hash
+    init), vectors encoded to 8 codes each, then asymmetric-distance
+    top-5 per query from the per-query (sub, code) lookup table — the
+    memory-bound ANN path where candidates are scored WITHOUT touching
+    raw vectors (32× scan compression at 100 TB). All three phases are
+    relational vector algebra with decimal accumulation, so codes,
+    scores, and ranks are engine-exact."""
+    from vmware_graph_spark.operators.similarity import (
+        pq_codebook,
+        pq_encode,
+        pq_topk,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cb = pq_codebook(e, "vec_id", "embedding", sublen=8, k=16)
+    codes = pq_encode(e, "vec_id", "embedding", cb)
+    q = e.filter(F.col("vec_id") < 6)
+    return pq_topk(q, codes, cb, id_col="vec_id", vec_col="embedding", k=5)
+
+
 _CENT_ASSIGN_CTE = """
     cent AS (
       SELECT label AS clabel, i - 1 AS dim,
