@@ -3088,6 +3088,67 @@ def set_ops_segments_replace(spark, sf_dir):
 
 
 @query(
+    "dq_integrity_audit",
+    """
+    WITH cust AS (SELECT * FROM customer WHERE c_custkey % 3 <> 0),
+    dup_parts AS (
+      SELECT p_brand FROM part GROUP BY p_brand HAVING count(*) > 1
+    )
+    SELECT 'orders->customer' AS check_name, count(*) AS n_bad
+    FROM orders LEFT JOIN cust ON o_custkey = c_custkey
+    WHERE c_custkey IS NULL
+    UNION ALL
+    SELECT 'lineitem->orders', count(*)
+    FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderkey IS NULL
+    UNION ALL
+    SELECT 'customer.custkey unique', count(*) FROM (
+      SELECT c_custkey FROM customer GROUP BY c_custkey HAVING count(*) > 1
+    )
+    UNION ALL
+    SELECT 'part.brand unique', (SELECT count(*) FROM dup_parts)
+    UNION ALL
+    SELECT 'orders.orderdate not null', count(*) FROM orders WHERE o_orderdate IS NULL
+    """,
+)
+def dq_integrity_audit(spark, sf_dir):
+    """Data-quality audit battery: referential integrity (dangling
+    foreign keys via LEFT-ANTI join — here against a customer table
+    with every 3rd key removed, so the orders→customer check actually
+    fires), natural-key uniqueness (groupBy HAVING >1), and
+    not-null constraints — the pre-publish validation a snapshot
+    pipeline runs before the pointer flip (store.publish). Each check
+    is one anti-join or one agg; all run in a single union job."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    p = load_table(spark, sf_dir, "part")
+    cust = c.filter(F.col("c_custkey") % 3 != 0)
+
+    def one(name, df):
+        return df.agg(
+            F.lit(name).alias("check_name"), F.count("*").alias("n_bad")
+        )
+
+    orphan_orders = o.join(cust, o["o_custkey"] == cust["c_custkey"], "left_anti")
+    orphan_items = li.join(o, li["l_orderkey"] == o["o_orderkey"], "left_anti")
+    dup_cust = (
+        c.groupBy("c_custkey").agg(F.count("*").alias("n")).filter(F.col("n") > 1)
+    )
+    dup_brand = (
+        p.groupBy("p_brand").agg(F.count("*").alias("n")).filter(F.col("n") > 1)
+    )
+    null_dates = o.filter(F.col("o_orderdate").isNull())
+    return (
+        one("orders->customer", orphan_orders)
+        .unionByName(one("lineitem->orders", orphan_items))
+        .unionByName(one("customer.custkey unique", dup_cust))
+        .unionByName(one("part.brand unique", dup_brand))
+        .unionByName(one("orders.orderdate not null", null_dates))
+    )
+
+
+@query(
     "incremental_topk_orders",
     """
     SELECT o_orderkey, round(o_totalprice, 2) AS totalprice, rank FROM (
