@@ -282,3 +282,20 @@ def test_hits_deterministic_across_partitionings(spark):
     x = sorted(map(tuple, hits(v, e, iters=3).collect()))
     y = sorted(map(tuple, hits(v.repartition(5), e.repartition(11), iters=3).collect()))
     assert x == y
+
+
+def test_personalized_pagerank_mass_stays_near_seeds(spark):
+    from vmware_graph_spark.analytics.algos import personalized_pagerank_fixed
+
+    # two disjoint 2-cliques; seed in the first → second stays at 0.
+    vertices = spark.createDataFrame([("a",), ("b",), ("x",), ("y",)], ["id"])
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("x", "y"), ("y", "x")], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([("a",)], ["id"])
+    r = {
+        row.id: row.rank_micros
+        for row in personalized_pagerank_fixed(vertices, edges, seeds, iters=4).collect()
+    }
+    assert r["x"] == 0 and r["y"] == 0
+    assert r["a"] > r["b"] > 0  # seed keeps the restart mass advantage

@@ -374,6 +374,69 @@ def pagerank_fixed(
     return ranks.select("id", F.col("rank").alias("rank_micros"))
 
 
+def personalized_pagerank_fixed(
+    vertices: DataFrame,
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    iters: int = 5,
+    damping_pct: int = 85,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Personalized PageRank (fixed-point): (id, rank_micros) where the
+    teleport/restart vector is the ``seeds`` set — proximity to the
+    seeds, not global centrality. The neighborhood-expansion primitive
+    (seed-biased recommendations, related-entity discovery, local
+    community scoring).
+
+    Same integer discipline as :func:`pagerank_fixed` — scaled 64-bit
+    floor arithmetic, one shuffle per iteration, dangling mass as a
+    1-row broadcast — with the restart differences: initial mass and
+    the (1-d) base land ONLY on seeds, and dangling mass teleports back
+    to the seeds (split evenly), never uniformly. Bit-identical across
+    engines/partitionings, so an unrolled-CTE oracle can replay it.
+    """
+    s_n = seeds.count()
+    if s_n == 0:
+        raise ValueError("personalized_pagerank_fixed needs a non-empty seed set")
+    base = (100 - damping_pct) * scale // 100
+    seed_flags = seeds.select("id").distinct().withColumn("__seed", F.lit(True))
+    v = vertices.join(F.broadcast(seed_flags), "id", "left")
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    ranks = v.select(
+        "id",
+        F.when(F.col("__seed"), F.lit(scale)).otherwise(F.lit(0)).cast("long").alias("rank"),
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        contribs = (
+            edges.join(ranks, edges.src == ranks.id)
+            .join(out_deg, "src")
+            .select(F.col("dst").alias("id"), F.expr("rank div out_deg").alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        dangling = ranks.join(out_deg, ranks.id == out_deg.src, "left_anti").agg(
+            F.coalesce(F.sum("rank"), F.lit(0)).cast("long").alias("__dangling")
+        )
+        ranks = (
+            v.join(contribs, "id", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "id",
+                (
+                    F.when(F.col("__seed"), F.lit(base)).otherwise(F.lit(0))
+                    + F.expr(
+                        f"({damping_pct} * (coalesce(in_sum, cast(0 as long))"
+                        f" + (case when __seed then __dangling div {s_n}"
+                        f" else cast(0 as long) end))) div 100"
+                    )
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("id", F.col("rank").alias("rank_micros"))
+
+
 def _large_star(e: DataFrame) -> DataFrame:
     """Large-star round: every neighbor v > u re-parents to
     min(N(u) ∪ {u}). Pure join+groupBy — no per-node neighbor lists

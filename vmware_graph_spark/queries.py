@@ -3482,6 +3482,65 @@ def _pagerank_fixed_sql(iters: int) -> str:
     return "WITH " + ",\n".join(ctes) + f"\nSELECT id, rank AS rank_micros FROM r{iters}"
 
 
+def _ppr_fixed_sql(iters: int) -> str:
+    """Unrolled personalized-PageRank oracle: same integer replay as
+    ``_pagerank_fixed_sql`` but restart mass, (1-d) base, and dangling
+    teleport all land only on the seed set (region-0 nations)."""
+    seed = "v.id IN (SELECT id FROM seeds)"
+    ctes = [
+        "v AS (SELECT DISTINCT 'c' || c_custkey AS id FROM customer "
+        "UNION SELECT 'n' || n_nationkey FROM nation)",
+        "e AS (SELECT 'c' || c_custkey AS src, 'n' || c_nationkey AS dst FROM customer "
+        "UNION ALL SELECT 'n' || c_nationkey, 'c' || c_custkey FROM customer)",
+        "deg AS (SELECT src, count(*) AS out_deg FROM e GROUP BY src)",
+        "seeds AS (SELECT 'n' || n_nationkey AS id FROM nation WHERE n_regionkey = 0)",
+        "ns AS (SELECT count(*) AS sn FROM seeds)",
+        f"r0 AS (SELECT v.id, CAST(CASE WHEN {seed} THEN 1000000 ELSE 0 END AS BIGINT) AS rank FROM v)",
+    ]
+    for i in range(iters):
+        ctes.append(
+            f"d{i} AS (SELECT coalesce(sum(rank), 0) AS dm FROM r{i} "
+            "WHERE id NOT IN (SELECT src FROM deg))"
+        )
+        ctes.append(
+            f"r{i + 1} AS (SELECT v.id, CAST("
+            f"(CASE WHEN {seed} THEN 150000 ELSE 0 END) "
+            f"+ (85 * (coalesce(s.in_sum, 0) + CASE WHEN {seed} "
+            f"THEN (SELECT dm FROM d{i}) // (SELECT sn FROM ns) ELSE 0 END)) // 100 "
+            "AS BIGINT) AS rank "
+            "FROM v LEFT JOIN (SELECT e.dst AS id, sum(r.rank // deg.out_deg) AS in_sum "
+            f"FROM e JOIN r{i} r ON e.src = r.id JOIN deg ON e.src = deg.src "
+            "GROUP BY e.dst) s ON v.id = s.id)"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, rank AS rank_micros FROM r{iters}"
+
+
+@query("personalized_pagerank_region_seeds", _ppr_fixed_sql(5))
+def personalized_pagerank_region_seeds(spark, sf_dir):
+    """Personalized PageRank from region-0's nations over the
+    customer↔nation graph: proximity-to-seed scores (the seed-biased
+    recommendation primitive), integer fixed-point so the 5-round
+    fixpoint is hash-verified against the unrolled-CTE oracle."""
+    from vmware_graph_spark.analytics.algos import personalized_pagerank_fixed
+
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    cid = F.concat(F.lit("c"), F.col("c_custkey"))
+    nid = F.concat(F.lit("n"), F.col("c_nationkey"))
+    vertices = (
+        c.select(cid.alias("id"))
+        .unionByName(n.select(F.concat(F.lit("n"), F.col("n_nationkey")).alias("id")))
+        .distinct()
+    )
+    edges = c.select(cid.alias("src"), nid.alias("dst")).unionByName(
+        c.select(nid.alias("src"), cid.alias("dst"))
+    )
+    seeds = n.filter(F.col("n_regionkey") == 0).select(
+        F.concat(F.lit("n"), F.col("n_nationkey")).alias("id")
+    )
+    return personalized_pagerank_fixed(vertices, edges, seeds, iters=5)
+
+
 @query("pagerank_fixedpoint_customer_nation", _pagerank_fixed_sql(5))
 def pagerank_fixedpoint_customer_nation(spark, sf_dir):
     """Fixed-point PageRank over the customer↔nation bipartite graph
