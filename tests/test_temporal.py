@@ -134,3 +134,25 @@ def test_incremental_topk_equals_full_recompute(spark):
         .withColumn("rank", F.row_number().over(w).cast("int"))
     )
     assert sorted(map(tuple, inc.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_change_intervals_compresses_runs(spark):
+    from vmware_graph_spark.operators.temporal import change_intervals
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 1), (1, "a", 2), (1, "b", 3), (1, "b", 4), (1, "a", 5),
+            (2, "x", 1),
+        ],
+        ["k", "attr", "ts"],
+    )
+    rows = sorted(
+        change_intervals(df, "k", "attr", "ts").collect(),
+        key=lambda r: (r.k, r.valid_from),
+    )
+    assert [(r.k, r.attr, r.valid_from, r.valid_to, r.is_current) for r in rows] == [
+        (1, "a", 1, 3, False),
+        (1, "b", 3, 5, False),
+        (1, "a", 5, None, True),  # a reappears → NEW version, not merged
+        (2, "x", 1, None, True),
+    ]

@@ -133,3 +133,39 @@ def incremental_topk(
         .limit(k)
         .withColumn("rank", F.row_number().over(w).cast("int"))
     )
+
+
+def change_intervals(
+    df: DataFrame, key_col: str, attr_col: str, ts_col: str
+) -> DataFrame:
+    """SCD-type-2 history build: compress an event/observation stream
+    into attribute-validity intervals — (key, attr, valid_from,
+    valid_to, is_current), one row per run of consecutive equal
+    ``attr_col`` values in ``ts_col`` order.
+
+    The change-point pass is lag() over (key, ts) — rows where the
+    attribute differs from its predecessor open a version; lead() over
+    the surviving change points closes it (null = current). Two window
+    passes over the SAME (key, ts) partitioning, so Catalyst plans ONE
+    shuffle and both windows run in it. This is how a mutable
+    dimension's history is rebuilt from observations at warehouse
+    scale — the write-side dual of the as-of join (which reads such
+    intervals back).
+    Rows must be unique per (key, ts) — at equal timestamps the run
+    compression would be order-ambiguous; pre-dedup if not."""
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    prev = F.lag(attr_col).over(w)
+    flagged = df.select(key_col, attr_col, ts_col).withColumn(
+        "__is_change", prev.isNull() | (F.col(attr_col) != prev)
+    )
+    pts = flagged.filter(F.col("__is_change")).select(
+        key_col, attr_col, F.col(ts_col).alias("valid_from")
+    )
+    w2 = Window.partitionBy(key_col).orderBy("valid_from")
+    return pts.select(
+        key_col,
+        attr_col,
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+    )

@@ -4215,6 +4215,47 @@ def asof_join_clicks_views(spark, sf_dir):
 
 
 @query(
+    "scd2_user_event_history",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_type, ts FROM events WHERE user_id % 25 = 0
+    ),
+    flagged AS (
+      SELECT user_id, event_type, ts,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      FROM e
+    ),
+    pts AS (
+      SELECT user_id, event_type, ts AS valid_from
+      FROM flagged WHERE prev IS NULL OR event_type <> prev
+    )
+    SELECT user_id, event_type,
+           strftime(valid_from, '{_TS_FMT_DUCK}') AS valid_from,
+           strftime(lead(valid_from) OVER w, '{_TS_FMT_DUCK}') AS valid_to,
+           lead(valid_from) OVER w IS NULL AS is_current
+    FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY valid_from)
+    """,
+)
+def scd2_user_event_history(spark, sf_dir):
+    """SCD-type-2 history build (dimension versioning): each user's
+    event-type stream compresses into validity intervals — one row per
+    run of equal consecutive values, closed by the next run's start,
+    open (is_current) at the tail. Both window passes share one
+    (user, ts) shuffle; the output is what ``asof_join`` reads back."""
+    from vmware_graph_spark.operators.temporal import change_intervals
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 25 == 0)
+    out = change_intervals(e, "user_id", "event_type", "ts")
+    return out.select(
+        "user_id",
+        "event_type",
+        F.date_format("valid_from", _TS_FMT_SPARK).alias("valid_from"),
+        F.date_format("valid_to", _TS_FMT_SPARK).alias("valid_to"),
+        "is_current",
+    )
+
+
+@query(
     "range_join_user_windows",
     f"""
     WITH iv AS (
