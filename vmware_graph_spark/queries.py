@@ -4215,6 +4215,42 @@ def asof_join_clicks_views(spark, sf_dir):
 
 
 @query(
+    "cohort_retention_daily",
+    """
+    WITH first AS (
+      SELECT user_id, min(date_trunc('day', ts)) AS cohort FROM events GROUP BY user_id
+    ),
+    act AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events)
+    SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+           CAST(date_diff('day', cohort, day) AS INT) AS day_offset,
+           count(*) AS n_users
+    FROM act JOIN first USING (user_id)
+    GROUP BY cohort, day
+    """,
+)
+def cohort_retention_daily(spark, sf_dir):
+    """Cohort retention matrix (event analytics): users keyed by their
+    first active day, counted on every later active day as an offset —
+    the standard retention triangle. Three hash aggs, all map-side
+    combined; the per-user first-day table is the only join and it
+    re-uses the distinct's partitioning on user_id."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    first = e.groupBy("user_id").agg(F.min(day).alias("cohort"))
+    act = e.select("user_id", day.alias("day")).distinct()
+    return (
+        act.join(first, "user_id")
+        .groupBy("cohort", "day")
+        .agg(F.count("*").alias("n_users"))
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("day", "cohort").cast("int").alias("day_offset"),
+            "n_users",
+        )
+    )
+
+
+@query(
     "scd2_user_event_history",
     f"""
     WITH e AS (
