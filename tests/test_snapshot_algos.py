@@ -299,3 +299,17 @@ def test_personalized_pagerank_mass_stays_near_seeds(spark):
     }
     assert r["x"] == 0 and r["y"] == 0
     assert r["a"] > r["b"] > 0  # seed keeps the restart mass advantage
+
+
+def test_transitive_closure_doubling_and_convergence_guard(spark):
+    import pytest as _pytest
+
+    from vmware_graph_spark.analytics.algos import transitive_closure
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], ["src", "dst"]
+    )  # 0→1→…→6, depth 6
+    tc = {(r.src, r.dst): r.dist for r in transitive_closure(chain, max_depth=8).collect()}
+    assert tc[(0, 6)] == 6 and tc[(2, 5)] == 3 and len(tc) == 21
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        transitive_closure(chain, max_depth=2)

@@ -20,6 +20,8 @@ in MapReduce and Beyond") — same DataFrame skeleton, fewer rounds.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -372,6 +374,54 @@ def pagerank_fixed(
             .localCheckpoint(eager=True)
         )
     return ranks.select("id", F.col("rank").alias("rank_micros"))
+
+
+def transitive_closure(
+    edges: DataFrame, *, max_depth: int = 32
+) -> DataFrame:
+    """All (src, dst, dist) reachability pairs with minimum hop count,
+    by iterative DOUBLING: after round r every path of length ≤ 2^r is
+    known, so a depth-D hierarchy closes in ⌈log2 D⌉ self-joins — the
+    ancestor/descendant expansion for folder and resource-pool trees
+    (SURVEY §2.10), where naive one-hop iteration pays D shuffles.
+
+    Each round self-joins the closure with itself (join on the
+    midpoint), unions, and keeps the MIN distance per pair —
+    duplicate-path explosion is pruned every round, which is what keeps
+    doubling viable on DAGs. Cycles would fixpoint (dist stops
+    shrinking) but cost O(n·cycle) pairs; intended for hierarchies.
+    Raises if ``max_depth`` rounds don't close (no silent partials)."""
+    closure = edges.select("src", "dst", F.lit(1).alias("dist")).distinct()
+    closure = closure.localCheckpoint(eager=True)
+    rounds = max(1, math.ceil(math.log2(max_depth)) if max_depth > 1 else 1)
+    for _ in range(rounds):
+        a, b = closure.alias("a"), closure.alias("b")
+        doubled = a.join(b, F.col("a.dst") == F.col("b.src")).select(
+            F.col("a.src").alias("src"),
+            F.col("b.dst").alias("dst"),
+            (F.col("a.dist") + F.col("b.dist")).alias("dist"),
+        )
+        new = (
+            closure.unionByName(doubled)
+            .groupBy("src", "dst")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if new.count() == closure.count():
+            return new
+        closure = new
+    # one more doubling must add nothing, else the depth bound was wrong
+    a, b = closure.alias("a"), closure.alias("b")
+    extra = (
+        a.join(b, F.col("a.dst") == F.col("b.src"))
+        .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+        .join(closure.select("src", "dst"), ["src", "dst"], "left_anti")
+    )
+    if extra.limit(1).count() > 0:
+        raise RuntimeError(
+            f"transitive_closure did not converge within max_depth={max_depth}"
+        )
+    return closure
 
 
 def personalized_pagerank_fixed(

@@ -4215,6 +4215,37 @@ def asof_join_clicks_views(spark, sf_dir):
 
 
 @query(
+    "transitive_closure_custkey_tree",
+    """
+    WITH RECURSIVE e AS (
+      SELECT c_custkey AS src, c_custkey // 10 AS dst FROM customer WHERE c_custkey >= 10
+    ),
+    tc(src, dst, dist) AS (
+      SELECT src, dst, 1 FROM e
+      UNION
+      SELECT tc.src, e.dst, tc.dist + 1 FROM tc JOIN e ON tc.dst = e.src
+    )
+    SELECT src, dst, min(dist) AS dist FROM tc GROUP BY src, dst
+    """,
+)
+def transitive_closure_custkey_tree(spark, sf_dir):
+    """Hierarchy ancestor expansion (§2.10 path→hierarchy family) via
+    iterative DOUBLING over the decimal custkey tree (1234→123→12→1):
+    every (node, ancestor, hops) pair in ⌈log2 depth⌉ self-joins, with
+    min-dist dedup each round — vs the oracle's one-hop-per-level
+    recursive CTE. Converges in 2 rounds here; refuses to return silent
+    partial closures."""
+    from vmware_graph_spark.analytics.algos import transitive_closure
+
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") >= 10)
+    edges = c.select(
+        F.col("c_custkey").alias("src"),
+        (F.col("c_custkey") / 10).cast("bigint").alias("dst"),
+    )
+    return transitive_closure(edges, max_depth=8)
+
+
+@query(
     "cohort_retention_daily",
     """
     WITH first AS (
