@@ -4246,6 +4246,114 @@ def transitive_closure_custkey_tree(spark, sf_dir):
 
 
 @query(
+    "revenue_share_nation_in_region",
+    """
+    WITH nat AS (
+      SELECT r_name, n_name,
+             CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS DOUBLE) AS nation_rev
+      FROM orders
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation ON n_nationkey = c_nationkey
+      JOIN region ON r_regionkey = n_regionkey
+      GROUP BY r_name, n_name
+    )
+    SELECT r_name, n_name, nation_rev,
+           round(nation_rev / sum(nation_rev) OVER (PARTITION BY r_name), 6) AS region_share
+    FROM nat
+    """,
+)
+def revenue_share_nation_in_region(spark, sf_dir):
+    """Percent-of-parent rollup: each nation's share of its region's
+    revenue — aggregate once, then a partition-total window over the
+    25-row aggregate (never a second scan). The denominators are sums
+    over already-decimal-rounded doubles, so division and rounding are
+    engine-exact."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    nat = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .join(r, n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("nation_rev")
+        )
+    )
+    w = Window.partitionBy("r_name")
+    return nat.select(
+        "r_name",
+        "n_name",
+        "nation_rev",
+        F.round(F.col("nation_rev") / F.sum("nation_rev").over(w), 6).alias(
+            "region_share"
+        ),
+    )
+
+
+@query(
+    "trailing_window_spikes",
+    """
+    WITH e AS (
+      SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             round(value, 4)::DECIMAL(18,4) AS v
+      FROM events WHERE user_id % 50 = 0
+    ),
+    t AS (
+      SELECT event_type, sec, CAST(v AS DOUBLE) AS value,
+             CAST(sum(v) OVER w AS DOUBLE) AS trail_sum,
+             count(*) OVER w AS trail_n
+      FROM e
+      WINDOW w AS (PARTITION BY event_type ORDER BY sec
+                   RANGE BETWEEN 604800 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, sec, value,
+           round(trail_sum / trail_n, 6) AS trail_mean
+    FROM t
+    WHERE trail_n >= 5 AND value > 2 * (trail_sum / trail_n)
+    """,
+)
+def trailing_window_spikes(spark, sf_dir):
+    """Spike detection with a TIME-based trailing frame (§2.11
+    rangeBetween): each event compares against the mean of the previous
+    7 days of same-type events — ``RANGE BETWEEN 604800 PRECEDING AND 1
+    PRECEDING`` over epoch seconds, excluding the current row, so a
+    spike can't dilute its own baseline. Decimal window sums keep the
+    baseline engine-exact; ties at the same second share a frame (range
+    semantics), which is what keeps the result ordering-independent."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 50 == 0)
+    e = e.select(
+        "event_type",
+        F.unix_timestamp("ts").alias("sec"),
+        F.round("value", 4).cast("decimal(18,4)").alias("v"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("sec")
+        .rangeBetween(-604800, -1)
+    )
+    t = e.select(
+        "event_type",
+        "sec",
+        F.col("v").cast("double").alias("value"),
+        F.sum("v").over(w).cast("double").alias("trail_sum"),
+        F.count("*").over(w).alias("trail_n"),
+    )
+    return t.filter(
+        (F.col("trail_n") >= 5)
+        & (F.col("value") > 2 * (F.col("trail_sum") / F.col("trail_n")))
+    ).select(
+        "event_type",
+        "sec",
+        "value",
+        F.round(F.col("trail_sum") / F.col("trail_n"), 6).alias("trail_mean"),
+    )
+
+
+@query(
     "cohort_retention_daily",
     """
     WITH first AS (
