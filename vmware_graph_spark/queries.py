@@ -4354,6 +4354,43 @@ def trailing_window_spikes(spark, sf_dir):
 
 
 @query(
+    "event_transition_matrix",
+    """
+    WITH s AS (
+      SELECT event_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      FROM events
+    )
+    SELECT event_type AS cur, nxt, count(*) AS n,
+           round(count(*)::DOUBLE / sum(count(*)) OVER (PARTITION BY event_type), 6) AS p
+    FROM s WHERE nxt IS NOT NULL
+    GROUP BY event_type, nxt
+    """,
+)
+def event_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event streams
+    (sequence-model features / journey analysis): lead() pairs each
+    event with its successor, then P(next | current) normalizes counts
+    by a partition-total window over the tiny |types|² aggregate. One
+    (user, ts) window shuffle + one hash agg."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "event_type", F.lead("event_type").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    counts = s.groupBy(F.col("event_type").alias("cur"), "nxt").agg(
+        F.count("*").alias("n")
+    )
+    wt = Window.partitionBy("cur")
+    return counts.select(
+        "cur",
+        "nxt",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wt), 6).alias("p"),
+    )
+
+
+@query(
     "cohort_retention_daily",
     """
     WITH first AS (
