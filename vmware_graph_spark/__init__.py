@@ -12,10 +12,14 @@ Architecture (Spark-first, not a translation):
                   plus text-analysis and vector helpers.
 - ``operators`` — the engine's core algorithms: MERGE-style upsert
                   (last-writer-wins, deterministic), undirected-edge
-                  canonicalization, snapshot diff (mark-and-sweep
-                  replacement), top-k, dedup family, similarity search
-                  (incl. learned-centroid IVF), temporal as-of/range
-                  joins, skew salting, multimodal column plumbing.
+                  canonicalization, snapshot diff + column-attributed
+                  CDC changes, top-k (incl. incremental delta-merge),
+                  dedup family (exact, Jaccard, MinHash/LSH, SimHash,
+                  semantic, cross-corpus line dedup), similarity search
+                  (brute-force JVM + Arrow paths, IVF sign/learned,
+                  product quantization/ADC), temporal as-of/range joins
+                  + SCD2 change intervals, skew salting, quality/robust
+                  stats, multimodal column plumbing.
 - ``store``     — the property-graph store: one vertex DataFrame per label
                   + one canonical edge DataFrame; snapshot writer.
 - ``ingest``    — per-sheet ingest stages mirroring the reference's
@@ -24,8 +28,9 @@ Architecture (Spark-first, not a translation):
                   protocol (mark → ingest → sweep) as a pure snapshot
                   rebuild + anti-join diff.
 - ``analytics`` — bulk graph analytics (degrees, connected components,
-                  PageRank, BFS/shortest paths, triangle counts, k-core,
-                  label propagation, HITS, motif joins) over the
+                  PageRank + personalized PageRank, BFS/shortest paths,
+                  transitive closure by doubling, triangle counts,
+                  k-core, label propagation, HITS, motif joins) over the
                   vertex/edge tables.
 - ``streaming`` — Structured Streaming ingest of event streams with
                   watermarks, windowed aggregation, stream-stream
