@@ -5724,6 +5724,69 @@ def dedup_lines_corpus(spark, sf_dir):
 
 
 @query(
+    "training_corpus_pipeline",
+    f"""
+    WITH t AS (SELECT doc_id, {_toks('text')} AS toks FROM documents),
+    nn AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+    s AS (
+      SELECT doc_id, toks, unnest(range(0, ((n - 1) // 3) * 3 + 1, 3)) AS start
+      FROM nn
+    ),
+    lines AS (
+      SELECT doc_id, array_to_string(list_slice(toks, start + 1, start + 3), ' ') AS lt
+      FROM s
+    ),
+    boiler AS (
+      SELECT lt FROM lines GROUP BY lt HAVING count(DISTINCT doc_id) >= 2
+    ),
+    doc AS (
+      SELECT l.doc_id, count(*) AS n_lines,
+             sum(CASE WHEN b.lt IS NULL THEN 1 ELSE 0 END) AS n_kept,
+             sum(CASE WHEN b.lt IS NULL THEN len(string_split(l.lt, ' ')) ELSE 0 END) AS kept_tokens
+      FROM lines l LEFT JOIN boiler b USING (lt)
+      GROUP BY l.doc_id
+    ),
+    gated AS (
+      SELECT doc_id, kept_tokens FROM doc
+      WHERE n_lines >= 5 AND n_kept * 2 >= n_lines
+    )
+    SELECT {_split_sql_case()} AS split, lang,
+           count(*) AS n_docs,
+           CAST(sum(kept_tokens) AS BIGINT) AS total_tokens
+    FROM gated JOIN documents USING (doc_id)
+    GROUP BY {_split_sql_case()}, lang
+    """,
+)
+def training_corpus_pipeline(spark, sf_dir):
+    """The end-to-end training-corpus composite, every stage an engine
+    kernel: C4-style cross-corpus line dedup (boilerplate removal) →
+    quality gate (≥5 lines and ≥half surviving) → growth-stable hash
+    train/val/test split → per-(split, lang) doc and token budget —
+    the shard manifest a tokenizer run consumes. Each stage keeps the
+    previous one's compact keys; the only text-bearing shuffle is the
+    line reassembly inside dedup_lines."""
+    from vmware_graph_spark.functions.sketch import hash_split
+    from vmware_graph_spark.operators.quality import dedup_lines
+
+    d = load_table(spark, sf_dir, "documents")
+    cleaned = dedup_lines(d, "doc_id", "text", line_tokens=3, min_docs=2).withColumnRenamed(
+        "id", "doc_id"
+    )
+    gated = cleaned.filter(
+        (F.col("n_lines") >= 5) & (F.col("n_kept") * 2 >= F.col("n_lines"))
+    ).select("doc_id", F.size(tokens("kept_text")).alias("kept_tokens"))
+    split = hash_split(gated, "doc_id")
+    return (
+        split.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("kept_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )
+
+
+@query(
     "dedup_new_against_corpus",
     f"""
     WITH newd AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
