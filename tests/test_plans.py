@@ -214,3 +214,27 @@ def test_tenant_partitioned_snapshot_prunes_scan(spark, tmp_path):
     )
     store.write(path + "2", partition_vertices_by=("managedby",))
     assert GraphStore.read(spark, path + "2").vertices("Vconfigstatus").count() == 1
+
+
+def test_clustered_write_produces_sorted_files(spark, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from vmware_graph_spark.store.graph import GraphStore
+
+    store = GraphStore(spark)
+    rows = [(f"u{i:04d}", f"vc-{i % 2}", str(i)) for i in range(999, -1, -1)]
+    store.upsert_nodes(
+        "Vcentercluster",
+        spark.createDataFrame(rows, ["name", "managedby", "hosts"]),
+    )
+    path = str(tmp_path / "snap")
+    store.write(path, cluster_by_key=True)
+    files = glob.glob(path + "/vertices/Vcentercluster/*.parquet")
+    assert files
+    for f in files:
+        names = pq.read_table(f, columns=["name"]).column("name").to_pylist()
+        assert names == sorted(names), f  # in-file order backs min/max skipping
+    # and the snapshot still round-trips completely
+    assert GraphStore.read(spark, path).vertices("Vcentercluster").count() == 1000
