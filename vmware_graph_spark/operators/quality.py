@@ -292,6 +292,31 @@ def dedup_lines(
     )
 
 
+def feature_hash_embed(
+    df: DataFrame, id_col: str, text_col: str, *, dims: int = 64
+) -> DataFrame:
+    """Hashing-trick text featurizer: (id, dim, w) — each token md5-maps
+    to a dimension in [0, dims) with a hash-derived ±1 sign, and ``w``
+    is the signed count. Model-free embeddings (Weinberger et al.'s
+    feature hashing): unbiased inner products, no vocabulary table, no
+    training pass — the deterministic on-ramp from raw text into the
+    engine's whole vector stack (cosine/IVF/PQ/ANN).
+
+    Long (id, dim, w) form rather than assembled arrays: it IS the
+    layout the relational vector ops consume (centroids, dot products),
+    and sparse docs stay sparse. One explode + one hash agg, md5 keys —
+    shuffle carries (id, dim) pairs only."""
+    tok = df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("t"))
+    h = F.conv(F.substring(F.md5(F.col("t")), 1, 15), 16, 10).cast("bigint")
+    sign = F.when((h % 2) == 0, F.lit(1)).otherwise(F.lit(-1))
+    return (
+        tok.select("id", (F.shiftright(h, 1) % dims).cast("int").alias("dim"), sign.alias("s"))
+        .groupBy("id", "dim")
+        .agg(F.sum("s").cast("bigint").alias("w"))
+        .filter(F.col("w") != 0)
+    )
+
+
 def grouped_trimmed_stats(
     df: DataFrame,
     group_cols: Sequence[str],

@@ -5724,6 +5724,35 @@ def dedup_lines_corpus(spark, sf_dir):
 
 
 @query(
+    "feature_hash_embed_documents",
+    f"""
+    WITH tok AS (
+      SELECT doc_id AS id, unnest({_toks('text')}) AS t
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    h AS (
+      SELECT id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS hv FROM tok
+    )
+    SELECT id AS doc_id, CAST((hv // 2) % 64 AS INT) AS dim,
+           CAST(sum(CASE WHEN hv % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS w
+    FROM h GROUP BY id, (hv // 2) % 64
+    HAVING sum(CASE WHEN hv % 2 = 0 THEN 1 ELSE -1 END) <> 0
+    """,
+)
+def feature_hash_embed_documents(spark, sf_dir):
+    """Hashing-trick featurizer: model-free 64-dim signed-count text
+    embeddings in the long (id, dim, w) layout the relational vector
+    ops consume — the deterministic on-ramp from raw text into
+    cosine/IVF/PQ without any trained model or vocabulary table."""
+    from vmware_graph_spark.operators.quality import feature_hash_embed
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return feature_hash_embed(d, "doc_id", "text", dims=64).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+@query(
     "training_corpus_pipeline",
     f"""
     WITH t AS (SELECT doc_id, {_toks('text')} AS toks FROM documents),
