@@ -5753,6 +5753,63 @@ def feature_hash_embed_documents(spark, sf_dir):
 
 
 @query(
+    "sparse_cosine_pairs_hashed",
+    f"""
+    WITH tok AS (
+      SELECT doc_id AS id, unnest({_toks('text')}) AS t
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    h AS (SELECT id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS hv FROM tok),
+    vec AS (
+      SELECT id, CAST((hv // 2) % 64 AS INT) AS dim,
+             CAST(sum(CASE WHEN hv % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS w
+      FROM h GROUP BY id, (hv // 2) % 64
+      HAVING sum(CASE WHEN hv % 2 = 0 THEN 1 ELSE -1 END) <> 0
+    ),
+    nrm AS (SELECT id, sqrt(CAST(sum(w * w) AS DOUBLE)) AS nv FROM vec GROUP BY id),
+    dots AS (
+      SELECT a.id AS id_a, b.id AS id_b, CAST(sum(a.w * b.w) AS DOUBLE) AS dot
+      FROM vec a JOIN vec b ON a.dim = b.dim AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b, round(dot / (na.nv * nb.nv), 6) AS cosine
+    FROM dots JOIN nrm na ON na.id = id_a JOIN nrm nb ON nb.id = id_b
+    WHERE dot / (na.nv * nb.nv) >= 0.6
+    """,
+)
+def sparse_cosine_pairs_hashed(spark, sf_dir):
+    """Sparse cosine similarity over the hashing-trick features — the
+    classic IR inverted-index shape: docs pair only through dimensions
+    they SHARE (join on dim), integer dot products are exact, and norms
+    divide once per surviving pair. With 64 hashed dims this is the
+    model-free text-similarity twin of the dense-embedding cosine path;
+    at corpus scale the dim join is the only big shuffle and hot
+    dimensions shard exactly like hot shingles (same max_df cure)."""
+    from vmware_graph_spark.operators.quality import feature_hash_embed
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    vec = feature_hash_embed(d, "doc_id", "text", dims=64)
+    nrm = vec.groupBy("id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("nv")
+    )
+    a, b = vec.alias("a"), vec.alias("b")
+    dots = (
+        a.join(b, (F.col("a.dim") == F.col("b.dim")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).cast("double").alias("dot"))
+    )
+    na = nrm.select(F.col("id").alias("id_a"), F.col("nv").alias("na"))
+    nb = nrm.select(F.col("id").alias("id_b"), F.col("nv").alias("nb"))
+    cos = F.col("dot") / (F.col("na") * F.col("nb"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(cos >= 0.6)
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+    )
+
+
+@query(
     "training_corpus_pipeline",
     f"""
     WITH t AS (SELECT doc_id, {_toks('text')} AS toks FROM documents),
