@@ -3956,6 +3956,26 @@ def cms_heavy_hitter_props(spark, sf_dir):
 
 
 @query(
+    "salted_distinct_users_per_type",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_distinct
+    FROM events WHERE user_id IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def salted_distinct_users_per_type(spark, sf_dir):
+    """Skew-proof EXACT distinct count: value-hash salting splits each
+    group's distinct set disjointly across 16 reducers, then sums the
+    per-salt counts — algebraically identical to count(DISTINCT), which
+    is exactly what the oracle runs. The cure for the hot-tenant
+    distinct that one reducer would otherwise absorb whole."""
+    from vmware_graph_spark.operators.skew import salted_count_distinct
+
+    e = load_table(spark, sf_dir, "events")
+    return salted_count_distinct(e, ["event_type"], "user_id", salts=16)
+
+
+@query(
     "sampled_percentile_value",
     """
     WITH sample AS (
