@@ -4411,6 +4411,38 @@ def event_transition_matrix(spark, sf_dir):
 
 
 @query(
+    "events_sliding_windows",
+    """
+    WITH x AS (SELECT event_type, date_trunc('hour', ts) AS h FROM events),
+    m AS (
+      SELECT event_type, h AS ws FROM x
+      UNION ALL
+      SELECT event_type, h - INTERVAL 1 HOUR FROM x
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+           count(*) AS n
+    FROM m GROUP BY ws, event_type
+    """,
+)
+def events_sliding_windows(spark, sf_dir):
+    """Sliding event-time windows (§2.11 streaming family, batch twin):
+    2-hour windows sliding hourly — every event lands in exactly two
+    overlapping windows, which the oracle replays as a two-shift union.
+    Spark's window() expands slide-aligned membership map-side; one
+    hash agg, fan-out = window/slide."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+@query(
     "cohort_retention_daily",
     """
     WITH first AS (
