@@ -272,6 +272,57 @@ def pq_topk(
     )
 
 
+def binary_quantize(
+    df: DataFrame, id_col: str, vec_col: str, *, bits: int = 63
+) -> DataFrame:
+    """(id, bq) — 1-bit-per-dimension binary quantization: bit i set iff
+    dimension i ≥ 0, packed into one BIGINT (≤63 bits so the value
+    stays positive in every engine's signed int64). The most aggressive
+    vector compression tier — 64 bytes → 8 per vector — served from a
+    plain integer column; relational build (posexplode → conditional
+    power-of-two sum), no UDF."""
+    if not 1 <= bits <= 63:
+        raise ValueError("bits must be in [1, 63]")
+    x = df.select(
+        F.col(id_col).alias("id"), F.posexplode(as_double_vec(vec_col)).alias("dim", "v")
+    ).filter(F.col("dim") < bits)
+    return x.groupBy("id").agg(
+        F.sum(
+            F.when(
+                F.col("v") >= 0,
+                F.expr("shiftleft(cast(1 as bigint), cast(dim as int))"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("bq")
+    )
+
+
+def hamming_topk(
+    query_codes: DataFrame, codes: DataFrame, *, k: int = 10
+) -> DataFrame:
+    """Top-k nearest by Hamming distance over binary-quantized codes:
+    ``bit_count(a XOR b)`` — the coarse-rank stage of a
+    binary-quantized vector index (scan 8-byte codes, re-rank survivors
+    against full vectors later). Query side broadcasts; distance is one
+    ALU op per pair, ties break (distance, neighbor_id) ascending."""
+    q = query_codes.select(F.col("id").alias("query_id"), F.col("bq").alias("qbq"))
+    c = codes.select(F.col("id").alias("neighbor_id"), F.col("bq").alias("cbq"))
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        F.bit_count(F.col("qbq").bitwiseXOR(F.col("cbq"))).cast("int").alias("hamming"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "hamming", "rank")
+    )
+
+
 def truncate_normalize(df: DataFrame, vec_col: str, dims: int, *, out_col: str | None = None) -> DataFrame:
     """Matryoshka truncation: keep the leading ``dims`` dimensions and
     L2-renormalize to unit length, so downstream dot products ARE

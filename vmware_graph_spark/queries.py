@@ -4713,6 +4713,43 @@ def vector_centroids_by_label(spark, sf_dir):
 
 
 @query(
+    "binary_hamming_topk_embeddings",
+    """
+    WITH bq AS (
+      SELECT vec_id, CAST(sum(CASE WHEN embedding[i + 1] >= 0
+                                   THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS BIGINT) AS bq
+      FROM embeddings, UNNEST(range(0, 63)) AS t(i)
+      GROUP BY vec_id
+    ),
+    q AS (SELECT vec_id AS query_id, bq AS qbq FROM bq WHERE vec_id < 8),
+    s AS (
+      SELECT query_id, c.vec_id AS neighbor_id,
+             CAST(bit_count(xor(qbq, c.bq)) AS INT) AS hamming
+      FROM bq c CROSS JOIN q
+    ),
+    r AS (
+      SELECT query_id, neighbor_id, hamming,
+             row_number() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rank
+      FROM s
+    )
+    SELECT query_id, neighbor_id, hamming, rank FROM r WHERE rank <= 5
+    """,
+)
+def binary_hamming_topk_embeddings(spark, sf_dir):
+    """Binary-quantized vector search: 63 sign bits packed into one
+    BIGINT per vector (64 bytes → 8), candidates ranked by
+    ``bit_count(XOR)`` Hamming distance — the coarse stage of a
+    BQ index, one ALU op per comparison, re-rankable against full
+    vectors afterwards."""
+    from vmware_graph_spark.operators.similarity import binary_quantize, hamming_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    codes = binary_quantize(e, "vec_id", "embedding", bits=63)
+    q = codes.filter(F.col("id") < 8)
+    return hamming_topk(q, codes, k=5)
+
+
+@query(
     "pq_adc_topk_embeddings",
     """
     WITH vecd AS (
