@@ -4750,6 +4750,72 @@ def binary_hamming_topk_embeddings(spark, sf_dir):
 
 
 @query(
+    "bq_rerank_topk_embeddings",
+    f"""
+    WITH bq AS (
+      SELECT vec_id, CAST(sum(CASE WHEN embedding[i + 1] >= 0
+                                   THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS BIGINT) AS bq
+      FROM embeddings, UNNEST(range(0, 63)) AS t(i)
+      GROUP BY vec_id
+    ),
+    qc AS (SELECT vec_id AS query_id, bq AS qbq FROM bq WHERE vec_id < 8),
+    coarse AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY bit_count(xor(qbq, c.bq)), c.vec_id) AS crank
+        FROM bq c CROSS JOIN qc
+      ) WHERE crank <= 20
+    ),
+    qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8),
+    cv AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    s AS (
+      SELECT c.query_id, c.neighbor_id, {_COS} AS cos
+      FROM coarse c JOIN qv USING (query_id) JOIN cv USING (neighbor_id)
+    ),
+    r AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM s
+    )
+    SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank FROM r WHERE rank <= 5
+    """,
+)
+def bq_rerank_topk_embeddings(spark, sf_dir):
+    """The two-stage production retrieval pattern: binary-quantized
+    Hamming scan keeps 20 candidates per query (8-byte codes, one ALU
+    op per pair), then ONLY those 20 re-rank by exact cosine against
+    full vectors — the corpus-wide float scan never happens. Candidate
+    fan-in is 20·|Q| rows, so the rerank join is broadcast-sized at
+    any corpus scale."""
+    from vmware_graph_spark.operators.similarity import (
+        _topk,
+        binary_quantize,
+        hamming_topk,
+    )
+    from vmware_graph_spark.functions.vector import as_double_vec, cosine
+
+    e = load_table(spark, sf_dir, "embeddings")
+    codes = binary_quantize(e, "vec_id", "embedding", bits=63)
+    coarse = hamming_topk(codes.filter(F.col("id") < 8), codes, k=20).select(
+        "query_id", "neighbor_id"
+    )
+    qv = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), as_double_vec("embedding").alias("__qv")
+    )
+    cv = e.select(
+        F.col("vec_id").alias("neighbor_id"), as_double_vec("embedding").alias("__cv")
+    )
+    scored = (
+        coarse.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("cosine", cosine(F.col("__qv"), F.col("__cv")))
+        .drop("__qv", "__cv")
+    )
+    return _topk(scored, 5)
+
+
+@query(
     "pq_adc_topk_embeddings",
     """
     WITH vecd AS (
