@@ -215,3 +215,34 @@ def test_chunking_covers_every_token_exactly(spark, tok_counts, size, stride):
             start = r["chunk_id"] * stride
             covered.update(range(start, start + r["chunk_n_tok"]))
         assert covered == set(range(n))
+
+
+words = st.sampled_from(["alpha", "beta", "gamma", "delta", "nav", "bar", "x"])
+docs_strategy = st.lists(
+    st.lists(words, min_size=0, max_size=12).map(" ".join),
+    min_size=1,
+    max_size=12,
+)
+
+
+@PROP
+@given(docs_strategy)
+def test_dedup_lines_invariants(spark, texts):
+    from vmware_graph_spark.functions.text import tokens
+    from vmware_graph_spark.operators.quality import dedup_lines
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["id", "text"])
+    out = dedup_lines(df, "id", "text", line_tokens=2, min_docs=2).withColumn(
+        "kept_tok", F.size(tokens("kept_text"))
+    )
+    for r in out.collect():
+        # kept lines are a subset, and the reassembled text carries
+        # exactly the kept lines' tokens (nothing invented or lost)
+        assert 0 <= r.n_kept <= r.n_lines
+        toks = [t for t in texts[r.id].split() if t]
+        assert r.kept_tok <= len(toks)
+        if r.n_kept == r.n_lines:  # nothing removed → full reconstruction
+            assert r.kept_text == " ".join(toks)
+    # min_docs=1 marks every line boilerplate → nothing survives
+    all_gone = dedup_lines(df, "id", "text", line_tokens=2, min_docs=1)
+    assert all(r.n_kept == 0 for r in all_gone.collect())
