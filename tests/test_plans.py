@@ -238,3 +238,16 @@ def test_clustered_write_produces_sorted_files(spark, tmp_path):
         assert names == sorted(names), f  # in-file order backs min/max skipping
     # and the snapshot still round-trips completely
     assert GraphStore.read(spark, path).vertices("Vcentercluster").count() == 1000
+
+
+def test_pq_plans_broadcast_codebook_no_cartesian(spark):
+    plan = executed_plan(spark, "pq_adc_topk_embeddings")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # codebook + LUT ride broadcasts
+
+
+def test_sparse_cosine_plan_is_equijoin(spark):
+    plan = executed_plan(spark, "sparse_cosine_pairs_hashed")
+    # the dim self-join must be a hash join on dim, never a nested loop
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
