@@ -3797,6 +3797,74 @@ def trimmed_mean_value_by_type(spark, sf_dir):
 
 
 @query(
+    "dense_rank_topk_with_ties",
+    """
+    WITH counts AS (
+      SELECT c_nationkey, o_orderstatus, count(*) AS n
+      FROM orders JOIN customer ON c_custkey = o_custkey
+      GROUP BY c_nationkey, o_orderstatus
+    )
+    SELECT c_nationkey, o_orderstatus, n, rnk FROM (
+      SELECT *, dense_rank() OVER (PARTITION BY o_orderstatus ORDER BY n DESC) AS rnk
+      FROM counts
+    ) WHERE rnk <= 3
+    """,
+)
+def dense_rank_topk_with_ties(spark, sf_dir):
+    """Top-k WITH ties (dense_rank): the top 3 order-count VALUES per
+    status keep every nation achieving them — row_number would
+    arbitrarily cut tied nations, which for reporting is a correctness
+    bug, not a tie-break choice. Window over the small aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    counts = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_nationkey", "o_orderstatus")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(F.col("n").desc())
+    return (
+        counts.withColumn("rnk", F.dense_rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("c_nationkey", "o_orderstatus", "n", "rnk")
+    )
+
+
+@query(
+    "equidepth_histogram_event_values",
+    """
+    WITH ranked AS (
+      SELECT value, ntile(8) OVER (ORDER BY value, event_id) AS bucket
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT bucket, count(*) AS n,
+           CAST(round(min(value), 2) AS DOUBLE) AS lo,
+           CAST(round(max(value), 2) AS DOUBLE) AS hi
+    FROM ranked GROUP BY bucket
+    """,
+)
+def equidepth_histogram_event_values(spark, sf_dir):
+    """Equi-DEPTH histogram (quantile bins): 8 equal-population buckets
+    of purchase values with observed bounds — the distribution view
+    fixed-width bins distort under skew, and the bucket boundaries
+    double as quantile estimates. Total (value, event_id) order makes
+    the ntile assignment deterministic; the global window runs on one
+    event_type's rows (the filtered slice), with the sampled-percentile
+    path as the corpus-wide alternative."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.orderBy("value", "event_id")
+    return (
+        e.select("value", F.ntile(8).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+        )
+    )
+
+
+@query(
     "ntile_spend_quartiles_by_nation",
     """
     WITH spend AS (
