@@ -3182,6 +3182,52 @@ def incremental_topk_orders(spark, sf_dir):
 
 
 @query(
+    "schema_evolution_merge",
+    """
+    WITH u AS (
+      SELECT c_custkey, round(c_acctbal + 5, 2) AS c_acctbal, c_mktsegment, TRUE AS up
+      FROM customer WHERE c_custkey % 4 = 0
+      UNION ALL SELECT 9000001, 1.23, 'NEW SEGMENT', TRUE
+    )
+    SELECT c_custkey,
+           p.c_name,
+           CASE WHEN u.up THEN u.c_acctbal ELSE p.c_acctbal END AS c_acctbal,
+           u.c_mktsegment
+    FROM (SELECT c_custkey, c_name, c_acctbal FROM customer) p
+    FULL JOIN u USING (c_custkey)
+    """,
+)
+def schema_evolution_merge(spark, sf_dir):
+    """Schema-evolution MERGE…SET (per-COLUMN semantics, the Cypher SET
+    contract refresh-vmware.cypher:39-40): the update batch carries a
+    column the base lacks (c_mktsegment) and lacks one the base has
+    (c_name) — matched keys overwrite exactly the columns the batch
+    CARRIES, preserve the rest (c_name survives), and a brand-new key
+    inserts with nulls for base-only columns. A whole-row-winner
+    upsert would silently null out c_name for every matched key; the
+    oracle proves this engine doesn't."""
+    from vmware_graph_spark.operators.merge import upsert_last_writer_wins
+
+    c = load_table(spark, sf_dir, "customer")
+    prev = c.select("c_custkey", "c_name", "c_acctbal")
+    upd = (
+        c.filter(F.col("c_custkey") % 4 == 0)
+        .select(
+            "c_custkey",
+            F.round(F.col("c_acctbal") + 5, 2).alias("c_acctbal"),
+            "c_mktsegment",
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [(9000001, 1.23, "NEW SEGMENT")],
+                "c_custkey bigint, c_acctbal double, c_mktsegment string",
+            )
+        )
+    )
+    return upsert_last_writer_wins(prev, upd, ["c_custkey"], updates_win=True)
+
+
+@query(
     "snapshot_changes_customers",
     """
     WITH curr AS (
