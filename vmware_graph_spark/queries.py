@@ -4557,6 +4557,70 @@ def events_sliding_windows(spark, sf_dir):
 
 
 @query(
+    "interval_coalesce_user_coverage",
+    f"""
+    WITH iv AS (
+      SELECT user_id, ts AS s, ts + INTERVAL 90 MINUTE AS e
+      FROM events WHERE user_id % 40 = 0
+    ),
+    o AS (
+      SELECT user_id, s, e,
+             max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+      FROM iv
+    ),
+    isl AS (
+      SELECT user_id, s, e,
+             sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS island
+      FROM o
+    )
+    SELECT user_id, CAST(island AS BIGINT) AS island,
+           strftime(min(s), '{_TS_FMT_DUCK}') AS span_start,
+           strftime(max(e), '{_TS_FMT_DUCK}') AS span_end,
+           CAST(date_diff('second', min(s), max(e)) AS BIGINT) AS span_seconds
+    FROM isl GROUP BY user_id, CAST(island AS BIGINT)
+    """,
+)
+def interval_coalesce_user_coverage(spark, sf_dir):
+    """Interval coalescing (coverage-span union): each event opens a
+    90-minute activity window; overlapping/touching windows merge into
+    maximal spans via the running-max-end islands pattern — the
+    uptime/coverage/dedup-of-intervals primitive. Both window passes
+    and the final rollup share one (user, time) shuffle."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 40 == 0)
+    iv = e.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 90 MINUTES")).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    o = iv.withColumn("pm", F.max("e").over(w_prev))
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    isl = o.withColumn(
+        "island",
+        F.sum(
+            F.when(F.col("pm").isNull() | (F.col("s") > F.col("pm")), 1).otherwise(0)
+        ).over(w_run),
+    )
+    return isl.groupBy("user_id", "island").agg(
+        F.date_format(F.min("s"), _TS_FMT_SPARK).alias("span_start"),
+        F.date_format(F.max("e"), _TS_FMT_SPARK).alias("span_end"),
+        (F.unix_timestamp(F.max("e")) - F.unix_timestamp(F.min("s")))
+        .cast("bigint")
+        .alias("span_seconds"),
+    )
+
+
+@query(
     "cohort_retention_daily",
     """
     WITH first AS (
