@@ -4994,6 +4994,71 @@ def bq_rerank_topk_embeddings(spark, sf_dir):
 
 
 @query(
+    "ann_recall_bq_vs_exact",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    s AS (SELECT query_id, neighbor_id, {_COS} AS cos FROM c CROSS JOIN q),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        FROM s
+      ) WHERE rank <= 5
+    ),
+    bq AS (
+      SELECT vec_id, CAST(sum(CASE WHEN embedding[i + 1] >= 0
+                                   THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS BIGINT) AS bq
+      FROM embeddings, UNNEST(range(0, 63)) AS t(i)
+      GROUP BY vec_id
+    ),
+    qc AS (SELECT vec_id AS query_id, bq AS qbq FROM bq WHERE vec_id < 8),
+    approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, cc.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY bit_count(xor(qbq, cc.bq)), cc.vec_id) AS rank
+        FROM bq cc CROSS JOIN qc
+      ) WHERE rank <= 5
+    )
+    SELECT e.query_id, CAST(count(a.neighbor_id) AS INT) AS hits,
+           round(count(a.neighbor_id) / 5.0, 6) AS recall_at_5
+    FROM exact e LEFT JOIN approx a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY e.query_id
+    """,
+)
+def ann_recall_bq_vs_exact(spark, sf_dir):
+    """ANN quality evaluation as a first-class query: recall@5 of the
+    binary-quantized Hamming ranking against the exact cosine ranking,
+    per query — the measurement loop every approximate index needs in
+    the SAME engine that serves it (evaluate on a sample, then pick the
+    compression tier). Both rankings and their intersection run
+    relationally; the eval adds one small join over two top-5 sets."""
+    from vmware_graph_spark.operators.similarity import binary_quantize, hamming_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    exact = cosine_topk(q, e, id_col="vec_id", vec_col="embedding", k=5).select(
+        "query_id", "neighbor_id"
+    )
+    codes = binary_quantize(e, "vec_id", "embedding", bits=63)
+    approx = hamming_topk(codes.filter(F.col("id") < 8), codes, k=5).select(
+        "query_id", F.col("neighbor_id").alias("a_neighbor")
+    )
+    j = exact.join(
+        approx,
+        (exact["query_id"] == approx["query_id"])
+        & (exact["neighbor_id"] == approx["a_neighbor"]),
+        "left",
+    )
+    return j.groupBy(exact["query_id"]).agg(
+        F.count("a_neighbor").cast("int").alias("hits"),
+        F.round(F.count("a_neighbor") / 5.0, 6).alias("recall_at_5"),
+    )
+
+
+@query(
     "pq_adc_topk_embeddings",
     """
     WITH vecd AS (
