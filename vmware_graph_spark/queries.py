@@ -6208,6 +6208,57 @@ def sparse_cosine_pairs_hashed(spark, sf_dir):
 
 
 @query(
+    "negative_sampling_docs",
+    """
+    WITH n AS (SELECT count(*) AS nc FROM documents),
+    q AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0),
+    negs AS (
+      SELECT q.doc_id, i,
+             ('0x' || substr(md5(i || ':' || q.doc_id), 1, 15))::BIGINT
+               % (SELECT nc FROM n) AS raw
+      FROM q CROSS JOIN (VALUES (0), (1), (2)) t(i)
+    )
+    SELECT doc_id, CAST(i AS INT) AS neg_rank,
+           CAST(CASE WHEN raw = doc_id THEN (raw + 1) % (SELECT nc FROM n)
+                     ELSE raw END AS BIGINT) AS neg_id
+    FROM negs
+    """,
+)
+def negative_sampling_docs(spark, sf_dir):
+    """Deterministic negative sampling for contrastive training: 3
+    negatives per anchor drawn by md5(anchor, slot) over the dense id
+    space, with a +1 re-roll on self-collisions — reproducible across
+    runs/engines/partitionings (rand() would re-deal every retry,
+    silently changing the training set). Pure projection fan-out ×3,
+    no shuffle; at scale the sampled ids join back to the corpus by
+    key."""
+    d = load_table(spark, sf_dir, "documents")
+    nc = d.count()
+    q = d.filter(F.col("doc_id") % 10 == 0).select("doc_id")
+    slots = q.select(
+        "doc_id", F.explode(F.array(*[F.lit(i) for i in range(3)])).alias("i")
+    )
+    raw = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % nc
+    )
+    neg = F.when(raw == F.col("doc_id"), (raw + 1) % nc).otherwise(raw)
+    return slots.select(
+        "doc_id",
+        F.col("i").cast("int").alias("neg_rank"),
+        neg.cast("bigint").alias("neg_id"),
+    )
+
+
+@query(
     "training_corpus_pipeline",
     f"""
     WITH t AS (SELECT doc_id, {_toks('text')} AS toks FROM documents),
