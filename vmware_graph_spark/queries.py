@@ -5137,6 +5137,61 @@ def pq_adc_topk_embeddings(spark, sf_dir):
     return pq_topk(q, codes, cb, id_col="vec_id", vec_col="embedding", k=5)
 
 
+@query(
+    "embedding_drift_by_label",
+    """
+    WITH vecd AS (
+      SELECT vec_id, label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    ca AS (
+      SELECT label, dim,
+             round(CAST(sum(CAST(round(v, 6) AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS c
+      FROM vecd WHERE vec_id % 2 = 0 GROUP BY label, dim
+    ),
+    cb AS (
+      SELECT label, dim,
+             round(CAST(sum(CAST(round(v, 6) AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS c
+      FROM vecd WHERE vec_id % 2 = 1 GROUP BY label, dim
+    )
+    SELECT label,
+           round(sqrt(CAST(sum(CAST(round((ca.c - cb.c) * (ca.c - cb.c), 12)
+                                    AS DECIMAL(28,12))) AS DOUBLE)), 6) AS drift
+    FROM ca JOIN cb USING (label, dim)
+    GROUP BY label
+    """,
+)
+def embedding_drift_by_label(spark, sf_dir):
+    """Embedding drift monitor (the model-ops health check a production
+    vector pipeline runs per refresh): per-label centroid L2 shift
+    between two corpus snapshots (even/odd vec_ids standing in for
+    yesterday/today). Centroids come from the relational mean
+    (decimal-accumulated); the 64-term distance sum is decimal too, so
+    the drift score is engine-exact. Two shuffles over (label, dim) —
+    never a vector-by-vector comparison."""
+    from vmware_graph_spark.operators.similarity import centroids_by_label
+
+    e = load_table(spark, sf_dir, "embeddings")
+    ca = centroids_by_label(e.filter(F.col("vec_id") % 2 == 0), "label", "embedding")
+    cb = centroids_by_label(e.filter(F.col("vec_id") % 2 == 1), "label", "embedding")
+    j = ca.alias("a").join(
+        cb.alias("b"),
+        (F.col("a.clabel") == F.col("b.clabel")) & (F.col("a.dim") == F.col("b.dim")),
+    )
+    d = F.col("a.c") - F.col("b.c")
+    return (
+        j.groupBy(F.col("a.clabel").alias("label"))
+        .agg(
+            F.round(
+                F.sqrt(
+                    F.sum(F.round(d * d, 12).cast("decimal(28,12)")).cast("double")
+                ),
+                6,
+            ).alias("drift")
+        )
+    )
+
+
 _CENT_ASSIGN_CTE = """
     cent AS (
       SELECT label AS clabel, i - 1 AS dim,
