@@ -96,6 +96,55 @@ def jaccard_pairs(
     return ja.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT: pairs where the smaller side's
+    shingle set is ≥ ``threshold`` inside the other —
+    max(inter/|A|, inter/|B|). Catches quote-inclusion and
+    excerpt/expansion duplicates that Jaccard structurally misses (a
+    200-word quote inside a 10k-word article has high containment but
+    tiny Jaccard). Same inverted-index shuffle profile as
+    ``jaccard_pairs`` (one self-join on shingle, ``max_df`` hot-shingle
+    cap applies identically); only the normalization differs."""
+    sh = _shingle_table(df, id_col, text_col, n)
+    if max_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle", "left_semi")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    ct = (
+        pairs.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "na"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "nb"), "id_b")
+        .withColumn(
+            "containment",
+            F.greatest(
+                F.col("inter").cast("double") / F.col("na").cast("double"),
+                F.col("inter").cast("double") / F.col("nb").cast("double"),
+            ),
+        )
+    )
+    return ct.filter(F.col("containment") >= threshold).select(
+        "id_a", "id_b", "containment"
+    )
+
+
 def _md5_hash64(col, seed: int):
     """Deterministic 60-bit integer hash: md5 → first 15 hex chars → int.
 

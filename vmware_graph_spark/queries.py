@@ -955,6 +955,49 @@ def behavior_similarity_users(spark, sf_dir):
 
 
 @query(
+    "containment_pairs_excerpts",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id AS id, text FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 10000, substr(text, 1, length(text) // 2)
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    sh AS (SELECT DISTINCT id, unnest({_shingles('text', 3)}) AS shingle FROM corpus),
+    sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b,
+           round(greatest(inter::DOUBLE / sa.n_sh, inter::DOUBLE / sb.n_sh), 6) AS containment
+    FROM pairs JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+    WHERE greatest(inter::DOUBLE / sa.n_sh, inter::DOUBLE / sb.n_sh) >= 0.8
+    """,
+)
+def containment_pairs_excerpts(spark, sf_dir):
+    """Asymmetric shingle containment over a corpus salted with
+    half-length excerpts of its own documents: each excerpt is ≥80%
+    contained in its source (paired here), while its JACCARD to the
+    source is only ~0.5 — the quote-inclusion/excerpt duplicate class
+    that symmetric similarity structurally under-scores. Same
+    inverted-index shuffle as jaccard_pairs; only the normalization
+    changes."""
+    from vmware_graph_spark.operators.dedup import containment_pairs
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    corpus = d.select(F.col("doc_id").alias("id"), "text").unionByName(
+        d.select(
+            (F.col("doc_id") + 10000).alias("id"),
+            F.expr("substr(text, 1, cast(length(text) / 2 as int))").alias("text"),
+        )
+    )
+    out = containment_pairs(corpus, "id", "text", n=3, threshold=0.8)
+    return out.select("id_a", "id_b", F.round("containment", 6).alias("containment"))
+
+
+@query(
     "minhash_signatures_documents",
     f"""
     WITH {_SH3_CTE},
