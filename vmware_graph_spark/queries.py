@@ -2214,6 +2214,64 @@ def ingest_vinfo_conditional_stage(spark, sf_dir):
     )
 
 
+@query(
+    "graph_vm_cluster_attribution",
+    f"""
+    WITH b AS ({_VM_BASE_SQL})
+    SELECT cluster, uid AS vcenter, count(*) AS n_vms
+    FROM b WHERE ck % 3 IN (0, 1)
+    GROUP BY cluster, uid
+    """,
+)
+def graph_vm_cluster_attribution(spark, sf_dir):
+    """VMs attributed to their owning cluster THROUGH the graph: ingest
+    vInfo, then walk Virtualmachine —IN_RESOURCE_POOL→ Vresourcepool
+    (—CHILD_RESOURCE_OF→ parent)* —LOCATED_IN_CLUSTER→ Vcentercluster
+    plus the direct LOCATED_IN_CLUSTER VMs, using `transitive_closure`
+    over the typed edge set — the multi-hop ownership question a
+    Cypher user answers with a variable-length path, here one doubling
+    closure over rel_type-pruned edges. The oracle derives the same
+    attribution from the sheet fixture's branch conditions."""
+    from vmware_graph_spark.analytics.algos import transitive_closure
+    from vmware_graph_spark.ingest.stages import stage_vcluster, stage_vinfo_vms
+    from vmware_graph_spark.store.graph import US, GraphStore
+
+    store = GraphStore(spark, checkpoint_every=2)
+    stage_vcluster(store, {"vCluster": _vcluster_sheet(spark, sf_dir)})
+    r = load_table(spark, sf_dir, "region")
+    store.upsert_nodes(
+        "Vspheredatacenter",
+        r.select(
+            F.concat(F.lit("DC-"), F.col("r_name")).alias("name"),
+            F.concat(F.lit("vc-"), F.col("r_name")).alias("managedby"),
+        ),
+    )
+    stage_vinfo_vms(store, {"vInfo": _vinfo_sheet(spark, sf_dir)})
+    e = store.edges().filter(
+        F.col("rel_type").isin(
+            "IN_RESOURCE_POOL", "CHILD_RESOURCE_OF", "LOCATED_IN_CLUSTER"
+        )
+    )
+    ids = e.select(
+        F.concat_ws(US, "src_label", "src_key").alias("src"),
+        F.concat_ws(US, "dst_label", "dst_key").alias("dst"),
+    )
+    tc = transitive_closure(ids, max_depth=4)
+    vm_cluster = tc.filter(
+        F.col("src").startswith("Virtualmachine" + US)
+        & F.col("dst").startswith("Vcentercluster" + US)
+    )
+    return (
+        vm_cluster.groupBy("dst")
+        .agg(F.count("*").alias("n_vms"))
+        .select(
+            F.split_part(F.col("dst"), F.lit(US), F.lit(2)).alias("cluster"),
+            F.split_part(F.col("dst"), F.lit(US), F.lit(3)).alias("vcenter"),
+            "n_vms",
+        )
+    )
+
+
 @_sheet_fixture
 def _vdatastore_sheet(spark, sf_dir, *, prime: bool = False):
     """vDatastore sheet: one datastore per nation; `Hosts` is the
