@@ -3688,6 +3688,55 @@ def personalized_pagerank_region_seeds(spark, sf_dir):
     return personalized_pagerank_fixed(vertices, edges, seeds, iters=5)
 
 
+@query(
+    "neighbor_jaccard_suppliers",
+    """
+    WITH adj AS (SELECT DISTINCT l_suppkey AS id, l_partkey AS nb FROM lineitem),
+    sizes AS (SELECT id, count(*) AS n FROM adj GROUP BY id),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+      FROM adj a JOIN adj b ON a.nb = b.nb AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b,
+           round(inter::DOUBLE / (sa.n + sb.n - inter), 6) AS jaccard
+    FROM pairs JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+    WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.17
+    """,
+)
+def neighbor_jaccard_suppliers(spark, sf_dir):
+    """Structural entity similarity by graph NEIGHBORHOOD overlap
+    (co-citation / SimRank-0 family): suppliers are similar when their
+    supplied-part sets overlap — the inverted-index Jaccard kernel
+    pointed at adjacency lists instead of shingles, so the
+    recommendation/role-discovery question costs exactly one
+    neighbor-keyed self-join, and hot parts shard like hot shingles
+    (same max_df cure applies)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    adj = li.select(
+        F.col("l_suppkey").alias("id"), F.col("l_partkey").alias("nb")
+    ).distinct()
+    sizes = adj.groupBy("id").agg(F.count("*").alias("n"))
+    a, b = adj.alias("a"), adj.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.nb") == F.col("b.nb")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    j = (
+        pairs.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb_n"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb_n") - F.col("inter")).cast("double"),
+        )
+    )
+    return j.filter(F.col("jaccard") >= 0.17).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
 @query("pagerank_fixedpoint_customer_nation", _pagerank_fixed_sql(5))
 def pagerank_fixedpoint_customer_nation(spark, sf_dir):
     """Fixed-point PageRank over the customer↔nation bipartite graph
