@@ -376,6 +376,61 @@ def pagerank_fixed(
     return ranks.select("id", F.col("rank").alias("rank_micros"))
 
 
+def pagerank_weighted_fixed(
+    vertices: DataFrame,
+    edges: DataFrame,
+    *,
+    iters: int = 5,
+    damping_pct: int = 85,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Edge-WEIGHTED fixed-point PageRank: (id, rank_micros), where a
+    vertex splits its rank over out-edges proportionally to integer
+    edge weight ``w`` (≥1) instead of uniformly — importance flows
+    along interaction volume (order counts, traffic, bytes), the
+    variant real infrastructure/behavior graphs need.
+
+    Same integer discipline as :func:`pagerank_fixed`: per-edge
+    ``(rank * w) div out_w`` floor contributions, dangling mass as a
+    1-row broadcast, one shuffle per iteration. Headroom: rank ≤
+    n·scale, so rank·w stays in int64 while n·scale·w_max < 2^63."""
+    n = vertices.count()
+    base = (100 - damping_pct) * scale // 100
+    out_w = edges.groupBy("src").agg(F.sum("w").cast("long").alias("out_w"))
+    ranks = vertices.select("id", F.lit(scale).cast("long").alias("rank"))
+    ranks = ranks.localCheckpoint(eager=True)
+    for _ in range(iters):
+        contribs = (
+            edges.join(ranks, edges.src == ranks.id)
+            .join(out_w, "src")
+            .select(
+                F.col("dst").alias("id"),
+                F.expr("(rank * w) div out_w").alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        dangling = ranks.join(out_w, ranks.id == out_w.src, "left_anti").agg(
+            F.coalesce(F.sum("rank"), F.lit(0)).cast("long").alias("__dangling")
+        )
+        ranks = (
+            vertices.join(contribs, "id", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_pct} * (coalesce(in_sum, cast(0 as long))"
+                        f" + (__dangling div {n}))) div 100"
+                    )
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("id", F.col("rank").alias("rank_micros"))
+
+
 def transitive_closure(
     edges: DataFrame, *, max_depth: int = 32
 ) -> DataFrame:

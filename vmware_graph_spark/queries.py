@@ -3737,6 +3737,66 @@ def neighbor_jaccard_suppliers(spark, sf_dir):
     )
 
 
+def _pagerank_weighted_sql(iters: int) -> str:
+    """Unrolled weighted-PageRank oracle: rank splits over out-edges by
+    integer weight (1 + order count), per-edge floor division replayed
+    exactly."""
+    ctes = [
+        "oc AS (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey)",
+        "v AS (SELECT DISTINCT 'c' || c_custkey AS id FROM customer "
+        "UNION SELECT 'n' || n_nationkey FROM nation)",
+        "e AS (SELECT 'c' || c_custkey AS src, 'n' || c_nationkey AS dst, "
+        "1 + coalesce(oc.n, 0) AS w FROM customer LEFT JOIN oc ON o_custkey = c_custkey "
+        "UNION ALL SELECT 'n' || c_nationkey, 'c' || c_custkey, 1 + coalesce(oc.n, 0) "
+        "FROM customer LEFT JOIN oc ON o_custkey = c_custkey)",
+        "degw AS (SELECT src, sum(w) AS out_w FROM e GROUP BY src)",
+        "nv AS (SELECT count(*) AS n FROM v)",
+        "r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank FROM v)",
+    ]
+    for i in range(iters):
+        ctes.append(
+            f"d{i} AS (SELECT coalesce(sum(rank), 0) AS dm FROM r{i} "
+            "WHERE id NOT IN (SELECT src FROM degw))"
+        )
+        ctes.append(
+            f"r{i + 1} AS (SELECT v.id, CAST(150000 + (85 * (coalesce(s.in_sum, 0) "
+            f"+ (SELECT dm FROM d{i}) // (SELECT n FROM nv))) // 100 AS BIGINT) AS rank "
+            "FROM v LEFT JOIN (SELECT e.dst AS id, sum((r.rank * e.w) // degw.out_w) AS in_sum "
+            f"FROM e JOIN r{i} r ON e.src = r.id JOIN degw ON e.src = degw.src "
+            "GROUP BY e.dst) s ON v.id = s.id)"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, rank AS rank_micros FROM r{iters}"
+
+
+@query("pagerank_weighted_customer_nation", _pagerank_weighted_sql(5))
+def pagerank_weighted_customer_nation(spark, sf_dir):
+    """Edge-weighted PageRank over the customer↔nation graph, weights =
+    1 + the customer's order count — importance flows along interaction
+    volume, not edge existence. Integer per-edge floor contributions
+    make the 5-round fixpoint hash-verifiable against the unrolled-CTE
+    oracle."""
+    from vmware_graph_spark.analytics.algos import pagerank_weighted_fixed
+
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    oc = o.groupBy("o_custkey").agg(F.count("*").alias("nord"))
+    cw = c.join(oc, c["c_custkey"] == oc["o_custkey"], "left").select(
+        F.concat(F.lit("c"), F.col("c_custkey")).alias("cid"),
+        F.concat(F.lit("n"), F.col("c_nationkey")).alias("nid"),
+        (F.lit(1) + F.coalesce(F.col("nord"), F.lit(0))).cast("long").alias("w"),
+    )
+    vertices = (
+        c.select(F.concat(F.lit("c"), F.col("c_custkey")).alias("id"))
+        .unionByName(n.select(F.concat(F.lit("n"), F.col("n_nationkey")).alias("id")))
+        .distinct()
+    )
+    edges = cw.select(
+        F.col("cid").alias("src"), F.col("nid").alias("dst"), "w"
+    ).unionByName(cw.select(F.col("nid").alias("src"), F.col("cid").alias("dst"), "w"))
+    return pagerank_weighted_fixed(vertices, edges, iters=5)
+
+
 @query("pagerank_fixedpoint_customer_nation", _pagerank_fixed_sql(5))
 def pagerank_fixedpoint_customer_nation(spark, sf_dir):
     """Fixed-point PageRank over the customer↔nation bipartite graph
