@@ -7107,3 +7107,8 @@ def resample_daily_ffill_user_values(spark, sf_dir):
         F.date_format("gts", "yyyy-MM-dd HH:mm:ss").alias("grid_ts"),
         F.col("r_value").alias("value"),
     )
+
+
+# TPC-H-adapted decision-support family registers itself on import
+# (kept in its own module; registry and oracles land in QUERIES/ORACLE).
+from vmware_graph_spark import queries_tpch as _queries_tpch  # noqa: E402,F401

@@ -1,0 +1,888 @@
+"""TPC-H-adapted analytic query family over the driver fixtures.
+
+The reference delegates all *querying* to Neo4j/Cypher (SURVEY §0); our
+engine's analytic surface is therefore demonstrated on the classic
+decision-support shapes — the same join/subquery/top-k patterns a
+Cypher user would run over the ingested graph, expressed Spark-first.
+
+The driver fixtures are TPC-H-ish but lack ``partsupp`` and some
+lineitem columns (commit/receipt dates, shipmode), so each query is an
+*adaptation* that keeps the plan shape of its namesake: Q4's EXISTS
+semi-join, Q13's outer-join distribution, Q17's correlated average,
+Q21's EXISTS/NOT-EXISTS double correlation, Q22's scalar-subquery
+anti-join, etc. Every query has a DuckDB oracle twin and follows the
+determinism rules of ``queries.py`` (decimal accumulation for double
+sums, identical aliases, explicit tie-breaks on every LIMIT).
+
+Scale notes (100 TB): dimension sides (region/nation/supplier/part at
+TPC-H proportions) stay broadcast; the only large-large shuffles are
+lineitem⋈orders joins, which AQE plans as sort-merge with skew-split.
+Semi/anti joins keep the lineitem probe side un-duplicated (no fan-out
+before aggregation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from vmware_graph_spark.queries import _REV_SQL, _rev_col, query
+from vmware_graph_spark.sources.tables import load_table
+
+
+@query(
+    "q4_order_priority_exists",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+      AND o_orderdate < TIMESTAMP '1997-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority_exists(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS → left-semi join with a non-equi residual
+    (J5). The semi join never duplicates the orders side, so the count
+    is per-order regardless of lineitem fan-out; shipdate>orderdate is
+    the stand-in for the missing commit/receipt columns.
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            l,
+            (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@query(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(sum(round(l_extendedprice * l_discount, 4)::DECIMAL(18,4))
+                AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6: pure scan-filter-aggregate. All four predicates push
+    down to the parquet scan (min/max row-group pruning on shipdate at
+    scale); no shuffle at all — partial sums coalesce to one row.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * F.col("l_discount"), 4).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q7_volume_shipping",
+    f"""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(sum(volume) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l.l_shipdate) AS l_year, {_REV_SQL} AS volume
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+      WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+         OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7: two-nation trade volume by year. nation is joined
+    twice under different roles (supplier side / customer side) — the
+    disjunctive nation-pair predicate is applied after both broadcast
+    joins, the one big shuffle is lineitem⋈orders.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = F.broadcast(n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")))
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n1, F.col("s_nationkey") == F.col("s_nk"))
+        .join(n2, F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
+            | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(_rev_col()).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "q8_market_share",
+    f"""
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN volume
+                               ELSE 0::DECIMAL(18,4) END) AS DOUBLE)
+                 / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+    FROM (
+      SELECT year(o.o_orderdate) AS o_year, {_REV_SQL} AS volume,
+             n1.n_name AS supp_nation
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n2.n_regionkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+    )
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8: national market share inside one region's PROMO-part
+    market. Conditional aggregation over a star join; both nation roles
+    and region/part/supplier broadcast, numerator and denominator
+    accumulate as exact decimals so the final double division is
+    order-independent.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    )
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = F.broadcast(n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(
+        n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk"))
+    )
+    vol = _rev_col()
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n1, F.col("s_nationkey") == F.col("s_nk"))
+        .join(n2, F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(r), F.col("c_rk") == r.r_regionkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(
+                        F.lit(0).cast("decimal(18,4)")
+                    )
+                ).cast("double")
+                / F.sum(vol).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "q9_product_profit",
+    f"""
+    SELECT nation, o_year, CAST(sum(volume) AS DOUBLE) AS profit
+    FROM (
+      SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+             {_REV_SQL} AS volume
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE p.p_name LIKE '%widget%'
+    )
+    GROUP BY nation, o_year
+    """,
+)
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape (no partsupp fixture → discounted revenue stands
+    in for profit): supplier-nation × order-year rollup over parts
+    matched by an unanchored LIKE. The part filter cuts lineitem
+    *before* the orders join (selective broadcast-hash first, big
+    sort-merge after — the order AQE confirms).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    )
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    o = load_table(spark, sf_dir, "orders")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(n, F.col("s_nationkey") == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(_rev_col()).cast("double").alias("profit"))
+    )
+
+
+@query(
+    "q10_returned_items",
+    f"""
+    SELECT c.c_custkey, c.c_name,
+           CAST(sum({_REV_SQL}) AS DOUBLE) AS revenue,
+           CAST(c.c_acctbal AS DOUBLE) AS c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-10-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10: top customers by returned-merchandise revenue in a
+    quarter. Both selective filters (quarter, returnflag) push into
+    their scans before the joins; top-k gets an explicit custkey
+    tie-break.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(_rev_col()).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+            "n_name",
+        )
+    )
+
+
+@query(
+    "q12_priority_by_linestatus",
+    """
+    SELECT l.l_linestatus,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l.l_linestatus
+    """,
+)
+def q12_priority_by_linestatus(spark, sf_dir):
+    """TPC-H Q12 shape (linestatus stands in for the missing shipmode):
+    join + conditional two-way counts. The CASE splits one pass over
+    the joined rows — no second scan or self-join for the two counts.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q13_customer_order_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q13_customer_order_distribution(spark, sf_dir):
+    """TPC-H Q13: order-count histogram over a filtered LEFT join (J2).
+    count(o_orderkey) counts only matched rows — customers with no
+    qualifying orders land in the c_count=0 bucket, which an inner
+    join would silently drop. Two shuffles (custkey, then c_count),
+    both map-side combined.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+@query(
+    "q14_promo_revenue_share",
+    f"""
+    SELECT round(100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                                       THEN {_REV_SQL}
+                                       ELSE 0::DECIMAL(18,4) END) AS DOUBLE)
+                 / CAST(sum({_REV_SQL}) AS DOUBLE), 6) AS promo_revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l.l_shipdate < TIMESTAMP '1997-10-01'
+    """,
+)
+def q14_promo_revenue_share(spark, sf_dir):
+    """TPC-H Q14: PROMO revenue share for one month. Single broadcast
+    join, conditional numerator and unconditional denominator in ONE
+    aggregation pass, exact decimal accumulation before the division.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    p = F.broadcast(load_table(spark, sf_dir, "part"))
+    vol = _rev_col()
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", vol).otherwise(
+                        F.lit(0).cast("decimal(18,4)")
+                    )
+                ).cast("double")
+                / F.sum(vol).cast("double"),
+                6,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@query(
+    "q15_top_supplier",
+    f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(sum({_REV_SQL}) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN revenue r ON r.supplier_no = s.s_suppkey
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15: supplier(s) achieving the quarter's max revenue.
+    The scalar subquery becomes an empty-frame window max — one extra
+    exchange-free projection over the aggregated (100-row) revenue
+    view instead of a second scan + cross join. Ties all surface,
+    exactly like the SQL.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_rev_col()).cast("double").alias("total_revenue"))
+    )
+    w = Window.partitionBy()
+    top = rev.withColumn("__max", F.max("total_revenue").over(w)).filter(
+        F.col("total_revenue") == F.col("__max")
+    )
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    return top.join(s, top.supplier_no == s.s_suppkey).select(
+        "s_suppkey", "s_name", "total_revenue"
+    )
+
+
+@query(
+    "q16_supplier_part_variety",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#13'
+      AND p.p_type NOT IN ('PROMO', 'ECONOMY')
+      AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q16_supplier_part_variety(spark, sf_dir):
+    """TPC-H Q16 shape (lineitem supplies the part↔supplier pairs in
+    lieu of partsupp): COUNT(DISTINCT) per brand/type/size after NOT-IN
+    and IN-list part pruning. Spark plans the distinct as a two-phase
+    expand+agg; the broadcast part filter prunes lineitem first.
+    """
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part").filter(
+            (F.col("p_brand") != "Brand#13")
+            & ~F.col("p_type").isin("PROMO", "ECONOMY")
+            & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+        )
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    """
+    SELECT round(CAST(sum(l.l_extendedprice::DECIMAL(18,2)) AS DOUBLE)
+                 / 7.0, 6) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN (SELECT l_partkey,
+                 CAST(sum(l_quantity::DECIMAL(18,2)) AS DOUBLE)
+                 / count(*) AS avg_qty
+          FROM lineitem GROUP BY l_partkey) a
+      ON a.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#9'
+      AND l.l_quantity < 0.2 * a.avg_qty
+    """,
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17: revenue from below-average-quantity orders of one
+    brand. The correlated per-part AVG subquery is decorrelated into a
+    grouped aggregate joined back on partkey (what Catalyst cannot do
+    automatically from DataFrame ops, we express directly). avg is
+    exact-decimal-sum / count so both engines compare the identical
+    threshold.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#9")
+    )
+    avg_q = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+            / F.count("*")
+        ).alias("avg_qty")
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(avg_q, li.l_partkey == avg_q.a_partkey)
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+                / 7.0,
+                6,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "q18_large_volume_customers",
+    """
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(sum(l.l_quantity::DECIMAL(18,2)) AS DOUBLE) AS total_qty
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING sum(l_quantity::DECIMAL(18,2)) > 140
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, order_date, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 10
+    """,
+)
+def q18_large_volume_customers(spark, sf_dir):
+    """TPC-H Q18: customers with orders over a total-quantity
+    threshold. The IN-subquery (GROUP BY + HAVING) becomes a left-semi
+    join of orders against qualifying orderkeys; quantities then
+    re-aggregate on the surviving ~top orders only.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("__q"))
+        .filter(F.col("__q") > 140)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi")
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_totalprice",
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_qty")
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "order_date",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "total_qty",
+        )
+    )
+
+
+@query(
+    "q19_discounted_revenue_disjunctive",
+    f"""
+    SELECT CAST(sum({_REV_SQL}) AS DOUBLE) AS revenue, count(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+       OR (p.p_brand = 'Brand#9' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#20' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+    """,
+)
+def q19_discounted_revenue_disjunctive(spark, sf_dir):
+    """TPC-H Q19: three OR-ed brand/size/quantity conjuncts across the
+    join boundary. Catalyst derives the implied part-side filter
+    (brand ∈ {...} AND size ≤ 25) and pushes it below the broadcast
+    join, so the OR does not force a full-part probe.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = F.broadcast(load_table(spark, sf_dir, "part"))
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & (F.col("l_quantity") >= 1)
+            & (F.col("l_quantity") <= 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#9")
+            & F.col("p_size").between(1, 15)
+            & (F.col("l_quantity") >= 10)
+            & (F.col("l_quantity") <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#20")
+            & F.col("p_size").between(1, 25)
+            & (F.col("l_quantity") >= 20)
+            & (F.col("l_quantity") <= 30)
+        )
+    )
+    return j.filter(cond).agg(
+        F.sum(_rev_col()).cast("double").alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@query(
+    "q20_excess_shipping_suppliers",
+    """
+    SELECT s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (
+      SELECT l_suppkey FROM lineitem
+      JOIN part p ON p.p_partkey = l_partkey
+      WHERE p.p_name LIKE 'red%'
+        AND l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY l_suppkey
+      HAVING sum(l_quantity::DECIMAL(18,2)) > 50
+    )
+    """,
+)
+def q20_excess_shipping_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape (shipped quantity stands in for partsupp
+    availability): suppliers who moved >50 units of 'red%' parts in a
+    year. Nested semi-join pipeline: part-filtered lineitem →
+    per-supplier HAVING → left-semi into supplier.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    )
+    qualifying = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("__q"))
+        .filter(F.col("__q") > 50)
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    return (
+        s.join(qualifying, "s_suppkey", "left_semi")
+        .join(n, F.col("s_nationkey") == n.n_nationkey)
+        .select("s_name", "n_name")
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    """
+    SELECT s.s_name, count(DISTINCT l1.l_orderkey) AS numwait
+    FROM lineitem l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+)
+def q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape (returnflag='R' stands in for the late-delivery
+    predicate): the sole at-fault supplier on multi-supplier finished
+    orders. The correlated EXISTS / NOT EXISTS pair becomes a
+    left-semi and a left-anti join against per-order aggregates —
+    expressed as one grouped pass computing (supplier count, returned
+    supplier count) per order, then a broadcast-friendly join. The
+    count(DISTINCT) collapses the multi-line fan-out per (s, order).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+
+    # Per (orderkey): distinct suppliers overall and distinct suppliers
+    # with a returned line — one aggregation replaces both correlated
+    # subqueries (EXISTS ⇔ n_supp > 1; NOT EXISTS ⇔ n_ret_supp == 1
+    # given l1 itself is returned).
+    order_stats = li.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_ret_supp"),
+    )
+    l1 = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    return (
+        l1.join(o.select("o_orderkey"), l1.l_orderkey == F.col("o_orderkey"))
+        .join(order_stats, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_ret_supp") == 1))
+        .join(s, l1.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count_distinct("l_orderkey").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(20)
+    )
+
+
+@query(
+    "q22_dormant_customers",
+    """
+    SELECT n.n_name AS cntrycode, count(*) AS numcust,
+           CAST(sum(c.c_acctbal::DECIMAL(18,2)) AS DOUBLE) AS totacctbal
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE n.n_name IN ('NATION_1', 'NATION_4', 'NATION_9',
+                       'NATION_12', 'NATION_17', 'NATION_21')
+      AND c.c_acctbal > (
+        SELECT CAST(sum(c_acctbal::DECIMAL(18,2)) AS DOUBLE) / count(*)
+        FROM customer WHERE c_acctbal > 0.0
+      )
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY n.n_name
+    """,
+)
+def q22_dormant_customers(spark, sf_dir):
+    """TPC-H Q22 shape (nation stands in for the phone country code;
+    "dormant" = no urgent orders, since the fixture gives every
+    customer at least one order): above-average-balance customers with
+    no 1-URGENT order. Scalar-subquery average is a 1-row broadcast
+    cross join (computed once, exact decimal sum / count so both
+    engines use the identical cutoff); NOT EXISTS is a left-anti join
+    on custkey against the urgent-order keys.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    n = F.broadcast(
+        load_table(spark, sf_dir, "nation").filter(
+            F.col("n_name").isin(
+                "NATION_1", "NATION_4", "NATION_9",
+                "NATION_12", "NATION_17", "NATION_21",
+            )
+        )
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count("*")
+        ).alias("__avg_bal")
+    )
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti")
+        .groupBy(F.col("n_name").alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )
+
+
+@query(
+    "q2_best_supplier_per_part",
+    """
+    SELECT CAST(s.s_acctbal AS DOUBLE) AS s_acctbal, s.s_name, n.n_name,
+           p.p_partkey, p.p_name
+    FROM part p
+    JOIN (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+      ON ps.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE p.p_size = 15 AND r.r_name = 'EUROPE'
+      AND s.s_acctbal = (
+        SELECT max(s2.s_acctbal)
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps2
+        JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey
+        JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+        JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+        WHERE ps2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE'
+      )
+    ORDER BY s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+    LIMIT 100
+    """,
+)
+def q2_best_supplier_per_part(spark, sf_dir):
+    """TPC-H Q2 shape (distinct lineitem pairs stand in for partsupp):
+    best-balance European supplier per size-15 part. The correlated
+    max subquery is a per-part window max over the SAME joined
+    relation — computed once, not re-evaluated per row (the classic
+    decorrelation Spark expresses naturally; ties all surface).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).distinct()
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    )
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(
+        load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    )
+    joined = (
+        ps.join(p, ps.ps_partkey == p.p_partkey)
+        .join(s, ps.ps_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        joined.withColumn("__max_bal", F.max("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("__max_bal"))
+        .orderBy(
+            F.col("s_acctbal").desc(), F.col("n_name"), F.col("s_name"), F.col("p_partkey")
+        )
+        .limit(100)
+        .select(
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+        )
+    )
