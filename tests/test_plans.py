@@ -251,3 +251,72 @@ def test_sparse_cosine_plan_is_equijoin(spark):
     # the dim self-join must be a hash join on dim, never a nested loop
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q6_is_scanaggregate_no_shuffle_join(spark):
+    # Q6 is pure scan→filter→agg: any join or window in the plan means
+    # the query shape regressed. All four predicates must reach the
+    # parquet reader as pushed filters.
+    plan = executed_plan(spark, "q6_forecast_revenue")
+    assert "Join" not in plan, plan[:2000]
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_quantity,24" in plan
+
+
+def test_q19_derives_partside_filter_below_broadcast_join(spark):
+    # The disjunctive brand/size/qty predicate spans the join; Catalyst
+    # must still derive the implied part-only disjunction and push it
+    # into the part scan instead of probing the full table.
+    plan = executed_plan(spark, "q19_discounted_revenue_disjunctive")
+    assert "BroadcastHashJoin" in plan
+    assert "Brand#1" in plan and "CartesianProduct" not in plan
+
+
+def test_q4_exists_stays_semi_join(spark):
+    # EXISTS must plan as LeftSemi with the non-equi shipdate residual —
+    # an inner join here would duplicate orders per matching lineitem
+    # and overcount.
+    plan = executed_plan(spark, "q4_order_priority_exists")
+    assert "LeftSemi" in plan, plan[:2000]
+
+
+def test_q21_single_aggregation_replaces_correlated_exists(spark):
+    # The EXISTS/NOT-EXISTS pair is folded into one per-order aggregate;
+    # the plan must not contain a cartesian or nested-loop fallback.
+    plan = executed_plan(spark, "q21_waiting_suppliers")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q22_scalar_subquery_is_single_row_broadcast(spark):
+    # The global average enters as a broadcast of a 1-row aggregate
+    # (BroadcastNestedLoopJoin over one row is the intended shape);
+    # the anti join must stay LeftAnti.
+    plan = executed_plan(spark, "q22_dormant_customers")
+    assert "LeftAnti" in plan, plan[:2000]
+
+
+def test_tpch_family_cartesian_free(spark):
+    # q22's 1-row scalar-subquery broadcast is the one sanctioned
+    # nested-loop; every other TPC-H-family plan must be free of both
+    # cartesian products and nested-loop joins.
+    for name in [
+        "q2_best_supplier_per_part",
+        "q4_order_priority_exists",
+        "q7_volume_shipping",
+        "q8_market_share",
+        "q9_product_profit",
+        "q10_returned_items",
+        "q12_priority_by_linestatus",
+        "q13_customer_order_distribution",
+        "q14_promo_revenue_share",
+        "q15_top_supplier",
+        "q16_supplier_part_variety",
+        "q17_small_quantity_revenue",
+        "q18_large_volume_customers",
+        "q20_excess_shipping_suppliers",
+        "q21_waiting_suppliers",
+    ]:
+        plan = executed_plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
