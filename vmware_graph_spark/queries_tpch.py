@@ -311,6 +311,56 @@ def q10_returned_items(spark, sf_dir):
 
 
 @query(
+    "q11_important_part_value",
+    f"""
+    WITH value_by_part AS (
+      SELECT l.l_partkey, sum({_REV_SQL}) AS val
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_5'
+      GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, CAST(val AS DOUBLE) AS value
+    FROM value_by_part
+    WHERE CAST(val AS DOUBLE) >
+          (SELECT CAST(sum(val) AS DOUBLE) * 0.001 FROM value_by_part)
+    ORDER BY value DESC, l_partkey
+    """,
+)
+def q11_important_part_value(spark, sf_dir):
+    """TPC-H Q11 shape (lineitem revenue stands in for partsupp
+    supplycost×availqty): parts holding an outsized share of one
+    nation's supplied value. The global-total scalar subquery is an
+    empty-frame window sum over the per-part aggregate — the 2nd scan
+    the SQL implies never happens; one shuffle (partkey), then a
+    ~|parts|-row windowed projection. Decimal accumulation keeps the
+    0.1% threshold identical across engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    n = F.broadcast(
+        load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    )
+    per_part = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, F.col("s_nationkey") == n.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(_rev_col()).alias("__val"))
+    )
+    w = Window.partitionBy()
+    return (
+        per_part.withColumn("__total", F.sum("__val").over(w))
+        .filter(
+            F.col("__val").cast("double")
+            > F.col("__total").cast("double") * F.lit(0.001)
+        )
+        .select("l_partkey", F.col("__val").cast("double").alias("value"))
+        .orderBy(F.col("value").desc(), F.col("l_partkey"))
+    )
+
+
+@query(
     "q12_priority_by_linestatus",
     """
     SELECT l.l_linestatus,
