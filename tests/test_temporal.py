@@ -156,3 +156,35 @@ def test_change_intervals_compresses_runs(spark):
         (1, "a", 5, None, True),  # a reappears → NEW version, not merged
         (2, "x", 1, None, True),
     ]
+
+
+def test_asof_forward_earliest_and_ties(spark):
+    left = spark.createDataFrame(
+        [("u", 1, ts("2024-01-01 10:00:00")),
+         ("u", 2, ts("2024-01-01 12:00:00")),
+         ("u", 3, ts("2024-01-01 23:00:00"))],
+        ["k", "lid", "ts"],
+    )
+    right = spark.createDataFrame(
+        [("u", ts("2024-01-01 10:00:00"), "a"),   # tie with lid=1 → matches (>=)
+         ("u", ts("2024-01-01 11:00:00"), "b"),
+         ("u", ts("2024-01-01 13:00:00"), "c")],
+        ["k", "ts", "val"],
+    )
+    out = {
+        r.lid: (r.r_val, r.r_ts)
+        for r in asof_join(
+            left, right, "k", "ts", "ts", right_cols=["val"], direction="forward"
+        ).collect()
+    }
+    assert out[1][0] == "a"            # equal timestamp included
+    assert out[2][0] == "c"            # earliest following, not just any
+    assert out[3] == (None, None)      # nothing at or after 23:00
+
+
+def test_asof_direction_validation(spark):
+    import pytest
+
+    left = spark.createDataFrame([("a", 1, ts("2024-01-01 10:00:00"))], ["k", "lid", "ts"])
+    with pytest.raises(ValueError):
+        asof_join(left, left, "k", "ts", "ts", right_cols=["lid"], direction="sideways")

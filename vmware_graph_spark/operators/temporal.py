@@ -36,16 +36,24 @@ def asof_join(
     *,
     right_cols: list[str],
     prefix: str = "r_",
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the latest right row of the same ``on``
-    key with ``right_ts <= left_ts`` (backward as-of, ties included).
+    key with ``right_ts <= left_ts`` (``direction="backward"``, the
+    default, ties included) or the earliest right row with
+    ``right_ts >= left_ts`` (``direction="forward"`` — next-event
+    attribution, e.g. "first click after each view").
 
     Right rows must be unique per (on, right_ts) — pre-aggregate if
     not; the carried payload is a single struct so all right columns
-    come from the SAME matched row. Left rows with no prior right row
-    keep nulls. Output: every left column, plus ``prefix + right_ts``
-    and ``prefix + c`` for each ``right_cols`` entry.
+    come from the SAME matched row. Left rows with no matching right
+    row keep nulls. Output: every left column, plus ``prefix +
+    right_ts`` and ``prefix + c`` for each ``right_cols`` entry. Both
+    directions are the same single shuffle on ``on`` — forward just
+    flips the tie order and looks down the following frame.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     payload = F.struct(F.col(right_ts).alias("__ts"), *[F.col(c) for c in right_cols])
     r = right.select(
         F.col(on),
@@ -58,13 +66,28 @@ def asof_join(
     ).withColumn("__payload", F.lit(None).cast(r.schema["__payload"].dataType))
 
     merged = l.unionByName(r, allowMissingColumns=True)
-    # right rows sort before left rows at equal timestamps → <= semantics
-    w = (
-        Window.partitionBy(on)
-        .orderBy("__t", "__side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = merged.withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
+    if direction == "backward":
+        # right rows sort before left rows at equal timestamps → <= semantics
+        w = (
+            Window.partitionBy(on)
+            .orderBy("__t", "__side")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = merged.withColumn(
+            "__match", F.last("__payload", ignorenulls=True).over(w)
+        )
+    else:
+        # left rows sort before right rows at equal timestamps, so an
+        # equal-ts right sits inside the left row's following frame →
+        # >= semantics; first non-null payload = earliest such right.
+        w = (
+            Window.partitionBy(on)
+            .orderBy(F.col("__t").asc(), F.col("__side").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        carried = merged.withColumn(
+            "__match", F.first("__payload", ignorenulls=True).over(w)
+        )
     out = carried.filter(F.col("__side") == 1).select(
         *[F.col(c) for c in left.columns],
         F.col("__match.__ts").alias(f"{prefix}{right_ts}"),

@@ -7109,6 +7109,8 @@ def resample_daily_ffill_user_values(spark, sf_dir):
     )
 
 
-# TPC-H-adapted decision-support family registers itself on import
-# (kept in its own module; registry and oracles land in QUERIES/ORACLE).
+# TPC-H-adapted decision-support family and the round-3 extension
+# family register themselves on import (kept in their own modules;
+# registries and oracles land in QUERIES/ORACLE).
 from vmware_graph_spark import queries_tpch as _queries_tpch  # noqa: E402,F401
+from vmware_graph_spark import queries_ext as _queries_ext  # noqa: E402,F401

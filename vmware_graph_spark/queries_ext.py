@@ -1,0 +1,543 @@
+"""Round-3 extensions: forward as-of, unsupervised k-means, skyline,
+link prediction, robust per-group statistics, truncated EWMA, and two
+more REAL Structured Streaming runs (stateful dedup, stream-stream
+interval join).
+
+Same registry/oracle discipline as ``queries.py``: every aggregate is
+decimal-accumulated before its final double cast, every LIMIT carries a
+total tie-break, and Spark/DuckDB column aliases are identical.
+
+Scale notes (100 TB): the skyline is one groupBy + one tiny window (no
+self-join — the naive NOT EXISTS the oracle runs is quadratic); k-means
+steps are explode → broadcast-dim join → hash agg (no vector ever sits
+whole in an agg buffer); Adamic-Adar caps hub parts the same way
+``jaccard_pairs(max_df=...)`` caps hot shingles; the EWMA is a fixed
+8-term lag window, not a recursive scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from vmware_graph_spark.queries import _TS_FMT_SPARK, query
+from vmware_graph_spark.sources.tables import load_table
+
+_TS_FMT_SQL = "%Y-%m-%d %H:%M:%S.%f"
+
+
+@query(
+    "asof_join_forward_next_click",
+    f"""
+    WITH views AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'
+    ), clicks AS (
+      SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'click'
+    )
+    SELECT v.user_id, v.event_id,
+           strftime(v.ts, '{_TS_FMT_SQL}') AS view_ts,
+           c.event_id AS click_event_id,
+           strftime(c.ts, '{_TS_FMT_SQL}') AS click_ts,
+           c.value AS click_value
+    FROM views v ASOF LEFT JOIN clicks c
+      ON v.user_id = c.user_id AND c.ts >= v.ts
+    """,
+)
+def asof_join_forward_next_click(spark, sf_dir):
+    """FORWARD as-of join (next-event attribution): each view matched to
+    the user's earliest click at or after it. Same union +
+    look-ahead-window kernel as the backward direction — one shuffle on
+    user_id, no inequality join; the oracle is DuckDB's native forward
+    ASOF (``c.ts >= v.ts``)."""
+    from vmware_graph_spark.operators.temporal import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select("user_id", "event_id", "ts")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    out = asof_join(
+        views,
+        clicks,
+        "user_id",
+        "ts",
+        "ts",
+        right_cols=["event_id", "value"],
+        prefix="c_",
+        direction="forward",
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", _TS_FMT_SPARK).alias("view_ts"),
+        F.col("c_event_id").alias("click_event_id"),
+        F.date_format("c_ts", _TS_FMT_SPARK).alias("click_ts"),
+        F.col("c_value").alias("click_value"),
+    )
+
+
+_KMEANS_K = 8
+
+_KM_CENT0 = f"""
+    cent0 AS (
+      SELECT vec_id AS clabel, i - 1 AS dim,
+             round(CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE), 6) AS DECIMAL(18,6)))
+                        AS DOUBLE) / count(*), 6) AS c
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+      WHERE vec_id < {_KMEANS_K}
+      GROUP BY vec_id, i
+    ),
+    vecd AS (
+      SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    )
+"""
+
+
+def _km_assign_sql(cent: str, out: str) -> str:
+    return f"""
+    {out}_scores AS (
+      SELECT vec_id, clabel,
+             CAST(sum(CAST(round(v * c, 12) AS DECIMAL(28,12))) AS DOUBLE) AS dot
+      FROM vecd JOIN {cent} USING (dim)
+      GROUP BY vec_id, clabel
+    ),
+    {out} AS (
+      SELECT vec_id, clabel, dot FROM (
+        SELECT vec_id, clabel, dot,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, clabel) AS rn
+        FROM {out}_scores
+      ) WHERE rn = 1
+    )
+"""
+
+
+@query(
+    "kmeans_clusters_embeddings",
+    f"""
+    WITH {_KM_CENT0},
+    {_km_assign_sql('cent0', 'a1')},
+    cent1 AS (
+      SELECT a1.clabel, vecd.dim,
+             round(CAST(sum(CAST(round(vecd.v, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(*), 6) AS c
+      FROM vecd JOIN a1 USING (vec_id)
+      GROUP BY a1.clabel, vecd.dim
+    ),
+    {_km_assign_sql('cent1', 'a2')}
+    SELECT clabel AS cluster, count(*) AS n_vecs,
+           round(CAST(sum(CAST(round(dot, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 6) AS avg_dot
+    FROM a2
+    GROUP BY clabel
+    """,
+)
+def kmeans_clusters_embeddings(spark, sf_dir):
+    """Unsupervised k-means over the embedding corpus (k=8, one full
+    Lloyd round, verified step-for-step by an unrolled-CTE oracle):
+    deterministic seeding (vectors 0..k-1), assign → update → assign,
+    report cluster sizes and mean max-inner-product. Every step is
+    explode → broadcast-dim join → decimal hash-agg (the
+    ``centroids_by_label``/``assign_to_centroids`` kernels), so no
+    vector is ever a whole-row agg buffer and the only shuffles are on
+    (id) and (cluster, dim) — the shape that survives a 100 TB corpus.
+    More Lloyd rounds at scale = the same two steps in a loop with a
+    ``localCheckpoint`` per round (as ``pq_codebook`` does).
+    """
+    from vmware_graph_spark.operators.similarity import assign_to_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < _KMEANS_K)
+
+    # init: each seed vector is its own 1-point "label" centroid
+    cent0 = (
+        seeds.select(F.col("vec_id").alias("clabel"), F.posexplode("embedding").alias("dim", "vf"))
+        .groupBy("clabel", "dim")
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("vf").cast("double"), 6).cast("decimal(18,6)"))
+                .cast("double")
+                / F.count("*"),
+                6,
+            ).alias("c")
+        )
+    )
+    a1 = assign_to_centroids(emb, "vec_id", "embedding", cent0)
+    vecd = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "vf")
+    ).select("vec_id", "dim", F.col("vf").cast("double").alias("v"))
+    cent1 = (
+        vecd.join(
+            a1.select("vec_id", F.col("assigned_label").alias("clabel")), "vec_id"
+        )
+        .groupBy("clabel", "dim")
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("v"), 6).cast("decimal(18,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("c")
+        )
+    )
+    a2 = assign_to_centroids(emb, "vec_id", "embedding", cent1)
+    return (
+        a2.groupBy(F.col("assigned_label").alias("cluster"))
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(
+                F.sum(F.round(F.col("dot"), 6).cast("decimal(18,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_dot"),
+        )
+    )
+
+
+@query(
+    "skyline_parts_size_price",
+    """
+    WITH pts AS (
+      SELECT p_size, CAST(p_retailprice AS DOUBLE) AS price FROM part
+    )
+    SELECT p_size, min(price) AS best_price,
+           count(*) AS n_parts
+    FROM pts a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts b
+      WHERE b.p_size >= a.p_size AND b.price <= a.price
+        AND (b.p_size > a.p_size OR b.price < a.price)
+    )
+    GROUP BY p_size
+    """,
+)
+def skyline_parts_size_price(spark, sf_dir):
+    """2-D Pareto frontier (skyline): parts not dominated on
+    (maximize size, minimize price). The oracle runs the quadratic
+    NOT-EXISTS self-join; the engine computes the identical set in
+    O(n log n): per-size min price, then one tiny descending-size
+    window — a point survives iff its price beats the running min over
+    all strictly larger sizes. One groupBy + one |sizes|-row window, no
+    self-join at any scale.
+    """
+    pts = load_table(spark, sf_dir, "part").select(
+        "p_size", F.col("p_retailprice").cast("double").alias("price")
+    )
+    # count ties at the per-size minimum (the skyline keeps duplicates)
+    per_size = (
+        pts.groupBy("p_size")
+        .agg(F.min("price").alias("best_price"))
+        .join(pts, "p_size")
+        .filter(F.col("price") == F.col("best_price"))
+        .groupBy("p_size", "best_price")
+        .agg(F.count("*").alias("n_parts"))
+    )
+    w = (
+        Window.partitionBy()
+        .orderBy(F.col("p_size").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        per_size.withColumn("__prev_min", F.min("best_price").over(w))
+        .filter(F.col("__prev_min").isNull() | (F.col("best_price") < F.col("__prev_min")))
+        .select("p_size", "best_price", "n_parts")
+    )
+
+
+@query(
+    "adamic_adar_suppliers",
+    """
+    WITH sp AS (
+      SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+    ),
+    pdeg AS (
+      SELECT p, count(*) AS deg FROM sp GROUP BY p
+      HAVING count(*) BETWEEN 2 AND 50
+    ),
+    pairs AS (
+      SELECT a.s AS s1, b.s AS s2,
+             round(CAST(sum(CAST(round(1.0 / ln(d.deg), 8) AS DECIMAL(18,8)))
+                        AS DOUBLE), 6) AS aa
+      FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s
+      JOIN pdeg d ON d.p = a.p
+      GROUP BY a.s, b.s
+    )
+    SELECT s1, s2, aa FROM pairs
+    ORDER BY aa DESC, s1, s2
+    LIMIT 50
+    """,
+)
+def adamic_adar_suppliers(spark, sf_dir):
+    """Adamic-Adar link prediction over the supplier–part bipartite
+    graph (SURVEY §2.11 graph extension): suppliers sharing rare parts
+    score higher — AA(s1,s2) = Σ_{shared p} 1/ln(deg(p)). The inverted
+    index (part → its suppliers) is self-joined only after the hub cap
+    (deg ≤ 50, same role as ``jaccard_pairs(max_df=...)``): a part
+    supplied by everyone contributes ~0 signal but n² pairs, so at
+    100 TB the cap IS the feasibility condition. Decimal accumulation
+    makes the float sum order-independent.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    sp = li.select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")).distinct()
+    pdeg = (
+        sp.groupBy("p")
+        .agg(F.count("*").alias("deg"))
+        .filter((F.col("deg") >= 2) & (F.col("deg") <= 50))
+    )
+    a = sp.select(F.col("s").alias("s1"), "p")
+    b = sp.select(F.col("s").alias("s2"), "p")
+    return (
+        a.join(b, "p")
+        .filter(F.col("s1") < F.col("s2"))
+        .join(pdeg, "p")
+        .groupBy("s1", "s2")
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(F.lit(1.0) / F.log(F.col("deg")), 8).cast("decimal(18,8)")
+                ).cast("double"),
+                6,
+            ).alias("aa")
+        )
+        .orderBy(F.col("aa").desc(), "s1", "s2")
+        .limit(50)
+    )
+
+
+@query(
+    "median_mode_value_by_type",
+    """
+    WITH med AS (
+      SELECT event_type,
+             round(quantile_cont(value, 0.5), 4) AS median_value,
+             count(*) AS n
+      FROM events GROUP BY event_type
+    ),
+    uc AS (
+      SELECT event_type, user_id, count(*) AS cnt
+      FROM events GROUP BY event_type, user_id
+    ),
+    mode_u AS (
+      SELECT event_type, user_id AS mode_user FROM (
+        SELECT event_type, user_id,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY cnt DESC, user_id) AS rn
+        FROM uc
+      ) WHERE rn = 1
+    )
+    SELECT m.event_type, m.median_value, mo.mode_user, m.n
+    FROM med m JOIN mode_u mo USING (event_type)
+    """,
+)
+def median_mode_value_by_type(spark, sf_dir):
+    """Exact per-group median (interpolated, Spark ``percentile`` ==
+    DuckDB ``quantile_cont``) and deterministic per-group mode
+    (max-count, min-value tie-break — never ``F.mode``, whose tie
+    choice is unspecified). The median is one sort-based agg per group;
+    the mode is two hash aggs + a tiny window. At 100 TB the median
+    would move to ``percentile_approx`` (the profiled twin
+    ``approx_percentile_value`` already does); this is the exact
+    reference implementation.
+    """
+    e = load_table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("median_value"),
+        F.count("*").alias("n"),
+    )
+    uc = e.groupBy("event_type", "user_id").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy(F.col("cnt").desc(), F.col("user_id"))
+    mode_u = (
+        uc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("user_id").alias("mode_user"))
+    )
+    return med.join(mode_u, "event_type").select(
+        "event_type", "median_value", "mode_user", "n"
+    )
+
+
+_EWMA_ALPHA = 0.5
+_EWMA_TERMS = 8
+
+
+@query(
+    "ewma_user_values",
+    f"""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rd
+      FROM events
+    ),
+    lagd AS (
+      SELECT user_id, ts, event_id, rd,
+             {", ".join(f"lag(value, {d}) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS x{d}" for d in range(_EWMA_TERMS))}
+      FROM ordered
+    ),
+    scored AS (
+      SELECT user_id, rd,
+             round(
+               ({" + ".join(f"coalesce(round(x{d} * {(1 - _EWMA_ALPHA) ** d:.10f}, 8), 0)" for d in range(_EWMA_TERMS))})
+               /
+               ({" + ".join(f"(CASE WHEN x{d} IS NULL THEN 0 ELSE {(1 - _EWMA_ALPHA) ** d:.10f} END)" for d in range(_EWMA_TERMS))}),
+               4) AS ewma
+      FROM lagd
+    )
+    SELECT user_id, ewma AS latest_ewma FROM scored WHERE rd = 1
+    """,
+)
+def ewma_user_values(spark, sf_dir):
+    """Per-user exponentially-weighted moving average of event values
+    (α=0.5, 8-term truncation), reported at each user's latest event.
+    The recursion y_i = αx_i + (1-α)y_{i-1} is unrolled to a fixed
+    8-lag weighted window — a pure stencil over one (user, ts) sort,
+    no recursive scan, no state: the identical shape at 100 TB. 8 terms
+    bound the truncation error at (1-α)^8 < 0.4% of weight mass.
+    """
+    e = load_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wd = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    lags = e.select(
+        "user_id",
+        F.row_number().over(wd).alias("rd"),
+        *[F.lag("value", d).over(wo).alias(f"x{d}") for d in range(_EWMA_TERMS)],
+    )
+    num = None
+    den = None
+    for d in range(_EWMA_TERMS):
+        wgt = (1 - _EWMA_ALPHA) ** d
+        nterm = F.coalesce(F.round(F.col(f"x{d}") * F.lit(wgt), 8), F.lit(0.0))
+        dterm = F.when(F.col(f"x{d}").isNull(), F.lit(0.0)).otherwise(F.lit(wgt))
+        num = nterm if num is None else num + nterm
+        den = dterm if den is None else den + dterm
+    return (
+        lags.filter(F.col("rd") == 1)
+        .select("user_id", F.round(num / den, 4).alias("latest_ewma"))
+    )
+
+
+@query(
+    "streaming_dedup_event_ids",
+    """
+    SELECT event_type, count(*) AS n_events,
+           CAST(sum(CAST(round(value, 4) AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def streaming_dedup_event_ids(spark, sf_dir):
+    """REAL Structured Streaming stateful dedup (§2.11): the events
+    table is fed TWICE (two identical file sets → duplicated stream),
+    ``dropDuplicatesWithinWatermark`` on event_id collapses every
+    duplicate, and the drained append-mode output aggregates to exactly
+    the batch per-type totals. The watermark delay exceeds the fixture
+    time span so no first-occurrence can be dropped as late — at
+    production scale the delay shrinks to the real dedup horizon and
+    state stays bounded (the whole point of the Within-Watermark
+    variant vs plain streaming dropDuplicates).
+    """
+    import tempfile
+    import uuid
+
+    from vmware_graph_spark.streaming.events import (
+        dedup_within_watermark,
+        read_event_stream,
+        run_available_to_memory,
+    )
+
+    path = tempfile.mkdtemp(prefix="vgs_sdedup_")
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(2).write.mode("overwrite").parquet(path + "/a")
+    ev.repartition(2).write.mode("append").parquet(path + "/a")  # the duplicate feed
+    deduped = dedup_within_watermark(
+        read_event_stream(spark, path + "/a"), watermark="3650 days"
+    )
+    name = "stream_dedup_" + uuid.uuid4().hex[:8]
+    run_available_to_memory(deduped, name, output_mode="append")
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round("value", 4).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "streaming_interval_join_views_clicks",
+    """
+    WITH v AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'),
+         c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click')
+    SELECT v.user_id, count(*) AS n_pairs,
+           count(DISTINCT v.event_id) AS n_views_with_click
+    FROM v JOIN c ON c.user_id = v.user_id
+                 AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+    GROUP BY v.user_id
+    """,
+)
+def streaming_interval_join_views_clicks(spark, sf_dir):
+    """REAL stream-stream interval join (§2.11): views and clicks run
+    as two file streams, joined on user_id with a ±30-minute event-time
+    band; the drained pairs aggregate to per-user counts equal to the
+    batch interval join. The band condition is what lets Spark expire
+    join state (each side holds rows only while the other side's
+    watermark can still reach them) — the unbounded-state hazard of a
+    plain stream-stream equi-join never arises.
+    """
+    import tempfile
+    import uuid
+
+    from vmware_graph_spark.streaming.events import read_event_stream
+
+    path = tempfile.mkdtemp(prefix="vgs_sjoin_")
+    e = load_table(spark, sf_dir, "events")
+    e.filter(F.col("event_type") == "view").repartition(2).write.mode(
+        "overwrite"
+    ).parquet(path + "/views")
+    e.filter(F.col("event_type") == "click").repartition(2).write.mode(
+        "overwrite"
+    ).parquet(path + "/clicks")
+
+    v = (
+        read_event_stream(spark, path + "/views")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("v_event_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "3650 days")
+    )
+    c = (
+        read_event_stream(spark, path + "/clicks")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("c_event_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "3650 days")
+    )
+    pairs = v.join(
+        c,
+        (F.col("c_user") == F.col("v_user"))
+        & (F.col("c_ts") >= F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    )
+    name = "stream_ijoin_" + uuid.uuid4().hex[:8]
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy(F.col("v_user").alias("user_id"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.count_distinct("v_event_id").alias("n_views_with_click"),
+        )
+    )
