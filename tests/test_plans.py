@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import re
 
 import pytest
 
@@ -320,3 +321,52 @@ def test_tpch_family_cartesian_free(spark):
         plan = executed_plan(spark, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_skyline_is_window_not_selfjoin(spark):
+    # The engine-side skyline must be the O(n log n) groupBy+window
+    # shape — the quadratic NOT-EXISTS the oracle runs would show up
+    # here as a second part scan joined non-equi.
+    plan = executed_plan(spark, "skyline_parts_size_price")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # one physical scan node: formatted explain prints it twice
+    # (tree line + "(1) Scan parquet" detail header)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan[:2000]
+
+
+def test_adamic_adar_caps_before_pair_join(spark):
+    # Hub cap and pair join must both be plain hash joins (the degree
+    # table is broadcast-sized); no nested-loop anywhere.
+    plan = executed_plan(spark, "adamic_adar_suppliers")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+
+
+def test_kmeans_steps_broadcast_centroids(spark):
+    # Every assign step joins the exploded vectors to a k×dim centroid
+    # table — that side must broadcast, never shuffle the vector side.
+    plan = executed_plan(spark, "kmeans_clusters_embeddings")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_forward_single_shuffle_no_inequality_join(spark):
+    # Forward as-of is the union + look-ahead window: exactly one
+    # user_id exchange feeding a Window, and no join operator at all.
+    plan = executed_plan(spark, "asof_join_forward_next_click")
+    assert "Join" not in plan, plan[:2000]
+    assert "Window" in plan
+
+
+def test_ewma_is_one_sort_stencil(spark):
+    # The 8-lag EWMA must stay a window stencil over one (user, ts)
+    # sort — no self-join fan-out of the events table.
+    plan = executed_plan(spark, "ewma_user_values")
+    assert "Join" not in plan, plan[:2000]
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1

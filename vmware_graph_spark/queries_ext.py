@@ -222,13 +222,13 @@ def skyline_parts_size_price(spark, sf_dir):
     pts = load_table(spark, sf_dir, "part").select(
         "p_size", F.col("p_retailprice").cast("double").alias("price")
     )
-    # count ties at the per-size minimum (the skyline keeps duplicates)
+    # per-size min + tie count in ONE scan (the skyline keeps ties):
+    # window min over the size partition, keep the rows at it, count.
+    wmin = Window.partitionBy("p_size")
     per_size = (
-        pts.groupBy("p_size")
-        .agg(F.min("price").alias("best_price"))
-        .join(pts, "p_size")
-        .filter(F.col("price") == F.col("best_price"))
-        .groupBy("p_size", "best_price")
+        pts.withColumn("__min", F.min("price").over(wmin))
+        .filter(F.col("price") == F.col("__min"))
+        .groupBy("p_size", F.col("__min").alias("best_price"))
         .agg(F.count("*").alias("n_parts"))
     )
     w = (
