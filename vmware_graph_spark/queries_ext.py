@@ -541,3 +541,365 @@ def streaming_interval_join_views_clicks(spark, sf_dir):
             F.count_distinct("v_event_id").alias("n_views_with_click"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 2: model scoring, graph coefficients, multi-quantiles, reporting
+# rollups, policy-pluggable dedup survivors
+# ---------------------------------------------------------------------------
+
+from vmware_graph_spark.queries import _SH3_CTE, _h64  # noqa: E402
+
+
+@query(
+    "logreg_quality_score",
+    r"""
+    WITH feats AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::DOUBLE AS n_tok,
+             round(len(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
+                   / greatest(len(text), 1), 6) AS punct,
+             round(CASE WHEN len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) > 0
+                   THEN len(list_filter(list_filter(string_split_regex(text, '\s+'), x -> x <> ''),
+                            x -> list_contains(['the','a','an','and','or','of','to','in','is','it',
+                                                'that','for','on','as','with','was','at','by','be','this',
+                                                'are','from','not','but','have'], lower(x))))::DOUBLE
+                        / len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+                   ELSE 0.0 END, 6) AS stop_ratio,
+             round(len(text)::DOUBLE / greatest(
+                   len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')), 1), 6) AS avg_tok_len
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id,
+             round(least(greatest(
+               0.25 * round(0.01 * n_tok - 4.0 * punct + 2.5 * stop_ratio
+                            - 0.3 * avg_tok_len + 0.5, 6) + 0.5, 0.0), 1.0), 6) AS score
+      FROM feats
+    )
+    SELECT CAST(floor(score * 10) AS INTEGER) AS bucket,
+           count(*) AS n_docs,
+           round(CAST(sum(CAST(score AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_score
+    FROM scored
+    GROUP BY bucket
+    """,
+)
+def logreg_quality_score(spark, sf_dir):
+    """Fixed-weight linear quality model scored in-engine (the 'cheap
+    classifier gate' stage of a training-data pipeline, run as a pure
+    projection — no model server, no UDF): four Catalyst-computable
+    features (token count, punctuation ratio, stopword ratio, mean
+    token length) through frozen logistic-regression weights and a
+    hard-sigmoid link (piecewise-linear, so both engines compute
+    bit-identical scores — `exp()` ulp drift across libms is the reason
+    real sigmoid is banned here). Output is the score histogram the
+    gate's threshold would be tuned on. At 100 TB this is a mapper-only
+    pass — zero shuffles before the 11-row aggregate.
+    """
+    from vmware_graph_spark.functions.text import (
+        n_tokens,
+        punct_ratio,
+        stopword_ratio,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    feats = d.select(
+        "doc_id",
+        n_tokens("text").cast("double").alias("n_tok"),
+        F.round(punct_ratio("text"), 6).alias("punct"),
+        F.round(stopword_ratio("text"), 6).alias("stop_ratio"),
+        F.round(
+            F.length("text").cast("double")
+            / F.greatest(n_tokens("text"), F.lit(1)).cast("double"),
+            6,
+        ).alias("avg_tok_len"),
+    )
+    z = F.round(
+        0.01 * F.col("n_tok")
+        - 4.0 * F.col("punct")
+        + 2.5 * F.col("stop_ratio")
+        - 0.3 * F.col("avg_tok_len")
+        + 0.5,
+        6,
+    )
+    score = F.round(F.least(F.greatest(0.25 * z + 0.5, F.lit(0.0)), F.lit(1.0)), 6)
+    return (
+        feats.select(score.alias("score"))
+        .groupBy(F.floor(F.col("score") * 10).cast("int").alias("bucket"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(
+                F.sum(F.col("score").cast("decimal(18,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_score"),
+        )
+    )
+
+
+_COOC_EDGES_SQL = """
+    grp AS (
+      SELECT DISTINCT user_id, event_type, CAST(ts AS DATE) AS d
+      FROM events WHERE user_id % 10 = 0
+    ),
+    e AS (
+      SELECT DISTINCT a.user_id AS u, b.user_id AS v
+      FROM grp a JOIN grp b
+        ON a.event_type = b.event_type AND a.d = b.d AND a.user_id < b.user_id
+    )
+"""
+
+
+@query(
+    "clustering_coefficient_users",
+    f"""
+    WITH {_COOC_EDGES_SQL},
+    tri AS (
+      SELECT ab.u AS a, ab.v AS b, bc.v AS c
+      FROM e ab JOIN e bc ON ab.v = bc.u JOIN e ac ON ac.u = ab.u AND ac.v = bc.v
+    ),
+    tids AS (
+      SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+    ),
+    tcount AS (SELECT id, count(*) AS triangles FROM tids GROUP BY id),
+    deg AS (
+      SELECT id, count(*) AS degree FROM (
+        SELECT u AS id FROM e UNION ALL SELECT v FROM e
+      ) GROUP BY id
+    )
+    SELECT d.id AS user_id, d.degree, coalesce(t.triangles, 0) AS triangles,
+           round(CASE WHEN d.degree >= 2
+                 THEN 2.0 * coalesce(t.triangles, 0) / (d.degree * (d.degree - 1))
+                 ELSE 0.0 END, 6) AS clustering_coeff
+    FROM deg d LEFT JOIN tcount t ON t.id = d.id
+    """,
+)
+def clustering_coefficient_users(spark, sf_dir):
+    """Local clustering coefficient per vertex (§2.11 graph
+    algorithms): 2·triangles / (deg·(deg−1)) over the user
+    co-occurrence graph — the community-tightness feature on top of the
+    wedge-closure triangle kernel. Degrees are one agg over the
+    canonical u<v edge list exploded both ways; vertices with no
+    triangle still report (coalesce 0 after the left join). Same
+    two-equi-join closure as ``triangle_count`` — no NxN neighbor
+    materialization.
+    """
+    from vmware_graph_spark.analytics.algos import triangle_count
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)
+    grp = e.select(
+        "user_id", "event_type", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    a = grp.alias("a")
+    b = grp.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.d") == F.col("b.d"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(F.col("a.user_id").alias("src"), F.col("b.user_id").alias("dst"))
+        .distinct()
+    )
+    tri = triangle_count(edges)
+    deg = (
+        edges.select(F.col("src").alias("id"))
+        .unionAll(edges.select(F.col("dst").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("degree"))
+    )
+    return (
+        deg.join(tri.withColumnRenamed("triangles", "__t"), "id", "left")
+        .select(
+            F.col("id").alias("user_id"),
+            "degree",
+            F.coalesce(F.col("__t"), F.lit(0)).alias("triangles"),
+            F.round(
+                F.when(
+                    F.col("degree") >= 2,
+                    2.0
+                    * F.coalesce(F.col("__t"), F.lit(0))
+                    / (F.col("degree") * (F.col("degree") - 1)),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("clustering_coeff"),
+        )
+    )
+
+
+@query(
+    "quantile_bands_value_by_type",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.25), 4) AS p25,
+           round(quantile_cont(value, 0.50), 4) AS p50,
+           round(quantile_cont(value, 0.75), 4) AS p75,
+           round(quantile_cont(value, 0.95), 4) AS p95,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def quantile_bands_value_by_type(spark, sf_dir):
+    """Exact multi-quantile bands per group in ONE aggregation pass:
+    Spark's ``percentile(col, array(...))`` computes all four
+    interpolated quantiles from a single per-group sort — never one
+    job per quantile. At 100 TB the same call sites switch to
+    ``percentile_approx`` (KLL) for a one-pass mergeable sketch; this
+    exact variant is the reference the approx twin is tested against.
+    """
+    e = load_table(spark, sf_dir, "events")
+    bands = F.expr("percentile(value, array(0.25D, 0.50D, 0.75D, 0.95D))")
+    return e.groupBy("event_type").agg(
+        F.round(bands.getItem(0), 4).alias("p25"),
+        F.round(bands.getItem(1), 4).alias("p50"),
+        F.round(bands.getItem(2), 4).alias("p75"),
+        F.round(bands.getItem(3), 4).alias("p95"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "topk_plus_others_nation_revenue",
+    """
+    WITH per_nation AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             sum(CAST(round(o.o_totalprice, 4) AS DECIMAL(18,4))) AS rev
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY r.r_name, n.n_name
+    ),
+    ranked AS (
+      SELECT region, nation, rev,
+             row_number() OVER (PARTITION BY region
+                                ORDER BY rev DESC, nation) AS rn
+      FROM per_nation
+    )
+    SELECT region,
+           CASE WHEN rn <= 2 THEN nation ELSE 'OTHER' END AS nation_group,
+           CAST(sum(rev) AS DOUBLE) AS revenue,
+           count(*) AS n_nations
+    FROM ranked
+    GROUP BY region, nation_group
+    """,
+)
+def topk_plus_others_nation_revenue(spark, sf_dir):
+    """Top-k-plus-OTHER reporting rollup: per region, the top-2 nations
+    by revenue keep their names and the tail collapses into one OTHER
+    bucket — the dashboard pattern that naive SQL writes as two scans +
+    UNION. Here it is ONE aggregate → one tiny window → one
+    re-aggregate; revenue stays decimal until the final double cast so
+    the OTHER bucket's sum is order-independent.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    per_nation = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(F.round("o_totalprice", 4).cast("decimal(18,4)")).alias("rev"))
+    )
+    w = Window.partitionBy("region").orderBy(F.col("rev").desc(), F.col("nation"))
+    return (
+        per_nation.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "nation_group",
+            F.when(F.col("rn") <= 2, F.col("nation")).otherwise(F.lit("OTHER")),
+        )
+        .groupBy("region", "nation_group")
+        .agg(
+            F.sum("rev").cast("double").alias("revenue"),
+            F.count("*").alias("n_nations"),
+        )
+    )
+
+
+@query(
+    "dedup_keep_best_quality",
+    f"""
+    WITH RECURSIVE {_SH3_CTE},
+    hx AS (
+      SELECT id, i AS h_idx, min({_h64('shingle', 'i')}) AS h_val
+      FROM sh CROSS JOIN (SELECT unnest(range(8)) AS i)
+      GROUP BY id, i
+    ),
+    buckets AS (
+      SELECT id, h_idx // 2 AS band,
+             md5(string_agg(h_val::VARCHAR, ',' ORDER BY h_idx)) AS bucket
+      FROM hx GROUP BY id, h_idx // 2
+    ),
+    cands AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+    ),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS inter
+      FROM cands c JOIN sh x ON x.id = c.id_a JOIN sh y ON y.id = c.id_b AND y.shingle = x.shingle
+      GROUP BY c.id_a, c.id_b
+    ),
+    pairs AS (
+      SELECT i.id_a, i.id_b
+      FROM inter i JOIN sizes sa ON sa.id = i.id_a JOIN sizes sb ON sb.id = i.id_b
+      WHERE inter::DOUBLE / (sa.n_sh + sb.n_sh - inter) >= 0.4
+    ),
+    sym AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a
+    ),
+    rep AS (
+      SELECT a AS doc_id, least(min(b), a) AS component FROM reach GROUP BY a
+    ),
+    comp AS (
+      SELECT d.doc_id, coalesce(r.component, d.doc_id) AS component, d.n_chars
+      FROM documents d LEFT JOIN rep r ON d.doc_id = r.doc_id
+    )
+    SELECT doc_id, component, CAST(rn = 1 AS BOOLEAN) AS keep FROM (
+      SELECT doc_id, component,
+             row_number() OVER (PARTITION BY component
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM comp
+    )
+    """,
+)
+def dedup_keep_best_quality(spark, sf_dir):
+    """Near-dup clustering with a POLICY-pluggable survivor: instead of
+    the min-id canonical row (``near_dedup_clusters``), each component
+    keeps its highest-quality member (longest document, doc_id
+    tie-break) — the selection real corpus dedup wants, since the
+    canonical-by-id row may be the truncated copy. Same LSH→verify→
+    star-contraction pipeline; the survivor choice is one extra window
+    over the component assignment, so swapping policies costs one
+    column ordering, not a new pipeline.
+    """
+    from vmware_graph_spark.analytics.algos import connected_components_star
+    from vmware_graph_spark.operators.dedup import minhash_lsh_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, num_hashes=8, bands=4, verify_threshold=0.4
+    )
+    vertices = d.select(F.col("doc_id").alias("id"))
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    cc = connected_components_star(vertices, edges)
+    comp = cc.select(F.col("id").alias("doc_id"), "component").join(
+        d.select("doc_id", "n_chars"), "doc_id"
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        comp.withColumn("rn", F.row_number().over(w))
+        .select("doc_id", "component", (F.col("rn") == 1).alias("keep"))
+    )
