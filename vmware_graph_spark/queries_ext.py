@@ -903,3 +903,170 @@ def dedup_keep_best_quality(spark, sf_dir):
         comp.withColumn("rn", F.row_number().over(w))
         .select("doc_id", "component", (F.col("rn") == 1).alias("keep"))
     )
+
+
+@query(
+    "linreg_value_trend_by_type",
+    """
+    WITH pts AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) - epoch(TIMESTAMP '2024-01-01') AS DOUBLE) / 86400.0 AS x,
+             value AS y
+      FROM events
+    ),
+    m AS (
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(round(x, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(round(y, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(round(x * y, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(round(x * x, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sxx
+      FROM pts GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope_per_day,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+             AS intercept
+    FROM m
+    """,
+)
+def linreg_value_trend_by_type(spark, sf_dir):
+    """Per-group ordinary-least-squares trend (value vs days since
+    epoch start) from closed-form moments — the 'fit a model per group'
+    pattern with NO pandas, no UDF, no iteration: one aggregation
+    computes n, Σx, Σy, Σxy, Σx² as exact decimals, and slope/intercept
+    are pure projections over the 5-row result. The identical shape at
+    100 TB: a map-side-combined agg and arithmetic on the driver-sized
+    output. (Contrast ``trimmed_mean_value_by_type``, which shows the
+    applyInPandas route when the statistic has no moment form.)
+    """
+    e = load_table(spark, sf_dir, "events")
+    # unix_timestamp applies the SAME session-tz interpretation to both
+    # operands (the fixture ts is TIMESTAMP_NTZ), so the tz offset
+    # cancels; it also truncates to whole seconds, which the oracle
+    # mirrors with floor(epoch(ts)).
+    x = (
+        F.unix_timestamp("ts")
+        - F.unix_timestamp(F.lit("2024-01-01").cast("timestamp"))
+    ).cast("double") / 86400.0
+    pts = e.select("event_type", x.alias("x"), F.col("value").alias("y"))
+
+    def dsum(c):
+        return F.sum(F.round(c, 6).cast("decimal(28,6)")).cast("double")
+
+    m = pts.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        dsum(F.col("x")).alias("sx"),
+        dsum(F.col("y")).alias("sy"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        "event_type",
+        "n",
+        F.round(slope, 6).alias("slope_per_day"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+    )
+
+
+@query(
+    "mad_outliers_by_type",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, e.value, abs(e.value - m.med) AS adev, m.med
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           round(any_value(d.med), 4) AS median_value,
+           round(any_value(m2.mad), 4) AS mad,
+           count(*) FILTER (WHERE d.adev > 3.0 * 1.4826 * m2.mad) AS n_outliers,
+           count(*) AS n
+    FROM dev d JOIN mad m2 USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def mad_outliers_by_type(spark, sf_dir):
+    """Robust outlier screen per group via Median Absolute Deviation
+    (the breakdown-resistant alternative to the z-score screen in
+    ``zscore_outliers_by_type`` — one wild value cannot move the
+    threshold): two exact-median passes (value median, then deviation
+    median), the 1.4826 normal-consistency constant, and a 3σ-equivalent
+    cut. Both medians broadcast back as tiny per-group tables; the scan
+    runs twice but shuffles only group-sized aggregates. At 100 TB both
+    medians switch to ``percentile_approx`` and it becomes one pass.
+    """
+    e = load_table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.first("med"), 4).alias("median_value"),
+            F.round(F.first("mad"), 4).alias("mad"),
+            F.count(
+                F.when(F.col("adev") > 3.0 * 1.4826 * F.col("mad"), 1)
+            ).alias("n_outliers"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
+    "new_users_daily_cumulative",
+    """
+    WITH first_seen AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS d FROM events GROUP BY user_id
+    ),
+    daily AS (
+      SELECT d, count(*) AS new_users FROM first_seen GROUP BY d
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day, new_users,
+           CAST(sum(new_users) OVER (ORDER BY d
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cumulative_users
+    FROM daily
+    """,
+)
+def new_users_daily_cumulative(spark, sf_dir):
+    """Daily new-user counts with a running cumulative total — the
+    growth-curve query every event pipeline reports: first-seen date
+    per user (one min-agg), per-day counts, and an unbounded-preceding
+    running sum over the |days|-row aggregate (the window runs on the
+    tiny result, never the event stream). Distinct-accumulation without
+    a day×user cross-blowup.
+    """
+    e = load_table(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("d")
+    )
+    daily = first_seen.groupBy("d").agg(F.count("*").alias("new_users"))
+    w = (
+        Window.partitionBy()
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cumulative_users"),
+    )
