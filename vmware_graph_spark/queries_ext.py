@@ -1070,3 +1070,66 @@ def new_users_daily_cumulative(spark, sf_dir):
         "new_users",
         F.sum("new_users").over(w).alias("cumulative_users"),
     )
+
+
+@query(
+    "streaming_stateful_sessionize",
+    """
+    WITH o AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+      FROM events
+    )
+    SELECT user_id,
+           sum(CASE WHEN pts IS NULL
+                      OR epoch_ms(ts) - epoch_ms(pts) > 1800000
+                    THEN 1 ELSE 0 END)::BIGINT AS n_sessions,
+           count(*) AS n_events
+    FROM o GROUP BY user_id
+    """,
+)
+def streaming_stateful_sessionize(spark, sf_dir):
+    """REAL ``applyInPandasWithState`` run (§2.11 — the one genuinely
+    custom stateful operator): per-user session counts with a 30-minute
+    inactivity gap, state carried across THREE micro-batches. The event
+    stream is fed as three time-range files written sequentially (1.1 s
+    apart, so the file source's mtime ordering is deterministic and
+    each user's events arrive in event-time order — the same contract a
+    Kafka source keyed by user gives). Update mode emits running totals
+    every batch; the final per-user state is the max-event-count row.
+    The oracle is the batch gaps-and-islands computation at the
+    sessionizer's millisecond resolution.
+    """
+    import tempfile
+    import time as _time
+    import uuid
+
+    from vmware_graph_spark.streaming.events import (
+        read_event_stream,
+        run_available_to_memory,
+        sessionize_stream,
+    )
+
+    path = tempfile.mkdtemp(prefix="vgs_ssess_") + "/ev"
+    ev = load_table(spark, sf_dir, "events")
+    cuts = ev.select(
+        F.expr("percentile(unix_timestamp(ts), array(0.33D, 0.66D))").alias("c")
+    ).collect()[0]["c"]
+    lo, hi = float(cuts[0]), float(cuts[1])
+    t = F.unix_timestamp("ts")
+    ranges = [t <= lo, (t > lo) & (t <= hi), t > hi]
+    for i, cond in enumerate(ranges):
+        ev.filter(cond).coalesce(1).write.mode("append").parquet(path)
+        if i < len(ranges) - 1:
+            _time.sleep(1.1)  # distinct file mtimes → deterministic batch order
+
+    sess = sessionize_stream(read_event_stream(spark, path), gap_seconds=1800)
+    name = "stream_sess_" + uuid.uuid4().hex[:8]
+    run_available_to_memory(sess, name, output_mode="update")
+    out = spark.table(name)
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_sessions", "n_events")
+    )
