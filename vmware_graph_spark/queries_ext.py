@@ -1133,3 +1133,204 @@ def streaming_stateful_sessionize(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("user_id", "n_sessions", "n_events")
     )
+
+
+@query(
+    "graph_esx_version_rollup",
+    """
+    WITH h AS (
+      SELECT s_suppkey AS sk, n_name AS cluster, 'vc-' || r_name AS uid
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    ),
+    hosts AS (
+      SELECT 'VMware ESXi ' || (sk % 2 + 6) || '.0' AS esxver, cluster
+      FROM h WHERE sk % 11 <> 0
+    )
+    SELECT coalesce(esxver, 'ALL') AS esxver,
+           coalesce(cluster, 'ALL') AS cluster,
+           count(*) AS n_hosts
+    FROM hosts
+    GROUP BY ROLLUP (esxver, cluster)
+    """,
+)
+def graph_esx_version_rollup(spark, sf_dir):
+    """ESX-version fleet report over the GRAPH (SURVEY §7 step 5):
+    ingest vCluster+vHost, then traverse Vspherehost —IS_ESX_VERSION→
+    Vsphereesxversion and —MEMBER_OF_CLUSTER→ Vcentercluster through
+    the canonical edge table, and ``rollup(esxver, cluster)`` the host
+    counts — per version×cluster, per version, and fleet-wide in ONE
+    expand+agg pass. The oracle recomputes the same rollup from the
+    sheet fixture including the reference's inner-join row drop
+    (unknown-cluster hosts never reach the graph,
+    refresh-vmware.cypher:74). Both rel_type slices of the edge table
+    prune before their joins; at 100 TB the edge table is partitioned
+    by rel_type so the prune is a partition skip.
+    """
+    from vmware_graph_spark.ingest.stages import stage_vcluster, stage_vhost
+    from vmware_graph_spark.queries import _vcluster_sheet, _vhost_sheet
+    from vmware_graph_spark.store.graph import US, GraphStore
+
+    store = GraphStore(spark, checkpoint_every=2)
+    stage_vcluster(store, {"vCluster": _vcluster_sheet(spark, sf_dir)})
+    stage_vhost(store, {"vHost": _vhost_sheet(spark, sf_dir)})
+    edges = store.edges()
+    ver = edges.filter(F.col("rel_type") == "IS_ESX_VERSION").select(
+        "src_key", F.split(F.col("dst_key"), US).getItem(0).alias("esxver")
+    )
+    member = edges.filter(F.col("rel_type") == "MEMBER_OF_CLUSTER").select(
+        "src_key", F.split(F.col("dst_key"), US).getItem(0).alias("cluster")
+    )
+    hosts = ver.join(member, "src_key")
+    return (
+        hosts.rollup("esxver", "cluster")
+        .agg(F.count("*").alias("n_hosts"))
+        .select(
+            F.coalesce(F.col("esxver"), F.lit("ALL")).alias("esxver"),
+            F.coalesce(F.col("cluster"), F.lit("ALL")).alias("cluster"),
+            "n_hosts",
+        )
+    )
+
+
+@query(
+    "graph_dns_config_drift",
+    """
+    WITH h AS (
+      SELECT s_suppkey AS sk, n_name AS cluster
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE s_suppkey % 11 <> 0
+    ),
+    sets AS (
+      SELECT sk, cluster,
+             CASE WHEN sk % 9 = 0 THEN '(none)'
+                  ELSE '8.8.8.8|dns' || (sk % 4) || '.example' END AS dns_set
+      FROM h
+    ),
+    counted AS (
+      SELECT cluster, dns_set, count(*) AS cnt FROM sets GROUP BY cluster, dns_set
+    ),
+    modal AS (
+      SELECT cluster, dns_set AS modal_dns FROM (
+        SELECT cluster, dns_set,
+               row_number() OVER (PARTITION BY cluster
+                                  ORDER BY cnt DESC, dns_set) AS rn
+        FROM counted
+      ) WHERE rn = 1
+    )
+    SELECT s.cluster, m.modal_dns,
+           count(*) AS n_hosts,
+           sum(CASE WHEN s.dns_set <> m.modal_dns THEN 1 ELSE 0 END)::BIGINT
+             AS n_outliers
+    FROM sets s JOIN modal m ON m.cluster = s.cluster
+    GROUP BY s.cluster, m.modal_dns
+    """,
+)
+def graph_dns_config_drift(spark, sf_dir):
+    """Config-drift detection over the GRAPH — the fleet-hygiene
+    question a reference user asks in Cypher ("which hosts don't use
+    their cluster's DNS servers?"): ingest vCluster+vHost+DNS, rebuild
+    each host's DNS set from its USES_DNS edges (sorted, '|'-joined —
+    hosts with no DNS edges report '(none)'), find each cluster's MODAL
+    configuration (max-count, min-set tie-break), and count deviating
+    hosts. One collect_set per host, one count per (cluster, set), one
+    tiny argmax window — the set strings shuffle, never the edge
+    fan-out. The oracle re-derives the same sets from the sheet rules,
+    including the inner-join host drop and the null-DNS branch.
+    """
+    from vmware_graph_spark.ingest.stages import stage_dns, stage_vcluster, stage_vhost
+    from vmware_graph_spark.queries import _vcluster_sheet, _vhost_sheet
+    from vmware_graph_spark.store.graph import US, GraphStore
+
+    store = GraphStore(spark, checkpoint_every=2)
+    sheets = {
+        "vCluster": _vcluster_sheet(spark, sf_dir),
+        "vHost": _vhost_sheet(spark, sf_dir),
+    }
+    stage_vcluster(store, sheets)
+    stage_vhost(store, sheets)
+    stage_dns(store, sheets)
+
+    edges = store.edges()
+    member = edges.filter(F.col("rel_type") == "MEMBER_OF_CLUSTER").select(
+        "src_key", F.split(F.col("dst_key"), US).getItem(0).alias("cluster")
+    )
+    dns = (
+        edges.filter(F.col("rel_type") == "USES_DNS")
+        .select("src_key", F.split(F.col("dst_key"), US).getItem(1).alias("address"))
+        .groupBy("src_key")
+        .agg(F.array_join(F.array_sort(F.collect_set("address")), "|").alias("dns_set"))
+    )
+    sets = member.join(dns, "src_key", "left").select(
+        "cluster", F.coalesce(F.col("dns_set"), F.lit("(none)")).alias("dns_set")
+    )
+    counted = sets.groupBy("cluster", "dns_set").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("cluster").orderBy(F.col("cnt").desc(), F.col("dns_set"))
+    modal = (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cluster", F.col("dns_set").alias("modal_dns"))
+    )
+    return (
+        sets.join(modal, "cluster")
+        .groupBy("cluster", "modal_dns")
+        .agg(
+            F.count("*").alias("n_hosts"),
+            F.sum(
+                F.when(F.col("dns_set") != F.col("modal_dns"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )
+
+
+@query(
+    "graph_datastore_usage",
+    """
+    WITH b AS (
+      SELECT o_orderkey AS ok, n_name AS cluster, 'vc-' || r_name AS uid
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    )
+    SELECT 'ds://' || cluster || '-' || uid AS datastore,
+           count(*) AS n_disks,
+           sum(ok % 100 + 1)::BIGINT AS total_capacity_mb
+    FROM b WHERE ok % 7 <> 0
+    GROUP BY datastore
+    """,
+)
+def graph_datastore_usage(spark, sf_dir):
+    """Datastore utilization over the GRAPH — the capacity-planning
+    question a reference user asks in Cypher ("how many disks and how
+    much provisioned capacity sits on each datastore?"): ingest vDisk
+    against the seeded VM/datastore/host graph, then walk Vdatastore
+    —ON_DATASTORE→ Virtualdisk through the canonical edge table and
+    join the disk vertex table for the capacity property. Bracketless
+    disk paths never parsed to a datastore, so they are absent exactly
+    as the reference's failed MATCH drops them
+    (refresh-vmware.cypher:249-251). rel_type prune → one equi-join →
+    one ds-keyed agg; integer capacities sum exactly.
+    """
+    from vmware_graph_spark.ingest.stages import stage_vdisk
+    from vmware_graph_spark.queries import _seed_vm_ds_host, _vdisk_sheet
+    from vmware_graph_spark.store.graph import GraphStore
+
+    store = GraphStore(spark, checkpoint_every=2)
+    _seed_vm_ds_host(spark, sf_dir, store)
+    stage_vdisk(store, {"vDisk": _vdisk_sheet(spark, sf_dir)})
+
+    on_ds = store.edges().filter(F.col("rel_type") == "ON_DATASTORE").select(
+        F.col("src_key").alias("datastore"), F.col("dst_key").alias("path")
+    )
+    disks = store.vertices("Virtualdisk").select(
+        F.col("path"), F.col("capacity").cast("bigint").alias("cap")
+    )
+    return (
+        on_ds.join(disks, "path")
+        .groupBy("datastore")
+        .agg(
+            F.count("*").alias("n_disks"),
+            F.sum("cap").alias("total_capacity_mb"),
+        )
+    )
