@@ -1334,3 +1334,63 @@ def graph_datastore_usage(spark, sf_dir):
             F.sum("cap").alias("total_capacity_mb"),
         )
     )
+
+
+@query(
+    "udtf_token_runs",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, l[i] AS token, i - 1 AS pos
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS l
+            FROM documents),
+           UNNEST(range(1, len(l) + 1)) AS t(i)
+    ),
+    runs AS (
+      SELECT doc_id, token, pos,
+             pos - row_number() OVER (PARTITION BY doc_id, token ORDER BY pos) AS grp
+      FROM toks
+    )
+    SELECT doc_id, token,
+           CAST(min(pos) AS INTEGER) AS run_start,
+           CAST(count(*) AS INTEGER) AS run_len
+    FROM runs
+    GROUP BY doc_id, token, grp
+    HAVING count(*) >= 2
+    """,
+)
+def udtf_token_runs(spark, sf_dir):
+    """Python UDTF (§2.11 UDF/UDAF/UDTF row — the one API tier the
+    parity surface doesn't otherwise need): run-length encoding of
+    repeated tokens per document via a LATERAL table function — the
+    inherently sequential per-row expansion (one input row → N output
+    rows with positional state) that relational operators only express
+    through the gaps-and-islands trick the oracle runs. The UDTF is the
+    sanctioned shape for this: batch-pickled, executed data-parallel
+    per partition, no driver involvement — but it IS Python-side, so
+    the engine reserves it for logic with no Catalyst form (every other
+    registry text op is pure Catalyst).
+    """
+    import re as _re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token string, run_start int, run_len int")
+    class RLERuns:
+        def eval(self, text):
+            toks = [t for t in _re.split(r"\s+", text or "") if t]
+            i = 0
+            while i < len(toks):
+                j = i
+                while j < len(toks) and toks[j] == toks[i]:
+                    j += 1
+                if j - i >= 2:
+                    yield toks[i], i, j - i
+                i = j
+
+    spark.udtf.register("vgs_rle_runs", RLERuns)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("vgs_udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, r.token, r.run_start, r.run_len "
+        "FROM vgs_udtf_docs d, LATERAL vgs_rle_runs(d.text) r"
+    )
