@@ -1394,3 +1394,40 @@ def udtf_token_runs(spark, sf_dir):
         "SELECT d.doc_id, r.token, r.run_start, r.run_len "
         "FROM vgs_udtf_docs d, LATERAL vgs_rle_runs(d.text) r"
     )
+
+
+@query(
+    "pandas_udf_midrange_by_type",
+    """
+    SELECT event_type,
+           round((min(least(value, 250.0)) + max(least(value, 250.0))) / 2.0, 4)
+             AS midrange_capped,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def pandas_udf_midrange_by_type(spark, sf_dir):
+    """Arrow-vectorized pandas_udf coverage, both remaining tiers in
+    one query (§2.11 UDF/UDAF/UDTF row): a SCALAR pandas_udf caps each
+    value (Series→Series, one Arrow batch per task — never row-at-a-
+    time), and a GROUPED_AGG pandas_udf (the UDAF tier) reduces each
+    group to its midrange (min+max)/2 — an order-insensitive statistic,
+    so the Python aggregation is engine-exact with no decimal scaffold.
+    The oracle states the same algebra in SQL. Production stance
+    unchanged: these tiers exist for logic with no Catalyst form; here
+    the form is deliberately simple so the API path itself is what the
+    gate verifies.
+    """
+    from vmware_graph_spark.functions.arrow_udfs import cap250, midrange
+
+    e = load_table(spark, sf_dir, "events")
+    capped = e.select("event_type", cap250(F.col("value")).alias("capped"))
+    # Spark disallows mixing a grouped-agg pandas UDF with JVM
+    # aggregates in one agg() — the count comes from its own pass,
+    # joined back on the 5-row group keys.
+    mid = capped.groupBy("event_type").agg(
+        F.round(midrange(F.col("capped")), 4).alias("midrange_capped")
+    )
+    n = e.groupBy("event_type").agg(F.count("*").alias("n"))
+    return mid.join(n, "event_type").select("event_type", "midrange_capped", "n")
