@@ -36,3 +36,14 @@ def test_oracle_sql_is_nonempty_ansi():
     for name, sql in ORACLE.items():
         assert sql.strip().upper().startswith(("SELECT", "WITH")), name
         assert "spark" not in sql.lower(), name  # pure ANSI/DuckDB side
+
+
+def test_cli_rejects_bad_args(capsys):
+    """__main__.main is the advertised entry point; malformed argv must
+    exit 2 with usage on stderr, not start a SparkSession."""
+    from vmware_graph_spark.__main__ import main
+
+    assert main([]) == 2
+    assert main(["refresh", "only-one-arg"]) == 2
+    assert main(["not-a-command", "a", "b"]) == 2
+    assert "refresh WORKBOOK_DIR SNAPSHOT_DIR" in capsys.readouterr().err
