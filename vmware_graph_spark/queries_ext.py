@@ -1431,3 +1431,192 @@ def pandas_udf_midrange_by_type(spark, sf_dir):
     )
     n = e.groupBy("event_type").agg(F.count("*").alias("n"))
     return mid.join(n, "event_type").select("event_type", "midrange_capped", "n")
+
+
+def _write_time_ordered_batches(spark, sf_dir, path, df, n=3, extra=None):
+    """Write ``df`` as ``n`` sequential time-range parquet files (1.1 s
+    apart so the file source's mtime ordering is deterministic), plus an
+    optional ``extra`` final batch (e.g. a watermark-flush sentinel)."""
+    import time as _time
+
+    qs = [0.33, 0.66] if n == 3 else [i / n for i in range(1, n)]
+    cuts = df.select(
+        F.expr(
+            "percentile(unix_timestamp(ts), array("
+            + ", ".join(f"{q}D" for q in qs)
+            + "))"
+        ).alias("c")
+    ).collect()[0]["c"]
+    t = F.unix_timestamp("ts")
+    bounds = [float(c) for c in cuts]
+    conds = []
+    prev = None
+    for b in bounds:
+        conds.append((t <= b) if prev is None else ((t > prev) & (t <= b)))
+        prev = b
+    conds.append(t > prev)
+    batches = [df.filter(c) for c in conds]
+    if extra is not None:
+        batches.append(extra)
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.mode("append").parquet(path)
+        if i < len(batches) - 1:
+            _time.sleep(1.1)
+
+
+@query(
+    "streaming_session_window_counts",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WHERE user_id % 10 = 0
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id, count(*) AS n_events,
+           CAST(sum(CAST(round(value, 4) AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def streaming_session_window_counts(spark, sf_dir):
+    """REAL native ``F.session_window`` STREAMING aggregation (§2.11 —
+    the dynamically-merging window state Spark manages itself, vs the
+    hand-rolled ``applyInPandasWithState`` twin): 30-minute-gap sessions
+    over a sampled user set, three time-ordered micro-batches, APPEND
+    mode — sessions only emit when the event-time watermark passes
+    their close, so a final sentinel batch (one event 30 days past the
+    maximum, excluded from the result) is appended purely to advance
+    the watermark and flush every real session. That sentinel is the
+    production pattern's stand-in: a live stream always has later data;
+    a drained backfill must bring its own watermark push. Oracle: the
+    batch gaps-and-islands sessionization at millisecond resolution.
+    """
+    import tempfile
+    import uuid
+
+    from vmware_graph_spark.streaming.events import read_event_stream
+
+    path = tempfile.mkdtemp(prefix="vgs_ssw_") + "/ev"
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)
+    maxts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    sentinel = spark.createDataFrame(
+        [(int(-1), maxts, int(-1), "flush", 0.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).select(
+        "event_id",
+        (F.col("ts") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    _write_time_ordered_batches(spark, sf_dir, path, ev, n=3, extra=sentinel)
+
+    sdf = (
+        read_event_stream(spark, path)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round("value", 4).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    name = "stream_ssw_" + uuid.uuid4().hex[:8]
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .filter(F.col("user_id") >= 0)
+        .select("user_id", "n_events", "sum_value")
+    )
+
+
+@query(
+    "streaming_cdc_merge_into",
+    f"""
+    WITH latest AS (
+      SELECT 't' || (user_id % 3) AS tenant, user_id, value, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT tenant, user_id,
+           value AS last_value,
+           strftime(ts, '{_TS_FMT_SQL}') AS last_ts
+    FROM latest WHERE rn = 1
+    """,
+)
+def streaming_cdc_merge_into(spark, sf_dir):
+    """REAL CDC pipeline end-to-end (§2.11 streaming + the reference's
+    refresh protocol in continuous form): the event stream drains via
+    ``foreachBatch`` into a tenant-partitioned ``IncrementalTable``,
+    each micro-batch reduced to its per-user latest row and MERGE'd
+    (per-column upsert, checkpointed exactly-once). Because the three
+    micro-batches are time-ordered, the table's final state is each
+    user's overall latest (ts, event_id) row — which is exactly what
+    the oracle derives from the batch table in one window. The merge
+    path is the same ``upsert_last_writer_wins`` kernel every ingest
+    stage uses; partition pruning on the touched tenants shows up as
+    PartitionFilters in the scan (asserted in test_incremental.py).
+    """
+    import tempfile
+    import uuid
+
+    from vmware_graph_spark.store.incremental import IncrementalTable
+    from vmware_graph_spark.streaming.events import read_event_stream
+
+    base = tempfile.mkdtemp(prefix="vgs_cdc_")
+    path, tbl_path, ckpt = base + "/ev", base + "/tbl", base + "/ckpt"
+    ev = load_table(spark, sf_dir, "events")
+    _write_time_ordered_batches(spark, sf_dir, path, ev, n=3)
+
+    table = IncrementalTable(spark, tbl_path, keys=["user_id"], tenant_col="tenant")
+    changes = read_event_stream(spark, path).select(
+        F.concat(F.lit("t"), (F.col("user_id") % 3).cast("string")).alias("tenant"),
+        "user_id",
+        F.col("value").alias("last_value"),
+        "ts",
+        "event_id",
+    )
+
+    def handle(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        w = Window.partitionBy("tenant", "user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        latest = (
+            batch_df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "tenant",
+                "user_id",
+                "last_value",
+                F.date_format("ts", _TS_FMT_SPARK).alias("last_ts"),
+            )
+        )
+        table.merge(latest)
+
+    q = (
+        changes.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return table.read().select("tenant", "user_id", "last_value", "last_ts")
