@@ -1620,3 +1620,105 @@ def streaming_cdc_merge_into(spark, sf_dir):
     )
     q.awaitTermination()
     return table.read().select("tenant", "user_id", "last_value", "last_ts")
+
+
+@query(
+    "mixture_weights_temperature",
+    """
+    WITH per_source AS (
+      SELECT source, count(*) AS n_docs,
+             round(sqrt(count(*)::DOUBLE), 6) AS w_raw
+      FROM documents GROUP BY source
+    ),
+    total AS (
+      SELECT CAST(sum(CAST(w_raw AS DECIMAL(18,6))) AS DOUBLE) AS z FROM per_source
+    )
+    SELECT source, n_docs,
+           round(w_raw / z, 6) AS mix_weight
+    FROM per_source, total
+    """,
+)
+def mixture_weights_temperature(spark, sf_dir):
+    """Temperature-scaled corpus mixture weights (the multi-source
+    sampling schedule a training pipeline derives before building
+    batches): per-source document counts raised to α=0.5 (sqrt — chosen
+    because IEEE sqrt is correctly-rounded and therefore engine-exact,
+    unlike pow), normalized into sampling probabilities. One count agg
+    + a 1-row broadcast normalizer — the weights are then fed to the
+    existing `weighted_sample_docs` / `stratified_sample_mixture`
+    kernels. Upweights rare sources exactly as T=2 mixture sampling
+    prescribes.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.sqrt(F.count("*").cast("double")), 6).alias("w_raw"),
+    )
+    total = per_source.agg(
+        F.sum(F.col("w_raw").cast("decimal(18,6)")).cast("double").alias("z")
+    )
+    return per_source.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_docs",
+        F.round(F.col("w_raw") / F.col("z"), 6).alias("mix_weight"),
+    )
+
+
+@query(
+    "graph_vm_snapshot_report",
+    f"""
+    WITH b AS (  SELECT c_custkey AS ck, c_name AS vmname, n_name AS cluster, r_name AS rname,
+         'vc-' || r_name AS uid, lower(replace(r_name, ' ', '')) || '.example' AS srv
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey)
+    SELECT uid AS vcenter,
+           count(*) AS n_snapshots,
+           count(DISTINCT ck) AS n_vms_with_snapshots,
+           sum(ck % 1000)::BIGINT AS total_size_mb
+    FROM b WHERE ck % 7 = 0
+    GROUP BY uid
+    """,
+)
+def graph_vm_snapshot_report(spark, sf_dir):
+    """Snapshot-debt fleet report over the GRAPH (the classic VMware
+    hygiene query — forgotten snapshots eat datastores): traverse
+    Virtualmachine —SNAPSHOT_OF→ Vsnapshot, join snapshot vertex props
+    for sizes, and roll up per vCenter (tenant). Undirected-merge
+    canonicalization guarantees each snapshot edge appears exactly once
+    regardless of assertion direction (refresh-vmware.cypher:276). The
+    oracle recomputes the rollup from the sheet's generation rule.
+    """
+    from vmware_graph_spark.ingest.stages import stage_vcluster, stage_vsnapshot
+    from vmware_graph_spark.queries import (
+        _seed_vm_ds_host,
+        _vcluster_sheet,
+        _vsnapshot_sheet,
+    )
+    from vmware_graph_spark.store.graph import US, GraphStore
+
+    store = GraphStore(spark, checkpoint_every=2)
+    stage_vcluster(store, {"vCluster": _vcluster_sheet(spark, sf_dir)})
+    _seed_vm_ds_host(spark, sf_dir, store)
+    stage_vsnapshot(store, {"vSnapshot": _vsnapshot_sheet(spark, sf_dir)})
+
+    snap_of = store.edges().filter(F.col("rel_type") == "SNAPSHOT_OF").select(
+        F.col("src_key").alias("vm_key"), F.col("dst_key").alias("snap_key")
+    )
+    snaps = store.vertices("Vsnapshot").select(
+        F.concat_ws(US, "name", "vmuuid").alias("snap_key"),
+        F.col("size").cast("bigint").alias("size_mb"),
+    )
+    return (
+        snap_of.join(snaps, "snap_key")
+        .select(
+            F.split(F.col("vm_key"), US).getItem(1).alias("vcenter"),
+            F.split(F.col("vm_key"), US).getItem(0).alias("vm"),
+            "size_mb",
+        )
+        .groupBy("vcenter")
+        .agg(
+            F.count("*").alias("n_snapshots"),
+            F.count_distinct("vm").alias("n_vms_with_snapshots"),
+            F.sum("size_mb").alias("total_size_mb"),
+        )
+    )
