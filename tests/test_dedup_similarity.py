@@ -265,3 +265,22 @@ def test_pq_adc_recovers_cluster_structure(spark):
     top = pq_topk(q, codes, cb, id_col="vec_id", vec_col="embedding", k=5)
     for r in top.collect():
         assert r.neighbor_id // 20 == r.query_id // 20, r
+
+
+def test_prefix_filtered_jaccard_equals_inverted_index(spark):
+    """The PPJoin-style prefix filter is an algebraic rewrite: its
+    output must equal the plain inverted-index join exactly, pair for
+    pair, score for score."""
+    from vmware_graph_spark.operators.dedup import jaccard_pairs, jaccard_pairs_prefix
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.4).collect()
+    }
+    pref = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in jaccard_pairs_prefix(d, "doc_id", "text", n=3, threshold=0.4).collect()
+    }
+    assert base == pref
+    assert len(base) > 0  # non-vacuous

@@ -1722,3 +1722,113 @@ def graph_vm_snapshot_report(spark, sf_dir):
             F.sum("size_mb").alias("total_size_mb"),
         )
     )
+
+
+# Same oracle as the inverted-index variant: prefix filtering is an
+# algebraic rewrite, not a semantic change — the gate proves it.
+from vmware_graph_spark.queries import ORACLE as _ORACLE  # noqa: E402
+
+
+@query("jaccard_pairs_prefix_filtered", _ORACLE["jaccard_pairs_documents"])
+def jaccard_pairs_prefix_filtered(spark, sf_dir):
+    """PPJoin-style prefix-filtered exact Jaccard join — identical
+    output to ``jaccard_pairs_documents`` (the shared oracle proves
+    it), but the candidate self-join runs only on each document's
+    rarest-shingle prefix: hot shingles are excluded by construction,
+    so the quadratic bucket risk the plain inverted index caps with
+    ``max_df`` never materializes. See
+    ``operators.dedup.jaccard_pairs_prefix`` for the algebra.
+    """
+    from vmware_graph_spark.operators.dedup import jaccard_pairs_prefix
+
+    d = load_table(spark, sf_dir, "documents")
+    out = jaccard_pairs_prefix(d, "doc_id", "text", n=3, threshold=0.4)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@query(
+    "wow_revenue_change",
+    """
+    WITH weekly AS (
+      SELECT date_trunc('week', o_orderdate) AS week_start,
+             CAST(sum(CAST(round(o_totalprice, 4) AS DECIMAL(18,4))) AS DOUBLE)
+               AS revenue,
+             count(*) AS n_orders
+      FROM orders GROUP BY week_start
+    )
+    SELECT strftime(week_start, '%Y-%m-%d') AS week, revenue, n_orders,
+           round(CASE WHEN lag(revenue) OVER w IS NULL
+                        OR lag(revenue) OVER w = 0 THEN NULL
+                      ELSE 100.0 * (revenue - lag(revenue) OVER w)
+                            / lag(revenue) OVER w END, 4) AS pct_change
+    FROM weekly
+    WINDOW w AS (ORDER BY week_start)
+    """,
+)
+def wow_revenue_change(spark, sf_dir):
+    """Week-over-week growth — the reporting stencil every revenue
+    dashboard runs: weekly decimal-accumulated totals, then a lag
+    window over the |weeks|-row aggregate for percent change (null for
+    the first week — no fake 0% baseline). The window runs on the tiny
+    aggregate, never the fact table; date_trunc('week') matches Spark
+    and DuckDB (both ISO Monday weeks).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    weekly = o.groupBy(F.date_trunc("week", "o_orderdate").alias("week_start")).agg(
+        F.sum(F.round("o_totalprice", 4).cast("decimal(18,4)"))
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )
+    w = Window.partitionBy().orderBy("week_start")
+    prev = F.lag("revenue").over(w)
+    return weekly.select(
+        F.date_format("week_start", "yyyy-MM-dd").alias("week"),
+        "revenue",
+        "n_orders",
+        F.round(
+            F.when(prev.isNull() | (prev == 0), F.lit(None)).otherwise(
+                100.0 * (F.col("revenue") - prev) / prev
+            ),
+            4,
+        ).alias("pct_change"),
+    )
+
+
+@query(
+    "missing_days_per_user",
+    """
+    WITH span AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1,
+             count(DISTINCT CAST(ts AS DATE)) AS active_days
+      FROM events WHERE user_id % 10 = 0 GROUP BY user_id
+    )
+    SELECT user_id, active_days,
+           (date_diff('day', d0, d1) + 1)::BIGINT AS span_days,
+           (date_diff('day', d0, d1) + 1 - active_days)::BIGINT AS missing_days
+    FROM span
+    """,
+)
+def missing_days_per_user(spark, sf_dir):
+    """Activity-gap census per user (the engagement-hole question):
+    days inside each user's first→last span with NO events. Computed
+    WITHOUT materializing the user×day grid — span length is date
+    arithmetic and active days an exact distinct count, so missing =
+    span − active. (The grid-based sibling `resample_daily_ffill_user_
+    values` exists for when the per-day rows themselves are wanted;
+    for a count, the arithmetic form is the one that scales.)
+    """
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)
+    span = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+        F.count_distinct(F.col("ts").cast("date")).alias("active_days"),
+    )
+    return span.select(
+        "user_id",
+        "active_days",
+        (F.datediff("d1", "d0") + 1).cast("bigint").alias("span_days"),
+        (F.datediff("d1", "d0") + 1 - F.col("active_days"))
+        .cast("bigint")
+        .alias("missing_days"),
+    )
