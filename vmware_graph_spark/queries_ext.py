@@ -1832,3 +1832,155 @@ def missing_days_per_user(spark, sf_dir):
         .cast("bigint")
         .alias("missing_days"),
     )
+
+
+@query(
+    "incremental_agg_maintenance",
+    """
+    WITH allrows AS (
+      SELECT * FROM events
+    )
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(round(value, 4) AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+           round(CAST(sum(CAST(round(value, 4) AS DECIMAL(18,4))) AS DOUBLE)
+                 / count(*), 6) AS avg_value
+    FROM allrows GROUP BY event_type
+    """,
+)
+def incremental_agg_maintenance(spark, sf_dir):
+    """Incremental aggregate maintenance — the mergeable-aggregate
+    refresh pattern: the 'base' aggregate (first 80% of events by
+    event_id) is NOT recomputed when the 20% delta arrives; instead
+    base and delta partial aggregates (count, decimal sum — both
+    algebraic) merge by key, and avg derives from the merged moments.
+    The oracle recomputes over everything, proving merged == recomputed
+    — the property that makes per-partition/day rollups composable at
+    100 TB (aggregate each increment once, fold summaries forever).
+    """
+    e = load_table(spark, sf_dir, "events")
+    cut = F.col("event_id") % 5 != 0
+    dec = lambda c: F.sum(F.round(c, 4).cast("decimal(18,4)"))  # noqa: E731
+
+    def partial(df):
+        return df.groupBy("event_type").agg(
+            F.count("*").alias("n"), dec(F.col("value")).alias("s")
+        )
+
+    base = partial(e.filter(cut))
+    delta = partial(e.filter(~cut))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+    )
+    return merged.select(
+        "event_type",
+        "n",
+        F.col("s").cast("double").alias("sum_value"),
+        F.round(F.col("s").cast("double") / F.col("n"), 6).alias("avg_value"),
+    )
+
+
+@query(
+    "chi2_type_weekday",
+    """
+    WITH obs AS (
+      SELECT event_type, dayofweek(ts) AS dow, count(*) AS o
+      FROM events GROUP BY event_type, dow
+    ),
+    margins AS (
+      SELECT event_type, sum(o) AS row_n FROM obs GROUP BY event_type
+    ),
+    cols AS (
+      SELECT dow, sum(o) AS col_n FROM obs GROUP BY dow
+    ),
+    total AS (SELECT sum(o) AS n FROM obs)
+    SELECT round(CAST(sum(CAST(round(
+             power(o - (row_n * col_n / CAST(n AS DOUBLE)), 2)
+               / (row_n * col_n / CAST(n AS DOUBLE)), 8) AS DECIMAL(28,8)))
+           AS DOUBLE), 4) AS chi2,
+           CAST((count(*) - count(DISTINCT event_type) - count(DISTINCT dow) + 1)
+                AS BIGINT) AS dof_upper
+    FROM obs JOIN margins USING (event_type) JOIN cols USING (dow), total
+    """,
+)
+def chi2_type_weekday(spark, sf_dir):
+    """Chi-square independence screen for event type × weekday — the
+    'is usage day-patterned per type?' data-profiling question, from
+    ONE contingency aggregation: observed counts, row/column margins
+    broadcast back, expected = row·col/n, χ² accumulated as exact
+    decimals of rounded per-cell terms (squares and divisions are
+    deterministic IEEE ops). No statistics library, no sampling — the
+    full-data statistic at any scale.
+    """
+    e = load_table(spark, sf_dir, "events")
+    obs = e.groupBy("event_type", F.dayofweek("ts").alias("dow")).agg(
+        F.count("*").alias("o")
+    )
+    margins = obs.groupBy("event_type").agg(F.sum("o").alias("row_n"))
+    cols = obs.groupBy("dow").agg(F.sum("o").alias("col_n"))
+    total = obs.agg(F.sum("o").alias("n"))
+    j = (
+        obs.join(F.broadcast(margins), "event_type")
+        .join(F.broadcast(cols), "dow")
+        .crossJoin(F.broadcast(total))
+    )
+    exp = F.col("row_n") * F.col("col_n") / F.col("n").cast("double")
+    term = F.round(F.pow(F.col("o") - exp, 2) / exp, 8)
+    return j.agg(
+        F.round(
+            F.sum(term.cast("decimal(28,8)")).cast("double"), 4
+        ).alias("chi2"),
+        (
+            F.count("*")
+            - F.count_distinct("event_type")
+            - F.count_distinct("dow")
+            + 1
+        )
+        .cast("bigint")
+        .alias("dof_upper"),
+    )
+
+
+@query(
+    "user_event_timeline",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events WHERE user_id % 25 = 0
+    )
+    SELECT user_id,
+           array_to_string(list(event_type ORDER BY rn), '>') AS first_events,
+           count(*) AS n_shown
+    FROM ordered WHERE rn <= 5
+    GROUP BY user_id
+    """,
+)
+def user_event_timeline(spark, sf_dir):
+    """Nested-type assembly: each sampled user's first five events as
+    an ordered journey string (the feature a churn model consumes).
+    Spark side sorts structs inside the array — ``array_sort`` over
+    collected (rn, type) structs, then a transform projects the type —
+    so the per-user order is data-defined, not shuffle-defined.
+    One window + one collect per user; the 5-row cap bounds state.
+    """
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 25 == 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = e.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+    return (
+        ranked.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rn", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("first_events"),
+            F.count("*").alias("n_shown"),
+        )
+    )
