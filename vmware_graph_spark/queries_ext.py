@@ -1984,3 +1984,52 @@ def user_event_timeline(spark, sf_dir):
             F.count("*").alias("n_shown"),
         )
     )
+
+
+@query(
+    "bpe_pair_counts",
+    r"""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+      FROM documents
+    ),
+    pairs AS (
+      SELECT substr(tok, i, 2) AS pair
+      FROM toks, UNNEST(range(1, len(tok))) AS t(i)
+      WHERE len(tok) >= 2
+    )
+    SELECT pair, count(*) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT 20
+    """,
+)
+def bpe_pair_counts(spark, sf_dir):
+    """The first step of BPE tokenizer TRAINING (not application):
+    corpus-wide adjacent-character-pair frequencies — the statistic the
+    merge rule argmaxes over each BPE round. Pairs come from a
+    ``transform(sequence(...))`` expansion inside whole-stage codegen
+    (tokens shorter than 2 chars are filtered FIRST — Spark's
+    ``sequence(1, 0)`` is descending ``[1, 0]``, not empty, so the
+    guard is correctness, not just cost), one hash count, and a
+    TakeOrderedAndProject top-20. A full BPE trainer is this query in a
+    driver loop with the merge applied between rounds — each round
+    stays one pass.
+    """
+    from vmware_graph_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens("text")).alias("tok")).filter(
+        F.length("tok") >= 2
+    )
+    pairs = toks.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair"))
+        .limit(20)
+    )
