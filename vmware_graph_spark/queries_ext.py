@@ -2033,3 +2033,67 @@ def bpe_pair_counts(spark, sf_dir):
         .orderBy(F.col("n").desc(), F.col("pair"))
         .limit(20)
     )
+
+
+@query(
+    "hotkey_isolated_join",
+    """
+    SELECT n_name,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice, 4) AS DECIMAL(18,4))) AS DOUBLE)
+             AS revenue
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n_name
+    """,
+)
+def hotkey_isolated_join(spark, sf_dir):
+    """Hot-key ISOLATION join — the skew pattern complementary to
+    salting (``salted_join_region_revenue``): keys above a frequency
+    threshold are split out and joined via a tiny broadcast of just
+    their dimension rows (no shuffle can skew on them), while the cold
+    tail takes the ordinary shuffle join; the union re-aggregates.
+    The oracle is the plain join — isolation is a physical rewrite
+    with identical semantics, and the gate proves it. At 100 TB this
+    is the shape for power-law keys too hot even for AQE's skew-split
+    (one customer = half the orders): the hot side never enters an
+    exchange at all. The hot-key census itself is one map-side-combined
+    count (cheap) and is the same statistic AQE gathers at runtime.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+
+    hot_keys = (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") > 20)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    c_hot = F.broadcast(c.join(F.broadcast(hot_keys), "c_custkey"))
+    o_hot = o.join(
+        F.broadcast(hot_keys.withColumnRenamed("c_custkey", "o_custkey")),
+        "o_custkey",
+        "left_semi",
+    )
+    o_cold = o.join(
+        F.broadcast(hot_keys.withColumnRenamed("c_custkey", "o_custkey")),
+        "o_custkey",
+        "left_anti",
+    )
+    hot = o_hot.join(c_hot, o_hot.o_custkey == c_hot.c_custkey)
+    cold = o_cold.join(c, o_cold.o_custkey == c.c_custkey)
+    both = hot.select("o_totalprice", "c_nationkey").unionByName(
+        cold.select("o_totalprice", "c_nationkey")
+    )
+    return (
+        both.join(n, F.col("c_nationkey") == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.round("o_totalprice", 4).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
