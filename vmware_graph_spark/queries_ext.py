@@ -2097,3 +2097,134 @@ def hotkey_isolated_join(spark, sf_dir):
             .alias("revenue"),
         )
     )
+
+
+@query(
+    "retrieval_index_pipeline",
+    r"""
+    WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks FROM documents),
+    nn AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+    s AS (
+      SELECT doc_id, toks,
+             unnest(range(0, ((n - 1) // 24) * 24 + 1, 24)) AS start
+      FROM nn
+    ),
+    chunks AS (
+      SELECT doc_id, CAST(start // 24 AS INTEGER) AS chunk_id,
+             array_to_string(list_slice(toks, start + 1, start + 32), ' ') AS chunk_text
+      FROM s
+    ),
+    ctok AS (
+      SELECT doc_id, chunk_id,
+             unnest(list_filter(string_split_regex(chunk_text, '\s+'), x -> x <> '')) AS tk
+      FROM chunks
+    ),
+    ch AS (SELECT doc_id, chunk_id, ('0x' || substr(md5(tk), 1, 15))::BIGINT AS hv FROM ctok),
+    cvec AS (
+      SELECT doc_id, chunk_id, CAST((hv // 2) % 64 AS INT) AS dim,
+             CAST(sum(CASE WHEN hv % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS w
+      FROM ch GROUP BY doc_id, chunk_id, (hv // 2) % 64
+      HAVING sum(CASE WHEN hv % 2 = 0 THEN 1 ELSE -1 END) <> 0
+    ),
+    cnrm AS (SELECT doc_id, chunk_id, sqrt(CAST(sum(w * w) AS DOUBLE)) AS cn
+             FROM cvec GROUP BY doc_id, chunk_id),
+    qtok AS (
+      SELECT doc_id AS qid,
+             unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tk
+      FROM documents WHERE doc_id % 97 = 0
+    ),
+    qh AS (SELECT qid, ('0x' || substr(md5(tk), 1, 15))::BIGINT AS hv FROM qtok),
+    qvec AS (
+      SELECT qid, CAST((hv // 2) % 64 AS INT) AS dim,
+             CAST(sum(CASE WHEN hv % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS qw
+      FROM qh GROUP BY qid, (hv // 2) % 64
+      HAVING sum(CASE WHEN hv % 2 = 0 THEN 1 ELSE -1 END) <> 0
+    ),
+    qnrm AS (SELECT qid, sqrt(CAST(sum(qw * qw) AS DOUBLE)) AS qn FROM qvec GROUP BY qid),
+    dots AS (
+      SELECT q.qid, c.doc_id, c.chunk_id, CAST(sum(q.qw * c.w) AS DOUBLE) AS dot
+      FROM qvec q JOIN cvec c ON q.dim = c.dim AND c.doc_id <> q.qid
+      GROUP BY q.qid, c.doc_id, c.chunk_id
+    ),
+    scored AS (
+      SELECT d.qid AS query_id, d.doc_id, d.chunk_id,
+             d.dot / (qn.qn * cn.cn) AS cosr,
+             row_number() OVER (PARTITION BY d.qid
+                                ORDER BY d.dot / (qn.qn * cn.cn) DESC,
+                                         d.doc_id, d.chunk_id) AS rank
+      FROM dots d JOIN qnrm qn ON qn.qid = d.qid
+      JOIN cnrm cn ON cn.doc_id = d.doc_id AND cn.chunk_id = d.chunk_id
+    )
+    SELECT query_id, doc_id, chunk_id, round(cosr, 6) AS cosine,
+           CAST(rank AS INTEGER) AS rank
+    FROM scored WHERE rank <= 3
+    """,
+)
+def retrieval_index_pipeline(spark, sf_dir):
+    """RAG indexing end-to-end in ONE declarative pipeline — the
+    composite a retrieval corpus actually runs: overlap-chunk every
+    document (32/24, zero-shuffle projection), hashing-trick-embed each
+    CHUNK into sparse 64-dim signed counts, embed the query docs the
+    same way, score through the inverted dim index (chunks meet queries
+    only on shared dimensions — never a dense crossJoin), exclude
+    self-document chunks, and take top-3 chunks per query with a total
+    tie-break. Integer dots + correctly-rounded sqrt/division keep
+    ranking engine-exact. At 100 TB: the dim join is the single big
+    shuffle; hot dims shard like hot shingles (same max_df cure), and
+    the dense-embedding twin of this pipeline is `bq_rerank_topk` over
+    real vectors.
+    """
+    from vmware_graph_spark.operators.quality import chunk_documents, feature_hash_embed
+
+    d = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(d, "doc_id", "text", size=32, stride=24).select(
+        F.col("id").alias("src_doc"), "chunk_id", "chunk_text"
+    )
+    cvec = feature_hash_embed(
+        chunks.withColumn(
+            "cid", F.concat_ws("#", F.col("src_doc"), F.col("chunk_id"))
+        ),
+        "cid",
+        "chunk_text",
+        dims=64,
+    ).select(
+        F.split_part(F.col("id"), F.lit("#"), F.lit(1)).cast("long").alias("doc_id"),
+        F.split_part(F.col("id"), F.lit("#"), F.lit(2)).cast("int").alias("chunk_id"),
+        "dim",
+        "w",
+    )
+    cnrm = cvec.groupBy("doc_id", "chunk_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("cn")
+    )
+    q = d.filter(F.col("doc_id") % 97 == 0)
+    qvec = feature_hash_embed(q, "doc_id", "text", dims=64).select(
+        F.col("id").alias("qid"), "dim", F.col("w").alias("qw")
+    )
+    qnrm = qvec.groupBy("qid").agg(
+        F.sqrt(F.sum(F.col("qw") * F.col("qw")).cast("double")).alias("qn")
+    )
+    dots = (
+        qvec.join(cvec, "dim")
+        .filter(F.col("doc_id") != F.col("qid"))
+        .groupBy("qid", "doc_id", "chunk_id")
+        .agg(F.sum(F.col("qw") * F.col("w")).cast("double").alias("dot"))
+    )
+    scored = (
+        dots.join(qnrm, "qid")
+        .join(cnrm, ["doc_id", "chunk_id"])
+        .withColumn("cosr", F.col("dot") / (F.col("qn") * F.col("cn")))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cosr").desc(), F.col("doc_id"), F.col("chunk_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            F.col("qid").alias("query_id"),
+            "doc_id",
+            "chunk_id",
+            F.round("cosr", 6).alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
