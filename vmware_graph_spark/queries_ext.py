@@ -2228,3 +2228,135 @@ def retrieval_index_pipeline(spark, sf_dir):
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+# RBO@10 prefix weights for persistence p = 1/2: w(m) = Σ_{d=m..10} p^d / d,
+# precomputed once and injected as identical literals into BOTH engines so
+# the sum order can never differ.
+_RBO_W = {
+    1: 0.693064856151, 2: 0.193064856151, 3: 0.068064856151,
+    4: 0.026398189484, 5: 0.010773189484, 6: 0.004523189484,
+    7: 0.001919022817, 8: 0.000802951389, 9: 0.000314670139,
+    10: 0.00009765625,
+}
+_RBO_CASE_SQL = "CASE m " + " ".join(
+    f"WHEN {m} THEN {w:.12f}" for m, w in _RBO_W.items()
+) + " END"
+
+
+@query(
+    "rbo_matryoshka_vs_exact",
+    f"""
+    WITH full_t AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                           embedding::DOUBLE[]))) AS v
+      FROM embeddings
+    ),
+    tr_t AS (
+      SELECT vec_id,
+             list_transform(list_slice(embedding::DOUBLE[], 1, 16),
+                            x -> x / sqrt(list_dot_product(list_slice(embedding::DOUBLE[], 1, 16),
+                                                           list_slice(embedding::DOUBLE[], 1, 16)))) AS v
+      FROM embeddings
+    ),
+    fr AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS ra
+      FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_dot_product(q.v, c.v) AS cos
+        FROM full_t q JOIN full_t c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 8
+      )
+    ),
+    tr AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rb
+      FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_dot_product(q.v, c.v) AS cos
+        FROM tr_t q JOIN tr_t c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 8
+      )
+    ),
+    shared AS (
+      SELECT f.query_id, greatest(f.ra, t.rb) AS m
+      FROM fr f JOIN tr t ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+      WHERE f.ra <= 10 AND t.rb <= 10
+    ),
+    qs AS (SELECT DISTINCT vec_id AS query_id FROM embeddings WHERE vec_id < 8)
+    SELECT q.query_id,
+           round(coalesce(CAST(sum(CAST(round({_RBO_CASE_SQL}, 12) AS DECIMAL(18,12)))
+                               AS DOUBLE), 0.0), 6) AS rbo
+    FROM qs q LEFT JOIN shared s ON s.query_id = q.query_id
+    GROUP BY q.query_id
+    """,
+)
+def rbo_matryoshka_vs_exact(spark, sf_dir):
+    """Rank-Biased Overlap @10 (p=1/2) between the exact full-dim
+    cosine ranking and the 16-dim matryoshka-truncated ranking — the
+    top-weighted rank-agreement metric that tells you whether the 4×
+    cheaper tier agrees where it matters (rank 1 carries ~70% of the
+    weight) rather than merely overlapping as a set the way recall@k
+    measures (`ann_recall_bq_vs_exact` is the set-overlap sibling).
+    Relational form: each id shared by both top-10s contributes a
+    weight keyed by max(rank_a, rank_b) — the prefix-membership sum
+    collapses to one join + one lookup; the per-depth weights are
+    precomputed literals injected into both engines, so no pow() and no
+    engine-varying summation order.
+    """
+    from vmware_graph_spark.functions.vector import dot
+    from vmware_graph_spark.operators.similarity import truncate_normalize
+
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def ranking(t, rank_name):
+        q = t.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"), F.col("__v").alias("__qv")
+        )
+        c = t.select(F.col("vec_id").alias("neighbor_id"), F.col("__v").alias("__cv"))
+        s = (
+            c.crossJoin(F.broadcast(q))
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .withColumn("cos", dot(F.col("__qv"), F.col("__cv")))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos").desc(), F.col("neighbor_id").asc()
+        )
+        return (
+            s.withColumn(rank_name, F.row_number().over(w))
+            .filter(F.col(rank_name) <= 10)
+            .select("query_id", "neighbor_id", rank_name)
+        )
+
+    fr = ranking(truncate_normalize(e, "embedding", 64, out_col="__v"), "ra")
+    tr = ranking(truncate_normalize(e, "embedding", 16, out_col="__v"), "rb")
+    shared = fr.join(tr, ["query_id", "neighbor_id"]).select(
+        "query_id", F.greatest("ra", "rb").alias("m")
+    )
+    weight = F.round(
+        F.element_at(
+            F.create_map(
+                *[F.lit(x) for kv in _RBO_W.items() for x in kv]
+            ),
+            F.col("m"),
+        ),
+        12,
+    )
+    qs = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id")
+    ).distinct()
+    return (
+        qs.join(shared, "query_id", "left")
+        .groupBy("query_id")
+        .agg(
+            F.round(
+                F.coalesce(
+                    F.sum(weight.cast("decimal(18,12)")).cast("double"), F.lit(0.0)
+                ),
+                6,
+            ).alias("rbo")
+        )
+    )
