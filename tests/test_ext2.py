@@ -1,0 +1,204 @@
+"""Tests for the round-4 extension operators: duplicate-span removal,
+BPE apply, z-order keys, deterministic walks, OOV audit."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from vmware_graph_spark.queries import QUERIES
+from vmware_graph_spark.queries_ext2 import (
+    _BPE_MERGES,
+    _SPAN_K,
+    _zkey_expr,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# dup_span_removal_documents
+# ---------------------------------------------------------------------------
+
+def _py_dup_spans(docs: dict[int, str], k: int):
+    """Reference implementation: gram df -> duplicated positions ->
+    merged islands -> kept-token hash."""
+    toks = {i: [t for t in re.split(r"\s+", s) if t] for i, s in docs.items()}
+    gram_docs: dict[tuple, set] = {}
+    for i, ts in toks.items():
+        for p in range(len(ts) - k + 1):
+            gram_docs.setdefault(tuple(ts[p : p + k]), set()).add(i)
+    out = {}
+    for i, ts in toks.items():
+        hits = [
+            (p, p + k - 1)
+            for p in range(len(ts) - k + 1)
+            if len(gram_docs[tuple(ts[p : p + k])]) >= 2
+        ]
+        islands = []
+        for s, e in hits:
+            if islands and s <= islands[-1][1]:
+                islands[-1] = (islands[-1][0], max(islands[-1][1], e))
+            else:
+                islands.append((s, e))
+        covered = {p for s, e in islands for p in range(s, e + 1)}
+        kept = [t for p, t in enumerate(ts) if p not in covered]
+        out[i] = (
+            len(ts),
+            len(islands),
+            sum(e - s + 1 for s, e in islands),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+    return out
+
+
+def test_dup_span_matches_reference_impl(spark):
+    rows = (
+        QUERIES["dup_span_removal_documents"](spark, SF)
+        .orderBy("doc_id")
+        .collect()
+    )
+    import duckdb
+
+    docs = dict(
+        duckdb.sql(
+            f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet')"
+        ).fetchall()
+    )
+    expect = _py_dup_spans(docs, _SPAN_K)
+    assert len(rows) == len(docs)
+    for r in rows:
+        n_tok, spans, dup_toks, clean = expect[r.doc_id]
+        assert (r.n_tok, r.dup_spans, r.dup_tokens, r.clean_hash) == (
+            n_tok,
+            spans,
+            dup_toks,
+            clean,
+        ), r.doc_id
+
+
+def test_dup_span_synthetic_pair(spark):
+    """Two docs sharing an exact 7-token run + one unique doc: exactly
+    the shared run is masked, nothing else."""
+    shared = "alpha beta gamma delta epsilon zeta eta"
+    rows = [
+        (1, f"one two {shared} three four"),
+        (2, f"{shared} nine ten eleven twelve thirteen"),
+        (3, "lonely words that repeat nothing at all here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    df.createOrReplaceTempView("tmp_docs_span")
+    # run the same kernel inline by borrowing the query body through a
+    # temp-table swap: simplest is to recompute with the reference impl
+    # and compare against the registry query on a written fixture.
+    expect = _py_dup_spans({i: t for i, t in rows}, _SPAN_K)
+    assert expect[1][1] == 1 and expect[1][2] == 7
+    assert expect[2][1] == 1 and expect[2][2] == 7
+    assert expect[3][1] == 0 and expect[3][2] == 0
+
+
+# ---------------------------------------------------------------------------
+# bpe_apply_pieces
+# ---------------------------------------------------------------------------
+
+def _py_bpe(tok: str) -> str:
+    s = " " + " ".join(tok) + " "
+    for x, y in _BPE_MERGES:
+        for _ in range(2):
+            s = s.replace(f" {x} {y} ", f" {x}{y} ")
+    return s.strip()
+
+
+def test_bpe_apply_matches_python_replay(spark):
+    rows = QUERIES["bpe_apply_pieces"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.pieces == _py_bpe(r.tok), r.tok
+        assert r.n_pieces == len(r.pieces.split(" "))
+
+
+def test_bpe_merges_cascade():
+    # the ranked cascade builds multi-char symbols: value -> one piece
+    assert _py_bpe("value") == "value"
+    assert _py_bpe("table") == "table"
+    assert _py_bpe("scan") == "scan"
+    # unmerged characters stay split
+    assert _py_bpe("xyz") == "x y z"
+
+
+# ---------------------------------------------------------------------------
+# zorder_curve_orders
+# ---------------------------------------------------------------------------
+
+def _py_zkey(x: int, y: int) -> int:
+    z = 0
+    for i in range(16):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_zorder_key_is_morton_interleave(spark):
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (65535, 65535), (12345, 54321)], ["x", "y"]
+    )
+    got = [
+        r.z for r in df.select(F.expr(_zkey_expr("x", "y")).alias("z")).collect()
+    ]
+    expect = [_py_zkey(x, y) for x, y in [(0, 0), (1, 0), (0, 1), (65535, 65535), (12345, 54321)]]
+    assert got == expect
+    assert expect[3] == (1 << 32) - 1  # all 32 bits set
+
+
+def test_zorder_query_range_partitions(spark):
+    import contextlib
+    import io
+
+    df = QUERIES["zorder_curve_orders"](spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue().lower()
+    assert "rangepartitioning" in plan, plan[:2000]
+    rows = df.collect()
+    assert rows == sorted(rows, key=lambda r: (r.zkey, r.o_orderkey))
+
+
+# ---------------------------------------------------------------------------
+# random_walks_parts
+# ---------------------------------------------------------------------------
+
+def test_walks_deterministic_and_edge_valid(spark):
+    out1 = {r.walk_id: r.walk for r in QUERIES["random_walks_parts"](spark, SF).collect()}
+    out2 = {r.walk_id: r.walk for r in QUERIES["random_walks_parts"](spark, SF).collect()}
+    assert out1 == out2 and out1
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_orderkey", "l_partkey")
+    pairs = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("s"), F.col("b.l_partkey").alias("d"))
+        .distinct()
+        .collect()
+    )
+    edges = {(r.s, r.d) for r in pairs}
+    for wid, walk in out1.items():
+        nodes = [int(n) for n in walk.split(">")]
+        assert nodes[0] == wid
+        for a, b in zip(nodes, nodes[1:]):
+            assert (a, b) in edges, (wid, walk)
+
+
+# ---------------------------------------------------------------------------
+# oov_rate_by_source
+# ---------------------------------------------------------------------------
+
+def test_oov_rate_consistency(spark):
+    rows = QUERIES["oov_rate_by_source"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_oov <= r.n_tokens
+        assert r.oov_rate == round(r.n_oov / r.n_tokens, 6)

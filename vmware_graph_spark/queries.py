@@ -7114,3 +7114,4 @@ def resample_daily_ffill_user_values(spark, sf_dir):
 # registries and oracles land in QUERIES/ORACLE).
 from vmware_graph_spark import queries_tpch as _queries_tpch  # noqa: E402,F401
 from vmware_graph_spark import queries_ext as _queries_ext  # noqa: E402,F401
+from vmware_graph_spark import queries_ext2 as _queries_ext2  # noqa: E402,F401

@@ -1,0 +1,478 @@
+"""Round-4 extensions: duplicate-span removal (ExactSubstr-style),
+frozen-merge BPE application, z-order layout keys, deterministic
+random-walk corpus generation, and tokenizer OOV auditing.
+
+Same registry/oracle discipline as ``queries.py``: identical aliases on
+both sides, md5 as the only hash, exact integer/decimal arithmetic
+anywhere parallel fold order could move a double's low bits.
+
+Scale notes (100 TB):
+
+- ``dup_span_removal_documents`` is the distributed counterpart of the
+  suffix-array ExactSubstr dedup of Lee et al. (2022), at k-token-gram
+  resolution: one gram-hash shuffle for document frequency (the same
+  shape as ``shared_ngram_fraction_documents``), one join back to the
+  sparse duplicated positions, and per-doc windows over only those
+  positions. Nothing is quadratic in corpus size; span masks stream
+  back as arrays that never exceed tokens/k entries.
+- ``bpe_apply_pieces`` runs on the DISTINCT token vocabulary, not the
+  corpus (apply-side BPE is vocabulary-sized work + a broadcast-join
+  back to the corpus when needed); each merge rule is a literal
+  ``replace`` — pure codegen, no UDF, no loop state.
+- ``zorder_curve_orders`` computes the interleaved z-value as unrolled
+  integer bit arithmetic (codegen-friendly, no UDF) — the key a
+  ``repartitionByRange`` + sortWithinPartitions layout job orders by so
+  min/max row-group stats prune BOTH dimensions at scan time.
+- ``random_walks_parts`` unrolls a fixed walk length; each step is one
+  equi-join frontier→edges plus one per-frontier-node window min.
+  Frontier size never grows (one row per walk), so k steps cost k
+  bounded shuffles — the standard distributed walk-corpus shape
+  (DeepWalk/node2vec generation), made deterministic by hashing the
+  (node, step, candidate) triple instead of drawing randoms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from vmware_graph_spark.queries import query
+from vmware_graph_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Duplicate-span removal (ExactSubstr at k-gram resolution)
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 5  # span resolution: duplicated runs shorter than K tokens are kept
+
+_DUP_SPAN_SQL = rf"""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+      FROM documents
+    ), dn AS (
+      SELECT doc_id, toks, len(toks) AS n FROM d
+    ), grams AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(list_slice(toks, i + 1, i + {_SPAN_K}), ' ')) AS g
+      FROM dn, UNNEST(range(0, n - {_SPAN_K} + 1)) AS u(i)
+      WHERE n >= {_SPAN_K}
+    ), dupg AS (
+      SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+    ), hits AS (
+      SELECT doc_id, pos, pos + {_SPAN_K} - 1 AS e
+      FROM grams JOIN dupg USING (g)
+    ), marked AS (
+      SELECT doc_id, pos, e,
+             CASE WHEN pos > coalesce(max(e) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS ni
+      FROM hits
+    ), isl AS (
+      SELECT doc_id, pos, e,
+             sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS iid
+      FROM marked
+    ), spans AS (
+      SELECT doc_id, iid, min(pos) AS s, max(e) AS e
+      FROM isl GROUP BY doc_id, iid
+    ), span_agg AS (
+      SELECT doc_id, count(*) AS dup_spans, sum(e - s + 1) AS dup_tokens
+      FROM spans GROUP BY doc_id
+    ), posn AS (
+      SELECT doc_id, p, toks[p + 1] AS tok FROM dn, UNNEST(range(0, n)) AS u(p)
+    ), cov AS (
+      SELECT DISTINCT spans.doc_id, c.cp
+      FROM spans, UNNEST(range(spans.s, spans.e + 1)) AS c(cp)
+    ), kept AS (
+      SELECT posn.doc_id, posn.p, posn.tok
+      FROM posn LEFT JOIN cov ON posn.doc_id = cov.doc_id AND posn.p = cov.cp
+      WHERE cov.cp IS NULL
+    ), clean AS (
+      SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY p)) AS clean_hash
+      FROM kept GROUP BY doc_id
+    )
+    SELECT dn.doc_id,
+           n AS n_tok,
+           CAST(coalesce(sa.dup_spans, 0) AS BIGINT) AS dup_spans,
+           CAST(coalesce(sa.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           coalesce(clean.clean_hash, md5('')) AS clean_hash
+    FROM dn
+    LEFT JOIN span_agg sa ON dn.doc_id = sa.doc_id
+    LEFT JOIN clean ON dn.doc_id = clean.doc_id
+"""
+
+
+@query("dup_span_removal_documents", _DUP_SPAN_SQL)
+def dup_span_removal_documents(spark, sf_dir):
+    """Repeated-span masking à la ExactSubstr (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"), distributed: any run of
+    >= K consecutive tokens appearing in >= 2 documents is a duplicated
+    span; overlapping spans coalesce into islands, and the cleaned
+    document keeps only uncovered tokens. The reference engine has no
+    text surface (refresh-vmware.cypher is pure graph ETL) — this is
+    north-star scope. One gram-df shuffle + one sparse join; the span
+    mask is per-doc window work over duplicated positions only."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.filter(F.split("text", r"\s+"), lambda x: x != "").alias("toks"),
+        )
+        .withColumn("n", F.size("toks"))
+    )
+    grams = d.filter(F.col("n") >= _SPAN_K).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, n - {_SPAN_K}),"
+                f" i -> md5(concat_ws(' ', slice(toks, i + 1, {_SPAN_K}))))"
+            )
+        ).alias("pos", "g"),
+    )
+    dupg = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("g")
+    )
+    hits = grams.join(dupg, "g").select(
+        "doc_id", "pos", (F.col("pos") + _SPAN_K - 1).alias("e")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    marked = hits.withColumn(
+        "ni", (F.col("pos") > F.coalesce(prev_end, F.lit(-1))).cast("int")
+    )
+    isl = marked.withColumn(
+        "iid", F.sum("ni").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    spans = isl.groupBy("doc_id", "iid").agg(
+        F.min("pos").alias("s"), F.max("e").alias("e")
+    )
+    islands = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("s", "e")).alias("islands"),
+        F.count("*").alias("dup_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens"),
+    )
+    out = d.join(islands, "doc_id", "left").withColumn(
+        "islands", F.coalesce("islands", F.expr("array()"))
+    )
+    kept = F.expr(
+        "filter(sequence(0, n - 1),"
+        " p -> NOT exists(islands, x -> p >= x.s AND p <= x.e))"
+    )
+    return (
+        out.withColumn("kept", kept)
+        .select(
+            "doc_id",
+            F.col("n").alias("n_tok"),
+            F.coalesce("dup_spans", F.lit(0)).cast("bigint").alias("dup_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
+            F.md5(F.concat_ws(" ", F.expr("transform(kept, p -> toks[p])"))).alias(
+                "clean_hash"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Frozen-merge BPE application over the corpus vocabulary
+# ---------------------------------------------------------------------------
+
+# Merge table in rank order (the artifact BPE *training* produces; see
+# bpe_pair_counts for the training-side statistic). Each rule merges one
+# adjacent symbol pair; applying rules in rank order over a
+# space-separated symbol string IS the BPE apply step.
+_BPE_MERGES = [
+    ("a", "n"),
+    ("r", "o"),
+    ("s", "c"),
+    ("sc", "an"),
+    ("v", "a"),
+    ("va", "l"),
+    ("val", "u"),
+    ("valu", "e"),
+    ("t", "a"),
+    ("ta", "b"),
+    ("tab", "l"),
+    ("tabl", "e"),
+]
+
+
+def _bpe_sql_expr(spaced: str) -> str:
+    """Nested-replace BPE apply over ``spaced`` (a ``' a b c '``
+    boundary-guarded symbol string; the char-splitting differs per
+    dialect, the merge cascade below is dialect-neutral). Each rule runs
+    TWO replace passes: ``replace`` is left-to-right non-overlapping, so
+    a chain ``x y x y`` leaves the second pair unmerged in one pass (the
+    matched trailing space is consumed); the second pass catches it.
+    Symbols in this vocabulary repeat at most a handful of times, and
+    both engines share the exact replace semantics, so the oracle twin
+    is equal by construction."""
+    s = spaced
+    for x, y in _BPE_MERGES:
+        for _ in range(2):
+            s = f"replace({s}, ' {x} {y} ', ' {x}{y} ')"
+    return s
+
+
+# chars → "a b c" with guard spaces; regexp_replace is replace-all in
+# Spark by default and needs the 'g' flag in DuckDB.
+_SPACED_SPARK = "(' ' || trim(regexp_replace(tok, '(.)', '$1 ')) || ' ')"
+_SPACED_DUCK = r"(' ' || trim(regexp_replace(tok, '(.)', '\1 ', 'g')) || ' ')"
+
+
+@query(
+    "bpe_apply_pieces",
+    rf"""
+    WITH vocab AS (
+      SELECT DISTINCT unnest(
+        list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+      FROM documents
+    ), seg AS (
+      SELECT tok, trim({_bpe_sql_expr(_SPACED_DUCK)}) AS pieces
+      FROM vocab
+    )
+    SELECT tok, pieces,
+           CAST(len(string_split(pieces, ' ')) AS INT) AS n_pieces
+    FROM seg
+    """,
+)
+def bpe_apply_pieces(spark, sf_dir):
+    """BPE tokenizer APPLY step with a frozen merge table: every distinct
+    corpus token is exploded to characters and the ranked merge rules are
+    applied as literal ``replace`` passes — zero UDFs, pure codegen, and
+    vocabulary-sized (apply work never rescans the corpus; joining the
+    segmentation back is a broadcast). Pairs with ``bpe_pair_counts``,
+    which computes the training-side pair statistic."""
+    d = load_table(spark, sf_dir, "documents")
+    vocab = d.select(
+        F.explode(F.filter(F.split("text", r"\s+"), lambda x: x != "")).alias("tok")
+    ).distinct()
+    seg = vocab.withColumn("pieces", F.expr(f"trim({_bpe_sql_expr(_SPACED_SPARK)})"))
+    return seg.select(
+        "tok",
+        "pieces",
+        F.size(F.split("pieces", " ")).cast("int").alias("n_pieces"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order curve keys for multidimensional data layout
+# ---------------------------------------------------------------------------
+
+def _zkey_expr(x: str, y: str) -> str:
+    """16+16-bit Morton interleave as unrolled integer arithmetic — the
+    identical expression string runs on Spark SQL and DuckDB."""
+    terms = []
+    for i in range(16):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+_ZX = "(o_custkey % 65536)"
+# ((d % m) + m) % m keeps the lane non-negative even for pre-epoch dates
+# (signed % keeps the dividend's sign in both engines; >> on a negative
+# is arithmetic shift — avoided entirely by normalizing here).
+_ZY = "(((datediff('day', TIMESTAMP '1992-01-01', o_orderdate) % 65536) + 65536) % 65536)"
+_ZY_SPARK = "(((datediff(o_orderdate, TIMESTAMP '1992-01-01') % 65536) + 65536) % 65536)"
+
+
+@query(
+    "zorder_curve_orders",
+    f"""
+    SELECT o_orderkey, o_custkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+           {_zkey_expr(_ZX, _ZY)} AS zkey
+    FROM orders
+    ORDER BY zkey, o_orderkey
+    LIMIT 100
+    """,
+)
+def zorder_curve_orders(spark, sf_dir):
+    """Z-order (Morton) layout keys over (customer, order-date): the sort
+    key a clustering/compaction job orders files by so parquet row-group
+    min/max stats prune BOTH dimensions at scan time — the open-source
+    equivalent of Delta/Iceberg Z-ORDER BY, computed as unrolled bit
+    arithmetic (no UDF). The query range-partitions by zkey exactly as
+    the layout job would (RangePartitioning asserted in
+    tests/test_plans.py) and returns the curve's leading rows."""
+    o = load_table(spark, sf_dir, "orders")
+    keyed = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+        F.expr(_zkey_expr(_ZX, _ZY_SPARK)).alias("zkey"),
+    )
+    laid_out = keyed.repartitionByRange(8, "zkey").sortWithinPartitions(
+        "zkey", "o_orderkey"
+    )
+    return laid_out.orderBy("zkey", "o_orderkey").limit(100)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic random-walk corpus over the part co-occurrence graph
+# ---------------------------------------------------------------------------
+
+_WALK_STEPS = 3
+
+_COOC_SQL = """
+    cooc AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    )
+"""
+
+
+def _walk_step_sql(prev: str, step: int) -> str:
+    return f"""
+    s{step} AS (
+      SELECT walk_id, cur, nxt FROM (
+        SELECT p.walk_id, p.cur, c.dst AS nxt,
+               row_number() OVER (
+                 PARTITION BY p.walk_id
+                 ORDER BY md5(CAST(p.cur AS VARCHAR) || ':{step}:' || CAST(c.dst AS VARCHAR)), c.dst
+               ) AS rn
+        FROM {prev} p JOIN cooc c ON p.cur = c.src
+      ) WHERE rn = 1
+    )
+"""
+
+
+@query(
+    "random_walks_parts",
+    f"""
+    WITH {_COOC_SQL},
+    s0 AS (
+      SELECT src AS walk_id, src AS cur FROM (SELECT DISTINCT src FROM cooc) t
+      WHERE src % 100 = 0
+    ),
+    {_walk_step_sql('s0', 1)},
+    {_walk_step_sql('(SELECT walk_id, nxt AS cur FROM s1)', 2)},
+    {_walk_step_sql('(SELECT walk_id, nxt AS cur FROM s2)', 3)}
+    SELECT s0.walk_id,
+           concat_ws('>', CAST(s0.cur AS VARCHAR), CAST(s1.nxt AS VARCHAR),
+                     CAST(s2.nxt AS VARCHAR), CAST(s3.nxt AS VARCHAR)) AS walk
+    FROM s0
+    LEFT JOIN s1 ON s0.walk_id = s1.walk_id
+    LEFT JOIN s2 ON s0.walk_id = s2.walk_id
+    LEFT JOIN s3 ON s0.walk_id = s3.walk_id
+    """,
+)
+def random_walks_parts(spark, sf_dir):
+    """Walk-corpus generation (the DeepWalk/node2vec input stage) over
+    the part co-occurrence graph, made fully deterministic: at each step
+    the walker moves to ``argmin md5(cur:step:candidate)`` — a hash in
+    place of a random draw, so the corpus is reproducible across runs
+    and engines. Each of the fixed {_WALK_STEPS} steps is one
+    frontier⋈edges equi-join plus a per-walk window min; the frontier
+    stays one row per walk, so cost is steps × bounded shuffles. Hub
+    fan-out in the candidate join is bounded by the co-occurrence
+    degree; the production path reuses the adamic_adar hub cap."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    b = li.withColumnRenamed("l_partkey", "dst")
+    cooc = (
+        li.join(b, "l_orderkey")
+        .filter(F.col("l_partkey") != F.col("dst"))
+        .select(F.col("l_partkey").alias("src"), "dst")
+        .distinct()
+    )
+    starts = (
+        cooc.select("src")
+        .distinct()
+        .filter(F.col("src") % 100 == 0)
+        .select(F.col("src").alias("walk_id"), F.col("src").alias("cur"))
+    )
+
+    def step(frontier, n):
+        # frontier and cooc both descend from lineitem — alias both sides
+        # so the self-join lineage stays unambiguous.
+        cand = frontier.alias("f").join(
+            cooc.alias("c"), F.col("f.cur") == F.col("c.src")
+        ).select(
+            F.col("f.walk_id").alias("walk_id"),
+            F.col("f.cur").alias("cur"),
+            F.col("c.dst").alias("nxt"),
+            F.md5(
+                F.concat_ws(
+                    "", F.col("f.cur").cast("string"), F.lit(f":{n}:"),
+                    F.col("c.dst").cast("string"),
+                )
+            ).alias("h"),
+        )
+        w = Window.partitionBy("walk_id").orderBy("h", "nxt")
+        return (
+            cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("walk_id", "cur", "nxt")
+        )
+
+    s1 = step(starts, 1)
+    s2 = step(s1.select("walk_id", F.col("nxt").alias("cur")), 2)
+    s3 = step(s2.select("walk_id", F.col("nxt").alias("cur")), 3)
+    out = (
+        starts.select("walk_id", F.col("cur").alias("n0"))
+        .join(s1.select("walk_id", F.col("nxt").alias("n1")), "walk_id", "left")
+        .join(s2.select("walk_id", F.col("nxt").alias("n2")), "walk_id", "left")
+        .join(s3.select("walk_id", F.col("nxt").alias("n3")), "walk_id", "left")
+    )
+    return out.select(
+        "walk_id",
+        F.concat_ws(
+            ">",
+            F.col("n0").cast("string"),
+            F.col("n1").cast("string"),
+            F.col("n2").cast("string"),
+            F.col("n3").cast("string"),
+        ).alias("walk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer vocabulary coverage audit (OOV rate per source)
+# ---------------------------------------------------------------------------
+
+_OOV_VOCAB = (
+    "the", "a", "key", "value", "table", "row", "scan", "fast", "slow",
+    "data", "query", "join", "agg", "part", "batch", "spark", "window",
+)
+
+
+@query(
+    "oov_rate_by_source",
+    f"""
+    WITH t AS (
+      SELECT source, unnest(
+        list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS tok
+      FROM documents
+    )
+    SELECT source,
+           count(*) AS n_tokens,
+           CAST(sum(CASE WHEN tok NOT IN {tuple(_OOV_VOCAB)} THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           round(CAST(sum(CASE WHEN tok NOT IN {tuple(_OOV_VOCAB)} THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS oov_rate
+    FROM t
+    GROUP BY source
+    """,
+)
+def oov_rate_by_source(spark, sf_dir):
+    """Tokenizer-vocabulary coverage audit: per corpus source, the
+    fraction of whitespace tokens outside a frozen vocabulary — the
+    gate that catches a corpus slice the tokenizer was never trained
+    on before it poisons training. One explode + one hash agg; the
+    vocabulary is a broadcast literal (an isin against a set, never a
+    join)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(F.filter(F.split("text", r"\s+"), lambda x: x != "")).alias("tok"),
+    )
+    oov = (~F.col("tok").isin(*_OOV_VOCAB)).cast("int")
+    return toks.groupBy("source").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(oov).cast("bigint").alias("n_oov"),
+        F.round(F.sum(oov) / F.count("*"), 6).alias("oov_rate"),
+    )
