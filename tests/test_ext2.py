@@ -202,3 +202,81 @@ def test_oov_rate_consistency(spark):
     for r in rows:
         assert 0 <= r.n_oov <= r.n_tokens
         assert r.oov_rate == round(r.n_oov / r.n_tokens, 6)
+
+
+# ---------------------------------------------------------------------------
+# bpe_train_merges
+# ---------------------------------------------------------------------------
+
+def test_bpe_training_rounds_monotone_and_consistent(spark):
+    rows = {r.round: r for r in QUERIES["bpe_train_merges"](spark, SF).collect()}
+    assert set(rows) == {1, 2, 3}
+    # each round's winning pair count is positive, and round 1's count is
+    # the global max so later rounds can't beat it
+    assert rows[1].pair_count >= rows[2].pair_count >= 0
+    assert all(rows[r].pair_count > 0 for r in rows)
+    # replaying round 1 in Python over the corpus vocabulary agrees
+    import collections
+    import re as _re
+
+    import duckdb
+
+    texts = [
+        t[0]
+        for t in duckdb.sql(
+            f"SELECT text FROM read_parquet('{SF}/documents.parquet')"
+        ).fetchall()
+    ]
+    freq = collections.Counter(
+        tok for t in texts for tok in _re.split(r"\s+", t) if tok
+    )
+    pair_counts = collections.Counter()
+    for tok, f in freq.items():
+        for a, b in zip(tok, tok[1:]):
+            pair_counts[(a, b)] += f
+    best = min(
+        ((-c, x, y) for (x, y), c in pair_counts.items())
+    )
+    assert (rows[1].merge_x, rows[1].merge_y, rows[1].pair_count) == (
+        best[1],
+        best[2],
+        -best[0],
+    )
+
+
+# ---------------------------------------------------------------------------
+# global_shuffle_documents
+# ---------------------------------------------------------------------------
+
+def test_global_shuffle_is_permutation_prefix(spark):
+    rows = QUERIES["global_shuffle_documents"](spark, SF).orderBy("rank").collect()
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    keys = [r.shuffle_key for r in rows]
+    assert keys == sorted(keys)
+    assert len({r.doc_id for r in rows}) == len(rows)
+    for r in rows[:5]:
+        assert r.shuffle_key == hashlib.md5(f"epoch-7:{r.doc_id}".encode()).hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# k_anonymity_audit_customers
+# ---------------------------------------------------------------------------
+
+def test_k_anonymity_flags_only_small_cells(spark):
+    df = QUERIES["k_anonymity_audit_customers"](spark, SF)
+    rows = df.collect()
+    assert all(r.group_size < 5 for r in rows)
+    # flagged cells really have that population in the raw table
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    cells = (
+        c.groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_bucket"),
+        )
+        .count()
+        .collect()
+    )
+    pop = {(r.c_nationkey, r.c_mktsegment, r.bal_bucket): r["count"] for r in cells}
+    for r in rows:
+        assert pop[(r.c_nationkey, r.c_mktsegment, r.bal_bucket)] == r.group_size

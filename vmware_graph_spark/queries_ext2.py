@@ -476,3 +476,198 @@ def oov_rate_by_source(spark, sf_dir):
         F.sum(oov).cast("bigint").alias("n_oov"),
         F.round(F.sum(oov) / F.count("*"), 6).alias("oov_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer TRAINING: unrolled merge rounds over the weighted vocab
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 3
+
+
+def _bpe_round_sql(seg: str, r: int) -> str:
+    """One training round: weighted adjacent-pair counts over the current
+    segmentation, argmax pair (count desc, lexicographic tie-break), then
+    the two-pass boundary-guarded replace that applies it."""
+    return f"""
+    pairs{r} AS (
+      SELECT syms[i] AS x, syms[i + 1] AS y, CAST(sum(f) AS BIGINT) AS cnt
+      FROM (SELECT f, string_split(trim(s), ' ') AS syms FROM {seg}) t,
+           UNNEST(range(1, len(syms))) AS u(i)
+      GROUP BY syms[i], syms[i + 1]
+    ),
+    win{r} AS (
+      SELECT x, y, cnt FROM pairs{r} ORDER BY cnt DESC, x, y LIMIT 1
+    ),
+    seg{r} AS (
+      SELECT token, f,
+             replace(replace(s, ' ' || x || ' ' || y || ' ', ' ' || x || y || ' '),
+                     ' ' || x || ' ' || y || ' ', ' ' || x || y || ' ') AS s
+      FROM {seg}, win{r}
+    )
+"""
+
+
+@query(
+    "bpe_train_merges",
+    rf"""
+    WITH vocab AS (
+      SELECT tok AS token, CAST(count(*) AS BIGINT) AS f
+      FROM (
+        SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+        FROM documents
+      ) t GROUP BY tok
+    ),
+    seg0 AS (
+      SELECT token, f,
+             (' ' || trim(regexp_replace(token, '(.)', '\1 ', 'g')) || ' ') AS s
+      FROM vocab
+    ),
+    {_bpe_round_sql('seg0', 1)},
+    {_bpe_round_sql('seg1', 2)},
+    {_bpe_round_sql('seg2', 3)}
+    SELECT 1 AS round, x AS merge_x, y AS merge_y, cnt AS pair_count FROM win1
+    UNION ALL
+    SELECT 2, x, y, cnt FROM win2
+    UNION ALL
+    SELECT 3, x, y, cnt FROM win3
+    """,
+)
+def bpe_train_merges(spark, sf_dir):
+    """BPE tokenizer TRAINING, unrolled: each round aggregates
+    frequency-weighted adjacent-symbol pair counts over the current
+    vocabulary segmentation, picks the argmax pair (deterministic
+    lexicographic tie-break), and re-segments by applying the merge —
+    exactly the Sennrich et al. training loop, with the per-round corpus
+    statistic computed as ONE hash aggregation over the vocabulary (the
+    corpus itself is never re-scanned after the initial frequency
+    count: classic BPE trains on the word-frequency table). The learned
+    (round, pair, count) table IS the merge artifact bpe_apply_pieces
+    consumes. Scale: vocabulary-sized state, one shuffle per round, the
+    1-row winner broadcast into the re-segmentation."""
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(
+            F.explode(F.filter(F.split("text", r"\s+"), lambda x: x != "")).alias(
+                "token"
+            )
+        )
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("f"))
+    )
+    seg = vocab.withColumn(
+        "s", F.expr("' ' || trim(regexp_replace(token, '(.)', '$1 ')) || ' '")
+    )
+
+    wins = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        pairs = (
+            seg.select(
+                "f", F.expr("split(trim(s), ' ')").alias("syms")
+            )
+            .select(
+                "f",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(syms) - 2),"
+                        " i -> struct(syms[i] AS x, syms[i + 1] AS y))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+            .agg(F.sum("f").cast("bigint").alias("cnt"))
+        )
+        win = pairs.orderBy(F.desc("cnt"), "x", "y").limit(1)
+        wins.append(win.select(F.lit(r).alias("round"), F.col("x").alias("merge_x"), F.col("y").alias("merge_y"), F.col("cnt").alias("pair_count")))
+        seg = seg.crossJoin(F.broadcast(win)).withColumn(
+            "s",
+            F.expr(
+                "replace(replace(s, ' ' || x || ' ' || y || ' ', ' ' || x || y || ' '),"
+                " ' ' || x || ' ' || y || ' ', ' ' || x || y || ' ')"
+            ),
+        ).select("token", "f", "s")
+
+    out = wins[0]
+    for w in wins[1:]:
+        out = out.unionByName(w)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global corpus shuffle (training-order permutation)
+# ---------------------------------------------------------------------------
+
+_SHUFFLE_EPOCH = 7
+
+
+@query(
+    "global_shuffle_documents",
+    f"""
+    SELECT rank, doc_id, shuffle_key FROM (
+      SELECT doc_id,
+             md5('epoch-{_SHUFFLE_EPOCH}:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+             row_number() OVER (ORDER BY md5('epoch-{_SHUFFLE_EPOCH}:' || CAST(doc_id AS VARCHAR)), doc_id) AS rank
+      FROM documents
+    ) t WHERE rank <= 100
+    """,
+)
+def global_shuffle_documents(spark, sf_dir):
+    """Deterministic epoch-seeded global shuffle — the training-order
+    permutation step: every document gets ``md5(epoch:doc_id)`` as its
+    shuffle key and the corpus is totally ordered by it. Reproducible
+    across runs/engines (no rand()), re-seedable per epoch by changing
+    one literal. At 100 TB the ORDER BY is a repartitionByRange on the
+    key (sampled range bounds) + in-partition sort — the exact shape
+    Spark's global sort already plans; the leading window here is only
+    to emit a verifiable prefix."""
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        F.md5(
+            F.concat(F.lit(f"epoch-{_SHUFFLE_EPOCH}:"), F.col("doc_id").cast("string"))
+        ).alias("shuffle_key"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("shuffle_key", "doc_id")
+    return (
+        keyed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 100)
+        .select("rank", "doc_id", "shuffle_key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity governance audit
+# ---------------------------------------------------------------------------
+
+_K_ANON = 5
+
+
+@query(
+    "k_anonymity_audit_customers",
+    f"""
+    WITH cells AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+             CAST(count(*) AS BIGINT) AS group_size
+      FROM customer
+      GROUP BY c_nationkey, c_mktsegment, CAST(floor(c_acctbal / 1000) AS BIGINT)
+    )
+    SELECT c_nationkey, c_mktsegment, bal_bucket, group_size
+    FROM cells WHERE group_size < {_K_ANON}
+    """,
+)
+def k_anonymity_audit_customers(spark, sf_dir):
+    """Training-data governance gate: quasi-identifier cells (nation ×
+    segment × coarse balance bucket) whose population is below k={_K_ANON}
+    — the groups a release would have to suppress or generalize.
+    One hash aggregation; at 100 TB the quasi-identifier projection
+    prunes to three columns at the scan."""
+    c = load_table(spark, sf_dir, "customer")
+    cells = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_bucket"),
+    ).agg(F.count("*").cast("bigint").alias("group_size"))
+    return cells.filter(F.col("group_size") < _K_ANON)
