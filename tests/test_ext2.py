@@ -280,3 +280,92 @@ def test_k_anonymity_flags_only_small_cells(spark):
     pop = {(r.c_nationkey, r.c_mktsegment, r.bal_bucket): r["count"] for r in cells}
     for r in rows:
         assert pop[(r.c_nationkey, r.c_mktsegment, r.bal_bucket)] == r.group_size
+
+
+# ---------------------------------------------------------------------------
+# kmv_set_ops_event_types
+# ---------------------------------------------------------------------------
+
+def test_kmv_set_ops_estimates_bounded(spark):
+    row = QUERIES["kmv_set_ops_event_types"](spark, SF).collect()[0]
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    import pyspark.sql.functions as SF_
+
+    views = {
+        r.user_id
+        for r in e.filter("event_type = 'view' AND user_id IS NOT NULL")
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    clicks = {
+        r.user_id
+        for r in e.filter("event_type = 'click' AND user_id IS NOT NULL")
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    true_union = len(views | clicks)
+    true_inter = len(views & clicks)
+    # RSE ~ 1/sqrt(k-2) ~ 6%; allow 4 sigma on union, looser on the
+    # (smaller-sample) intersection
+    assert abs(row.est_union - true_union) <= max(0.25 * true_union, 10)
+    assert abs(row.est_intersection - true_inter) <= max(0.4 * true_inter, 15)
+    if true_union:
+        true_j = true_inter / true_union
+        assert abs(row.jaccard_est - true_j) <= 0.2
+
+
+# ---------------------------------------------------------------------------
+# target_encode_mktsegment
+# ---------------------------------------------------------------------------
+
+def test_target_encoding_leak_free(spark):
+    rows = QUERIES["target_encode_mktsegment"](spark, SF).collect()
+    assert rows
+    import collections
+    import hashlib as hl
+
+    c = spark.read.parquet(f"{SF}/customer.parquet").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    ).collect()
+    sums = collections.defaultdict(float)
+    cnts = collections.defaultdict(int)
+    for r in c:
+        fold = int(hl.md5(f"fold:{r.c_custkey}".encode()).hexdigest()[:15], 16) % 5
+        key = (r.c_mktsegment, fold)
+        sums[key] += round(r.c_acctbal, 2)
+        cnts[key] += 1
+    for r in rows:
+        total_s = sum(v for (seg, f), v in sums.items() if seg == r.c_mktsegment)
+        total_n = sum(v for (seg, f), v in cnts.items() if seg == r.c_mktsegment)
+        oof_s = total_s - sums[(r.c_mktsegment, r.fold)]
+        oof_n = total_n - cnts[(r.c_mktsegment, r.fold)]
+        assert cnts[(r.c_mktsegment, r.fold)] == r.n_in_fold
+        assert abs(r.encoded_mean - oof_s / oof_n) < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# multitouch_attribution_events
+# ---------------------------------------------------------------------------
+
+def test_attribution_conserves_value_of_attributed_purchases(spark):
+    rows = QUERIES["multitouch_attribution_events"](spark, SF).collect()
+    channels = {r.channel for r in rows}
+    assert channels <= {"view", "click"} and rows
+    # total attributed value == total value of purchases that HAVE at
+    # least one touch in-window (linear attribution conserves value)
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    p = e.filter("event_type = 'purchase' AND value IS NOT NULL").select(
+        "user_id", F.col("event_id").alias("pid"), F.col("ts").alias("pts"), "value"
+    )
+    t = e.filter("event_type IN ('view','click')").select("user_id", "ts")
+    touched = (
+        p.join(t, "user_id")
+        .filter("ts <= pts AND ts > pts - INTERVAL 60 MINUTE")
+        .select("pid", "value")
+        .distinct()
+    )
+    total = touched.agg(F.sum("value")).collect()[0][0]
+    attributed = sum(r.attributed_value for r in rows)
+    assert abs(attributed - total) < 0.01 * max(abs(total), 1.0)

@@ -671,3 +671,258 @@ def k_anonymity_audit_customers(spark, sf_dir):
         F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_bucket"),
     ).agg(F.count("*").cast("bigint").alias("group_size"))
     return cells.filter(F.col("group_size") < _K_ANON)
+
+
+# ---------------------------------------------------------------------------
+# Theta-sketch set operations (KMV union / intersection estimates)
+# ---------------------------------------------------------------------------
+
+_KMV_K = 256
+_HASH_SPACE_F = float(1 << 60)
+
+
+@query(
+    "kmv_set_ops_event_types",
+    f"""
+    WITH hashed AS (
+      SELECT DISTINCT event_type,
+             CAST('0x' || substr(md5('0:' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+      FROM events WHERE user_id IS NOT NULL AND event_type IN ('view', 'click')
+    ), kept AS (
+      SELECT event_type, h FROM (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM hashed
+      ) r WHERE rn <= {_KMV_K}
+    ), theta AS (
+      SELECT event_type,
+             CASE WHEN count(*) < {_KMV_K} THEN {_HASH_SPACE_F} 
+                  ELSE CAST(max(h) AS DOUBLE) END AS th
+      FROM kept GROUP BY event_type
+    ), tmin AS (
+      SELECT min(th) AS th FROM theta
+    ), uni AS (
+      SELECT count(*) AS cnt FROM (SELECT DISTINCT h FROM kept) u, tmin
+      WHERE CAST(u.h AS DOUBLE) < tmin.th
+    ), inter AS (
+      SELECT count(*) AS cnt FROM (
+        SELECT h FROM kept GROUP BY h HAVING count(*) = 2
+      ) i, tmin WHERE CAST(i.h AS DOUBLE) < tmin.th
+    )
+    SELECT 'view' AS type_a, 'click' AS type_b,
+           CAST(round(uni.cnt * {_HASH_SPACE_F} / tmin.th) AS BIGINT) AS est_union,
+           CAST(round(inter.cnt * {_HASH_SPACE_F} / tmin.th) AS BIGINT) AS est_intersection,
+           round(CASE WHEN uni.cnt = 0 THEN 0.0
+                      ELSE CAST(inter.cnt AS DOUBLE) / CAST(uni.cnt AS DOUBLE) END, 6) AS jaccard_est
+    FROM uni, inter, tmin
+    """,
+)
+def kmv_set_ops_event_types(spark, sf_dir):
+    """Theta-sketch SET OPERATIONS over user audiences: KMV sketches of
+    the 'view' and 'click' user sets are merged below the smaller theta
+    to estimate union, intersection, and audience-overlap Jaccard —
+    the mergeable-sketch algebra (Dasgupta et al., theta sketches) that
+    answers overlap questions at 100 TB from k=256-row summaries
+    instead of a distinct-join of the raw sets. All arithmetic is the
+    module's md5-60-bit convention, so the estimate hash-matches the
+    oracle. Note the Jaccard ratio divides the VALID sample counts
+    (both scale by space/theta, which cancels)."""
+    from vmware_graph_spark.functions.sketch import uniform_hash60
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isin("view", "click")
+    )
+    hashed = e.select(
+        "event_type", uniform_hash60("user_id", 0).alias("h")
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    kept = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("event_type", "h")
+    )
+    theta = kept.groupBy("event_type").agg(
+        F.when(F.count("*") < _KMV_K, F.lit(_HASH_SPACE_F))
+        .otherwise(F.max("h").cast("double"))
+        .alias("th")
+    )
+    tmin = theta.agg(F.min("th").alias("th"))
+    uni = (
+        kept.select("h")
+        .distinct()
+        .crossJoin(F.broadcast(tmin))
+        .filter(F.col("h").cast("double") < F.col("th"))
+        .agg(F.count("*").alias("ucnt"))
+    )
+    inter = (
+        kept.groupBy("h")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") == 2)
+        .crossJoin(F.broadcast(tmin))
+        .filter(F.col("h").cast("double") < F.col("th"))
+        .agg(F.count("*").alias("icnt"))
+    )
+    return (
+        uni.crossJoin(inter)
+        .crossJoin(tmin)
+        .select(
+            F.lit("view").alias("type_a"),
+            F.lit("click").alias("type_b"),
+            F.round(F.col("ucnt") * _HASH_SPACE_F / F.col("th"))
+            .cast("bigint")
+            .alias("est_union"),
+            F.round(F.col("icnt") * _HASH_SPACE_F / F.col("th"))
+            .cast("bigint")
+            .alias("est_intersection"),
+            F.round(
+                F.when(F.col("ucnt") == 0, F.lit(0.0)).otherwise(
+                    F.col("icnt").cast("double") / F.col("ucnt").cast("double")
+                ),
+                6,
+            ).alias("jaccard_est"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-free K-fold target encoding
+# ---------------------------------------------------------------------------
+
+_TE_FOLDS = 5
+
+
+@query(
+    "target_encode_mktsegment",
+    f"""
+    WITH folded AS (
+      SELECT c_mktsegment,
+             CAST('0x' || substr(md5('fold:' || CAST(c_custkey AS VARCHAR)), 1, 15) AS BIGINT) % {_TE_FOLDS} AS fold,
+             CAST(c_acctbal AS DECIMAL(18,2)) AS y
+      FROM customer
+    ), cell AS (
+      SELECT c_mktsegment, fold,
+             CAST(count(*) AS BIGINT) AS n_in_fold,
+             sum(y) AS s_in_fold
+      FROM folded GROUP BY c_mktsegment, fold
+    ), total AS (
+      SELECT c_mktsegment,
+             sum(n_in_fold) AS n_total, sum(s_in_fold) AS s_total
+      FROM cell GROUP BY c_mktsegment
+    )
+    SELECT cell.c_mktsegment, fold, n_in_fold,
+           round(CAST(s_total - s_in_fold AS DOUBLE) / (n_total - n_in_fold), 6) AS encoded_mean
+    FROM cell JOIN total USING (c_mktsegment)
+    """,
+)
+def target_encode_mktsegment(spark, sf_dir):
+    """Leakage-free K-fold target encoding (the feature-engineering
+    staple): each (category, fold) cell is encoded with the target mean
+    computed from the OTHER folds — own-fold rows never see their own
+    label. Folds are md5-deterministic (reproducible splits, no rand),
+    sums are exact decimals so the out-of-fold mean hash-matches. One
+    aggregation + one tiny join; at 100 TB the cell table is
+    |categories|×K rows and broadcasts back onto the feature rows."""
+    c = load_table(spark, sf_dir, "customer")
+    fold_h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("fold:"), F.col("c_custkey").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    folded = c.select(
+        "c_mktsegment",
+        (fold_h % _TE_FOLDS).alias("fold"),
+        F.col("c_acctbal").cast("decimal(18,2)").alias("y"),
+    )
+    cell = folded.groupBy("c_mktsegment", "fold").agg(
+        F.count("*").cast("bigint").alias("n_in_fold"),
+        F.sum("y").alias("s_in_fold"),
+    )
+    total = cell.groupBy("c_mktsegment").agg(
+        F.sum("n_in_fold").alias("n_total"), F.sum("s_in_fold").alias("s_total")
+    )
+    return cell.join(F.broadcast(total), "c_mktsegment").select(
+        "c_mktsegment",
+        "fold",
+        "n_in_fold",
+        F.round(
+            (F.col("s_total") - F.col("s_in_fold")).cast("double")
+            / (F.col("n_total") - F.col("n_in_fold")),
+            6,
+        ).alias("encoded_mean"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch attribution (linear weights within a lookback window)
+# ---------------------------------------------------------------------------
+
+_ATTR_WINDOW_MIN = 60
+
+
+@query(
+    "multitouch_attribution_events",
+    f"""
+    WITH purchases AS (
+      SELECT user_id, event_id AS pid, ts AS pts, value
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+    ), touches AS (
+      SELECT user_id, event_type, ts FROM events
+      WHERE event_type IN ('view', 'click')
+    ), matched AS (
+      SELECT p.pid, p.value, t.event_type
+      FROM purchases p JOIN touches t
+        ON p.user_id = t.user_id
+       AND t.ts <= p.pts AND t.ts > p.pts - INTERVAL {_ATTR_WINDOW_MIN} MINUTE
+    ), shares AS (
+      SELECT pid, value, event_type,
+             count(*) OVER (PARTITION BY pid) AS n_touches,
+             count(*) AS touches_of_type
+      FROM matched GROUP BY pid, value, event_type
+    )
+    SELECT event_type AS channel,
+           CAST(sum(touches_of_type) AS BIGINT) AS n_touches,
+           CAST(round(sum(CAST(round(value * touches_of_type / n_touches, 6) AS DECIMAL(18,6))), 4) AS DOUBLE) AS attributed_value
+    FROM shares
+    GROUP BY event_type
+    """,
+)
+def multitouch_attribution_events(spark, sf_dir):
+    """Linear multi-touch attribution: each purchase's value is split
+    evenly across the user's view/click touchpoints in the preceding
+    {_ATTR_WINDOW_MIN}-minute window, then rolled up per channel. The
+    touch join is user-keyed with a bounded time band (state the
+    streaming twin bounds by watermark); per-purchase shares are exact
+    decimals accumulated so channel totals are fold-order-free."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select("user_id", F.col("event_id").alias("pid"), F.col("ts").alias("pts"), "value")
+    touches = e.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id", "event_type", "ts"
+    )
+    matched = purchases.join(touches, "user_id").filter(
+        (F.col("ts") <= F.col("pts"))
+        & (F.col("ts") > F.col("pts") - F.expr(f"INTERVAL {_ATTR_WINDOW_MIN} MINUTE"))
+    )
+    per_type = matched.groupBy("pid", "value", "event_type").agg(
+        F.count("*").alias("touches_of_type")
+    )
+    w = Window.partitionBy("pid")
+    shares = per_type.withColumn(
+        "n_touches", F.sum("touches_of_type").over(w)
+    )
+    return shares.groupBy(F.col("event_type").alias("channel")).agg(
+        F.sum("touches_of_type").cast("bigint").alias("n_touches"),
+        F.round(
+            F.sum(
+                F.round(
+                    F.col("value") * F.col("touches_of_type") / F.col("n_touches"), 6
+                ).cast("decimal(18,6)")
+            ),
+            4,
+        )
+        .cast("double")
+        .alias("attributed_value"),
+    )
