@@ -40,6 +40,8 @@ HEADLINE = [
     "corpus_prep_pipeline",
     "near_dedup_clusters",
     "asof_join_clicks_views",
+    "dup_span_removal_documents",
+    "bpe_train_merges",
 ]
 
 

@@ -50,6 +50,8 @@ QUERIES_TO_TIME = [
     "sessionize_user_events",
     "connected_components_bipartite",
     "kmeans_clusters_embeddings",
+    "dup_span_removal_documents",
+    "random_walks_parts",
 ]
 
 COPY_AS_IS = ["region", "nation", "customer", "part", "supplier"]
