@@ -369,3 +369,73 @@ def test_attribution_conserves_value_of_attributed_purchases(spark):
     total = touched.agg(F.sum("value")).collect()[0][0]
     attributed = sum(r.attributed_value for r in rows)
     assert abs(attributed - total) < 0.01 * max(abs(total), 1.0)
+
+
+# ---------------------------------------------------------------------------
+# motif_find pattern API
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def motif_edges(spark):
+    rows = [
+        ("a1", "KNOWS", "b1"),
+        ("a2", "KNOWS", "b1"),
+        ("b1", "WORKS_AT", "c1"),
+        ("b2", "WORKS_AT", "c1"),
+        ("a1", "FLAGGED", "x1"),
+    ]
+    return spark.createDataFrame(rows, ["src", "rel_type", "dst"])
+
+
+def test_motif_two_hop_typed(motif_edges):
+    from vmware_graph_spark.analytics.motif import motif_find
+
+    out = motif_find(motif_edges, "(a)-[:KNOWS]->(b); (b)-[:WORKS_AT]->(c)")
+    got = {(r.a, r.b, r.c) for r in out.collect()}
+    assert got == {("a1", "b1", "c1"), ("a2", "b1", "c1")}
+
+
+def test_motif_undirected_and_edge_var(motif_edges):
+    from vmware_graph_spark.analytics.motif import motif_find
+
+    out = motif_find(motif_edges, "(x)-[e]-(y)")
+    rows = out.collect()
+    # every directed edge appears in both orientations with its type bound
+    assert len(rows) == 2 * motif_edges.count()
+    assert {(r.x, r.y, r.e) for r in rows} >= {("b1", "a1", "KNOWS"), ("a1", "b1", "KNOWS")}
+
+
+def test_motif_negation(motif_edges):
+    from vmware_graph_spark.analytics.motif import motif_find
+
+    out = motif_find(motif_edges, "(a)-[:KNOWS]->(b); !(a)-[:FLAGGED]->()")
+    assert {r.a for r in out.collect()} == {"a2"}
+
+
+def test_motif_anonymous_endpoint(motif_edges):
+    from vmware_graph_spark.analytics.motif import motif_find
+
+    out = motif_find(motif_edges, "()-[:WORKS_AT]->(c)")
+    assert {r.c for r in out.collect()} == {"c1"}
+    assert out.columns == ["c"]
+
+
+def test_motif_parse_errors(motif_edges):
+    from vmware_graph_spark.analytics.motif import motif_find
+
+    with pytest.raises(ValueError):
+        motif_find(motif_edges, "(a)-KNOWS->(b)")
+    with pytest.raises(ValueError):
+        motif_find(motif_edges, "!(a)-[:X]->(b)")  # negation-only
+    with pytest.raises(ValueError):
+        motif_find(motif_edges, "(a)-[:KNOWS]->(b); !(q)-[:FLAGGED]->()")
+
+
+def test_motif_registry_query_matches_negation_semantics(spark):
+    df = QUERIES["motif_hosts_without_bios"](spark, SF)
+    rows = df.collect()
+    assert rows and df.columns == ["h", "c", "v"]
+    # every returned host lacks a BIOS edge by construction: sk % 7 == 0
+    for r in rows:
+        sk = int(r.h.split("-")[1].split("\x1f")[0])
+        assert sk % 7 == 0 and sk % 11 != 0

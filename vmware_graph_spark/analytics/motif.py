@@ -118,3 +118,115 @@ def bfs_distances(
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return visited.join(vertices.select("id"), "id", "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Motif pattern finder (GraphFrames find() dialect + type constraints)
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+_TERM_RE = _re.compile(
+    r"^\s*(?P<neg>!)?\s*\((?P<src>\w*)\)\s*-\s*\[(?P<evar>\w*)(?::(?P<etype>\w+))?\]\s*"
+    r"(?P<arrow>->|-)\s*\((?P<dst>\w*)\)\s*$"
+)
+
+def _parse_motif(pattern: str):
+    """Parse ``(a)-[e:TYPE]->(b); !(a)-[:T]->()`` into term dicts.
+
+    Dialect: GraphFrames ``find()`` terms, extended with ``:TYPE`` edge
+    constraints (the Cypher ``[:REL]`` analog) and undirected terms
+    ``(a)-[e]-(b)`` (Cypher's either-direction match, SURVEY §2.3 J3).
+    ``!``-prefixed terms are negations (no such edge may exist).
+    Anonymous vertices ``()`` / edges ``[]`` bind nothing.
+    """
+    terms = []
+    for raw in pattern.split(";"):
+        if not raw.strip():
+            continue
+        m = _TERM_RE.match(raw)
+        if not m:
+            raise ValueError(f"unparseable motif term: {raw!r}")
+        d = m.groupdict()
+        terms.append(
+            {
+                "neg": bool(d["neg"]),
+                "src": d["src"],
+                "dst": d["dst"],
+                "evar": d["evar"],
+                "etype": d["etype"],
+                "directed": d["arrow"] == "->",
+            }
+        )
+    if not terms:
+        raise ValueError("empty motif pattern")
+    return terms
+
+
+def motif_find(
+    edges: DataFrame,
+    pattern: str,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    type_col: str = "rel_type",
+) -> DataFrame:
+    """Find all bindings of a motif pattern over the edge table — the
+    engine's analog of Cypher ``MATCH`` join patterns
+    (refresh-vmware.cypher:101-103,143,250 are 2-hop/any-direction/
+    existence matches of exactly this shape) and of GraphFrames
+    ``find()``.
+
+    Returns one column per named vertex variable (bound to vertex keys)
+    and one per named edge variable (bound to the matched rel_type).
+    Positive terms compile to an equi-join chain on shared variables —
+    Catalyst reorders/broadcasts; undirected terms union both edge
+    directions first (the canonical-edge store keeps one row per
+    undirected pair, so the union is loss-free). Negated terms compile
+    to LEFT ANTI joins on their shared variables (the relational
+    complement — never a cartesian). At 100 TB each term prunes to its
+    rel_type partition before joining.
+    """
+    terms = _parse_motif(pattern)
+    anon = [0]
+
+    def fresh():
+        anon[0] += 1
+        return f"__anon{anon[0]}"
+
+    def term_df(t):
+        e = edges
+        if t["etype"]:
+            e = e.filter(F.col(type_col) == t["etype"])
+        s = t["src"] or fresh()
+        d = t["dst"] or fresh()
+        cols = [F.col(src_col).alias(s), F.col(dst_col).alias(d)]
+        if t["evar"]:
+            cols.append(F.col(type_col).alias(t["evar"]))
+        out = e.select(*cols)
+        if not t["directed"]:
+            rev = [F.col(src_col).alias(d), F.col(dst_col).alias(s)]
+            if t["evar"]:
+                rev.append(F.col(type_col).alias(t["evar"]))
+            out = out.unionByName(e.select(*rev))
+        return out, {s, d}
+
+    positives = [t for t in terms if not t["neg"]]
+    negatives = [t for t in terms if t["neg"]]
+    if not positives:
+        raise ValueError("motif needs at least one positive term")
+
+    acc, bound = term_df(positives[0])
+    for t in positives[1:]:
+        tdf, tvars = term_df(t)
+        shared = [v for v in tvars if v in bound and not v.startswith("__anon")]
+        acc = acc.join(tdf, on=shared) if shared else acc.crossJoin(tdf)
+        bound |= tvars
+    for t in negatives:
+        tdf, tvars = term_df(t)
+        shared = [v for v in tvars if v in bound and not v.startswith("__anon")]
+        if not shared:
+            raise ValueError("negated term shares no variable with the motif")
+        acc = acc.join(tdf.select(*shared).distinct(), on=shared, how="left_anti")
+    keep = [c for c in acc.columns if not c.startswith("__anon")]
+    return acc.select(*keep)

@@ -926,3 +926,57 @@ def multitouch_attribution_events(spark, sf_dir):
         .cast("double")
         .alias("attributed_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Motif pattern finder over the ingested graph
+# ---------------------------------------------------------------------------
+
+def _motif_sql():
+    from vmware_graph_spark.queries import _HOST_BASE_SQL
+
+    return f"""
+    WITH h AS ({_HOST_BASE_SQL}),
+    j AS (
+      SELECT sk, cluster, uid,
+             'host-' || sk || chr(31) || uid AS hkey,
+             'VMware ESXi ' || (sk % 2 + 6) || '.0' AS esxver,
+             CASE WHEN sk % 7 = 0 THEN NULL ELSE '2021-0' || (sk % 8 + 1) END AS biosdate
+      FROM h WHERE sk % 11 <> 0
+    )
+    SELECT hkey AS h, cluster || chr(31) || uid AS c, esxver AS v
+    FROM j WHERE biosdate IS NULL
+    """
+
+
+@query("motif_hosts_without_bios", None)
+def motif_hosts_without_bios(spark, sf_dir):
+    """Cypher-MATCH-style motif over the ingested graph through the
+    ``motif_find`` pattern API: hosts with their cluster and ESX
+    version, restricted by a NEGATED term to hosts lacking any
+    BIOS_VERSION edge —
+    ``(h)-[:MEMBER_OF_CLUSTER]->(c); (h)-[:IS_ESX_VERSION]->(v);
+    !(h)-[:BIOS_VERSION]->()``. Typed terms prune to their rel_type
+    before the join chain; the negation is a LEFT ANTI join, never a
+    cartesian. This is the query class the reference writes as MATCH
+    patterns (refresh-vmware.cypher:101-103,250)."""
+    from vmware_graph_spark.analytics.motif import motif_find
+    from vmware_graph_spark.ingest.stages import stage_vcluster, stage_vhost
+    from vmware_graph_spark.queries import _vcluster_sheet, _vhost_sheet
+    from vmware_graph_spark.store.graph import GraphStore
+
+    store = GraphStore(spark, checkpoint_every=2)
+    stage_vcluster(store, {"vCluster": _vcluster_sheet(spark, sf_dir)})
+    stage_vhost(store, {"vHost": _vhost_sheet(spark, sf_dir)})
+    return motif_find(
+        store.edges(),
+        "(h)-[:MEMBER_OF_CLUSTER]->(c); (h)-[:IS_ESX_VERSION]->(v);"
+        " !(h)-[:BIOS_VERSION]->()",
+        src_col="src_key",
+        dst_col="dst_key",
+    )
+
+
+from vmware_graph_spark.queries import ORACLE as _ORACLE2  # noqa: E402
+
+_ORACLE2["motif_hosts_without_bios"] = _motif_sql()
