@@ -439,3 +439,40 @@ def test_motif_registry_query_matches_negation_semantics(spark):
     for r in rows:
         sk = int(r.h.split("-")[1].split("\x1f")[0])
         assert sk % 7 == 0 and sk % 11 != 0
+
+
+def test_motif_varlength_chain(spark):
+    from vmware_graph_spark.analytics.motif import motif_find
+
+    # chain a -> b -> c -> d plus a shortcut a -> c
+    rows = [("a", "R", "b"), ("b", "R", "c"), ("c", "R", "d"), ("a", "R", "c")]
+    e = spark.createDataFrame(rows, ["src", "rel_type", "dst"])
+    out = motif_find(e, "(x)-[h:R*1..3]->(y)")
+    got = {(r.x, r.y): r.h for r in out.collect()}
+    # min-hop semantics: a reaches c in 1 via the shortcut
+    assert got[("a", "c")] == 1
+    assert got[("a", "d")] == 2  # a->c->d via shortcut
+    assert got[("b", "d")] == 2
+    assert got[("a", "b")] == 1
+    # bounds respected: no 0-hop self pairs
+    assert all(x != y for (x, y) in got)
+
+
+def test_motif_varlength_bounds_validation(spark):
+    from vmware_graph_spark.analytics.motif import motif_find
+
+    e = spark.createDataFrame([("a", "R", "b")], ["src", "rel_type", "dst"])
+    with pytest.raises(ValueError):
+        motif_find(e, "(x)-[:R*3..2]->(y)")
+    with pytest.raises(ValueError):
+        motif_find(e, "(x)-[:R*1..99]->(y)")
+
+
+def test_motif_varlength_composes_with_fixed_terms(spark):
+    from vmware_graph_spark.analytics.motif import motif_find
+
+    rows = [("a", "R", "b"), ("b", "R", "c"), ("c", "OWNS", "z")]
+    e = spark.createDataFrame(rows, ["src", "rel_type", "dst"])
+    out = motif_find(e, "(x)-[:R*1..2]->(m); (m)-[:OWNS]->(o)")
+    got = {(r.x, r.m, r.o) for r in out.collect()}
+    assert got == {("a", "c", "z"), ("b", "c", "z")}

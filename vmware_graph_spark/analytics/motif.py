@@ -127,7 +127,8 @@ def bfs_distances(
 import re as _re
 
 _TERM_RE = _re.compile(
-    r"^\s*(?P<neg>!)?\s*\((?P<src>\w*)\)\s*-\s*\[(?P<evar>\w*)(?::(?P<etype>\w+))?\]\s*"
+    r"^\s*(?P<neg>!)?\s*\((?P<src>\w*)\)\s*-\s*\[(?P<evar>\w*)(?::(?P<etype>\w+))?"
+    r"(?:\*(?P<minlen>\d+)\.\.(?P<maxlen>\d+))?\]\s*"
     r"(?P<arrow>->|-)\s*\((?P<dst>\w*)\)\s*$"
 )
 
@@ -148,6 +149,12 @@ def _parse_motif(pattern: str):
         if not m:
             raise ValueError(f"unparseable motif term: {raw!r}")
         d = m.groupdict()
+        if d["minlen"] is not None:
+            lo, hi = int(d["minlen"]), int(d["maxlen"])
+            if not 1 <= lo <= hi <= 10:
+                raise ValueError(f"variable-length bounds out of range: {raw!r}")
+        else:
+            lo = hi = None
         terms.append(
             {
                 "neg": bool(d["neg"]),
@@ -156,6 +163,8 @@ def _parse_motif(pattern: str):
                 "evar": d["evar"],
                 "etype": d["etype"],
                 "directed": d["arrow"] == "->",
+                "minlen": lo,
+                "maxlen": hi,
             }
         )
     if not terms:
@@ -200,6 +209,37 @@ def motif_find(
             e = e.filter(F.col(type_col) == t["etype"])
         s = t["src"] or fresh()
         d = t["dst"] or fresh()
+        if t["minlen"] is not None:
+            # Variable-length term ``-[:T*lo..hi]->``: bounded Kleene
+            # expansion as reachability-distinct pairs (the bulk-analytics
+            # semantics of transitive closure, not per-path enumeration —
+            # path multiplicity explodes combinatorially at scale and the
+            # reference's own MATCH usage never consumes it). A named edge
+            # var binds the MINIMUM hop count within the bounds. Each
+            # extension is one equi-join + distinct; hi is capped at 10.
+            base = e.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+            if not t["directed"]:
+                base = base.unionByName(
+                    e.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d"))
+                )
+            base = base.distinct()
+            cur, acc = base, None
+            for hop in range(1, t["maxlen"] + 1):
+                if hop > 1:
+                    cur = (
+                        cur.alias("p")
+                        .join(base.alias("q"), F.col("p.d") == F.col("q.s"))
+                        .select(F.col("p.s").alias("s"), F.col("q.d").alias("d"))
+                        .distinct()
+                    )
+                if hop >= t["minlen"]:
+                    step = cur.withColumn("hops", F.lit(hop))
+                    acc = step if acc is None else acc.unionByName(step)
+            pairs = acc.groupBy("s", "d").agg(F.min("hops").alias("hops"))
+            cols = [F.col("s").alias(s), F.col("d").alias(d)]
+            if t["evar"]:
+                cols.append(F.col("hops").alias(t["evar"]))
+            return pairs.select(*cols), {s, d}
         cols = [F.col(src_col).alias(s), F.col(dst_col).alias(d)]
         if t["evar"]:
             cols.append(F.col(type_col).alias(t["evar"]))

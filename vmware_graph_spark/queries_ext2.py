@@ -980,3 +980,37 @@ def motif_hosts_without_bios(spark, sf_dir):
 from vmware_graph_spark.queries import ORACLE as _ORACLE2  # noqa: E402
 
 _ORACLE2["motif_hosts_without_bios"] = _motif_sql()
+
+
+@query(
+    "motif_varlength_ancestors",
+    """
+    WITH RECURSIVE e AS (
+      SELECT c_custkey AS src, c_custkey // 10 AS dst FROM customer WHERE c_custkey >= 10
+    ),
+    tc(src, dst, dist) AS (
+      SELECT src, dst, 1 FROM e
+      UNION
+      SELECT tc.src, e.dst, tc.dist + 1 FROM tc JOIN e ON tc.dst = e.src
+    )
+    SELECT src AS c, dst AS a, CAST(min(dist) AS INT) AS h
+    FROM tc GROUP BY src, dst HAVING min(dist) BETWEEN 2 AND 4
+    """,
+)
+def motif_varlength_ancestors(spark, sf_dir):
+    """Variable-length path term in the motif API — Cypher's
+    ``-[:PARENT*2..4]->`` Kleene class: ancestors 2-4 hops up the decimal
+    custkey tree, the named edge var binding the minimum hop count.
+    The bounded expansion is reachability-distinct (one equi-join +
+    distinct per extension, never per-path enumeration); the oracle is
+    the recursive CTE with the same hop bounds."""
+    from vmware_graph_spark.analytics.motif import motif_find
+
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") >= 10)
+    edges = c.select(
+        F.col("c_custkey").alias("src"),
+        (F.col("c_custkey") / 10).cast("bigint").alias("dst"),
+        F.lit("PARENT").alias("rel_type"),
+    )
+    out = motif_find(edges, "(c)-[h:PARENT*2..4]->(a)")
+    return out.select("c", "a", F.col("h").cast("int").alias("h"))
