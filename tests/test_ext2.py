@@ -476,3 +476,20 @@ def test_motif_varlength_composes_with_fixed_terms(spark):
     out = motif_find(e, "(x)-[:R*1..2]->(m); (m)-[:OWNS]->(o)")
     got = {(r.x, r.m, r.o) for r in out.collect()}
     assert got == {("a", "c", "z"), ("b", "c", "z")}
+
+
+# ---------------------------------------------------------------------------
+# strongly_connected_components
+# ---------------------------------------------------------------------------
+
+def test_scc_cycles_and_tails(spark):
+    from vmware_graph_spark.analytics.algos import strongly_connected_components
+
+    # two cycles (1->2->3->1, 7->8->7) joined by tails: 0->1, 3->7, 9->8
+    rows = [(1, 2), (2, 3), (3, 1), (7, 8), (8, 7), (0, 1), (3, 7), (9, 8)]
+    e = spark.createDataFrame(rows, ["src", "dst"])
+    got = {r.id: r.scc_id for r in strongly_connected_components(e).collect()}
+    assert got[1] == got[2] == got[3] == 1
+    assert got[7] == got[8] == 7
+    # tail nodes are their own singleton SCCs
+    assert got[0] == 0 and got[9] == 9

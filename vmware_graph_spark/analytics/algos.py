@@ -619,3 +619,34 @@ def connected_components_star(
         vertices.join(labels, "id", "left")
         .select("id", F.coalesce("component", F.col("id")).alias("component"))
     )
+
+
+def strongly_connected_components(
+    edges: DataFrame, *, max_depth: int = 512
+) -> DataFrame:
+    """SCC labels — GraphFrames ``stronglyConnectedComponents`` parity:
+    ``(id, scc_id)`` where ``scc_id`` is the minimum vertex mutually
+    reachable with ``id`` (singleton components label themselves).
+
+    Built on the doubling transitive closure: mutual reachability is
+    closure ⋈ reversed-closure on the pair, so the label is one
+    aggregation over that join — no Tarjan-style sequential stack, which
+    cannot be expressed as bounded dataflow. Intended for graphs whose
+    closure fits the doubling budget (hierarchies with back-edges,
+    functional graphs, bounded-diameter machine graphs); pair count is
+    O(n·reach) and the cycle fixpoint is what the closure's min-dist
+    dedup already bounds."""
+    tc = transitive_closure(edges, max_depth=max_depth).select("src", "dst")
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    mutual = tc.join(
+        tc.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+        ["src", "dst"],
+    )
+    m = mutual.groupBy(F.col("src").alias("id")).agg(F.min("dst").alias("mu"))
+    return nodes.join(m, "id", "left").select(
+        "id", F.least(F.col("id"), F.coalesce("mu", F.col("id"))).alias("scc_id")
+    )

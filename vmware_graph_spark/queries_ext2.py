@@ -1014,3 +1014,43 @@ def motif_varlength_ancestors(spark, sf_dir):
     )
     out = motif_find(edges, "(c)-[h:PARENT*2..4]->(a)")
     return out.select("c", "a", F.col("h").cast("int").alias("h"))
+
+
+@query(
+    "scc_functional_graph",
+    """
+    WITH RECURSIVE nodes AS (
+      SELECT DISTINCT c_custkey % 500 AS v FROM customer
+    ), e AS (
+      SELECT v AS src, (7 * v + 3) % 500 AS dst FROM nodes
+      WHERE (7 * v + 3) % 500 IN (SELECT v FROM nodes)
+    ), tc(src, dst) AS (
+      SELECT src, dst FROM e
+      UNION
+      SELECT tc.src, e.dst FROM tc JOIN e ON tc.dst = e.src
+    ), mutual AS (
+      SELECT a.src AS v, a.dst AS u FROM tc a JOIN tc b ON a.src = b.dst AND a.dst = b.src
+    ), m AS (
+      SELECT v, min(u) AS mu FROM mutual GROUP BY v
+    )
+    SELECT nodes.v AS id, least(nodes.v, coalesce(m.mu, nodes.v)) AS scc_id
+    FROM nodes LEFT JOIN m ON nodes.v = m.v
+    """,
+)
+def scc_functional_graph(spark, sf_dir):
+    """Strongly connected components (GraphFrames SCC parity) over a
+    rho-shaped functional graph (v → 7v+3 mod 500 on the custkey
+    universe): tails label themselves, the cycles collapse to one
+    min-vertex label each. Mutual reachability = doubling closure joined
+    to its own reverse; verified against the recursive-CTE oracle."""
+    from vmware_graph_spark.analytics.algos import strongly_connected_components
+
+    c = load_table(spark, sf_dir, "customer")
+    nodes = c.select((F.col("c_custkey") % 500).alias("v")).distinct()
+    cand = nodes.select(
+        F.col("v").alias("src"), ((F.col("v") * 7 + 3) % 500).alias("dst")
+    )
+    edges = cand.join(
+        nodes.select(F.col("v").alias("dst")), "dst", "left_semi"
+    ).select("src", "dst")
+    return strongly_connected_components(edges)
