@@ -493,3 +493,23 @@ def test_scc_cycles_and_tails(spark):
     assert got[7] == got[8] == 7
     # tail nodes are their own singleton SCCs
     assert got[0] == 0 and got[9] == 9
+
+
+def test_streaming_left_join_emits_expired_unmatched_views(spark):
+    out = QUERIES["streaming_left_interval_join"](spark, SF).collect()
+    assert out
+    # the expiry path must have fired: some views have no click in-band
+    assert sum(r.n_unmatched_views for r in out) > 0
+    # and the per-user totals agree with the batch left band join
+    e = spark.read.parquet(f"{SF}/events.parquet").filter("user_id % 5 = 0")
+    v = e.filter("event_type = 'view'").select("user_id", F.col("event_id").alias("ve"), F.col("ts").alias("vts"))
+    c = e.filter("event_type = 'click'").select(F.col("user_id").alias("cu"), F.col("event_id").alias("ce"), F.col("ts").alias("cts"))
+    batch = (
+        v.join(c, (v.user_id == c.cu) & (c.cts >= v.vts) & (c.cts <= F.expr("vts + INTERVAL 30 MINUTE")), "left")
+        .groupBy("user_id")
+        .agg(F.count("ce").alias("np"), F.sum(F.col("ce").isNull().cast("int")).alias("nu"))
+        .collect()
+    )
+    expect = {r.user_id: (r.np, r.nu) for r in batch}
+    got = {r.user_id: (r.n_pairs, r.n_unmatched_views) for r in out}
+    assert got == expect

@@ -1054,3 +1054,111 @@ def scc_functional_graph(spark, sf_dir):
         nodes.select(F.col("v").alias("dst")), "dst", "left_semi"
     ).select("src", "dst")
     return strongly_connected_components(edges)
+
+
+# ---------------------------------------------------------------------------
+# Streaming LEFT OUTER interval join (state-expiry-emitted null rows)
+# ---------------------------------------------------------------------------
+
+@query(
+    "streaming_left_interval_join",
+    """
+    WITH v AS (
+      SELECT user_id, event_id, ts FROM events
+      WHERE event_type = 'view' AND user_id % 5 = 0
+    ), c AS (
+      SELECT user_id, event_id, ts FROM events
+      WHERE event_type = 'click' AND user_id % 5 = 0
+    )
+    SELECT v.user_id,
+           CAST(count(c.event_id) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN c.event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched_views
+    FROM v LEFT JOIN c ON c.user_id = v.user_id
+                      AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+    GROUP BY v.user_id
+    """,
+)
+def streaming_left_interval_join(spark, sf_dir):
+    """REAL stream-stream LEFT OUTER interval join — the hard half of
+    streaming joins: matched pairs emit immediately, but an UNMATCHED
+    view can only emit its null row once the global watermark proves no
+    click can still arrive inside the band, i.e. the null rows are
+    state-EXPIRY output. Both sides run as time-ordered file streams
+    with 0-second watermarks; a far-future sentinel in EACH stream
+    advances the global watermark (min across sources) so every real
+    view's band closes before the drain terminates — the
+    drained-backfill pattern streaming_session_window_counts documents.
+    Oracle: the batch LEFT band join."""
+    import tempfile
+    import uuid
+
+    from vmware_graph_spark.queries_ext import _write_time_ordered_batches
+    from vmware_graph_spark.streaming.events import read_event_stream
+
+    path = tempfile.mkdtemp(prefix="vgs_lsjoin_")
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 5 == 0)
+    maxts = e.agg(F.max("ts").alias("m")).collect()[0]["m"]
+
+    def sentinel():
+        return spark.createDataFrame(
+            [(int(-1), maxts, int(-1), "flush", 0.0, "{}")],
+            "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+        ).select(
+            "event_id",
+            (F.col("ts") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+
+    views = e.filter(F.col("event_type") == "view")
+    clicks = e.filter(F.col("event_type") == "click")
+    _write_time_ordered_batches(spark, sf_dir, path + "/views", views, n=2, extra=sentinel())
+    _write_time_ordered_batches(spark, sf_dir, path + "/clicks", clicks, n=2, extra=sentinel())
+
+    v = (
+        read_event_stream(spark, path + "/views")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("v_event_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "0 seconds")
+    )
+    c = (
+        read_event_stream(spark, path + "/clicks")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("c_event_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "0 seconds")
+    )
+    pairs = v.join(
+        c,
+        (F.col("c_user") == F.col("v_user"))
+        & (F.col("c_ts") >= F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    )
+    name = "stream_ljoin_" + uuid.uuid4().hex[:8]
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .filter(F.col("v_user") >= 0)
+        .groupBy(F.col("v_user").alias("user_id"))
+        .agg(
+            F.count("c_event_id").cast("bigint").alias("n_pairs"),
+            F.sum(F.col("c_event_id").isNull().cast("int"))
+            .cast("bigint")
+            .alias("n_unmatched_views"),
+        )
+    )
