@@ -27,11 +27,13 @@ Architecture (Spark-first, not a translation):
                   as declarative DataFrame pipelines, plus the refresh
                   protocol (mark → ingest → sweep) as a pure snapshot
                   rebuild + anti-join diff.
-- ``analytics`` — bulk graph analytics (degrees, connected components,
-                  PageRank + personalized PageRank, BFS/shortest paths,
-                  transitive closure by doubling, triangle counts,
-                  k-core, label propagation, HITS, motif joins) over the
-                  vertex/edge tables.
+- ``analytics`` — bulk graph analytics (degrees, connected + strongly
+                  connected components, PageRank + personalized PageRank,
+                  BFS/shortest paths, transitive closure by doubling,
+                  triangle counts, k-core, label propagation, HITS) over
+                  the vertex/edge tables, plus ``motif_find`` — a
+                  GraphFrames-``find()``-dialect pattern API with typed,
+                  undirected, negated, and bounded variable-length terms.
 - ``streaming`` — Structured Streaming ingest of event streams with
                   watermarks, windowed aggregation, stream-stream
                   interval joins, stateful sessionization, and CDC-style
