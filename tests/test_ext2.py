@@ -513,3 +513,35 @@ def test_streaming_left_join_emits_expired_unmatched_views(spark):
     expect = {r.user_id: (r.np, r.nu) for r in batch}
     got = {r.user_id: (r.n_pairs, r.n_unmatched_views) for r in out}
     assert got == expect
+
+
+def test_time_decay_weights_are_exact_dyadics(spark):
+    rows = QUERIES["time_decayed_value_by_user"](spark, SF).collect()
+    assert rows
+    # decayed value can never exceed the plain sum, and is positive when
+    # any positive-value event exists
+    e = spark.read.parquet(f"{SF}/events.parquet").filter(
+        "value IS NOT NULL AND user_id % 7 = 0"
+    )
+    plain = {r.user_id: r.s for r in e.groupBy("user_id").agg(F.sum("value").alias("s")).collect()}
+    for r in rows:
+        assert r.decayed_value <= plain[r.user_id] + 1e-6
+
+
+def test_gini_bounds_and_purity(spark):
+    rows = QUERIES["type_diversity_gini_by_user"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.gini < 1.0
+    # a single-type user would be exactly 0; verify formula on a known mix
+    import collections
+
+    e = spark.read.parquet(f"{SF}/events.parquet").filter("user_id % 11 = 0").collect()
+    mixes = collections.defaultdict(collections.Counter)
+    for row in e:
+        mixes[row.user_id][row.event_type] += 1
+    for r in rows:
+        cnt = mixes[r.user_id]
+        n = sum(cnt.values())
+        expect = 1.0 - sum(v * v for v in cnt.values()) / (n * n)
+        assert abs(r.gini - round(expect, 6)) < 1e-9

@@ -1162,3 +1162,87 @@ def streaming_left_interval_join(spark, sf_dir):
             .alias("n_unmatched_views"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Recency-weighted (half-life decay) aggregates
+# ---------------------------------------------------------------------------
+
+@query(
+    "time_decayed_value_by_user",
+    """
+    WITH mx AS (SELECT max(ts) AS m FROM events),
+    aged AS (
+      SELECT user_id,
+             value * power(0.5, CAST(date_diff('day', CAST(ts AS DATE), CAST(m AS DATE)) AS INT)) AS w
+      FROM events, mx WHERE value IS NOT NULL AND user_id % 7 = 0
+    )
+    SELECT user_id,
+           CAST(round(sum(CAST(round(w, 6) AS DECIMAL(18,6))), 4) AS DOUBLE) AS decayed_value,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM aged GROUP BY user_id
+    """,
+)
+def time_decayed_value_by_user(spark, sf_dir):
+    """Recency-weighted user value with a 1-day half-life — the
+    feature-engineering decay aggregate, made engine-exact: the weight
+    ``0.5^age_days`` is a dyadic rational, so ``value * weight`` is a
+    pure exponent shift with NO rounding (unlike ``exp(-λt)``, whose
+    libm differs across engines); the per-row product rounds once and
+    accumulates in decimals. The max-ts anchor is one scalar broadcast;
+    the aggregate is a single hash shuffle."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & (F.col("user_id") % 7 == 0)
+    )
+    mx = e.agg(F.max("ts").alias("m"))
+    aged = e.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        (
+            F.col("value")
+            * F.pow(F.lit(0.5), F.datediff(F.col("m").cast("date"), F.col("ts").cast("date")).cast("int"))
+        ).alias("w"),
+    )
+    return aged.groupBy("user_id").agg(
+        F.round(F.sum(F.round("w", 6).cast("decimal(18,6)")), 4)
+        .cast("double")
+        .alias("decayed_value"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Behavioral diversity (Gini impurity of the event-type mix per user)
+# ---------------------------------------------------------------------------
+
+@query(
+    "type_diversity_gini_by_user",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+      FROM events WHERE user_id % 11 = 0 GROUP BY user_id, event_type
+    ), n AS (
+      SELECT user_id, sum(c) AS n, sum(c * c) AS ss FROM c GROUP BY user_id
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n_events,
+           round(1.0 - CAST(ss AS DOUBLE) / CAST(n * n AS DOUBLE), 6) AS gini
+    FROM n
+    """,
+)
+def type_diversity_gini_by_user(spark, sf_dir):
+    """Behavioral-diversity feature: Gini impurity ``1 - Σ pᵢ²`` of each
+    user's event-type mix, computed from integer counts with a single
+    final division — exactly reproducible, unlike entropy's ``p·ln p``
+    (libm-dependent). Two stacked hash aggregations, no windows."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 11 == 0)
+    c = e.groupBy("user_id", "event_type").agg(F.count("*").cast("bigint").alias("c"))
+    n = c.groupBy("user_id").agg(
+        F.sum("c").alias("n"), F.sum(F.col("c") * F.col("c")).alias("ss")
+    )
+    return n.select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.round(
+            F.lit(1.0) - F.col("ss").cast("double") / (F.col("n") * F.col("n")).cast("double"),
+            6,
+        ).alias("gini"),
+    )
