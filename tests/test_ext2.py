@@ -545,3 +545,13 @@ def test_gini_bounds_and_purity(spark):
         n = sum(cnt.values())
         expect = 1.0 - sum(v * v for v in cnt.values()) / (n * n)
         assert abs(r.gini - round(expect, 6)) < 1e-9
+
+
+def test_lsh_recall_eval_consistent(spark):
+    row = QUERIES["lsh_recall_vs_exact"](spark, SF).collect()[0]
+    assert row.n_hit <= row.n_exact
+    assert row.n_hit <= row.n_candidates
+    assert row.recall == round(row.n_hit / row.n_exact, 6)
+    # with 8 hashes / 4 bands on near-identical fixture dups, recall
+    # should be high — this is the tuning signal the query exists for
+    assert row.recall >= 0.8

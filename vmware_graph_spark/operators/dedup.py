@@ -241,6 +241,61 @@ def minhash_signatures(
     return agg.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
 
 
+def _lsh_candidates_from(
+    sh: DataFrame, *, num_hashes: int, bands: int
+) -> DataFrame:
+    """Banded-LSH candidate pairs (id_a < id_b, distinct) from a shingle
+    table: signature aggregation, per-band bucket keys, bucket
+    self-join. Shared by ``minhash_lsh_pairs`` (which verifies) and
+    ``minhash_lsh_candidates`` (recall evaluation wants the raw set)."""
+    rows = num_hashes // bands
+    mins = [F.min(_md5_hash64(F.col("shingle"), i)).alias(f"h{i}") for i in range(num_hashes)]
+    sig = (
+        sh.groupBy("id")
+        .agg(*mins)
+        .select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+    )
+    band_cols = []
+    for b in range(bands):
+        piece = F.slice(F.col("sig"), b * rows + 1, rows)
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(",", *[
+                F.element_at(piece, i + 1).cast("string") for i in range(rows)
+            ])).alias("bucket"))
+        )
+    buckets = sig.select("id", F.explode(F.array(*band_cols)).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a = buckets.alias("a")
+    b_ = buckets.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Raw banded-LSH candidate pairs, unverified — the set whose recall
+    against exact ground truth calibrates (bands, rows) before a large
+    run (see the ``lsh_recall_vs_exact`` registry query)."""
+    sh = _shingle_table(df, id_col, text_col, n)
+    return _lsh_candidates_from(sh, num_hashes=num_hashes, bands=bands)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -262,37 +317,8 @@ def minhash_lsh_pairs(
     lineage-cut once so the tokenize+explode runs a single time — on a
     cluster the same role is played by persisting the shingle stage.
     """
-    rows = num_hashes // bands
     sh = _shingle_table(df, id_col, text_col, n).localCheckpoint(eager=False)
-    mins = [F.min(_md5_hash64(F.col("shingle"), i)).alias(f"h{i}") for i in range(num_hashes)]
-    sig = (
-        sh.groupBy("id")
-        .agg(*mins)
-        .select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
-    )
-    band_cols = []
-    for b in range(bands):
-        piece = F.slice(F.col("sig"), b * rows + 1, rows)
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(",", *[
-                F.element_at(piece, i + 1).cast("string") for i in range(rows)
-            ])).alias("bucket"))
-        )
-    buckets = sig.select("id", F.explode(F.array(*band_cols)).alias("bb")).select(
-        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
-    a = buckets.alias("a")
-    b_ = buckets.alias("b")
-    cands = (
-        a.join(
-            b_,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
+    cands = _lsh_candidates_from(sh, num_hashes=num_hashes, bands=bands)
     # Verify ONLY the candidate pairs: join candidates to the per-doc
     # shingle sets and count intersections for those pairs alone. The
     # join keys are the candidate ids, so cost is O(|candidates| ×

@@ -1246,3 +1246,84 @@ def type_diversity_gini_by_user(spark, sf_dir):
             6,
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# In-engine LSH recall evaluation against exact ground truth
+# ---------------------------------------------------------------------------
+
+def _lsh_recall_sql():
+    from vmware_graph_spark.queries import _SH3_CTE, _h64
+
+    return f"""
+    WITH {_SH3_CTE},
+    exact AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id
+      ) p JOIN sizes sa ON sa.id = p.id_a JOIN sizes sb ON sb.id = p.id_b
+      WHERE inter::DOUBLE / (sa.n_sh + sb.n_sh - inter) >= 0.4
+    ),
+    hx AS (
+      SELECT id, i AS h_idx, min({_h64('shingle', 'i')}) AS h_val
+      FROM sh CROSS JOIN (SELECT unnest(range(8)) AS i)
+      GROUP BY id, i
+    ),
+    buckets AS (
+      SELECT id, h_idx // 2 AS band,
+             md5(string_agg(h_val::VARCHAR, ',' ORDER BY h_idx)) AS bucket
+      FROM hx GROUP BY id, h_idx // 2
+    ),
+    cands AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+    ),
+    hit AS (SELECT * FROM exact JOIN cands USING (id_a, id_b))
+    SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+           CAST((SELECT count(*) FROM cands) AS BIGINT) AS n_candidates,
+           CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_hit,
+           round(CAST((SELECT count(*) FROM hit) AS DOUBLE)
+                 / (SELECT count(*) FROM exact), 6) AS recall
+    """
+
+
+@query("lsh_recall_vs_exact", None)
+def lsh_recall_vs_exact(spark, sf_dir):
+    """Dedup-quality evaluation IN the engine (the near-dup counterpart
+    of ``ann_recall_bq_vs_exact``): candidate recall of MinHash-LSH
+    banding against the exact >= 0.4-Jaccard pair set — the number you
+    tune bands/rows against before a 100 TB run, computed from the same
+    two kernels the production path uses (exact inverted-index pairs on
+    the small tuning sample, banded candidates at scale). One row:
+    exact pairs, LSH candidates, hits, recall."""
+    from vmware_graph_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_lsh_candidates,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    exact = jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.4).select(
+        "id_a", "id_b"
+    )
+    cands = minhash_lsh_candidates(d, "doc_id", "text", n=3, num_hashes=8, bands=4)
+    hit = exact.join(cands, ["id_a", "id_b"])
+    return (
+        exact.agg(F.count("*").cast("bigint").alias("n_exact"))
+        .crossJoin(cands.agg(F.count("*").cast("bigint").alias("n_candidates")))
+        .crossJoin(hit.agg(F.count("*").cast("bigint").alias("n_hit")))
+        .select(
+            "n_exact",
+            "n_candidates",
+            "n_hit",
+            F.round(F.col("n_hit").cast("double") / F.col("n_exact"), 6).alias(
+                "recall"
+            ),
+        )
+    )
+
+
+from vmware_graph_spark.queries import ORACLE as _ORACLE3  # noqa: E402
+
+_ORACLE3["lsh_recall_vs_exact"] = _lsh_recall_sql()
