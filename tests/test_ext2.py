@@ -555,3 +555,38 @@ def test_lsh_recall_eval_consistent(spark):
     # with 8 hashes / 4 bands on near-identical fixture dups, recall
     # should be high — this is the tuning signal the query exists for
     assert row.recall >= 0.8
+
+
+def test_bootstrap_ci_brackets_point_mean(spark):
+    row = QUERIES["bootstrap_ci_mean_value"](spark, SF).collect()[0]
+    assert row.ci_lo <= row.point_mean <= row.ci_hi
+    assert row.n > 0
+    # run twice: deterministic resampling must reproduce exactly
+    row2 = QUERIES["bootstrap_ci_mean_value"](spark, SF).collect()[0]
+    assert (row.ci_lo, row.ci_hi) == (row2.ci_lo, row2.ci_hi)
+
+
+def test_ab_test_statistic_formula(spark):
+    row = QUERIES["ab_test_value_by_cohort"](spark, SF).collect()[0]
+    assert row.n_a > 0 and row.n_b > 0
+    import math
+
+    var_a = None
+    # replay from the reported moments is impossible (m2 not output), so
+    # verify the z-score against a pandas replay of the assignment
+    import hashlib as hl
+
+    e = spark.read.parquet(f"{SF}/events.parquet").filter(
+        "value IS NOT NULL AND event_type = 'purchase'"
+    ).collect()
+    a, b = [], []
+    for r in e:
+        h = int(hl.md5(f"ab:{r.user_id}".encode()).hexdigest()[:15], 16)
+        (a if h % 2 == 0 else b).append(r.value)
+    assert (len(a), len(b)) == (row.n_a, row.n_b)
+    ma = round(sum(round(v, 6) for v in a) / len(a), 6)
+    mb = round(sum(round(v, 6) for v in b) / len(b), 6)
+    m2a = round(sum(round(v * v, 6) for v in a) / len(a), 6)
+    m2b = round(sum(round(v * v, 6) for v in b) / len(b), 6)
+    z = round((ma - mb) / math.sqrt((m2a - ma * ma) / len(a) + (m2b - mb * mb) / len(b)), 6)
+    assert abs(row.z_score - z) < 1e-6

@@ -1327,3 +1327,187 @@ def lsh_recall_vs_exact(spark, sf_dir):
 from vmware_graph_spark.queries import ORACLE as _ORACLE3  # noqa: E402
 
 _ORACLE3["lsh_recall_vs_exact"] = _lsh_recall_sql()
+
+
+# ---------------------------------------------------------------------------
+# Deterministic bootstrap confidence interval (hash-Poisson resampling)
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 32
+# Poisson(1) CDF thresholds for inverse-CDF sampling of multiplicities
+_POIS = [0.367879, 0.735759, 0.919699, 0.981012, 0.996340, 0.999406]
+
+
+def _pois_case(u: str) -> str:
+    """Multiplicity = inverse Poisson(1) CDF at uniform ``u`` — the
+    Poisson bootstrap's per-replicate weight, identical SQL both sides."""
+    w = f"CASE WHEN {u} < {_POIS[0]} THEN 0"
+    for k in range(1, len(_POIS)):
+        w += f" WHEN {u} < {_POIS[k]} THEN {k}"
+    return w + " ELSE 6 END"
+
+
+_BOOT_U = (
+    "(CAST('0x' || substr(md5(r || ':' || CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT)"
+    " / 1152921504606846976.0)"
+)
+_BOOT_U_SPARK = (
+    "(conv(substring(md5(concat(r, ':', CAST(event_id AS STRING))), 1, 15), 16, 10)"
+    " / 1152921504606846976.0)"
+)
+
+
+@query(
+    "bootstrap_ci_mean_value",
+    f"""
+    WITH s AS (
+      SELECT event_id, value FROM events
+      WHERE value IS NOT NULL AND user_id % 3 = 0
+    ), reps AS (
+      SELECT r, sum(CAST(round(w * value, 6) AS DECIMAL(18,6))) AS sv,
+             sum(w) AS sw
+      FROM (
+        SELECT value, r, {_pois_case(_BOOT_U)} AS w
+        FROM s CROSS JOIN (SELECT unnest(range({_BOOT_B})) AS r)
+      ) t GROUP BY r
+    ), means AS (
+      SELECT r, round(CAST(sv AS DOUBLE) / sw, 6) AS m,
+             row_number() OVER (ORDER BY round(CAST(sv AS DOUBLE) / sw, 6), r) AS rk
+      FROM reps WHERE sw > 0
+    )
+    SELECT CAST((SELECT count(*) FROM s) AS BIGINT) AS n,
+           (SELECT round(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                         / count(*), 6) FROM s) AS point_mean,
+           (SELECT m FROM means WHERE rk = 2) AS ci_lo,
+           (SELECT m FROM means WHERE rk = {_BOOT_B - 1}) AS ci_hi
+    """,
+)
+def bootstrap_ci_mean_value(spark, sf_dir):
+    """Error bars at scale: Poisson-bootstrap confidence interval for a
+    mean, fully deterministic — each row's multiplicity in replicate r
+    is the inverse Poisson(1) CDF at an md5 uniform (the Poisson
+    bootstrap is THE distributed formulation: no global resample, each
+    row independently weighted, one shuffle for all {_BOOT_B}
+    replicates). The CI is the 2nd/31st order statistic of replicate
+    means (~94% coverage at B=32). No rand(), so runs, engines, and
+    retries agree bit-for-bit."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & (F.col("user_id") % 3 == 0)
+    )
+    s = e.select("event_id", "value")
+    reps = (
+        s.crossJoin(F.broadcast(spark.range(_BOOT_B).select(F.col("id").alias("r"))))
+        .withColumn("w", F.expr(_pois_case(_BOOT_U_SPARK)))
+        .groupBy("r")
+        .agg(
+            F.sum(F.round(F.col("w") * F.col("value"), 6).cast("decimal(18,6)")).alias("sv"),
+            F.sum("w").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+        .select("r", F.round(F.col("sv").cast("double") / F.col("sw"), 6).alias("m"))
+    )
+    w = Window.orderBy("m", "r")
+    ranked = reps.withColumn("rk", F.row_number().over(w))
+    lo = ranked.filter(F.col("rk") == 2).select(F.col("m").alias("ci_lo"))
+    hi = ranked.filter(F.col("rk") == _BOOT_B - 1).select(F.col("m").alias("ci_hi"))
+    point = s.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(
+            F.sum(F.round("value", 6).cast("decimal(18,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("point_mean"),
+    )
+    return point.crossJoin(lo).crossJoin(hi).select("n", "point_mean", "ci_lo", "ci_hi")
+
+
+# ---------------------------------------------------------------------------
+# Two-sample A/B z-test with hash-assigned cohorts
+# ---------------------------------------------------------------------------
+
+@query(
+    "ab_test_value_by_cohort",
+    """
+    WITH assigned AS (
+      SELECT CASE WHEN CAST('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 0
+                  THEN 'A' ELSE 'B' END AS cohort,
+             value
+      FROM events WHERE value IS NOT NULL AND event_type = 'purchase'
+    ), m AS (
+      SELECT cohort, CAST(count(*) AS BIGINT) AS n,
+             round(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean,
+             round(CAST(sum(CAST(round(value * value, 6) AS DECIMAL(24,6))) AS DOUBLE) / count(*), 6) AS m2
+      FROM assigned GROUP BY cohort
+    ), wide AS (
+      SELECT max(CASE WHEN cohort = 'A' THEN n END) AS n_a,
+             max(CASE WHEN cohort = 'B' THEN n END) AS n_b,
+             max(CASE WHEN cohort = 'A' THEN mean END) AS mean_a,
+             max(CASE WHEN cohort = 'B' THEN mean END) AS mean_b,
+             max(CASE WHEN cohort = 'A' THEN m2 END) AS m2_a,
+             max(CASE WHEN cohort = 'B' THEN m2 END) AS m2_b
+      FROM m
+    )
+    SELECT n_a, n_b, mean_a, mean_b,
+           round((mean_a - mean_b)
+                 / sqrt((m2_a - mean_a * mean_a) / n_a + (m2_b - mean_b * mean_b) / n_b), 6) AS z_score
+    FROM wide
+    """,
+)
+def ab_test_value_by_cohort(spark, sf_dir):
+    """Two-sample z-test over hash-assigned experiment cohorts: the
+    md5 split is the reproducible experiment assignment
+    (growth-stable like hash_split_documents), moments accumulate as
+    exact decimals, and the z statistic's float path (subtract, divide,
+    sqrt) is IEEE-correctly-rounded on both engines, so even the test
+    statistic hash-matches. One aggregation + a 2-row pivot."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & (F.col("event_type") == "purchase")
+    )
+    coh = F.when(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+        == 0,
+        "A",
+    ).otherwise("B")
+    m = (
+        e.select(coh.alias("cohort"), "value")
+        .groupBy("cohort")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(
+                F.sum(F.round("value", 6).cast("decimal(18,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean"),
+            F.round(
+                F.sum(F.round(F.col("value") * F.col("value"), 6).cast("decimal(24,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("m2"),
+        )
+    )
+    wide = m.groupBy().agg(
+        F.max(F.when(F.col("cohort") == "A", F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("cohort") == "B", F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("cohort") == "A", F.col("mean"))).alias("mean_a"),
+        F.max(F.when(F.col("cohort") == "B", F.col("mean"))).alias("mean_b"),
+        F.max(F.when(F.col("cohort") == "A", F.col("m2"))).alias("m2_a"),
+        F.max(F.when(F.col("cohort") == "B", F.col("m2"))).alias("m2_b"),
+    )
+    var_a = F.col("m2_a") - F.col("mean_a") * F.col("mean_a")
+    var_b = F.col("m2_b") - F.col("mean_b") * F.col("mean_b")
+    return wide.select(
+        "n_a",
+        "n_b",
+        "mean_a",
+        "mean_b",
+        F.round(
+            (F.col("mean_a") - F.col("mean_b"))
+            / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b")),
+            6,
+        ).alias("z_score"),
+    )
