@@ -590,3 +590,40 @@ def test_ab_test_statistic_formula(spark):
     m2b = round(sum(round(v * v, 6) for v in b) / len(b), 6)
     z = round((ma - mb) / math.sqrt((m2a - ma * ma) / len(a) + (m2b - mb * mb) / len(b)), 6)
     assert abs(row.z_score - z) < 1e-6
+
+
+@pytest.fixture(scope="module")
+def labeled_edges(spark):
+    rows = [
+        ("h1", "Host", "LINKS", "c1", "Cluster"),
+        ("h2", "Host", "LINKS", "d1", "Datastore"),
+        ("c1", "Cluster", "LINKS", "h3", "Host"),  # reversed storage
+    ]
+    return spark.createDataFrame(
+        rows, ["src", "src_label", "rel_type", "dst", "dst_label"]
+    )
+
+
+def test_motif_vertex_labels_directed(labeled_edges):
+    from vmware_graph_spark.analytics.motif import motif_find
+
+    out = motif_find(labeled_edges, "(h:Host)-[:LINKS]->(c:Cluster)")
+    assert {(r.h, r.c) for r in out.collect()} == {("h1", "c1")}
+
+
+def test_motif_vertex_labels_undirected_swaps_orientation(labeled_edges):
+    from vmware_graph_spark.analytics.motif import motif_find
+
+    out = motif_find(labeled_edges, "(h:Host)-[:LINKS]-(c:Cluster)")
+    # matches h1-c1 stored forward AND h3-c1 stored reversed
+    assert {(r.h, r.c) for r in out.collect()} == {("h1", "c1"), ("h3", "c1")}
+
+
+def test_motif_vertex_labels_require_label_columns(spark):
+    from vmware_graph_spark.analytics.motif import motif_find
+
+    bare = spark.createDataFrame([("a", "R", "b")], ["src", "rel_type", "dst"])
+    with pytest.raises(ValueError):
+        motif_find(bare, "(a:X)-[:R]->(b)")
+    with pytest.raises(ValueError):
+        motif_find(bare, "(a:X)-[:R*1..2]->(b)")  # labels + Kleene unsupported

@@ -127,9 +127,10 @@ def bfs_distances(
 import re as _re
 
 _TERM_RE = _re.compile(
-    r"^\s*(?P<neg>!)?\s*\((?P<src>\w*)\)\s*-\s*\[(?P<evar>\w*)(?::(?P<etype>\w+))?"
+    r"^\s*(?P<neg>!)?\s*\((?P<src>\w*)(?::(?P<srclabel>\w+))?\)\s*"
+    r"-\s*\[(?P<evar>\w*)(?::(?P<etype>\w+))?"
     r"(?:\*(?P<minlen>\d+)\.\.(?P<maxlen>\d+))?\]\s*"
-    r"(?P<arrow>->|-)\s*\((?P<dst>\w*)\)\s*$"
+    r"(?P<arrow>->|-)\s*\((?P<dst>\w*)(?::(?P<dstlabel>\w+))?\)\s*$"
 )
 
 def _parse_motif(pattern: str):
@@ -153,6 +154,10 @@ def _parse_motif(pattern: str):
             lo, hi = int(d["minlen"]), int(d["maxlen"])
             if not 1 <= lo <= hi <= 10:
                 raise ValueError(f"variable-length bounds out of range: {raw!r}")
+            if d["srclabel"] or d["dstlabel"]:
+                raise ValueError(
+                    f"vertex labels on variable-length terms are not supported: {raw!r}"
+                )
         else:
             lo = hi = None
         terms.append(
@@ -160,6 +165,8 @@ def _parse_motif(pattern: str):
                 "neg": bool(d["neg"]),
                 "src": d["src"],
                 "dst": d["dst"],
+                "srclabel": d["srclabel"],
+                "dstlabel": d["dstlabel"],
                 "evar": d["evar"],
                 "etype": d["etype"],
                 "directed": d["arrow"] == "->",
@@ -179,6 +186,8 @@ def motif_find(
     src_col: str = "src",
     dst_col: str = "dst",
     type_col: str = "rel_type",
+    src_label_col: str = "src_label",
+    dst_label_col: str = "dst_label",
 ) -> DataFrame:
     """Find all bindings of a motif pattern over the edge table — the
     engine's analog of Cypher ``MATCH`` join patterns
@@ -193,8 +202,11 @@ def motif_find(
     directions first (the canonical-edge store keeps one row per
     undirected pair, so the union is loss-free). Negated terms compile
     to LEFT ANTI joins on their shared variables (the relational
-    complement — never a cartesian). At 100 TB each term prunes to its
-    rel_type partition before joining.
+    complement — never a cartesian). Vertex-label constraints
+    (``(h:Vspherehost)``, the Cypher node-label test) filter on the
+    edge table's endpoint-label columns — per orientation, so an
+    undirected labeled term matches whichever way the edge is stored.
+    At 100 TB each term prunes to its rel_type partition before joining.
     """
     terms = _parse_motif(pattern)
     anon = [0]
@@ -240,15 +252,34 @@ def motif_find(
             if t["evar"]:
                 cols.append(F.col("hops").alias(t["evar"]))
             return pairs.select(*cols), {s, d}
+        if (t["srclabel"] or t["dstlabel"]) and (
+            src_label_col not in e.columns or dst_label_col not in e.columns
+        ):
+            raise ValueError(
+                "pattern uses vertex labels but the edge table has no "
+                f"{src_label_col!r}/{dst_label_col!r} columns"
+            )
+        fwd = e
+        if t["srclabel"]:
+            fwd = fwd.filter(F.col(src_label_col) == t["srclabel"])
+        if t["dstlabel"]:
+            fwd = fwd.filter(F.col(dst_label_col) == t["dstlabel"])
         cols = [F.col(src_col).alias(s), F.col(dst_col).alias(d)]
         if t["evar"]:
             cols.append(F.col(type_col).alias(t["evar"]))
-        out = e.select(*cols)
+        out = fwd.select(*cols)
         if not t["directed"]:
+            # reversed orientation: the pattern's src sits in dst_col, so
+            # the label tests swap columns too
+            rev_e = e
+            if t["srclabel"]:
+                rev_e = rev_e.filter(F.col(dst_label_col) == t["srclabel"])
+            if t["dstlabel"]:
+                rev_e = rev_e.filter(F.col(src_label_col) == t["dstlabel"])
             rev = [F.col(src_col).alias(d), F.col(dst_col).alias(s)]
             if t["evar"]:
                 rev.append(F.col(type_col).alias(t["evar"]))
-            out = out.unionByName(e.select(*rev))
+            out = out.unionByName(rev_e.select(*rev))
         return out, {s, d}
 
     positives = [t for t in terms if not t["neg"]]
