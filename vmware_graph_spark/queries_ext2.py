@@ -438,7 +438,7 @@ def random_walks_parts(spark, sf_dir):
 
 _OOV_VOCAB = (
     "the", "a", "key", "value", "table", "row", "scan", "fast", "slow",
-    "data", "query", "join", "agg", "part", "batch", "spark", "window",
+    "data", "query", "join", "agg", "part", "batch", "merge", "window",
 )
 
 
