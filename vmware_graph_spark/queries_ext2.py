@@ -1511,3 +1511,50 @@ def ab_test_value_by_cohort(spark, sf_dir):
             6,
         ).alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequential pattern mining: top event-type trigram journeys
+# ---------------------------------------------------------------------------
+
+@query(
+    "journey_trigrams_top",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS t2,
+             lead(event_type, 2) OVER w AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type || '>' || t2 || '>' || t3 AS trigram,
+           CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE t3 IS NOT NULL
+    GROUP BY trigram
+    ORDER BY n DESC, trigram
+    LIMIT 20
+    """,
+)
+def journey_trigrams_top(spark, sf_dir):
+    """Sequential pattern mining over user journeys: corpus-wide top
+    event-type trigrams from per-user time-ordered streams — two lead()
+    frames in ONE window sort (never a self-join on adjacent rows),
+    then a hash aggregate and a TakeOrderedAndProject top-k. The
+    3-gram features feed next-event models; the 2-gram twin is
+    event_transition_matrix."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t3").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(">", "event_type", "t2", "t3").alias("trigram")
+        )
+        .groupBy("trigram")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), "trigram")
+        .limit(20)
+    )
