@@ -627,3 +627,20 @@ def test_motif_vertex_labels_require_label_columns(spark):
         motif_find(bare, "(a:X)-[:R]->(b)")
     with pytest.raises(ValueError):
         motif_find(bare, "(a:X)-[:R*1..2]->(b)")  # labels + Kleene unsupported
+
+
+def test_contamination_matrix_symmetric_inputs(spark):
+    rows = QUERIES["contamination_matrix_sources"](spark, SF).collect()
+    for r in rows:
+        assert r.src_a < r.src_b
+        assert 0.0 < r.frac_of_b <= 1.0
+        assert r.shared_grams >= 3
+
+
+def test_dangling_edge_audit_flags_only_injected(spark):
+    rows = QUERIES["graph_dangling_edges"](spark, SF).collect()
+    # exactly the two injected dangling endpoints; the real store is clean
+    assert {(r.end, r.label, r.key) for r in rows} == {
+        ("src", "Vspherehost", "host-999999\x1fvc-GHOST"),
+        ("dst", "Vcentercluster", "nowhere\x1fvc-GHOST"),
+    }

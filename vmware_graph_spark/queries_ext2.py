@@ -1558,3 +1558,135 @@ def journey_trigrams_top(spark, sf_dir):
         .orderBy(F.desc("n"), "trigram")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source contamination matrix (pairwise n-gram leakage)
+# ---------------------------------------------------------------------------
+
+@query(
+    "contamination_matrix_sources",
+    r"""
+    WITH toks AS (
+      SELECT source, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+      FROM documents
+    ), grams AS (
+      SELECT DISTINCT source,
+             md5(array_to_string(list_slice(t, i, i + 3), ' ')) AS g
+      FROM toks, UNNEST(range(1, len(t) - 2)) AS u(i)
+      WHERE len(t) >= 4
+    ), totals AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_grams FROM grams GROUP BY source
+    ), overlap AS (
+      SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared
+      FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT src_a, src_b, CAST(shared AS BIGINT) AS shared_grams,
+           round(CAST(shared AS DOUBLE) / tb.n_grams, 6) AS frac_of_b
+    FROM overlap JOIN totals tb ON tb.source = src_b
+    WHERE shared >= 3
+    """,
+)
+def contamination_matrix_sources(spark, sf_dir):
+    """Pairwise cross-source contamination: for every source pair, how
+    many distinct 4-token grams of B also occur in A (and the fraction
+    of B's grams that leak) — the matrix that catches an eval slice
+    contaminated by a training source before a split ships. One
+    distinct-gram shuffle + one gram-keyed self-join whose fan-out is
+    bounded by sources-per-gram (≤ |sources|, the natural hub cap);
+    output is |sources|² max."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.filter(F.split("text", r"\s+"), lambda x: x != "").alias("t")
+    )
+    grams = (
+        toks.filter(F.size("t") >= 4)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 3),"
+                    " i -> md5(concat_ws(' ', slice(t, i, 4))))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    totals = grams.groupBy("source").agg(F.count("*").cast("bigint").alias("n_grams"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    overlap = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= 3)
+    )
+    return overlap.join(
+        totals.select(F.col("source").alias("src_b"), "n_grams"), "src_b"
+    ).select(
+        "src_a",
+        "src_b",
+        F.col("shared").cast("bigint").alias("shared_grams"),
+        F.round(F.col("shared").cast("double") / F.col("n_grams"), 6).alias("frac_of_b"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Graph-store invariant audit: dangling edges
+# ---------------------------------------------------------------------------
+
+@query("graph_dangling_edges", None)
+def graph_dangling_edges(spark, sf_dir):
+    """Graph-store referential-integrity audit (the graph-side dual of
+    ``dq_integrity_audit``): edges whose src or dst key has no vertex
+    row — the invariant every ingest stage must preserve and the sweep
+    must not break. A deliberately injected bogus edge proves the
+    detector fires; the real store contributes zero rows. Two LEFT ANTI
+    probes against the union of vertex keys, never a full materialized
+    join."""
+    from vmware_graph_spark.ingest.stages import stage_vcluster, stage_vhost
+    from vmware_graph_spark.queries import _vcluster_sheet, _vhost_sheet
+    from vmware_graph_spark.store.graph import GraphStore, LABEL_KEYS, node_key
+
+    store = GraphStore(spark, checkpoint_every=2)
+    stage_vcluster(store, {"vCluster": _vcluster_sheet(spark, sf_dir)})
+    stage_vhost(store, {"vHost": _vhost_sheet(spark, sf_dir)})
+    bogus = spark.createDataFrame(
+        [
+            ("Vspherehost", "host-999999\x1fvc-GHOST", "MEMBER_OF_CLUSTER",
+             "Vcentercluster", "nowhere\x1fvc-GHOST"),
+        ],
+        ["src_label", "src_key", "rel_type", "dst_label", "dst_key"],
+    )
+    edges = store.edges().unionByName(bogus)
+    keys = None
+    for label in store.labels():
+        v = store.vertices(label)
+        k = v.select(
+            F.lit(label).alias("label"), node_key(*LABEL_KEYS[label]).alias("key")
+        )
+        keys = k if keys is None else keys.unionByName(k)
+    dang_src = edges.join(
+        keys.select(F.col("label").alias("src_label"), F.col("key").alias("src_key")),
+        ["src_label", "src_key"],
+        "left_anti",
+    ).select(F.lit("src").alias("end"), F.col("src_label").alias("label"), F.col("src_key").alias("key"), "rel_type")
+    dang_dst = edges.join(
+        keys.select(F.col("label").alias("dst_label"), F.col("key").alias("dst_key")),
+        ["dst_label", "dst_key"],
+        "left_anti",
+    ).select(F.lit("dst").alias("end"), F.col("dst_label").alias("label"), F.col("dst_key").alias("key"), "rel_type")
+    return dang_src.unionByName(dang_dst).distinct()
+
+
+from vmware_graph_spark.queries import ORACLE as _ORACLE4  # noqa: E402
+
+_ORACLE4["graph_dangling_edges"] = """
+    SELECT 'src' AS "end", 'Vspherehost' AS label,
+           'host-999999' || chr(31) || 'vc-GHOST' AS key,
+           'MEMBER_OF_CLUSTER' AS rel_type
+    UNION ALL
+    SELECT 'dst', 'Vcentercluster', 'nowhere' || chr(31) || 'vc-GHOST',
+           'MEMBER_OF_CLUSTER'
+"""
