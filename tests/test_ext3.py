@@ -1,0 +1,229 @@
+"""Tests for the round-5 extension operators: retrieval (phrase /
+boolean), record linkage, embedding PCA, time-series diagnostics
+(CUSUM, seasonal z, OHLC), and cluster-ops tooling (compaction plan,
+skew report, Bloom pruning, join-IVM, DP counts)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from vmware_graph_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# Retrieval
+# ---------------------------------------------------------------------------
+
+def test_phrase_search_hits_actually_occur(spark):
+    rows = QUERIES["phrase_search_bigram_documents"](spark, SF).collect()
+    assert 0 < len(rows) <= 10
+    phrase = rows[0]["bigram"]
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    for r in rows:
+        assert r["bigram"] == phrase
+        toks = docs[r["doc_id"]].split()
+        n = sum(
+            1
+            for i in range(len(toks) - 1)
+            if f"{toks[i]} {toks[i + 1]}" == phrase
+        )
+        assert n == r["hits"] >= 1
+    # descending hit order with doc_id tie-break
+    hits = [(-r["hits"], r["doc_id"]) for r in rows]
+    assert hits == sorted(hits)
+
+
+def test_boolean_retrieval_semantics(spark):
+    rows = QUERIES["boolean_retrieval_documents"](spark, SF).collect()
+    assert rows
+    t1, t2, t3 = rows[0]["t_and1"], rows[0]["t_and2"], rows[0]["t_not"]
+    assert len({t1, t2, t3}) == 3
+    docs = {
+        r["doc_id"]: set(r["text"].split())
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    got = {r["doc_id"] for r in rows}
+    expect = {d for d, tk in docs.items() if t1 in tk and t2 in tk and t3 not in tk}
+    assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# Record linkage
+# ---------------------------------------------------------------------------
+
+def test_record_linkage_blocking_and_score(spark):
+    rows = QUERIES["record_linkage_customer_supplier"](spark, SF).collect()
+    assert rows
+    cust = {
+        r["c_custkey"]: r
+        for r in spark.read.parquet(f"{SF}/customer.parquet").collect()
+    }
+    supp = {
+        r["s_suppkey"]: r
+        for r in spark.read.parquet(f"{SF}/supplier.parquet").collect()
+    }
+    for r in rows:
+        c, s = cust[r["c_custkey"]], supp[r["s_suppkey"]]
+        # blocked: pairs only ever come from the same nation block
+        assert c["c_nationkey"] == s["s_nationkey"]
+        cid = int(c["c_name"].rsplit("#", 1)[-1])
+        sid = int(s["s_name"].rsplit("#", 1)[-1])
+        score = (4.2 if cid % 100 == sid % 100 else -0.1)
+        score += 2.6 if abs(round(c["c_acctbal"], 2) - round(s["s_acctbal"], 2)) < 50 else -0.3
+        score += 1.7 if cid % 7 == sid % 7 else -0.2
+        assert math.isclose(float(r["score"]), round(score, 1), abs_tol=1e-9)
+        assert r["is_match"] == (1 if float(r["score"]) >= 8.0 else 0)
+    scores = [-float(r["score"]) for r in rows]
+    assert scores == sorted(scores)
+
+
+# ---------------------------------------------------------------------------
+# PCA
+# ---------------------------------------------------------------------------
+
+def test_pca_eigenpair_property(spark):
+    comp = QUERIES["pca_top_component_embeddings"](spark, SF).collect()
+    cov = QUERIES["embedding_covariance_matrix"](spark, SF).collect()
+    d = len(comp)
+    v = [0.0] * d
+    lam = comp[0]["eigenvalue"]
+    for r in comp:
+        v[r["dim"]] = r["loading"]
+    c = {}
+    for r in cov:
+        c[(r["i"], r["j"])] = r["cov"]
+        c[(r["j"], r["i"])] = r["cov"]
+    # unit norm
+    assert math.isclose(sum(x * x for x in v), 1.0, abs_tol=1e-4)
+    # Av ~ lambda v (residual small relative to lambda)
+    res = 0.0
+    for i in range(d):
+        av = sum(c[(i, j)] * v[j] for j in range(d))
+        res += (av - lam * v[i]) ** 2
+    assert math.sqrt(res) < 0.05 * abs(lam)
+    # dominant: Rayleigh quotient of the found vector beats any axis vector
+    for i in range(d):
+        assert lam >= c[(i, i)] - 0.05 * abs(lam)
+
+
+# ---------------------------------------------------------------------------
+# Time-series diagnostics
+# ---------------------------------------------------------------------------
+
+def test_cusum_ends_at_zero(spark):
+    rows = QUERIES["cusum_changepoint_daily_value"](spark, SF).collect()
+    assert rows
+    # sum of deviations from the grand mean telescopes to ~0
+    assert abs(rows[-1]["cusum"]) < 1e-3
+    days = [r["day"] for r in rows]
+    assert days == sorted(days)
+
+
+def test_seasonal_z_scores_standardized(spark):
+    rows = QUERIES["seasonal_dow_anomalies"](spark, SF).collect()
+    assert rows
+    by_dow: dict[int, list[float]] = {}
+    for r in rows:
+        assert r["is_anomaly"] == (1 if abs(r["z"]) > 1.5 else 0)
+        by_dow.setdefault(r["dow"], []).append(r["z"])
+    # per-dow z-scores have ~zero mean and ~unit variance (population)
+    for zs in by_dow.values():
+        if len(zs) > 1:
+            m = sum(zs) / len(zs)
+            assert abs(m) < 1e-4
+            assert math.isclose(
+                sum((z - m) ** 2 for z in zs) / len(zs), 1.0, rel_tol=1e-3
+            )
+
+
+def test_ohlc_bounds(spark):
+    rows = QUERIES["ohlc_daily_value_by_type"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["low"] <= r["open"] <= r["high"]
+        assert r["low"] <= r["close"] <= r["high"]
+        assert r["n_events"] >= 1
+
+
+# ---------------------------------------------------------------------------
+# Cluster-ops tooling
+# ---------------------------------------------------------------------------
+
+def test_compaction_bins_conserve_and_fill(spark):
+    rows = QUERIES["compaction_bins_plan"](spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    totals = {
+        r["source"]: r["t"]
+        for r in docs.groupBy("source").agg(F.sum("n_chars").alias("t")).collect()
+    }
+    by_source: dict[str, int] = {}
+    for r in rows:
+        by_source[r["source"]] = by_source.get(r["source"], 0) + r["bin_chars"]
+        # a bin only opens once the previous ones crossed the target:
+        # every bin index is reachable, i.e. non-negative and bounded
+        assert 0 <= r["bin"] <= totals[r["source"]] // 5000 + 1
+    assert by_source == totals  # conservation: every char lands in a bin
+
+
+def test_skew_report_consistency(spark):
+    rows = {r["join_key"]: r for r in QUERIES["shuffle_skew_report"](spark, SF).collect()}
+    for r in rows.values():
+        assert r["p99_key_rows"] <= r["max_key_rows"]
+        assert r["salt_factor"] >= 1
+        assert r["skew_ratio"] >= 1.0  # max >= mean
+        assert r["n_rows"] >= r["n_keys"]
+    li = rows["lineitem.l_suppkey"]
+    n = spark.read.parquet(f"{SF}/lineitem.parquet").count()
+    assert li["n_rows"] == n
+
+
+def test_bloom_prune_no_false_negatives(spark):
+    r = QUERIES["bloom_prune_join_orders"](spark, SF).collect()[0]
+    assert r["n_candidates"] >= r["n_true"]  # bloom never drops a member
+    assert r["false_positives"] == r["n_candidates"] - r["n_true"]
+    assert 0.0 <= r["fp_rate"] <= 1.0
+    assert r["n_true"] <= r["n_customers"]
+
+
+def test_ivm_equals_full_recompute(spark):
+    got = {
+        r["nation"]: (r["n_orders"], r["revenue"])
+        for r in QUERIES["incremental_join_ivm_orders"](spark, SF).collect()
+    }
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    nation = spark.read.parquet(f"{SF}/nation.parquet")
+    full = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .collect()
+    )
+    expect = {r["nation"]: (r["n_orders"], r["revenue"]) for r in full}
+    assert got == expect
+
+
+def test_dp_noise_bounded_and_seeded(spark):
+    rows = QUERIES["dp_geometric_counts_by_type"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert -16 <= r["noise"] <= 16
+        assert r["n_noisy"] == r["n"] + r["noise"]
+    # deterministic: same seed, same noise on re-run
+    again = {r["event_type"]: r["noise"] for r in QUERIES[
+        "dp_geometric_counts_by_type"](spark, SF).collect()}
+    assert again == {r["event_type"]: r["noise"] for r in rows}

@@ -7115,3 +7115,4 @@ def resample_daily_ffill_user_values(spark, sf_dir):
 from vmware_graph_spark import queries_tpch as _queries_tpch  # noqa: E402,F401
 from vmware_graph_spark import queries_ext as _queries_ext  # noqa: E402,F401
 from vmware_graph_spark import queries_ext2 as _queries_ext2  # noqa: E402,F401
+from vmware_graph_spark import queries_ext3 as _queries_ext3  # noqa: E402,F401

@@ -1,0 +1,1029 @@
+"""Round-5 extensions: positional/boolean retrieval, probabilistic
+record linkage, embedding PCA, time-series diagnostics (CUSUM,
+seasonal anomalies, OHLC), and cluster-ops tooling (compaction
+planning, shuffle-skew reports, Bloom-pruned joins, join-delta
+incremental view maintenance, differentially-private counts).
+
+Same registry/oracle discipline as ``queries.py``: identical aliases on
+both sides, md5 as the only cross-engine hash, decimal-exact sums
+wherever parallel fold order could move a double's low bits, and
+``sqrt``/``+``/``*``/``/`` only (correctly-rounded IEEE ops) once
+values are in double.
+
+Scale notes (100 TB):
+
+- ``phrase_search_bigram_documents`` / ``boolean_retrieval_documents``
+  are postings-list dataflows: one explode + one hash shuffle builds
+  the (term, doc) index; the query side joins against a LIMIT-k
+  (broadcast-tiny) term set, so work is |postings of the query terms|,
+  never |corpus|².
+- ``record_linkage_customer_supplier`` blocks on the join key
+  (nationkey) before scoring — the Fellegi-Sunter score only ever sees
+  per-block candidate pairs, the standard way linkage survives scale.
+- ``embedding_covariance_matrix`` reduces N×d rows to d² cells in ONE
+  map-side-combined shuffle; ``pca_top_component_embeddings`` then
+  iterates on the collected d×d Gram matrix driver-side (d² scalars —
+  the same "small state to driver, big data stays put" shape as
+  k-means centroids).
+- ``cusum_changepoint_daily_value`` / ``seasonal_dow_anomalies`` window
+  over the DAY-grain series (bounded: one row per day), after a
+  map-side-combined daily rollup of the raw events.
+- ``compaction_bins_plan`` is the small-files compaction planner: a
+  per-source cumulative-size window assigns docs to target-size bins —
+  one shuffle on the layout key, no driver loop.
+- ``shuffle_skew_report`` diagnoses a join key BEFORE the expensive
+  join: per-key histogram (map-side combine), then rank statistics on
+  the |distinct keys| histogram — the thing you read to pick the salt
+  factor ``hotkey_isolated_join``/``salted_join_region_revenue`` use.
+- ``bloom_prune_join_orders`` models runtime-filter pushdown: the
+  build side's key set becomes k hashed bit positions (a bitmap
+  aggregate broadcast in production; a distinct-positions table here,
+  same semantics), and the probe side is pruned before the shuffle
+  join. No false negatives by construction.
+- ``incremental_join_ivm_orders`` is the join delta rule
+  ``Δ(A⋈B) = ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB``: refreshing a 100 TB join
+  materialization costs |delta|-sized joins, not a recompute.
+- ``dp_geometric_counts_by_type`` adds two-sided-geometric noise from
+  trailing-zero counts of md5 bits — integer-only (no libm), so the
+  mechanism is reproducible across engines and retries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from vmware_graph_spark.queries import query
+from vmware_graph_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Positional phrase search (self-calibrating: the corpus's top bigram)
+# ---------------------------------------------------------------------------
+
+_PHRASE_SQL = r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+      FROM documents
+    ), b AS (
+      SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bigram
+      FROM t, UNNEST(range(1, len(toks))) AS u(i)
+      WHERE len(toks) >= 2
+    ), top AS (
+      SELECT bigram, count(*) AS n FROM b
+      GROUP BY bigram ORDER BY n DESC, bigram LIMIT 1
+    )
+    SELECT b.doc_id, b.bigram, count(*) AS hits
+    FROM b JOIN top USING (bigram)
+    GROUP BY b.doc_id, b.bigram
+    ORDER BY hits DESC, doc_id LIMIT 10
+"""
+
+
+@query("phrase_search_bigram_documents", _PHRASE_SQL)
+def phrase_search_bigram_documents(spark, sf_dir):
+    """Positional phrase search over a bigram postings index: the
+    adjacent-pair (pos, pos+1) join is materialized as bigram postings,
+    the corpus's most frequent bigram is the (self-calibrating) phrase
+    query, and the result is the top-10 documents by phrase frequency.
+    The reference has no text surface (refresh-vmware.cypher is graph
+    ETL) — north-star IR scope. One explode + one hash shuffle for the
+    index; the 1-row top phrase is broadcast back."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.filter(F.split("text", r"\s+"), lambda x: x != "").alias("toks"),
+        )
+        .filter(F.size("toks") >= 2)
+    )
+    big = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 2),"
+                " i -> concat(toks[i], ' ', toks[i + 1]))"
+            )
+        ).alias("bigram"),
+    )
+    top = (
+        big.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(1)
+        .select("bigram")
+    )
+    return (
+        big.join(F.broadcast(top), "bigram")
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("hits"))
+        .orderBy(F.desc("hits"), "doc_id")
+        .limit(10)
+        .select("doc_id", "bigram", "hits")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Boolean retrieval (AND / AND NOT over a term postings index)
+# ---------------------------------------------------------------------------
+
+_BOOLEAN_SQL = r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+      FROM documents
+    ), p AS (
+      SELECT DISTINCT doc_id, tok AS token FROM t, UNNEST(toks) AS u(tok)
+    ), rk AS (
+      SELECT token, row_number() OVER (ORDER BY count(*) DESC, token) AS r
+      FROM p GROUP BY token
+    ), res AS (
+      SELECT doc_id FROM p WHERE token = (SELECT token FROM rk WHERE r = 1)
+      INTERSECT
+      SELECT doc_id FROM p WHERE token = (SELECT token FROM rk WHERE r = 2)
+      EXCEPT
+      SELECT doc_id FROM p WHERE token = (SELECT token FROM rk WHERE r = 3)
+    )
+    SELECT doc_id,
+           (SELECT token FROM rk WHERE r = 1) AS t_and1,
+           (SELECT token FROM rk WHERE r = 2) AS t_and2,
+           (SELECT token FROM rk WHERE r = 3) AS t_not
+    FROM res ORDER BY doc_id
+"""
+
+
+@query("boolean_retrieval_documents", _BOOLEAN_SQL)
+def boolean_retrieval_documents(spark, sf_dir):
+    """Boolean retrieval (t1 AND t2 AND NOT t3) over term postings,
+    with the query terms self-calibrated to the corpus's top-3 tokens
+    by document frequency. AND terms are inner joins of postings, the
+    NOT term is LEFT ANTI — the classic inverted-index query shape; the
+    term set is LIMIT-3 (broadcast)."""
+    post = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(
+                F.filter(F.split("text", r"\s+"), lambda x: x != "")
+            ).alias("token"),
+        )
+        .distinct()
+    )
+    top3 = (
+        post.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), "token")
+        .limit(3)
+    )
+    ranked = top3.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.desc("df"), "token"))
+    )
+    t1 = ranked.filter(F.col("r") == 1).select(F.col("token").alias("t_and1"))
+    t2 = ranked.filter(F.col("r") == 2).select(F.col("token").alias("t_and2"))
+    t3 = ranked.filter(F.col("r") == 3).select(F.col("token").alias("t_not"))
+    d1 = post.join(F.broadcast(t1), post.token == t1.t_and1).select("doc_id")
+    d2 = post.join(F.broadcast(t2), post.token == t2.t_and2).select("doc_id")
+    d3 = post.join(F.broadcast(t3), post.token == t3.t_not).select("doc_id")
+    return (
+        d1.join(d2, "doc_id")
+        .join(d3, "doc_id", "left_anti")
+        .crossJoin(F.broadcast(t1))
+        .crossJoin(F.broadcast(t2))
+        .crossJoin(F.broadcast(t3))
+        .select("doc_id", "t_and1", "t_and2", "t_not")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Probabilistic record linkage (Fellegi-Sunter, blocked)
+# ---------------------------------------------------------------------------
+
+# Fixed log-likelihood-ratio weights per field comparator (agree, disagree):
+# the artifact a Fellegi-Sunter EM fit produces. Decimal-exact sums.
+_RL_W = {
+    "last2": ("4.2", "-0.1"),  # entity-number last-2-digits agreement
+    "bal": ("2.6", "-0.3"),  # account balance within 50.00
+    "mod7": ("1.7", "-0.2"),  # entity-number residue-class agreement
+}
+_RL_THRESHOLD = "8.0"  # only all-three-agree pairs clear it
+
+_RECORD_LINKAGE_SQL = rf"""
+    WITH c AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT) AS cid,
+             round(c_acctbal, 2)::DECIMAL(18,2) AS cbal
+      FROM customer
+    ), s AS (
+      SELECT s_suppkey, s_nationkey,
+             CAST(regexp_extract(s_name, '([0-9]+)$', 1) AS BIGINT) AS sid,
+             round(s_acctbal, 2)::DECIMAL(18,2) AS sbal
+      FROM supplier
+    ), scored AS (
+      SELECT c_custkey, s_suppkey,
+             (CASE WHEN cid % 100 = sid % 100 THEN {_RL_W['last2'][0]}::DECIMAL(5,1)
+                   ELSE {_RL_W['last2'][1]}::DECIMAL(5,1) END
+              + CASE WHEN abs(cbal - sbal) < 50 THEN {_RL_W['bal'][0]}::DECIMAL(5,1)
+                     ELSE {_RL_W['bal'][1]}::DECIMAL(5,1) END
+              + CASE WHEN cid % 7 = sid % 7 THEN {_RL_W['mod7'][0]}::DECIMAL(5,1)
+                     ELSE {_RL_W['mod7'][1]}::DECIMAL(5,1) END) AS score
+      FROM c JOIN s ON c_nationkey = s_nationkey
+    )
+    SELECT c_custkey, s_suppkey, score,
+           CASE WHEN score >= {_RL_THRESHOLD} THEN 1 ELSE 0 END AS is_match
+    FROM scored
+    ORDER BY score DESC, c_custkey, s_suppkey LIMIT 100
+"""
+
+
+@query("record_linkage_customer_supplier", _RECORD_LINKAGE_SQL)
+def record_linkage_customer_supplier(spark, sf_dir):
+    """Fellegi-Sunter probabilistic record linkage: block candidate
+    pairs on nationkey (bounding the comparison space — the step that
+    makes linkage scale), score each pair as a sum of per-field
+    agree/disagree log-likelihood weights, and keep pairs above the
+    match threshold. Weights are fixed EM-fit artifacts; arithmetic is
+    decimal-exact."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.regexp_extract("c_name", r"([0-9]+)$", 1).cast("bigint").alias("cid"),
+        F.round("c_acctbal", 2).cast("decimal(18,2)").alias("cbal"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_nationkey",
+        F.regexp_extract("s_name", r"([0-9]+)$", 1).cast("bigint").alias("sid"),
+        F.round("s_acctbal", 2).cast("decimal(18,2)").alias("sbal"),
+    )
+
+    def w(agree_cond, key):
+        a, d = _RL_W[key]
+        return F.when(agree_cond, F.lit(a).cast("decimal(5,1)")).otherwise(
+            F.lit(d).cast("decimal(5,1)")
+        )
+
+    scored = c.join(s, c.c_nationkey == s.s_nationkey).select(
+        "c_custkey",
+        "s_suppkey",
+        (
+            w(F.col("cid") % 100 == F.col("sid") % 100, "last2")
+            + w(F.abs(F.col("cbal") - F.col("sbal")) < 50, "bal")
+            + w(F.col("cid") % 7 == F.col("sid") % 7, "mod7")
+        ).alias("score"),
+    )
+    return (
+        scored.withColumn(
+            "is_match",
+            F.when(
+                F.col("score") >= F.lit(_RL_THRESHOLD).cast("decimal(5,1)"), 1
+            ).otherwise(0),
+        )
+        .orderBy(F.desc("score"), "c_custkey", "s_suppkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding covariance (d² cells from one shuffle) + PCA power iteration
+# ---------------------------------------------------------------------------
+
+_PCA_D = 8  # leading dims analyzed; d² stays driver-collectable at any N
+
+_COV_SQL = f"""
+    WITH e AS (
+      SELECT vec_id, embedding[1:{_PCA_D}] AS v FROM embeddings
+    ), dim AS (
+      SELECT u.i - 1 AS i, round(v[u.i], 6)::DECIMAL(18,6) AS x
+      FROM e, UNNEST(range(1, {_PCA_D + 1})) AS u(i)
+    ), ds AS (
+      SELECT i, sum(x) AS sx, count(*) AS n FROM dim GROUP BY i
+    ), pairs AS (
+      SELECT ui.i - 1 AS i, uj.j - 1 AS j,
+             round(v[ui.i], 6)::DECIMAL(18,6) * round(v[uj.j], 6)::DECIMAL(18,6) AS p
+      FROM e,
+           UNNEST(range(1, {_PCA_D + 1})) AS ui(i),
+           UNNEST(range(1, {_PCA_D + 1})) AS uj(j)
+      WHERE uj.j >= ui.i
+    ), pa AS (
+      SELECT i, j, sum(p) AS spp FROM pairs GROUP BY i, j
+    )
+    SELECT pa.i, pa.j,
+           round((spp::DOUBLE - (a.sx::DOUBLE * b.sx::DOUBLE) / a.n)
+                 / (a.n - 1), 6) + 0 AS cov
+    FROM pa JOIN ds a ON pa.i = a.i JOIN ds b ON pa.j = b.i
+    ORDER BY pa.i, pa.j
+"""
+
+
+def _cov_frames(spark, sf_dir):
+    """Shared covariance dataflow: (upper-triangle cells, dim sums).
+
+    N×d rows reduce to d(d+1)/2 cells in one map-side-combined shuffle;
+    sums are decimal-exact so both engines (and any partitioning) agree
+    to the last bit before the final double division."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.slice("embedding", 1, _PCA_D).alias("v")
+    )
+    dim = e.select(F.posexplode("v").alias("i", "x")).select(
+        "i", F.round("x", 6).cast("decimal(18,6)").alias("x")
+    )
+    ds = dim.groupBy("i").agg(F.sum("x").alias("sx"), F.count("*").alias("n"))
+    pairs = e.select(
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(0, {_PCA_D - 1}), i ->"
+                f" transform(sequence(i, {_PCA_D - 1}), j -> struct("
+                f" i as i, j as j,"
+                f" cast(round(v[i], 6) as decimal(18,6)) as xi,"
+                f" cast(round(v[j], 6) as decimal(18,6)) as xj))))"
+            )
+        ).alias("p")
+    ).select("p.*")
+    pa = pairs.groupBy("i", "j").agg(F.sum(F.col("xi") * F.col("xj")).alias("spp"))
+    return pa, ds
+
+
+@query("embedding_covariance_matrix", _COV_SQL)
+def embedding_covariance_matrix(spark, sf_dir):
+    """Upper-triangle sample covariance of the leading d embedding
+    dims: raw second moments and per-dim sums are decimal-exact (one
+    shuffle each, map-side combined), and cov = (Spp - Sx*Sy/n)/(n-1)
+    is evaluated in double with pinned operand order so both engines
+    produce bit-identical values."""
+    pa, ds = _cov_frames(spark, sf_dir)
+    a = ds.select(F.col("i").alias("ai"), F.col("sx").alias("sxa"), "n")
+    b = ds.select(F.col("i").alias("bi"), F.col("sx").alias("sxb"))
+    return (
+        pa.join(F.broadcast(a), pa.i == a.ai)
+        .join(F.broadcast(b), pa.j == b.bi)
+        .select(
+            "i",
+            "j",
+            (
+                F.round(
+                    (
+                        F.col("spp").cast("double")
+                        - (F.col("sxa").cast("double") * F.col("sxb").cast("double"))
+                        / F.col("n")
+                    )
+                    / (F.col("n") - 1),
+                    6,
+                )
+                + 0
+            ).alias("cov"),
+        )
+        .orderBy("i", "j")
+    )
+
+
+_PCA_ITERS = 48  # synthetic embeddings are near-isotropic (small
+# eigengap), so power iteration needs a generous fixed budget; 48
+# matrix-vector products on a d×d matrix are negligible either side.
+
+
+def _pca_oracle_sql() -> str:
+    """Unrolled power iteration on the covariance matrix, generated so
+    every float op (list_sum fold left-to-right, sqrt, * and /) has a
+    pinned order matching the driver-side Python loop exactly."""
+    d = _PCA_D
+    cov_full = f"""
+    WITH e AS (
+      SELECT vec_id, embedding[1:{d}] AS v FROM embeddings
+    ), dim AS (
+      SELECT u.i - 1 AS i, round(v[u.i], 6)::DECIMAL(18,6) AS x
+      FROM e, UNNEST(range(1, {d + 1})) AS u(i)
+    ), ds AS (
+      SELECT i, sum(x) AS sx, count(*) AS n FROM dim GROUP BY i
+    ), pairs AS (
+      SELECT ui.i - 1 AS i, uj.j - 1 AS j,
+             round(v[ui.i], 6)::DECIMAL(18,6) * round(v[uj.j], 6)::DECIMAL(18,6) AS p
+      FROM e,
+           UNNEST(range(1, {d + 1})) AS ui(i),
+           UNNEST(range(1, {d + 1})) AS uj(j)
+    ), pa AS (
+      SELECT i, j, sum(p) AS spp FROM pairs GROUP BY i, j
+    ), c AS (
+      SELECT pa.i, pa.j,
+             (spp::DOUBLE - (a.sx::DOUBLE * b.sx::DOUBLE) / a.n) / (a.n - 1) AS cv
+      FROM pa JOIN ds a ON pa.i = a.i JOIN ds b ON pa.j = b.i
+    ), cl AS (
+      SELECT list(cv ORDER BY i * {d} + j) AS cm FROM c
+    )"""
+    ones = ", ".join(["1.0"] * d)
+    ctes = [f" v0 AS (SELECT cm, [{ones}]::DOUBLE[] AS v FROM cl)"]
+    for k in range(1, _PCA_ITERS + 1):
+        ctes.append(
+            f" w{k} AS (SELECT cm, list_transform(range(0, {d}), i ->"
+            f" list_sum(list_transform(range(0, {d}), j ->"
+            f" cm[i * {d} + j + 1] * v[j + 1]))) AS w FROM v{k - 1})"
+        )
+        ctes.append(
+            f" v{k} AS (SELECT cm, list_transform(range(0, {d}), i ->"
+            f" w[i + 1] / sqrt(list_sum(list_transform(range(0, {d}), q ->"
+            f" w[q + 1] * w[q + 1])))) AS v FROM w{k})"
+        )
+    last = f"v{_PCA_ITERS}"
+    final = (
+        f", wf AS (SELECT cm, v, list_transform(range(0, {d}), i ->"
+        f" list_sum(list_transform(range(0, {d}), j ->"
+        f" cm[i * {d} + j + 1] * v[j + 1]))) AS w FROM {last})"
+        f", ev AS (SELECT v, list_sum(list_transform(range(0, {d}), i ->"
+        f" v[i + 1] * w[i + 1])) AS eig FROM wf)"
+        f" SELECT u.i AS dim, round(v[u.i + 1], 6) AS loading,"
+        f" round(eig, 6) AS eigenvalue"
+        f" FROM ev, UNNEST(range(0, {d})) AS u(i) ORDER BY dim"
+    )
+    return cov_full + "," + ",".join(ctes) + final
+
+
+@query("pca_top_component_embeddings", _pca_oracle_sql())
+def pca_top_component_embeddings(spark, sf_dir):
+    """Dominant principal component via power iteration: the N×d data
+    reduces to a d×d covariance in one distributed shuffle, the d²
+    scalars come to the driver (k-means-centroid-sized state), and the
+    iteration runs there with pinned fold order (ascending j, then
+    ascending q for the norm) so the DuckDB twin — the same loop
+    unrolled as SQL CTEs — matches to the rounded digit. Only +,*,/
+    and sqrt touch doubles: all correctly-rounded IEEE ops."""
+    d = _PCA_D
+    pa, ds = _cov_frames(spark, sf_dir)
+    sums = {r["i"]: (r["sx"], r["n"]) for r in ds.collect()}
+    n = next(iter(sums.values()))[1]
+    cov = {}
+    for r in pa.collect():
+        sx, _ = sums[r["i"]]
+        sy, _ = sums[r["j"]]
+        cv = (float(r["spp"]) - (float(sx) * float(sy)) / n) / (n - 1)
+        cov[(r["i"], r["j"])] = cv
+        cov[(r["j"], r["i"])] = cv
+    import math
+
+    v = [1.0] * d
+    for _ in range(_PCA_ITERS):
+        w = [sum(cov[(i, j)] * v[j] for j in range(d)) for i in range(d)]
+        norm = math.sqrt(sum(w[q] * w[q] for q in range(d)))
+        v = [w[i] / norm for i in range(d)]
+    w = [sum(cov[(i, j)] * v[j] for j in range(d)) for i in range(d)]
+    eig = sum(v[i] * w[i] for i in range(d))
+    rows = [(i, round(v[i], 6), round(eig, 6)) for i in range(d)]
+    return spark.createDataFrame(rows, "dim int, loading double, eigenvalue double")
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint scan over the daily value series
+# ---------------------------------------------------------------------------
+
+_CUSUM_SQL = """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             sum(round(value, 2)::DECIMAL(18,2)) AS tot
+      FROM events GROUP BY 1
+    ), g AS (
+      SELECT sum(tot) AS s, count(*) AS d FROM daily
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, tot::DOUBLE AS daily_total,
+           round(sum(tot::DOUBLE - s::DOUBLE / d) OVER (
+                   ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW), 6) + 0 AS cusum
+    FROM daily, g ORDER BY day
+"""
+
+
+@query("cusum_changepoint_daily_value", _CUSUM_SQL)
+def cusum_changepoint_daily_value(spark, sf_dir):
+    """CUSUM changepoint scan: cumulative sum of (daily total - grand
+    mean) over the day-grain series; a sustained drift shows as a ramp,
+    a level shift as a V. Raw events reduce map-side to one row per
+    day; the running sum windows over that bounded series in day order
+    (both engines fold left-to-right — identical doubles)."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.to_date("ts").alias("day"),
+            F.round("value", 2).cast("decimal(18,2)").alias("v"),
+        )
+        .groupBy("day")
+        .agg(F.sum("v").alias("tot"))
+    )
+    g = daily.agg(F.sum("tot").alias("s"), F.count("*").alias("d"))
+    dev = F.col("tot").cast("double") - F.col("s").cast("double") / F.col("d")
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.crossJoin(F.broadcast(g))
+        .withColumn("cusum", F.round(F.sum(dev).over(w), 6) + 0)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("tot").cast("double").alias("daily_total"),
+            "cusum",
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonally-adjusted (day-of-week) anomaly scan
+# ---------------------------------------------------------------------------
+
+# dow via integer date arithmetic (days since a known Monday, mod 7):
+# engine-neutral, unlike dayofweek()'s dialect-specific numbering.
+_SEASONAL_SQL = """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             sum(round(value, 2)::DECIMAL(18,2)) AS tot
+      FROM events GROUP BY 1
+    ), d2 AS (
+      SELECT day, datediff('day', DATE '1970-01-05', day) % 7 AS dow, tot
+      FROM daily
+    ), base AS (
+      SELECT dow, sum(tot) AS s, sum(tot * tot) AS ss, count(*) AS n
+      FROM d2 GROUP BY dow
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, d2.dow,
+           round((tot::DOUBLE - s::DOUBLE / n)
+                 / sqrt((ss::DOUBLE - (s::DOUBLE * s::DOUBLE) / n) / n), 6) + 0 AS z,
+           CASE WHEN abs((tot::DOUBLE - s::DOUBLE / n)
+                 / sqrt((ss::DOUBLE - (s::DOUBLE * s::DOUBLE) / n) / n)) > 1.5
+                THEN 1 ELSE 0 END AS is_anomaly
+    FROM d2 JOIN base ON d2.dow = base.dow
+    WHERE n > 1 AND (ss::DOUBLE - (s::DOUBLE * s::DOUBLE) / n) > 0
+    ORDER BY day
+"""
+
+
+@query("seasonal_dow_anomalies", _SEASONAL_SQL)
+def seasonal_dow_anomalies(spark, sf_dir):
+    """Seasonality-adjusted anomaly detection: each day's total is
+    z-scored against its own day-of-week baseline (population moments
+    from decimal-exact sums), so weekly rhythm doesn't read as anomaly.
+    dow is integer date arithmetic (days since a known Monday mod 7) —
+    identical across engines, unlike dialect dayofweek()."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.to_date("ts").alias("day"),
+            F.round("value", 2).cast("decimal(18,2)").alias("v"),
+        )
+        .groupBy("day")
+        .agg(F.sum("v").alias("tot"))
+        .withColumn("dow", F.datediff("day", F.lit("1970-01-05")) % 7)
+    )
+    base = daily.groupBy("dow").agg(
+        F.sum("tot").alias("s"),
+        F.sum(F.col("tot") * F.col("tot")).alias("ss"),
+        F.count("*").alias("n"),
+    )
+    var_num = F.col("ss").cast("double") - (
+        F.col("s").cast("double") * F.col("s").cast("double")
+    ) / F.col("n")
+    z = (F.col("tot").cast("double") - F.col("s").cast("double") / F.col("n")) / F.sqrt(
+        var_num / F.col("n")
+    )
+    return (
+        daily.join(F.broadcast(base), "dow")
+        .filter((F.col("n") > 1) & (var_num > 0))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dow",
+            (F.round(z, 6) + 0).alias("z"),
+            F.when(F.abs(z) > 1.5, F.lit(1)).otherwise(F.lit(0)).alias("is_anomaly"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Small-files compaction planner (target-size bin assignment)
+# ---------------------------------------------------------------------------
+
+_COMPACT_TARGET = 5000  # target chars per output bin (stand-in for bytes)
+
+_COMPACT_SQL = f"""
+    WITH d AS (
+      SELECT source, doc_id, n_chars,
+             coalesce(sum(n_chars) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+      FROM documents
+    )
+    SELECT source, CAST(cumb // {_COMPACT_TARGET} AS BIGINT) AS bin,
+           count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS bin_chars,
+           round(sum(n_chars)::DOUBLE / {_COMPACT_TARGET}, 6) AS fill
+    FROM d GROUP BY source, bin ORDER BY source, bin
+"""
+
+
+@query("compaction_bins_plan", _COMPACT_SQL)
+def compaction_bins_plan(spark, sf_dir):
+    """Small-files compaction planning: within each source, documents
+    (stand-ins for data files) are assigned to target-size output bins
+    by cumulative size — `floor(bytes_before / target)` — which is the
+    distributed equivalent of first-fit packing in key order. One
+    window shuffle on the layout key; the plan is what a compaction
+    job's repartition step executes."""
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", "doc_id", "n_chars")
+        .withColumn("cumb", F.coalesce(F.sum("n_chars").over(w), F.lit(0)))
+        .withColumn("bin", F.expr(f"cumb div {_COMPACT_TARGET}"))
+    )
+    return (
+        d.groupBy("source", "bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("bin_chars"),
+            F.round(F.sum("n_chars").cast("double") / _COMPACT_TARGET, 6).alias(
+                "fill"
+            ),
+        )
+        .orderBy("source", "bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shuffle-skew diagnostic report for join keys
+# ---------------------------------------------------------------------------
+
+def _skew_block_sql(table: str, key: str) -> str:
+    return f"""
+      SELECT '{table}.{key}' AS join_key, s.d AS n_keys,
+             CAST(s.n AS BIGINT) AS n_rows,
+             s.mx AS max_key_rows, p.p99cnt AS p99_key_rows,
+             round(s.mx::DOUBLE * s.d / s.n, 6) AS skew_ratio,
+             CAST((s.mx * s.d + s.n - 1) // s.n AS BIGINT) AS salt_factor
+      FROM (SELECT count(*) AS d, sum(cnt) AS n, max(cnt) AS mx
+            FROM (SELECT {key}, count(*) AS cnt FROM {table} GROUP BY {key})) s,
+           (SELECT cnt AS p99cnt
+            FROM (SELECT cnt, row_number() OVER (ORDER BY cnt, {key}) AS rn
+                  FROM (SELECT {key}, count(*) AS cnt FROM {table}
+                        GROUP BY {key})) r,
+                 (SELECT count(*) AS d
+                  FROM (SELECT DISTINCT {key} FROM {table}))
+            WHERE rn = (99 * d - 1) // 100 + 1) p
+    """
+
+
+_SKEW_SQL = (
+    _skew_block_sql("orders", "o_custkey")
+    + " UNION ALL "
+    + _skew_block_sql("lineitem", "l_suppkey")
+    + " ORDER BY join_key"
+)
+
+
+@query("shuffle_skew_report", _SKEW_SQL)
+def shuffle_skew_report(spark, sf_dir):
+    """Join-key skew diagnostics, the report you read BEFORE paying for
+    a shuffle join: per-key histogram (map-side combined, |keys| rows),
+    then max / p99 / skew-ratio rank statistics over the histogram and
+    the derived salt factor — ceil(max_key_rows / mean_key_rows) — that
+    ``salted_join_region_revenue``-style rewrites consume. The rank
+    window runs over the reduced histogram, never the raw table."""
+
+    def block(table, key):
+        hist = (
+            load_table(spark, sf_dir, table)
+            .groupBy(key)
+            .agg(F.count("*").alias("cnt"))
+        )
+        s = hist.agg(
+            F.count("*").alias("d"),
+            F.sum("cnt").alias("n"),
+            F.max("cnt").alias("mx"),
+        )
+        ranked = hist.withColumn(
+            "rn", F.row_number().over(Window.orderBy("cnt", key))
+        )
+        p99 = (
+            ranked.crossJoin(F.broadcast(s.select("d")))
+            .filter(F.col("rn") == F.expr("div(99 * d - 1, 100) + 1"))
+            .select(F.col("cnt").alias("p99cnt"))
+        )
+        return (
+            s.crossJoin(F.broadcast(p99))
+            .select(
+                F.lit(f"{table}.{key}").alias("join_key"),
+                F.col("d").alias("n_keys"),
+                F.col("n").alias("n_rows"),
+                F.col("mx").alias("max_key_rows"),
+                F.col("p99cnt").alias("p99_key_rows"),
+                F.round(
+                    F.col("mx").cast("double") * F.col("d") / F.col("n"), 6
+                ).alias("skew_ratio"),
+                F.expr("div(mx * d + n - 1, n)").alias("salt_factor"),
+            )
+        )
+
+    return (
+        block("orders", "o_custkey")
+        .unionByName(block("lineitem", "l_suppkey"))
+        .orderBy("join_key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter join pruning (runtime-filter pushdown, modeled)
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 131072  # bits
+_BLOOM_K = 3  # hash functions
+
+
+def _bloom_pos_sql(seed: str, key: str) -> str:
+    return f"('0x' || substr(md5('{seed}:' || {key}), 1, 8))::BIGINT % {_BLOOM_M}"
+
+
+_BLOOM_SQL = f"""
+    WITH ok AS (
+      SELECT DISTINCT o_custkey AS k FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+    ), seeds AS (
+      SELECT * FROM (VALUES ('1'), ('2'), ('3')) t(s)
+    ), bits AS (
+      SELECT DISTINCT ('0x' || substr(md5(s || ':' || k), 1, 8))::BIGINT
+                      % {_BLOOM_M} AS b
+      FROM ok, seeds
+    ), cb AS (
+      SELECT c_custkey, s,
+             ('0x' || substr(md5(s || ':' || c_custkey), 1, 8))::BIGINT
+             % {_BLOOM_M} AS b
+      FROM customer, seeds
+    ), cand AS (
+      SELECT c_custkey FROM cb JOIN bits USING (b)
+      GROUP BY c_custkey HAVING count(DISTINCT s) = {_BLOOM_K}
+    ), truem AS (
+      SELECT DISTINCT c_custkey FROM customer JOIN ok ON c_custkey = k
+    )
+    SELECT (SELECT count(*) FROM customer) AS n_customers,
+           (SELECT count(*) FROM cand) AS n_candidates,
+           (SELECT count(*) FROM truem) AS n_true,
+           (SELECT count(*) FROM cand) - (SELECT count(*) FROM truem)
+             AS false_positives,
+           round(((SELECT count(*) FROM cand)
+                  - (SELECT count(*) FROM truem))::DOUBLE
+                 / greatest((SELECT count(*) FROM customer)
+                            - (SELECT count(*) FROM truem), 1), 6) AS fp_rate
+"""
+
+
+@query("bloom_prune_join_orders", _BLOOM_SQL)
+def bloom_prune_join_orders(spark, sf_dir):
+    """Runtime-filter (Bloom) join pruning, modeled end-to-end: the
+    build side's keys hash to k=3 positions in an m=2^17-bit filter
+    (md5-derived — engine-stable), the probe side keeps only rows whose
+    k positions are all set, and the report quantifies the candidate
+    set against exact semi-join truth. No false negatives by
+    construction. In production the positions aggregate into a bitmap
+    broadcast (bytes, not rows); the distinct-positions table here has
+    identical membership semantics."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    ok = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    seeds = F.explode(F.array(F.lit("1"), F.lit("2"), F.lit("3"))).alias("s")
+
+    def pos(seed_col, key_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(seed_col, F.lit(":"), key_col.cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _BLOOM_M
+        )
+
+    bits = (
+        ok.select("k", seeds)
+        .select(pos(F.col("s"), F.col("k")).alias("b"))
+        .distinct()
+    )
+    cb = customer.select("c_custkey", seeds).select(
+        "c_custkey", "s", pos(F.col("s"), F.col("c_custkey")).alias("b")
+    )
+    cand = (
+        cb.join(bits, "b")
+        .groupBy("c_custkey")
+        .agg(F.count_distinct("s").alias("hits"))
+        .filter(F.col("hits") == _BLOOM_K)
+        .select("c_custkey")
+    )
+    truem = customer.join(
+        ok, customer.c_custkey == ok.k, "left_semi"
+    ).select("c_custkey")
+    counts = (
+        customer.agg(F.count("*").alias("n_customers"))
+        .crossJoin(cand.agg(F.count("*").alias("n_candidates")))
+        .crossJoin(truem.agg(F.count("*").alias("n_true")))
+    )
+    return counts.select(
+        "n_customers",
+        "n_candidates",
+        "n_true",
+        (F.col("n_candidates") - F.col("n_true")).alias("false_positives"),
+        F.round(
+            (F.col("n_candidates") - F.col("n_true")).cast("double")
+            / F.greatest(F.col("n_customers") - F.col("n_true"), F.lit(1)),
+            6,
+        ).alias("fp_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance for a join (delta rule)
+# ---------------------------------------------------------------------------
+
+_IVM_CUTOFF = "DATE '1998-06-01'"  # ΔA: orders on/after the cutoff
+_IVM_DELTA_MOD = 10  # ΔB: dimension rows with custkey % 10 = 0 ("updated")
+
+_IVM_SQL = f"""
+    SELECT n.n_name AS nation, count(*) AS n_orders,
+           CAST(sum(round(o.o_totalprice, 2)::DECIMAL(18,2)) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name ORDER BY nation
+"""
+
+
+@query("incremental_join_ivm_orders", _IVM_SQL)
+def incremental_join_ivm_orders(spark, sf_dir):
+    """Join-delta incremental view maintenance: with A = orders split
+    into (A₀, ΔA) by date and B = customers split into (B₀, ΔB) by a
+    hash-delta, the maintained join is
+    A₀⋈B₀ ∪ ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB — the delta rule that refreshes a
+    materialized join at |delta| cost instead of a recompute. The
+    oracle is the full recompute; equality IS the correctness claim.
+    Each partial join broadcasts the (small) dimension side."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round("o_totalprice", 2).cast("decimal(18,2)").alias("price"),
+        "o_orderdate",
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cutoff = F.lit("1998-06-01").cast("date")
+    a0 = orders.filter(F.col("o_orderdate") < cutoff)
+    da = orders.filter(F.col("o_orderdate") >= cutoff)
+    b0 = cust.filter(F.col("c_custkey") % _IVM_DELTA_MOD != 0)
+    db = cust.filter(F.col("c_custkey") % _IVM_DELTA_MOD == 0)
+    parts = [
+        a0.join(F.broadcast(b0), a0.o_custkey == b0.c_custkey),
+        da.join(F.broadcast(b0), da.o_custkey == b0.c_custkey),
+        a0.join(F.broadcast(db), a0.o_custkey == db.c_custkey),
+        da.join(F.broadcast(db), da.o_custkey == db.c_custkey),
+    ]
+    joined = parts[0]
+    for p in parts[1:]:
+        joined = joined.unionByName(p)
+    return (
+        joined.join(F.broadcast(nation), joined.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("price").cast("double").alias("revenue"),
+        )
+        .orderBy("nation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Differentially-private counts (two-sided geometric, integer-only)
+# ---------------------------------------------------------------------------
+
+def _ctz_case(x: str) -> str:
+    """Trailing-zero count of the low 16 bits, as a CASE ladder — pure
+    integer arithmetic, identical in both dialects. ctz of a uniform
+    integer is Geometric(1/2); the difference of two independent copies
+    is the two-sided geometric mechanism (alpha = 1/2, i.e. eps=ln 2)."""
+    arms = " ".join(
+        f"WHEN {x} % {2 ** (k + 1)} = {2 ** k} THEN {k}" for k in range(16)
+    )
+    return f"(CASE {arms} ELSE 16 END)"
+
+
+def _dp_h(seed: str, key: str) -> str:
+    return f"('0x' || substr(md5('{seed}:' || {key}), 1, 8))::BIGINT"
+
+
+_DP_SQL = f"""
+    WITH c AS (
+      SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+    )
+    SELECT event_type, n,
+           {_ctz_case(_dp_h("dpa", "event_type"))}
+           - {_ctz_case(_dp_h("dpb", "event_type"))} AS noise,
+           n + {_ctz_case(_dp_h("dpa", "event_type"))}
+             - {_ctz_case(_dp_h("dpb", "event_type"))} AS n_noisy
+    FROM c ORDER BY event_type
+"""
+
+
+@query("dp_geometric_counts_by_type", _DP_SQL)
+def dp_geometric_counts_by_type(spark, sf_dir):
+    """Differentially-private release of per-group counts via the
+    two-sided geometric mechanism (discrete Laplace, alpha=1/2 →
+    eps=ln2 per count): noise = ctz(h1) - ctz(h2) where ctz of an
+    md5-derived uniform integer is Geometric(1/2). Integer-only — no
+    libm, so the release is bit-reproducible across engines and
+    retries (the noise seed is the group key; production would salt
+    with a per-release secret)."""
+    c = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+    def h(seed):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{seed}:"), F.col("event_type"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    def ctz(col):
+        expr = F.lit(16)
+        # build the ladder innermost-first so WHEN k=0 wins like CASE
+        for k in reversed(range(16)):
+            expr = F.when(col % (2 ** (k + 1)) == 2 ** k, F.lit(k)).otherwise(expr)
+        return expr
+
+    noise = ctz(h("dpa")) - ctz(h("dpb"))
+    return c.select(
+        "event_type",
+        "n",
+        noise.alias("noise"),
+        (F.col("n") + noise).alias("n_noisy"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# OHLC (open/high/low/close) daily bars per event type
+# ---------------------------------------------------------------------------
+
+_OHLC_SQL = """
+    WITH e AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             round(value, 2)::DECIMAL(18,2) AS v, ts, event_id
+      FROM events
+    ), r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY event_type, day
+                                ORDER BY ts, event_id) AS ra,
+             row_number() OVER (PARTITION BY event_type, day
+                                ORDER BY ts DESC, event_id DESC) AS rd
+      FROM e
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           CAST(max(CASE WHEN ra = 1 THEN v END) AS DOUBLE) AS open,
+           CAST(max(v) AS DOUBLE) AS high, CAST(min(v) AS DOUBLE) AS low,
+           CAST(max(CASE WHEN rd = 1 THEN v END) AS DOUBLE) AS close,
+           count(*) AS n_events
+    FROM r GROUP BY event_type, day ORDER BY event_type, day
+"""
+
+
+@query("ohlc_daily_value_by_type", _OHLC_SQL)
+def ohlc_daily_value_by_type(spark, sf_dir):
+    """OHLC candle aggregation: open/close are arg-min/arg-max by
+    (ts, event_id) — made deterministic under timestamp ties by the
+    event_id tie-break — and high/low are plain extrema. One window +
+    one aggregation over the same (event_type, day) partitioning, so
+    the sort is reused (no second shuffle)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.round("value", 2).cast("decimal(18,2)").alias("v"),
+        "ts",
+        "event_id",
+    )
+    wp = Window.partitionBy("event_type", "day")
+    r = e.withColumn(
+        "ra", F.row_number().over(wp.orderBy("ts", "event_id"))
+    ).withColumn(
+        "rd", F.row_number().over(wp.orderBy(F.desc("ts"), F.desc("event_id")))
+    )
+    return (
+        r.groupBy("event_type", F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.max(F.when(F.col("ra") == 1, F.col("v"))).cast("double").alias("open"),
+            F.max("v").cast("double").alias("high"),
+            F.min("v").cast("double").alias("low"),
+            F.max(F.when(F.col("rd") == 1, F.col("v"))).cast("double").alias("close"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("event_type", "day")
+    )
