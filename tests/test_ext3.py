@@ -227,3 +227,78 @@ def test_dp_noise_bounded_and_seeded(spark):
     again = {r["event_type"]: r["noise"] for r in QUERIES[
         "dp_geometric_counts_by_type"](spark, SF).collect()}
     assert again == {r["event_type"]: r["noise"] for r in rows}
+
+
+# ---------------------------------------------------------------------------
+# Batch 2 (queries_ext4.py)
+# ---------------------------------------------------------------------------
+
+def test_cuped_reduces_between_user_noise(spark):
+    rows = QUERIES["cuped_adjusted_ab_test"](spark, SF).collect()
+    assert {r["cohort"] for r in rows} == {"A", "B"}
+    thetas = {r["theta"] for r in rows}
+    assert len(thetas) == 1  # theta is pooled, not per-cohort
+    for r in rows:
+        assert r["n_users"] > 0
+        # the adjustment is a shift, not a rescale: same order of magnitude
+        assert abs(r["mean_y_cuped"] - r["mean_y"]) < abs(r["mean_y"]) + 1e-6
+
+
+def test_zorder_prunes_no_worse_than_natural(spark):
+    rows = {r["layout"]: r for r in QUERIES["zorder_pruning_simulation"](spark, SF).collect()}
+    assert rows["natural"]["n_groups"] == rows["zorder"]["n_groups"]
+    # the whole point: Morton layout scans no more groups than natural
+    assert rows["zorder"]["groups_scanned"] <= rows["natural"]["groups_scanned"]
+    for r in rows.values():
+        assert 0.0 <= r["scan_fraction"] <= 1.0
+
+
+def test_golden_records_survivorship(spark):
+    rows = QUERIES["golden_records_customers"](spark, SF).collect()
+    cust = spark.read.parquet(f"{SF}/customer.parquet").collect()
+    by_key = {r["c_custkey"]: r for r in cust}
+    for r in rows:
+        assert r["n_members"] >= 2
+        anchor = by_key[r["cluster_id"]]
+        assert anchor["c_nationkey"] == r["c_nationkey"]
+        assert r["canonical_name"] == anchor["c_name"]  # arg-min by key
+        assert r["max_acctbal"] >= round(anchor["c_acctbal"], 2) - 0.01
+    # cluster ids unique (each record belongs to exactly one cluster)
+    ids = [r["cluster_id"] for r in rows]
+    assert len(ids) == len(set(ids))
+
+
+def test_skipgram_counts_match_python(spark):
+    rows = QUERIES["skipgram_transitions_events"](spark, SF).collect()
+    ev = sorted(
+        spark.read.parquet(f"{SF}/events.parquet").collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    from collections import Counter, defaultdict
+
+    seqs = defaultdict(list)
+    for r in ev:
+        seqs[r["user_id"]].append(r["event_type"])
+    c = Counter()
+    for s in seqs.values():
+        for i in range(len(s) - 2):
+            c[(s[i], s[i + 2])] += 1
+    for r in rows:
+        assert c[(r["a"], r["b"])] == r["n"]
+
+
+def test_conversion_latency_positive_and_ordered(spark):
+    r = QUERIES["conversion_latency_percentiles"](spark, SF).collect()[0]
+    assert 0 < r["n_converters"] <= r["n_viewers"]
+    assert 0.0 < r["conv_rate"] <= 1.0
+    assert 0.0 < r["p50_latency_s"] <= r["p90_latency_s"]
+
+
+def test_calibration_bins_partition_corpus(spark):
+    rows = QUERIES["score_calibration_bins"](spark, SF).collect()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for r in rows:
+        assert 0.0 <= r["frac_en"] <= 1.0
+        # avg score lands inside its own bucket's [lo, hi) range
+        assert r["bucket"] / 10 - 1e-6 <= r["avg_score"] <= (r["bucket"] + 1) / 10 + 1e-6

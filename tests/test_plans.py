@@ -370,3 +370,76 @@ def test_ewma_is_one_sort_stencil(spark):
     plan = executed_plan(spark, "ewma_user_values")
     assert "Join" not in plan, plan[:2000]
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+# ---------------------------------------------------------------------------
+# Round-5 extensions (queries_ext3.py)
+# ---------------------------------------------------------------------------
+
+def test_ohlc_single_data_exchange(spark):
+    # Both row_number windows AND the final aggregation share one
+    # (event_type, day) hash Exchange; the only other Exchange is the
+    # presentation range sort. More would mean the agg re-shuffled.
+    plan = executed_plan(spark, "ohlc_daily_value_by_type")
+    assert "Join" not in plan, plan[:2000]
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+
+
+def test_bloom_prune_probe_joins_are_hash_joins(spark):
+    # The postings-sized joins (probe positions x bloom bits, the exact
+    # semi-join) must be hash joins; only the 1-row count combiners may
+    # be nested-loop (broadcast of a single row). Priority filter must
+    # reach the orders scan.
+    plan = executed_plan(spark, "bloom_prune_join_orders")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert re.search(r"PushedFilters: \[[^\]]*o_orderpriority", plan), plan[:3000]
+
+
+def test_ivm_partial_joins_broadcast_dimension(spark):
+    # All four delta-rule partial joins broadcast the (small) customer
+    # side — no sort-merge, no cartesian.
+    plan = executed_plan(spark, "incremental_join_ivm_orders")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_record_linkage_is_blocked_equijoin(spark):
+    # The candidate generator must be the nationkey equi-join (hash),
+    # never an all-pairs nested loop: blocking IS the scale story.
+    plan = executed_plan(spark, "record_linkage_customer_supplier")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_covariance_prunes_to_embedding_column(spark):
+    # The N-row scan feeds d^2 cells: embeddings scan must prune to the
+    # embedding column (vec_id/label never read), and cells come from
+    # map-side-combined partial aggregation.
+    plan = executed_plan(spark, "embedding_covariance_matrix")
+    assert "CartesianProduct" not in plan
+    for m in re.finditer(r"ReadSchema: (.*)", plan):
+        assert "label" not in m.group(1), m.group(1)
+    assert "HashAggregate" in plan
+
+
+def test_compaction_plan_reads_no_text(spark):
+    # The planner only needs (source, doc_id, n_chars): the documents
+    # scan must never read the text payload.
+    plan = executed_plan(spark, "compaction_bins_plan")
+    for m in re.finditer(r"ReadSchema: (.*)", plan):
+        assert "text" not in m.group(1), m.group(1)
+
+
+def test_skew_report_windows_over_histogram_only(spark):
+    # The rank window runs over the per-key histogram (post-aggregate),
+    # so each raw scan is followed by a HashAggregate before any
+    # Window; the raw tables are scanned at most twice (histogram +
+    # distinct-count reuse).
+    plan = executed_plan(spark, "shuffle_skew_report")
+    assert "CartesianProduct" not in plan
+    assert plan.index("HashAggregate") >= 0
+    assert "Window" in plan

@@ -52,6 +52,10 @@ QUERIES_TO_TIME = [
     "kmeans_clusters_embeddings",
     "dup_span_removal_documents",
     "random_walks_parts",
+    "embedding_covariance_matrix",
+    "record_linkage_customer_supplier",
+    "bloom_prune_join_orders",
+    "shuffle_skew_report",
 ]
 
 COPY_AS_IS = ["region", "nation", "customer", "part", "supplier"]

@@ -7116,3 +7116,4 @@ from vmware_graph_spark import queries_tpch as _queries_tpch  # noqa: E402,F401
 from vmware_graph_spark import queries_ext as _queries_ext  # noqa: E402,F401
 from vmware_graph_spark import queries_ext2 as _queries_ext2  # noqa: E402,F401
 from vmware_graph_spark import queries_ext3 as _queries_ext3  # noqa: E402,F401
+from vmware_graph_spark import queries_ext4 as _queries_ext4  # noqa: E402,F401

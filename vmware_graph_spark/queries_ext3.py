@@ -1017,13 +1017,23 @@ def ohlc_daily_value_by_type(spark, sf_dir):
         "rd", F.row_number().over(wp.orderBy(F.desc("ts"), F.desc("event_id")))
     )
     return (
-        r.groupBy("event_type", F.date_format("day", "yyyy-MM-dd").alias("day"))
+        r.groupBy("event_type", "day")  # same keys as the window
+        # partitioning, so the aggregation reuses that Exchange
         .agg(
             F.max(F.when(F.col("ra") == 1, F.col("v"))).cast("double").alias("open"),
             F.max("v").cast("double").alias("high"),
             F.min("v").cast("double").alias("low"),
             F.max(F.when(F.col("rd") == 1, F.col("v"))).cast("double").alias("close"),
             F.count("*").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
         )
         .orderBy("event_type", "day")
     )
