@@ -302,3 +302,93 @@ def test_calibration_bins_partition_corpus(spark):
         assert 0.0 <= r["frac_en"] <= 1.0
         # avg score lands inside its own bucket's [lo, hi) range
         assert r["bucket"] / 10 - 1e-6 <= r["avg_score"] <= (r["bucket"] + 1) / 10 + 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Batch 3 (queries_ext5.py)
+# ---------------------------------------------------------------------------
+
+def test_streaming_ohlc_matches_batch(spark):
+    got = {
+        (r["event_type"], r["day"]): (r["open"], r["high"], r["low"], r["close"], r["n_events"])
+        for r in QUERIES["streaming_ohlc_daily_by_type"](spark, SF).collect()
+    }
+    expect = {
+        (r["event_type"], r["day"]): (r["open"], r["high"], r["low"], r["close"], r["n_events"])
+        for r in QUERIES["ohlc_daily_value_by_type"](spark, SF).collect()
+    }
+    assert got == expect
+
+
+def test_l_diversity_flags_homogeneous_cells(spark):
+    rows = QUERIES["l_diversity_audit_customers"](spark, SF).collect()
+    cust = spark.read.parquet(f"{SF}/customer.parquet").collect()
+    from collections import defaultdict
+
+    cells = defaultdict(set)
+    sizes = defaultdict(int)
+    for c in cust:
+        key = (c["c_nationkey"], int(c["c_acctbal"] // 1000))
+        cells[key].add(c["c_mktsegment"])
+        sizes[key] += 1
+    flagged = {(r["c_nationkey"], r["bal_bucket"]) for r in rows}
+    expect = {k for k, segs in cells.items() if len(segs) < 2}
+    assert flagged == expect
+    for r in rows:
+        assert r["l_distinct"] == 1
+        assert r["group_size"] == sizes[(r["c_nationkey"], r["bal_bucket"])]
+
+
+def test_winsorized_mean_between_min_and_mean_bounds(spark):
+    rows = QUERIES["winsorized_mean_value_by_type"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["cap_lo"] <= r["cap_hi"]
+        # the winsorized mean lives inside the cap interval
+        assert r["cap_lo"] - 1e-9 <= r["winsor_mean"] <= r["cap_hi"] + 1e-9
+
+
+def test_bigram_lift_counts_and_ranking(spark):
+    rows = QUERIES["bigram_lift_collocations"](spark, SF).collect()
+    assert rows
+    lifts = [-r["lift"] for r in rows]
+    assert lifts == sorted(lifts)
+    for r in rows:
+        assert r["n_ab"] >= 3
+        assert r["lift"] > 0
+
+
+def test_allen_relations_partition_all_pairs(spark):
+    rows = QUERIES["allen_interval_relations_users"](spark, SF).collect()
+    total = sum(r["n"] for r in rows)
+    iv = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .count()
+        .groupBy("day")
+        .count()
+        .collect()
+    )
+    expect = sum(r["count"] * (r["count"] - 1) // 2 for r in iv)
+    assert total == expect  # the 13 relations partition every pair
+    names = {r["relation"] for r in rows}
+    allen = {
+        "equals", "precedes", "preceded_by", "meets", "met_by", "starts",
+        "started_by", "finishes", "finished_by", "during", "contains",
+        "overlaps", "overlapped_by",
+    }
+    assert names <= allen
+
+
+def test_textrank_prefers_connected_tokens(spark):
+    rows = QUERIES["textrank_keywords_documents"](spark, SF).collect()
+    assert 0 < len(rows) <= 15
+    ranks = [-r["rank_micros"] for r in rows]
+    assert ranks == sorted(ranks)
+    # every keyword passes the vocabulary df prune
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    from collections import Counter
+
+    c = Counter(t for r in docs for t in r["text"].split())
+    for r in rows:
+        assert c[r["token"]] >= 3
