@@ -392,3 +392,70 @@ def test_textrank_prefers_connected_tokens(spark):
     c = Counter(t for r in docs for t in r["text"].split())
     for r in rows:
         assert c[r["token"]] >= 3
+
+
+# ---------------------------------------------------------------------------
+# Batch 4 (queries_ext6.py)
+# ---------------------------------------------------------------------------
+
+def test_k_truss_edges_close_enough_triangles(spark):
+    rows = QUERIES["k_truss_part_cooccurrence"](spark, SF).collect()
+    edges = {(r["part_a"], r["part_b"]) for r in rows}
+    # truss property on the SURVIVING subgraph: each edge's support,
+    # recounted independently over surviving edges only (neighbor-set
+    # intersection), matches the reported value
+    nb = {}
+    for (a, b) in edges:
+        nb.setdefault(a, set()).add(b)
+        nb.setdefault(b, set()).add(a)
+    for r in rows:
+        a, b = r["part_a"], r["part_b"]
+        assert a < b
+        assert len(nb[a] & nb[b]) == r["support"]
+
+
+def test_ams_estimate_in_sane_band(spark):
+    r = QUERIES["ams_selfjoin_size_events"](spark, SF).collect()[0]
+    # exact F2 equals the true self-join size on user_id
+    ev = spark.read.parquet(f"{SF}/events.parquet").select("user_id", "event_id")
+    n_self = ev.alias("a").join(ev.alias("b"), "user_id").count()
+    assert r["f2_exact"] == n_self
+    # 32 estimators: std err ~ sqrt(2/32) F2 — assert a loose 3-sigma band
+    assert r["rel_error"] < 0.75
+    assert r["f2_estimate"] > 0
+
+
+def test_reciprocal_best_match_is_one_to_one(spark):
+    rows = QUERIES["reciprocal_best_match_linkage"](spark, SF).collect()
+    assert rows
+    cs = [r["c_custkey"] for r in rows]
+    ss = [r["s_suppkey"] for r in rows]
+    assert len(cs) == len(set(cs))  # at most one partner per customer
+    assert len(ss) == len(set(ss))  # and per supplier
+
+
+def test_ks_matches_scipy_style_recompute(spark):
+    r = QUERIES["ks_statistic_value_cohorts"](spark, SF).collect()[0]
+    assert 0.0 <= r["ks_stat"] <= 1.0
+    assert r["n_a"] + r["n_b"] > 0
+    # recompute in python over the same hash assignment
+    import hashlib
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    a_vals, b_vals = [], []
+    for e in ev:
+        if e["value"] is None:
+            continue
+        h = int(hashlib.md5(f"ab:{e['user_id']}".encode()).hexdigest()[:15], 16)
+        (a_vals if h % 2 == 0 else b_vals).append(round(e["value"], 2))
+    assert len(a_vals) == r["n_a"] and len(b_vals) == r["n_b"]
+    xs = sorted(set(a_vals) | set(b_vals))
+    na, nb, best = len(a_vals), len(b_vals), 0
+    ca = cb = 0
+    from bisect import bisect_right
+
+    sa, sb = sorted(a_vals), sorted(b_vals)
+    for x in xs:
+        ca, cb = bisect_right(sa, x), bisect_right(sb, x)
+        best = max(best, abs(ca * nb - cb * na))
+    assert best == r["ks_scaled"]
