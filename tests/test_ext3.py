@@ -459,3 +459,76 @@ def test_ks_matches_scipy_style_recompute(spark):
         ca, cb = bisect_right(sa, x), bisect_right(sb, x)
         best = max(best, abs(ca * nb - cb * na))
     assert best == r["ks_scaled"]
+
+
+# ---------------------------------------------------------------------------
+# Batch 5 (queries_ext7.py)
+# ---------------------------------------------------------------------------
+
+def test_vocab_coverage_monotone(spark):
+    r = QUERIES["vocab_coverage_curve"](spark, SF).collect()[0]
+    assert 0 < r["n_vocab"]
+    assert r["n_tokens"] >= r["n_vocab"]
+    covs = [r["cov_100"], r["cov_500"], r["cov_1000"], r["cov_5000"]]
+    assert covs == sorted(covs)  # more vocab, more coverage
+    assert all(0.0 < c <= 1.0 for c in covs)
+    if r["n_vocab"] <= 5000:
+        assert covs[-1] == 1.0  # full vocab covers everything
+
+
+def test_merkle_root_flips_on_any_change(spark):
+    rows = QUERIES["merkle_manifest_documents"](spark, SF).collect()
+    roots = {r["root_hash"] for r in rows}
+    assert len(roots) == 1  # one root across all sources
+    import hashlib
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    from collections import defaultdict
+
+    per_src = defaultdict(list)
+    for d in docs:
+        per_src[d["source"]].append((d["doc_id"], hashlib.md5(d["text"].encode()).hexdigest()))
+    src_hash = {
+        s: hashlib.md5("".join(h for _, h in sorted(v)).encode()).hexdigest()
+        for s, v in per_src.items()
+    }
+    for r in rows:
+        assert r["source_hash"] == src_hash[r["source"]]
+        assert r["n_docs"] == len(per_src[r["source"]])
+    root = hashlib.md5(
+        "".join(src_hash[s] for s in sorted(src_hash)).encode()
+    ).hexdigest()
+    assert roots == {root}
+
+
+def test_partition_sizing_ceilings(spark):
+    rows = {r["tbl"]: r for r in QUERIES["partition_sizing_plan"](spark, SF).collect()}
+    for r in rows.values():
+        assert r["rec_shuffle_partitions"] >= 1
+        assert r["rec_files"] >= 1
+        assert r["rec_files"] <= r["rec_shuffle_partitions"]  # 128MB >= 64MB
+        # ceiling arithmetic: partitions * target covers the bytes
+        assert r["rec_shuffle_partitions"] * 64 * 1024 * 1024 >= r["est_bytes"]
+    li = rows["lineitem"]
+    n = spark.read.parquet(f"{SF}/lineitem.parquet").count()
+    assert li["n_rows"] == n and li["est_bytes"] == n * 120
+
+
+def test_itemset3_support_verified(spark):
+    rows = QUERIES["itemset3_support_parts"](spark, SF).collect()
+    li = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    from collections import defaultdict
+
+    baskets = defaultdict(set)
+    for r in li:
+        baskets[r["l_orderkey"]].add(r["l_partkey"])
+    for r in rows:
+        trip = {r["pa"], r["pb"], r["pc"]}
+        assert r["pa"] < r["pb"] < r["pc"]
+        sup = sum(1 for b in baskets.values() if trip <= b)
+        assert sup == r["support"] >= 2

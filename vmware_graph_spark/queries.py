@@ -7119,3 +7119,4 @@ from vmware_graph_spark import queries_ext3 as _queries_ext3  # noqa: E402,F401
 from vmware_graph_spark import queries_ext4 as _queries_ext4  # noqa: E402,F401
 from vmware_graph_spark import queries_ext5 as _queries_ext5  # noqa: E402,F401
 from vmware_graph_spark import queries_ext6 as _queries_ext6  # noqa: E402,F401
+from vmware_graph_spark import queries_ext7 as _queries_ext7  # noqa: E402,F401
