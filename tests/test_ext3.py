@@ -532,3 +532,35 @@ def test_itemset3_support_verified(spark):
         assert r["pa"] < r["pb"] < r["pc"]
         sup = sum(1 for b in baskets.values() if trip <= b)
         assert sup == r["support"] >= 2
+
+
+# ---------------------------------------------------------------------------
+# Batch 6 (queries_ext8.py)
+# ---------------------------------------------------------------------------
+
+def test_lsh_precision_recall_consistent(spark):
+    p = QUERIES["lsh_precision_vs_exact"](spark, SF).collect()[0]
+    r = QUERIES["lsh_recall_vs_exact"](spark, SF).collect()[0]
+    # same kernels, same banding: the confusion counts must agree
+    assert p["n_exact"] == r["n_exact"]
+    assert p["n_candidates"] == r["n_candidates"]
+    assert p["n_hit"] == r["n_hit"]
+    assert 0.0 <= p["precision"] <= 1.0
+    assert p["n_hit"] <= min(p["n_exact"], p["n_candidates"])
+
+
+def test_assortativity_in_pearson_range(spark):
+    r = QUERIES["degree_assortativity_graph"](spark, SF).collect()[0]
+    assert -1.0 <= r["assortativity"] <= 1.0
+    assert r["n_edges"] > 0
+
+
+def test_ndcg_bounds_and_identity(spark):
+    rows = QUERIES["ndcg_matryoshka_vs_exact"](spark, SF).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert 0.0 <= r["ndcg"] <= 1.0 + 1e-9
+    # sanity: full-dim ranking against itself would be exactly 1; the
+    # truncated tier should agree at least somewhat on average
+    avg = sum(r["ndcg"] for r in rows) / len(rows)
+    assert avg > 0.05
