@@ -564,3 +564,49 @@ def test_ndcg_bounds_and_identity(spark):
     # truncated tier should agree at least somewhat on average
     avg = sum(r["ndcg"] for r in rows) / len(rows)
     assert avg > 0.05
+
+
+# ---------------------------------------------------------------------------
+# Batch 7 (queries_ext9.py)
+# ---------------------------------------------------------------------------
+
+def test_harmonic_centrality_consistent_with_bfs(spark):
+    rows = QUERIES["harmonic_centrality_landmarks"](spark, SF).collect()
+    assert len(rows) == 5  # one per region landmark
+    for r in rows:
+        # harmonic <= n_reached (each term <= 1) and > 0
+        assert 0 < r["harmonic"] <= r["n_reached"]
+
+
+def test_markov_absorption_probabilities(spark):
+    rows = {r["event_type"]: r["p_absorb"] for r in QUERIES[
+        "markov_absorption_purchase"](spark, SF).collect()}
+    assert set(rows) == {"click", "error", "purchase", "signup", "view"}
+    for p in rows.values():
+        assert 0.0 <= p <= 1.0
+    # K=5 steps from a uniform-ish chain: strictly positive everywhere
+    assert all(p > 0 for p in rows.values())
+
+
+def test_burstiness_in_range(spark):
+    rows = QUERIES["burstiness_user_gaps"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 <= r["burstiness"] <= 1.0
+        assert r["n_gaps"] >= 5
+        assert r["mean_gap_s"] > 0
+
+
+def test_cohort_ltv_monotone_per_cohort(spark):
+    rows = QUERIES["cohort_ltv_curve"](spark, SF).collect()
+    assert rows
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for r in rows:
+        per[r["cohort_day"]].append((r["age"], r["ltv_per_user"]))
+    for series in per.values():
+        series.sort()
+        vals = [v for _, v in series]
+        assert vals == sorted(vals)  # cumulative value never decreases
+        assert all(v >= 0 for v in vals)

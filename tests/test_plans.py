@@ -443,3 +443,38 @@ def test_skew_report_windows_over_histogram_only(spark):
     assert "CartesianProduct" not in plan
     assert plan.index("HashAggregate") >= 0
     assert "Window" in plan
+
+
+def test_itemset3_no_cartesian_basket_bounded(spark):
+    # Triple generation must stay oid-equi-joined (basket-bounded);
+    # any nested-loop here is the quadratic blowup the design avoids.
+    plan = executed_plan(spark, "itemset3_support_parts")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ks_windows_over_value_histogram(spark):
+    # The KS cumulative window must run AFTER the per-value aggregation
+    # (histogram), never over raw events: HashAggregate precedes Window
+    # in the plan tree (higher node id = earlier in formatted output).
+    plan = executed_plan(spark, "ks_statistic_value_cohorts")
+    assert "Window" in plan and "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_textrank_topk_over_checkpointed_ranks(spark):
+    # pagerank_fixed localCheckpoints each iteration, so the final plan
+    # is a distributed top-k (TakeOrderedAndProject) over the
+    # checkpointed rank RDD — no sort-the-world, no cartesian. (The
+    # iteration join shapes are pinned by the pagerank plan tests in
+    # test_snapshot_algos.py.)
+    plan = executed_plan(spark, "textrank_keywords_documents")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_vocab_coverage_single_corpus_scan(spark):
+    # Coverage targets come from CASE sums over one ranked histogram —
+    # the corpus parquet is scanned exactly once.
+    plan = executed_plan(spark, "vocab_coverage_curve")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
