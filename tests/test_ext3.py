@@ -610,3 +610,75 @@ def test_cohort_ltv_monotone_per_cohort(spark):
         vals = [v for _, v in series]
         assert vals == sorted(vals)  # cumulative value never decreases
         assert all(v >= 0 for v in vals)
+
+
+# ---------------------------------------------------------------------------
+# Batch 8 (queries_ext10.py)
+# ---------------------------------------------------------------------------
+
+def test_impute_counts_and_fill(spark):
+    rows = QUERIES["impute_event_values"](spark, SF).collect()
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    from collections import defaultdict
+
+    nulls = defaultdict(int)
+    totals = defaultdict(int)
+    vals = defaultdict(list)
+    for e in ev:
+        totals[e["event_type"]] += 1
+        if e["value"] is None:
+            nulls[e["event_type"]] += 1
+        else:
+            vals[e["event_type"]].append(round(e["value"], 2))
+    for r in rows:
+        assert r["n_total"] == totals[r["event_type"]]
+        assert r["n_imputed"] == nulls[r["event_type"]]
+        s = sorted(vals[r["event_type"]])
+        assert abs(r["fill_value"] - s[(len(s) + 1) // 2 - 1]) < 1e-9
+
+
+def test_mahalanobis_topk_are_extreme(spark):
+    rows = QUERIES["mahalanobis_outliers_embeddings"](spark, SF).collect()
+    assert len(rows) == 10
+    scores = [r["md2"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+
+
+def test_pit_features_are_strictly_before(spark):
+    rows = QUERIES["training_matrix_pit_features"](spark, SF).collect()
+    assert rows
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    import datetime
+
+    by_user = {}
+    for e in ev:
+        by_user.setdefault(e["user_id"], []).append(e)
+    by_id = {e["event_id"]: e for e in ev}
+    us = lambda t: int(t.timestamp() * 1_000_000)
+    for r in rows[:25]:
+        lab = by_id[r["event_id"]]
+        t0 = us(lab["ts"])
+        hist = [e for e in by_user[r["user_id"]] if us(e["ts"]) < t0]
+        assert r["f_life_cnt"] == len(hist)
+        win = [e for e in hist if us(e["ts"]) >= t0 - 7 * 86400 * 1_000_000]
+        assert r["f_cnt_7d"] == len(win)
+        val = sum(round(e["value"], 2) for e in win if e["value"] is not None)
+        assert abs(r["f_val_7d"] - round(val, 2)) < 1e-6
+
+
+def test_kwic_contexts_contain_keyword(spark):
+    rows = QUERIES["kwic_concordance_top_token"](spark, SF).collect()
+    assert 0 < len(rows) <= 15
+    kw = rows[0]["keyword"]
+    docs = {
+        r["doc_id"]: r["text"].split()
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    for r in rows:
+        ctx = r["context"].split()
+        assert kw in ctx
+        toks = docs[r["doc_id"]]
+        assert toks[r["pos"]] == kw
+        lo = max(r["pos"] - 2, 0)
+        assert ctx == toks[lo:r["pos"] + 3]

@@ -7122,3 +7122,4 @@ from vmware_graph_spark import queries_ext6 as _queries_ext6  # noqa: E402,F401
 from vmware_graph_spark import queries_ext7 as _queries_ext7  # noqa: E402,F401
 from vmware_graph_spark import queries_ext8 as _queries_ext8  # noqa: E402,F401
 from vmware_graph_spark import queries_ext9 as _queries_ext9  # noqa: E402,F401
+from vmware_graph_spark import queries_ext10 as _queries_ext10  # noqa: E402,F401
