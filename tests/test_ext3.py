@@ -682,3 +682,72 @@ def test_kwic_contexts_contain_keyword(spark):
         assert toks[r["pos"]] == kw
         lo = max(r["pos"] - 2, 0)
         assert ctx == toks[lo:r["pos"] + 3]
+
+
+# ---------------------------------------------------------------------------
+# Batch 9 (queries_ext11.py)
+# ---------------------------------------------------------------------------
+
+def test_auc_matches_pairwise_definition(spark):
+    r = QUERIES["auc_quality_vs_lang"](spark, SF).collect()[0]
+    assert 0.0 <= r["auc"] <= 1.0
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert r["n_pos"] + r["n_neg"] == docs.count()
+    assert r["n_pos"] == docs.filter(F.col("lang") == "en").count()
+    # pairwise definition over the engine's own (score, y) projection:
+    # AUC = P(score_pos > score_neg) + 0.5 P(tie)
+    from vmware_graph_spark.queries_ext11 import _AUC_SQL  # noqa: F401
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    scored = con.execute(
+        _AUC_SQL[: _AUC_SQL.index(", hist AS")]
+        + " SELECT y, score FROM scored"
+    ).fetchall()
+    pos = sorted(s for y, s in scored if y == 1)
+    neg = sorted(s for y, s in scored if y == 0)
+    wins = ties = 0
+    for p in pos:
+        from bisect import bisect_left, bisect_right
+
+        wins += bisect_left(neg, p)
+        ties += bisect_right(neg, p) - bisect_left(neg, p)
+    auc = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    assert abs(r["auc"] - auc) < 1e-6
+
+
+def test_quantile_normalization_equalizes_means(spark):
+    rows = QUERIES["quantile_normalize_by_source"](spark, SF).collect()
+    assert rows
+    befores = [r["mean_before"] for r in rows]
+    afters = [r["mean_after"] for r in rows]
+    # normalized means cluster much tighter than raw means
+    spread = lambda xs: max(xs) - min(xs)
+    assert spread(afters) <= spread(befores) + 1e-9
+    for r in rows:
+        assert r["n"] > 0
+
+
+def test_did_identity(spark):
+    r = QUERIES["did_estimate_value"](spark, SF).collect()[0]
+    expect = round(
+        round(r["a_post"] - r["a_pre"] - (r["b_post"] - r["b_pre"]), 6), 6
+    )
+    assert abs(r["did"] - expect) < 2e-6
+
+
+def test_seasonal_backtest_lag_alignment(spark):
+    rows = QUERIES["seasonal_naive_backtest"](spark, SF).collect()
+    assert rows
+    daily = {r["day"]: r["actual"] for r in rows}
+    import datetime
+
+    for r in rows:
+        d = datetime.date.fromisoformat(r["day"])
+        prev = (d - datetime.timedelta(days=7)).isoformat()
+        if prev in daily:
+            assert abs(r["forecast"] - daily[prev]) < 1e-9
+        assert r["ape"] >= 0
