@@ -751,3 +751,50 @@ def test_seasonal_backtest_lag_alignment(spark):
         if prev in daily:
             assert abs(r["forecast"] - daily[prev]) < 1e-9
         assert r["ape"] >= 0
+
+
+# ---------------------------------------------------------------------------
+# Batch 10 (queries_ext12.py)
+# ---------------------------------------------------------------------------
+
+def test_pareto_concentration_bounds(spark):
+    rows = QUERIES["pareto_8020_parts_revenue"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_for_80pct"] <= r["n_parts"]
+        assert 0.0 < r["concentration"] <= 1.0
+
+
+def test_degree_bins_partition_users(spark):
+    rows = QUERIES["degree_distribution_log2_bins"](spark, SF).collect()
+    n_users = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("user_id").distinct().count()
+    )
+    assert sum(r["n_users"] for r in rows) == n_users
+    for r in rows:
+        b = r["log2_bin"]
+        assert 2 ** b <= r["min_degree"] <= r["max_degree"] < 2 ** (b + 1)
+
+
+def test_vmr_matches_python(spark):
+    rows = QUERIES["overdispersion_daily_counts"](spark, SF).collect()
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    from collections import Counter
+
+    daily = Counter((e["event_type"], e["ts"].date()) for e in ev)
+    for r in rows:
+        cs = [c for (t, _), c in daily.items() if t == r["event_type"]]
+        mean = sum(cs) / len(cs)
+        var = sum((c - mean) ** 2 for c in cs) / (len(cs) - 1)
+        assert abs(r["vmr"] - var / mean) < 1e-4
+        assert r["overdispersed"] == (1 if var / mean > 1.5 else 0)
+
+
+def test_label_margin_stats_bounds(spark):
+    rows = QUERIES["label_margin_embeddings"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 - 1e-9 <= r["avg_margin"] <= 1.0 + 1e-9
+        assert 0.0 <= r["frac_separated"] <= 1.0
+        assert r["n_vecs"] > 0
