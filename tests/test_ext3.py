@@ -798,3 +798,62 @@ def test_label_margin_stats_bounds(spark):
         assert -1.0 - 1e-9 <= r["avg_margin"] <= 1.0 + 1e-9
         assert 0.0 <= r["frac_separated"] <= 1.0
         assert r["n_vecs"] > 0
+
+
+# ---------------------------------------------------------------------------
+# Batch 11 (queries_ext13.py)
+# ---------------------------------------------------------------------------
+
+def test_design_effect_at_least_icc_consistent(spark):
+    r = QUERIES["cluster_sampling_design_effect"](spark, SF).collect()[0]
+    assert -1.0 <= r["icc"] <= 1.0
+    mbar = r["n_rows"] / r["n_clusters"]
+    assert abs(r["deff"] - (1 + (mbar - 1) * r["icc"])) < 1e-4
+
+
+def test_ttr_bounds_and_python_recompute(spark):
+    rows = QUERIES["type_token_ratio_by_source"](spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    from collections import Counter, defaultdict
+
+    per = defaultdict(Counter)
+    for d in docs:
+        per[d["source"]].update(d["text"].split())
+    for r in rows:
+        c = per[r["source"]]
+        assert r["n_types"] == len(c)
+        assert r["n_tokens"] == sum(c.values())
+        hap = sum(1 for v in c.values() if v == 1)
+        assert abs(r["hapax_frac"] - hap / len(c)) < 1e-6
+        assert 0.0 < r["ttr"] <= 1.0
+
+
+def test_peaks_are_strict_local_maxima(spark):
+    rows = QUERIES["daily_peaks_value"](spark, SF).collect()
+    daily = {
+        r["day"]: r["tot"]
+        for r in spark.read.parquet(f"{SF}/events.parquet")
+        .filter(F.col("value").isNotNull())
+        .groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"))
+        .agg(F.sum(F.round("value", 2).cast("decimal(18,2)")).alias("tot"))
+        .collect()
+    }
+    import datetime
+
+    for r in rows:
+        d = datetime.date.fromisoformat(r["day"])
+        prev = daily[(d - datetime.timedelta(days=1)).isoformat()]
+        nxt = daily[(d + datetime.timedelta(days=1)).isoformat()]
+        tot = daily[r["day"]]
+        assert tot > prev and tot > nxt
+        assert abs(r["prominence"] - float(min(tot - prev, tot - nxt))) < 1e-9
+
+
+def test_effective_dim_bounds(spark):
+    r = QUERIES["effective_dim_embeddings"](spark, SF).collect()[0]
+    assert r["n_dims"] == 64
+    assert r["total_variance"] > 0
+    # participation ratio lives in [1, d]
+    assert 1.0 <= r["participation_ratio"] <= 64.0
+    # synthetic embeddings are near-isotropic: PR should be high
+    assert r["participation_ratio"] > 32
