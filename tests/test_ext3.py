@@ -857,3 +857,29 @@ def test_effective_dim_bounds(spark):
     assert 1.0 <= r["participation_ratio"] <= 64.0
     # synthetic embeddings are near-isotropic: PR should be high
     assert r["participation_ratio"] > 32
+
+
+# ---------------------------------------------------------------------------
+# Batch 12 (queries_ext14.py)
+# ---------------------------------------------------------------------------
+
+def test_uplift_deciles_consistent(spark):
+    rows = QUERIES["uplift_deciles"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["decile"] <= 10
+        assert r["n_a"] > 0 and r["n_b"] > 0
+        assert abs(r["uplift"] - round(r["mean_y_a"] - r["mean_y_b"], 6)) < 2e-6
+
+
+def test_matched_pairs_att_quality(spark):
+    r = QUERIES["matched_pairs_att"](spark, SF).collect()[0]
+    assert r["n_matched"] > 0
+    assert r["mean_covariate_gap"] >= 0
+    # every treated user matches (controls exist on at least one side)
+    n_a = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .filter(F.col("value").isNotNull())
+        .select("user_id").distinct().count()
+    )
+    assert r["n_matched"] <= n_a

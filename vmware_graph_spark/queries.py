@@ -7126,3 +7126,4 @@ from vmware_graph_spark import queries_ext10 as _queries_ext10  # noqa: E402,F40
 from vmware_graph_spark import queries_ext11 as _queries_ext11  # noqa: E402,F401
 from vmware_graph_spark import queries_ext12 as _queries_ext12  # noqa: E402,F401
 from vmware_graph_spark import queries_ext13 as _queries_ext13  # noqa: E402,F401
+from vmware_graph_spark import queries_ext14 as _queries_ext14  # noqa: E402,F401
