@@ -883,3 +883,40 @@ def test_matched_pairs_att_quality(spark):
         .select("user_id").distinct().count()
     )
     assert r["n_matched"] <= n_a
+
+
+# ---------------------------------------------------------------------------
+# Batch 13 (queries_ext15.py)
+# ---------------------------------------------------------------------------
+
+def test_gini_bounds_and_python_recompute(spark):
+    rows = QUERIES["gini_revenue_by_nation"](spark, SF).collect()
+    assert rows
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    supp = spark.read.parquet(f"{SF}/supplier.parquet")
+    pr = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy("s_nationkey", "l_partkey")
+        .agg(F.sum(F.round("l_extendedprice", 2).cast("decimal(18,2)")).alias("rev"))
+        .collect()
+    )
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for r in pr:
+        per[r["s_nationkey"]].append(float(r["rev"]))
+    for r in rows:
+        xs = sorted(per[r["nation"]])
+        n = len(xs)
+        g = 2 * sum((i + 1) * x for i, x in enumerate(xs)) / (n * sum(xs)) - (n + 1) / n
+        assert abs(r["gini"] - g) < 1e-4
+        assert 0.0 <= r["gini"] < 1.0
+
+
+def test_acf_bounds(spark):
+    rows = {r["lag"]: r for r in QUERIES["acf_daily_values"](spark, SF).collect()}
+    assert set(rows) == {1, 7}
+    for r in rows.values():
+        assert -1.0 <= r["acf"] <= 1.0
+        assert r["n_pairs"] > 0
+    assert rows[1]["n_pairs"] == rows[7]["n_pairs"] + 6
