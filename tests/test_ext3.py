@@ -920,3 +920,10 @@ def test_acf_bounds(spark):
         assert -1.0 <= r["acf"] <= 1.0
         assert r["n_pairs"] > 0
     assert rows[1]["n_pairs"] == rows[7]["n_pairs"] + 6
+
+
+def test_zipf_slope_negative_for_text(spark):
+    r = QUERIES["zipf_slope_token_frequencies"](spark, SF).collect()[0]
+    assert r["n_bins"] > 1
+    # frequency decreases with rank: the log-log slope must be negative
+    assert r["zipf_slope"] < 0

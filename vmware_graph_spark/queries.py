@@ -7128,3 +7128,4 @@ from vmware_graph_spark import queries_ext12 as _queries_ext12  # noqa: E402,F40
 from vmware_graph_spark import queries_ext13 as _queries_ext13  # noqa: E402,F401
 from vmware_graph_spark import queries_ext14 as _queries_ext14  # noqa: E402,F401
 from vmware_graph_spark import queries_ext15 as _queries_ext15  # noqa: E402,F401
+from vmware_graph_spark import queries_ext16 as _queries_ext16  # noqa: E402,F401

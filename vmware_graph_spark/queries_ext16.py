@@ -1,0 +1,103 @@
+"""Round-5 extensions, batch 14: integer log2-binned Zipf slope.
+
+Same registry/oracle discipline as ``queries.py``; see
+``queries_ext3.py`` for the shared numeric-determinism rules.
+
+Scale note (100 TB): both axes of the Zipf log-log plot are binned
+with integer CASE ladders (floor(log2) without libm), so the OLS slope
+runs over at most ~20 (rank-bin, mean-count-bin) points derived from
+the token histogram — the corpus-health number (≈ −1 for natural
+language) computed with zero floating-point transcendentals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from vmware_graph_spark.queries import query
+from vmware_graph_spark.queries_ext12 import _log2_case
+from vmware_graph_spark.sources.tables import load_table
+
+_ZIPF_SQL = rf"""
+    WITH t AS (
+      SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+      FROM documents
+    ), uni AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS n
+      FROM t, UNNEST(toks) AS u(tok) GROUP BY tok
+    ), ranked AS (
+      SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS r
+      FROM uni
+    ), binned AS (
+      SELECT {_log2_case("r")} AS rb, {_log2_case("n")} AS nb
+      FROM ranked
+    ), pts AS (
+      SELECT rb AS x, CAST(count(*) AS BIGINT) AS w,
+             round(sum(nb)::DOUBLE / count(*), 6)::DECIMAL(18,6) AS y
+      FROM binned GROUP BY rb
+    ), m AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(x) AS BIGINT) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM pts
+    )
+    SELECT k AS n_bins,
+           round((k * sxy - sx * sy)::DOUBLE
+                 / (k * sxx - sx * sx), 6) + 0 AS zipf_slope
+    FROM m WHERE k > 1
+"""
+
+
+@query("zipf_slope_token_frequencies", _ZIPF_SQL)
+def zipf_slope_token_frequencies(spark, sf_dir):
+    """Zipf slope of the token frequency distribution, libm-free: rank
+    and count both collapse to floor(log2) bins via integer CASE
+    ladders, per-rank-bin mean count-bins become ≤20 (x, y) points, and
+    the OLS slope over those points estimates the log-log exponent
+    (≈ −1 for natural language; far off flags synthetic or boilerplate
+    corpora). Everything beyond the token histogram is constant-size
+    work."""
+    t = load_table(spark, sf_dir, "documents").select(
+        F.explode(F.filter(F.split("text", r"\s+"), lambda x: x != "")).alias("tok")
+    )
+    uni = t.groupBy("tok").agg(F.count("*").cast("bigint").alias("n"))
+    ranked = uni.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.desc("n"), "tok"))
+    )
+
+    def ladder(col):
+        expr = F.lit(0)
+        for k in range(1, 21):
+            expr = F.when(col >= 2**k, F.lit(k)).otherwise(expr)
+        return expr
+
+    binned = ranked.select(
+        ladder(F.col("r")).alias("rb"), ladder(F.col("n")).alias("nb")
+    )
+    pts = binned.groupBy(F.col("rb").alias("x")).agg(
+        F.count("*").cast("bigint").alias("w"),
+        F.round(F.sum("nb").cast("double") / F.count("*"), 6)
+        .cast("decimal(18,6)")
+        .alias("y"),
+    )
+    m = pts.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    return m.filter(F.col("k") > 1).select(
+        F.col("k").alias("n_bins"),
+        (
+            F.round(
+                (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                    "double"
+                )
+                / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")),
+                6,
+            )
+            + 0
+        ).alias("zipf_slope"),
+    )
