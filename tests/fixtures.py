@@ -154,7 +154,8 @@ def workbook(spark: SparkSession, variant: str = "A") :
     ]
     if not prime:
         vms.insert(1, vm("vm-uuid-2", "db01", VC1, SRV1, stype1,
-                         **{"Resource pool": "/DC1/ClusterA/Resources", "HW version": "11"}))
+                         **{"Resource pool": "/DC1/ClusterA/Resources", "HW version": "11",
+                            "HW upgrade status": "Pending"}))
     else:
         vms.append(vm("vm-uuid-7", "new01", VC1, SRV1, stype1,
                       **{"Resource pool": "/DC1/ClusterA/Resources/prod", "Folder": "/DC1/Web"}))

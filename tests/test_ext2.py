@@ -644,3 +644,48 @@ def test_dangling_edge_audit_flags_only_injected(spark):
         ("src", "Vspherehost", "host-999999\x1fvc-GHOST"),
         ("dst", "Vcentercluster", "nowhere\x1fvc-GHOST"),
     }
+
+
+def test_motif_self_loop_term(spark):
+    from vmware_graph_spark.analytics.motif import motif_find
+
+    e = spark.createDataFrame(
+        [("n1", "R", "n1"), ("n1", "R", "n2"), ("n3", "R", "n3")],
+        ["src", "rel_type", "dst"],
+    )
+    out = motif_find(e, "(x)-[:R]->(x)")
+    assert {r.x for r in out.collect()} == {"n1", "n3"}
+    # undirected self-loop matches once, not twice
+    und = motif_find(e, "(x)-[:R]-(x)")
+    assert sorted(r.x for r in und.collect()) == ["n1", "n3"]
+
+
+def test_motif_self_loop_joined_with_other_term(spark):
+    from vmware_graph_spark.analytics.motif import motif_find
+
+    e = spark.createDataFrame(
+        [("n1", "R", "n1"), ("n1", "K", "n2"), ("n3", "K", "n4")],
+        ["src", "rel_type", "dst"],
+    )
+    out = motif_find(e, "(x)-[:R]->(x); (x)-[:K]->(y)")
+    assert {(r.x, r.y) for r in out.collect()} == {("n1", "n2")}
+
+
+def test_motif_duplicate_edge_var_raises(spark):
+    from vmware_graph_spark.analytics.motif import motif_find
+
+    e = spark.createDataFrame([("a", "R", "b")], ["src", "rel_type", "dst"])
+    with pytest.raises(ValueError, match="edge variable"):
+        motif_find(e, "(a)-[e]->(b); (c)-[e]->(d)")
+
+
+def test_transitive_closure_max_pairs_guard(spark):
+    from vmware_graph_spark.analytics.algos import transitive_closure
+
+    # complete-ish digraph on 12 nodes: closure is ~n^2 pairs
+    rows = [(f"v{i}", f"v{(i + j) % 12}") for i in range(12) for j in (1, 2, 3)]
+    e = spark.createDataFrame(rows, ["src", "dst"])
+    with pytest.raises(RuntimeError, match="max_pairs"):
+        transitive_closure(e, max_depth=16, max_pairs=40)
+    # generous budget still converges
+    assert transitive_closure(e, max_depth=16, max_pairs=10_000).count() > 0

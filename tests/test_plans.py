@@ -478,3 +478,25 @@ def test_vocab_coverage_single_corpus_scan(spark):
     # the corpus parquet is scanned exactly once.
     plan = executed_plan(spark, "vocab_coverage_curve")
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_prefix_jaccard_no_global_window(spark):
+    # The prefix-filter total order is (df, shingle) inside the per-doc
+    # window — the round-2 VERDICT's single-task vocabulary rank
+    # (Window over an empty partition spec) must be gone entirely.
+    plan = executed_plan(spark, "jaccard_pairs_prefix_filtered")
+    assert "Window" in plan  # the per-doc prefix window survives
+    assert "SinglePartition" not in plan
+
+
+def test_zipf_only_histogram_cumsum_is_global(spark):
+    # Rank bins come from closed-form interval overlap; the ONLY
+    # unpartitioned window left runs over the frequency histogram
+    # (provably ≤ √(2·token mass) rows), not the vocabulary.
+    plan = executed_plan(spark, "zipf_slope_token_frequencies")
+    import re as _re
+
+    assert len(_re.findall(r"Exchange SinglePartition", plan)) <= 2  # cumsum + final 1-row agg
+    # the vocabulary agg (groupBy tok) must be a hash-partitioned
+    # exchange, i.e. at least one hashpartitioning exchange present
+    assert "hashpartitioning" in plan

@@ -432,7 +432,7 @@ def pagerank_weighted_fixed(
 
 
 def transitive_closure(
-    edges: DataFrame, *, max_depth: int = 32
+    edges: DataFrame, *, max_depth: int = 32, max_pairs: int | None = None
 ) -> DataFrame:
     """All (src, dst, dist) reachability pairs with minimum hop count,
     by iterative DOUBLING: after round r every path of length ≤ 2^r is
@@ -445,7 +445,15 @@ def transitive_closure(
     duplicate-path explosion is pruned every round, which is what keeps
     doubling viable on DAGs. Cycles would fixpoint (dist stops
     shrinking) but cost O(n·cycle) pairs; intended for hierarchies.
-    Raises if ``max_depth`` rounds don't close (no silent partials)."""
+    Raises if ``max_depth`` rounds don't close (no silent partials).
+
+    ``max_pairs`` is the dense-graph circuit breaker (round-2 ADVICE):
+    the closure of a dense/cyclic graph is O(n·reach) pairs, and on a
+    graph that isn't hierarchy-shaped that explodes long before the
+    doubling budget trips. Each round already materializes + counts
+    the closure, so the guard is free; when the running pair count
+    exceeds it, raise predictably instead of melting the cluster.
+    See DEPLOY.md "Sizing the graph algorithms"."""
     closure = edges.select("src", "dst", F.lit(1).alias("dist")).distinct()
     closure = closure.localCheckpoint(eager=True)
     rounds = max(1, math.ceil(math.log2(max_depth)) if max_depth > 1 else 1)
@@ -462,7 +470,15 @@ def transitive_closure(
             .agg(F.min("dist").alias("dist"))
             .localCheckpoint(eager=True)
         )
-        if new.count() == closure.count():
+        n_new = new.count()
+        if max_pairs is not None and n_new > max_pairs:
+            raise RuntimeError(
+                f"transitive_closure pair count {n_new} exceeds "
+                f"max_pairs={max_pairs}: the graph is denser than a "
+                "hierarchy — use connected_components / pagerank-style "
+                "iteration instead, or raise the budget deliberately"
+            )
+        if n_new == closure.count():
             return new
         closure = new
     # one more doubling must add nothing, else the depth bound was wrong
@@ -622,7 +638,7 @@ def connected_components_star(
 
 
 def strongly_connected_components(
-    edges: DataFrame, *, max_depth: int = 512
+    edges: DataFrame, *, max_depth: int = 512, max_pairs: int | None = None
 ) -> DataFrame:
     """SCC labels — GraphFrames ``stronglyConnectedComponents`` parity:
     ``(id, scc_id)`` where ``scc_id`` is the minimum vertex mutually
@@ -635,8 +651,12 @@ def strongly_connected_components(
     closure fits the doubling budget (hierarchies with back-edges,
     functional graphs, bounded-diameter machine graphs); pair count is
     O(n·reach) and the cycle fixpoint is what the closure's min-dist
-    dedup already bounds."""
-    tc = transitive_closure(edges, max_depth=max_depth).select("src", "dst")
+    dedup already bounds. Pass ``max_pairs`` (forwarded to the closure)
+    to make dense-graph misuse fail predictably instead of exploding —
+    see DEPLOY.md "Sizing the graph algorithms" (round-2 ADVICE)."""
+    tc = transitive_closure(edges, max_depth=max_depth, max_pairs=max_pairs).select(
+        "src", "dst"
+    )
     nodes = (
         edges.select(F.col("src").alias("id"))
         .unionByName(edges.select(F.col("dst").alias("id")))

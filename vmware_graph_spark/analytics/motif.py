@@ -209,6 +209,15 @@ def motif_find(
     At 100 TB each term prunes to its rel_type partition before joining.
     """
     terms = _parse_motif(pattern)
+    evars = [t["evar"] for t in terms if t["evar"]]
+    dup_evars = sorted({v for v in evars if evars.count(v) > 1})
+    if dup_evars:
+        # Spark would fail later with AMBIGUOUS_REFERENCE; fail at parse
+        # time with an actionable message instead (round-2 ADVICE).
+        raise ValueError(
+            f"edge variable(s) reused across terms: {dup_evars}; bind each "
+            "edge variable in exactly one term"
+        )
     anon = [0]
 
     def fresh():
@@ -221,6 +230,22 @@ def motif_find(
             e = e.filter(F.col(type_col) == t["etype"])
         s = t["src"] or fresh()
         d = t["dst"] or fresh()
+        # self-loop term ``(x)-[:R]->(x)``: aliasing both endpoints to
+        # one column name is AMBIGUOUS_REFERENCE in Spark; bind dst to a
+        # temp, filter src==dst, drop the temp (GraphFrames find()
+        # self-loop semantics) — round-2 ADVICE.
+        selfloop = s == d
+        if selfloop:
+            d = "__selfloop_dst"
+
+        def finish(df, varset):
+            if not selfloop:
+                return df, varset
+            df = df.filter(F.col(s) == F.col(d)).drop(d)
+            if not t["directed"]:
+                # both orientations of a self-loop are the same row
+                df = df.distinct()
+            return df, varset - {d}
         if t["minlen"] is not None:
             # Variable-length term ``-[:T*lo..hi]->``: bounded Kleene
             # expansion as reachability-distinct pairs (the bulk-analytics
@@ -251,7 +276,7 @@ def motif_find(
             cols = [F.col("s").alias(s), F.col("d").alias(d)]
             if t["evar"]:
                 cols.append(F.col("hops").alias(t["evar"]))
-            return pairs.select(*cols), {s, d}
+            return finish(pairs.select(*cols), {s, d})
         if (t["srclabel"] or t["dstlabel"]) and (
             src_label_col not in e.columns or dst_label_col not in e.columns
         ):
@@ -280,7 +305,7 @@ def motif_find(
             if t["evar"]:
                 rev.append(F.col(type_col).alias(t["evar"]))
             out = out.unionByName(rev_e.select(*rev))
-        return out, {s, d}
+        return finish(out, {s, d})
 
     positives = [t for t in terms if not t["neg"]]
     negatives = [t for t in terms if t["neg"]]

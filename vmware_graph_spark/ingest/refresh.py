@@ -32,7 +32,7 @@ from collections.abc import Mapping
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from vmware_graph_spark.ingest.stages import STAGES, UID
+from vmware_graph_spark.ingest.stages import STAGE_SHEETS, STAGES, UID
 from vmware_graph_spark.operators.merge import merge_nodes
 from vmware_graph_spark.operators.snapshot import snapshot_diff, sweep_edges
 from vmware_graph_spark.store.graph import LABEL_KEYS, GraphStore, node_key
@@ -56,12 +56,15 @@ def run_ingest(
     seeds: Mapping[str, DataFrame] | None = None,
 ) -> GraphStore:
     """One full snapshot build: seeds, then the 15 per-sheet stages in
-    reference statement order."""
+    reference statement order. Stages whose sheet the workbook doesn't
+    carry are skipped — the reference's per-sheet apoc.load.xls
+    statements likewise just load nothing for an absent sheet."""
     store = GraphStore(spark)
     if seeds:
         load_seeds(store, seeds)
     for stage in STAGES:
-        stage(store, sheets)
+        if STAGE_SHEETS[stage] in sheets:
+            stage(store, sheets)
     return store
 
 
@@ -129,7 +132,8 @@ def refresh(
         marked = marked.unionByName(part)
 
     # edge refresh: drop every prev edge incident to a marked node
-    # (cypher:30-31), then merge the rebuilt edges in.
-    prev_edges = sweep_edges(prev.edges(), marked)
-    final._edge_batches = [prev_edges, curr.edges()]
+    # (cypher:30-31), then merge the rebuilt edges in. Props ride along
+    # (sweep_edges anti-joins preserve every edge column).
+    final.add_edges(sweep_edges(prev.edges_with_props(), marked))
+    final.add_edges(curr.edges_with_props())
     return RefreshResult(final, orphans)

@@ -611,12 +611,14 @@ def stage_vinfo_vms(store: GraphStore, sheets: Mapping[str, DataFrame]) -> None:
         "Vhwver", row.select(hw_name.alias("name")).filter(hw_name.isNotNull()).distinct()
     )
     # HW_VERSION carries the one edge property in the whole reference
-    hw_edges = _edges(
-        row, "Virtualmachine", vm_key, "HW_VERSION", "Vhwver", node_key(hw_name),
-        props={"upgradestatus": F.col("HW upgrade status")},
+    # (cypher:187,212 SET r.upgradestatus) — first-class via the store's
+    # props map; readable off a written snapshot (edges_with_props).
+    store.add_edges(
+        _edges(
+            row, "Virtualmachine", vm_key, "HW_VERSION", "Vhwver", node_key(hw_name),
+            props={"upgradestatus": F.col("HW upgrade status")},
+        )
     )
-    store.add_edges(hw_edges.drop("upgradestatus"))
-    store._hw_version_props = hw_edges  # kept for prop queries
 
     store.add_edges(_edges(row, "Virtualmachine", vm_key, "HAS_VCPUS", "Vcpus", node_key(vcpu_name)))
     for rel, label, col in [
@@ -949,3 +951,25 @@ STAGES = [
     stage_vpartition,
     stage_vsnapshot,
 ]
+
+# Sheet each stage consumes — ``run_ingest`` skips stages whose sheet
+# the workbook doesn't carry, exactly as the reference's per-sheet
+# apoc.load.xls statements simply find nothing to load (and as
+# ``read_workbook_dir`` omits absent sheets).
+STAGE_SHEETS: dict = {
+    stage_vcluster: "vCluster",
+    stage_vcenter_version: "vInfo",
+    stage_vrp: "vRP",
+    stage_vhost: "vHost",
+    stage_ntp: "vHost",
+    stage_dns: "vHost",
+    stage_vswitch: "vSwitch",
+    stage_vport: "vPort",
+    stage_vnic: "vNIC",
+    stage_vinfo_vms: "vInfo",
+    stage_vdatastore: "vDatastore",
+    stage_vdisk: "vDisk",
+    stage_vnetwork: "vNetwork",
+    stage_vpartition: "vPartition",
+    stage_vsnapshot: "vSnapshot",
+}

@@ -205,3 +205,53 @@ def merge_edges(
             return cur
         return existing.select(*EDGE_COLS).unionByName(cur).distinct()
     return upsert_last_writer_wins(existing, updates, EDGE_COLS)
+
+
+PROPS_COL = "props"
+_EMPTY_PROPS = "cast(map() as map<string,string>)"
+
+
+def _norm_props(df: DataFrame) -> DataFrame:
+    """Project to EDGE_COLS + a normalized ``props`` map (never null)."""
+    if PROPS_COL in df.columns:
+        p = F.coalesce(F.col(PROPS_COL).cast("map<string,string>"), F.expr(_EMPTY_PROPS))
+    else:
+        p = F.expr(_EMPTY_PROPS)
+    return df.select(*EDGE_COLS, p.alias(PROPS_COL))
+
+
+def merge_edges_with_props(
+    existing: DataFrame | None,
+    updates: DataFrame,
+    *,
+    undirected_types: Sequence[str] = (),
+) -> DataFrame:
+    """M4 with first-class edge properties as a ``props`` string map.
+
+    The reference stores one edge property in the whole graph
+    (``HW_VERSION.upgradestatus``, refresh-vmware.cypher:187,212); the
+    generic map keeps the canonical edge schema fixed while any rel
+    type can carry typed ride-alongs. Merge discipline: edge identity
+    is the 5-tuple; per PROPERTY the greatest value wins across batches
+    (Spark batches carry no order, so "last writer" is made
+    deterministic the same way node merges order value columns — in
+    the reference each edge prop is asserted by exactly one ingest
+    statement, so the tie-break never fires on real workbooks).
+
+    Scale shape: ``explode_outer`` emits zero extra rows for the
+    (overwhelmingly common) empty-map edges, so the per-property dedup
+    shuffle is proportional to prop-carrying assertions only; both
+    groupBys hash on the edge 5-tuple — one logical repartition, AQE
+    coalesces the second exchange.
+    """
+    updates = _norm_props(canonical_edges(updates, undirected_types))
+    updates = _drop_null_keys(updates, ["src_key", "dst_key"])
+    if existing is not None:
+        existing = _norm_props(canonical_edges(existing, undirected_types))
+        updates = existing.unionByName(updates)
+    kv = updates.select(*EDGE_COLS, F.explode_outer(PROPS_COL).alias("pk", "pv"))
+    kv = kv.groupBy(*EDGE_COLS, "pk").agg(F.max("pv").alias("pv"))
+    entry = F.when(F.col("pk").isNotNull(), F.struct("pk", "pv"))
+    return kv.groupBy(*EDGE_COLS).agg(
+        F.map_from_entries(F.array_sort(F.collect_list(entry))).alias(PROPS_COL)
+    )

@@ -1,0 +1,89 @@
+"""Distributed exact global rank — the no-single-task total order.
+
+A global ``row_number() OVER (ORDER BY …)`` serializes the whole input
+through ONE task (Spark warns "Moving all data to a single partition").
+The classic fix is a two-phase range rank, the same shape
+``repartitionByRange`` + sort uses internally:
+
+1. pick ~``buckets`` range cutpoints with one ``percentile_approx``
+   pass (the cutpoints only steer PARTITIONING — exactness of the
+   result never depends on them);
+2. rank within each range bucket with a PARTITIONED window (parallel);
+3. prefix-sum the per-bucket counts (a ≤``buckets``-row aggregate) and
+   add each bucket's offset to its local ranks.
+
+The output rank is exactly ``row_number() OVER (ORDER BY order_cols)``
+— deterministic whenever ``order_cols`` is a total order — but the
+only unpartitioned work is the bucket-count prefix sum over ≤
+``buckets`` rows. Used by the equi-depth histogram and available to
+any operator that needs vocabulary-/corpus-scale ranks (round-2
+VERDICT "single-task global-rank windows").
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_RB, _LR, _OFF = "__range_bucket", "__local_rank", "__bucket_offset"
+
+
+def exact_global_rank(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    *,
+    buckets: int = 64,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Append ``rank_col`` = exact 1-based global row_number under
+    ``ORDER BY order_cols`` (must be a total order for deterministic
+    output), without any single-partition window over the data.
+
+    Cost: one ``percentile_approx`` aggregate (driver gets ≤ buckets
+    scalars), one hash shuffle for the per-bucket window, one tiny
+    bucket-count aggregate broadcast back. The data-sized window is
+    partitioned by range bucket — at 100 TB each bucket is ~1/buckets
+    of the slice and AQE splits stragglers.
+    """
+    first = order_cols[0]
+    fracs = [i / buckets for i in range(1, buckets)]
+    cuts_row = df.agg(
+        F.percentile_approx(first, F.array(*[F.lit(f) for f in fracs]), 10_000).alias("c")
+    ).first()
+    cuts = sorted({c for c in (cuts_row["c"] or []) if c is not None})
+
+    bucket = F.lit(0)
+    for c in cuts:
+        bucket = bucket + F.when(F.col(first) > F.lit(c), 1).otherwise(0)
+    b = df.withColumn(_RB, bucket)
+
+    wloc = Window.partitionBy(_RB).orderBy(*[F.col(c) for c in order_cols])
+    local = b.withColumn(_LR, F.row_number().over(wloc))
+
+    # exclusive prefix sum over ≤ buckets rows — the only global scan
+    sizes = b.groupBy(_RB).agg(F.count("*").alias("__n"))
+    woff = Window.orderBy(_RB).rowsBetween(Window.unboundedPreceding, -1)
+    offs = sizes.select(
+        _RB, F.coalesce(F.sum("__n").over(woff), F.lit(0)).alias(_OFF)
+    )
+    return (
+        local.join(F.broadcast(offs), _RB)
+        .withColumn(rank_col, (F.col(_OFF) + F.col(_LR)).cast("bigint"))
+        .drop(_RB, _LR, _OFF)
+    )
+
+
+def ntile_from_rank(rank: F.Column, n_rows: int, n_tiles: int) -> F.Column:
+    """SQL ``ntile(n_tiles)`` reconstructed from an exact global rank:
+    the first ``n_rows % n_tiles`` tiles take ``⌈n/t⌉`` rows, the rest
+    ``⌊n/t⌋`` — bit-identical to the window function, no window."""
+    q, rem = divmod(int(n_rows), int(n_tiles))
+    if q == 0:
+        return rank.cast("int")
+    big = rem * (q + 1)
+    return (
+        F.when(rank <= F.lit(big), F.floor((rank - 1) / F.lit(q + 1)) + 1)
+        .otherwise(F.lit(rem) + F.floor((rank - F.lit(big) - 1) / F.lit(q)) + 1)
+    ).cast("int")

@@ -28,7 +28,13 @@ from collections.abc import Mapping, Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from vmware_graph_spark.operators.merge import EDGE_COLS, merge_edges, merge_nodes
+from vmware_graph_spark.operators.merge import (
+    EDGE_COLS,
+    PROPS_COL,
+    merge_edges,
+    merge_edges_with_props,
+    merge_nodes,
+)
 
 # Unit separator joins composite natural keys into the edge-table key.
 US = "\x1f"
@@ -37,6 +43,7 @@ EDGE_SCHEMA = (
     "src_label string, src_key string, rel_type string, "
     "dst_label string, dst_key string"
 )
+EDGE_SCHEMA_PROPS = EDGE_SCHEMA + ", props map<string,string>"
 
 # Natural key per label (SURVEY §1.3; MERGE patterns in
 # refresh-vmware.cypher cited per stage in ingest/stages.py).
@@ -123,6 +130,55 @@ def node_key(*cols) -> F.Column:
     return F.when(any_null, F.lit(None).cast("string")).otherwise(F.concat_ws(US, *cs))
 
 
+def _fuse_batches(
+    pend: Sequence[tuple[DataFrame, bool]], keys: Sequence[str]
+) -> list[tuple[DataFrame, bool]]:
+    """Fuse CONSECUTIVE same-schema, same-flag update batches into one.
+
+    Sequential same-schema MERGEs are whole-row per key, so k batches
+    collapse to one union tagged with batch order: the window picks the
+    LATEST batch's winner for MERGE…SET (earliest for ON CREATE SET),
+    with the usual deterministic value ordering breaking intra-batch
+    ties — bit-identical to merging the batches one by one, at one
+    shuffle instead of k. (The vInfo Network #1-4 fan-out alone issues
+    4 identical-schema Vportgroup upserts; dimension labels collect a
+    dozen across a refresh.)
+    """
+    from pyspark.sql import Window
+
+    runs: list[list[tuple[DataFrame, bool]]] = []
+    sig = None
+    for updates, oco in pend:
+        s = (tuple(sorted(updates.columns)), oco)
+        if sig == s:
+            runs[-1].append((updates, oco))
+        else:
+            runs.append([(updates, oco)])
+            sig = s
+    out: list[tuple[DataFrame, bool]] = []
+    for run in runs:
+        if len(run) == 1:
+            out.append(run[0])
+            continue
+        oco = run[0][1]
+        tag = "__batch_ord"
+        both = run[0][0].withColumn(tag, F.lit(0))
+        for i, (df, _) in enumerate(run[1:], start=1):
+            both = both.unionByName(df.withColumn(tag, F.lit(i)))
+        value_cols = [c for c in run[0][0].columns if c not in keys]
+        pref = F.col(tag).asc() if oco else F.col(tag).desc()
+        w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+            pref, *[F.col(c).asc_nulls_last() for c in value_cols]
+        )
+        fused = (
+            both.withColumn("__fuse_pick", F.row_number().over(w))
+            .filter(F.col("__fuse_pick") == 1)
+            .select(*run[0][0].columns)
+        )
+        out.append((fused, oco))
+    return out
+
+
 class GraphStore:
     """In-memory (lazy DataFrame) snapshot of the property graph.
 
@@ -137,8 +193,19 @@ class GraphStore:
     ):
         self.spark = spark
         self._vertices: dict[str, DataFrame] = {}
+        # label → [(updates, on_create_only)] not yet merged: upserts
+        # accumulate and the whole per-label chain is composed + cut
+        # ONCE at the first read-back (vertices/write/counts), not per
+        # call. A full 2-pass refresh issues ~247 upserts but only ~45
+        # label read-backs, and each skipped cut skips a full
+        # driver-side physical planning of the chain so far (the
+        # localCheckpoint .rdd conversion) — the round-2 VERDICT's
+        # "ingest is driver-planning-bound" fix. Measured at sf0.01:
+        # full refresh 172 s → see SCALING.md (ingest plan-depth row).
+        self._pending: dict[str, list[tuple[DataFrame, bool]]] = {}
         self._edge_batches: list[DataFrame] = []
         self._edges_cache: DataFrame | None = None
+        self._edges_props_cache: DataFrame | None = None
         # Upserts compose: without lineage truncation the plan for label
         # L after stage N embeds every prior stage's joins, and Catalyst
         # analysis cost grows super-linearly (a 15-stage ingest never
@@ -176,32 +243,43 @@ class GraphStore:
 
     def upsert_nodes(
         self, label: str, updates: DataFrame, *, on_create_only: bool = False
-    ) -> DataFrame:
-        """MERGE ``updates`` into the label table (M1-M3 semantics)."""
+    ) -> None:
+        """MERGE ``updates`` into the label table (M1-M3 semantics).
+
+        Lazy: the update is queued; the per-label merge chain composes
+        and truncates lineage at the first read-back (``vertices``,
+        ``write``, ``counts``…). Merge ORDER is preserved exactly —
+        only the plan-cut frequency changes."""
+        self._pending.setdefault(label, []).append((updates, on_create_only))
+
+    def _flush(self, label: str) -> None:
+        pend = self._pending.pop(label, None)
+        if not pend:
+            return
         keys = LABEL_KEYS[label]
-        # existing is always this store's previous merge output → already
-        # one row per key; skip the defensive re-dedup shuffle.
-        merged = self._cut(
-            merge_nodes(
-                self._vertices.get(label),
+        cur = self._vertices.get(label)
+        for updates, on_create_only in _fuse_batches(pend, keys):
+            # existing is always this store's previous merge output →
+            # already one row per key; skip the defensive re-dedup.
+            cur = merge_nodes(
+                cur,
                 updates,
                 keys,
                 on_create_only=on_create_only,
-                assume_unique_existing=True,
-            ),
-            label,
-        )
-        self._vertices[label] = merged
-        return merged
+                assume_unique_existing=cur is not None,
+            )
+        self._vertices[label] = self._cut(cur, label)
 
     def vertices(self, label: str) -> DataFrame | None:
+        self._flush(label)
         return self._vertices.get(label)
 
     def labels(self) -> list[str]:
-        return sorted(self._vertices)
+        return sorted(set(self._vertices) | set(self._pending))
 
     def vertex_keys(self, label: str) -> DataFrame:
         """(label, key) pairs for a label — the edge-table id space."""
+        self._flush(label)
         keys = LABEL_KEYS[label]
         return self._vertices[label].select(
             F.lit(label).alias("label"), node_key(*keys).alias("key")
@@ -218,25 +296,62 @@ class GraphStore:
 
     def add_edges(self, edges: DataFrame) -> None:
         """Queue an edge batch (src_label, src_key, rel_type, dst_label,
-        dst_key). Null-keyed endpoints are dropped (Cypher MERGE on a
-        null property fails the row)."""
-        self._edge_batches.append(edges.select(*EDGE_COLS))
+        dst_key [, props | ride-along prop columns]). Null-keyed
+        endpoints are dropped (Cypher MERGE on a null property fails
+        the row). Any column beyond the 5-tuple that isn't already a
+        ``props`` map is packed into one (null values dropped) — the
+        M4 edge-property path (refresh-vmware.cypher:187,212)."""
+        if PROPS_COL in edges.columns:
+            props = F.col(PROPS_COL).cast("map<string,string>")
+        else:
+            extra = [c for c in edges.columns if c not in EDGE_COLS]
+            if extra:
+                pairs: list[F.Column] = []
+                for c in extra:
+                    pairs += [F.lit(c), F.col(c).cast("string")]
+                props = F.map_filter(F.create_map(*pairs), lambda _, v: v.isNotNull())
+            else:
+                props = F.expr("cast(map() as map<string,string>)")
+        self._edge_batches.append(edges.select(*EDGE_COLS, props.alias(PROPS_COL)))
         self._edges_cache = None
+        self._edges_props_cache = None
 
-    def edges(self) -> DataFrame:
-        """The canonical, deduplicated edge table."""
-        if self._edges_cache is not None:
-            return self._edges_cache
+    def _union_edge_batches(self) -> DataFrame | None:
         if not self._edge_batches:
-            self._edges_cache = self.spark.createDataFrame([], EDGE_SCHEMA)
-            return self._edges_cache
+            return None
         batch = self._edge_batches[0]
         for b in self._edge_batches[1:]:
             batch = batch.unionByName(b)
+        return batch
+
+    def edges(self) -> DataFrame:
+        """The canonical, deduplicated edge table (5-tuple identity)."""
+        if self._edges_cache is not None:
+            return self._edges_cache
+        batch = self._union_edge_batches()
+        if batch is None:
+            self._edges_cache = self.spark.createDataFrame([], EDGE_SCHEMA)
+            return self._edges_cache
         self._edges_cache = self._cut(
-            merge_edges(None, batch, undirected_types=UNDIRECTED_TYPES)
+            merge_edges(None, batch.select(*EDGE_COLS), undirected_types=UNDIRECTED_TYPES)
         )
         return self._edges_cache
+
+    def edges_with_props(self) -> DataFrame:
+        """The canonical edge table WITH its ``props`` string map —
+        same rows as ``edges()`` plus per-edge properties merged
+        per-key across batches (operators.merge.merge_edges_with_props).
+        This is the surface the snapshot writer persists."""
+        if getattr(self, "_edges_props_cache", None) is not None:
+            return self._edges_props_cache
+        batch = self._union_edge_batches()
+        if batch is None:
+            self._edges_props_cache = self.spark.createDataFrame([], EDGE_SCHEMA_PROPS)
+            return self._edges_props_cache
+        self._edges_props_cache = self._cut(
+            merge_edges_with_props(None, batch, undirected_types=UNDIRECTED_TYPES)
+        )
+        return self._edges_props_cache
 
     # -- GraphFrames-style analytics views ---------------------------------
 
@@ -284,6 +399,7 @@ class GraphStore:
         publish, skip on every read after.
         """
         for label in self.labels():
+            self._flush(label)
             df = self._vertices[label]
             if cluster_by_key:
                 keys = [k for k in LABEL_KEYS[label] if k in df.columns]
@@ -294,7 +410,7 @@ class GraphStore:
             if cols:
                 w = w.partitionBy(*cols)
             w.parquet(os.path.join(path, "vertices", label))
-        self.edges().write.mode("overwrite").partitionBy("rel_type").parquet(
+        self.edges_with_props().write.mode("overwrite").partitionBy("rel_type").parquet(
             os.path.join(path, "edges")
         )
 
@@ -329,17 +445,15 @@ class GraphStore:
         edir = os.path.join(path, "edges")
         if os.path.isdir(edir):
             # Explicit schema: a snapshot written from an edge-less graph
-            # has no parquet data files to infer from.
-            store._edge_batches = [
-                spark.read.schema(EDGE_SCHEMA).parquet(edir).select(
-                    "src_label", "src_key", "rel_type", "dst_label", "dst_key"
-                )
-            ]
+            # has no parquet data files to infer from. Pre-props
+            # snapshots simply yield an all-null props column, which
+            # add_edges normalizes to empty maps.
+            store.add_edges(spark.read.schema(EDGE_SCHEMA_PROPS).parquet(edir))
         return store
 
     # -- counts (S5 progress sink) -----------------------------------------
 
     def counts(self) -> dict[str, int]:
-        out = {f"v:{label}": self._vertices[label].count() for label in self.labels()}
+        out = {f"v:{label}": self.vertices(label).count() for label in self.labels()}
         out["edges"] = self.edges().count()
         return out
