@@ -8,6 +8,11 @@ Prints ONE JSON line:
 Each query is forced with a noop write (full computation, no driver
 collect). The headline set spans the engine's surface: scan-agg, joins,
 windows, merge/upsert, dedup (exact + LSH), similarity, text, graph.
+
+Continuity: HEADLINE is PINNED as of round 2 (the 21 names below match
+BENCH_r02.json exactly) — do not rename or reorder, so per-query
+history stays diffable across rounds. Every run also APPENDS its
+result to BENCHLOG.jsonl (timestamped) for regression tracking.
 """
 
 from __future__ import annotations
@@ -55,6 +60,21 @@ def main() -> None:
 
     spark = get_spark("vmware-graph-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # Silence the known-benign "Failed to update accumulator (Unknown
+    # class)" DAGScheduler ERROR spam (the BENCH_r02 tail trace):
+    # lazily-materialized localCheckpoint RDDs (GraphStore lineage
+    # cuts, _sheet_fixture) compute under a LATER SQL execution, whose
+    # task completions then report SQLMetrics accumulators the original
+    # execution already unregistered. DAGScheduler catches exactly this
+    # (updateAccumulators' non-fatal catch, DAGScheduler.scala:1787-94)
+    # and only logs; results are unaffected (rc=0, timings complete).
+    # A REAL scheduler failure still surfaces as a raised job error in
+    # Python — only the log noise is suppressed, and only in bench.
+    jvm = spark.sparkContext._jvm
+    jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.scheduler.DAGScheduler",
+        jvm.org.apache.logging.log4j.Level.FATAL,
+    )
 
     # Warm the JVM + parquet footers + codegen paths (agg/join/window/
     # shuffle) once so the first timed query doesn't absorb cold-start.
@@ -86,17 +106,21 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(result))
+    # per-query history for round-over-round regression diffing
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCHLOG.jsonl"), "a") as f:
+            f.write(json.dumps({"ts": time.strftime("%Y-%m-%dT%H:%M:%S"), **result}) + "\n")
+    except OSError:
+        pass  # read-only checkout: stdout line is still the contract
 
 
 if __name__ == "__main__":
