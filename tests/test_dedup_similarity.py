@@ -284,3 +284,59 @@ def test_prefix_filtered_jaccard_equals_inverted_index(spark):
     }
     assert base == pref
     assert len(base) > 0  # non-vacuous
+
+
+def test_nn_descent_structure_and_recall(spark):
+    """NN-Descent k-NN graph: k rows per node with deterministic
+    ranking, and refinement recall@k vs exact brute-force well above
+    the bucket-only baseline on the fixture embeddings."""
+    from pyspark.sql import functions as F
+
+    from vmware_graph_spark.operators.similarity import (
+        cosine_topk,
+        knn_graph_nn_descent,
+    )
+    from vmware_graph_spark.sources.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    n = e.count()
+    g = knn_graph_nn_descent(e, "vec_id", "embedding", dim=64, k=3, iters=2)
+    rows = g.collect()
+    # structure: <=k neighbors per node, no self-edges, ranks 1..k dense
+    per = {}
+    for r in rows:
+        assert r.src != r.dst
+        per.setdefault(r.src, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per.values())
+    assert max(len(v) for v in per.values()) <= 3
+
+    exact = cosine_topk(e, e, id_col="vec_id", vec_col="embedding", k=4)
+    # drop self-match (rank 1 with cosine 1) to mirror the graph's no-self edges
+    exact_pairs = {
+        (r.query_id, r.neighbor_id)
+        for r in exact.collect()
+        if r.query_id != r.neighbor_id
+    }
+
+    def recall(iters):
+        g2 = knn_graph_nn_descent(e, "vec_id", "embedding", dim=64, k=3, iters=iters)
+        got = {(r.src, r.dst) for r in g2.collect()}
+        return len(got & exact_pairs) / max(1, len(exact_pairs))
+
+    # the fixture embeddings are i.i.d.-random (no neighborhood
+    # structure for NN-Descent to exploit), so absolute recall is
+    # data-limited; the property that must hold is that refinement
+    # IMPROVES on the bucket-only seed, i.e. 2-hop candidates cross
+    # seeding views (the transitive-closure trap this test pins).
+    r0, r2 = recall(0), recall(2)
+    assert r2 > r0, f"refinement did not improve: {r0} -> {r2} over {n} vectors"
+
+
+def test_nn_descent_is_deterministic(spark):
+    from vmware_graph_spark.operators.similarity import knn_graph_nn_descent
+    from vmware_graph_spark.sources.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    a = {tuple(r) for r in knn_graph_nn_descent(e, "vec_id", "embedding", dim=64, k=3).collect()}
+    b = {tuple(r) for r in knn_graph_nn_descent(e, "vec_id", "embedding", dim=64, k=3).collect()}
+    assert a == b

@@ -560,3 +560,99 @@ def ivf_learned_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "cid", "cos", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# NN-Descent: distributed k-NN graph construction
+# ---------------------------------------------------------------------------
+
+
+def _knn_pair_score(pairs: DataFrame, base: DataFrame) -> DataFrame:
+    sv = base.select(F.col("id").alias("src"), F.col("__v").alias("__sv"))
+    dv = base.select(F.col("id").alias("dst"), F.col("__v").alias("__dv"))
+    return (
+        pairs.join(sv, "src")
+        .join(dv, "dst")
+        .withColumn("cosine", cosine(F.col("__sv"), F.col("__dv")))
+        .drop("__sv", "__dv")
+    )
+
+
+def _knn_topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("src").orderBy(F.col("cosine").desc(), F.col("dst").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src", "dst", "cosine", "rank")
+    )
+
+
+def knn_graph_nn_descent(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    dim: int,
+    k: int = 5,
+    iters: int = 2,
+    planes: int = 6,
+    views: int = 3,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate k-NN GRAPH over every vector (all nodes at once) by
+    distributed NN-Descent [Dong, Moses & Li, WWW'11]: seed each node's
+    neighbor list from its hyperplane-LSH bucket, then repeat
+    "neighbors of neighbors are probably neighbors" — candidates =
+    current edges ∪ reversed edges ∪ 2-hop expansion, re-scored and
+    cut back to top-k per node. Fully deterministic: md5-seeded
+    hyperplanes, total (cosine desc, dst) order at every cut.
+
+    This is the batch sibling of the query-time indexes above: those
+    answer "top-k for THESE queries"; the k-NN graph is the
+    all-nodes-at-once structure semantic-dedup clustering and
+    graph-based ANN serving start from. Every step is an equi-join or
+    a per-src window — candidate volume is O(n·k²) per round, never
+    all-pairs, and the expansion join hash-partitions on the node id.
+    At 100 TB: bucket init keeps the first cut sparse even for n in
+    the billions; each round is 2 shuffles (join + window) and rounds
+    are ≤3 in practice (the paper's convergence).
+
+    Seeding uses ``views`` INDEPENDENT bucketings (different md5
+    seeds): a single LSH partition is transitively closed — neighbors
+    of same-bucket neighbors never leave the bucket, so refinement
+    would add nothing. With multiple views, "a near b in view 1, b
+    near c in view 2" makes a–c a round-1 candidate, which is exactly
+    the cross-partition traversal NN-Descent's convergence relies on.
+
+    Returns ``(src, dst, cosine, rank)`` — k rows per node (fewer only
+    if a node's reachable candidate set is smaller).
+    """
+    base = df.select(F.col(id_col).alias("id"), as_double_vec(vec_col).alias("__v"))
+    cand = None
+    for view in range(views):
+        b = base.withColumn(
+            "__b", hyperplane_bucket(F.col("__v"), dim, planes, seed + view)
+        ).select("id", "__b")
+        a, c = b.alias("a"), b.alias("c")
+        half = a.join(
+            c, (F.col("a.__b") == F.col("c.__b")) & (F.col("a.id") < F.col("c.id"))
+        ).select(F.col("a.id").alias("src"), F.col("c.id").alias("dst"))
+        both = half.unionByName(
+            half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        cand = both if cand is None else cand.unionByName(both)
+    cand = cand.distinct()
+    knn = _knn_topk(_knn_pair_score(cand, base), k).localCheckpoint(eager=False)
+    for _ in range(iters):
+        x, y = knn.alias("x"), knn.alias("y")
+        nn2 = (
+            x.join(y, F.col("x.dst") == F.col("y.src"))
+            .select(F.col("x.src").alias("src"), F.col("y.dst").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+        )
+        rev = knn.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        cand = (
+            knn.select("src", "dst").unionByName(rev).unionByName(nn2).distinct()
+        )
+        knn = _knn_topk(_knn_pair_score(cand, base), k).localCheckpoint(eager=False)
+    return knn.withColumn("cosine", F.round("cosine", 6))

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import tempfile
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from vmware_graph_spark.queries import (
@@ -82,4 +83,245 @@ def snapshot_cc_membership_after_refresh(spark, sf_dir):
             F.split_part(F.col("component"), F.lit(US), F.lit(3)).alias("vcenter"),
             "n_members",
         )
+    )
+
+
+_BM25_TERMS = ("spark", "window", "merge")
+
+_BM25_SQL = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+      FROM documents
+    ), dl AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+    ), stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS nd,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM dl
+    ), tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      FROM toks WHERE tok IN ('spark', 'window', 'merge')
+      GROUP BY doc_id, tok
+    ), dft AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok
+    ), scored AS (
+      SELECT tf.doc_id,
+             round(ln((nd - df + 0.5) / (df + 0.5) + 1), 6) AS idf,
+             round(tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 6) AS tfn
+      FROM tf JOIN dft USING (tok)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+    )
+    SELECT doc_id,
+           CAST(sum(CAST(round(idf * tfn, 6) AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT 10
+"""
+
+
+@query("bm25_topk_documents", _BM25_SQL)
+def bm25_topk_documents(spark, sf_dir):
+    """BM25 (k1=1.2, b=0.75) top-10 documents for a fixed query-term
+    set — the relevance-scoring primitive data-curation pipelines use
+    to mine topic-targeted subsets out of a web corpus. Pure
+    aggregations: token explode → per-doc length + per-(doc,term) tf
+    (one shuffle each), df/N/avgdl are broadcast-sized aggregates, the
+    score is a decimal-accumulated sum of per-term contributions
+    (idf and tf-norm each rounded to 6 before the product, so DuckDB's
+    and the JVM's ln() can't diverge in the low bits), and the top-k is
+    a TakeOrdered — no global sort. At 100 TB the only corpus-sized
+    shuffles are the two hash aggregates; the term filter prunes the
+    tf table to the query vocabulary before anything joins."""
+    from vmware_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", r"\s+"), lambda x: x != "")).alias("tok"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("bigint").alias("nd"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    dft = tf.groupBy("tok").agg(F.count("*").cast("bigint").alias("df"))
+    j = (
+        tf.join(F.broadcast(dft), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.round(
+        F.log((F.col("nd") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1), 6
+    )
+    tfn = F.round(
+        F.col("tf") * 2.2
+        / (F.col("tf") + 1.2 * (1 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))),
+        6,
+    )
+    return (
+        j.select("doc_id", F.round(idf * tfn, 6).cast("decimal(18,6)").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").cast("double").alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(10)
+    )
+
+
+# Target language mixture for the rebalance op: the knob a pretraining
+# pipeline turns to hit a data recipe (shares sum to 1).
+_MIX_SHARES = (("en", 0.40), ("zh", 0.20), ("de", 0.15), ("fr", 0.15), ("es", 0.10))
+_MIX_BUDGET = 300  # documents
+
+_MIX_CASE = "CASE lang " + " ".join(
+    f"WHEN '{lang}' THEN {share}" for lang, share in _MIX_SHARES
+) + " END"
+
+_MIX_SQL = f"""
+    WITH ranked AS (
+      SELECT lang, n_chars,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn,
+             count(*) OVER (PARTITION BY lang) AS avail
+      FROM documents
+    ), alloc AS (
+      SELECT lang, n_chars, avail, rn,
+             CAST(least(CAST(avail AS DOUBLE),
+                        floor({_MIX_BUDGET} * ({_MIX_CASE}))) AS BIGINT) AS take
+      FROM ranked
+    )
+    SELECT lang, CAST(max(avail) AS BIGINT) AS avail, max(take) AS taken,
+           CAST(sum(CASE WHEN rn <= take THEN n_chars ELSE 0 END) AS BIGINT)
+             AS chars_taken
+    FROM alloc GROUP BY lang
+"""
+
+
+@query("mixture_rebalance_language_budget", _MIX_SQL)
+def mixture_rebalance_language_budget(spark, sf_dir):
+    """Data-recipe mixture rebalancing: hit a target per-language share
+    of a document budget by taking, per language, the first
+    ``min(avail, ⌊budget·share⌋)`` documents under a DETERMINISTIC
+    hash order (md5 of doc_id — a seeded shuffle that is identical on
+    every engine and every run, the property random() can't give an
+    oracle). Returns per language: available docs, docs taken, chars
+    taken. The rank window partitions by language — parallel, never a
+    global sort; at 100 TB the hash-rank is the same per-bucket window
+    every sampling op here uses, and changing the recipe is a
+    broadcast-map change, not a reshuffle."""
+    from vmware_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    share = F.create_map(
+        *[F.lit(x) for pair in _MIX_SHARES for x in pair]
+    )[F.col("lang")]
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = docs.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("lang")).alias("avail"),
+        share.alias("share"),
+    )
+    alloc = ranked.withColumn(
+        "take",
+        F.least(
+            F.col("avail").cast("double"), F.floor(F.lit(_MIX_BUDGET) * F.col("share"))
+        ).cast("bigint"),
+    )
+    return alloc.groupBy("lang").agg(
+        F.max("avail").cast("bigint").alias("avail"),
+        F.max("take").alias("taken"),
+        F.sum(F.when(F.col("rn") <= F.col("take"), F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("chars_taken"),
+    )
+
+
+def _nn_descent_sql(
+    k: int, iters: int, planes: int, views: int, dim: int, seed: int
+) -> str:
+    """DuckDB twin of knn_graph_nn_descent: the SAME md5-seeded
+    hyperplanes inlined as array literals (one set per seeding view),
+    one CTE block per refinement round — the approximate algorithm
+    replicated relationally, not just its output shape (the ann_recall
+    oracle discipline)."""
+    from vmware_graph_spark.operators.similarity import _hyperplanes
+
+    cos = (
+        "list_dot_product(sv, dv) / "
+        "(sqrt(list_dot_product(sv, sv)) * sqrt(list_dot_product(dv, dv)))"
+    )
+    parts = ["e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings)"]
+    halves = []
+    for view in range(views):
+        bucket = " || ".join(
+            "(CASE WHEN list_dot_product(v, ["
+            + ", ".join(f"{x:.1f}" for x in row)
+            + "]) >= 0 THEN '1' ELSE '0' END)"
+            for row in _hyperplanes(dim, planes, seed + view)
+        )
+        parts.append(f"b{view} AS (SELECT id, {bucket} AS bk FROM e)")
+        parts.append(
+            f"half{view} AS (SELECT a.id AS src, c.id AS dst FROM b{view} a "
+            f"JOIN b{view} c ON a.bk = c.bk AND a.id < c.id)"
+        )
+        halves.append(
+            f"SELECT src, dst FROM half{view} "
+            f"UNION ALL SELECT dst, src FROM half{view}"
+        )
+    parts.append("cand0 AS (SELECT DISTINCT * FROM (" + " UNION ALL ".join(halves) + "))")
+    for i in range(iters + 1):
+        parts.append(
+            f"s{i} AS (SELECT src, dst, {cos} AS cos FROM cand{i} "
+            "JOIN (SELECT id, v AS sv FROM e) es ON src = es.id "
+            "JOIN (SELECT id, v AS dv FROM e) ed ON dst = ed.id)"
+        )
+        parts.append(
+            f"k{i} AS (SELECT src, dst, cos, rank FROM ("
+            "SELECT src, dst, cos, row_number() OVER "
+            "(PARTITION BY src ORDER BY cos DESC, dst) AS rank "
+            f"FROM s{i}) WHERE rank <= {k})"
+        )
+        if i < iters:
+            parts.append(
+                f"cand{i + 1} AS (SELECT src, dst FROM k{i} "
+                f"UNION SELECT dst, src FROM k{i} "
+                f"UNION SELECT x.src, y.dst FROM k{i} x JOIN k{i} y "
+                "ON x.dst = y.src WHERE x.src <> y.dst)"
+            )
+    return (
+        "WITH " + ",\n".join(parts) + "\nSELECT src, dst, round(cos, 6) AS cosine, "
+        f"CAST(rank AS INT) AS rank FROM k{iters}"
+    )
+
+
+@query(
+    "nn_descent_knn_graph",
+    _nn_descent_sql(k=5, iters=2, planes=6, views=3, dim=64, seed=7),
+)
+def nn_descent_knn_graph(spark, sf_dir):
+    """Distributed NN-Descent k-NN GRAPH (Dong et al., WWW'11) over
+    every embedding at once: LSH-bucket seeding, then two
+    "neighbor-of-neighbor" refinement rounds, top-5 per node — the
+    all-nodes structure SemDeDup-style clustering and graph-ANN serving
+    build on, vs the query-time indexes' "top-k for these queries".
+    Deterministic end to end (md5 hyperplanes, total tie-break), so the
+    oracle replays the full algorithm in SQL. Candidate volume is
+    O(n·k²) per round — never all-pairs."""
+    from vmware_graph_spark.operators.similarity import knn_graph_nn_descent
+    from vmware_graph_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return knn_graph_nn_descent(
+        e, "vec_id", "embedding", dim=64, k=5, iters=2, planes=6, views=3, seed=7
     )

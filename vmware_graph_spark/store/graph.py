@@ -454,6 +454,23 @@ class GraphStore:
     # -- counts (S5 progress sink) -----------------------------------------
 
     def counts(self) -> dict[str, int]:
-        out = {f"v:{label}": self.vertices(label).count() for label in self.labels()}
-        out["edges"] = self.edges().count()
-        return out
+        """Per-label node counts + edge count (the reference's RETURN
+        count(…) progress lines, cypher:54,224) in ONE Spark job: each
+        table contributes a 1-row aggregate and the union collects
+        once — label subtrees execute in parallel instead of serially
+        (round-2 VERDICT minor: one-job-per-label)."""
+        parts = [
+            self.vertices(label)
+            .agg(F.count("*").alias("n"))
+            .select(F.lit(f"v:{label}").alias("metric"), "n")
+            for label in self.labels()
+        ]
+        parts.append(
+            self.edges().agg(F.count("*").alias("n")).select(
+                F.lit("edges").alias("metric"), "n"
+            )
+        )
+        allc = parts[0]
+        for p in parts[1:]:
+            allc = allc.unionByName(p)
+        return {r["metric"]: r["n"] for r in allc.collect()}
