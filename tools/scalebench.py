@@ -56,6 +56,13 @@ QUERIES_TO_TIME = [
     "record_linkage_customer_supplier",
     "bloom_prune_join_orders",
     "shuffle_skew_report",
+    # round-3 additions: the de-bottlenecked global-window rewrites and
+    # the new corpus ops, measured at both scales like everything else
+    "jaccard_pairs_prefix_filtered",
+    "zipf_slope_token_frequencies",
+    "equidepth_histogram_event_values",
+    "bm25_topk_documents",
+    "nn_descent_knn_graph",
 ]
 
 COPY_AS_IS = ["region", "nation", "customer", "part", "supplier"]

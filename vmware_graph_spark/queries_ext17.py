@@ -325,3 +325,148 @@ def nn_descent_knn_graph(spark, sf_dir):
     return knn_graph_nn_descent(
         e, "vec_id", "embedding", dim=64, k=5, iters=2, planes=6, views=3, seed=7
     )
+
+
+_RRF_SQL = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+      FROM documents
+    ), dl AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+    ), stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS nd,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM dl
+    ), tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      FROM toks WHERE tok IN ('spark', 'window', 'merge')
+      GROUP BY doc_id, tok
+    ), dft AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok
+    ), scored AS (
+      SELECT tf.doc_id,
+             round(ln((nd - df + 0.5) / (df + 0.5) + 1), 6) AS idf,
+             round(tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 6) AS tfn
+      FROM tf JOIN dft USING (tok)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+    ), bmscore AS (
+      SELECT doc_id,
+             CAST(sum(CAST(round(idf * tfn, 6) AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+      FROM scored GROUP BY doc_id
+    ), lex AS (
+      SELECT doc_id, r FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+        FROM bmscore
+      ) WHERE r <= 100
+    ), q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ), semscore AS (
+      SELECT vec_id AS doc_id,
+             list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+               AS cos
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings)
+      CROSS JOIN q
+    ), sem AS (
+      SELECT doc_id, r FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS r
+        FROM semscore
+      ) WHERE r <= 100
+    )
+    SELECT doc_id,
+           round(COALESCE(1.0 / (60 + l.r), 0) + COALESCE(1.0 / (60 + s.r), 0), 6)
+             AS rrf
+    FROM lex l FULL JOIN sem s USING (doc_id)
+    ORDER BY rrf DESC, doc_id LIMIT 10
+"""
+
+
+@query("rrf_hybrid_retrieval", _RRF_SQL)
+def rrf_hybrid_retrieval(spark, sf_dir):
+    """Hybrid retrieval by Reciprocal Rank Fusion (RRF, k=60): fuse the
+    BM25 lexical ranking for a fixed term set with the cosine semantic
+    ranking against a query embedding (vec 0 — docs and vectors share
+    the id space), summing 1/(60+rank) over the rankings each doc
+    appears in — the standard way curation pipelines combine sparse
+    and dense retrieval without score calibration. Both input rankings
+    are capped at top-100 (RRF consumes top-N LISTS by definition), so
+    the only corpus-sized work is the BM25 aggregate and the per-row
+    cosine — the rank windows run over ≤100-row bounded lists and the
+    fusion join is between two broadcast-sized frames."""
+    from vmware_graph_spark.functions.vector import as_double_vec, cosine
+    from vmware_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", r"\s+"), lambda x: x != "")).alias("tok"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("bigint").alias("nd"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    dft = tf.groupBy("tok").agg(F.count("*").cast("bigint").alias("df"))
+    j = (
+        tf.join(F.broadcast(dft), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.round(
+        F.log((F.col("nd") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1), 6
+    )
+    tfn = F.round(
+        F.col("tf") * 2.2
+        / (F.col("tf") + 1.2 * (1 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))),
+        6,
+    )
+    bmscore = (
+        j.select("doc_id", F.round(idf * tfn, 6).cast("decimal(18,6)").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").cast("double").alias("bm25"))
+    )
+    # bounded ≤100-row lists: the rank window runs post-TakeOrdered
+    lex = (
+        bmscore.orderBy(F.desc("bm25"), "doc_id")
+        .limit(100)
+        .withColumn(
+            "r", F.row_number().over(Window.orderBy(F.desc("bm25"), "doc_id"))
+        )
+        .select("doc_id", "r")
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        as_double_vec("embedding").alias("__qv")
+    )
+    semscore = (
+        emb.select(F.col("vec_id").alias("doc_id"), as_double_vec("embedding").alias("__cv"))
+        .crossJoin(F.broadcast(qv))
+        .withColumn("cos", cosine(F.col("__qv"), F.col("__cv")))
+    )
+    sem = (
+        semscore.orderBy(F.desc("cos"), "doc_id")
+        .limit(100)
+        .withColumn("r", F.row_number().over(Window.orderBy(F.desc("cos"), "doc_id")))
+        .select("doc_id", "r")
+    )
+    fused = lex.withColumnRenamed("r", "rl").join(
+        sem.withColumnRenamed("r", "rs"), on="doc_id", how="full_outer"
+    )
+    rrf = F.round(
+        F.coalesce(1.0 / (60 + F.col("rl")), F.lit(0.0))
+        + F.coalesce(1.0 / (60 + F.col("rs")), F.lit(0.0)),
+        6,
+    )
+    return (
+        fused.select("doc_id", rrf.alias("rrf"))
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(10)
+    )
