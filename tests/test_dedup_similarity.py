@@ -340,3 +340,41 @@ def test_nn_descent_is_deterministic(spark):
     a = {tuple(r) for r in knn_graph_nn_descent(e, "vec_id", "embedding", dim=64, k=3).collect()}
     b = {tuple(r) for r in knn_graph_nn_descent(e, "vec_id", "embedding", dim=64, k=3).collect()}
     assert a == b
+
+
+def test_knn_graph_extend_incremental_properties(spark):
+    """Insertion keeps untouched adjacency verbatim, gives every new
+    node ≤k ranked neighbors, and only re-ranks old nodes that gained
+    a reverse edge."""
+    from pyspark.sql import functions as F
+
+    from vmware_graph_spark.operators.similarity import (
+        knn_graph_extend,
+        knn_graph_nn_descent,
+    )
+    from vmware_graph_spark.sources.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    corpus = e.filter(F.col("vec_id") < 450)
+    batch = e.filter(F.col("vec_id") >= 450)
+    g = knn_graph_nn_descent(
+        corpus, "vec_id", "embedding", dim=64, k=3, iters=1, planes=6
+    )
+    out = knn_graph_extend(
+        g, corpus, batch, "vec_id", "embedding", dim=64, k=3, planes=6
+    )
+    rows = out.collect()
+    new_nodes = {r.src for r in rows if r.src >= 450}
+    assert new_nodes == {r.vec_id for r in batch.select("vec_id").collect()}
+    per = {}
+    for r in rows:
+        assert r.src != r.dst
+        per.setdefault(r.src, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per.values())
+    assert max(len(v) for v in per.values()) <= 3
+    # old nodes that got no reverse edge keep their exact base rows
+    base = {(r.src, r.dst, r.cosine, r.rank) for r in g.collect()}
+    got = {(r.src, r.dst, r.cosine, r.rank) for r in rows}
+    rev_srcs = {r.dst for r in rows if r.src >= 450 and r.dst < 450}
+    untouched_base = {t for t in base if t[0] not in rev_srcs}
+    assert untouched_base <= got

@@ -670,3 +670,95 @@ def knn_graph_nn_descent(
         )
         knn = _knn_topk(_knn_pair_score(cand, base), k).localCheckpoint(eager=False)
     return knn.withColumn("cosine", F.round("cosine", 6))
+
+
+def knn_graph_extend(
+    graph: DataFrame,
+    corpus: DataFrame,
+    new_batch: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    dim: int,
+    k: int = 5,
+    planes: int | None = None,
+    views: int = 3,
+    seed: int = 7,
+) -> DataFrame:
+    """Incrementally insert a NEW batch into an existing k-NN graph —
+    the day-to-day maintenance shape (the ``dedup_against`` analog for
+    ANN): cost scales with |new batch|, never with the corpus.
+
+    New nodes get candidates from the same multi-view LSH buckets
+    (against corpus ∪ batch) PLUS one expansion through the existing
+    graph (new → old neighbor → that neighbor's neighbors). Existing
+    nodes are re-ranked ONLY if a new node entered their bucket
+    neighborhood (reverse edges) — every untouched node's adjacency
+    passes through verbatim, so the corpus-sized side contributes one
+    semi/anti join on the node id and nothing else.
+
+    ``graph`` must be ``(src, dst, cosine, rank)`` as produced by
+    :func:`knn_graph_nn_descent` over ``corpus``. Returns the same
+    schema over corpus ∪ batch.
+    """
+    allv = (
+        corpus.select(F.col(id_col).alias("id"), as_double_vec(vec_col).alias("__v"))
+        .unionByName(
+            new_batch.select(
+                F.col(id_col).alias("id"), as_double_vec(vec_col).alias("__v")
+            )
+        )
+    )
+    if planes is None:
+        import math
+
+        n = allv.count()
+        planes = max(4, min(20, math.ceil(math.log2(max(1, n / (4 * k))))))
+    new_ids = new_batch.select(F.col(id_col).alias("id"))
+    old_ids = corpus.select(F.col(id_col).alias("id"))
+
+    cand = None
+    for view in range(views):
+        allb = allv.withColumn(
+            "__b", hyperplane_bucket(F.col("__v"), dim, planes, seed + view)
+        ).select("id", "__b")
+        newb = allb.join(new_ids, "id", "left_semi")
+        pairs = newb.alias("a").join(
+            allb.alias("c"),
+            (F.col("a.__b") == F.col("c.__b")) & (F.col("a.id") != F.col("c.id")),
+        ).select(F.col("a.id").alias("src"), F.col("c.id").alias("dst"))
+        cand = pairs if cand is None else cand.unionByName(pairs)
+
+    # one expansion hop through the EXISTING graph: new → old → old's
+    # neighbors (the 2-hop step of NN-Descent, restricted to new srcs)
+    to_old = cand.join(old_ids.withColumnRenamed("id", "dst"), "dst", "left_semi")
+    exp = (
+        to_old.alias("x")
+        .join(
+            graph.select(F.col("src").alias("mid"), F.col("dst").alias("d2")),
+            F.col("x.dst") == F.col("mid"),
+        )
+        .select(F.col("x.src").alias("src"), F.col("d2").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    cand_new = cand.unionByName(exp).distinct()
+    knn_new = _knn_topk(_knn_pair_score(cand_new, allv), k)
+
+    # existing nodes touched by a reverse edge re-rank; the rest pass through
+    rev = (
+        knn_new.join(old_ids.withColumnRenamed("id", "dst"), "dst", "left_semi")
+        .select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    touched = rev.select("src").distinct()
+    untouched = graph.join(touched, "src", "left_anti").select(
+        "src", "dst", "cosine", "rank"
+    )
+    upd_cand = (
+        graph.select("src", "dst")
+        .join(touched, "src", "left_semi")
+        .unionByName(rev)
+        .distinct()
+    )
+    knn_upd = _knn_topk(_knn_pair_score(upd_cand, allv), k)
+    fresh = knn_new.unionByName(knn_upd).withColumn("cosine", F.round("cosine", 6))
+    return untouched.unionByName(fresh)

@@ -247,29 +247,41 @@ def mixture_rebalance_language_budget(spark, sf_dir):
     )
 
 
+_NN_COS = (
+    "list_dot_product(sv, dv) / "
+    "(sqrt(list_dot_product(sv, sv)) * sqrt(list_dot_product(dv, dv)))"
+)
+
+
+def _nn_bucket_expr(planes: int, dim: int, seed: int) -> str:
+    """The operator's md5-seeded ±1 hyperplane bucket, inlined as DuckDB
+    array literals over a column named ``v``."""
+    from vmware_graph_spark.operators.similarity import _hyperplanes
+
+    return " || ".join(
+        "(CASE WHEN list_dot_product(v, ["
+        + ", ".join(f"{x:.1f}" for x in row)
+        + "]) >= 0 THEN '1' ELSE '0' END)"
+        for row in _hyperplanes(dim, planes, seed)
+    )
+
+
 def _nn_descent_sql(
-    k: int, iters: int, planes: int, views: int, dim: int, seed: int
+    k: int, iters: int, planes: int, views: int, dim: int, seed: int, where: str = "TRUE"
 ) -> str:
     """DuckDB twin of knn_graph_nn_descent: the SAME md5-seeded
     hyperplanes inlined as array literals (one set per seeding view),
     one CTE block per refinement round — the approximate algorithm
     replicated relationally, not just its output shape (the ann_recall
     oracle discipline)."""
-    from vmware_graph_spark.operators.similarity import _hyperplanes
-
-    cos = (
-        "list_dot_product(sv, dv) / "
-        "(sqrt(list_dot_product(sv, sv)) * sqrt(list_dot_product(dv, dv)))"
-    )
-    parts = ["e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings)"]
+    cos = _NN_COS
+    parts = [
+        "e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v "
+        f"FROM embeddings WHERE {where})"
+    ]
     halves = []
     for view in range(views):
-        bucket = " || ".join(
-            "(CASE WHEN list_dot_product(v, ["
-            + ", ".join(f"{x:.1f}" for x in row)
-            + "]) >= 0 THEN '1' ELSE '0' END)"
-            for row in _hyperplanes(dim, planes, seed + view)
-        )
+        bucket = _nn_bucket_expr(planes, dim, seed + view)
         parts.append(f"b{view} AS (SELECT id, {bucket} AS bk FROM e)")
         parts.append(
             f"half{view} AS (SELECT a.id AS src, c.id AS dst FROM b{view} a "
@@ -469,4 +481,117 @@ def rrf_hybrid_retrieval(spark, sf_dir):
         fused.select("doc_id", rrf.alias("rrf"))
         .orderBy(F.desc("rrf"), "doc_id")
         .limit(10)
+    )
+
+
+def _nn_extend_sql(
+    k: int, iters: int, planes: int, views: int, dim: int, seed: int, split: int
+) -> str:
+    """DuckDB twin of knn_graph_extend: replay the base build over
+    vec_id < split, then the incremental insertion of vec_id >= split —
+    bucket seeding against corpus ∪ batch, one expansion hop through
+    the base graph, re-rank ONLY touched old nodes."""
+    cos = _NN_COS
+    # base chain over the old corpus (same CTE names as the build twin)
+    base_sql = _nn_descent_sql(
+        k, iters, planes, views, dim, seed, where=f"vec_id < {split}"
+    )
+    with_body = base_sql[len("WITH ") : base_sql.rindex("\nSELECT")]
+    parts = [with_body]
+    parts.append("alle AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings)")
+    parts.append(f"newids AS (SELECT vec_id AS id FROM embeddings WHERE vec_id >= {split})")
+    pair_sel = []
+    for view in range(views):
+        bucket = _nn_bucket_expr(planes, dim, seed + view)
+        parts.append(f"ab{view} AS (SELECT id, {bucket} AS bk FROM alle)")
+        parts.append(
+            f"nb{view} AS (SELECT ab.id, ab.bk FROM ab{view} ab "
+            "JOIN newids n ON ab.id = n.id)"
+        )
+        pair_sel.append(
+            f"SELECT a.id AS src, c.id AS dst FROM nb{view} a "
+            f"JOIN ab{view} c ON a.bk = c.bk AND a.id <> c.id"
+        )
+    parts.append("cand_raw AS (" + " UNION ALL ".join(pair_sel) + ")")
+    parts.append(
+        f"expd AS (SELECT x.src, g.dst FROM (SELECT src, dst FROM cand_raw "
+        f"WHERE dst < {split}) x JOIN k{iters} g ON x.dst = g.src "
+        "WHERE x.src <> g.dst)"
+    )
+    parts.append(
+        "cand_new AS (SELECT DISTINCT * FROM ("
+        "SELECT src, dst FROM cand_raw UNION ALL SELECT src, dst FROM expd))"
+    )
+    parts.append(
+        f"sn AS (SELECT src, dst, {cos} AS cos FROM cand_new "
+        "JOIN (SELECT id, v AS sv FROM alle) es ON src = es.id "
+        "JOIN (SELECT id, v AS dv FROM alle) ed ON dst = ed.id)"
+    )
+    parts.append(
+        "kn AS (SELECT src, dst, cos, rank FROM ("
+        "SELECT src, dst, cos, row_number() OVER "
+        "(PARTITION BY src ORDER BY cos DESC, dst) AS rank "
+        f"FROM sn) WHERE rank <= {k})"
+    )
+    parts.append(
+        f"rev AS (SELECT dst AS src, src AS dst FROM kn WHERE dst < {split})"
+    )
+    parts.append("touched AS (SELECT DISTINCT src FROM rev)")
+    parts.append(
+        f"untouched AS (SELECT src, dst, round(cos, 6) AS cosine, "
+        f"CAST(rank AS INT) AS rank FROM k{iters} "
+        "WHERE src NOT IN (SELECT src FROM touched))"
+    )
+    parts.append(
+        f"upd_cand AS (SELECT DISTINCT * FROM ("
+        f"SELECT src, dst FROM k{iters} WHERE src IN (SELECT src FROM touched) "
+        "UNION ALL SELECT src, dst FROM rev))"
+    )
+    parts.append(
+        f"su AS (SELECT src, dst, {cos} AS cos FROM upd_cand "
+        "JOIN (SELECT id, v AS sv FROM alle) es ON src = es.id "
+        "JOIN (SELECT id, v AS dv FROM alle) ed ON dst = ed.id)"
+    )
+    parts.append(
+        "ku AS (SELECT src, dst, cos, rank FROM ("
+        "SELECT src, dst, cos, row_number() OVER "
+        "(PARTITION BY src ORDER BY cos DESC, dst) AS rank "
+        f"FROM su) WHERE rank <= {k})"
+    )
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        "SELECT src, dst, cosine, rank FROM untouched "
+        "UNION ALL SELECT src, dst, round(cos, 6), CAST(rank AS INT) FROM kn "
+        "UNION ALL SELECT src, dst, round(cos, 6), CAST(rank AS INT) FROM ku"
+    )
+
+
+@query(
+    "nn_descent_extend_graph",
+    _nn_extend_sql(k=5, iters=2, planes=6, views=3, dim=64, seed=7, split=450),
+)
+def nn_descent_extend_graph(spark, sf_dir):
+    """Incremental k-NN graph maintenance: build the NN-Descent graph
+    over the first 450 vectors, then INSERT the remaining 50 with
+    ``knn_graph_extend`` — new nodes seed from the multi-view buckets
+    plus one expansion hop through the existing graph, and only old
+    nodes that gained a reverse edge re-rank (everyone else's adjacency
+    passes through verbatim). Cost scales with the batch, not the
+    corpus — the ``dedup_against`` day-to-day shape, for ANN. The
+    oracle replays build + insertion end-to-end in SQL."""
+    from vmware_graph_spark.operators.similarity import (
+        knn_graph_extend,
+        knn_graph_nn_descent,
+    )
+    from vmware_graph_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") < 450)
+    batch = e.filter(F.col("vec_id") >= 450)
+    g = knn_graph_nn_descent(
+        corpus, "vec_id", "embedding", dim=64, k=5, iters=2, planes=6, views=3, seed=7
+    )
+    return knn_graph_extend(
+        g, corpus, batch, "vec_id", "embedding",
+        dim=64, k=5, planes=6, views=3, seed=7,
     )
