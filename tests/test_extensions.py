@@ -287,3 +287,33 @@ def test_rrf_fusion_prefers_doubly_ranked_neighbors(spark):
     ).collect()
     got = {r["neighbor_id"]: r["rrf"] for r in fused}
     assert got["b"] > got["a"]
+
+
+def test_media_near_dup_radius_and_pigeonhole(spark):
+    """Banded-Hamming media dedup with an injected hash column: pairs
+    inside the radius are found (whatever band their differing bits
+    fall in), pairs outside are excluded, exact dups at distance 0."""
+    from pyspark.sql import functions as F
+
+    from vmware_graph_spark.operators.multimodal import media_near_dup
+
+    base = 0b101010101010101010101010101010101010101010101010101010101010
+    rows = [
+        (1, base),
+        (2, base),                      # distance 0
+        (3, base ^ 0b111),              # distance 3, all in band 0
+        (4, base ^ (0b101 << 29)),      # distance 2, straddles bands 2/3
+        (5, base ^ ((1 << 59) | (1 << 30) | (1 << 29) | (1 << 12) | (1 << 3) | (1 << 45) | 1)),  # distance 7 > radius
+    ]
+    df = spark.createDataFrame(rows, ["asset_id", "h"]).withColumn(
+        "media", F.lit(b"")
+    )
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in media_near_dup(df, max_hamming=5, bits=60, hash_col="h").collect()
+    }
+    assert got[(1, 2)] == 0
+    assert got[(1, 3)] == 3
+    assert got[(1, 4)] == 2
+    assert got[(2, 3)] == 3
+    assert all(5 not in pair for pair in got)  # distance-7 asset never pairs

@@ -205,3 +205,81 @@ def audio_windows(
         run,
         "asset_id bigint, win_idx int, start_byte bigint, win_len bigint, energy double",
     )
+
+
+def media_near_dup(
+    media: DataFrame,
+    *,
+    max_hamming: int = 5,
+    bits: int = 60,
+    hash_col: str | None = None,
+) -> DataFrame:
+    """Near-duplicate media pairs by banded Hamming over a per-asset
+    content hash — the perceptual-hash dedup pipeline (pHash + Hamming
+    radius) with the same pigeonhole shape as SimHash text dedup: a
+    hash within distance ``max_hamming`` must agree on at least one of
+    ``max_hamming+1`` bit-bands, so candidates come from equi-joins on
+    (band, band_value) and ONLY candidates pay the bit_count verify —
+    never all-pairs.
+
+    The hash here is the leading ``bits`` of md5(media) (60 bits keeps
+    the value inside a signed BIGINT on every engine) — the
+    deterministic stand-in matching :func:`fingerprint_features`'s
+    contract: with no codec in the container only EXACT byte
+    duplicates land within radius. Pass ``hash_col`` naming a
+    precomputed 64-bit hash column (a real pHash from an injected
+    codec) and the banding/verify plumbing is unchanged — that's the
+    production integration point, and what the radius tests use.
+    Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b``.
+    """
+    bands = max_hamming + 1
+    width = bits // bands
+    if hash_col is not None:
+        fp = media.select("asset_id", F.col(hash_col).cast("bigint").alias("h"))
+    else:
+        fp = media.select(
+            F.col("asset_id"),
+            F.conv(F.substring(F.md5("media"), 1, bits // 4), 16, 10)
+            .cast("bigint")
+            .alias("h"),
+        )
+    parts = fp.select(
+        "asset_id",
+        "h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("h", i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("bv"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("p"),
+    ).select("asset_id", "h", F.col("p.band").alias("band"), F.col("p.bv").alias("bv"))
+    a, c = parts.alias("a"), parts.alias("c")
+    cand = (
+        a.join(
+            c,
+            (F.col("a.band") == F.col("c.band"))
+            & (F.col("a.bv") == F.col("c.bv"))
+            & (F.col("a.asset_id") < F.col("c.asset_id")),
+        )
+        .select(
+            F.col("a.asset_id").alias("id_a"),
+            F.col("c.asset_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    fa = fp.select(F.col("asset_id").alias("id_a"), F.col("h").alias("__ha"))
+    fb = fp.select(F.col("asset_id").alias("id_b"), F.col("h").alias("__hb"))
+    ham = F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb"))).cast("int")
+    return (
+        cand.join(fa, "id_a")
+        .join(fb, "id_b")
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -595,3 +595,46 @@ def nn_descent_extend_graph(spark, sf_dir):
         g, corpus, batch, "vec_id", "embedding",
         dim=64, k=5, planes=6, views=3, seed=7,
     )
+
+
+@query(
+    "multimodal_near_dup_assets",
+    """
+    WITH assets AS (
+      SELECT doc_id AS asset_id, text FROM documents
+      UNION ALL  -- re-ingested byte-identical copies (the dup class)
+      SELECT doc_id + 100000, text FROM documents WHERE doc_id % 20 = 0
+    ), fp AS (
+      SELECT asset_id,
+             CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS h
+      FROM assets
+    ), bands AS (
+      SELECT asset_id, h, i AS band, (h >> (i * 10)) & 1023 AS bv
+      FROM fp, UNNEST(range(0, 6)) AS t(i)
+    ), cand AS (
+      SELECT DISTINCT a.asset_id AS id_a, c.asset_id AS id_b
+      FROM bands a JOIN bands c
+        ON a.band = c.band AND a.bv = c.bv AND a.asset_id < c.asset_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(fa.h, fb.h)) AS INT) AS hamming
+    FROM cand JOIN fp fa ON id_a = fa.asset_id JOIN fp fb ON id_b = fb.asset_id
+    WHERE bit_count(xor(fa.h, fb.h)) <= 5
+    """,
+)
+def multimodal_near_dup_assets(spark, sf_dir):
+    """Media near-duplicate detection: binary assets → 60-bit content
+    hash → pigeonhole band join → Hamming verify (perceptual-hash
+    dedup's exact shape; with the container's codec-free stand-in hash
+    only exact byte duplicates land in radius, which the fixture's
+    duplicated documents provide). Completes the multimodal family:
+    ingest (as_media) → features (fingerprint_features) → dedup."""
+    from vmware_graph_spark.operators.multimodal import as_media, media_near_dup
+    from vmware_graph_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = d.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    assets = d.unionByName(dups)
+    media = as_media(assets, "doc_id", F.col("text").cast("binary"))
+    return media_near_dup(media, max_hamming=5, bits=60)
