@@ -500,3 +500,33 @@ def test_zipf_only_histogram_cumsum_is_global(spark):
     # the vocabulary agg (groupBy tok) must be a hash-partitioned
     # exchange, i.e. at least one hashpartitioning exchange present
     assert "hashpartitioning" in plan
+
+
+def test_bm25_is_aggregate_plus_takeordered(spark):
+    # BM25 = hash aggregates + broadcast-sized stats + TakeOrdered:
+    # no global sort, no cartesian (the stats crossJoin is a 1-row
+    # broadcast nested loop, not a CartesianProduct).
+    plan = executed_plan(spark, "bm25_topk_documents")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning" in plan
+
+
+def test_rrf_fusion_no_cartesian_and_takeordered(spark):
+    plan = executed_plan(spark, "rrf_hybrid_retrieval")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_mixture_rebalance_windows_partition_by_lang(spark):
+    # every rank/count window partitions by language — parallel, never
+    # a corpus-wide single-partition window
+    plan = executed_plan(spark, "mixture_rebalance_language_budget")
+    assert "SinglePartition" not in plan
+    assert "Window" in plan
+
+
+def test_nn_descent_no_cartesian(spark):
+    # seeding + refinement are equi-joins (bucket, node id) end to end
+    plan = executed_plan(spark, "nn_descent_knn_graph")
+    assert "CartesianProduct" not in plan

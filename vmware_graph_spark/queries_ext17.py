@@ -86,7 +86,7 @@ def snapshot_cc_membership_after_refresh(spark, sf_dir):
     )
 
 
-_BM25_TERMS = ("spark", "window", "merge")
+_BM25_TERMS = ("stream", "window", "merge")
 
 _BM25_SQL = r"""
     WITH toks AS (
@@ -101,7 +101,7 @@ _BM25_SQL = r"""
       FROM dl
     ), tf AS (
       SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
-      FROM toks WHERE tok IN ('spark', 'window', 'merge')
+      FROM toks WHERE tok IN ('stream', 'window', 'merge')
       GROUP BY doc_id, tok
     ), dft AS (
       SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok
@@ -352,7 +352,7 @@ _RRF_SQL = r"""
       FROM dl
     ), tf AS (
       SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
-      FROM toks WHERE tok IN ('spark', 'window', 'merge')
+      FROM toks WHERE tok IN ('stream', 'window', 'merge')
       GROUP BY doc_id, tok
     ), dft AS (
       SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok
