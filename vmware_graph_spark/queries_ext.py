@@ -1171,7 +1171,7 @@ def graph_esx_version_rollup(spark, sf_dir):
     from vmware_graph_spark.queries import _vcluster_sheet, _vhost_sheet
     from vmware_graph_spark.store.graph import US, GraphStore
 
-    store = GraphStore(spark, checkpoint_every=2)
+    store = GraphStore(spark, checkpoint=False)
     stage_vcluster(store, {"vCluster": _vcluster_sheet(spark, sf_dir)})
     stage_vhost(store, {"vHost": _vhost_sheet(spark, sf_dir)})
     edges = store.edges()
@@ -1243,7 +1243,7 @@ def graph_dns_config_drift(spark, sf_dir):
     from vmware_graph_spark.queries import _vcluster_sheet, _vhost_sheet
     from vmware_graph_spark.store.graph import US, GraphStore
 
-    store = GraphStore(spark, checkpoint_every=2)
+    store = GraphStore(spark, checkpoint=False)
     sheets = {
         "vCluster": _vcluster_sheet(spark, sf_dir),
         "vHost": _vhost_sheet(spark, sf_dir),
@@ -1316,7 +1316,7 @@ def graph_datastore_usage(spark, sf_dir):
     from vmware_graph_spark.queries import _seed_vm_ds_host, _vdisk_sheet
     from vmware_graph_spark.store.graph import GraphStore
 
-    store = GraphStore(spark, checkpoint_every=2)
+    store = GraphStore(spark, checkpoint=False)
     _seed_vm_ds_host(spark, sf_dir, store)
     stage_vdisk(store, {"vDisk": _vdisk_sheet(spark, sf_dir)})
 
@@ -1696,7 +1696,7 @@ def graph_vm_snapshot_report(spark, sf_dir):
     )
     from vmware_graph_spark.store.graph import US, GraphStore
 
-    store = GraphStore(spark, checkpoint_every=2)
+    store = GraphStore(spark, checkpoint=False)
     stage_vcluster(store, {"vCluster": _vcluster_sheet(spark, sf_dir)})
     _seed_vm_ds_host(spark, sf_dir, store)
     stage_vsnapshot(store, {"vSnapshot": _vsnapshot_sheet(spark, sf_dir)})

@@ -965,7 +965,7 @@ def motif_hosts_without_bios(spark, sf_dir):
     from vmware_graph_spark.queries import _vcluster_sheet, _vhost_sheet
     from vmware_graph_spark.store.graph import GraphStore
 
-    store = GraphStore(spark, checkpoint_every=2)
+    store = GraphStore(spark, checkpoint=False)
     stage_vcluster(store, {"vCluster": _vcluster_sheet(spark, sf_dir)})
     stage_vhost(store, {"vHost": _vhost_sheet(spark, sf_dir)})
     return motif_find(
@@ -1649,7 +1649,7 @@ def graph_dangling_edges(spark, sf_dir):
     from vmware_graph_spark.queries import _vcluster_sheet, _vhost_sheet
     from vmware_graph_spark.store.graph import GraphStore, LABEL_KEYS, node_key
 
-    store = GraphStore(spark, checkpoint_every=2)
+    store = GraphStore(spark, checkpoint=False)
     stage_vcluster(store, {"vCluster": _vcluster_sheet(spark, sf_dir)})
     stage_vhost(store, {"vHost": _vhost_sheet(spark, sf_dir)})
     bogus = spark.createDataFrame(
