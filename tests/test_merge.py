@@ -181,3 +181,49 @@ def test_salted_join_spreads_hot_key(spark):
     b = big.withColumn("__salt", F.pmod(F.hash("payload"), F.lit(8)))
     assert b.select("__salt").distinct().count() > 1
     assert salted_join(big, small, ["k"], salts=8).count() == 100
+
+
+def test_fuse_batches_equivalent_to_sequential_merges(spark):
+    """Store-level batching: fusing consecutive same-schema update
+    batches must be BIT-identical to merging them one at a time, for
+    both MERGE…SET and ON CREATE SET, including intra-batch dup
+    resolution and cross-batch override order."""
+    from vmware_graph_spark.operators.merge import merge_nodes
+    from vmware_graph_spark.store.graph import _fuse_batches
+
+    keys = ["k"]
+    b1 = spark.createDataFrame(
+        [(1, "a1", 10), (2, "b1", 20), (2, "b1x", 21), (3, "c1", 30)],
+        ["k", "name", "v"],
+    )
+    b2 = spark.createDataFrame(
+        [(2, "b2", 22), (4, "d2", 40)], ["k", "name", "v"]
+    )
+    b3 = spark.createDataFrame(
+        [(1, "a3", 11), (4, "d3", 41), (5, "e3", 50)], ["k", "name", "v"]
+    )
+    for oco in (False, True):
+        pend = [(b, oco) for b in (b1, b2, b3)]
+        seq = None
+        for updates, flag in pend:
+            seq = merge_nodes(seq, updates, keys, on_create_only=flag)
+        fused_pend = _fuse_batches(pend, keys)
+        assert len(fused_pend) == 1  # all three fuse into one
+        fused = None
+        for updates, flag in fused_pend:
+            fused = merge_nodes(fused, updates, keys, on_create_only=flag)
+        a = sorted(tuple(r) for r in seq.collect())
+        b = sorted(tuple(r) for r in fused.collect())
+        assert a == b, (oco, a, b)
+
+
+def test_fuse_batches_breaks_runs_on_flag_or_schema_change(spark):
+    from vmware_graph_spark.store.graph import _fuse_batches
+
+    s1 = spark.createDataFrame([(1, "x")], ["k", "name"])
+    s2 = spark.createDataFrame([(1, 9)], ["k", "v"])
+    pend = [(s1, False), (s1, False), (s1, True), (s2, True), (s1, False)]
+    fused = _fuse_batches(pend, ["k"])
+    # runs: [s1,s1]/False → 1, [s1]/True, [s2]/True, [s1]/False
+    assert len(fused) == 4
+    assert [f for _, f in fused] == [False, True, True, False]
