@@ -638,3 +638,119 @@ def multimodal_near_dup_assets(spark, sf_dir):
     assets = d.unionByName(dups)
     media = as_media(assets, "doc_id", F.col("text").cast("binary"))
     return media_near_dup(media, max_hamming=5, bits=60)
+
+
+_DSIR_SQL = r"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+      FROM documents
+    ), vocab AS (
+      SELECT tok,
+             CAST(count(*) AS BIGINT) AS cs,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct
+      FROM toks GROUP BY tok
+    ), scal AS (
+      SELECT CAST(sum(cs) AS BIGINT) AS ns, CAST(sum(ct) AS BIGINT) AS nt,
+             CAST(count(*) AS BIGINT) AS v
+      FROM vocab
+    ), lr AS (
+      SELECT tok,
+             CAST(round(ln((ct + 1.0) / (nt + v)) - ln((cs + 1.0) / (ns + v)), 6)
+                  AS DECIMAL(18,6)) AS lw
+      FROM vocab CROSS JOIN scal
+    ), tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      FROM toks GROUP BY doc_id, tok
+    )
+    SELECT doc_id,
+           CAST(sum(tf * lw) AS DOUBLE) AS log_importance
+    FROM tf JOIN lr USING (tok)
+    GROUP BY doc_id
+"""
+
+
+@query("dsir_importance_weights", _DSIR_SQL)
+def dsir_importance_weights(spark, sf_dir):
+    """DSIR-style importance weighting (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    every document by the log-ratio of an add-one-smoothed unigram
+    model of the TARGET slice (here lang='en' stands in for the target
+    domain) against the SOURCE model of the full corpus —
+    Σ_tok tf·round(ln(p̂_t/p̂_s), 6), decimal-accumulated. High scores
+    are the docs to up-sample toward the target distribution; feed the
+    weights to the existing Efraimidis–Spirakis weighted sampler for
+    the resampling half. Two corpus-sized hash aggregates (token
+    counts, per-doc tf) + one vocab join — the per-token log-ratio
+    table is vocabulary-sized, never row-sized, and the scalars ride a
+    broadcast."""
+    from vmware_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.filter(F.split("text", r"\s+"), lambda x: x != "")).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(
+        F.count("*").cast("bigint").alias("cs"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("bigint").alias("ct"),
+    )
+    scal = vocab.agg(
+        F.sum("cs").cast("bigint").alias("ns"),
+        F.sum("ct").cast("bigint").alias("nt"),
+        F.count("*").cast("bigint").alias("v"),
+    )
+    lr = vocab.crossJoin(F.broadcast(scal)).select(
+        "tok",
+        F.round(
+            F.log((F.col("ct") + 1.0) / (F.col("nt") + F.col("v")))
+            - F.log((F.col("cs") + 1.0) / (F.col("ns") + F.col("v"))),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("lw"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").cast("bigint").alias("tf"))
+    return (
+        tf.join(lr, "tok")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("tf") * F.col("lw")).cast("double").alias("log_importance"))
+    )
+
+
+@query(
+    "soft_dedup_weights",
+    r"""
+    SELECT doc_id,
+           round(1.0 / count(*) OVER (
+             PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+           ), 6) AS weight
+    FROM (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text FROM documents WHERE doc_id % 20 = 0
+    )
+    """,
+)
+def soft_dedup_weights(spark, sf_dir):
+    """SoftDeDup: instead of DROPPING exact duplicates, every copy gets
+    sampling weight 1/|duplicate group| so the group contributes one
+    document's worth of probability mass to training (the
+    dedup-without-deletion policy; feeds the weighted sampler exactly
+    like the DSIR weights). Same normalized-md5 fingerprint as
+    ``exact_dedup``; ONE count window partitioned by fingerprint — the
+    same single-shuffle scale shape as the hard dedup. The fixture
+    re-ingests every 20th doc so groups of size 2 exist."""
+    from vmware_graph_spark.functions.text import fingerprint
+    from vmware_graph_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = d.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    assets = d.unionByName(dups)
+    w = Window.partitionBy(fingerprint("text"))
+    return assets.select(
+        "doc_id", F.round(1.0 / F.count("*").over(w), 6).alias("weight")
+    )
