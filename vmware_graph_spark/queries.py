@@ -6663,9 +6663,7 @@ def training_corpus_pipeline(spark, sf_dir):
     )
 
 
-@query(
-    "dedup_new_against_corpus",
-    f"""
+_DEDUP_AGAINST_SQL = f"""
     WITH newd AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
     refd AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
     fpn AS (SELECT doc_id AS id, {_FP.format(c='text')} AS fp FROM newd),
@@ -6714,7 +6712,12 @@ def training_corpus_pipeline(spark, sf_dir):
            CAST(CASE WHEN f.fp NOT IN (SELECT fp FROM fpr) AND near.id IS NULL
                 THEN 1 ELSE 0 END AS INTEGER) AS kept
     FROM fpn f LEFT JOIN near ON near.id = f.id
-    """,
+    """
+
+
+@query(
+    "dedup_new_against_corpus",
+    _DEDUP_AGAINST_SQL,
 )
 def dedup_new_against_corpus(spark, sf_dir):
     """Incremental-ingestion dedup: flag a NEW batch (doc_id % 5 = 0)

@@ -17,6 +17,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from vmware_graph_spark.queries import (
+    _DEDUP_AGAINST_SQL,
     _HOST_BASE_SQL,
     _vcluster_sheet,
     _vhost_sheet,
@@ -754,3 +755,48 @@ def soft_dedup_weights(spark, sf_dir):
     return assets.select(
         "doc_id", F.round(1.0 / F.count("*").over(w), 6).alias("weight")
     )
+
+
+@query("streaming_dedup_against_corpus", _DEDUP_AGAINST_SQL)
+def streaming_dedup_against_corpus(spark, sf_dir):
+    """REAL streaming run of the incremental corpus dedup: the NEW
+    batch (doc_id % 5 = 0) arrives as a file-source STREAM in two
+    micro-batches, each drained through foreachBatch →
+    ``dedup_against`` the static corpus with per-doc decisions appended
+    to parquet. Per-document decisions are independent of batch
+    boundaries, so the drained output must equal the batch twin
+    ``dedup_new_against_corpus`` row-for-row — the oracle below is that
+    twin's SQL, unchanged."""
+    import tempfile
+
+    from vmware_graph_spark.sources.tables import load_table
+    from vmware_graph_spark.streaming.events import stream_dedup_against
+
+    d = load_table(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text")
+    ref = d.filter(F.col("doc_id") % 5 != 0).select("doc_id", "text")
+
+    sdir = tempfile.mkdtemp(prefix="vgs_stream_docs_")
+    # two arrival files = two micro-batches (maxFilesPerTrigger=1)
+    new.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(sdir)
+    new.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(sdir)
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sdir)
+    )
+    out_dir = tempfile.mkdtemp(prefix="vgs_stream_dedup_out_") + "/res"
+    ckpt = tempfile.mkdtemp(prefix="vgs_stream_dedup_ckpt_")
+    stream_dedup_against(
+        stream, ref, "doc_id", "text", out_dir, ckpt,
+        n=3, num_hashes=8, bands=4, verify_threshold=0.5,
+    )
+    out = spark.read.parquet(out_dir)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("exact_dup").cast("int").alias("exact_dup"),
+        F.col("near_dup").cast("int").alias("near_dup"),
+        F.col("kept").cast("int").alias("kept"),
+    )
+

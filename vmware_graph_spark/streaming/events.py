@@ -230,3 +230,43 @@ def run_available_to_memory(sdf: DataFrame, name: str, *, output_mode: str = "ap
         .start()
     )
     q.awaitTermination()
+
+
+def stream_dedup_against(
+    sdf: DataFrame,
+    ref: DataFrame,
+    id_col: str,
+    text_col: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    **dedup_kw: Any,
+) -> None:
+    """Continuous-arrival corpus dedup: drain a stream of NEW documents
+    through ``operators.dedup.dedup_against`` the STATIC reference
+    corpus, one micro-batch at a time, appending per-document decisions
+    (exact_dup / near_dup / kept) to ``out_dir``.
+
+    Because every decision depends only on the single new document vs
+    the reference — never on other new arrivals — the union of
+    micro-batch outputs is EXACTLY the full-batch result regardless of
+    how arrivals split into batches (the property the oracle twin
+    checks). The checkpoint makes delivery exactly-once across
+    restarts; at scale the reference's fingerprints/signatures are
+    precomputed once and reused every batch, so per-batch cost follows
+    the batch."""
+    from vmware_graph_spark.operators.dedup import dedup_against
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        dedup_against(batch_df, ref, id_col, text_col, **dedup_kw).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    q = (
+        sdf.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
