@@ -504,3 +504,29 @@ def test_publish_swaps_snapshot_under_live_lineage(spark, tmp_path):
     # staging/backup dirs are cleaned up after the swap
     assert not (tmp_path / "snap.staging").exists()
     assert not (tmp_path / "snap.old").exists()
+
+
+def test_cli_refresh_accepts_real_xlsx(spark, tmp_path, capsys):
+    """`python -m vmware_graph_spark refresh export.xlsx snap/` works
+    end-to-end with a genuine .xlsx workbook and a partial sheet set
+    (stages with absent sheets are skipped)."""
+    import json
+
+    from vmware_graph_spark.__main__ import main
+
+    xlsx = str(tmp_path / "rvtools.xlsx")
+    _write_minimal_xlsx(
+        xlsx,
+        {
+            "vCluster": [
+                ["VI SDK UUID", "VI SDK Server", "Name", "OverallStatus",
+                 "TotalCpu", "NumCpuCores", "TotalMemory", "HA enabled", "DRS enabled"],
+                ["uid-9", "vc9.example", "ClusterZ", "green", 1000, 8, 1.0e9, True, False],
+            ],
+        },
+    )
+    snap = str(tmp_path / "snap")
+    assert main(["refresh", xlsx, snap]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["v:Vcentercluster"] == 1
+    assert out["orphans_swept"] == 0
