@@ -139,6 +139,26 @@ def split_thresholds(
     return out
 
 
+def cms_hashed(df: DataFrame, value_col: str, *, width: int = 64, depth: int = 4) -> DataFrame:
+    """Per-row CMS probe triples ``(__v, __i, __b)``: each value hashed
+    into one bucket per depth row with the engine-portable md5 scheme.
+    Shared by the batch sketch below and the streaming mergeable-partial
+    path (``streaming.events.stream_cms_heavy_hitters``)."""
+    v = df.select(F.col(value_col).cast("string").alias("__v"))
+    rows_i = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("__i")
+    probes = v.select("__v", rows_i)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("__i").cast("string"), F.lit(":"), F.col("__v"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return probes.withColumn("__b", h % width)
+
+
 def cms_heavy_hitters(
     df: DataFrame,
     value_col: str,
@@ -159,19 +179,7 @@ def cms_heavy_hitters(
     (typically few) probe values re-hash and take the row-wise min.
     md5 bucketing keeps every cell — and therefore every estimate —
     bit-identical to the DuckDB oracle, unlike JVM-hash sketches."""
-    v = df.select(F.col(value_col).cast("string").alias("__v"))
-    rows_i = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("__i")
-    probes = v.select("__v", rows_i)
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.col("__i").cast("string"), F.lit(":"), F.col("__v"))),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("bigint")
-    hashed = probes.withColumn("__b", h % width)
+    hashed = cms_hashed(df, value_col, width=width, depth=depth)
     counters = hashed.groupBy("__i", "__b").agg(F.count("*").alias("__c"))
     probe_vals = hashed.select("__v", "__i", "__b").distinct()
     est = (

@@ -800,3 +800,59 @@ def streaming_dedup_against_corpus(spark, sf_dir):
         F.col("kept").cast("int").alias("kept"),
     )
 
+
+
+@query(
+    "streaming_cms_heavy_hitters",
+    """
+    WITH v AS (
+      SELECT json_extract_string(props, '$.k') AS v FROM events
+    ),
+    probes AS (
+      SELECT v, i,
+             ('0x' || substr(md5(i || ':' || v), 1, 15))::BIGINT % 64 AS b
+      FROM v CROSS JOIN (VALUES (0), (1), (2), (3)) t(i)
+    ),
+    counters AS (SELECT i, b, count(*) AS c FROM probes GROUP BY i, b),
+    est AS (
+      SELECT v, min(c) AS est
+      FROM (SELECT DISTINCT v, i, b FROM probes) p JOIN counters USING (i, b)
+      GROUP BY v
+    )
+    SELECT v AS value, est FROM est WHERE est >= 150
+    """,
+)
+def streaming_cms_heavy_hitters(spark, sf_dir):
+    """REAL streaming run of the mergeable count-min sketch: events
+    arrive as a file-source stream, each micro-batch appends a CMS
+    PARTIAL (≤ 4×64 counter cells + its distinct probe triples, never
+    raw rows), and the drained partials merge by exact cell-wise sum —
+    bit-identical to the one-pass batch sketch, which is what the
+    oracle (shared with ``cms_heavy_hitter_props``) computes. The
+    streaming-sketch shape: per-batch state is constant in batch size,
+    merge is addition, estimates are read-side."""
+    import tempfile
+
+    from vmware_graph_spark.sources.tables import load_table
+    from vmware_graph_spark.streaming.events import (
+        EVENT_SCHEMA,
+        cms_merge_estimates,
+        read_event_stream,
+        stream_cms_heavy_hitters,
+    )
+
+    # arrival dir: three files = three micro-batches (sketch merge is
+    # order/batching independent, so any split proves the property)
+    ev = load_table(spark, sf_dir, "events")
+    sdir = tempfile.mkdtemp(prefix="vgs_stream_cms_in_")
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(sdir)
+    stream = read_event_stream(spark, sdir)
+    out_dir = tempfile.mkdtemp(prefix="vgs_stream_cms_") + "/sketch"
+    ckpt = tempfile.mkdtemp(prefix="vgs_stream_cms_ckpt_")
+    stream_cms_heavy_hitters(
+        stream, F.get_json_object("props", "$.k"), out_dir, ckpt, width=64, depth=4
+    )
+    return cms_merge_estimates(spark, out_dir, min_count=150)

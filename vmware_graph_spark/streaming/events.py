@@ -270,3 +270,68 @@ def stream_dedup_against(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_cms_heavy_hitters(
+    sdf: DataFrame,
+    value_expr,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    width: int = 64,
+    depth: int = 4,
+) -> None:
+    """Mergeable-sketch streaming aggregation: each micro-batch folds
+    its rows into a CMS PARTIAL — ≤ depth·width counter cells plus the
+    batch's distinct probe triples — and appends the partials, never
+    raw rows. CMS cells merge by plain addition, so summing the
+    partials afterwards reconstructs EXACTLY the sketch a single batch
+    pass would build (the property the oracle twin checks); state per
+    batch is O(depth·width + distinct values), independent of batch row
+    count. This is the streaming form every mergeable sketch here
+    (KMV, CMS) supports by construction — on a cluster the partials
+    land in a compacted table and a reader merges on demand."""
+    from vmware_graph_spark.functions.sketch import cms_hashed
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        hashed = cms_hashed(
+            batch_df.select(value_expr.alias("__val")), "__val",
+            width=width, depth=depth,
+        )
+        hashed.groupBy("__i", "__b").agg(F.count("*").alias("__c")).write.mode(
+            "append"
+        ).parquet(out_dir + "/counters")
+        hashed.select("__v", "__i", "__b").distinct().write.mode("append").parquet(
+            out_dir + "/probes"
+        )
+
+    q = (
+        sdf.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def cms_merge_estimates(
+    spark: SparkSession, out_dir: str, *, min_count: int = 1
+) -> DataFrame:
+    """Merge drained CMS partials (exact cell-wise sum) and estimate:
+    (value, est) for every probed value with estimate ≥ min_count —
+    identical to the single-pass batch sketch over the same rows."""
+    counters = (
+        spark.read.parquet(out_dir + "/counters")
+        .groupBy("__i", "__b")
+        .agg(F.sum("__c").alias("__c"))
+    )
+    probes = spark.read.parquet(out_dir + "/probes").distinct()
+    return (
+        probes.join(counters, ["__i", "__b"])
+        .groupBy("__v")
+        .agg(F.min("__c").alias("est"))
+        .filter(F.col("est") >= min_count)
+        .select(F.col("__v").alias("value"), "est")
+    )
