@@ -670,3 +670,51 @@ def strongly_connected_components(
     return nodes.join(m, "id", "left").select(
         "id", F.least(F.col("id"), F.coalesce("mu", F.col("id"))).alias("scc_id")
     )
+
+
+def modularity(edges: DataFrame, membership: DataFrame) -> DataFrame:
+    """Newman modularity Q of a node partition over an undirected
+    simple graph: Q = intra/m − Σ_c (d_c / 2m)².
+
+    ``edges``: distinct undirected pairs ``(src, dst)``, src != dst
+    (each edge once — orientation irrelevant). ``membership``:
+    ``(id, community)``, one row per node.
+
+    Everything up to the last step is exact integer aggregation
+    (m, intra-community edge count, Σ d_c²); the final expression is
+    two IEEE-double divisions and one subtraction — each correctly
+    rounded, so the result hash-matches the SQL oracle bit-for-bit.
+    Returns one row: (m, intra_edges, modularity) rounded to 9 dp.
+
+    Scale: two equi-joins on node id + one endpoint-explode count —
+    no all-pairs, no windows; membership is a normal shuffled join
+    (it is corpus-sized, not broadcastable).
+    """
+    mem = membership.select(F.col(membership.columns[0]).alias("id"),
+                            F.col(membership.columns[1]).alias("com"))
+    lab = (
+        edges.select("src", "dst")
+        .join(mem.withColumnRenamed("id", "src").withColumnRenamed("com", "cs"), "src")
+        .join(mem.withColumnRenamed("id", "dst").withColumnRenamed("com", "cd"), "dst")
+    )
+    tot = lab.agg(
+        F.count("*").alias("m"),
+        F.sum(F.when(F.col("cs") == F.col("cd"), 1).otherwise(0)).alias("intra_edges"),
+    )
+    ends = edges.select(F.col("src").alias("id")).unionByName(
+        edges.select(F.col("dst").alias("id"))
+    )
+    deg = ends.groupBy("id").agg(F.count("*").alias("d")).join(mem, "id")
+    dsq = (
+        deg.groupBy("com").agg(F.sum("d").alias("dcom"))
+        .agg(F.sum(F.col("dcom") * F.col("dcom")).alias("sum_dsq"))
+    )
+    return tot.crossJoin(dsq).select(
+        "m",
+        "intra_edges",
+        F.round(
+            F.col("intra_edges").cast("double") / F.col("m")
+            - F.col("sum_dsq").cast("double") / (F.lit(4) * F.col("m") * F.col("m")).cast("double"),
+            9,
+        ).alias("modularity"),
+    )

@@ -379,3 +379,40 @@ def top_ngrams(df: DataFrame, text_col: str, *, n: int = 2, k: int = 50) -> Data
     topk = counts.orderBy(F.col("cnt").desc(), F.col("gram").asc()).limit(k)
     w = Window.orderBy(F.col("cnt").desc(), F.col("gram").asc())
     return topk.withColumn("rnk", F.row_number().over(w).cast("int"))
+
+
+def clipped_ngram_overlap(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 2,
+) -> DataFrame:
+    """BLEU-style clipped n-gram matches for (candidate, reference)
+    document pairs: for each pair, Σ_g min(count_cand(g), count_ref(g))
+    over the candidate's distinct n-grams — the numerator of modified
+    n-gram precision (the denominator is just the candidate's n-gram
+    total, derivable from its token count). ``pairs`` carries columns
+    ``(cand_id, ref_id)``.
+
+    All-integer output so the metric hash-matches a SQL oracle.
+    Scale: per-doc gram counts are one explode+count shuffle; the pair
+    join touches only each pair's gram rows (equi-join on id then on
+    gram) — never a corpus cross product.
+    """
+    grams = (
+        docs.select(F.col(id_col).alias("gid"),
+                    F.explode(word_shingles(text_col, n)).alias("g"))
+        .groupBy("gid", "g")
+        .agg(F.count("*").alias("c"))
+    )
+    cand = grams.select(F.col("gid").alias("cand_id"), "g", F.col("c").alias("cc"))
+    ref = grams.select(F.col("gid").alias("ref_id"), "g", F.col("c").alias("rc"))
+    return (
+        pairs.select("cand_id", "ref_id")
+        .join(cand, "cand_id")
+        .join(ref, ["ref_id", "g"])
+        .groupBy("cand_id", "ref_id")
+        .agg(F.sum(F.least("cc", "rc")).alias("clipped_matches"))
+    )

@@ -1,0 +1,297 @@
+"""Round-3 extensions (continued): streaming mergeable-KMV, gazetteer
+dictionary tagging, partition modularity, BLEU-style pair overlap, and
+temperature-based source sampling weights.
+
+Same registry/oracle discipline as ``queries.py`` — every query here is
+paired with a DuckDB ANSI-SQL twin and hash-matches it at sf0.01.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from vmware_graph_spark.queries import _shingles, _toks, query
+from vmware_graph_spark.sources.tables import load_table
+
+
+@query(
+    "streaming_kmv_distinct_users",
+    """
+    WITH hashed AS (
+      SELECT DISTINCT event_type,
+             CAST('0x' || substr(md5('0:' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+      FROM events WHERE user_id IS NOT NULL
+    ), ranked AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM hashed
+    )
+    SELECT event_type,
+           CAST(round(CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+                           ELSE 255.0 * 1152921504606846976.0 / CAST(max(h) AS DOUBLE)
+                      END) AS BIGINT) AS est_distinct
+    FROM ranked WHERE rn <= 256 GROUP BY event_type
+    """,
+)
+def streaming_kmv_distinct_users(spark, sf_dir):
+    """REAL streaming run of the mergeable KMV distinct sketch: events
+    arrive as a file-source stream, each micro-batch appends only its
+    k smallest distinct value hashes per group (O(k·groups) state,
+    independent of batch size), and the drained partials merge by
+    min-k of the distinct union — which equals the one-pass batch
+    sketch EXACTLY (min-k lattice property), so the oracle is the
+    batch ``kmv_distinct_users_per_type`` SQL verbatim. Second member
+    of the streaming mergeable-sketch family (with the CMS twin)."""
+    from vmware_graph_spark.streaming.events import (
+        kmv_merge_estimate,
+        read_event_stream,
+        stream_kmv_partials,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    sdir = tempfile.mkdtemp(prefix="vgs_stream_kmv_in_")
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(sdir)
+    stream = read_event_stream(spark, sdir)
+    out_dir = tempfile.mkdtemp(prefix="vgs_stream_kmv_") + "/sketch"
+    ckpt = tempfile.mkdtemp(prefix="vgs_stream_kmv_ckpt_")
+    stream_kmv_partials(
+        stream, F.col("event_type"), F.col("user_id"), out_dir, ckpt,
+        k=256, seed=0,
+    )
+    return kmv_merge_estimate(spark, out_dir, k=256).select(
+        F.col("__g").alias("event_type"), "est_distinct"
+    )
+
+
+_GAZETTEER_2 = ("hash value", "table part", "fast merge", "sort table")
+_GAZETTEER_3 = ("key agg row",)
+
+
+@query(
+    "gazetteer_phrase_tag_totals",
+    f"""
+    WITH s2 AS (
+      SELECT doc_id, unnest({_shingles('text', 2)}) AS phrase FROM documents
+    ), s3 AS (
+      SELECT doc_id, unnest({_shingles('text', 3)}) AS phrase FROM documents
+    ), hits AS (
+      SELECT doc_id, phrase FROM s2
+      WHERE phrase IN ('hash value', 'table part', 'fast merge', 'sort table')
+      UNION ALL
+      SELECT doc_id, phrase FROM s3 WHERE phrase IN ('key agg row')
+    )
+    SELECT phrase, count(DISTINCT doc_id) AS n_docs, count(*) AS n_hits
+    FROM hits GROUP BY phrase
+    """,
+)
+def gazetteer_phrase_tag_totals(spark, sf_dir):
+    """Dictionary phrase tagging (gazetteer matching): count corpus
+    occurrences of a small multi-word phrase dictionary — the scan
+    shape behind entity gazetteers, blocklist screening and taxonomy
+    tagging. The dictionary is grouped by token length and applied as
+    a constant-folded ``IN`` predicate over positional n-grams (no
+    join, no UDF — see ``operators/tagging.py``); the only shuffle is
+    the final count. Overlapping matches all count."""
+    from vmware_graph_spark.operators.tagging import dictionary_tag_counts
+
+    d = load_table(spark, sf_dir, "documents")
+    tags = dictionary_tag_counts(
+        d, "doc_id", "text", list(_GAZETTEER_2) + list(_GAZETTEER_3)
+    )
+    return tags.groupBy("phrase").agg(
+        F.count("*").alias("n_docs"), F.sum("n_hits").alias("n_hits")
+    )
+
+
+@query(
+    "modularity_trade_nation_partition",
+    """
+    WITH e AS (
+      SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ), mem AS (
+      SELECT 'c' || c_custkey AS id, c_nationkey AS com FROM customer
+      UNION ALL
+      SELECT 's' || s_suppkey AS id, s_nationkey AS com FROM supplier
+    ), lab AS (
+      SELECT ms.com AS cs, md.com AS cd
+      FROM e JOIN mem ms ON e.src = ms.id JOIN mem md ON e.dst = md.id
+    ), tot AS (
+      SELECT count(*) AS m,
+             CAST(sum(CASE WHEN cs = cd THEN 1 ELSE 0 END) AS BIGINT) AS intra_edges
+      FROM lab
+    ), deg AS (
+      SELECT id, com, count(*) AS d
+      FROM (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)
+      JOIN mem USING (id) GROUP BY id, com
+    ), dc AS (SELECT com, CAST(sum(d) AS BIGINT) AS dcom FROM deg GROUP BY com),
+    dsq AS (SELECT CAST(sum(dcom * dcom) AS BIGINT) AS sum_dsq FROM dc)
+    SELECT m, intra_edges,
+           round(CAST(intra_edges AS DOUBLE) / m
+                 - CAST(sum_dsq AS DOUBLE) / CAST(4 * m * m AS DOUBLE), 9)
+             AS modularity
+    FROM tot, dsq
+    """,
+)
+def modularity_trade_nation_partition(spark, sf_dir):
+    """Newman modularity of the nation partition over the bipartite
+    customer↔supplier trade graph (distinct pairs from
+    orders⋈lineitem): how much more intra-nation trade occurs than a
+    degree-preserving random graph would predict. Exact integer
+    aggregates end-to-end, two IEEE divisions at the very end, so the
+    score hash-matches the oracle. Partition-quality companion to the
+    LPA/CC community queries — the generic
+    ``analytics.algos.modularity`` works over any (edges, membership)
+    pair, e.g. near-dup clusters over the LSH pair graph."""
+    from vmware_graph_spark.analytics.algos import modularity
+
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    edges = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    mem = c.select(
+        F.concat(F.lit("c"), F.col("c_custkey")).alias("id"),
+        F.col("c_nationkey").alias("com"),
+    ).unionByName(
+        s.select(
+            F.concat(F.lit("s"), F.col("s_suppkey")).alias("id"),
+            F.col("s_nationkey").alias("com"),
+        )
+    )
+    return modularity(edges, mem)
+
+
+@query(
+    "bleu2_adjacent_docs",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source, lang, {_toks('text')} AS t FROM documents
+    ), p AS (
+      SELECT doc_id AS cand_id,
+             lag(doc_id) OVER (PARTITION BY source, lang ORDER BY doc_id) AS ref_id
+      FROM d
+    ), pairs AS (SELECT cand_id, ref_id FROM p WHERE ref_id IS NOT NULL),
+    g1 AS (
+      SELECT doc_id, g, count(*) AS c
+      FROM (SELECT doc_id, unnest(t) AS g FROM d) GROUP BY doc_id, g
+    ), g2 AS (
+      SELECT doc_id, g, count(*) AS c
+      FROM (SELECT doc_id, unnest({_shingles('text', 2)}) AS g FROM documents)
+      GROUP BY doc_id, g
+    ), m1 AS (
+      SELECT cand_id, ref_id, CAST(sum(least(a.c, b.c)) AS BIGINT) AS num
+      FROM pairs JOIN g1 a ON a.doc_id = cand_id
+      JOIN g1 b ON b.doc_id = ref_id AND b.g = a.g
+      GROUP BY cand_id, ref_id
+    ), m2 AS (
+      SELECT cand_id, ref_id, CAST(sum(least(a.c, b.c)) AS BIGINT) AS num
+      FROM pairs JOIN g2 a ON a.doc_id = cand_id
+      JOIN g2 b ON b.doc_id = ref_id AND b.g = a.g
+      GROUP BY cand_id, ref_id
+    ), lens AS (SELECT doc_id, len(t) AS nt FROM d)
+    SELECT pr.cand_id AS doc_id, pr.ref_id,
+           CAST(COALESCE(m1.num, 0) AS BIGINT) AS p1_num,
+           CAST(cl.nt AS BIGINT) AS p1_den,
+           CAST(COALESCE(m2.num, 0) AS BIGINT) AS p2_num,
+           CAST(greatest(cl.nt - 1, 0) AS BIGINT) AS p2_den,
+           CASE WHEN cl.nt > 0
+                THEN round(CAST(COALESCE(m1.num, 0) AS DOUBLE) / cl.nt, 9) END AS p1,
+           CASE WHEN cl.nt - 1 > 0
+                THEN round(CAST(COALESCE(m2.num, 0) AS DOUBLE) / (cl.nt - 1), 9) END AS p2
+    FROM pairs pr JOIN lens cl ON cl.doc_id = pr.cand_id
+    LEFT JOIN m1 ON m1.cand_id = pr.cand_id AND m1.ref_id = pr.ref_id
+    LEFT JOIN m2 ON m2.cand_id = pr.cand_id AND m2.ref_id = pr.ref_id
+    """,
+)
+def bleu2_adjacent_docs(spark, sf_dir):
+    """BLEU-style modified n-gram precision (n=1,2, clipped counts)
+    for (candidate, reference) document pairs — the eval metric shape
+    for dedup QA, paraphrase mining and distillation scoring. Pairs
+    here are doc_id-adjacent within (source, lang); the metric kernel
+    (``operators.quality.clipped_ngram_overlap``) takes ANY pair
+    table. Integer numerators/denominators plus one guarded IEEE
+    division keep it hash-exact. Scale: per-doc gram counts shuffle
+    once; the pair join only ever touches each pair's gram rows."""
+    from vmware_graph_spark.functions.text import n_tokens
+    from vmware_graph_spark.operators.quality import clipped_ngram_overlap
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source", "lang").orderBy("doc_id")
+    pairs = (
+        d.select("doc_id", F.lag("doc_id").over(w).alias("ref_id"))
+        .filter(F.col("ref_id").isNotNull())
+        .select(F.col("doc_id").alias("cand_id"), "ref_id")
+    )
+    m1 = clipped_ngram_overlap(d, pairs, "doc_id", "text", n=1).withColumnRenamed(
+        "clipped_matches", "n1"
+    )
+    m2 = clipped_ngram_overlap(d, pairs, "doc_id", "text", n=2).withColumnRenamed(
+        "clipped_matches", "n2"
+    )
+    lens = d.select("doc_id", n_tokens("text").alias("nt"))
+    keys = ["cand_id", "ref_id"]
+    out = (
+        pairs.join(lens.withColumnRenamed("doc_id", "cand_id"), "cand_id")
+        .join(m1, keys, "left")
+        .join(m2, keys, "left")
+    )
+    p1_num = F.coalesce(F.col("n1"), F.lit(0)).cast("bigint")
+    p2_num = F.coalesce(F.col("n2"), F.lit(0)).cast("bigint")
+    return out.select(
+        F.col("cand_id").alias("doc_id"),
+        "ref_id",
+        p1_num.alias("p1_num"),
+        F.col("nt").cast("bigint").alias("p1_den"),
+        p2_num.alias("p2_num"),
+        F.greatest(F.col("nt") - 1, F.lit(0)).cast("bigint").alias("p2_den"),
+        F.when(F.col("nt") > 0, F.round(p1_num.cast("double") / F.col("nt"), 9)).alias("p1"),
+        F.when(
+            F.col("nt") - 1 > 0,
+            F.round(p2_num.cast("double") / (F.col("nt") - 1), 9),
+        ).alias("p2"),
+    )
+
+
+@query(
+    "temperature_sampling_weights_sources",
+    """
+    WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+    mx AS (SELECT max(n_docs) AS nmax FROM c)
+    SELECT source, n_docs,
+           round(sqrt(CAST(n_docs AS DOUBLE) / nmax), 9) AS rel_weight
+    FROM c, mx
+    """,
+)
+def temperature_sampling_weights_sources(spark, sf_dir):
+    """Temperature-based source sampling weights (α = 0.5): each
+    source's sampling weight relative to the largest source is
+    (n_s/n_max)^α — the standard multilingual/multi-source rebalancing
+    curve that upsamples the tail without flattening the head. α = 0.5
+    is computed with ``sqrt`` (correctly-rounded IEEE in both engines)
+    so the weights hash-match; arbitrary α at deploy time would use
+    ``pow``. Per-row arithmetic only — no cross-row float summation,
+    so the result is reduction-order independent by construction."""
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    mx = c.agg(F.max("n_docs").alias("nmax"))
+    return c.crossJoin(F.broadcast(mx)).select(
+        "source",
+        "n_docs",
+        F.round(F.sqrt(F.col("n_docs").cast("double") / F.col("nmax")), 9).alias(
+            "rel_weight"
+        ),
+    )

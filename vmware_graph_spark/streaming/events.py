@@ -335,3 +335,71 @@ def cms_merge_estimates(
         .filter(F.col("est") >= min_count)
         .select(F.col("__v").alias("value"), "est")
     )
+
+
+def stream_kmv_partials(
+    sdf: DataFrame,
+    group_expr,
+    value_expr,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    k: int = 256,
+    seed: int = 0,
+) -> None:
+    """Streaming KMV distinct-count partials: each micro-batch keeps
+    only its k smallest DISTINCT value hashes per group and appends
+    them — O(k·groups) per batch, independent of batch row count.
+    Correct by the min-k lattice property: every hash in the merged
+    sketch's global k-minimum is necessarily within its own batch's
+    k-minimum, so min-k(distinct-union of partials) equals the batch
+    sketch exactly (the oracle twin checks bit-identity with
+    ``functions.sketch.kmv_distinct``)."""
+    from pyspark.sql import Window
+
+    from vmware_graph_spark.functions.sketch import uniform_hash60
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        hashed = (
+            batch_df.select(group_expr.alias("__g"), value_expr.alias("__val"))
+            .filter(F.col("__val").isNotNull())
+            .select("__g", uniform_hash60("__val", seed).alias("__h"))
+            .distinct()
+        )
+        w = Window.partitionBy("__g").orderBy("__h")
+        kept = (
+            hashed.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+        kept.write.mode("append").parquet(out_dir)
+
+    q = (
+        sdf.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def kmv_merge_estimate(spark: SparkSession, out_dir: str, *, k: int = 256) -> DataFrame:
+    """Merge drained KMV partials and estimate per-group distinct
+    counts: (``__g``, ``est_distinct``) — identical formula (and, by
+    the min-k property, identical output) to the one-pass batch
+    ``kmv_distinct`` over the same rows."""
+    from pyspark.sql import Window
+
+    from vmware_graph_spark.functions.sketch import HASH_SPACE
+
+    merged = spark.read.parquet(out_dir).distinct()
+    w = Window.partitionBy("__g").orderBy("__h")
+    kept = merged.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
+    est = F.when(
+        F.count("*") < k, F.count("*").cast("double")
+    ).otherwise(
+        (F.lit(float(k - 1)) * F.lit(float(HASH_SPACE))) / F.max("__h").cast("double")
+    )
+    return kept.groupBy("__g").agg(F.round(est).cast("bigint").alias("est_distinct"))
