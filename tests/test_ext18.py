@@ -142,3 +142,65 @@ def test_clipped_ngram_overlap_clipping(spark):
     pairs = spark.createDataFrame([(1, 2)], "cand_id int, ref_id int")
     out = clipped_ngram_overlap(docs, pairs, "doc_id", "text", n=1).collect()
     assert out[0].clipped_matches == 1
+
+
+def test_kcenter_radius_monotone_nonincreasing(spark):
+    """Farthest-point traversal: each added center's selection radius
+    can never exceed the previous one (the min-dist field only
+    shrinks as centers are added)."""
+    from vmware_graph_spark.queries_ext18 import kcenter_coreset_embeddings
+
+    rows = sorted(
+        kcenter_coreset_embeddings(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r.sel_round,
+    )
+    radii = [r.radius for r in rows if r.radius is not None]
+    assert len(rows) == 5 and len(set(r.vec_id for r in rows)) == 5
+    assert all(a >= b for a, b in zip(radii, radii[1:]))
+
+
+def test_s_curve_monotone_in_similarity(spark):
+    """P(candidate) must be nondecreasing in s for every config and hit
+    both asymptotes."""
+    from vmware_graph_spark.queries_ext18 import lsh_s_curve_planner
+
+    rows = lsh_s_curve_planner(spark, "/root/testdata/sf0.001").collect()
+    by_cfg = {}
+    for r in rows:
+        by_cfg.setdefault((r.bands, r.rows_per_band), []).append((r.s, r.p_candidate))
+    assert len(by_cfg) == 4
+    for pts in by_cfg.values():
+        pts.sort()
+        ps = [p for _, p in pts]
+        assert all(a <= b for a, b in zip(ps, ps[1:]))
+        assert ps[0] < 0.2 and ps[-1] > 0.85
+
+
+def test_token_budget_never_exceeded_and_greedy(spark):
+    from vmware_graph_spark.queries_ext18 import token_budget_selection_by_lang
+
+    rows = token_budget_selection_by_lang(spark, "/root/testdata/sf0.001").collect()
+    per_lang = {}
+    for r in rows:
+        per_lang.setdefault(r.lang, []).append(r)
+        assert r.cum_tokens <= 2000
+    for lang, rs in per_lang.items():
+        rs.sort(key=lambda r: (-r.uniq_ratio, r.doc_id))
+        assert max(r.cum_tokens for r in rs) == sum(r.n_tokens for r in rs)
+
+
+def test_knn_label_disagreement_bounds(spark):
+    from vmware_graph_spark.operators.similarity import knn_label_disagreement
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 2), 1.0], i % 2) for i in range(8)],
+        "vec_id int, embedding array<double>, label int",
+    )
+    out = knn_label_disagreement(
+        df, id_col="vec_id", vec_col="embedding", label_col="label", k=3
+    ).collect()
+    assert len(out) == 8
+    for r in out:
+        assert 0 <= r.n_diff <= 3
+        # identical-vector cohort (same parity) fills the top-3: all agree
+        assert r.disagreement == r.n_diff / 3

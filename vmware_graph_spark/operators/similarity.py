@@ -762,3 +762,47 @@ def knn_graph_extend(
     knn_upd = _knn_topk(_knn_pair_score(upd_cand, allv), k)
     fresh = knn_new.unionByName(knn_upd).withColumn("cosine", F.round("cosine", 6))
     return untouched.unionByName(fresh)
+
+
+def knn_label_disagreement(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Label-noise audit via k-NN disagreement: for every point, the
+    fraction of its k nearest neighbors (cosine, self excluded) whose
+    label differs — high disagreement flags probable mislabels before
+    the data trains anything. Returns one row per point:
+    (id, label, n_diff, disagreement).
+
+    Exact brute-force scoring here (the oracle baseline); at corpus
+    scale swap the scored/_topk stage for the bucketed k-NN graph
+    (``knn_graph_nn_descent``) — the audit aggregation itself is a
+    single linear shuffle either way.
+    """
+    scored = _score(
+        df.select(id_col, vec_col), df.select(id_col, vec_col), id_col, vec_col
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    top = _topk(scored, k)
+    labels = df.select(F.col(id_col), F.col(label_col).alias("__lab"))
+    ql = labels.withColumnRenamed(id_col, "query_id").withColumnRenamed("__lab", "q_label")
+    nl = labels.withColumnRenamed(id_col, "neighbor_id").withColumnRenamed("__lab", "n_label")
+    return (
+        top.join(ql, "query_id")
+        .join(nl, "neighbor_id")
+        .groupBy("query_id", "q_label")
+        .agg(
+            F.sum(F.when(F.col("q_label") != F.col("n_label"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_diff")
+        )
+        .select(
+            F.col("query_id").alias(id_col),
+            F.col("q_label").alias(label_col),
+            "n_diff",
+            F.round(F.col("n_diff").cast("double") / F.lit(k), 6).alias("disagreement"),
+        )
+    )

@@ -295,3 +295,242 @@ def temperature_sampling_weights_sources(spark, sf_dir):
             "rel_weight"
         ),
     )
+
+
+@query(
+    "knn_label_noise_audit",
+    """
+    WITH pts AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+      FROM pts q CROSS JOIN pts c WHERE q.vec_id <> c.vec_id
+    ), r AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM s
+    ), top AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 10)
+    SELECT q.vec_id, q.label,
+           CAST(sum(CASE WHEN q.label <> n.label THEN 1 ELSE 0 END) AS BIGINT) AS n_diff,
+           round(CAST(sum(CASE WHEN q.label <> n.label THEN 1 ELSE 0 END) AS DOUBLE) / 10, 6)
+             AS disagreement
+    FROM top JOIN pts q ON q.vec_id = top.query_id
+    JOIN pts n ON n.vec_id = top.neighbor_id
+    GROUP BY q.vec_id, q.label
+    """,
+)
+def knn_label_noise_audit(spark, sf_dir):
+    """Label-noise audit: per embedding, the fraction of its 10
+    nearest neighbors (cosine, self excluded) carrying a DIFFERENT
+    label — the standard pre-training sweep that surfaces probable
+    mislabels. Exact brute-force neighbors here (this fixture is the
+    oracle baseline, like ``cosine_topk_embeddings``); at corpus scale
+    the neighbor stage swaps for the bucketed ``knn_graph_nn_descent``
+    graph while the audit aggregation stays one linear shuffle."""
+    from vmware_graph_spark.operators.similarity import knn_label_disagreement
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return knn_label_disagreement(
+        e, id_col="vec_id", vec_col="embedding", label_col="label", k=10
+    )
+
+
+@query(
+    "token_budget_selection_by_lang",
+    f"""
+    WITH d AS (SELECT lang, doc_id, {_toks('text')} AS t FROM documents),
+    s AS (
+      SELECT lang, doc_id, len(t) AS n_tokens,
+             round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 9) AS uniq_ratio
+      FROM d WHERE len(t) > 0
+    ), c AS (
+      SELECT lang, doc_id, uniq_ratio, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY uniq_ratio DESC, doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM s
+    )
+    SELECT lang, doc_id, uniq_ratio, n_tokens, cum_tokens
+    FROM c WHERE cum_tokens <= 2000
+    """,
+)
+def token_budget_selection_by_lang(spark, sf_dir):
+    """Data selection under a token budget: per language, greedily
+    keep the highest-quality documents (unique-token ratio, ties by
+    doc_id) until a 2,000-token budget fills — the selection shape
+    behind "best N tokens per domain" corpus recipes. One partitioned
+    window per language; quality score is per-row arithmetic; nothing
+    global. Budget and scorer are parameters of the pattern."""
+    from vmware_graph_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens("text")
+    s = d.select(
+        "lang",
+        "doc_id",
+        F.size(t).cast("bigint").alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct(t)).cast("double") / F.size(t), 9
+        ).alias("uniq_ratio"),
+    ).filter(F.col("n_tokens") > 0)
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("uniq_ratio").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        s.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("bigint"))
+        .filter(F.col("cum_tokens") <= 2000)
+        .select("lang", "doc_id", "uniq_ratio", "n_tokens", "cum_tokens")
+    )
+
+
+@query(
+    "lsh_s_curve_planner",
+    """
+    WITH grid AS (SELECT i / 20.0 AS s FROM generate_series(1, 19) t(i)),
+    cfg AS (SELECT * FROM (VALUES (4, 16), (8, 8), (16, 4), (32, 2)) c(bands, rows_per_band)),
+    g AS (SELECT bands, rows_per_band, s FROM cfg CROSS JOIN grid),
+    p1 AS (SELECT bands, rows_per_band, s, s * s AS s2 FROM g),
+    p2 AS (SELECT *, s2 * s2 AS s4 FROM p1),
+    p3 AS (SELECT *, s4 * s4 AS s8 FROM p2),
+    p4 AS (SELECT *, s8 * s8 AS s16 FROM p3),
+    q1 AS (
+      SELECT bands, rows_per_band, s,
+             1 - (CASE rows_per_band WHEN 16 THEN s16 WHEN 8 THEN s8
+                       WHEN 4 THEN s4 ELSE s2 END) AS x
+      FROM p4
+    ),
+    q2 AS (SELECT *, x * x AS x2 FROM q1),
+    q3 AS (SELECT *, x2 * x2 AS x4 FROM q2),
+    q4 AS (SELECT *, x4 * x4 AS x8 FROM q3),
+    q5 AS (SELECT *, x8 * x8 AS x16 FROM q4),
+    q6 AS (SELECT *, x16 * x16 AS x32 FROM q5)
+    SELECT bands, rows_per_band, s,
+           round(1 - (CASE bands WHEN 4 THEN x4 WHEN 8 THEN x8
+                           WHEN 16 THEN x16 ELSE x32 END), 9) AS p_candidate
+    FROM q6
+    """,
+)
+def lsh_s_curve_planner(spark, sf_dir):
+    """MinHash-LSH tuning as a query: the banding s-curve
+    P(candidate | sim = s) = 1 − (1 − s^r)^b over a similarity grid
+    for the (bands, rows-per-band) configs a 64-perm signature splits
+    into — the table you read to pick the band shape for a target
+    similarity threshold. Exponentiation is explicit SQUARING CHAINS
+    (r and b are powers of two), never libm ``pow``, so every
+    probability is an exact IEEE product and hash-matches the oracle.
+    Pure computation — no corpus scan at any scale."""
+    grid = spark.range(1, 20).select((F.col("id").cast("double") / 20.0).alias("s"))
+    cfg = spark.createDataFrame(
+        [(4, 16), (8, 8), (16, 4), (32, 2)], "bands int, rows_per_band int"
+    )
+    g = cfg.crossJoin(grid)
+    s2 = F.col("s") * F.col("s")
+    g = g.withColumn("s2", s2).withColumn("s4", F.col("s2") * F.col("s2"))
+    g = g.withColumn("s8", F.col("s4") * F.col("s4")).withColumn(
+        "s16", F.col("s8") * F.col("s8")
+    )
+    sr = (
+        F.when(F.col("rows_per_band") == 16, F.col("s16"))
+        .when(F.col("rows_per_band") == 8, F.col("s8"))
+        .when(F.col("rows_per_band") == 4, F.col("s4"))
+        .otherwise(F.col("s2"))
+    )
+    g = g.withColumn("x", F.lit(1.0) - sr)
+    g = g.withColumn("x2", F.col("x") * F.col("x")).withColumn(
+        "x4", F.col("x2") * F.col("x2")
+    )
+    g = g.withColumn("x8", F.col("x4") * F.col("x4")).withColumn(
+        "x16", F.col("x8") * F.col("x8")
+    ).withColumn("x32", F.col("x16") * F.col("x16"))
+    xb = (
+        F.when(F.col("bands") == 4, F.col("x4"))
+        .when(F.col("bands") == 8, F.col("x8"))
+        .when(F.col("bands") == 16, F.col("x16"))
+        .otherwise(F.col("x32"))
+    )
+    return g.select(
+        "bands",
+        "rows_per_band",
+        "s",
+        F.round(F.lit(1.0) - xb, 9).alias("p_candidate"),
+    )
+
+
+def _kcenter_oracle_sql(rounds: int = 4) -> str:
+    """Unrolled farthest-point-traversal oracle (same mechanical style
+    as the PCA/PageRank unrolled-CTE oracles): each round adds the
+    point with the largest min-cosine-distance to the chosen set."""
+    cos = (
+        "list_dot_product(p.v, c.v) / (sqrt(list_dot_product(p.v, p.v))"
+        " * sqrt(list_dot_product(c.v, c.v)))"
+    )
+    parts = [
+        "WITH pts AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),",
+        "cent0 AS (SELECT vec_id, v FROM pts"
+        " WHERE vec_id = (SELECT min(vec_id) FROM pts))",
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f", mind{t} AS (SELECT p.vec_id, min(1 - ({cos})) AS md"
+            f" FROM pts p CROSS JOIN cent{t-1} c GROUP BY p.vec_id)"
+        )
+        parts.append(
+            f", pick{t} AS (SELECT vec_id, md FROM mind{t}"
+            f" ORDER BY md DESC, vec_id LIMIT 1)"
+        )
+        parts.append(
+            f", cent{t} AS (SELECT * FROM cent{t-1} UNION ALL"
+            f" SELECT p.vec_id, p.v FROM pts p JOIN pick{t} USING (vec_id))"
+        )
+    finals = [
+        "SELECT 0 AS sel_round, vec_id, CAST(NULL AS DOUBLE) AS radius FROM cent0"
+    ]
+    for t in range(1, rounds + 1):
+        finals.append(f"SELECT {t}, vec_id, round(md, 6) FROM pick{t}")
+    return "\n".join(parts) + "\n" + "\nUNION ALL\n".join(finals)
+
+
+@query("kcenter_coreset_embeddings", _kcenter_oracle_sql(4))
+def kcenter_coreset_embeddings(spark, sf_dir):
+    """Diverse coreset selection by farthest-point traversal (greedy
+    2-approximate k-center): seed with the minimum id, then repeatedly
+    add the point farthest (min cosine distance) from the chosen set —
+    the standard diversity-sampling pass for pruning redundant
+    training embeddings. Selected-center state is tiny by definition
+    (k rows), so each round is one broadcast of the centers + one
+    linear min/argmax — the same driver-held-small-state pattern as
+    the k-means and PCA queries; the argmax is a TakeOrdered top-1,
+    never a global sort materialization. Oracle unrolls all rounds as
+    CTEs. Output: (sel_round, vec_id, radius) — radius is the chosen
+    point's distance at selection time, the k-center covering bound."""
+    from vmware_graph_spark.functions.vector import as_double_vec, cosine
+
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double_vec("embedding").alias("v"))
+        .cache()
+    )
+    seed = e.orderBy("vec_id").limit(1).collect()[0]
+    centers = [(seed.vec_id, seed.v)]
+    out = [(0, int(seed.vec_id), None)]
+    for t in range(1, 5):
+        cdf = spark.createDataFrame(
+            [(v,) for _, v in centers], "cv array<double>"
+        )
+        pick = (
+            e.crossJoin(F.broadcast(cdf))
+            .withColumn("dist", F.lit(1.0) - cosine(F.col("v"), F.col("cv")))
+            .groupBy("vec_id")
+            .agg(F.min("dist").alias("md"))
+            .orderBy(F.col("md").desc(), "vec_id")
+            .limit(1)
+            .collect()[0]
+        )
+        vec = e.filter(F.col("vec_id") == pick.vec_id).collect()[0].v
+        centers.append((pick.vec_id, vec))
+        out.append((t, int(pick.vec_id), round(pick.md, 6)))
+    return spark.createDataFrame(
+        out, "sel_round int, vec_id bigint, radius double"
+    )
