@@ -204,3 +204,45 @@ def test_knn_label_disagreement_bounds(spark):
         assert 0 <= r.n_diff <= 3
         # identical-vector cohort (same parity) fills the top-3: all agree
         assert r.disagreement == r.n_diff / 3
+
+
+def test_conductance_two_triangles_bridge(spark):
+    """Same fixture as the modularity test: each triangle community
+    has vol=7, cut=1, m=7 → φ = 1/min(7,7) = 1/7."""
+    from vmware_graph_spark.analytics.algos import conductance
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"),
+         ("d", "e"), ("e", "f"), ("d", "f"),
+         ("c", "d")],
+        "src string, dst string",
+    )
+    mem = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 1), ("d", 2), ("e", 2), ("f", 2)],
+        "id string, community int",
+    )
+    rows = {r.community: r for r in conductance(edges, mem).collect()}
+    for c in (1, 2):
+        assert (rows[c].vol, rows[c].cut) == (7, 1)
+        assert rows[c].conductance == round(1 / 7, 9)
+
+
+def test_conductance_whole_graph_community_is_null(spark):
+    from vmware_graph_spark.analytics.algos import conductance
+
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    mem = spark.createDataFrame([("a", 0), ("b", 0)], "id string, community int")
+    row = conductance(edges, mem).collect()[0]
+    assert row.cut == 0 and row.conductance is None
+
+
+def test_curriculum_interleave_is_round_robin(spark):
+    """All sources' rank-1 docs must precede every rank-2 doc, etc."""
+    from vmware_graph_spark.queries_ext18 import curriculum_interleave_documents
+
+    rows = curriculum_interleave_documents(spark, "/root/testdata/sf0.001").collect()
+    n = len(rows)
+    assert sorted(r.curriculum_rank for r in rows) == list(range(1, n + 1))
+    by_rank = sorted(rows, key=lambda r: r.curriculum_rank)
+    seen_within = [r.within_rank for r in by_rank]
+    assert seen_within == sorted(seen_within)  # difficulty never decreases

@@ -530,3 +530,32 @@ def test_nn_descent_no_cartesian(spark):
     # seeding + refinement are equi-joins (bucket, node id) end to end
     plan = executed_plan(spark, "nn_descent_knn_graph")
     assert "CartesianProduct" not in plan
+
+
+def test_gazetteer_dictionary_is_predicate_not_join(spark):
+    """The phrase dictionary must be applied as a constant IN predicate
+    on the scan side — no join for the dictionary, and the only
+    exchange is the final count aggregation."""
+    plan = executed_plan(spark, "gazetteer_phrase_tag_totals")
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    # two real shuffles only: per-(doc, phrase) count + phrase rollup
+    assert plan.count("Arguments: hashpartitioning") <= 2, plan[:3000]
+    assert re.search(r"Condition : phrase#\d+ IN \(hash value", plan), plan[:3000]
+
+
+def test_bleu2_pair_join_no_cartesian(spark):
+    plan = executed_plan(spark, "bleu2_adjacent_docs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SinglePartition" not in plan  # lag window is (source, lang)-partitioned
+
+
+def test_modularity_no_cartesian_no_global_window(spark):
+    plan = executed_plan(spark, "modularity_trade_nation_partition")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan  # pure aggregation pipeline
+
+
+def test_token_budget_window_is_partitioned(spark):
+    plan = executed_plan(spark, "token_budget_selection_by_lang")
+    assert "SinglePartition" not in plan, plan[:3000]

@@ -63,6 +63,11 @@ QUERIES_TO_TIME = [
     "equidepth_histogram_event_values",
     "bm25_topk_documents",
     "nn_descent_knn_graph",
+    # round-3 continuation: new linear-scan corpus ops
+    "gazetteer_phrase_tag_totals",
+    "bleu2_adjacent_docs",
+    "modularity_trade_nation_partition",
+    "token_budget_selection_by_lang",
 ]
 
 COPY_AS_IS = ["region", "nation", "customer", "part", "supplier"]

@@ -718,3 +718,56 @@ def modularity(edges: DataFrame, membership: DataFrame) -> DataFrame:
             9,
         ).alias("modularity"),
     )
+
+
+def conductance(edges: DataFrame, membership: DataFrame) -> DataFrame:
+    """Per-community conductance φ(c) = cut(c) / min(vol(c), 2m−vol(c))
+    over an undirected simple graph — the boundary-quality companion to
+    ``modularity`` (same inputs: distinct ``(src, dst)`` pairs and an
+    ``(id, community)`` map). vol(c) = 2·intra(c) + cut(c); everything
+    is exact integer aggregation until the one final IEEE division.
+    Returns (community, vol, cut, conductance) — conductance NULL for a
+    community that is the whole graph (min volume 0).
+
+    Scale: the same two id-joins as modularity plus one union-explode
+    count; no windows, no all-pairs.
+    """
+    mem = membership.select(F.col(membership.columns[0]).alias("id"),
+                            F.col(membership.columns[1]).alias("com"))
+    lab = (
+        edges.select("src", "dst")
+        .join(mem.withColumnRenamed("id", "src").withColumnRenamed("com", "cs"), "src")
+        .join(mem.withColumnRenamed("id", "dst").withColumnRenamed("com", "cd"), "dst")
+    )
+    intra = (
+        lab.filter(F.col("cs") == F.col("cd"))
+        .groupBy(F.col("cs").alias("com"))
+        .agg(F.count("*").alias("intra"))
+    )
+    inter = lab.filter(F.col("cs") != F.col("cd"))
+    cut = (
+        inter.select(F.col("cs").alias("com"))
+        .unionByName(inter.select(F.col("cd").alias("com")))
+        .groupBy("com")
+        .agg(F.count("*").alias("cut"))
+    )
+    m = lab.agg(F.count("*").alias("m"))
+    per = (
+        intra.join(cut, "com", "full_outer")
+        .select(
+            "com",
+            F.coalesce(F.col("intra"), F.lit(0)).alias("intra"),
+            F.coalesce(F.col("cut"), F.lit(0)).alias("cut"),
+        )
+        .crossJoin(F.broadcast(m))
+        .withColumn("vol", (F.lit(2) * F.col("intra") + F.col("cut")).cast("bigint"))
+    )
+    denom = F.least(F.col("vol"), F.lit(2) * F.col("m") - F.col("vol"))
+    return per.select(
+        F.col("com").alias("community"),
+        "vol",
+        F.col("cut").cast("bigint").alias("cut"),
+        F.when(
+            denom > 0, F.round(F.col("cut").cast("double") / denom.cast("double"), 9)
+        ).alias("conductance"),
+    )

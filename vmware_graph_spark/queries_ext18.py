@@ -151,6 +151,13 @@ def modularity_trade_nation_partition(spark, sf_dir):
     pair, e.g. near-dup clusters over the LSH pair graph."""
     from vmware_graph_spark.analytics.algos import modularity
 
+    edges, mem = _trade_graph(spark, sf_dir)
+    return modularity(edges, mem)
+
+
+def _trade_graph(spark, sf_dir):
+    """Bipartite customer↔supplier trade graph + nation membership —
+    shared frame builder for the partition-quality queries."""
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
     c = load_table(spark, sf_dir, "customer")
@@ -172,7 +179,7 @@ def modularity_trade_nation_partition(spark, sf_dir):
             F.col("s_nationkey").alias("com"),
         )
     )
-    return modularity(edges, mem)
+    return edges, mem
 
 
 @query(
@@ -534,3 +541,92 @@ def kcenter_coreset_embeddings(spark, sf_dir):
     return spark.createDataFrame(
         out, "sel_round int, vec_id bigint, radius double"
     )
+
+
+@query(
+    "conductance_trade_nation_partition",
+    """
+    WITH e AS (
+      SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ), mem AS (
+      SELECT 'c' || c_custkey AS id, c_nationkey AS com FROM customer
+      UNION ALL
+      SELECT 's' || s_suppkey AS id, s_nationkey AS com FROM supplier
+    ), lab AS (
+      SELECT ms.com AS cs, md.com AS cd
+      FROM e JOIN mem ms ON e.src = ms.id JOIN mem md ON e.dst = md.id
+    ), intra AS (
+      SELECT cs AS com, count(*) AS intra FROM lab WHERE cs = cd GROUP BY cs
+    ), cut AS (
+      SELECT com, count(*) AS cut FROM (
+        SELECT cs AS com FROM lab WHERE cs <> cd
+        UNION ALL SELECT cd FROM lab WHERE cs <> cd
+      ) GROUP BY com
+    ), mm AS (SELECT count(*) AS m FROM lab),
+    per AS (
+      SELECT COALESCE(i.com, c.com) AS community,
+             COALESCE(i.intra, 0) AS intra, COALESCE(c.cut, 0) AS cut
+      FROM intra i FULL OUTER JOIN cut c ON i.com = c.com
+    )
+    SELECT community,
+           CAST(2 * intra + cut AS BIGINT) AS vol,
+           CAST(cut AS BIGINT) AS cut,
+           CASE WHEN least(2 * intra + cut, 2 * m - (2 * intra + cut)) > 0
+                THEN round(CAST(cut AS DOUBLE)
+                           / CAST(least(2 * intra + cut, 2 * m - (2 * intra + cut)) AS DOUBLE), 9)
+           END AS conductance
+    FROM per, mm
+    """,
+)
+def conductance_trade_nation_partition(spark, sf_dir):
+    """Per-nation conductance over the same bipartite trade graph the
+    modularity query scores: cut(c) / min(vol(c), 2m − vol(c)) — the
+    boundary-quality view of the partition (low = well-separated
+    community). Exact integer aggregates, one guarded IEEE division;
+    generic kernel in ``analytics.algos.conductance``."""
+    from vmware_graph_spark.analytics.algos import conductance
+
+    edges, mem = _trade_graph(spark, sf_dir)
+    return conductance(edges, mem)
+
+
+@query(
+    "curriculum_interleave_documents",
+    f"""
+    WITH s AS (
+      SELECT doc_id, source, len({_toks('text')}) AS n_tokens FROM documents
+    ), r AS (
+      SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(row_number() OVER (PARTITION BY source ORDER BY n_tokens, doc_id)
+                  AS BIGINT) AS within_rank
+      FROM s
+    )
+    SELECT doc_id, source, n_tokens, within_rank,
+           CAST(row_number() OVER (ORDER BY within_rank, source) AS BIGINT)
+             AS curriculum_rank
+    FROM r
+    """,
+)
+def curriculum_interleave_documents(spark, sf_dir):
+    """Curriculum training order with source interleaving: rank docs
+    easiest-first (token count) WITHIN each source, then emit the
+    global round-robin order (all sources' rank-1 docs, then rank-2,
+    …) — the deterministic 'interleave sources while ramping
+    difficulty' ordering curriculum schedules want. The global
+    position comes from ``operators.rank.exact_global_rank`` (range-
+    bucketed two-phase row_number) — the oracle's global window is
+    exactly what the operator avoids at scale; a window-equivalence
+    test in tests/test_functions.py pins the rewrite."""
+    from vmware_graph_spark.functions.text import n_tokens as _nt
+    from vmware_graph_spark.operators.rank import exact_global_rank
+
+    d = load_table(spark, sf_dir, "documents")
+    s = d.select(
+        "doc_id", "source", _nt("text").cast("bigint").alias("n_tokens")
+    )
+    w = Window.partitionBy("source").orderBy("n_tokens", "doc_id")
+    r = s.withColumn("within_rank", F.row_number().over(w).cast("bigint"))
+    return exact_global_rank(
+        r, ["within_rank", "source"], rank_col="curriculum_rank"
+    ).select("doc_id", "source", "n_tokens", "within_rank", "curriculum_rank")
