@@ -246,3 +246,48 @@ def test_curriculum_interleave_is_round_robin(spark):
     by_rank = sorted(rows, key=lambda r: r.curriculum_rank)
     seen_within = [r.within_rank for r in by_rank]
     assert seen_within == sorted(seen_within)  # difficulty never decreases
+
+
+def test_versioned_snapshots_time_travel_and_vacuum(spark, tmp_path):
+    from vmware_graph_spark.store.graph import GraphStore
+
+    base = str(tmp_path / "versions")
+    s1 = GraphStore(spark)
+    s1.upsert_nodes("Vcenterserver", spark.createDataFrame([("vc1",)], ["uid"]))
+    assert s1.publish_version(base) == 1
+
+    s2 = GraphStore(spark)
+    s2.upsert_nodes(
+        "Vcenterserver", spark.createDataFrame([("vc1",), ("vc2",)], ["uid"])
+    )
+    assert s2.publish_version(base) == 2
+    assert GraphStore.versions(base) == [1, 2]
+
+    old = GraphStore.read_version(spark, base, 1)
+    new = GraphStore.read_version(spark, base)  # pointer → 2
+    assert old.vertices("Vcenterserver").count() == 1
+    assert new.vertices("Vcenterserver").count() == 2
+
+    s3 = GraphStore(spark)
+    s3.upsert_nodes("Vcenterserver", spark.createDataFrame([("vc3",)], ["uid"]))
+    assert s3.publish_version(base) == 3
+    removed = GraphStore.vacuum(base, keep=2)
+    assert removed == [1]
+    assert GraphStore.versions(base) == [2, 3]
+    # vacuumed version unreadable, survivors fine
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        GraphStore.read_version(spark, base, 1)
+    assert GraphStore.read_version(spark, base, 2).vertices("Vcenterserver").count() == 2
+
+
+def test_vacuum_never_removes_latest_pointer_target(spark, tmp_path):
+    from vmware_graph_spark.store.graph import GraphStore
+
+    base = str(tmp_path / "v2")
+    s = GraphStore(spark)
+    s.upsert_nodes("Vcenterserver", spark.createDataFrame([("vc1",)], ["uid"]))
+    s.publish_version(base)
+    assert GraphStore.vacuum(base, keep=1) == []
+    assert GraphStore.versions(base) == [1]

@@ -630,3 +630,68 @@ def curriculum_interleave_documents(spark, sf_dir):
     return exact_global_rank(
         r, ["within_rank", "source"], rank_col="curriculum_rank"
     ).select("doc_id", "source", "n_tokens", "within_rank", "curriculum_rank")
+
+
+@query(
+    "snapshot_version_diff_hosts",
+    """
+    WITH h AS (
+      SELECT s_suppkey AS sk FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    )
+    SELECT 'Vspherehost' AS label,
+           CAST(count(CASE WHEN sk % 11 <> 0 THEN 1 END) AS BIGINT) AS v1_count,
+           CAST(count(CASE WHEN sk % 11 <> 0 AND sk % 10 <> 0 THEN 1 END) AS BIGINT)
+             AS v2_count,
+           CAST(count(CASE WHEN sk % 11 <> 0 AND sk % 10 = 0 THEN 1 END) AS BIGINT)
+             AS removed
+    FROM h
+    """,
+)
+def snapshot_version_diff_hosts(spark, sf_dir):
+    """Snapshot time travel: publish pass A as ``v=1``, refresh with
+    the prime workbook (every 10th host dropped → swept) and publish
+    ``v=2``, then DIFF the two versions READ BACK from disk — the
+    "what changed between refreshes" audit the reference's destructive
+    in-place graph cannot answer. ``GraphStore.publish_version``
+    appends ``base/v=N`` dirs with an atomically-flipped ``_LATEST``
+    pointer (old versions stay readable until ``vacuum``); the oracle
+    recomputes both versions' host sets from the sheet fixtures'
+    branch conditions (sk%11 unknown-cluster drop both passes, sk%10
+    prime sweep)."""
+    from vmware_graph_spark.ingest.refresh import refresh, run_ingest
+    from vmware_graph_spark.queries import _vcluster_sheet, _vhost_sheet
+    from vmware_graph_spark.store.graph import GraphStore
+
+    sheets_a = {
+        "vCluster": _vcluster_sheet(spark, sf_dir),
+        "vHost": _vhost_sheet(spark, sf_dir),
+    }
+    sheets_prime = {
+        "vCluster": _vcluster_sheet(spark, sf_dir),
+        "vHost": _vhost_sheet(spark, sf_dir, prime=True),
+    }
+    base = tempfile.mkdtemp(prefix="vgs_versions_")
+    a = run_ingest(spark, sheets_a)
+    a.publish_version(base)
+    final = refresh(spark, sheets_prime, prev=a).store
+    final.publish_version(base)
+
+    v1 = GraphStore.read_version(spark, base, 1).vertices("Vspherehost")
+    v2 = GraphStore.read_version(spark, base).vertices("Vspherehost")  # _LATEST → 2
+    c1 = v1.agg(F.count("*").alias("v1_count"))
+    c2 = v2.agg(F.count("*").alias("v2_count"))
+    gone = v1.join(v2.select("objid"), "objid", "left_anti").agg(
+        F.count("*").alias("removed")
+    )
+    return (
+        c1.crossJoin(c2)
+        .crossJoin(gone)
+        .select(
+            F.lit("Vspherehost").alias("label"),
+            F.col("v1_count").cast("bigint").alias("v1_count"),
+            F.col("v2_count").cast("bigint").alias("v2_count"),
+            F.col("removed").cast("bigint").alias("removed"),
+        )
+    )

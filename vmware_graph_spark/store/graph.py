@@ -451,6 +451,80 @@ class GraphStore:
             store.add_edges(spark.read.schema(EDGE_SCHEMA_PROPS).parquet(edir))
         return store
 
+    # -- versioned snapshots (time travel) ---------------------------------
+
+    @staticmethod
+    def versions(base: str) -> list[int]:
+        """Published snapshot versions under ``base``, ascending."""
+        if not os.path.isdir(base):
+            return []
+        out = []
+        for d in os.listdir(base):
+            if d.startswith("v=") and d[2:].isdigit():
+                out.append(int(d[2:]))
+        return sorted(out)
+
+    def publish_version(self, base: str) -> int:
+        """Append-only versioned publish: write the snapshot to
+        ``base/v=N`` (N = latest + 1) via a staging rename, then flip
+        the ``_LATEST`` pointer file atomically (write-temp + rename).
+        Old versions stay readable — time travel — until ``vacuum``.
+        On a cluster the same protocol is a new object-store prefix
+        plus a pointer object swap; readers resolve the pointer first,
+        so a crashed publish leaves at worst an unreferenced prefix,
+        never a torn snapshot."""
+        os.makedirs(base, exist_ok=True)
+        n = (self.versions(base) or [0])[-1] + 1
+        vdir = os.path.join(base, f"v={n}")
+        staging = vdir + ".staging"
+        if os.path.isdir(staging):
+            shutil.rmtree(staging)
+        self.write(staging)
+        os.rename(staging, vdir)
+        ptr_tmp = os.path.join(base, "_LATEST.tmp")
+        with open(ptr_tmp, "w") as f:
+            f.write(str(n))
+        os.rename(ptr_tmp, os.path.join(base, "_LATEST"))
+        return n
+
+    @classmethod
+    def read_version(
+        cls, spark: SparkSession, base: str, version: int | None = None
+    ) -> "GraphStore":
+        """Read a published version; ``None`` resolves the ``_LATEST``
+        pointer (falling back to the highest directory if the pointer
+        is missing). Raises if the version doesn't exist."""
+        if version is None:
+            ptr = os.path.join(base, "_LATEST")
+            if os.path.isfile(ptr):
+                version = int(open(ptr).read().strip())
+            else:
+                vs = cls.versions(base)
+                if not vs:
+                    raise FileNotFoundError(f"no published versions under {base}")
+                version = vs[-1]
+        vdir = os.path.join(base, f"v={version}")
+        if not os.path.isdir(vdir):
+            raise FileNotFoundError(f"snapshot version {version} not found in {base}")
+        return cls.read(spark, vdir)
+
+    @staticmethod
+    def vacuum(base: str, *, keep: int = 2) -> list[int]:
+        """Drop all but the newest ``keep`` versions (never the one the
+        ``_LATEST`` pointer names). Returns the removed version ids."""
+        if keep < 1:
+            raise ValueError("vacuum: keep must be >= 1")
+        vs = GraphStore.versions(base)
+        ptr = os.path.join(base, "_LATEST")
+        latest = int(open(ptr).read().strip()) if os.path.isfile(ptr) else None
+        removed = []
+        for v in vs[:-keep] if keep < len(vs) else []:
+            if v == latest:
+                continue
+            shutil.rmtree(os.path.join(base, f"v={v}"))
+            removed.append(v)
+        return removed
+
     # -- counts (S5 progress sink) -----------------------------------------
 
     def counts(self) -> dict[str, int]:
