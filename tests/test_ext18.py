@@ -291,3 +291,22 @@ def test_vacuum_never_removes_latest_pointer_target(spark, tmp_path):
     s.publish_version(base)
     assert GraphStore.vacuum(base, keep=1) == []
     assert GraphStore.versions(base) == [1]
+
+
+def test_incremental_agg_ivm_consistent_everywhere(spark):
+    from vmware_graph_spark.queries_ext18 import incremental_agg_ivm_events
+
+    rows = incremental_agg_ivm_events(spark, "/root/testdata/sf0.001").collect()
+    assert rows and all(r.consistent for r in rows)
+
+
+def test_t_closeness_flags_concentrated_cells(spark):
+    """A cell whose sensitive values all sit in one bucket while the
+    population spreads across many must exceed the 0.2 EMD bar at the
+    integer-exact computation."""
+    from vmware_graph_spark.queries_ext18 import t_closeness_audit_customers
+
+    rows = t_closeness_audit_customers(spark, "/root/testdata/sf0.001").collect()
+    for r in rows:
+        assert r.emd > 0.2
+        assert r.n_cell >= 1

@@ -695,3 +695,154 @@ def snapshot_version_diff_hosts(spark, sf_dir):
             F.col("removed").cast("bigint").alias("removed"),
         )
     )
+
+
+@query(
+    "t_closeness_audit_customers",
+    """
+    WITH buckets AS (
+      SELECT CAST(floor(c_acctbal / 1000) AS BIGINT) AS b, count(*) AS g
+      FROM customer GROUP BY 1
+    ), tot AS (SELECT CAST(sum(g) AS BIGINT) AS N, count(*) AS m FROM buckets),
+    cellcnt AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS b, count(*) AS cnt
+      FROM customer GROUP BY 1, 2, 3
+    ), cells AS (
+      SELECT c_nationkey, c_mktsegment, CAST(sum(cnt) AS BIGINT) AS n_cell
+      FROM cellcnt GROUP BY 1, 2
+    ), grid AS (
+      SELECT c.c_nationkey, c.c_mktsegment, c.n_cell, bu.b, bu.g,
+             CAST(COALESCE(cc.cnt, 0) AS BIGINT) AS cnt
+      FROM cells c CROSS JOIN buckets bu
+      LEFT JOIN cellcnt cc ON cc.c_nationkey = c.c_nationkey
+        AND cc.c_mktsegment = c.c_mktsegment AND cc.b = bu.b
+    ), pref AS (
+      SELECT c_nationkey, c_mktsegment, n_cell, b,
+             sum(N * cnt - n_cell * g)
+               OVER (PARTITION BY c_nationkey, c_mktsegment ORDER BY b
+                     ROWS UNBOUNDED PRECEDING) AS s
+      FROM grid CROSS JOIN tot
+    ), emd AS (
+      SELECT c_nationkey, c_mktsegment, n_cell,
+             CAST(sum(abs(s)) AS BIGINT) AS emd_scaled
+      FROM pref GROUP BY 1, 2, 3
+    )
+    SELECT c_nationkey, c_mktsegment, n_cell,
+           round(CAST(emd_scaled AS DOUBLE)
+                 / CAST(N * n_cell * (m - 1) AS DOUBLE), 9) AS emd
+    FROM emd CROSS JOIN tot
+    WHERE CAST(emd_scaled AS DOUBLE) / CAST(N * n_cell * (m - 1) AS DOUBLE) > 0.2
+    """,
+)
+def t_closeness_audit_customers(spark, sf_dir):
+    """t-closeness audit — the governance gate k-anonymity and
+    l-diversity both miss: a quasi-identifier cell whose SENSITIVE
+    distribution (ordered balance bucket) sits far from the global
+    one leaks information even when the cell is large and diverse.
+    Distance is the ordered-attribute Earth Mover's Distance, computed
+    ENTIRELY in integers — prefix sums of N·cnt_i − n_cell·g_i, then
+    Σ|S_i| — with one final IEEE division, so the audit hash-matches
+    the oracle. Flags cells with EMD > 0.2. Scale: two grouped counts,
+    a bucket-grid broadcast join, one cell-partitioned window."""
+    cust = load_table(spark, sf_dir, "customer")
+    b = F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("b")
+    buckets = cust.select(b).groupBy("b").agg(F.count("*").alias("g"))
+    tot = buckets.agg(
+        F.sum("g").cast("bigint").alias("N"), F.count("*").alias("m")
+    )
+    cellcnt = cust.select("c_nationkey", "c_mktsegment", b).groupBy(
+        "c_nationkey", "c_mktsegment", "b"
+    ).agg(F.count("*").alias("cnt"))
+    cells = cellcnt.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("cnt").cast("bigint").alias("n_cell")
+    )
+    grid = (
+        cells.crossJoin(F.broadcast(buckets))
+        .join(cellcnt, ["c_nationkey", "c_mktsegment", "b"], "left")
+        .select(
+            "c_nationkey", "c_mktsegment", "n_cell", "b", "g",
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("cnt"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    w = (
+        Window.partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pref = grid.withColumn(
+        "s", F.sum(F.col("N") * F.col("cnt") - F.col("n_cell") * F.col("g")).over(w)
+    )
+    emd = pref.groupBy("c_nationkey", "c_mktsegment", "n_cell").agg(
+        F.sum(F.abs("s")).cast("bigint").alias("emd_scaled")
+    ).crossJoin(F.broadcast(tot))
+    val = F.col("emd_scaled").cast("double") / (
+        F.col("N") * F.col("n_cell") * (F.col("m") - 1)
+    ).cast("double")
+    return emd.select(
+        "c_nationkey", "c_mktsegment", "n_cell", F.round(val, 9).alias("emd")
+    ).filter(val > 0.2)
+
+
+@query(
+    "incremental_agg_ivm_events",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(CAST(sum(round(value, 2)::DECIMAL(18,2)) AS DECIMAL(18,2)) AS DOUBLE) AS total,
+           TRUE AS consistent
+    FROM events GROUP BY event_type
+    """,
+)
+def incremental_agg_ivm_events(spark, sf_dir):
+    """Aggregate-level incremental view maintenance (the groupBy
+    sibling of the join-delta IVM): keep per-type (count, sum)
+    materialized from a base slice, fold in a delta batch by per-key
+    partial merge (full-outer + add), and PROVE the maintained view
+    equals a from-scratch recompute — the ``consistent`` flag is the
+    engine's own equality join of the two, and the oracle recomputes
+    the totals directly. Decimal sums make merge order irrelevant.
+    Scale: maintenance cost ∝ delta, one merge shuffle on the key."""
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "val", F.round(F.col("value"), 2).cast("decimal(18,2)")
+    )
+    base = e.filter(F.col("event_id") % 5 != 0)
+    delta = e.filter(F.col("event_id") % 5 == 0)
+
+    def agg(df):
+        return df.groupBy("event_type").agg(
+            F.count("*").alias("n"), F.sum("val").alias("total")
+        )
+
+    merged = (
+        agg(base).withColumnRenamed("n", "n_b").withColumnRenamed("total", "t_b")
+        .join(
+            agg(delta).withColumnRenamed("n", "n_d").withColumnRenamed("total", "t_d"),
+            "event_type",
+            "full_outer",
+        )
+        .select(
+            "event_type",
+            (F.coalesce("n_b", F.lit(0)) + F.coalesce("n_d", F.lit(0)))
+            .cast("bigint")
+            .alias("n"),
+            (
+                F.coalesce(F.col("t_b"), F.lit(0).cast("decimal(18,2)"))
+                + F.coalesce(F.col("t_d"), F.lit(0).cast("decimal(18,2)"))
+            ).cast("decimal(18,2)").alias("total"),
+        )
+    )
+    recomputed = agg(e).select(
+        "event_type",
+        F.col("n").cast("bigint").alias("rn"),
+        F.col("total").cast("decimal(18,2)").alias("rt"),
+    )
+    return merged.join(recomputed, "event_type").select(
+        "event_type",
+        "n",
+        F.col("total").cast("double").alias("total"),
+        ((F.col("n") == F.col("rn")) & (F.col("total") == F.col("rt"))).alias(
+            "consistent"
+        ),
+    )
