@@ -310,3 +310,17 @@ def test_t_closeness_flags_concentrated_cells(spark):
     for r in rows:
         assert r.emd > 0.2
         assert r.n_cell >= 1
+
+
+def test_psi_nonnegative_and_stable_under_random_split(spark):
+    """Every PSI term (q-p)·ln(q/p) is sign-matched, so PSI >= 0
+    always. Stability (psi ≪ 0.25) only emerges once bins hold real
+    counts, so the drift bound is asserted at sf0.01 (~1000 per split
+    per type), not at the ~100-row sf0.001 slices where small-sample
+    noise dominates."""
+    from vmware_graph_spark.queries_ext18 import psi_value_drift_by_type
+
+    small = psi_value_drift_by_type(spark, "/root/testdata/sf0.001").collect()
+    assert small and all(r.psi >= -1e-9 for r in small)
+    big = psi_value_drift_by_type(spark, "/root/testdata/sf0.01").collect()
+    assert big and all(-1e-9 <= r.psi < 0.25 for r in big)

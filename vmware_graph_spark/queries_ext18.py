@@ -846,3 +846,90 @@ def incremental_agg_ivm_events(spark, sf_dir):
             "consistent"
         ),
     )
+
+
+@query(
+    "psi_value_drift_by_type",
+    """
+    WITH tagged AS (
+      SELECT event_type,
+             CASE WHEN event_id % 2 = 0 THEN 'base' ELSE 'cur' END AS split,
+             least(CAST(floor(value / 10) AS BIGINT), 9) AS bin
+      FROM events WHERE value IS NOT NULL AND value >= 0
+    ), cnts AS (
+      SELECT event_type, bin,
+             CAST(count(CASE WHEN split = 'base' THEN 1 END) AS BIGINT) AS nb,
+             CAST(count(CASE WHEN split = 'cur' THEN 1 END) AS BIGINT) AS nc
+      FROM tagged GROUP BY event_type, bin
+    ), tot AS (
+      SELECT event_type, CAST(sum(nb) AS BIGINT) AS tb, CAST(sum(nc) AS BIGINT) AS tc,
+             count(*) AS nbins
+      FROM cnts GROUP BY event_type
+    ), terms AS (
+      SELECT c.event_type, c.bin, t.tb, t.tc,
+             round((CAST(c.nc + 1 AS DOUBLE) / (t.tc + t.nbins)
+                    - CAST(c.nb + 1 AS DOUBLE) / (t.tb + t.nbins))
+                   * ln((CAST(c.nc + 1 AS DOUBLE) / (t.tc + t.nbins))
+                        / (CAST(c.nb + 1 AS DOUBLE) / (t.tb + t.nbins))), 9) AS term
+      FROM cnts c JOIN tot t USING (event_type)
+    ), runsum AS (
+      SELECT event_type, tb, tc, bin,
+             sum(term) OVER (PARTITION BY event_type ORDER BY bin
+                             ROWS UNBOUNDED PRECEDING) AS acc,
+             row_number() OVER (PARTITION BY event_type ORDER BY bin DESC) AS rn
+      FROM terms
+    )
+    SELECT event_type, tb AS n_base, tc AS n_cur, round(acc, 6) AS psi
+    FROM runsum WHERE rn = 1
+    """,
+)
+def psi_value_drift_by_type(spark, sf_dir):
+    """Population Stability Index — the industry-standard drift score
+    (companion to the exact KS and chi² queries): per event type,
+    Σ (q_i − p_i)·ln(q_i/p_i) over 10 fixed value bins between an
+    even/odd event-id split, with add-one smoothing so empty bins
+    never hit ln(0). The only float-summation hazard (Σ over bins) is
+    ORDER-PINNED by a bin-ordered running-sum window (sequential
+    left-to-right adds, deterministic in both engines) with each term
+    pre-rounded to 9 dp — the same trick that keeps every other
+    cross-engine float reduction here reproducible. PSI > 0.25 is the
+    conventional retrain trigger."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & (F.col("value") >= 0)
+    )
+    tagged = e.select(
+        "event_type",
+        F.when(F.col("event_id") % 2 == 0, "base").otherwise("cur").alias("split"),
+        F.least(F.floor(F.col("value") / 10).cast("bigint"), F.lit(9)).alias("bin"),
+    )
+    cnts = tagged.groupBy("event_type", "bin").agg(
+        F.count(F.when(F.col("split") == "base", 1)).cast("bigint").alias("nb"),
+        F.count(F.when(F.col("split") == "cur", 1)).cast("bigint").alias("nc"),
+    )
+    tot = cnts.groupBy("event_type").agg(
+        F.sum("nb").cast("bigint").alias("tb"),
+        F.sum("nc").cast("bigint").alias("tc"),
+        F.count("*").alias("nbins"),
+    )
+    j = cnts.join(tot, "event_type")
+    p = (F.col("nb") + 1).cast("double") / (F.col("tb") + F.col("nbins"))
+    q = (F.col("nc") + 1).cast("double") / (F.col("tc") + F.col("nbins"))
+    terms = j.select(
+        "event_type", "bin", "tb", "tc",
+        F.round((q - p) * F.log(q / p), 9).alias("term"),
+    )
+    wsum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wlast = Window.partitionBy("event_type").orderBy(F.col("bin").desc())
+    run = terms.withColumn("acc", F.sum("term").over(wsum)).withColumn(
+        "rn", F.row_number().over(wlast)
+    )
+    return run.filter(F.col("rn") == 1).select(
+        "event_type",
+        F.col("tb").alias("n_base"),
+        F.col("tc").alias("n_cur"),
+        F.round("acc", 6).alias("psi"),
+    )
