@@ -324,3 +324,22 @@ def test_psi_nonnegative_and_stable_under_random_split(spark):
     assert small and all(r.psi >= -1e-9 for r in small)
     big = psi_value_drift_by_type(spark, "/root/testdata/sf0.01").collect()
     assert big and all(-1e-9 <= r.psi < 0.25 for r in big)
+
+
+def test_message_passing_means_stay_in_feature_range(spark):
+    """Mean aggregation can never leave the convex hull of the input
+    features, layer after layer."""
+    from vmware_graph_spark.queries_ext18 import message_passing_trade_acctbal
+    from vmware_graph_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    bounds = (
+        load_table(spark, sf, "customer")
+        .agg(F.min("c_acctbal").alias("lo"), F.max("c_acctbal").alias("hi"))
+        .collect()[0]
+    )
+    rows = message_passing_trade_acctbal(spark, sf).collect()
+    assert rows
+    for r in rows:
+        assert bounds.lo - 1e-6 <= r.h2 <= bounds.hi + 1e-6
+        assert r.degree >= 1

@@ -933,3 +933,71 @@ def psi_value_drift_by_type(spark, sf_dir):
         F.col("tc").alias("n_cur"),
         F.round("acc", 6).alias("psi"),
     )
+
+
+@query(
+    "message_passing_trade_acctbal",
+    """
+    WITH e AS (
+      SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ), cf AS (
+      SELECT c_custkey AS ck, round(c_acctbal, 2)::DECIMAL(18,2) AS f FROM customer
+    ), h1 AS (
+      SELECT e.sk,
+             round(CAST(CAST(sum(cf.f) AS DECIMAL(28,2)) AS DOUBLE) / count(*), 6)
+               ::DECIMAL(18,6) AS h1
+      FROM e JOIN cf USING (ck) GROUP BY e.sk
+    ), h2 AS (
+      SELECT e.ck, CAST(count(*) AS BIGINT) AS degree,
+             round(CAST(CAST(sum(h1.h1) AS DECIMAL(28,6)) AS DOUBLE) / count(*), 6) AS h2
+      FROM e JOIN h1 USING (sk) GROUP BY e.ck
+    )
+    SELECT ck AS c_custkey, degree, h2 FROM h2
+    """,
+)
+def message_passing_trade_acctbal(spark, sf_dir):
+    """Two-layer GNN-style message passing (mean aggregation) over the
+    bipartite trade graph — the feature-propagation pass GraphSAGE-
+    class models run before any learning: layer 1 gives each supplier
+    the mean balance of its customers; layer 2 gives each customer the
+    mean of its suppliers' layer-1 features. Every cross-row float sum
+    is a DECIMAL sum of pre-rounded values (means re-quantized to 6 dp
+    between layers), so aggregation order is irrelevant and the result
+    hash-matches the oracle. Scale: each layer is one equi-join + one
+    grouped aggregation — the standard message-passing shuffle; deeper
+    stacks just repeat the pair."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    e = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk"))
+        .distinct()
+    )
+    cf = c.select(
+        F.col("c_custkey").alias("ck"),
+        F.round("c_acctbal", 2).cast("decimal(18,2)").alias("f"),
+    )
+    h1 = (
+        e.join(cf, "ck")
+        .groupBy("sk")
+        .agg(
+            F.round(
+                F.sum("f").cast("decimal(28,2)").cast("double") / F.count("*"), 6
+            )
+            .cast("decimal(18,6)")
+            .alias("h1")
+        )
+    )
+    h2 = (
+        e.join(h1, "sk")
+        .groupBy("ck")
+        .agg(
+            F.count("*").cast("bigint").alias("degree"),
+            F.round(
+                F.sum("h1").cast("decimal(28,6)").cast("double") / F.count("*"), 6
+            ).alias("h2"),
+        )
+    )
+    return h2.select(F.col("ck").alias("c_custkey"), "degree", "h2")
