@@ -343,3 +343,18 @@ def test_message_passing_means_stay_in_feature_range(spark):
     for r in rows:
         assert bounds.lo - 1e-6 <= r.h2 <= bounds.hi + 1e-6
         assert r.degree >= 1
+
+
+def test_mmr_first_pick_is_top_relevance_and_diverse_after(spark):
+    """Round 1 is the plain argmax of relevance; later picks are
+    distinct and their MMR score can never exceed λ·rel."""
+    from vmware_graph_spark.queries_ext18 import mmr_rerank_embeddings
+
+    rows = sorted(
+        mmr_rerank_embeddings(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r.sel_round,
+    )
+    assert len(rows) == 4 and len({r.vec_id for r in rows}) == 4
+    assert rows[0].mmr_score == round(0.7 * rows[0].rel, 6)
+    for r in rows[1:]:
+        assert r.mmr_score <= 0.7 * r.rel + 1e-9

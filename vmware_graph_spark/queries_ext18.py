@@ -1001,3 +1001,111 @@ def message_passing_trade_acctbal(spark, sf_dir):
         )
     )
     return h2.select(F.col("ck").alias("c_custkey"), "degree", "h2")
+
+
+def _mmr_oracle_sql(rounds: int = 4, lam: float = 0.7) -> str:
+    """Unrolled MMR rerank oracle: 8 cosine candidates for query
+    vec_id=0, then `rounds` greedy picks maximizing
+    λ·rel − (1−λ)·max-sim-to-selected (ties by vec_id)."""
+    def cos(a, b):
+        return (
+            f"list_dot_product({a}.v, {b}.v) / (sqrt(list_dot_product({a}.v, {a}.v))"
+            f" * sqrt(list_dot_product({b}.v, {b}.v)))"
+        )
+
+    parts = [
+        "WITH pts AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),",
+        "q AS (SELECT v FROM pts WHERE vec_id = 0),",
+        f"cand AS (SELECT p.vec_id, {cos('p', 'q')} AS rel"
+        "  FROM pts p CROSS JOIN (SELECT v FROM q) q WHERE p.vec_id <> 0"
+        "  ORDER BY rel DESC, p.vec_id LIMIT 8),",
+        "candv AS (SELECT c.vec_id, c.rel, p.v FROM cand c JOIN pts p USING (vec_id)),",
+        f"sim AS (SELECT a.vec_id AS ia, b.vec_id AS ib, {cos('a', 'b')} AS s"
+        "  FROM candv a CROSS JOIN candv b WHERE a.vec_id <> b.vec_id),",
+        f"pick1 AS (SELECT vec_id, rel, {lam} * rel AS score FROM cand"
+        "  ORDER BY rel DESC, vec_id LIMIT 1),",
+        "sel1 AS (SELECT vec_id, rel FROM pick1)",
+    ]
+    for t in range(2, rounds + 1):
+        parts.append(
+            f", m{t} AS (SELECT c.vec_id, c.rel, max(s.s) AS ms"
+            f"  FROM cand c JOIN sim s ON s.ia = c.vec_id"
+            f"  AND s.ib IN (SELECT vec_id FROM sel{t-1})"
+            f"  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{t-1})"
+            f"  GROUP BY c.vec_id, c.rel)"
+        )
+        parts.append(
+            f", pick{t} AS (SELECT vec_id, rel,"
+            f" {lam} * rel - {1 - lam:.1f} * ms AS score FROM m{t}"
+            f"  ORDER BY score DESC, vec_id LIMIT 1)"
+        )
+        parts.append(
+            f", sel{t} AS (SELECT vec_id, rel FROM sel{t-1}"
+            f" UNION ALL SELECT vec_id, rel FROM pick{t})"
+        )
+    finals = [
+        f"SELECT {t} AS sel_round, vec_id, round(rel, 6) AS rel,"
+        f" round(score, 6) AS mmr_score FROM pick{t}"
+        for t in range(1, rounds + 1)
+    ]
+    return "\n".join(parts) + "\n" + "\nUNION ALL\n".join(finals)
+
+
+@query("mmr_rerank_embeddings", _mmr_oracle_sql(4, 0.7))
+def mmr_rerank_embeddings(spark, sf_dir):
+    """Maximal Marginal Relevance rerank — the diversity-aware
+    selection stage retrieval pipelines run AFTER ANN top-k: from the
+    8 nearest neighbors of query vec 0, greedily pick 4 maximizing
+    λ·relevance − (1−λ)·max-similarity-to-already-picked (λ=0.7).
+    Candidate sets are top-k small BY CONTRACT (the same assumption as
+    the broadcast query set in ``cosine_topk``), so the k×k sim matrix
+    is computed in-engine and the greedy loop runs on collected
+    scalars — identical arithmetic to the unrolled-CTE oracle. Scale:
+    the expensive part stays the ANN stage; rerank cost is per-query
+    O(k²) regardless of corpus size."""
+    from vmware_graph_spark.functions.vector import as_double_vec, cosine
+    from vmware_graph_spark.operators.similarity import cosine_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0)
+    top = cosine_topk(
+        q, e.filter(F.col("vec_id") != 0), id_col="vec_id", vec_col="embedding", k=8
+    )
+    # unrounded rel for selection (the displayed rel is rounded later)
+    qv = q.select(as_double_vec("embedding").alias("qv"))
+    cands = (
+        e.join(top.select(F.col("neighbor_id").alias("vec_id")), "vec_id")
+        .select("vec_id", as_double_vec("embedding").alias("v"))
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", "v", cosine(F.col("v"), F.col("qv")).alias("rel"))
+    )
+    sims = (
+        cands.alias("a")
+        .crossJoin(F.broadcast(cands.select(F.col("vec_id").alias("ib"), F.col("v").alias("bv"))))
+        .filter(F.col("a.vec_id") != F.col("ib"))
+        .select(
+            F.col("a.vec_id").alias("ia"), "ib",
+            cosine(F.col("a.v"), F.col("bv")).alias("s"),
+        )
+    )
+    rel = {r.vec_id: r.rel for r in cands.select("vec_id", "rel").collect()}
+    sim = {(r.ia, r.ib): r.s for r in sims.collect()}
+    lam, mu = 0.7, 0.3  # mu is the literal the oracle embeds — NOT 1-lam,
+    # which is 0.30000000000000004 in IEEE and would diverge from the SQL
+    selected, out = [], []
+    for t in range(1, 5):
+        best = None
+        for v, rl in rel.items():
+            if v in selected:
+                continue
+            ms = max(sim[(v, s)] for s in selected) if selected else None
+            score = lam * rl if ms is None else lam * rl - mu * ms
+            key = (-score, v)
+            if best is None or key < best[0]:
+                best = (key, v, rl, score)
+        _, v, rl, score = best
+        selected.append(v)
+        out.append((t, int(v), round(rl, 6), round(score, 6)))
+    return spark.createDataFrame(
+        out, "sel_round int, vec_id bigint, rel double, mmr_score double"
+    )
