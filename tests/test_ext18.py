@@ -358,3 +358,37 @@ def test_mmr_first_pick_is_top_relevance_and_diverse_after(spark):
     assert rows[0].mmr_score == round(0.7 * rows[0].rel, 6)
     for r in rows[1:]:
         assert r.mmr_score <= 0.7 * r.rel + 1e-9
+
+
+def test_glove_cooccurrence_weights_hand_doc(spark):
+    """'a b c' forward-window-2: (a,b,2) (a,c,1) (b,c,2) — via the
+    two-equi-join engine path."""
+    from vmware_graph_spark.queries_ext18 import glove_cooccurrence_weighted
+    from vmware_graph_spark.functions.text import tokens
+    from pyspark.sql import functions as FF
+
+    # drive the same kernel shape directly on a tiny frame
+    df = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
+    pos = df.select("doc_id", FF.posexplode(tokens("text")).alias("i", "g"))
+    parts = []
+    for off, w in ((1, 2), (2, 1)):
+        b = pos.select("doc_id", (FF.col("i") - off).alias("i"), FF.col("g").alias("gb"))
+        parts.append(pos.join(b, ["doc_id", "i"]).select(
+            FF.col("g").alias("wa"), FF.col("gb").alias("wb"), FF.lit(w).alias("w")))
+    agg = parts[0].unionByName(parts[1]).groupBy("wa", "wb").agg(
+        FF.sum("w").alias("weight2"))
+    got = {(r.wa, r.wb): r.weight2 for r in agg.collect()}
+    assert got == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 2}
+
+
+def test_neg_sampling_weights_flatten_head(spark):
+    """count^0.75 weighting: relative weight of any token must exceed
+    its raw count share (the head is flattened, the tail lifted)."""
+    from vmware_graph_spark.queries_ext18 import unigram_neg_sampling_weights
+
+    rows = unigram_neg_sampling_weights(spark, "/root/testdata/sf0.001").collect()
+    nmax = max(r.n for r in rows)
+    for r in rows:
+        assert abs(r.rel_weight - (r.n / nmax) ** 0.75) < 1e-6
+        if r.n < nmax:
+            assert r.rel_weight > r.n / nmax

@@ -1109,3 +1109,105 @@ def mmr_rerank_embeddings(spark, sf_dir):
     return spark.createDataFrame(
         out, "sel_round int, vec_id bigint, rel double, mmr_score double"
     )
+
+
+@query(
+    "glove_cooccurrence_weighted",
+    f"""
+    WITH d AS (SELECT doc_id, {_toks('text')} AS t FROM documents),
+    pos AS (
+      SELECT doc_id, i, t[i] AS g
+      FROM d, UNNEST(range(1, len(t) + 1)) AS x(i)
+    ), pairs AS (
+      SELECT a.g AS wa, b.g AS wb,
+             CASE WHEN b.i - a.i = 1 THEN 2 ELSE 1 END AS w
+      FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.i - a.i BETWEEN 1 AND 2
+    ), agg AS (
+      SELECT wa, wb, CAST(sum(w) AS BIGINT) AS weight2 FROM pairs GROUP BY wa, wb
+    )
+    SELECT wa, wb, weight2 FROM agg ORDER BY weight2 DESC, wa, wb LIMIT 50
+    """,
+)
+def glove_cooccurrence_weighted(spark, sf_dir):
+    """GloVe-style distance-weighted co-occurrence counts (the X
+    matrix a GloVe train consumes): directed token pairs within a
+    forward window of 2, weighted 1/d — kept integer by scaling ×2
+    (d=1 → 2, d=2 → 1). The engine builds the window as TWO EQUI-JOINS
+    on (doc, position+offset) — never a positional range join — so
+    the shape is linear shuffles end to end; top-50 is a TakeOrdered.
+    The oracle's band join is the semantic spec; the equi-join rewrite
+    is the 100 TB plan."""
+    from vmware_graph_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    pos = d.select(
+        "doc_id", F.posexplode(tokens("text")).alias("i", "g")
+    )
+    parts = []
+    for off, w in ((1, 2), (2, 1)):
+        b = pos.select(
+            "doc_id", (F.col("i") - off).alias("i"), F.col("g").alias("gb")
+        )
+        parts.append(
+            pos.join(b, ["doc_id", "i"]).select(
+                F.col("g").alias("wa"), F.col("gb").alias("wb"),
+                F.lit(w).alias("w"),
+            )
+        )
+    pairs = parts[0].unionByName(parts[1])
+    agg = pairs.groupBy("wa", "wb").agg(F.sum("w").cast("bigint").alias("weight2"))
+    return agg.orderBy(F.col("weight2").desc(), "wa", "wb").limit(50)
+
+
+@query(
+    "unigram_neg_sampling_weights",
+    f"""
+    WITH c AS (
+      SELECT g AS token, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT unnest({_toks('text')}) AS g FROM documents) GROUP BY g
+    ), top AS (
+      SELECT token, n FROM c ORDER BY n DESC, token LIMIT 30
+    ), mx AS (SELECT max(n) AS nmax FROM top),
+    w AS (
+      SELECT token, n,
+             sqrt(sqrt(CAST(n AS DOUBLE))) AS r4,
+             sqrt(sqrt(CAST(nmax AS DOUBLE))) AS m4
+      FROM top, mx
+    )
+    SELECT token, n,
+           round((r4 * r4 * r4) / (m4 * m4 * m4), 9) AS rel_weight
+    FROM w
+    """,
+)
+def unigram_neg_sampling_weights(spark, sf_dir):
+    """word2vec-style negative-sampling distribution: draw weight ∝
+    unigram count^0.75 — flattens the head so frequent tokens aren't
+    over-sampled as negatives. x^0.75 is computed as (x^(1/4))³ — two
+    ``sqrt`` (correctly-rounded IEEE) and two multiplies — NEVER libm
+    ``pow``, so the weights hash-match the oracle; reported relative
+    to the most frequent token (per-row arithmetic, no cross-row float
+    sum). Top-30 vocabulary slice; the full-vocab form is the same
+    two aggregations."""
+    from vmware_graph_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    c = (
+        d.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    top = c.orderBy(F.col("n").desc(), "token").limit(30)
+    mx = top.agg(F.max("n").alias("nmax"))
+    w = top.crossJoin(F.broadcast(mx)).select(
+        "token", "n",
+        F.sqrt(F.sqrt(F.col("n").cast("double"))).alias("r4"),
+        F.sqrt(F.sqrt(F.col("nmax").cast("double"))).alias("m4"),
+    )
+    return w.select(
+        "token", "n",
+        F.round(
+            (F.col("r4") * F.col("r4") * F.col("r4"))
+            / (F.col("m4") * F.col("m4") * F.col("m4")),
+            9,
+        ).alias("rel_weight"),
+    )
