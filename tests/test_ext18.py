@@ -392,3 +392,15 @@ def test_neg_sampling_weights_flatten_head(spark):
         assert abs(r.rel_weight - (r.n / nmax) ** 0.75) < 1e-6
         if r.n < nmax:
             assert r.rel_weight > r.n / nmax
+
+
+def test_embedding_centroid_drift_small_within_label(spark):
+    """Even/odd halves of one label share a distribution, so the
+    centroid distance must be small relative to vector norms (~1)."""
+    from vmware_graph_spark.queries_ext18 import embedding_centroid_drift_by_label
+
+    rows = embedding_centroid_drift_by_label(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.n_even > 0 and r.n_odd > 0
+        assert 0 <= r.centroid_dist < 0.5

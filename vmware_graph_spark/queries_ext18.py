@@ -1211,3 +1211,86 @@ def unigram_neg_sampling_weights(spark, sf_dir):
             9,
         ).alias("rel_weight"),
     )
+
+
+@query(
+    "embedding_centroid_drift_by_label",
+    """
+    WITH dims AS (
+      SELECT label, vec_id % 2 AS half, i, round(embedding[i], 9)::DECIMAL(18,9) AS x
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ), means AS (
+      SELECT label, i,
+             round(CAST(CAST(sum(CASE WHEN half = 0 THEN x END) AS DECIMAL(28,9)) AS DOUBLE)
+                   / count(CASE WHEN half = 0 THEN 1 END), 9)::DECIMAL(18,9) AS m0,
+             round(CAST(CAST(sum(CASE WHEN half = 1 THEN x END) AS DECIMAL(28,9)) AS DOUBLE)
+                   / count(CASE WHEN half = 1 THEN 1 END), 9)::DECIMAL(18,9) AS m1,
+             CAST(count(CASE WHEN half = 0 THEN 1 END) AS BIGINT) AS n0,
+             CAST(count(CASE WHEN half = 1 THEN 1 END) AS BIGINT) AS n1
+      FROM dims GROUP BY label, i
+    ), terms AS (
+      SELECT label, i, n0, n1,
+             round(CAST(m0 - m1 AS DOUBLE) * CAST(m0 - m1 AS DOUBLE), 12) AS d2
+      FROM means
+    ), acc AS (
+      SELECT label, n0, n1,
+             sum(d2) OVER (PARTITION BY label ORDER BY i ROWS UNBOUNDED PRECEDING) AS s,
+             row_number() OVER (PARTITION BY label ORDER BY i DESC) AS rn
+      FROM terms
+    )
+    SELECT label, n0 AS n_even, n1 AS n_odd, round(sqrt(s), 6) AS centroid_dist
+    FROM acc WHERE rn = 1
+    """,
+)
+def embedding_centroid_drift_by_label(spark, sf_dir):
+    """Embedding drift monitor: per label, the L2 distance between the
+    centroids of an even/odd vec_id split — the representation-shift
+    check run between pipeline versions or data refreshes (large
+    distance = the label's region moved). Per-dimension means are
+    DECIMAL-exact (elements pre-rounded to 9 dp, summed exactly,
+    re-quantized); the 64-term distance sum is order-pinned by a
+    dim-ordered running-sum window. One explode + one grouped agg +
+    one partitioned window — linear at any corpus size."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i0", "xd"),
+    ).select(
+        "label", "half", (F.col("i0") + 1).alias("i"),
+        F.round("xd", 9).cast("decimal(18,9)").alias("x"),
+    )
+    means = dims.groupBy("label", "i").agg(
+        F.round(
+            F.sum(F.when(F.col("half") == 0, F.col("x")))
+            .cast("decimal(28,9)").cast("double")
+            / F.count(F.when(F.col("half") == 0, 1)),
+            9,
+        ).cast("decimal(18,9)").alias("m0"),
+        F.round(
+            F.sum(F.when(F.col("half") == 1, F.col("x")))
+            .cast("decimal(28,9)").cast("double")
+            / F.count(F.when(F.col("half") == 1, 1)),
+            9,
+        ).cast("decimal(18,9)").alias("m1"),
+        F.count(F.when(F.col("half") == 0, 1)).cast("bigint").alias("n0"),
+        F.count(F.when(F.col("half") == 1, 1)).cast("bigint").alias("n1"),
+    )
+    diff = (F.col("m0") - F.col("m1")).cast("double")
+    terms = means.select(
+        "label", "i", "n0", "n1", F.round(diff * diff, 12).alias("d2")
+    )
+    wsum = (
+        Window.partitionBy("label").orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wlast = Window.partitionBy("label").orderBy(F.col("i").desc())
+    acc = terms.withColumn("s", F.sum("d2").over(wsum)).withColumn(
+        "rn", F.row_number().over(wlast)
+    )
+    return acc.filter(F.col("rn") == 1).select(
+        "label",
+        F.col("n0").alias("n_even"),
+        F.col("n1").alias("n_odd"),
+        F.round(F.sqrt("s"), 6).alias("centroid_dist"),
+    )
