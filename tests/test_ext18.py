@@ -404,3 +404,25 @@ def test_embedding_centroid_drift_small_within_label(spark):
     for r in rows:
         assert r.n_even > 0 and r.n_odd > 0
         assert 0 <= r.centroid_dist < 0.5
+
+
+def test_rag_chunk_retrieval_provenance_valid(spark):
+    """Returned chunks must exist in the chunker's output and scores
+    must be positive and descending."""
+    from vmware_graph_spark.operators.quality import chunk_documents
+    from vmware_graph_spark.queries_ext18 import rag_chunk_retrieval
+    from vmware_graph_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = rag_chunk_retrieval(spark, sf).collect()
+    assert len(rows) == 5
+    scores = [r.bm25 for r in rows]
+    assert scores == sorted(scores, reverse=True) and scores[-1] > 0
+    chunks = {
+        (r.id, r.chunk_id)
+        for r in chunk_documents(
+            load_table(spark, sf, "documents"), "doc_id", "text", size=32, stride=24
+        ).collect()
+    }
+    for r in rows:
+        assert (r.doc_id, r.chunk_id) in chunks

@@ -1294,3 +1294,100 @@ def embedding_centroid_drift_by_label(spark, sf_dir):
         F.col("n1").alias("n_odd"),
         F.round(F.sqrt("s"), 6).alias("centroid_dist"),
     )
+
+
+@query(
+    "rag_chunk_retrieval",
+    f"""
+    WITH t AS (SELECT doc_id, {_toks('text')} AS toks FROM documents),
+    nn AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+    ch AS (
+      SELECT doc_id, CAST(start // 24 AS INTEGER) AS chunk_id,
+             list_slice(toks, start + 1, start + 32) AS ct
+      FROM (SELECT doc_id, toks,
+                   unnest(range(0, ((n - 1) // 24) * 24 + 1, 24)) AS start
+            FROM nn)
+    ), ctoks AS (
+      SELECT doc_id, chunk_id, unnest(ct) AS tok FROM ch
+    ), dl AS (
+      SELECT doc_id, chunk_id, CAST(count(*) AS BIGINT) AS dl
+      FROM ctoks GROUP BY doc_id, chunk_id
+    ), stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS nd,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM dl
+    ), tf AS (
+      SELECT doc_id, chunk_id, tok, CAST(count(*) AS BIGINT) AS tf
+      FROM ctoks WHERE tok IN ('sort', 'table')
+      GROUP BY doc_id, chunk_id, tok
+    ), dft AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok
+    ), scored AS (
+      SELECT tf.doc_id, tf.chunk_id,
+             round(ln((nd - df + 0.5) / (df + 0.5) + 1), 6) AS idf,
+             round(tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 6) AS tfn
+      FROM tf JOIN dft USING (tok)
+      JOIN dl ON tf.doc_id = dl.doc_id AND tf.chunk_id = dl.chunk_id
+      CROSS JOIN stats
+    )
+    SELECT doc_id, chunk_id,
+           CAST(sum(CAST(round(idf * tfn, 6) AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+    FROM scored GROUP BY doc_id, chunk_id
+    ORDER BY bm25 DESC, doc_id, chunk_id LIMIT 5
+    """,
+)
+def rag_chunk_retrieval(spark, sf_dir):
+    """End-to-end RAG retrieval prep as ONE dataflow: overlap-chunk
+    the corpus (size 32 / stride 24 — the tested chunker), score every
+    CHUNK with BM25 against the query vocabulary, return the top-5
+    chunks with (doc, chunk) provenance — exactly what gets stuffed
+    into a context window. Same decimal-accumulated BM25 arithmetic as
+    the document-level query (idf/tf-norm pre-rounded so ln() can't
+    diverge cross-engine); chunking adds NO shuffle, so the composite
+    costs the same two hash aggregates as document BM25, just keyed by
+    (doc, chunk)."""
+    from vmware_graph_spark.functions.text import tokens as _tok
+    from vmware_graph_spark.operators.quality import chunk_documents
+
+    d = load_table(spark, sf_dir, "documents")
+    ch = chunk_documents(d, "doc_id", "text", size=32, stride=24).withColumnRenamed(
+        "id", "doc_id"
+    )
+    ctoks = ch.select(
+        "doc_id", "chunk_id", F.explode(_tok("chunk_text")).alias("tok")
+    )
+    dl = ctoks.groupBy("doc_id", "chunk_id").agg(
+        F.count("*").cast("bigint").alias("dl")
+    )
+    stats = dl.agg(
+        F.count("*").cast("bigint").alias("nd"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        ctoks.filter(F.col("tok").isin("sort", "table"))
+        .groupBy("doc_id", "chunk_id", "tok")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    dft = tf.groupBy("tok").agg(F.count("*").cast("bigint").alias("df"))
+    j = (
+        tf.join(F.broadcast(dft), "tok")
+        .join(dl, ["doc_id", "chunk_id"])
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.round(
+        F.log((F.col("nd") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1), 6
+    )
+    tfn = F.round(
+        F.col("tf") * 2.2
+        / (F.col("tf") + 1.2 * (1 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))),
+        6,
+    )
+    scored = j.select(
+        "doc_id", "chunk_id", F.round(idf * tfn, 6).cast("decimal(18,6)").alias("c")
+    )
+    return (
+        scored.groupBy("doc_id", "chunk_id")
+        .agg(F.sum("c").cast("double").alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id", "chunk_id")
+        .limit(5)
+    )
