@@ -426,3 +426,39 @@ def test_rag_chunk_retrieval_provenance_valid(spark):
     }
     for r in rows:
         assert (r.doc_id, r.chunk_id) in chunks
+
+
+def test_hard_negatives_always_cross_label(spark):
+    from vmware_graph_spark.operators.similarity import hard_negatives
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, float(i % 2)], i % 3) for i in range(9)],
+        "vec_id int, embedding array<double>, label int",
+    )
+    out = hard_negatives(
+        df, id_col="vec_id", vec_col="embedding", label_col="label", k=2
+    ).collect()
+    assert out
+    for r in out:
+        assert r.label != r.neg_label
+        assert 1 <= r.rank <= 2
+
+
+def test_gopher_gate_counts_are_consistent(spark):
+    from vmware_graph_spark.queries_ext18 import gopher_quality_gate_by_source
+
+    rows = gopher_quality_gate_by_source(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r.n_pass <= r.n_docs
+        # a doc failing any rule cannot be in n_pass
+        assert r.n_pass + max(r.n_fail_len, r.n_fail_wordlen, r.n_fail_stop) <= r.n_docs
+
+
+def test_tokenizer_fertility_positive(spark):
+    from vmware_graph_spark.queries_ext18 import tokenizer_fertility_by_lang
+
+    rows = tokenizer_fertility_by_lang(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r.total_tokens > 0 and r.chars_per_token > 1.0

@@ -806,3 +806,53 @@ def knn_label_disagreement(
             F.round(F.col("n_diff").cast("double") / F.lit(k), 6).alias("disagreement"),
         )
     )
+
+
+def hard_negatives(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 1,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: each point's k
+    most-similar neighbors carrying a DIFFERENT label — maximally
+    confusing negatives. Returns (id, label, neg_id, neg_label,
+    cosine, rank). Exact scoring here (oracle baseline); at corpus
+    scale the scored stage swaps for the bucketed k-NN graph, with the
+    label-difference filter applied before the per-query top-k window
+    either way."""
+    labels = df.select(F.col(id_col).alias("__id"), F.col(label_col).alias("__lab"))
+    scored = (
+        _score(df.select(id_col, vec_col), df.select(id_col, vec_col), id_col, vec_col)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .join(
+            labels.withColumnRenamed("__id", "query_id").withColumnRenamed("__lab", "q_label"),
+            "query_id",
+        )
+        .join(
+            labels.withColumnRenamed("__id", "neighbor_id").withColumnRenamed("__lab", "n_label"),
+            "neighbor_id",
+        )
+        .filter(F.col("q_label") != F.col("n_label"))
+    )
+    top = _topk(scored.select("query_id", "neighbor_id", "cosine"), k)
+    return (
+        top.join(
+            labels.withColumnRenamed("__id", "query_id").withColumnRenamed("__lab", "q_label"),
+            "query_id",
+        )
+        .join(
+            labels.withColumnRenamed("__id", "neighbor_id").withColumnRenamed("__lab", "n_label"),
+            "neighbor_id",
+        )
+        .select(
+            F.col("query_id").alias(id_col),
+            F.col("q_label").alias(label_col),
+            F.col("neighbor_id").alias("neg_id"),
+            F.col("n_label").alias("neg_label"),
+            "cosine",
+            "rank",
+        )
+    )

@@ -1391,3 +1391,134 @@ def rag_chunk_retrieval(spark, sf_dir):
         .orderBy(F.col("bm25").desc(), "doc_id", "chunk_id")
         .limit(5)
     )
+
+
+@query(
+    "hard_negative_mining_embeddings",
+    """
+    WITH pts AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (
+      SELECT q.vec_id, q.label, c.vec_id AS neg_id, c.label AS neg_label,
+             list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+      FROM pts q CROSS JOIN pts c
+      WHERE q.vec_id <> c.vec_id AND q.label <> c.label
+    ), r AS (
+      SELECT vec_id, label, neg_id, neg_label, cos,
+             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neg_id) AS rank
+      FROM s
+    )
+    SELECT vec_id, label, neg_id, neg_label, round(cos, 6) AS cosine, rank
+    FROM r WHERE rank <= 1
+    """,
+)
+def hard_negative_mining_embeddings(spark, sf_dir):
+    """Hard-negative mining for contrastive training: each vector's
+    single most-similar neighbor with a DIFFERENT label — the
+    maximally-confusing negative a contrastive batch wants alongside
+    its positives. Exact scoring is the oracle baseline (same contract
+    as the other ANN eval queries); production swaps the scored stage
+    for the bucketed k-NN graph and keeps the label filter + per-query
+    top-k window unchanged."""
+    from vmware_graph_spark.operators.similarity import hard_negatives
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return hard_negatives(
+        e, id_col="vec_id", vec_col="embedding", label_col="label", k=1
+    )
+
+
+@query(
+    "gopher_quality_gate_by_source",
+    f"""
+    WITH d AS (SELECT source, {_toks('text')} AS t FROM documents),
+    m AS (
+      SELECT source, len(t) AS n,
+             COALESCE(list_aggregate(list_transform(t, x -> len(x)), 'sum'), 0) AS chars,
+             len(list_filter(t, x -> list_contains(
+               ['the','a','an','and','or','of','to','in','is','it',
+                'that','for','on','as','with','was','at','by','be','this',
+                'are','from','not','but','have'], lower(x)))) AS nstop
+      FROM d
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(CASE WHEN n BETWEEN 20 AND 1000
+                            AND 3 * n <= chars AND chars <= 10 * n
+                            AND 20 * nstop >= n THEN 1 END) AS BIGINT) AS n_pass,
+           CAST(count(CASE WHEN n NOT BETWEEN 20 AND 1000 THEN 1 END) AS BIGINT)
+             AS n_fail_len,
+           CAST(count(CASE WHEN 3 * n > chars OR chars > 10 * n THEN 1 END) AS BIGINT)
+             AS n_fail_wordlen,
+           CAST(count(CASE WHEN 20 * nstop < n THEN 1 END) AS BIGINT) AS n_fail_stop
+    FROM m GROUP BY source
+    """,
+)
+def gopher_quality_gate_by_source(spark, sf_dir):
+    """Gopher-style composite quality GATE (the rule battery applied
+    as one verdict, not separate scores): per source, how many docs
+    pass ALL of (a) 20–1000 tokens, (b) mean word length 3–10 chars,
+    (c) stopword ratio ≥ 5% — and how many fail each rule. Every rule
+    is an INTEGER comparison (3n ≤ chars ≤ 10n; 20·stop ≥ n) — no
+    division anywhere, so the gate is exact at any scale. One scan,
+    one aggregation."""
+    from vmware_graph_spark.functions.text import STOPWORDS, tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens("text")
+    m = d.select(
+        "source",
+        F.size(t).alias("n"),
+        F.aggregate(
+            F.transform(t, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+        ).alias("chars"),
+        F.size(F.filter(t, lambda x: F.lower(x).isin(*STOPWORDS))).alias("nstop"),
+    )
+    len_ok = F.col("n").between(20, 1000)
+    wl_ok = (3 * F.col("n") <= F.col("chars")) & (F.col("chars") <= 10 * F.col("n"))
+    stop_ok = 20 * F.col("nstop") >= F.col("n")
+    return m.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.count(F.when(len_ok & wl_ok & stop_ok, 1)).cast("bigint").alias("n_pass"),
+        F.count(F.when(~len_ok, 1)).cast("bigint").alias("n_fail_len"),
+        F.count(F.when(~wl_ok, 1)).cast("bigint").alias("n_fail_wordlen"),
+        F.count(F.when(~stop_ok, 1)).cast("bigint").alias("n_fail_stop"),
+    )
+
+
+@query(
+    "tokenizer_fertility_by_lang",
+    r"""
+    WITH m AS (
+      SELECT lang, len(text) AS chars,
+             len(regexp_extract_all(text,
+               '(?:''s|''t|''re|''ve|''m|''ll|''d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'
+             )) AS n_bpe
+      FROM documents
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(chars) AS BIGINT) AS total_chars,
+           CAST(sum(n_bpe) AS BIGINT) AS total_tokens,
+           round(CAST(sum(chars) AS DOUBLE) / sum(n_bpe), 6) AS chars_per_token
+    FROM m GROUP BY lang
+    """,
+)
+def tokenizer_fertility_by_lang(spark, sf_dir):
+    """Tokenizer fertility (compression ratio) per language: raw chars
+    per BPE-ish token — the readout that shows which languages a
+    tokenizer shortchanges (low chars/token = more tokens per content
+    unit = higher serving cost). Integer char/token sums, one final
+    division. One scan + one aggregation."""
+    from vmware_graph_spark.functions.text import n_bpe_tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    m = d.select(
+        "lang", F.length("text").alias("chars"), n_bpe_tokens("text").alias("n_bpe")
+    )
+    return m.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("chars").cast("bigint").alias("total_chars"),
+        F.sum("n_bpe").cast("bigint").alias("total_tokens"),
+        F.round(
+            F.sum("chars").cast("double") / F.sum("n_bpe"), 6
+        ).alias("chars_per_token"),
+    )
