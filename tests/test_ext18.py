@@ -462,3 +462,74 @@ def test_tokenizer_fertility_positive(spark):
     assert rows
     for r in rows:
         assert r.total_tokens > 0 and r.chars_per_token > 1.0
+
+
+def test_consistent_hash_resharding_stability(spark):
+    """Adding a 9th shard must remap only the keys whose ring
+    successor changed — a small fraction, nowhere near the ~8/9 a
+    mod-N scheme would move."""
+    from vmware_graph_spark.functions.sketch import uniform_hash60
+    from vmware_graph_spark.sources.tables import load_table
+
+    M = 1 << 60
+
+    def assign(n_shards):
+        vn = spark.createDataFrame(
+            [(i % n_shards, i) for i in range(4 * n_shards)], "shard int, i int"
+        ).select(
+            "shard", "i",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("2:shard-"), F.col("shard").cast("string"),
+                                   F.lit("-vnode-"), F.col("i").cast("string"))),
+                    1, 15),
+                16, 10,
+            ).cast("bigint").alias("vpos"),
+        )
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+            "doc_id", uniform_hash60("doc_id", 1).alias("h")
+        )
+        dist = (((F.col("vpos") - F.col("h")) % M) + M) % M
+        return (
+            docs.crossJoin(F.broadcast(vn))
+            .groupBy("doc_id")
+            .agg(F.min(F.struct(dist.alias("k"), F.col("i").alias("i"),
+                                F.col("shard").alias("s")))["s"].alias("shard"))
+        )
+
+    # vnode ids for shards 0-7 coincide between the two rings only for
+    # i < 32 — shard 8 adds i = 32..35, so prior vnodes keep positions
+    a8 = {r.doc_id: r.shard for r in assign(8).collect()}
+    vn9 = [(i % 9, i) for i in range(36)]
+    # ring 9 must keep shard-8 vnodes distinct: rebuild with explicit rows
+    vn = spark.createDataFrame(vn9, "shard int, i int")
+    # reuse assign() shape with 9 shards but vnode ids i%9 differ from
+    # the 8-shard ring; instead append 4 new vnodes for shard 8 only
+    vn_rows = [(i % 8, i) for i in range(32)] + [(8, 32 + j) for j in range(4)]
+    vn = spark.createDataFrame(vn_rows, "shard int, i int").select(
+        "shard", "i",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("2:shard-"), F.col("shard").cast("string"),
+                               F.lit("-vnode-"), F.col("i").cast("string"))),
+                1, 15),
+            16, 10,
+        ).cast("bigint").alias("vpos"),
+    )
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", uniform_hash60("doc_id", 1).alias("h")
+    )
+    dist = (((F.col("vpos") - F.col("h")) % M) + M) % M
+    a9 = {
+        r.doc_id: r.shard
+        for r in docs.crossJoin(F.broadcast(vn))
+        .groupBy("doc_id")
+        .agg(F.min(F.struct(dist.alias("k"), F.col("i").alias("i"),
+                            F.col("shard").alias("s")))["s"].alias("shard"))
+        .collect()
+    }
+    moved = sum(1 for k in a8 if a8[k] != a9[k])
+    frac = moved / len(a8)
+    assert frac < 0.35, frac
+    # and every move lands on the NEW shard (successor-only property)
+    assert all(a9[k] == 8 for k in a8 if a8[k] != a9[k])

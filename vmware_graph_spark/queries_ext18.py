@@ -1522,3 +1522,84 @@ def tokenizer_fertility_by_lang(spark, sf_dir):
             F.sum("chars").cast("double") / F.sum("n_bpe"), 6
         ).alias("chars_per_token"),
     )
+
+
+@query(
+    "consistent_hash_shards",
+    """
+    WITH vn AS (
+      SELECT i % 8 AS shard, i,
+             CAST('0x' || substr(md5('2:shard-' || (i % 8) || '-vnode-' || i), 1, 15)
+                  AS BIGINT) AS vpos
+      FROM generate_series(0, 31) t(i)
+    ), docs AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5('1:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS h
+      FROM documents
+    ), d AS (
+      SELECT doc_id, shard FROM (
+        SELECT doc_id, shard,
+               row_number() OVER (PARTITION BY doc_id ORDER BY
+                 ((((vpos - h) % 1152921504606846976)
+                   + 1152921504606846976) % 1152921504606846976), i) AS rn
+        FROM docs CROSS JOIN vn
+      ) WHERE rn = 1
+    ), tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM d)
+    SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+           round(CAST(count(*) * 8 AS DOUBLE) / total, 6) AS balance
+    FROM d CROSS JOIN tot GROUP BY shard, total
+    """,
+)
+def consistent_hash_shards(spark, sf_dir):
+    """Consistent-hashing shard planner: 8 shards × 4 virtual nodes on
+    a 2⁶⁰ md5 ring; every doc goes to its clockwise-successor vnode.
+    The property being bought: adding/removing ONE shard remaps only
+    ~1/9 of keys (vs ~8/9 under mod-N) — the resharding-stability
+    pytest pins exactly that. The argmin is a tie-broken min_by over a
+    32-row broadcast (lexicographic (ring-distance, vnode)
+    struct keys — a ×64 scale would overflow int64). Per-shard balance reported vs the 1/8
+    ideal. One broadcast join + two aggregations."""
+    M = 1 << 60
+    vn = spark.createDataFrame(
+        [(i % 8, i) for i in range(32)], "shard int, i int"
+    ).select(
+        "shard", "i",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("2:shard-"), F.col("shard").cast("string"),
+                        F.lit("-vnode-"), F.col("i").cast("string"),
+                    )
+                ),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("bigint").alias("vpos"),
+    )
+    from vmware_graph_spark.functions.sketch import uniform_hash60
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", uniform_hash60("doc_id", 1).alias("h")
+    )
+    dist = (((F.col("vpos") - F.col("h")) % M) + M) % M
+    d = (
+        docs.crossJoin(F.broadcast(vn))
+        .groupBy("doc_id")
+        .agg(
+            F.min(
+                F.struct(dist.alias("k"), F.col("i").alias("i"), F.col("shard").alias("s"))
+            )["s"].alias("shard")
+        )
+    )
+    tot = d.agg(F.count("*").cast("bigint").alias("total"))
+    return (
+        d.groupBy("shard")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "shard", "n_docs",
+            F.round((F.col("n_docs") * 8).cast("double") / F.col("total"), 6).alias("balance"),
+        )
+    )
