@@ -40,71 +40,13 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-# The driver's correctness gate samples the FIRST 50 registry entries;
-# this prefix is curated to certify breadth — one or more entries per
-# family: TPC-H scan/agg/join, windows, merge, snapshot/sweep/refresh,
-# ingest stages, edge props, layout/skew joins, dedup (exact→LSH→
-# incremental→clusters), ANN, multimodal, text battery, temporal,
-# streaming, sketches, graph algorithms. Everything else follows in
-# registration order and stays selfcheck-green (tools/selfcheck.py).
-_GATE_PREFIX = (
-    "q1_pricing_summary",
-    "q3_top_revenue_orders",
-    "q5_region_revenue",
-    "window_topk_orders_per_customer",
-    "anti_join_customers_without_orders",
-    "semi_join_customers_with_open_orders",
-    "two_hop_region_customer_counts",
-    "cross_theta_high_balance_suppliers",
-    "rollup_nation_revenue",
-    "regex_full_match_classify",
-    "scalar_path_parsing",
-    "explode_token_counts",
-    "sessionize_user_events",
-    "merge_nodes_set",
-    "merge_nodes_on_create",
-    "merge_edges_undirected_canonical",
-    "snapshot_diff_orphans",
-    "sweep_incident_edges",
-    "snapshot_write_read_roundtrip",
-    "incremental_merge_sweep",
-    "ingest_refresh_sweep",
-    "ingest_vcluster_stage",
-    "ingest_ntp_classify_stage",
-    "ingest_vinfo_conditional_stage",
-    "graph_vm_hw_upgrade_pending",
-    "bucketed_colocated_join",
-    "salted_join_region_revenue",
-    "exact_dedup_documents",
-    "jaccard_pairs_documents",
-    "jaccard_pairs_prefix_filtered",
-    "minhash_lsh_pairs_documents",
-    "simhash_documents",
-    "dedup_new_against_corpus",
-    "near_dedup_clusters",
-    "cosine_topk_embeddings",
-    "cosine_topk_arrow_embeddings",
-    "ivf_topk_embeddings",
-    "pq_adc_topk_embeddings",
-    "cosine_pairs_lsh_embeddings",
-    "multimodal_fingerprint_features",
-    "text_stats",
-    "zipf_slope_token_frequencies",
-    "dup_span_removal_documents",
-    "bpe_train_merges",
-    "asof_join_clicks_views",
-    "scd2_user_event_history",
-    "streaming_stateful_sessionize",
-    "streaming_cdc_merge_into",
-    "kmv_distinct_users_per_type",
-    "connected_components_bipartite",
-)
-
-
-def _curated(d: dict) -> dict:
-    head = {n: d[n] for n in _GATE_PREFIX if n in d}
-    head.update((n, v) for n, v in d.items() if n not in head)
-    return head
+# The registry is exposed in plain registration order — no reordering
+# or curation — so any sampling the driver's correctness gate does is
+# unbiased. Breadth certification across EVERY family is a separate,
+# documented suite: `python tools/selfcheck.py` runs the FULL registry
+# (row + schema + value compare vs DuckDB at sf0.01), and
+# `tools/breadth_suite.py` lists one representative per operator
+# family for a quick spanning check.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -118,10 +60,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return run
 
-    return _curated({name: wrap(fn) for name, fn in QUERIES.items()})
+    return {name: wrap(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
     from vmware_graph_spark.queries import ORACLE
 
-    return _curated(dict(ORACLE))
+    return dict(ORACLE)

@@ -68,13 +68,21 @@ def main() -> None:
     # execution already unregistered. DAGScheduler catches exactly this
     # (updateAccumulators' non-fatal catch, DAGScheduler.scala:1787-94)
     # and only logs; results are unaffected (rc=0, timings complete).
-    # A REAL scheduler failure still surfaces as a raised job error in
-    # Python — only the log noise is suppressed, and only in bench.
+    # Suppression is scoped to THAT message only (a log4j2 RegexFilter
+    # DENYing "Failed to update accumulator"), so every other scheduler
+    # ERROR still reaches stderr; a REAL scheduler failure additionally
+    # surfaces as a raised job error in Python.
     jvm = spark.sparkContext._jvm
-    jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
-        "org.apache.spark.scheduler.DAGScheduler",
-        jvm.org.apache.logging.log4j.Level.FATAL,
+    result_enum = jvm.org.apache.logging.log4j.core.Filter.Result
+    flt = jvm.org.apache.logging.log4j.core.filter.RegexFilter.createFilter(
+        ".*Failed to update accumulator.*", None, True,
+        result_enum.DENY, result_enum.NEUTRAL,
     )
+    ctx = jvm.org.apache.logging.log4j.core.LoggerContext.getContext(False)
+    ctx.getConfiguration().getLoggerConfig(
+        "org.apache.spark.scheduler.DAGScheduler"
+    ).addFilter(flt)
+    ctx.updateLoggers()
 
     # Warm the JVM + parquet footers + codegen paths (agg/join/window/
     # shuffle) once so the first timed query doesn't absorb cold-start.

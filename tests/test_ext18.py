@@ -206,6 +206,33 @@ def test_knn_label_disagreement_bounds(spark):
         assert r.disagreement == r.n_diff / 3
 
 
+def test_knn_label_disagreement_small_and_singleton(spark):
+    """ADVICE r3: with fewer than k scored neighbors, disagreement
+    divides by the ACTUAL neighbor count, and points with zero
+    neighbors still appear (disagreement 0)."""
+    from vmware_graph_spark.operators.similarity import knn_label_disagreement
+
+    two = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0), (1, [0.9, 0.1], 1)],
+        "vec_id int, embedding array<double>, label int",
+    )
+    out = {r.vec_id: r for r in knn_label_disagreement(
+        two, id_col="vec_id", vec_col="embedding", label_col="label", k=10
+    ).collect()}
+    assert len(out) == 2
+    for r in out.values():  # one neighbor each, labels differ → 1/1
+        assert r.n_diff == 1 and r.disagreement == 1.0
+
+    one = spark.createDataFrame(
+        [(7, [1.0, 0.0], 3)], "vec_id int, embedding array<double>, label int"
+    )
+    out1 = knn_label_disagreement(
+        one, id_col="vec_id", vec_col="embedding", label_col="label", k=10
+    ).collect()
+    assert len(out1) == 1
+    assert out1[0].n_diff == 0 and out1[0].disagreement == 0.0
+
+
 def test_conductance_two_triangles_bridge(spark):
     """Same fixture as the modularity test: each triangle community
     has vol=7, cut=1, m=7 → φ = 1/min(7,7) = 1/7."""

@@ -444,6 +444,39 @@ def test_read_xlsx_many_distributed(spark, tmp_path):
     assert rows[0]["_workbook"].endswith("vc1.xlsx")
 
 
+def test_parse_xlsx_duplicate_headers_and_bad_refs(tmp_path):
+    """ADVICE r3: duplicate sheet headers are suffixed pandas-style
+    (name, name.1) so DataFrame schemas never carry duplicate columns,
+    and a nonstandard A1 ref falls back to the positional index instead
+    of crashing."""
+    from vmware_graph_spark.sources.workbook import parse_xlsx
+
+    import zipfile
+
+    p = str(tmp_path / "dup.xlsx")
+    _write_minimal_xlsx(
+        p,
+        {"vCluster": [["Name", "Name", "NumHosts"], ["A", "B", 3]]},
+    )
+    # inject a row whose cells carry nonstandard refs (no column letters)
+    with zipfile.ZipFile(p) as zf:
+        sheet = zf.read("xl/worksheets/sheet1.xml").decode()
+    sheet = sheet.replace(
+        "</sheetData>",
+        '<row r="3"><c r="bogus" t="inlineStr"><is><t>C</t></is></c>'
+        '<c r="also-bad" t="inlineStr"><is><t>D</t></is></c></row></sheetData>',
+    )
+    p2 = str(tmp_path / "dup2.xlsx")
+    with zipfile.ZipFile(p) as src, zipfile.ZipFile(p2, "w") as dst:
+        for m in src.namelist():
+            dst.writestr(m, sheet if m == "xl/worksheets/sheet1.xml" else src.read(m))
+    with open(p2, "rb") as f:
+        header, body = parse_xlsx(f.read(), ("vCluster",))["vCluster"]
+    assert header == ["Name", "Name.1", "NumHosts"]
+    assert body[0] == ["A", "B", "3"]
+    assert body[1] == ["C", "D", None]  # positional fallback, width-padded
+
+
 def test_cli_refresh_end_to_end(spark, tmp_path):
     """python -m vmware_graph_spark refresh: full build, then a
     mark-and-sweep refresh with the A' workbook sweeps exactly the

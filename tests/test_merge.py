@@ -159,6 +159,64 @@ def test_merge_edges_with_props_empty_map_for_bare_edges(spark):
     assert out[0]["props"] == {}
 
 
+def test_merge_edges_with_props_last_batch_wins(spark):
+    """ADVICE r3: per-property conflict resolution is LAST-writer-wins
+    (Cypher SET), not lexicographic max — a later batch's 'None' must
+    replace an earlier batch's 'Pending' even though 'Pending' > 'None'."""
+    from vmware_graph_spark.operators.merge import merge_edges_with_props
+
+    batches = (
+        _edge(spark, "vm", "HW_VERSION", "v7")
+        .withColumn("props", F.create_map(F.lit("upgradestatus"), F.lit("Pending")))
+        .withColumn("__batch_ord", F.lit(0))
+        .unionByName(
+            _edge(spark, "vm", "HW_VERSION", "v7")
+            .withColumn("props", F.create_map(F.lit("upgradestatus"), F.lit("None")))
+            .withColumn("__batch_ord", F.lit(1))
+        )
+    )
+    out = merge_edges_with_props(None, batches, order_col="__batch_ord").collect()
+    assert len(out) == 1
+    assert out[0]["props"] == {"upgradestatus": "None"}
+
+
+def test_merge_edges_with_props_updates_beat_existing(spark):
+    """``existing`` is the older snapshot: an update asserting a
+    lexicographically-smaller value still replaces it."""
+    from vmware_graph_spark.operators.merge import merge_edges_with_props
+
+    prev = _edge(spark, "vm", "HW_VERSION", "v7").withColumn(
+        "props", F.create_map(F.lit("upgradestatus"), F.lit("Pending"))
+    )
+    curr = _edge(spark, "vm", "HW_VERSION", "v7").withColumn(
+        "props", F.create_map(F.lit("upgradestatus"), F.lit("None"))
+    )
+    out = merge_edges_with_props(prev, curr).collect()
+    assert out[0]["props"] == {"upgradestatus": "None"}
+
+
+def test_graphstore_edge_props_last_add_wins(spark):
+    """Through the store: two add_edges calls asserting the same edge
+    prop — edges_with_props carries the LATER call's value (batches are
+    order-tagged by _union_edge_batches)."""
+    from vmware_graph_spark.store.graph import GraphStore
+
+    gs = GraphStore(spark)
+    gs.add_edges(
+        _edge(spark, "vm", "HW_VERSION", "v7").withColumn(
+            "upgradestatus", F.lit("Pending")
+        )
+    )
+    gs.add_edges(
+        _edge(spark, "vm", "HW_VERSION", "v7").withColumn(
+            "upgradestatus", F.lit("None")
+        )
+    )
+    out = gs.edges_with_props().collect()
+    assert len(out) == 1
+    assert out[0]["props"] == {"upgradestatus": "None"}
+
+
 def test_salted_join_matches_plain_join(spark):
     from vmware_graph_spark.operators.skew import salted_join
 

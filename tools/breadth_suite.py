@@ -1,0 +1,102 @@
+"""Breadth suite: one representative registry query per operator
+family — a quick SPANNING check (every family green) as opposed to the
+exhaustive full-registry run of ``tools/selfcheck.py``.
+
+This exists so breadth certification is an explicit, documented suite
+rather than anything baked into the registry's registration order
+(the driver entry point exposes ``queries()`` in plain registration
+order; external samplers see an unbiased prefix).
+
+Usage: python tools/breadth_suite.py [sf_dir]
+  (delegates to selfcheck's row/schema/value comparison)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+FAMILY_REPRESENTATIVES = (
+    # TPC-H scan/agg/join core
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_region_revenue",
+    # windows / sort / top-k
+    "window_topk_orders_per_customer",
+    # join shapes
+    "anti_join_customers_without_orders",
+    "semi_join_customers_with_open_orders",
+    "two_hop_region_customer_counts",
+    "cross_theta_high_balance_suppliers",
+    # grouping sets family
+    "rollup_nation_revenue",
+    # scalar / regex / list battery
+    "regex_full_match_classify",
+    "scalar_path_parsing",
+    "explode_token_counts",
+    # sessionization
+    "sessionize_user_events",
+    # MERGE family
+    "merge_nodes_set",
+    "merge_nodes_on_create",
+    "merge_edges_undirected_canonical",
+    # snapshot / sweep / refresh protocol
+    "snapshot_diff_orphans",
+    "sweep_incident_edges",
+    "snapshot_write_read_roundtrip",
+    "incremental_merge_sweep",
+    "ingest_refresh_sweep",
+    # ingest stages
+    "ingest_vcluster_stage",
+    "ingest_ntp_classify_stage",
+    "ingest_vinfo_conditional_stage",
+    # edge properties through the store
+    "graph_vm_hw_upgrade_pending",
+    # layout / skew joins
+    "bucketed_colocated_join",
+    "salted_join_region_revenue",
+    # dedup ladder
+    "exact_dedup_documents",
+    "jaccard_pairs_documents",
+    "jaccard_pairs_prefix_filtered",
+    "minhash_lsh_pairs_documents",
+    "simhash_documents",
+    "dedup_new_against_corpus",
+    "near_dedup_clusters",
+    # ANN ladder
+    "cosine_topk_embeddings",
+    "cosine_topk_arrow_embeddings",
+    "ivf_topk_embeddings",
+    "pq_adc_topk_embeddings",
+    "cosine_pairs_lsh_embeddings",
+    # multimodal plumbing
+    "multimodal_fingerprint_features",
+    # text battery
+    "text_stats",
+    "zipf_slope_token_frequencies",
+    "dup_span_removal_documents",
+    "bpe_train_merges",
+    # temporal
+    "asof_join_clicks_views",
+    "scd2_user_event_history",
+    # streaming (real availableNow runs)
+    "streaming_stateful_sessionize",
+    "streaming_cdc_merge_into",
+    # sketches
+    "kmv_distinct_users_per_type",
+    # graph algorithms
+    "connected_components_bipartite",
+)
+
+
+def main() -> int:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import selfcheck
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    sys.argv = ["selfcheck.py", sf_dir, *FAMILY_REPRESENTATIVES]
+    return selfcheck.main()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -211,13 +211,17 @@ PROPS_COL = "props"
 _EMPTY_PROPS = "cast(map() as map<string,string>)"
 
 
-def _norm_props(df: DataFrame) -> DataFrame:
-    """Project to EDGE_COLS + a normalized ``props`` map (never null)."""
+def _norm_props(df: DataFrame, keep: Sequence[str] = ()) -> DataFrame:
+    """Project to EDGE_COLS (+ ``keep``) + a normalized ``props`` map
+    (never null)."""
     if PROPS_COL in df.columns:
         p = F.coalesce(F.col(PROPS_COL).cast("map<string,string>"), F.expr(_EMPTY_PROPS))
     else:
         p = F.expr(_EMPTY_PROPS)
-    return df.select(*EDGE_COLS, p.alias(PROPS_COL))
+    return df.select(*EDGE_COLS, *keep, p.alias(PROPS_COL))
+
+
+ORDER_COL = "__batch_ord"
 
 
 def merge_edges_with_props(
@@ -225,6 +229,7 @@ def merge_edges_with_props(
     updates: DataFrame,
     *,
     undirected_types: Sequence[str] = (),
+    order_col: str | None = None,
 ) -> DataFrame:
     """M4 with first-class edge properties as a ``props`` string map.
 
@@ -232,25 +237,39 @@ def merge_edges_with_props(
     (``HW_VERSION.upgradestatus``, refresh-vmware.cypher:187,212); the
     generic map keeps the canonical edge schema fixed while any rel
     type can carry typed ride-alongs. Merge discipline: edge identity
-    is the 5-tuple; per PROPERTY the greatest value wins across batches
-    (Spark batches carry no order, so "last writer" is made
-    deterministic the same way node merges order value columns — in
-    the reference each edge prop is asserted by exactly one ingest
-    statement, so the tie-break never fires on real workbooks).
+    is the 5-tuple; per PROPERTY the LAST batch to assert a value wins
+    (Cypher ``SET`` is last-writer-wins) — ``existing`` is ordered
+    before all ``updates``, and within ``updates`` an optional
+    ``order_col`` carries the batch sequence (GraphStore tags each
+    ``add_edges`` call, see ``_union_edge_batches``). Within one batch,
+    ties break on the greatest value so the result is deterministic —
+    in the reference each edge prop is asserted by exactly one ingest
+    statement, so that tie-break never fires on real workbooks.
 
     Scale shape: ``explode_outer`` emits zero extra rows for the
     (overwhelmingly common) empty-map edges, so the per-property dedup
     shuffle is proportional to prop-carrying assertions only; both
     groupBys hash on the edge 5-tuple — one logical repartition, AQE
-    coalesces the second exchange.
+    coalesces the second exchange. ``max_by`` over a (batch, value)
+    struct is a single agg buffer, same cost as the plain ``max``.
     """
-    updates = _norm_props(canonical_edges(updates, undirected_types))
+    if order_col and order_col in updates.columns:
+        updates = updates.withColumn(ORDER_COL, F.col(order_col).cast("long"))
+    else:
+        updates = updates.withColumn(ORDER_COL, F.lit(0).cast("long"))
+    updates = _norm_props(canonical_edges(updates, undirected_types), keep=(ORDER_COL,))
     updates = _drop_null_keys(updates, ["src_key", "dst_key"])
     if existing is not None:
         existing = _norm_props(canonical_edges(existing, undirected_types))
-        updates = existing.unionByName(updates)
-    kv = updates.select(*EDGE_COLS, F.explode_outer(PROPS_COL).alias("pk", "pv"))
-    kv = kv.groupBy(*EDGE_COLS, "pk").agg(F.max("pv").alias("pv"))
+        updates = existing.withColumn(ORDER_COL, F.lit(-1).cast("long")).unionByName(
+            updates
+        )
+    kv = updates.select(
+        *EDGE_COLS, ORDER_COL, F.explode_outer(PROPS_COL).alias("pk", "pv")
+    )
+    kv = kv.groupBy(*EDGE_COLS, "pk").agg(
+        F.max_by("pv", F.struct(F.col(ORDER_COL), F.col("pv"))).alias("pv")
+    )
     entry = F.when(F.col("pk").isNotNull(), F.struct("pk", "pv"))
     return kv.groupBy(*EDGE_COLS).agg(
         F.map_from_entries(F.array_sort(F.collect_list(entry))).alias(PROPS_COL)

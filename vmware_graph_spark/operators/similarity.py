@@ -773,10 +773,13 @@ def knn_label_disagreement(
     k: int = 10,
 ) -> DataFrame:
     """Label-noise audit via k-NN disagreement: for every point, the
-    fraction of its k nearest neighbors (cosine, self excluded) whose
-    label differs — high disagreement flags probable mislabels before
-    the data trains anything. Returns one row per point:
-    (id, label, n_diff, disagreement).
+    fraction of its ACTUAL scored neighbors (top-k by cosine, self
+    excluded — fewer than k when the dataset is small) whose label
+    differs — high disagreement flags probable mislabels before the
+    data trains anything. Returns one row per point:
+    (id, label, n_diff, disagreement); points with zero scored
+    neighbors (singleton datasets) appear with n_diff=0,
+    disagreement=0.0 so the audit output always covers every input row.
 
     Exact brute-force scoring here (the oracle baseline); at corpus
     scale swap the scored/_topk stage for the bucketed k-NN graph
@@ -790,20 +793,28 @@ def knn_label_disagreement(
     labels = df.select(F.col(id_col), F.col(label_col).alias("__lab"))
     ql = labels.withColumnRenamed(id_col, "query_id").withColumnRenamed("__lab", "q_label")
     nl = labels.withColumnRenamed(id_col, "neighbor_id").withColumnRenamed("__lab", "n_label")
-    return (
+    audited = (
         top.join(ql, "query_id")
         .join(nl, "neighbor_id")
-        .groupBy("query_id", "q_label")
+        .groupBy("query_id")
         .agg(
             F.sum(F.when(F.col("q_label") != F.col("n_label"), 1).otherwise(0))
             .cast("bigint")
-            .alias("n_diff")
+            .alias("n_diff"),
+            F.count("*").alias("__n_nbrs"),
         )
+    )
+    return (
+        df.select(id_col, label_col)
+        .join(audited.withColumnRenamed("query_id", id_col), id_col, "left")
         .select(
-            F.col("query_id").alias(id_col),
-            F.col("q_label").alias(label_col),
-            "n_diff",
-            F.round(F.col("n_diff").cast("double") / F.lit(k), 6).alias("disagreement"),
+            id_col,
+            label_col,
+            F.coalesce("n_diff", F.lit(0).cast("bigint")).alias("n_diff"),
+            F.coalesce(
+                F.round(F.col("n_diff").cast("double") / F.col("__n_nbrs"), 6),
+                F.lit(0.0),
+            ).alias("disagreement"),
         )
     )
 

@@ -317,14 +317,20 @@ def temperature_sampling_weights_sources(spark, sf_dir):
       SELECT query_id, neighbor_id,
              row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
       FROM s
-    ), top AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 10)
-    SELECT q.vec_id, q.label,
-           CAST(sum(CASE WHEN q.label <> n.label THEN 1 ELSE 0 END) AS BIGINT) AS n_diff,
-           round(CAST(sum(CASE WHEN q.label <> n.label THEN 1 ELSE 0 END) AS DOUBLE) / 10, 6)
-             AS disagreement
-    FROM top JOIN pts q ON q.vec_id = top.query_id
-    JOIN pts n ON n.vec_id = top.neighbor_id
-    GROUP BY q.vec_id, q.label
+    ), top AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 10),
+    agg AS (
+      SELECT q.vec_id,
+             CAST(sum(CASE WHEN q.label <> n.label THEN 1 ELSE 0 END) AS BIGINT) AS n_diff,
+             round(CAST(sum(CASE WHEN q.label <> n.label THEN 1 ELSE 0 END) AS DOUBLE)
+                   / count(*), 6) AS disagreement
+      FROM top JOIN pts q ON q.vec_id = top.query_id
+      JOIN pts n ON n.vec_id = top.neighbor_id
+      GROUP BY q.vec_id
+    )
+    SELECT p.vec_id, p.label,
+           coalesce(a.n_diff, 0) AS n_diff,
+           coalesce(a.disagreement, 0.0) AS disagreement
+    FROM pts p LEFT JOIN agg a ON a.vec_id = p.vec_id
     """,
 )
 def knn_label_noise_audit(spark, sf_dir):

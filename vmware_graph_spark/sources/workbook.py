@@ -81,13 +81,31 @@ _NS_PR = "{http://schemas.openxmlformats.org/package/2006/relationships}"
 _COL_RE = re.compile(r"^([A-Z]+)\d+$")
 
 
-def _col_index(cell_ref: str) -> int:
-    """'A1'→0, 'AB7'→27 — base-26 column letters of an A1 reference."""
+def _col_index(cell_ref: str, fallback: int) -> int:
+    """'A1'→0, 'AB7'→27 — base-26 column letters of an A1 reference.
+    Nonstandard refs (no match) fall back to the caller's positional
+    index instead of crashing: some writers omit or mangle ``r``."""
     m = _COL_RE.match(cell_ref)
+    if m is None:
+        return fallback
     idx = 0
     for ch in m.group(1):
         idx = idx * 26 + (ord(ch) - ord("A") + 1)
     return idx - 1
+
+
+def _dedupe_headers(header: list[str]) -> list[str]:
+    """Suffix duplicate header names pandas-style (``name``, ``name.1``,
+    ``name.2`` …) so downstream DataFrames never carry duplicate
+    columns (duplicate names break createDataFrame selects and make
+    ``frame[c]`` return a DataFrame instead of a Series)."""
+    seen: dict[str, int] = {}
+    out: list[str] = []
+    for h in header:
+        n = seen.get(h, 0)
+        seen[h] = n + 1
+        out.append(h if n == 0 else f"{h}.{n}")
+    return out
 
 
 def _shared_strings(zf: zipfile.ZipFile) -> list[str]:
@@ -161,14 +179,16 @@ def parse_xlsx(
                 vals: list[str | None] = []
                 for c in row.iter(f"{_NS}c"):
                     ref = c.get("r")
-                    idx = _col_index(ref) if ref else len(vals)
+                    idx = _col_index(ref, len(vals)) if ref else len(vals)
                     while len(vals) < idx:
                         vals.append(None)
                     vals.append(_cell_value(c, shared))
                 rows.append(vals)
             if not rows:
                 continue
-            header = [h if h is not None else f"_c{i}" for i, h in enumerate(rows[0])]
+            header = _dedupe_headers(
+                [h if h is not None else f"_c{i}" for i, h in enumerate(rows[0])]
+            )
             width = len(header)
             body = [
                 (r + [None] * (width - len(r)))[:width] for r in rows[1:]

@@ -317,10 +317,17 @@ class GraphStore:
         self._edges_props_cache = None
 
     def _union_edge_batches(self) -> DataFrame | None:
+        """Union of all ``add_edges`` batches, each tagged with its
+        append index as ``__batch_ord`` so per-property merges honor
+        last-writer-wins (Cypher SET semantics) across batches."""
         if not self._edge_batches:
             return None
-        batch = self._edge_batches[0]
-        for b in self._edge_batches[1:]:
+        tagged = [
+            b.withColumn("__batch_ord", F.lit(i).cast("long"))
+            for i, b in enumerate(self._edge_batches)
+        ]
+        batch = tagged[0]
+        for b in tagged[1:]:
             batch = batch.unionByName(b)
         return batch
 
@@ -349,7 +356,12 @@ class GraphStore:
             self._edges_props_cache = self.spark.createDataFrame([], EDGE_SCHEMA_PROPS)
             return self._edges_props_cache
         self._edges_props_cache = self._cut(
-            merge_edges_with_props(None, batch, undirected_types=UNDIRECTED_TYPES)
+            merge_edges_with_props(
+                None,
+                batch,
+                undirected_types=UNDIRECTED_TYPES,
+                order_col="__batch_ord",
+            )
         )
         return self._edges_props_cache
 
