@@ -144,3 +144,56 @@ def test_length_bucket_packing_plan_conserves_docs_and_tokens(spark):
         assert 0.0 <= r.padding_frac < 1.0
         assert r.n_batches >= 1
         assert r.seq_len == 2 ** (r.bucket_k + 1)
+
+
+def test_streaming_late_drops_are_real_and_output_matches_closed_form(spark, tmp_path):
+    """The two-phase drain must actually DROP late rows (progress
+    metric > 0), and the emitted windows must equal the closed form:
+    on-time rows in windows ending before max(on-time ts) - watermark."""
+    import datetime
+    import glob
+
+    from vmware_graph_spark.sources.tables import load_table
+    from vmware_graph_spark.streaming.events import stream_windowed_counts_phased
+
+    ev = load_table(spark, SF, "events")
+    ontime = ev.filter(F.col("event_id") % 2 == 0)
+    late = ev.filter(F.col("event_id") % 2 == 1)
+    d1, d2, sdir = (str(tmp_path / n) for n in ("a", "b", "stream"))
+    (tmp_path / "stream").mkdir()
+    ontime.coalesce(1).write.parquet(d1)
+    late.coalesce(1).write.parquet(d2)
+    qs = stream_windowed_counts_phased(
+        spark,
+        [glob.glob(d1 + "/part-*.parquet")[0], glob.glob(d2 + "/part-*.parquet")[0]],
+        sdir,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    dropped_p2 = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in qs[1].recentProgress
+        for op in p.get("stateOperators", [])
+    )
+    assert dropped_p2 > 0  # the late file really hit the watermark
+
+    got = {
+        (r.ws, r.event_type): r.n
+        for r in spark.read.parquet(str(tmp_path / "out"))
+        .select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("ws"),
+            "event_type",
+            "n",
+        )
+        .collect()
+    }
+    wm = ontime.agg(F.max("ts")).collect()[0][0] - datetime.timedelta(hours=2)
+    exp = {
+        (r.ws.strftime("%Y-%m-%d %H:%M:%S"), r.event_type): r["count"]
+        for r in ontime.withColumn("ws", F.date_trunc("hour", "ts"))
+        .filter((F.col("ws") + F.expr("INTERVAL 1 HOUR")) <= F.lit(wm))
+        .groupBy("ws", "event_type")
+        .count()
+        .collect()
+    }
+    assert got == exp

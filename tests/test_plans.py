@@ -559,3 +559,36 @@ def test_modularity_no_cartesian_no_global_window(spark):
 def test_token_budget_window_is_partitioned(spark):
     plan = executed_plan(spark, "token_budget_selection_by_lang")
     assert "SinglePartition" not in plan, plan[:3000]
+
+
+def test_decontaminate_heldout_broadcast_semi_join(spark):
+    """The held-out gram set must arrive as a BROADCAST semi-join on
+    the train-side gram stream (benchmarks are tiny next to the
+    corpus), and nothing in the plan may be all-pairs."""
+    plan = executed_plan(spark, "decontaminate_against_heldout")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"BroadcastHashJoin .*LeftSemi", plan), plan[:3000]
+
+
+def test_token_entropy_is_pure_aggregation(spark):
+    """Two partitioned groupBys, no windows, no joins — the entropy
+    gate must stay a linear aggregation pipeline."""
+    plan = executed_plan(spark, "token_entropy_quality")
+    assert "Window" not in plan
+    assert "Join" not in plan, plan[:3000]
+    assert "SinglePartition" not in plan
+
+
+def test_length_bucket_plan_single_small_key_shuffle(spark):
+    """One hash shuffle on the ≤21-value bucket key with map-side
+    partial aggregation; no window, no join."""
+    plan = executed_plan(spark, "length_bucket_packing_plan")
+    assert "Window" not in plan and "Join" not in plan
+    assert plan.count("Arguments: hashpartitioning") <= 1, plan[:3000]
+    assert "partial_count" in plan or "partial" in plan.lower()
+
+
+def test_leakage_safe_split_no_cartesian_no_global_window(spark):
+    plan = executed_plan(spark, "leakage_safe_split_documents")
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan, plan[:3000]

@@ -278,6 +278,58 @@ def token_entropy_quality(spark, sf_dir):
     )
 
 
+@query(
+    "streaming_late_data_drop_audit",
+    """
+    WITH a AS (SELECT ts, event_type FROM events WHERE event_id % 2 = 0),
+    wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM a),
+    win AS (
+      SELECT date_trunc('hour', ts) AS ws, event_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM a GROUP BY ws, event_type
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type, n
+    FROM win, wm WHERE ws + INTERVAL 1 HOUR <= wm.w
+    """,
+)
+def streaming_late_data_drop_audit(spark, sf_dir):
+    """REAL two-phase streaming run demonstrating watermark late-data
+    DROPS (the semantics none of the single-drain streaming queries can
+    exhibit): on-time events (even event_id) drain first and advance
+    the checkpointed watermark; the late file (odd event_id) arrives in
+    a SECOND availableNow run — a restart ingesting a delayed backfill
+    — where rows targeting already-finalized windows are discarded
+    (visible as numRowsDroppedByWatermark) and the rest park in
+    never-finalized windows. The emitted output is therefore exactly
+    the on-time rows inside windows whose end precedes
+    ``max(on-time ts) − 2h`` — the closed form the oracle computes.
+    State stays bounded by the watermark horizon at any scale; the
+    late file never grows output, only the drop metric."""
+    import glob
+    import tempfile
+
+    from vmware_graph_spark.streaming.events import stream_windowed_counts_phased
+
+    ev = load_table(spark, sf_dir, "events")
+    d1, d2, sdir = (tempfile.mkdtemp(prefix="vgs_late_") for _ in range(3))
+    out_dir = tempfile.mkdtemp(prefix="vgs_late_out_") + "/res"
+    ckpt = tempfile.mkdtemp(prefix="vgs_late_ckpt_") + "/ckpt"
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("overwrite").parquet(d1)
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("overwrite").parquet(d2)
+    stream_windowed_counts_phased(
+        spark,
+        [glob.glob(d1 + "/part-*.parquet")[0], glob.glob(d2 + "/part-*.parquet")[0]],
+        sdir,
+        out_dir,
+        ckpt,
+    )
+    return spark.read.parquet(out_dir).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n",
+    )
+
+
 def _log2_bucket_sql(col: str, max_k: int = 20) -> str:
     """Integer CASE ladder: floor(log2(col)) for col >= 1."""
     cases = " ".join(

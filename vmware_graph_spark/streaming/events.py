@@ -13,6 +13,7 @@ twins in ``queries.py``, so stream and batch semantics stay locked.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 from typing import Any
 
@@ -217,6 +218,54 @@ def stream_merge_into(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_windowed_counts_phased(
+    spark: SparkSession,
+    arrival_files: list[str],
+    stream_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> list[Any]:
+    """Watermarked windowed counts where each ``arrival_files`` entry
+    lands in its OWN ``availableNow`` drain against one shared
+    checkpoint + append file sink — the restart-driven shape that makes
+    late-data DROPS actually observable.
+
+    Within a single availableNow run Spark's watermark advances with a
+    one-batch lag and state eviction runs at batch end, so a late file
+    in the same run still merges into live window state and nothing
+    drops. Across runs the checkpointed watermark is already in force
+    when the late file's batch starts: its rows targeting
+    already-finalized (evicted + emitted) windows are discarded —
+    visible as ``numRowsDroppedByWatermark`` in each query's progress
+    — which is exactly how a production restart ingests a delayed
+    upstream backfill. Returns the completed StreamingQuery handles so
+    callers can assert on those metrics; the emitted result parquet in
+    ``out_dir`` holds only windows finalized by the checkpointed
+    watermark, each counting only its on-time rows."""
+    import shutil
+
+    done = []
+    for i, f in enumerate(arrival_files):
+        shutil.copy(f, os.path.join(stream_dir, f"arrival-{i}.parquet"))
+        sdf = windowed_event_counts(
+            read_event_stream(spark, stream_dir), window=window, watermark=watermark
+        ).select("window_start", "event_type", "n")
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        done.append(q)
+    return done
 
 
 def run_available_to_memory(sdf: DataFrame, name: str, *, output_mode: str = "append") -> None:
