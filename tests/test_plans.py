@@ -592,3 +592,20 @@ def test_leakage_safe_split_no_cartesian_no_global_window(spark):
     plan = executed_plan(spark, "leakage_safe_split_documents")
     assert "CartesianProduct" not in plan
     assert "SinglePartition" not in plan, plan[:3000]
+
+
+def test_jsd_fanout_broadcasts_source_totals(spark):
+    """The vocabulary fan-out must broadcast the tiny per-source totals
+    (never shuffle the vocab by anything but token), and the decimal
+    fold must not introduce a global window."""
+    plan = executed_plan(spark, "jsd_mixture_drift_by_source")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan, plan[:3000]
+    assert "Window" not in plan
+
+
+def test_novelty_no_global_window(spark):
+    plan = executed_plan(spark, "ngram_novelty_by_doc")
+    assert "Window" not in plan
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan

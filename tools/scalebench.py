@@ -68,6 +68,11 @@ QUERIES_TO_TIME = [
     "bleu2_adjacent_docs",
     "modularity_trade_nation_partition",
     "token_budget_selection_by_lang",
+    # round-4: split/decontamination/quality family
+    "leakage_safe_split_documents",
+    "decontaminate_against_heldout",
+    "token_entropy_quality",
+    "length_bucket_packing_plan",
 ]
 
 COPY_AS_IS = ["region", "nation", "customer", "part", "supplier"]

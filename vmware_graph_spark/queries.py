@@ -7228,3 +7228,4 @@ from vmware_graph_spark import queries_ext16 as _queries_ext16  # noqa: E402,F40
 from vmware_graph_spark import queries_ext17 as _queries_ext17  # noqa: E402,F401
 from vmware_graph_spark import queries_ext18 as _queries_ext18  # noqa: E402,F401
 from vmware_graph_spark import queries_ext19 as _queries_ext19  # noqa: E402,F401
+from vmware_graph_spark import queries_ext20 as _queries_ext20  # noqa: E402,F401

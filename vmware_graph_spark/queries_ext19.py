@@ -237,7 +237,9 @@ def decontaminate_against_heldout(spark, sf_dir):
     ent AS (
       SELECT doc_id, source,
              CAST(sum(c) AS BIGINT) AS n_tok,
-             round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS entropy
+             round(log2(sum(c))
+                   - CAST(sum(round(c * log2(c), 10)::DECIMAL(28,10)) AS DOUBLE)
+                     / sum(c), 6) AS entropy
       FROM cnt GROUP BY doc_id, source
     )
     SELECT doc_id, source, n_tok, entropy,
@@ -263,10 +265,14 @@ def token_entropy_quality(spark, sf_dir):
     cnt = t.groupBy("doc_id", "source", "tok").agg(
         F.count("*").cast("bigint").alias("c")
     )
+    # per-token terms rounded → decimal → EXACT order-independent sum
+    # (the bm25/tf-idf float-determinism discipline: double SUMs are
+    # partition-order dependent; decimal SUMs are not)
+    term = F.round(F.col("c") * F.log2("c"), 10).cast("decimal(28,10)")
     ent = cnt.groupBy("doc_id", "source").agg(
         F.sum("c").cast("bigint").alias("n_tok"),
         F.round(
-            F.log2(F.sum("c")) - F.sum(F.col("c") * F.log2("c")) / F.sum("c"), 6
+            F.log2(F.sum("c")) - F.sum(term).cast("double") / F.sum("c"), 6
         ).alias("entropy"),
     )
     return ent.select(

@@ -1,0 +1,256 @@
+"""Round-4 extensions (continued): metadata-vs-content language audit,
+Jensen–Shannon mixture drift between sources, near-dup cluster-size
+histogram, and per-document n-gram novelty.
+
+Same registry/oracle discipline as ``queries.py`` — every query here is
+paired with a DuckDB ANSI-SQL twin and hash-matches it at sf0.01. All
+float folds follow the bm25/tf-idf determinism contract: per-row terms
+are rounded and summed in DECIMAL (exact, partition-order independent),
+with doubles only in per-row arithmetic and the final presentation
+round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vmware_graph_spark.functions.text import lang_id, lang_id_sql
+from vmware_graph_spark.queries import _toks, query
+from vmware_graph_spark.queries_ext19 import _NDP_PAIRS_CTE
+from vmware_graph_spark.sources.tables import load_table
+
+
+@query(
+    "lang_mismatch_audit_by_source",
+    f"""
+    WITH scored AS (
+      SELECT source, lang, {lang_id_sql('text')} AS lang_pred FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN lang_pred <> lang THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_mismatch,
+           round(CAST(sum(CASE WHEN lang_pred <> lang THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS mismatch_rate
+    FROM scored GROUP BY source
+    """,
+)
+def lang_mismatch_audit_by_source(spark, sf_dir):
+    """Metadata-vs-content audit: per source, how often the content
+    language classifier disagrees with the ``lang`` column a crawler or
+    uploader attached — elevated rates flag sources whose metadata
+    can't be trusted for language-targeted corpus recipes (the mixture
+    and budget queries key on ``lang``). Pure scan-side classification
+    (the n-gram marker CASE) + one small-key rollup; nothing global."""
+    d = load_table(spark, sf_dir, "documents")
+    mism = F.when(lang_id("text") != F.col("lang"), 1).otherwise(0)
+    return d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(mism).cast("bigint").alias("n_mismatch"),
+        F.round(F.sum(mism).cast("double") / F.count("*"), 6).alias("mismatch_rate"),
+    )
+
+
+@query(
+    "jsd_mixture_drift_by_source",
+    f"""
+    WITH t AS (
+      SELECT source, unnest({_toks('text')}) AS tok FROM documents
+    ),
+    st AS (
+      SELECT source, tok, CAST(count(*) AS BIGINT) AS c_s
+      FROM t GROUP BY source, tok
+    ),
+    tot AS (SELECT tok, CAST(sum(c_s) AS BIGINT) AS c_t FROM st GROUP BY tok),
+    n AS (SELECT source, CAST(sum(c_s) AS BIGINT) AS n_s FROM st GROUP BY source),
+    grand AS (SELECT CAST(sum(c_t) AS BIGINT) AS n_t FROM tot),
+    terms AS (
+      SELECT st.source,
+             st.c_s::DOUBLE / n.n_s AS p,
+             CASE WHEN tot.c_t - st.c_s > 0
+                  THEN (tot.c_t - st.c_s)::DOUBLE / (grand.n_t - n.n_s)
+                  ELSE 0.0 END AS q
+      FROM st JOIN tot USING (tok) JOIN n ON n.source = st.source
+      CROSS JOIN grand
+      UNION ALL
+      -- tokens the source never emits: p = 0, q-side term only
+      SELECT n.source, 0.0 AS p,
+             tot.c_t::DOUBLE / (grand.n_t - n.n_s) AS q
+      FROM tot CROSS JOIN grand JOIN n ON TRUE
+      WHERE NOT EXISTS (
+        SELECT 1 FROM st WHERE st.source = n.source AND st.tok = tot.tok
+      )
+    ),
+    contrib AS (
+      SELECT source,
+             round(CASE WHEN p > 0 THEN 0.5 * p * log2(2 * p / (p + q)) ELSE 0 END
+                   + CASE WHEN q > 0 THEN 0.5 * q * log2(2 * q / (p + q)) ELSE 0 END,
+                   12)::DECIMAL(28,12) AS term
+      FROM terms
+    )
+    SELECT source, round(CAST(sum(term) AS DOUBLE), 6) AS jsd
+    FROM contrib GROUP BY source
+    """,
+)
+def jsd_mixture_drift_by_source(spark, sf_dir):
+    """Jensen–Shannon divergence between each source's unigram
+    distribution and the REST of the corpus — the mixture-drift score
+    behind "which source is shifting our token distribution" and data-
+    mixture rebalancing decisions (0 = indistinguishable, 1 bit = fully
+    disjoint vocabularies). Per-token contributions are rounded to
+    DECIMAL and summed exactly, so the fold is partition-order
+    independent (the bm25 discipline).
+
+    Scale shape: token counts are two linear groupBys; the per-source
+    join fans each vocabulary row to the handful of sources (a
+    broadcast-small totals side), all partitioned by token — no global
+    window, no all-pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    from vmware_graph_spark.functions.text import tokens
+
+    t = d.select("source", F.explode(tokens("text")).alias("tok"))
+    st = t.groupBy("source", "tok").agg(F.count("*").cast("bigint").alias("c_s"))
+    tot = st.groupBy("tok").agg(F.sum("c_s").cast("bigint").alias("c_t"))
+    n = st.groupBy("source").agg(F.sum("c_s").cast("bigint").alias("n_s"))
+    n_t = st.agg(F.sum("c_s").cast("bigint").alias("n_t"))
+
+    # every (source, vocab token) pair: per-source counts left-joined
+    # onto the vocabulary fanned out to the (broadcast-small) source
+    # list, so never-emitted tokens appear with c_s = 0
+    fan = tot.crossJoin(F.broadcast(n.select("source", "n_s"))).crossJoin(
+        F.broadcast(n_t)
+    )
+    full = fan.join(st, ["source", "tok"], "left").withColumn(
+        "c_s", F.coalesce("c_s", F.lit(0).cast("bigint"))
+    )
+    p = F.col("c_s").cast("double") / F.col("n_s")
+    q_num = (F.col("c_t") - F.col("c_s")).cast("double")
+    q = F.when(q_num > 0, q_num / (F.col("n_t") - F.col("n_s"))).otherwise(F.lit(0.0))
+    m2 = p + q  # 2·M
+    term = F.round(
+        F.when(p > 0, 0.5 * p * F.log2(2 * p / m2)).otherwise(F.lit(0.0))
+        + F.when(q > 0, 0.5 * q * F.log2(2 * q / m2)).otherwise(F.lit(0.0)),
+        12,
+    ).cast("decimal(28,12)")
+    return (
+        full.select("source", term.alias("term"))
+        .groupBy("source")
+        .agg(F.round(F.sum("term").cast("double"), 6).alias("jsd"))
+    )
+
+
+@query(
+    "dedup_cluster_size_histogram",
+    f"""
+    WITH RECURSIVE {_NDP_PAIRS_CTE},
+    sym AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a
+    ),
+    rep AS (
+      SELECT a AS doc_id, least(min(b), a) AS component FROM reach GROUP BY a
+    ),
+    comp AS (
+      SELECT d.doc_id, coalesce(r.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN rep r ON d.doc_id = r.doc_id
+    ),
+    sizes_c AS (
+      SELECT component, CAST(count(*) AS BIGINT) AS sz FROM comp GROUP BY component
+    )
+    SELECT CASE WHEN sz >= 16 THEN 16 WHEN sz >= 8 THEN 8 WHEN sz >= 4 THEN 4
+                WHEN sz >= 2 THEN 2 ELSE 1 END AS size_bin,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(sz) AS BIGINT) AS n_docs
+    FROM sizes_c GROUP BY size_bin
+    """,
+)
+def dedup_cluster_size_histogram(spark, sf_dir):
+    """Shape of the duplication problem: near-dup cluster sizes binned
+    to powers of two (1 = unique, 2-3, 4-7, 8-15, 16+), with cluster
+    and document counts per bin — the first chart a dedup report shows
+    (is duplication a long tail of pairs, or a few giant mirror
+    families whose LSH buckets need the skew caps?). Reuses the
+    LSH-sparse pair graph + O(log n) star CC; the histogram itself is
+    two small-key aggregations."""
+    from vmware_graph_spark.analytics.algos import connected_components_star
+    from vmware_graph_spark.operators.dedup import minhash_lsh_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, num_hashes=8, bands=4, verify_threshold=0.4
+    )
+    cc = connected_components_star(
+        d.select(F.col("doc_id").alias("id")),
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+    )
+    sizes = cc.groupBy("component").agg(F.count("*").cast("bigint").alias("sz"))
+    size_bin = (
+        F.when(F.col("sz") >= 16, 16)
+        .when(F.col("sz") >= 8, 8)
+        .when(F.col("sz") >= 4, 4)
+        .when(F.col("sz") >= 2, 2)
+        .otherwise(1)
+    )
+    return (
+        sizes.select(size_bin.alias("size_bin"), "sz")
+        .groupBy("size_bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n_clusters"),
+            F.sum("sz").cast("bigint").alias("n_docs"),
+        )
+    )
+
+
+@query(
+    "ngram_novelty_by_doc",
+    f"""
+    WITH t AS (SELECT doc_id, {_toks('text')} AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                   i -> array_to_string(list_slice(t, i, i + 2), ' ')))
+               AS gram
+      FROM t
+    ),
+    first_seen AS (SELECT gram, min(doc_id) AS first_doc FROM sh GROUP BY gram)
+    SELECT sh.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           round(CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS novelty
+    FROM sh JOIN first_seen f ON f.gram = sh.gram
+    GROUP BY sh.doc_id
+    """,
+)
+def ngram_novelty_by_doc(spark, sf_dir):
+    """Corpus novelty saturation: for each document (in doc_id arrival
+    order), the fraction of its distinct 3-gram shingles never seen in
+    any EARLIER document — the curve that tells a crawl operator when
+    additional data from a source stops contributing new content (the
+    classic diminishing-returns diagnostic). First-occurrence is
+    ``min(doc_id)`` per gram — one linear groupBy on the gram, one
+    equi-join back, one per-doc rollup; no window over the vocabulary
+    and no ordered scan anywhere."""
+    from vmware_graph_spark.functions.text import word_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(word_shingles("text", 3)).alias("gram")
+    ).distinct()
+    first = sh.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        sh.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum(novel).cast("bigint").alias("n_novel"),
+            F.round(F.sum(novel).cast("double") / F.count("*"), 6).alias("novelty"),
+        )
+    )
