@@ -87,3 +87,74 @@ def test_novelty_first_doc_is_fully_novel_and_bounded(spark):
         assert 1 <= r.n_novel or r.n_novel == 0
         assert 0.0 <= r.novelty <= 1.0
         assert r.n_novel <= r.n_grams
+
+
+def _ppm(w, h, rgb_rows):
+    """rgb_rows: list of rows; each row a list of (r,g,b) tuples."""
+    px = bytearray()
+    for row in rgb_rows:
+        for r, g, b in row:
+            px += bytes((r, g, b))
+    return b"P6\n# a comment\n%d %d\n255\n" % (w, h) + bytes(px)
+
+
+def _bmp24(w, h, bgr_rows_bottom_up, *, top_down=False):
+    """Uncompressed 24-bit BMP; rows padded to 4 bytes."""
+    import struct
+
+    stride = (w * 3 + 3) & ~3
+    px = bytearray()
+    for row in bgr_rows_bottom_up:
+        raw = bytearray()
+        for b, g, r in row:
+            raw += bytes((b, g, r))
+        raw += b"\x00" * (stride - len(raw))
+        px += raw
+    hdr_h = -h if top_down else h
+    dib = struct.pack("<IiiHHIIiiII", 40, w, hdr_h, 1, 24, 0, len(px), 2835, 2835, 0, 0)
+    off = 14 + 40
+    head = b"BM" + struct.pack("<IHHI", off + len(px), 0, 0, off)
+    return head + dib + bytes(px)
+
+
+def test_decode_image_stdlib_ppm_and_bmp():
+    from vmware_graph_spark.operators.multimodal import decode_image_stdlib
+
+    d = decode_image_stdlib(
+        _ppm(2, 2, [[(10, 20, 30), (20, 30, 40)], [(30, 40, 50), (40, 50, 60)]]),
+        "image/x-portable-pixmap",
+    )
+    assert (d.width, d.height) == (2, 2)
+    assert (d.mean_r, d.mean_g, d.mean_b) == (25.0, 35.0, 45.0)
+
+    # width 3 forces row padding; BGR on disk must come back as RGB
+    rows = [[(1, 2, 3), (1, 2, 3), (1, 2, 3)], [(5, 6, 7), (5, 6, 7), (5, 6, 7)]]
+    d2 = decode_image_stdlib(_bmp24(3, 2, rows), "image/bmp")
+    assert (d2.width, d2.height) == (3, 2)
+    assert (d2.mean_r, d2.mean_g, d2.mean_b) == (5.0, 4.0, 3.0)
+    # top-down (negative height) decodes to the same means
+    d3 = decode_image_stdlib(_bmp24(3, 2, rows, top_down=True), "image/bmp")
+    assert (d3.mean_r, d3.mean_g, d3.mean_b) == (5.0, 4.0, 3.0)
+
+
+def test_decode_image_stdlib_rejects_bad_payloads():
+    import pytest
+
+    from vmware_graph_spark.operators.multimodal import decode_image_stdlib
+
+    with pytest.raises(ValueError):
+        decode_image_stdlib(b"P6\n2 2\n255\nxx", "image/x-portable-pixmap")  # truncated
+    with pytest.raises(NotImplementedError):
+        decode_image_stdlib(b"\x89PNG....", "image/png")  # needs a real codec
+
+
+def test_decode_images_mapinpandas_roundtrip(spark):
+    from vmware_graph_spark.operators.multimodal import as_media, decode_images
+
+    payload = _ppm(2, 1, [[(0, 100, 200), (2, 102, 202)]])
+    df = spark.createDataFrame([(1, bytearray(payload))], "id bigint, raw binary")
+    out = decode_images(as_media(df, "id", "raw", "image/x-portable-pixmap")).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.width, r.height) == (2, 1)
+    assert (r.mean_r, r.mean_g, r.mean_b) == (1.0, 101.0, 201.0)

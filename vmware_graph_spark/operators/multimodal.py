@@ -5,13 +5,15 @@ metadata; the heavy per-item work (decode, feature extraction, resize,
 frame sampling) runs as Arrow-batched ``mapInPandas`` so Python touches
 each batch once, vectorized — never a row-at-a-time UDF.
 
-The image/audio codec libraries are not in this container, so the codec
-call itself is STUBBED: ``decode_media`` raises NotImplementedError
-unless a decoder is injected, and :func:`fingerprint_features` provides
-a deterministic md5-based fake "feature extractor" with the REAL Spark
-plumbing — schema contract, Arrow batch shape, partition behavior — so
-everything around the codec is genuinely tested (and oracle-verified:
-md5 of the bytes is recomputable in SQL).
+No image/audio codec LIBRARIES ship in this container, but the decode
+path is no longer wholly stubbed: :func:`decode_image_stdlib` really
+parses binary PPM (P6) and uncompressed 24-bit BMP byte-for-byte (the
+same move as the stdlib OOXML reader for XLSX), and
+:func:`decode_images` runs it through the production mapInPandas shape.
+``decode_media`` still raises for formats that genuinely need a codec
+(JPEG/PNG/MP4) unless one is injected, and
+:func:`fingerprint_features` keeps the deterministic md5 stand-in whose
+SQL twin oracle-verifies the Arrow plumbing value-for-value.
 """
 
 from __future__ import annotations
@@ -69,6 +71,112 @@ def decode_media(df: DataFrame, decoder: Callable[[bytes, str], object] | None =
             yield out
 
     return df.mapInPandas(run, out_schema)
+
+
+class _DecodedImage:
+    __slots__ = ("width", "height", "mean_r", "mean_g", "mean_b")
+
+    def __init__(self, width, height, mean_r, mean_g, mean_b):
+        self.width, self.height = width, height
+        self.mean_r, self.mean_g, self.mean_b = mean_r, mean_g, mean_b
+
+
+def decode_image_stdlib(data: bytes, media_type: str) -> _DecodedImage:
+    """REAL image decode for the two formats the stdlib can parse
+    byte-for-byte — binary PPM (P6) and uncompressed 24-bit BMP — the
+    same move as the stdlib OOXML reader for XLSX: no codec library,
+    but a genuine end-to-end decode path instead of a stub. Returns
+    dimensions plus per-channel means (the stats a dataset curator
+    filters on: resolution floors, solid-color detection). Other
+    media types still require an injected codec via ``decode_media``.
+    """
+    b = bytes(data)
+    if media_type == "image/x-portable-pixmap" or b[:2] == b"P6":
+        # header: "P6" <ws> width <ws> height <ws> maxval <single ws> pixels
+        pos, fields = 2, []
+        while len(fields) < 3:
+            while pos < len(b) and b[pos : pos + 1].isspace():
+                pos += 1
+            if b[pos : pos + 1] == b"#":  # comment to end of line
+                while pos < len(b) and b[pos : pos + 1] != b"\n":
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(b) and not b[pos : pos + 1].isspace():
+                pos += 1
+            fields.append(int(b[start:pos]))
+        pos += 1  # the single whitespace after maxval
+        w, h, maxval = fields
+        if maxval != 255:
+            raise ValueError(f"PPM maxval {maxval} unsupported (need 255)")
+        px = b[pos : pos + w * h * 3]
+        if len(px) != w * h * 3:
+            raise ValueError("PPM pixel payload truncated")
+        sums = [0, 0, 0]
+        for i, v in enumerate(px):
+            sums[i % 3] += v
+        n = w * h
+        return _DecodedImage(w, h, sums[0] / n, sums[1] / n, sums[2] / n)
+    if media_type == "image/bmp" or b[:2] == b"BM":
+        import struct
+
+        if b[:2] != b"BM":
+            raise ValueError("not a BMP payload")
+        px_off = struct.unpack_from("<I", b, 10)[0]
+        hdr_sz, w, h = struct.unpack_from("<Iii", b, 14)
+        bpp = struct.unpack_from("<H", b, 28)[0]
+        comp = struct.unpack_from("<I", b, 30)[0]
+        if hdr_sz < 40 or bpp != 24 or comp != 0:
+            raise ValueError("only uncompressed 24-bit BITMAPINFOHEADER BMPs")
+        h = abs(h)  # negative height = top-down; channel means don't care
+        row_stride = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+        sums = [0, 0, 0]  # B, G, R on disk
+        for r in range(h):
+            row = b[px_off + r * row_stride : px_off + r * row_stride + w * 3]
+            if len(row) != w * 3:
+                raise ValueError("BMP pixel payload truncated")
+            for i, v in enumerate(row):
+                sums[i % 3] += v
+        n = w * h
+        return _DecodedImage(w, h, sums[2] / n, sums[1] / n, sums[0] / n)
+    raise NotImplementedError(
+        f"stdlib decoder handles PPM/BMP only; inject a codec for {media_type}"
+    )
+
+
+def decode_images(
+    df: DataFrame,
+    decoder: Callable[[bytes, str], object] = decode_image_stdlib,
+) -> DataFrame:
+    """Decode image payloads to (dims, per-channel means) — the REAL
+    mapInPandas decode path, defaulting to the stdlib PPM/BMP decoder;
+    a deployment with Pillow passes its own callable and everything
+    else (Arrow batching, schema) is identical. Means are emitted RAW
+    (exact integer-sum / count doubles); callers round JVM-side where
+    presentation needs it — keeping Python's banker's rounding out of
+    the oracle path."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [
+                decoder(bytes(m), t) for m, t in zip(pdf["media"], pdf["media_type"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "width": [d.width for d in decoded],
+                    "height": [d.height for d in decoded],
+                    "mean_r": [d.mean_r for d in decoded],
+                    "mean_g": [d.mean_g for d in decoded],
+                    "mean_b": [d.mean_b for d in decoded],
+                }
+            )
+
+    return df.mapInPandas(
+        run,
+        "asset_id bigint, width int, height int, "
+        "mean_r double, mean_g double, mean_b double",
+    )
 
 
 def fingerprint_features(df: DataFrame, *, n_features: int = 4) -> DataFrame:

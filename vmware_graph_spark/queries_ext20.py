@@ -207,6 +207,81 @@ def dedup_cluster_size_histogram(spark, sf_dir):
 
 
 @query(
+    "multimodal_decode_ppm_stats",
+    """
+    WITH d AS (
+      SELECT doc_id, n_chars, 2 + doc_id % 3 AS w, 2 + doc_id % 2 AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, h, n_chars, unnest(range(h)) AS r FROM d
+    ),
+    m AS (
+      SELECT doc_id, w, h,
+             avg((n_chars + r) % 256) AS mr,
+             avg((n_chars + r + 85) % 256) AS mg,
+             avg((n_chars + r + 170) % 256) AS mb
+      FROM px GROUP BY doc_id, w, h
+    )
+    SELECT doc_id AS asset_id, CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           round(mr, 6) AS mean_r, round(mg, 6) AS mean_g,
+           round(mb, 6) AS mean_b
+    FROM m
+    """,
+)
+def multimodal_decode_ppm_stats(spark, sf_dir):
+    """REAL image decode, end to end: deterministic PPM (P6) images are
+    synthesized per document (dims from doc_id, a per-row RGB ramp from
+    n_chars), then decoded back by the stdlib decoder through the
+    production Arrow ``mapInPandas`` path — and the oracle recomputes
+    width/height/channel-means straight from the SOURCE numbers,
+    so a header mis-parse, channel swap, or stride bug anywhere in
+    encode→decode breaks the hash match. This retires the round-2
+    "decode is stubbed" caveat for formats the stdlib can own; JPEG/PNG
+    still require an injected codec by design."""
+    import pandas as pd_  # local alias: keep module import surface lazy
+
+    from vmware_graph_spark.operators.multimodal import as_media, decode_images
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def build(batches):
+        for pdf in batches:
+            medias = []
+            for did, nc in zip(pdf["doc_id"], pdf["n_chars"]):
+                w, h = 2 + did % 3, 2 + did % 2
+                px = bytearray()
+                for r in range(h):
+                    row = bytes(
+                        (
+                            (nc + r) % 256,
+                            (nc + r + 85) % 256,
+                            (nc + r + 170) % 256,
+                        )
+                    ) * w
+                    px += row
+                medias.append(b"P6\n%d %d\n255\n" % (w, h) + bytes(px))
+            yield pd_.DataFrame({"asset_id": pdf["doc_id"], "media": medias})
+
+    assets = as_media(
+        d.mapInPandas(build, "asset_id bigint, media binary"),
+        "asset_id",
+        "media",
+        "image/x-portable-pixmap",
+    )
+    out = decode_images(assets)
+    return out.select(
+        "asset_id",
+        "width",
+        "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
+@query(
     "ngram_novelty_by_doc",
     f"""
     WITH t AS (SELECT doc_id, {_toks('text')} AS t FROM documents),
