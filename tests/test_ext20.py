@@ -158,3 +158,64 @@ def test_decode_images_mapinpandas_roundtrip(spark):
     r = out[0]
     assert (r.width, r.height) == (2, 1)
     assert (r.mean_r, r.mean_g, r.mean_b) == (1.0, 101.0, 201.0)
+
+
+def test_decode_audio_stdlib_wav_roundtrip_and_rejects():
+    import io
+    import struct
+    import wave as wave_mod
+
+    import pytest
+
+    from vmware_graph_spark.operators.multimodal import decode_audio_stdlib
+
+    samples = [0, 1000, -1000, 32767, -32768, 5]
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(struct.pack("<6h", *samples))
+    d = decode_audio_stdlib(buf.getvalue(), "audio/wav")
+    assert (d.channels, d.sample_rate, d.n_samples) == (1, 8000, 6)
+    assert d.samples == samples
+    assert d.duration_ms == 6 * 1000 // 8000
+
+    with pytest.raises(NotImplementedError):
+        decode_audio_stdlib(b"ID3\x04...", "audio/mpeg")  # needs a real codec
+
+    # 8-bit PCM: parseable container, unsupported width
+    buf8 = io.BytesIO()
+    with wave_mod.open(buf8, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(1)
+        wf.setframerate(8000)
+        wf.writeframes(b"\x00\x7f\xff")
+    with pytest.raises(ValueError):
+        decode_audio_stdlib(buf8.getvalue(), "audio/wav")
+
+
+def test_audio_rms_windows_hop_and_values(spark):
+    import io
+    import math
+    import struct
+    import wave as wave_mod
+
+    from vmware_graph_spark.operators.multimodal import as_media, audio_rms_windows
+
+    samples = list(range(40))  # 0..39 → windows at 0,16,32 with len 32,24,8
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(struct.pack("<40h", *samples))
+    df = spark.createDataFrame([(7, bytearray(buf.getvalue()))], "id bigint, raw binary")
+    out = sorted(
+        audio_rms_windows(as_media(df, "id", "raw", "audio/wav")).collect(),
+        key=lambda r: r.win_idx,
+    )
+    assert [(r.start, r.n) for r in out] == [(0, 32), (16, 24), (32, 8)]
+    for r in out:
+        win = samples[r.start : r.start + 32]
+        assert r.rms == math.sqrt(sum(v * v for v in win) / len(win))

@@ -179,6 +179,75 @@ def decode_images(
     )
 
 
+class _DecodedAudio:
+    __slots__ = ("channels", "sample_rate", "n_samples", "duration_ms", "samples")
+
+    def __init__(self, channels, sample_rate, n_samples, duration_ms, samples):
+        self.channels, self.sample_rate = channels, sample_rate
+        self.n_samples, self.duration_ms = n_samples, duration_ms
+        self.samples = samples
+
+
+def decode_audio_stdlib(data: bytes, media_type: str) -> _DecodedAudio:
+    """REAL audio decode for PCM WAV — the one audio container the
+    stdlib (``wave`` + ``struct``) can own byte-for-byte, completing
+    the PPM/BMP move for the audio column. Returns format metadata and
+    the int16 sample values (channel-interleaved); compressed formats
+    (MP3/AAC/OGG) still require an injected codec by design."""
+    import io
+    import struct
+    import wave
+
+    if media_type not in ("audio/wav", "audio/x-wav") and bytes(data[:4]) != b"RIFF":
+        raise NotImplementedError(
+            f"stdlib decoder handles PCM WAV only; inject a codec for {media_type}"
+        )
+    with wave.open(io.BytesIO(bytes(data)), "rb") as wf:
+        if wf.getsampwidth() != 2:
+            raise ValueError("only 16-bit PCM WAV supported")
+        ch, rate, n = wf.getnchannels(), wf.getframerate(), wf.getnframes()
+        raw = wf.readframes(n)
+    samples = list(struct.unpack(f"<{n * ch}h", raw))
+    return _DecodedAudio(ch, rate, n, (n * 1000) // rate, samples)
+
+
+def audio_rms_windows(
+    df: DataFrame,
+    *,
+    window: int = 32,
+    hop: int = 16,
+    decoder: Callable[[bytes, str], _DecodedAudio] = decode_audio_stdlib,
+) -> DataFrame:
+    """REAL per-window RMS energy over decoded PCM samples — the
+    production upgrade of the md5 ``audio_windows`` stub: same hop
+    arithmetic and Arrow batch path, but the energy is now
+    ``sqrt(Σ s² / n)`` over genuine samples. The squared sums are
+    integer-exact; sqrt and the final division are correctly-rounded
+    IEEE ops, so the doubles are engine-reproducible (callers round
+    JVM-side for presentation)."""
+    import math
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"asset_id": [], "win_idx": [], "start": [], "n": [], "rms": []}
+            for aid, m, t in zip(pdf["asset_id"], pdf["media"], pdf["media_type"]):
+                s = decoder(bytes(m), t).samples
+                for k, start in enumerate(range(0, len(s), hop)):
+                    win = s[start : start + window]
+                    rows["asset_id"].append(aid)
+                    rows["win_idx"].append(k)
+                    rows["start"].append(start)
+                    rows["n"].append(len(win))
+                    rows["rms"].append(
+                        math.sqrt(sum(v * v for v in win) / len(win))
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(
+        run, "asset_id bigint, win_idx int, start bigint, n bigint, rms double"
+    )
+
+
 def fingerprint_features(df: DataFrame, *, n_features: int = 4) -> DataFrame:
     """Deterministic fake feature extraction over media bytes.
 

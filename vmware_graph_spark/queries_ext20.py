@@ -282,6 +282,79 @@ def multimodal_decode_ppm_stats(spark, sf_dir):
 
 
 @query(
+    "audio_wav_rms_windows",
+    """
+    WITH d AS (SELECT doc_id, 64 + doc_id % 32 AS n FROM documents WHERE doc_id % 10 = 0),
+    starts AS (SELECT doc_id, n, unnest(range(0, n, 16)) AS start FROM d),
+    s AS (SELECT doc_id, n, unnest(range(n)) AS i FROM d),
+    v AS (
+      SELECT doc_id, i, ((doc_id * 37 + i * 11) % 65536) - 32768 AS smp FROM s
+    ),
+    w AS (
+      SELECT st.doc_id, st.start, CAST(count(*) AS BIGINT) AS n_smp,
+             sqrt(CAST(sum(v.smp * v.smp) AS DOUBLE) / count(*)) AS rms
+      FROM starts st JOIN v
+        ON v.doc_id = st.doc_id AND v.i >= st.start AND v.i < st.start + 32
+      GROUP BY st.doc_id, st.start
+    )
+    SELECT doc_id AS asset_id, CAST(start // 16 AS INTEGER) AS win_idx,
+           CAST(start AS BIGINT) AS start, n_smp AS n, round(rms, 6) AS rms
+    FROM w
+    """,
+)
+def audio_wav_rms_windows(spark, sf_dir):
+    """REAL audio decode, end to end: deterministic 16-bit PCM WAVs are
+    synthesized per sampled document (a modular sample ramp seeded by
+    doc_id), decoded back by the stdlib ``wave`` reader, and folded to
+    overlapping per-window RMS energies — while the oracle recomputes
+    every window's RMS straight from the sample FORMULA, so a header
+    mis-parse, sample-width bug, or hop-arithmetic error breaks the
+    hash match. Squared sums are integer-exact; sqrt/division are
+    correctly-rounded IEEE, rounded JVM-side. This retires the audio
+    half of the round-2 "decode is stubbed" caveat for the container
+    format the stdlib owns; compressed codecs stay injectable."""
+    import io
+    import struct
+    import wave as wave_mod
+
+    import pandas as pd_
+
+    from vmware_graph_spark.operators.multimodal import as_media, audio_rms_windows
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id")
+    )
+
+    def build(batches):
+        for pdf in batches:
+            medias = []
+            for did in pdf["doc_id"]:
+                n = 64 + did % 32
+                samples = [((did * 37 + i * 11) % 65536) - 32768 for i in range(n)]
+                buf = io.BytesIO()
+                with wave_mod.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(8000)
+                    wf.writeframes(struct.pack(f"<{n}h", *samples))
+                medias.append(buf.getvalue())
+            yield pd_.DataFrame({"asset_id": pdf["doc_id"], "media": medias})
+
+    assets = as_media(
+        d.mapInPandas(build, "asset_id bigint, media binary"),
+        "asset_id",
+        "media",
+        "audio/wav",
+    )
+    out = audio_rms_windows(assets, window=32, hop=16)
+    return out.select(
+        "asset_id", "win_idx", "start", "n", F.round("rms", 6).alias("rms")
+    )
+
+
+@query(
     "ngram_novelty_by_doc",
     f"""
     WITH t AS (SELECT doc_id, {_toks('text')} AS t FROM documents),
