@@ -49,17 +49,28 @@ def test_cli_rejects_bad_args(capsys):
     assert "refresh WORKBOOK_DIR SNAPSHOT_DIR" in capsys.readouterr().err
 
 
-def test_gate_prefix_is_first_50_with_oracles():
-    """The driver's correctness gate samples the first 50 queries();
-    the curated prefix must stay intact: 50 real entries, every one
-    oracle-paired, served in exactly the curated order."""
+def test_registry_served_in_plain_registration_order():
+    """ADVICE r3: the entry point must expose queries()/oracle_sql() in
+    plain registration order — no reordering or curation — so external
+    sampling (the driver gate) is unbiased. Breadth certification lives
+    in tools/breadth_suite.py instead, whose representatives must all
+    exist and be oracle-paired."""
     import __spark_entry__ as m
 
-    prefix = list(m._GATE_PREFIX)
-    assert len(prefix) == 50
     served = list(m.queries())
-    assert served[:50] == prefix
+    assert served == list(QUERIES)
+    assert list(m.oracle_sql()) == [n for n in QUERIES if n in m.oracle_sql()]
+
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "breadth_suite",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "breadth_suite.py"),
+    )
+    bs = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bs)
     oracles = m.oracle_sql()
-    for name in prefix:
+    for name in bs.FAMILY_REPRESENTATIVES:
         assert name in QUERIES, name
         assert name in oracles, name
