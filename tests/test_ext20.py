@@ -219,3 +219,31 @@ def test_audio_rms_windows_hop_and_values(spark):
     for r in out:
         win = samples[r.start : r.start + 32]
         assert r.rms == math.sqrt(sum(v * v for v in win) / len(win))
+
+
+def test_dedup_index_roundtrip_matches_inflight(spark, tmp_path):
+    """Index-backed decisions must equal the in-flight dedup_against
+    row-for-row, and extending the index with kept docs must flag a
+    re-arrival of those docs as duplicates."""
+    from vmware_graph_spark.operators.dedup import (
+        dedup_against,
+        dedup_against_index,
+        write_dedup_index,
+    )
+    from vmware_graph_spark.sources.tables import load_table
+
+    d = load_table(spark, SF, "documents")
+    new = d.filter(F.col("doc_id") % 5 == 0)
+    ref = d.filter(F.col("doc_id") % 5 != 0)
+    idx = str(tmp_path / "idx")
+    write_dedup_index(ref, idx, "doc_id", "text")
+    got = sorted(
+        map(tuple, dedup_against_index(new, spark, idx, "doc_id", "text").collect())
+    )
+    exp = sorted(map(tuple, dedup_against(new, ref, "doc_id", "text").collect()))
+    assert got == exp
+
+    # a re-arrival of a ref doc is an exact dup via the index alone
+    rearrival = ref.limit(3)
+    again = dedup_against_index(rearrival, spark, idx, "doc_id", "text").collect()
+    assert all(r.exact_dup for r in again)

@@ -440,61 +440,97 @@ def dedup_against(
     shingle tables (exact Jaccard, no false positives), mirroring
     :func:`minhash_lsh_pairs`.
     """
+    sh_ref = _shingle_table(ref, id_col, text_col, n).localCheckpoint(eager=False)
+    return _dedup_decisions(
+        new,
+        id_col,
+        text_col,
+        ref_fp=ref.select(fingerprint(text_col).alias("__fp")).distinct(),
+        ref_buckets=_band_buckets(
+            _minhash_sig(sh_ref, num_hashes), num_hashes, bands
+        ),
+        ref_shingles=sh_ref,
+        ref_sizes=sh_ref.groupBy("id").agg(F.count("*").alias("n_ref")),
+        n=n,
+        num_hashes=num_hashes,
+        bands=bands,
+        verify_threshold=verify_threshold,
+    )
+
+
+def _minhash_sig(sh: DataFrame, num_hashes: int) -> DataFrame:
+    """(id, sig array<bigint>) MinHash signatures over a shingle table."""
+    mins = [
+        F.min(_md5_hash64(F.col("shingle"), i)).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return (
+        sh.groupBy("id")
+        .agg(*mins)
+        .select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+    )
+
+
+def _band_buckets(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, band, bucket) LSH band buckets from signature rows."""
     rows = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        piece = F.slice(F.col("sig"), b * rows + 1, rows)
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(",", *[
+                F.element_at(piece, i + 1).cast("string") for i in range(rows)
+            ])).alias("bucket"))
+        )
+    return sig.select("id", F.explode(F.array(*band_cols)).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def _dedup_decisions(
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    ref_fp: DataFrame,
+    ref_buckets: DataFrame,
+    ref_shingles: DataFrame,
+    ref_sizes: DataFrame,
+    n: int,
+    num_hashes: int,
+    bands: int,
+    verify_threshold: float,
+) -> DataFrame:
+    """The per-batch decision dataflow shared by :func:`dedup_against`
+    (reference computed in-flight) and :func:`dedup_against_index`
+    (reference loaded from a persisted index)."""
     fp_new = new.select(F.col(id_col).alias("id"), fingerprint(text_col).alias("__fp"))
-    fp_ref = ref.select(fingerprint(text_col).alias("__fp")).distinct()
     exact = (
-        fp_new.join(fp_ref.withColumn("__hit", F.lit(1)), "__fp", "left")
+        fp_new.join(ref_fp.withColumn("__hit", F.lit(1)), "__fp", "left")
         .select("id", (F.col("__hit").isNotNull()).alias("exact_dup"))
     )
 
     sh_new = _shingle_table(new, id_col, text_col, n).localCheckpoint(eager=False)
-    sh_ref = _shingle_table(ref, id_col, text_col, n).localCheckpoint(eager=False)
-
-    def _sig(sh: DataFrame) -> DataFrame:
-        mins = [
-            F.min(_md5_hash64(F.col("shingle"), i)).alias(f"h{i}")
-            for i in range(num_hashes)
-        ]
-        return (
-            sh.groupBy("id")
-            .agg(*mins)
-            .select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
-        )
-
-    def _buckets(sig: DataFrame) -> DataFrame:
-        band_cols = []
-        for b in range(bands):
-            piece = F.slice(F.col("sig"), b * rows + 1, rows)
-            band_cols.append(
-                F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(",", *[
-                    F.element_at(piece, i + 1).cast("string") for i in range(rows)
-                ])).alias("bucket"))
-            )
-        return sig.select("id", F.explode(F.array(*band_cols)).alias("bb")).select(
-            "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-        )
-
     cands = (
-        _buckets(_sig(sh_new)).withColumnRenamed("id", "id_new")
+        _band_buckets(_minhash_sig(sh_new, num_hashes), num_hashes, bands)
+        .withColumnRenamed("id", "id_new")
         .join(
-            _buckets(_sig(sh_ref)).withColumnRenamed("id", "id_ref"),
+            ref_buckets.withColumnRenamed("id", "id_ref"),
             ["band", "bucket"],
         )
         .select("id_new", "id_ref")
         .distinct()
     )
     sizes_new = sh_new.groupBy("id").agg(F.count("*").alias("n_new"))
-    sizes_ref = sh_ref.groupBy("id").agg(F.count("*").alias("n_ref"))
     inter = (
         cands.join(sh_new.withColumnRenamed("id", "id_new"), "id_new")
-        .join(sh_ref.withColumnRenamed("id", "id_ref"), ["id_ref", "shingle"])
+        .join(ref_shingles.withColumnRenamed("id", "id_ref"), ["id_ref", "shingle"])
         .groupBy("id_new", "id_ref")
         .agg(F.count("*").alias("inter"))
     )
     near_ids = (
         inter.join(sizes_new.withColumnRenamed("id", "id_new"), "id_new")
-        .join(sizes_ref.withColumnRenamed("id", "id_ref"), "id_ref")
+        .join(ref_sizes.withColumnRenamed("id", "id_ref"), "id_ref")
         .filter(
             F.col("inter").cast("double")
             / (F.col("n_new") + F.col("n_ref") - F.col("inter")).cast("double")
@@ -510,6 +546,73 @@ def dedup_against(
         F.col("__near").isNotNull().alias("near_dup"),
     )
     return out.withColumn("kept", ~F.col("exact_dup") & ~F.col("near_dup"))
+
+
+INDEX_TABLES = ("fingerprints", "buckets", "shingles", "sizes")
+
+
+def write_dedup_index(
+    ref: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> None:
+    """Precompute and PERSIST the reference-corpus dedup index — the
+    four tables :func:`dedup_against` derives from the reference on
+    every call (normalized fingerprints, LSH band buckets, the shingle
+    inverted index, per-doc shingle sizes) — so day-2 incremental
+    ingestion never touches the corpus text again. At 100 TB this is
+    the difference between re-scanning the corpus per arriving batch
+    and reading only the (bucket-keyed, partition-prunable) index
+    slices the batch's candidates hit; the index appends under the
+    same layout when the corpus grows (``kept`` docs' rows union in).
+    """
+    sh = _shingle_table(ref, id_col, text_col, n)
+    tables = {
+        "fingerprints": ref.select(fingerprint(text_col).alias("__fp")).distinct(),
+        "buckets": _band_buckets(_minhash_sig(sh, num_hashes), num_hashes, bands),
+        "shingles": sh,
+        "sizes": sh.groupBy("id").agg(F.count("*").alias("n_ref")),
+    }
+    for name, df in tables.items():
+        df.write.mode("overwrite").parquet(f"{path}/{name}.parquet")
+
+
+def dedup_against_index(
+    new: DataFrame,
+    spark,
+    path: str,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    verify_threshold: float = 0.5,
+) -> DataFrame:
+    """:func:`dedup_against` against a PERSISTED index (see
+    :func:`write_dedup_index`): identical per-document decisions —
+    pinned by sharing the same oracle SQL — with per-batch cost that
+    reads only index parquet, never the corpus text. The ``n``/
+    ``num_hashes``/``bands`` must match the index build (they
+    parameterize what was persisted)."""
+    return _dedup_decisions(
+        new,
+        id_col,
+        text_col,
+        ref_fp=spark.read.parquet(f"{path}/fingerprints.parquet"),
+        ref_buckets=spark.read.parquet(f"{path}/buckets.parquet"),
+        ref_shingles=spark.read.parquet(f"{path}/shingles.parquet"),
+        ref_sizes=spark.read.parquet(f"{path}/sizes.parquet"),
+        n=n,
+        num_hashes=num_hashes,
+        bands=bands,
+        verify_threshold=verify_threshold,
+    )
 
 
 def simhash_pairs(

@@ -354,6 +354,49 @@ def audio_wav_rms_windows(spark, sf_dir):
     )
 
 
+def _dedup_against_sql() -> str:
+    from vmware_graph_spark.queries import _DEDUP_AGAINST_SQL
+
+    return _DEDUP_AGAINST_SQL
+
+
+@query(
+    "dedup_against_persisted_index",
+    _dedup_against_sql(),
+)
+def dedup_against_persisted_index(spark, sf_dir):
+    """Incremental dedup against a PERSISTED signature index: the
+    corpus side's fingerprints, LSH band buckets, shingle inverted
+    index, and sizes are built ONCE (``write_dedup_index``) and the new
+    batch (doc_id % 5 = 0) is flagged by reading only that index — the
+    corpus text is never re-scanned, which is the actual day-2 cost
+    model at 100 TB (the in-flight twin ``dedup_new_against_corpus``
+    re-derives the reference side per call). Decisions are identical by
+    construction, pinned by sharing that twin's oracle SQL verbatim."""
+    import tempfile
+
+    from vmware_graph_spark.operators.dedup import (
+        dedup_against_index,
+        write_dedup_index,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") % 5 == 0)
+    ref = d.filter(F.col("doc_id") % 5 != 0)
+    idx = tempfile.mkdtemp(prefix="vgs_dedup_idx_") + "/index"
+    write_dedup_index(ref, idx, "doc_id", "text", n=3, num_hashes=8, bands=4)
+    out = dedup_against_index(
+        new, spark, idx, "doc_id", "text",
+        n=3, num_hashes=8, bands=4, verify_threshold=0.5,
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("exact_dup").cast("int").alias("exact_dup"),
+        F.col("near_dup").cast("int").alias("near_dup"),
+        F.col("kept").cast("int").alias("kept"),
+    )
+
+
 @query(
     "ngram_novelty_by_doc",
     f"""
