@@ -246,3 +246,62 @@ def test_dedup_lines_invariants(spark, texts):
     # min_docs=1 marks every line boilerplate → nothing survives
     all_gone = dedup_lines(df, "id", "text", line_tokens=2, min_docs=1)
     assert all(r.n_kept == 0 for r in all_gone.collect())
+
+
+@PROP
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=12).map(" ".join),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_token_entropy_matches_reference_formula(spark, texts):
+    """Engine entropy == a direct Python recomputation (Σ −p·log2 p),
+    within the decimal-fold rounding, for arbitrary token multisets;
+    permutation-invariant by construction of the formula."""
+    import math
+    from collections import Counter
+
+    from vmware_graph_spark.queries_ext19 import token_entropy_quality
+
+    rows = [(i, t, "s") for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    import os
+    import tempfile
+
+    sf = tempfile.mkdtemp(prefix="vgs_prop_ent_")
+    df.write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    out = {r.doc_id: r.entropy for r in token_entropy_quality(spark, sf).collect()}
+    for i, t in enumerate(texts):
+        c = Counter(t.split())
+        n = sum(c.values())
+        want = -sum((v / n) * math.log2(v / n) for v in c.values())
+        assert abs(out[i] - want) < 1e-5, (t, out[i], want)
+
+
+@PROP
+@given(st.integers(min_value=0, max_value=2**31 - 1), st.integers(1, 40))
+def test_packing_plan_bucket_arithmetic(spark, seed, n_docs):
+    """Per-bucket invariants hold for arbitrary token-count multisets:
+    every doc's count fits [2^k, 2^(k+1)), padding_frac in [0, 1),
+    batches cover the docs."""
+    import os
+    import tempfile
+
+    from vmware_graph_spark.queries_ext19 import length_bucket_packing_plan
+
+    counts = [((seed * 31 + i * 977) % 4000) + 1 for i in range(n_docs)]
+    rows = [(i, " ".join(["w"] * c), "s") for i, c in enumerate(counts)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    sf = tempfile.mkdtemp(prefix="vgs_prop_pack_")
+    df.write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+    out = length_bucket_packing_plan(spark, sf).collect()
+    assert sum(r.n_docs for r in out) == n_docs
+    assert sum(r.total_tokens for r in out) == sum(counts)
+    for r in out:
+        # all docs in the bucket fit under the padded length
+        assert r.total_tokens < r.n_docs * r.seq_len
+        assert r.total_tokens >= r.n_docs * (r.seq_len // 2)
+        docs_per_batch = max(4096 // r.seq_len, 1)
+        assert r.n_batches == -(-r.n_docs // docs_per_batch)

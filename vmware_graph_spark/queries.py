@@ -103,6 +103,40 @@ def _h64(expr: str, seed: str) -> str:
     return f"('0x' || substr(md5({seed} || ':' || {expr}), 1, 15))::BIGINT"
 
 
+def _ndp_pairs_cte() -> str:
+    """The LSH→verify pair pipeline of ``near_dedup_clusters``, shared
+    by the split/leakage/cluster-histogram oracles (queries_ext19/20):
+    8 minhashes, 4 bands, candidates verified at Jaccard >= 0.4 over
+    3-gram shingles. Defined here (not in an ext module) so every ext
+    module can import it without ordering constraints."""
+    return f"""{_SH3_CTE},
+    hx AS (
+      SELECT id, i AS h_idx, min({_h64('shingle', 'i')}) AS h_val
+      FROM sh CROSS JOIN (SELECT unnest(range(8)) AS i)
+      GROUP BY id, i
+    ),
+    buckets AS (
+      SELECT id, h_idx // 2 AS band,
+             md5(string_agg(h_val::VARCHAR, ',' ORDER BY h_idx)) AS bucket
+      FROM hx GROUP BY id, h_idx // 2
+    ),
+    cands AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+    ),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS inter
+      FROM cands c JOIN sh x ON x.id = c.id_a JOIN sh y ON y.id = c.id_b AND y.shingle = x.shingle
+      GROUP BY c.id_a, c.id_b
+    ),
+    pairs AS (
+      SELECT i.id_a, i.id_b
+      FROM inter i JOIN sizes sa ON sa.id = i.id_a JOIN sizes sb ON sb.id = i.id_b
+      WHERE inter::DOUBLE / (sa.n_sh + sb.n_sh - inter) >= 0.4
+    )"""
+
+
 _FP = r"md5(lower(regexp_replace(trim({c}), '\s+', ' ', 'g')))"
 
 # revenue term used by the TPC-H-ish queries: per-row double product is
@@ -887,6 +921,8 @@ _SH3_CTE = f"""
            FROM toks),
     sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id)
 """
+
+_NDP_PAIRS_CTE = _ndp_pairs_cte()
 
 
 @query(

@@ -17,38 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from vmware_graph_spark.queries import _SH3_CTE, _h64, _shingles, query
+from vmware_graph_spark.queries import _NDP_PAIRS_CTE, _shingles, query
 from vmware_graph_spark.sources.tables import load_table
-
-# The LSH→verify pair pipeline of `near_dedup_clusters` (queries.py),
-# shared by the split/leakage oracles below: 8 minhashes, 4 bands,
-# candidates verified at Jaccard >= 0.4 over 3-gram shingles.
-_NDP_PAIRS_CTE = f"""{_SH3_CTE},
-    hx AS (
-      SELECT id, i AS h_idx, min({_h64('shingle', 'i')}) AS h_val
-      FROM sh CROSS JOIN (SELECT unnest(range(8)) AS i)
-      GROUP BY id, i
-    ),
-    buckets AS (
-      SELECT id, h_idx // 2 AS band,
-             md5(string_agg(h_val::VARCHAR, ',' ORDER BY h_idx)) AS bucket
-      FROM hx GROUP BY id, h_idx // 2
-    ),
-    cands AS (
-      SELECT DISTINCT a.id AS id_a, b.id AS id_b
-      FROM buckets a JOIN buckets b
-        ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
-    ),
-    inter AS (
-      SELECT c.id_a, c.id_b, count(*) AS inter
-      FROM cands c JOIN sh x ON x.id = c.id_a JOIN sh y ON y.id = c.id_b AND y.shingle = x.shingle
-      GROUP BY c.id_a, c.id_b
-    ),
-    pairs AS (
-      SELECT i.id_a, i.id_b
-      FROM inter i JOIN sizes sa ON sa.id = i.id_a JOIN sizes sb ON sb.id = i.id_b
-      WHERE inter::DOUBLE / (sa.n_sh + sb.n_sh - inter) >= 0.4
-    )"""
 
 
 def _split_case(key_expr: str) -> str:

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from vmware_graph_spark.functions.text import lang_id, lang_id_sql
 from vmware_graph_spark.queries import _toks, query
-from vmware_graph_spark.queries_ext19 import _NDP_PAIRS_CTE
+from vmware_graph_spark.queries import _NDP_PAIRS_CTE
 from vmware_graph_spark.sources.tables import load_table
 
 
