@@ -609,3 +609,13 @@ def test_novelty_no_global_window(spark):
     assert "Window" not in plan
     assert "SinglePartition" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q11_q15_scalar_totals_are_broadcast_not_global_window(spark):
+    """The global-total/global-max scalar subqueries must come back as
+    1-row broadcasts onto the aggregated frame — an unpartitioned
+    window here funnels every part/supplier through one task at SF100."""
+    for name in ("q11_important_part_value", "q15_top_supplier"):
+        plan = executed_plan(spark, name)
+        assert "Window" not in plan, (name, plan[:2000])
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, name

@@ -331,11 +331,12 @@ def q10_returned_items(spark, sf_dir):
 def q11_important_part_value(spark, sf_dir):
     """TPC-H Q11 shape (lineitem revenue stands in for partsupp
     supplycost×availqty): parts holding an outsized share of one
-    nation's supplied value. The global-total scalar subquery is an
-    empty-frame window sum over the per-part aggregate — the 2nd scan
-    the SQL implies never happens; one shuffle (partkey), then a
-    ~|parts|-row windowed projection. Decimal accumulation keeps the
-    0.1% threshold identical across engines.
+    nation's supplied value. The global-total scalar subquery is a
+    1-row aggregate BROADCAST back onto the per-part frame — never an
+    unpartitioned window over |parts| rows (millions at SF100 through
+    one task); one shuffle (partkey), one map-side-combined scalar,
+    one broadcast join. Decimal accumulation keeps the 0.1% threshold
+    identical across engines.
     """
     li = load_table(spark, sf_dir, "lineitem")
     s = F.broadcast(load_table(spark, sf_dir, "supplier"))
@@ -348,9 +349,9 @@ def q11_important_part_value(spark, sf_dir):
         .groupBy("l_partkey")
         .agg(F.sum(_rev_col()).alias("__val"))
     )
-    w = Window.partitionBy()
+    total = per_part.agg(F.sum("__val").alias("__total"))
     return (
-        per_part.withColumn("__total", F.sum("__val").over(w))
+        per_part.crossJoin(F.broadcast(total))
         .filter(
             F.col("__val").cast("double")
             > F.col("__total").cast("double") * F.lit(0.001)
@@ -490,9 +491,10 @@ def q14_promo_revenue_share(spark, sf_dir):
 )
 def q15_top_supplier(spark, sf_dir):
     """TPC-H Q15: supplier(s) achieving the quarter's max revenue.
-    The scalar subquery becomes an empty-frame window max — one extra
-    exchange-free projection over the aggregated (100-row) revenue
-    view instead of a second scan + cross join. Ties all surface,
+    The scalar subquery becomes a 1-row max BROADCAST back onto the
+    per-supplier revenue view — never an unpartitioned window over
+    |suppliers| rows (a single task at SF100); the revenue aggregate
+    is computed once and reused on both sides. Ties all surface,
     exactly like the SQL.
     """
     li = load_table(spark, sf_dir, "lineitem").filter(
@@ -503,8 +505,8 @@ def q15_top_supplier(spark, sf_dir):
         li.groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(F.sum(_rev_col()).cast("double").alias("total_revenue"))
     )
-    w = Window.partitionBy()
-    top = rev.withColumn("__max", F.max("total_revenue").over(w)).filter(
+    mx = rev.agg(F.max("total_revenue").alias("__max"))
+    top = rev.crossJoin(F.broadcast(mx)).filter(
         F.col("total_revenue") == F.col("__max")
     )
     s = F.broadcast(load_table(spark, sf_dir, "supplier"))
