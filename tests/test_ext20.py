@@ -247,3 +247,34 @@ def test_dedup_index_roundtrip_matches_inflight(spark, tmp_path):
     rearrival = ref.limit(3)
     again = dedup_against_index(rearrival, spark, idx, "doc_id", "text").collect()
     assert all(r.exact_dup for r in again)
+
+
+def test_extend_dedup_index_equals_rebuilt_index(spark, tmp_path):
+    """Index built from A then extended with B must give the same
+    decisions as an index built from A∪B, and the kept survivors of a
+    batch, once appended, flag their own re-arrival."""
+    from vmware_graph_spark.operators.dedup import (
+        dedup_against_index,
+        extend_dedup_index,
+        write_dedup_index,
+    )
+    from vmware_graph_spark.sources.tables import load_table
+
+    d = load_table(spark, SF, "documents")
+    part_a = d.filter(F.col("doc_id") % 3 == 0)
+    part_b = d.filter(F.col("doc_id") % 3 == 1)
+    probe = d.filter(F.col("doc_id") % 3 == 2).limit(40)
+
+    grown = str(tmp_path / "grown")
+    write_dedup_index(part_a, grown, "doc_id", "text")
+    extend_dedup_index(part_b, grown, "doc_id", "text")
+    rebuilt = str(tmp_path / "rebuilt")
+    write_dedup_index(part_a.unionByName(part_b), rebuilt, "doc_id", "text")
+
+    got = sorted(map(tuple, dedup_against_index(probe, spark, grown, "doc_id", "text").collect()))
+    exp = sorted(map(tuple, dedup_against_index(probe, spark, rebuilt, "doc_id", "text").collect()))
+    assert got == exp
+
+    rearrival = part_b.limit(3)
+    again = dedup_against_index(rearrival, spark, grown, "doc_id", "text").collect()
+    assert all(r.exact_dup for r in again)

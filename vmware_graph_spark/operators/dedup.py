@@ -505,6 +505,10 @@ def _dedup_decisions(
     (reference computed in-flight) and :func:`dedup_against_index`
     (reference loaded from a persisted index)."""
     fp_new = new.select(F.col(id_col).alias("id"), fingerprint(text_col).alias("__fp"))
+    # defensively distinct: an appended index may carry a fingerprint
+    # in more than one batch file, and a duplicated ref row would fan
+    # out the left join below
+    ref_fp = ref_fp.select("__fp").distinct()
     exact = (
         fp_new.join(ref_fp.withColumn("__hit", F.lit(1)), "__fp", "left")
         .select("id", (F.col("__hit").isNotNull()).alias("exact_dup"))
@@ -580,6 +584,34 @@ def write_dedup_index(
     }
     for name, df in tables.items():
         df.write.mode("overwrite").parquet(f"{path}/{name}.parquet")
+
+
+def extend_dedup_index(
+    kept: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> None:
+    """APPEND a batch of newly kept documents to a persisted index —
+    the grow-the-corpus half of day-2 ingestion: after
+    :func:`dedup_against_index` flags a batch, its ``kept`` survivors
+    join the reference so tomorrow's arrivals dedup against them too.
+    Cost is proportional to the batch (same derivations as the build,
+    over the batch only); the corpus index is never rewritten. The
+    parameters must match the original build."""
+    sh = _shingle_table(kept, id_col, text_col, n)
+    tables = {
+        "fingerprints": kept.select(fingerprint(text_col).alias("__fp")).distinct(),
+        "buckets": _band_buckets(_minhash_sig(sh, num_hashes), num_hashes, bands),
+        "shingles": sh,
+        "sizes": sh.groupBy("id").agg(F.count("*").alias("n_ref")),
+    }
+    for name, df in tables.items():
+        df.write.mode("append").parquet(f"{path}/{name}.parquet")
 
 
 def dedup_against_index(
