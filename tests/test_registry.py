@@ -74,3 +74,19 @@ def test_registry_served_in_plain_registration_order():
     for name in bs.FAMILY_REPRESENTATIVES:
         assert name in QUERIES, name
         assert name in oracles, name
+
+
+def test_cli_query_and_list_subcommands(capsys):
+    """The query/explain/list CLI resolves registry names, rejects
+    unknowns with suggestions, and list filters by substring —
+    arg-parsing only (no SparkSession started on the failure paths)."""
+    from vmware_graph_spark.__main__ import main
+
+    assert main(["list", "lang_mismatch"]) == 0
+    out = capsys.readouterr().out
+    assert "lang_mismatch_audit_by_source" in out
+
+    assert main(["query", "no_such_query_zzz"]) == 2
+    assert main(["query"]) == 2
+    assert main(["query", "q1_pricing_summary", "sf", "extra"]) == 2
+    assert main(["query", "q1_pricing_summary", "--limit", "nope"]) == 2
