@@ -278,3 +278,25 @@ def test_extend_dedup_index_equals_rebuilt_index(spark, tmp_path):
     rearrival = part_b.limit(3)
     again = dedup_against_index(rearrival, spark, grown, "doc_id", "text").collect()
     assert all(r.exact_dup for r in again)
+
+
+def test_weighted_sssp_prefers_cheap_detour_and_raises_on_neg_cycle(spark):
+    import pytest
+
+    from vmware_graph_spark.analytics.algos import weighted_sssp
+
+    # s→t direct costs 10; s→a→b→t costs 3
+    edges = spark.createDataFrame(
+        [("s", "t", 10), ("s", "a", 1), ("a", "b", 1), ("b", "t", 1)],
+        "src string, dst string, w int",
+    )
+    src = spark.createDataFrame([("s", "s")], "id string, landmark string")
+    got = {r.id: r.dist for r in weighted_sssp(edges, src).collect()}
+    assert got == {"s": 0, "a": 1, "b": 2, "t": 3}
+
+    neg = spark.createDataFrame(
+        [("s", "a", 1), ("a", "b", -2), ("b", "a", 1)],
+        "src string, dst string, w int",
+    )
+    with pytest.raises(RuntimeError):
+        weighted_sssp(neg, src, max_iters=10)

@@ -771,3 +771,54 @@ def conductance(edges: DataFrame, membership: DataFrame) -> DataFrame:
             denom > 0, F.round(F.col("cut").cast("double") / denom.cast("double"), 9)
         ).alias("conductance"),
     )
+
+
+def weighted_sssp(
+    edges: DataFrame, sources: DataFrame, *, max_iters: int = 40
+) -> DataFrame:
+    """Multi-source weighted shortest paths — Bellman–Ford min-plus
+    relaxation rounds (the weighted sibling of ``motif.shortest_paths``'
+    hop-count BFS). ``edges`` is (src, dst, w) with INTEGER weights
+    (min-plus over bigints stays exact — no float accumulation order to
+    worry about); ``sources`` is (id, landmark), so per-landmark
+    distance maps come out of one run, GraphFrames-``shortestPaths``
+    style. Returns (id, landmark, dist) for REACHABLE pairs only.
+
+    Each round is one equi-join + one min-aggregate, both hashed on the
+    vertex id — O(longest-shortest-path) rounds, the same tradeoff as
+    min-label CC (use it on bounded-diameter graphs; raise
+    ``max_iters`` for long chains). Convergence is checked exactly
+    (``exceptAll`` fixpoint, like connected_components_star), and
+    non-convergence raises instead of returning wrong distances —
+    negative-weight cycles can never converge and are therefore
+    surfaced, not silently looped over."""
+    e = edges.select("src", "dst", F.col("w").cast("bigint").alias("w"))
+    dist = sources.select(
+        "id", "landmark", F.lit(0).cast("bigint").alias("dist")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        relaxed = (
+            dist.alias("d")
+            .join(e.alias("e"), F.col("d.id") == F.col("e.src"))
+            .select(
+                F.col("e.dst").alias("id"),
+                F.col("d.landmark").alias("landmark"),
+                (F.col("d.dist") + F.col("e.w")).alias("dist"),
+            )
+        )
+        new = (
+            dist.unionByName(relaxed)
+            .groupBy("id", "landmark")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        diff = (
+            new.exceptAll(dist).limit(1)
+            .unionAll(dist.exceptAll(new).limit(1))
+            .limit(1)
+        )
+        same = diff.count() == 0
+        dist = new
+        if same:
+            return dist
+    raise RuntimeError(f"weighted_sssp did not converge in {max_iters} rounds")

@@ -398,6 +398,60 @@ def dedup_against_persisted_index(spark, sf_dir):
 
 
 @query(
+    "weighted_shortest_paths_nations",
+    """
+    WITH rn AS (
+      SELECT r_regionkey AS r, n_nationkey AS j, (n_nationkey % 7) + 1 AS w
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+    ),
+    pairs AS (
+      SELECT rn.r, n2.n_nationkey AS n,
+             min(rn.w + ((n2.n_nationkey - rn.j + 25) % 25)) AS dist
+      FROM rn CROSS JOIN nation n2
+      GROUP BY rn.r, n2.n_nationkey
+    )
+    SELECT 'n' || n AS id, 'r' || r AS landmark, CAST(dist AS BIGINT) AS dist
+    FROM pairs
+    UNION ALL
+    SELECT 'r' || r_regionkey, 'r' || r_regionkey, CAST(0 AS BIGINT) FROM region
+    """,
+)
+def weighted_shortest_paths_nations(spark, sf_dir):
+    """Weighted shortest paths (Bellman–Ford min-plus rounds) from each
+    region landmark over a graph with REAL route choices: every region
+    links to its own nations at varying integer cost, and all 25
+    nations form a directed unit-cost ring — so the cheapest way to a
+    nation is often to enter at a cheap gateway and ride the ring past
+    other nations, not the direct edge. The oracle computes the closed
+    form (min over gateways of entry cost + ring distance), so a
+    relaxation bug that stops early or over-relaxes breaks the match.
+    Integer weights keep min-plus exact; the kernel raises on
+    non-convergence (which is also how negative cycles surface)."""
+    from vmware_graph_spark.analytics.algos import weighted_sssp
+
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    nid = F.concat(F.lit("n"), F.col("n_nationkey"))
+    gateway = n.join(
+        r, n.n_regionkey == r.r_regionkey
+    ).select(
+        F.concat(F.lit("r"), F.col("r_regionkey")).alias("src"),
+        nid.alias("dst"),
+        ((F.col("n_nationkey") % 7) + 1).alias("w"),
+    )
+    ring = n.select(
+        nid.alias("src"),
+        F.concat(F.lit("n"), (F.col("n_nationkey") + 1) % 25).alias("dst"),
+        F.lit(1).alias("w"),
+    )
+    sources = r.select(
+        F.concat(F.lit("r"), F.col("r_regionkey")).alias("id"),
+        F.concat(F.lit("r"), F.col("r_regionkey")).alias("landmark"),
+    )
+    return weighted_sssp(gateway.unionByName(ring), sources, max_iters=40)
+
+
+@query(
     "ngram_novelty_by_doc",
     f"""
     WITH t AS (SELECT doc_id, {_toks('text')} AS t FROM documents),
