@@ -86,6 +86,17 @@ FAMILY_REPRESENTATIVES = (
     "kmv_distinct_users_per_type",
     # graph algorithms
     "connected_components_bipartite",
+    "weighted_shortest_paths_nations",
+    # round-4: splits / decontamination / diagnostics
+    "leakage_safe_split_documents",
+    "decontaminate_against_heldout",
+    "token_entropy_quality",
+    "jsd_mixture_drift_by_source",
+    # round-4: real media decode + persisted index + late data
+    "multimodal_decode_ppm_stats",
+    "audio_wav_rms_windows",
+    "dedup_against_persisted_index",
+    "streaming_late_data_drop_audit",
 )
 
 
