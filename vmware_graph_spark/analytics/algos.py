@@ -611,14 +611,25 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    e_cnt = e.count()
     converged = False
     for _ in range(max_iters):
         new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        diff = (
-            new_e.exceptAll(e).limit(1).unionAll(e.exceptAll(new_e).limit(1)).limit(1)
-        )
-        same = diff.count() == 0
-        e = new_e
+        # Cheap gate first: distinct edge SETS can't be equal if their
+        # counts differ, and early contraction rounds always shrink the
+        # set — the exact (two-sided exceptAll) fixpoint check only
+        # runs in rounds where the count is stable. Same convergence
+        # point, ~one scan instead of three for most rounds.
+        new_cnt = new_e.count()
+        same = False
+        if new_cnt == e_cnt:
+            diff = (
+                new_e.exceptAll(e).limit(1)
+                .unionAll(e.exceptAll(new_e).limit(1))
+                .limit(1)
+            )
+            same = diff.count() == 0
+        e, e_cnt = new_e, new_cnt
         if same:
             converged = True
             break
