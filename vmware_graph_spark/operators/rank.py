@@ -36,10 +36,18 @@ def exact_global_rank(
     *,
     buckets: int = 64,
     rank_col: str = "rank",
+    partition_cols: Sequence[str] = (),
 ) -> DataFrame:
-    """Append ``rank_col`` = exact 1-based global row_number under
+    """Append ``rank_col`` = exact 1-based row_number under
     ``ORDER BY order_cols`` (must be a total order for deterministic
     output), without any single-partition window over the data.
+
+    With ``partition_cols`` the rank restarts per partition group —
+    ``row_number() OVER (PARTITION BY partition_cols ORDER BY
+    order_cols)`` — still without funnelling any one group through a
+    single task: the data window is partitioned by (group, range
+    bucket), and the per-group offset prefix sum runs over
+    ≤ |groups| × buckets rows.
 
     Cost: one ``percentile_approx`` aggregate (driver gets ≤ buckets
     scalars), one hash shuffle for the per-bucket window, one tiny
@@ -48,6 +56,7 @@ def exact_global_rank(
     of the slice and AQE splits stragglers.
     """
     first = order_cols[0]
+    pcols = list(partition_cols)
     fracs = [i / buckets for i in range(1, buckets)]
     cuts_row = df.agg(
         F.percentile_approx(first, F.array(*[F.lit(f) for f in fracs]), 10_000).alias("c")
@@ -59,17 +68,24 @@ def exact_global_rank(
         bucket = bucket + F.when(F.col(first) > F.lit(c), 1).otherwise(0)
     b = df.withColumn(_RB, bucket)
 
-    wloc = Window.partitionBy(_RB).orderBy(*[F.col(c) for c in order_cols])
+    wloc = Window.partitionBy(*pcols, _RB).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
     local = b.withColumn(_LR, F.row_number().over(wloc))
 
-    # exclusive prefix sum over ≤ buckets rows — the only global scan
-    sizes = b.groupBy(_RB).agg(F.count("*").alias("__n"))
-    woff = Window.orderBy(_RB).rowsBetween(Window.unboundedPreceding, -1)
+    # exclusive prefix sum over ≤ |groups| × buckets rows — the only
+    # unpartitioned-by-bucket scan (per-group when partitioned)
+    sizes = b.groupBy(*pcols, _RB).agg(F.count("*").alias("__n"))
+    woff = (
+        Window.partitionBy(*pcols).orderBy(_RB)
+        if pcols
+        else Window.orderBy(_RB)
+    ).rowsBetween(Window.unboundedPreceding, -1)
     offs = sizes.select(
-        _RB, F.coalesce(F.sum("__n").over(woff), F.lit(0)).alias(_OFF)
+        *pcols, _RB, F.coalesce(F.sum("__n").over(woff), F.lit(0)).alias(_OFF)
     )
     return (
-        local.join(F.broadcast(offs), _RB)
+        local.join(F.broadcast(offs), [*pcols, _RB])
         .withColumn(rank_col, (F.col(_OFF) + F.col(_LR)).cast("bigint"))
         .drop(_RB, _LR, _OFF)
     )

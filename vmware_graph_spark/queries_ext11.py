@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from vmware_graph_spark.operators.rank import exact_global_rank
 from vmware_graph_spark.queries import query
 from vmware_graph_spark.sources.tables import load_table
 
@@ -186,28 +187,28 @@ def quantile_normalize_by_source(spark, sf_dir):
     v = load_table(spark, sf_dir, "documents").select(
         "source", "doc_id", F.col("n_chars").cast("bigint").alias("x")
     )
-    g = v.select(
-        "x",
-        F.row_number().over(Window.orderBy("x", "doc_id")).alias("rg"),
-        F.count("*")
-        .over(
-            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    # Pooled rank: range-bucketed exact rank (operators/rank.py) — no
+    # single-task ORDER BY window over the corpus.
+    g = exact_global_rank(
+        v.select(F.col("x").alias("gx"), "doc_id"), ["gx", "doc_id"], rank_col="rg"
+    ).select("gx", "rg")
+    # Per-source rank: same operator partitioned by source, so a huge
+    # source never funnels through one task either.
+    tot = v.agg(F.count("*").cast("bigint").alias("nn"))
+    ns = v.groupBy("source").agg(F.count("*").cast("bigint").alias("ns"))
+    s = (
+        exact_global_rank(
+            v, ["x", "doc_id"], rank_col="rs", partition_cols=["source"]
         )
-        .alias("nn"),
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "tkey", F.expr("div(rs * nn + ns - 1, ns)").cast("bigint")
+        )
     )
-    s = v.select(
-        "source",
-        "doc_id",
-        "x",
-        F.row_number()
-        .over(Window.partitionBy("source").orderBy("x", "doc_id"))
-        .alias("rs"),
-        F.count("*").over(Window.partitionBy("source")).alias("ns"),
-    )
-    mapped = s.join(
-        g.select(F.col("x").alias("gx"), "rg", "nn"),
-        F.col("rg") == F.expr("div(rs * nn + ns - 1, ns)"),
-    )
+    # All computed-key inputs live on the s side → true equi-join on
+    # (rg = tkey), hashable and AQE-skew-splittable at scale.
+    mapped = s.join(g, F.col("rg") == F.col("tkey"))
     return (
         mapped.groupBy("source")
         .agg(

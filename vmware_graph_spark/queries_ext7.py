@@ -70,8 +70,12 @@ def vocab_coverage_curve(spark, sf_dir):
     """Tokenizer vocabulary-coverage curve: corpus coverage of the
     top-K tokens by frequency for K in {100, 500, 1000, 5000} — the
     readout that sizes a vocabulary before committing to a BPE train.
-    One explode + one hash shuffle builds the histogram; the rank
-    window runs over |vocab| rows, never the corpus."""
+    One explode + one hash shuffle builds the histogram; only the
+    top max(K)=5000 rows are ever totally ordered — taken with
+    ``TakeOrderedAndProject`` (parallel per-partition top-k + merge),
+    so no |vocab|-sized single-task sort exists anywhere in the plan.
+    Totals come from one plain aggregate over the histogram."""
+    kmax = max(_COV_KS)
     t = load_table(spark, sf_dir, "documents").select(
         F.filter(F.split("text", r"\s+"), lambda x: x != "").alias("toks")
     )
@@ -80,28 +84,37 @@ def vocab_coverage_curve(spark, sf_dir):
         .groupBy("tok")
         .agg(F.count("*").alias("n_tok"))
     )
-    ranked = uni.select(
+    # (n_vocab, n_tokens) — one shuffle-free-after-histogram aggregate
+    totals = uni.agg(
+        F.count("*").cast("bigint").alias("n_vocab"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+    )
+    # Exact top-kmax under the same total order the oracle ranks by;
+    # the window below runs over ≤ kmax rows, never |vocab|.
+    top = uni.orderBy(F.desc("n_tok"), "tok").limit(kmax)
+    ranked = top.select(
         "n_tok",
         F.row_number().over(Window.orderBy(F.desc("n_tok"), "tok")).alias("rn"),
-        F.sum("n_tok").over(Window.rowsBetween(
-            Window.unboundedPreceding, Window.unboundedFollowing
-        )).alias("total"),
     )
-    aggs = [
-        F.count("*").cast("bigint").alias("n_vocab"),
-        F.max("total").cast("bigint").alias("n_tokens"),
-    ]
-    for k in _COV_KS:
-        aggs.append(
+    cov_sums = ranked.agg(
+        *[
+            F.sum(
+                F.when(F.col("rn") <= k, F.col("n_tok")).otherwise(0)
+            ).alias(f"_s_{k}")
+            for k in _COV_KS
+        ]
+    )
+    out = totals.crossJoin(F.broadcast(cov_sums))
+    return out.select(
+        "n_vocab",
+        "n_tokens",
+        *[
             F.round(
-                F.sum(
-                    F.when(F.col("rn") <= k, F.col("n_tok")).otherwise(0)
-                ).cast("double")
-                / F.max("total"),
-                6,
+                F.col(f"_s_{k}").cast("double") / F.col("n_tokens"), 6
             ).alias(f"cov_{k}")
-        )
-    return ranked.agg(*aggs)
+            for k in _COV_KS
+        ],
+    )
 
 
 # ---------------------------------------------------------------------------
