@@ -526,11 +526,14 @@ def _dedup_decisions(
         .distinct()
     )
     sizes_new = sh_new.groupBy("id").agg(F.count("*").alias("n_new"))
+    # countDistinct (not count): an appended index may carry a shingle
+    # row twice for the same id (retried extend); distinct intersection
+    # cardinality is immune to that, identical when the index is clean
     inter = (
         cands.join(sh_new.withColumnRenamed("id", "id_new"), "id_new")
         .join(ref_shingles.withColumnRenamed("id", "id_ref"), ["id_ref", "shingle"])
         .groupBy("id_new", "id_ref")
-        .agg(F.count("*").alias("inter"))
+        .agg(F.countDistinct("shingle").alias("inter"))
     )
     near_ids = (
         inter.join(sizes_new.withColumnRenamed("id", "id_new"), "id_new")
@@ -602,16 +605,63 @@ def extend_dedup_index(
     join the reference so tomorrow's arrivals dedup against them too.
     Cost is proportional to the batch (same derivations as the build,
     over the batch only); the corpus index is never rewritten. The
-    parameters must match the original build."""
-    sh = _shingle_table(kept, id_col, text_col, n)
-    tables = {
-        "fingerprints": kept.select(fingerprint(text_col).alias("__fp")).distinct(),
+    parameters must match the original build.
+
+    IDEMPOTENT under retries and overlapping batches: ids already in
+    the persisted ``sizes`` table are anti-joined away before anything
+    is derived, and ``sizes`` is written LAST — so its ids mark fully
+    committed documents. A crash between the four appends leaves
+    partial rows for the batch's ids, but the retry (ids still absent
+    from ``sizes``) re-appends them, and every duplicated row class is
+    harmless to decisions: fingerprints are distinct-ed at read,
+    bucket duplicates collapse in the candidate ``distinct``, shingle
+    duplicates collapse in the ``countDistinct`` intersection, and
+    ``sizes`` rows are deduped at read. :func:`compact_dedup_index`
+    reclaims the space."""
+    spark = kept.sparkSession
+    kept_new = kept
+    try:
+        committed = spark.read.parquet(f"{path}/sizes.parquet").select(
+            F.col("id").alias("__committed_id")
+        )
+        kept_new = kept.join(
+            committed,
+            kept[id_col] == F.col("__committed_id"),
+            "left_anti",
+        ).localCheckpoint(eager=True)  # pin one consistent batch across writes
+    except Exception:
+        pass  # no sizes table yet — nothing committed, append everything
+    sh = _shingle_table(kept_new, id_col, text_col, n)
+    tables = {  # sizes LAST: its ids are the commit marker
+        "fingerprints": kept_new.select(fingerprint(text_col).alias("__fp")).distinct(),
         "buckets": _band_buckets(_minhash_sig(sh, num_hashes), num_hashes, bands),
         "shingles": sh,
         "sizes": sh.groupBy("id").agg(F.count("*").alias("n_ref")),
     }
     for name, df in tables.items():
         df.write.mode("append").parquet(f"{path}/{name}.parquet")
+
+
+def compact_dedup_index(spark, path: str) -> None:
+    """Rewrite an appended index into canonical deduplicated form —
+    the space-reclaim pass after crash-retried or heavily grown
+    extends: fingerprints/buckets/shingles distinct, sizes reduced to
+    one row per id. Decisions are identical before and after (the read
+    path already tolerates the duplicates; test-pinned). In-place via
+    an eager localCheckpoint to break lineage to the files being
+    replaced; at very large scale run it per-table onto a versioned
+    sibling directory instead and swap atomically."""
+    canon = {
+        "fingerprints": lambda df: df.distinct(),
+        "buckets": lambda df: df.distinct(),
+        "shingles": lambda df: df.distinct(),
+        "sizes": lambda df: df.groupBy("id").agg(F.max("n_ref").alias("n_ref")),
+    }
+    for name, fix in canon.items():
+        df = fix(spark.read.parquet(f"{path}/{name}.parquet")).localCheckpoint(
+            eager=True
+        )
+        df.write.mode("overwrite").parquet(f"{path}/{name}.parquet")
 
 
 def dedup_against_index(
@@ -639,7 +689,11 @@ def dedup_against_index(
         ref_fp=spark.read.parquet(f"{path}/fingerprints.parquet"),
         ref_buckets=spark.read.parquet(f"{path}/buckets.parquet"),
         ref_shingles=spark.read.parquet(f"{path}/shingles.parquet"),
-        ref_sizes=spark.read.parquet(f"{path}/sizes.parquet"),
+        # dedupe at read: a crash-retried extend can leave an id's size
+        # row twice; a duplicated size row would fan out the verify join
+        ref_sizes=spark.read.parquet(f"{path}/sizes.parquet")
+        .groupBy("id")
+        .agg(F.max("n_ref").alias("n_ref")),
         n=n,
         num_hashes=num_hashes,
         bands=bands,

@@ -253,7 +253,14 @@ def merge_edges_with_props(
     coalesces the second exchange. ``max_by`` over a (batch, value)
     struct is a single agg buffer, same cost as the plain ``max``.
     """
-    if order_col and order_col in updates.columns:
+    if order_col:
+        if order_col not in updates.columns:
+            # a typo'd/dropped order column would silently demote
+            # last-writer-wins to greatest-value-wins — fail loudly
+            raise ValueError(
+                f"order_col {order_col!r} not in updates columns "
+                f"{updates.columns}"
+            )
         updates = updates.withColumn(ORDER_COL, F.col(order_col).cast("long"))
     else:
         updates = updates.withColumn(ORDER_COL, F.lit(0).cast("long"))

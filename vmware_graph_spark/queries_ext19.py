@@ -280,25 +280,47 @@ def streaming_late_data_drop_audit(spark, sf_dir):
     the on-time rows inside windows whose end precedes
     ``max(on-time ts) − 2h`` — the closed form the oracle computes.
     State stays bounded by the watermark horizon at any scale; the
-    late file never grows output, only the drop metric."""
+    late file never grows output, only the drop metric.
+
+    The late file is additionally capped to ``ts <= max(on-time ts)``
+    — a late row by definition trails the stream head, and without the
+    cap a regenerated dataset whose global max lived on an odd
+    event_id could advance the watermark in the second drain and emit
+    windows the closed form excludes (round-4 ADVICE). Artifacts live
+    under the session temp cache (reused across invocations, removed
+    at exit) instead of leaking one mkdtemp per call."""
     import glob
-    import tempfile
+    import os
 
     from vmware_graph_spark.streaming.events import stream_windowed_counts_phased
+    from vmware_graph_spark.tmpcache import cache_dir, data_key
 
     ev = load_table(spark, sf_dir, "events")
-    d1, d2, sdir = (tempfile.mkdtemp(prefix="vgs_late_") for _ in range(3))
-    out_dir = tempfile.mkdtemp(prefix="vgs_late_out_") + "/res"
-    ckpt = tempfile.mkdtemp(prefix="vgs_late_ckpt_") + "/ckpt"
-    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("overwrite").parquet(d1)
-    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("overwrite").parquet(d2)
-    stream_windowed_counts_phased(
-        spark,
-        [glob.glob(d1 + "/part-*.parquet")[0], glob.glob(d2 + "/part-*.parquet")[0]],
-        sdir,
-        out_dir,
-        ckpt,
-    )
+    root = cache_dir("late_audit", data_key(sf_dir, "events"))
+    out_dir = os.path.join(root, "res")
+    if not os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)  # no half-run checkpoints
+        d1, d2 = os.path.join(root, "in1"), os.path.join(root, "in2")
+        sdir = os.path.join(root, "src")
+        ckpt = os.path.join(root, "ckpt")
+        on_time = ev.filter(F.col("event_id") % 2 == 0)
+        head = on_time.agg(F.max("ts")).first()[0]
+        on_time.coalesce(1).write.mode("overwrite").parquet(d1)
+        ev.filter(
+            (F.col("event_id") % 2 == 1) & (F.col("ts") <= F.lit(head))
+        ).coalesce(1).write.mode("overwrite").parquet(d2)
+        stream_windowed_counts_phased(
+            spark,
+            [
+                glob.glob(d1 + "/part-*.parquet")[0],
+                glob.glob(d2 + "/part-*.parquet")[0],
+            ],
+            sdir,
+            out_dir,
+            ckpt,
+        )
     return spark.read.parquet(out_dir).select(
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "event_type",

@@ -12,12 +12,21 @@ round.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from vmware_graph_spark.functions.text import lang_id, lang_id_sql
 from vmware_graph_spark.queries import _toks, query
 from vmware_graph_spark.queries import _NDP_PAIRS_CTE
 from vmware_graph_spark.sources.tables import load_table
+from vmware_graph_spark.tmpcache import cache_dir, data_key
+
+
+def _cached_index_dir(sf_dir: str) -> str:
+    return os.path.join(
+        cache_dir("dedup_index", data_key(sf_dir, "documents")), "index"
+    )
 
 
 @query(
@@ -372,9 +381,12 @@ def dedup_against_persisted_index(spark, sf_dir):
     corpus text is never re-scanned, which is the actual day-2 cost
     model at 100 TB (the in-flight twin ``dedup_new_against_corpus``
     re-derives the reference side per call). Decisions are identical by
-    construction, pinned by sharing that twin's oracle SQL verbatim."""
-    import tempfile
+    construction, pinned by sharing that twin's oracle SQL verbatim.
 
+    The index lives under ONE session-scoped cache directory keyed by
+    (sf_dir, documents mtime) and is built only when absent — repeat
+    invocations (bench/selfcheck loops) reuse it instead of leaking a
+    fresh mkdtemp per call, and atexit removes the whole cache root."""
     from vmware_graph_spark.operators.dedup import (
         dedup_against_index,
         write_dedup_index,
@@ -383,8 +395,9 @@ def dedup_against_persisted_index(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     new = d.filter(F.col("doc_id") % 5 == 0)
     ref = d.filter(F.col("doc_id") % 5 != 0)
-    idx = tempfile.mkdtemp(prefix="vgs_dedup_idx_") + "/index"
-    write_dedup_index(ref, idx, "doc_id", "text", n=3, num_hashes=8, bands=4)
+    idx = _cached_index_dir(sf_dir)
+    if not os.path.exists(os.path.join(idx, "sizes.parquet", "_SUCCESS")):
+        write_dedup_index(ref, idx, "doc_id", "text", n=3, num_hashes=8, bands=4)
     out = dedup_against_index(
         new, spark, idx, "doc_id", "text",
         n=3, num_hashes=8, bands=4, verify_threshold=0.5,
