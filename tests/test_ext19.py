@@ -197,3 +197,44 @@ def test_streaming_late_drops_are_real_and_output_matches_closed_form(spark, tmp
         .collect()
     }
     assert got == exp
+
+
+def test_streaming_late_audit_registry_query_end_to_end(spark):
+    """Round-5 regression guard: invoke the REGISTRY entry (not the
+    kernel) so cache-path refactors in the wrapper can't silently
+    break it again — the tmpcache refactor shipped a wrapper that
+    crashed on every call while the kernel test stayed green. Also
+    pins the reuse contract: a second invocation must hit the
+    _COMPLETE sentinel and return identical rows without rebuilding."""
+    import datetime
+    import os
+
+    from vmware_graph_spark.queries import QUERIES
+    from vmware_graph_spark.sources.tables import load_table
+    from vmware_graph_spark.tmpcache import cache_dir, data_key
+
+    rows1 = QUERIES["streaming_late_data_drop_audit"](spark, SF).collect()
+    assert len(rows1) > 0
+
+    root = cache_dir("late_audit", data_key(SF, "events"))
+    sentinel = os.path.join(root, "_COMPLETE")
+    assert os.path.exists(sentinel)
+    mtime = os.path.getmtime(sentinel)
+
+    rows2 = QUERIES["streaming_late_data_drop_audit"](spark, SF).collect()
+    assert sorted(map(tuple, rows2)) == sorted(map(tuple, rows1))
+    assert os.path.getmtime(sentinel) == mtime  # cache hit, no rebuild
+
+    # closed form: on-time rows in windows ending before head - 2h
+    ev = load_table(spark, SF, "events")
+    ontime = ev.filter(F.col("event_id") % 2 == 0)
+    wm = ontime.agg(F.max("ts")).collect()[0][0] - datetime.timedelta(hours=2)
+    exp = {
+        (r.ws.strftime("%Y-%m-%d %H:%M:%S"), r.event_type): r["count"]
+        for r in ontime.withColumn("ws", F.date_trunc("hour", "ts"))
+        .filter((F.col("ws") + F.expr("INTERVAL 1 HOUR")) <= F.lit(wm))
+        .groupBy("ws", "event_type")
+        .count()
+        .collect()
+    }
+    assert {(r.window_start, r.event_type): r.n for r in rows1} == exp

@@ -300,3 +300,69 @@ def test_weighted_sssp_prefers_cheap_detour_and_raises_on_neg_cycle(spark):
     )
     with pytest.raises(RuntimeError):
         weighted_sssp(neg, src, max_iters=10)
+
+
+def test_crash_retried_index_tolerated_and_compacted(spark, tmp_path):
+    """A crash-retried extend leaves duplicated rows in the index
+    tables; decisions must be unaffected (fingerprints distinct-ed,
+    buckets collapse in candidate distinct, shingles in countDistinct,
+    sizes deduped at read), and compact_dedup_index must shrink the
+    tables back to canonical WITHOUT changing any decision."""
+    from vmware_graph_spark.operators.dedup import (
+        INDEX_TABLES,
+        compact_dedup_index,
+        dedup_against_index,
+        write_dedup_index,
+    )
+    from vmware_graph_spark.sources.tables import load_table
+
+    d = load_table(spark, SF, "documents")
+    ref = d.filter(F.col("doc_id") % 3 != 2)
+    probe = d.filter(F.col("doc_id") % 3 == 2).limit(40)
+
+    clean = str(tmp_path / "clean")
+    dirty = str(tmp_path / "dirty")
+    write_dedup_index(ref, clean, "doc_id", "text")
+    write_dedup_index(ref, dirty, "doc_id", "text")
+    # manufacture the crash-retry residue: every table double-appended
+    # (superset of any real partial-write state)
+    for t in INDEX_TABLES:
+        dup = spark.read.parquet(f"{dirty}/{t}.parquet").localCheckpoint(eager=True)
+        dup.write.mode("append").parquet(f"{dirty}/{t}.parquet")
+
+    exp = sorted(map(tuple, dedup_against_index(probe, spark, clean, "doc_id", "text").collect()))
+    got_dirty = sorted(map(tuple, dedup_against_index(probe, spark, dirty, "doc_id", "text").collect()))
+    assert got_dirty == exp  # duplicated index rows never change a decision
+
+    before = {t: spark.read.parquet(f"{dirty}/{t}.parquet").count() for t in INDEX_TABLES}
+    compact_dedup_index(spark, dirty)
+    after = {t: spark.read.parquet(f"{dirty}/{t}.parquet").count() for t in INDEX_TABLES}
+    clean_counts = {t: spark.read.parquet(f"{clean}/{t}.parquet").count() for t in INDEX_TABLES}
+    assert all(after[t] < before[t] for t in INDEX_TABLES)
+    assert after == clean_counts  # canonical form == fresh build
+
+    got_compacted = sorted(map(tuple, dedup_against_index(probe, spark, dirty, "doc_id", "text").collect()))
+    assert got_compacted == exp
+
+
+def test_extend_dedup_index_raises_on_corrupt_sizes(spark, tmp_path):
+    """A broken sizes table must PROPAGATE, not silently disable the
+    committed-id anti-join (a swallowed error meant double-appends)."""
+    import os
+
+    import pytest
+
+    from vmware_graph_spark.operators.dedup import extend_dedup_index, write_dedup_index
+    from vmware_graph_spark.sources.tables import load_table
+
+    d = load_table(spark, SF, "documents")
+    idx = str(tmp_path / "idx")
+    write_dedup_index(d.filter(F.col("doc_id") % 3 == 0), idx, "doc_id", "text")
+    # corrupt the sizes table: garbage bytes where parquet footers go
+    sdir = f"{idx}/sizes.parquet"
+    for f in os.listdir(sdir):
+        if f.startswith("part-"):
+            with open(os.path.join(sdir, f), "wb") as fh:
+                fh.write(b"not a parquet file")
+    with pytest.raises(Exception, match="(?i)parquet|footer|magic"):
+        extend_dedup_index(d.filter(F.col("doc_id") % 3 == 1), idx, "doc_id", "text")

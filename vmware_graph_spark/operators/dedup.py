@@ -618,6 +618,8 @@ def extend_dedup_index(
     duplicates collapse in the ``countDistinct`` intersection, and
     ``sizes`` rows are deduped at read. :func:`compact_dedup_index`
     reclaims the space."""
+    from pyspark.errors import AnalysisException
+
     spark = kept.sparkSession
     kept_new = kept
     try:
@@ -629,8 +631,14 @@ def extend_dedup_index(
             kept[id_col] == F.col("__committed_id"),
             "left_anti",
         ).localCheckpoint(eager=True)  # pin one consistent batch across writes
-    except Exception:
-        pass  # no sizes table yet — nothing committed, append everything
+    except AnalysisException as e:
+        # Only the missing-path case means "nothing committed yet" —
+        # any other failure (corrupt footer, transient FS error) must
+        # propagate, or a broken index silently double-appends with
+        # the anti-join and checkpoint pin disabled (round-5 ADVICE).
+        msg = str(e)
+        if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+            raise
     sh = _shingle_table(kept_new, id_col, text_col, n)
     tables = {  # sizes LAST: its ids are the commit marker
         "fingerprints": kept_new.select(fingerprint(text_col).alias("__fp")).distinct(),
@@ -647,10 +655,21 @@ def compact_dedup_index(spark, path: str) -> None:
     the space-reclaim pass after crash-retried or heavily grown
     extends: fingerprints/buckets/shingles distinct, sizes reduced to
     one row per id. Decisions are identical before and after (the read
-    path already tolerates the duplicates; test-pinned). In-place via
-    an eager localCheckpoint to break lineage to the files being
-    replaced; at very large scale run it per-table onto a versioned
-    sibling directory instead and swap atomically."""
+    path already tolerates the duplicates; test-pinned in
+    ``tests/test_ext20.py::test_crash_retried_index_tolerated_and_compacted``).
+
+    Each table compacts onto a SIBLING path and swaps in via rename —
+    never an in-place overwrite of the files being read (a mid-job
+    executor loss during an in-place overwrite would lose both the
+    lineage source and the already-deleted originals). The swap is
+    crash-safe per table: until the final rename the original is
+    intact, and a leftover ``.__compact__``/``.__old__`` from a prior
+    crash is cleared on entry. On an object store (no atomic dir
+    rename) point a manifest at versioned table directories instead —
+    same two-phase shape."""
+    import os
+    import shutil
+
     canon = {
         "fingerprints": lambda df: df.distinct(),
         "buckets": lambda df: df.distinct(),
@@ -658,10 +677,15 @@ def compact_dedup_index(spark, path: str) -> None:
         "sizes": lambda df: df.groupBy("id").agg(F.max("n_ref").alias("n_ref")),
     }
     for name, fix in canon.items():
-        df = fix(spark.read.parquet(f"{path}/{name}.parquet")).localCheckpoint(
-            eager=True
-        )
-        df.write.mode("overwrite").parquet(f"{path}/{name}.parquet")
+        src = f"{path}/{name}.parquet"
+        tmp = f"{path}/{name}.parquet.__compact__"
+        old = f"{path}/{name}.parquet.__old__"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        fix(spark.read.parquet(src)).write.mode("overwrite").parquet(tmp)
+        os.rename(src, old)
+        os.rename(tmp, src)
+        shutil.rmtree(old)
 
 
 def dedup_against_index(

@@ -298,13 +298,20 @@ def streaming_late_data_drop_audit(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     root = cache_dir("late_audit", data_key(sf_dir, "events"))
     out_dir = os.path.join(root, "res")
-    if not os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+    # A streaming parquet file sink writes _spark_metadata, never
+    # _SUCCESS, so the completion marker must be our own sentinel —
+    # written only after BOTH phased drains finish (round-5 ADVICE:
+    # keying on _SUCCESS meant the cache never hit, and the rebuild's
+    # rmtree pulled files out from under earlier lazy DataFrames).
+    sentinel = os.path.join(root, "_COMPLETE")
+    if not os.path.exists(sentinel):
         import shutil
 
         shutil.rmtree(root, ignore_errors=True)  # no half-run checkpoints
         d1, d2 = os.path.join(root, "in1"), os.path.join(root, "in2")
         sdir = os.path.join(root, "src")
         ckpt = os.path.join(root, "ckpt")
+        os.makedirs(sdir, exist_ok=True)  # kernel copies arrivals here
         on_time = ev.filter(F.col("event_id") % 2 == 0)
         head = on_time.agg(F.max("ts")).first()[0]
         on_time.coalesce(1).write.mode("overwrite").parquet(d1)
@@ -321,6 +328,8 @@ def streaming_late_data_drop_audit(spark, sf_dir):
             out_dir,
             ckpt,
         )
+        with open(sentinel, "w") as fh:
+            fh.write("ok\n")
     return spark.read.parquet(out_dir).select(
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "event_type",
