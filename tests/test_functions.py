@@ -234,3 +234,67 @@ def test_ntile_from_rank_matches_sql_ntile(spark):
             for r in df.withColumn("t", F.ntile(tiles).over(Window.orderBy("r"))).collect()
         }
         assert got == want, (n_rows, tiles)
+
+
+def test_bucketed_carry_matches_global_windows(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from vmware_graph_spark.operators.rank import bucketed_carry
+
+    # sparse tags: only every 7th row carries values, several buckets
+    # in a row end up tag-free so the boundary carry must hand values
+    # across more than one bucket
+    df = spark.range(0, 500).select(
+        (F.col("id") % 41).cast("double").alias("v"),
+        F.col("id").alias("tid"),
+        F.when(F.col("id") % 7 == 0, F.col("id")).alias("tag_id"),
+        F.when(F.col("id") % 7 == 0, (F.col("id") * 2).cast("double")).alias("tag_x"),
+    )
+    got = {
+        (r.tid, r.prev_tag_id, r.prev_tag_x, r.next_tag_id, r.next_tag_x)
+        for r in bucketed_carry(
+            df, ["v", "tid"], ["tag_id", "tag_x"], buckets=16
+        ).collect()
+    }
+    wb = Window.orderBy("v", "tid").rowsBetween(Window.unboundedPreceding, -1)
+    wf = Window.orderBy("v", "tid").rowsBetween(1, Window.unboundedFollowing)
+    want = {
+        (r.tid, r.prev_tag_id, r.prev_tag_x, r.next_tag_id, r.next_tag_x)
+        for r in df.select(
+            "tid",
+            F.last("tag_id", ignorenulls=True).over(wb).alias("prev_tag_id"),
+            F.last("tag_x", ignorenulls=True).over(wb).alias("prev_tag_x"),
+            F.first("tag_id", ignorenulls=True).over(wf).alias("next_tag_id"),
+            F.first("tag_x", ignorenulls=True).over(wf).alias("next_tag_x"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_bucketed_carry_data_windows_are_bucket_partitioned(spark):
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from vmware_graph_spark.operators.rank import bucketed_carry
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 13).cast("double").alias("v"),
+        F.col("id").alias("tid"),
+        F.when(F.col("id") % 5 == 0, F.col("id")).alias("tag_id"),
+    )
+    out = bucketed_carry(df, ["v", "tid"], ["tag_id"], buckets=8)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    # the data-sized carry windows partition by range bucket; only the
+    # <=buckets-row boundary prefix may be unpartitioned
+    import re
+
+    specs = re.findall(r"(?:last|first)\(tag_id[^\n]*windowspecdefinition\(([^)]*)\)", plan)
+    assert specs
+    bucketed = [s for s in specs if "__range_bucket" in s]
+    assert bucketed, specs

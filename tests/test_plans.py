@@ -654,3 +654,37 @@ def test_q11_q15_scalar_totals_are_broadcast_not_global_window(spark):
         plan = executed_plan(spark, name)
         assert "Window" not in plan, (name, plan[:2000])
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, name
+
+
+def test_uplift_deciles_rank_is_range_bucketed(spark):
+    # Decile assignment must come from the bucketed exact rank, not a
+    # global ntile window over every user (round-5 VERDICT weak item).
+    plan = executed_plan(spark, "uplift_deciles")
+    assert "ntile" not in plan
+    rn_specs = re.findall(r"row_number\(\) windowspecdefinition\(([^)]*)\)", plan)
+    assert rn_specs, plan[:3000]
+    for spec in rn_specs:
+        assert "__range_bucket" in spec, spec
+
+
+def test_conversion_latency_rank_is_range_bucketed(spark):
+    # The converter percentile rank must window per range bucket, not
+    # sort all converters in one task (round-5 VERDICT weak item).
+    plan = executed_plan(spark, "conversion_latency_percentiles")
+    rn_specs = re.findall(r"row_number\(\) windowspecdefinition\(([^)]*)\)", plan)
+    assert rn_specs, plan[:3000]
+    for spec in rn_specs:
+        assert "__range_bucket" in spec, spec
+
+
+def test_matched_pairs_carry_windows_are_range_bucketed(spark):
+    # The merged-sort carry-forward/backward windows must partition by
+    # __range_bucket; the only unpartitioned windows left are the
+    # <=buckets-row boundary-carry prefix (round-5 VERDICT weak item).
+    plan = executed_plan(spark, "matched_pairs_att")
+    data_specs = re.findall(
+        r"(?:last|first)\(b_(?:id|x|y)[^\n]*windowspecdefinition\(([^)]*)\)", plan
+    )
+    assert data_specs, plan[:3000]
+    for spec in data_specs:
+        assert "__range_bucket" in spec, spec

@@ -19,7 +19,11 @@ from vmware_graph_spark.operators.multimodal import (
     decode_image_stdlib,
     decode_images,
 )
-from vmware_graph_spark.operators.rank import exact_global_rank, ntile_from_rank
+from vmware_graph_spark.operators.rank import (
+    bucketed_carry,
+    exact_global_rank,
+    ntile_from_rank,
+)
 from vmware_graph_spark.operators.snapshot import snapshot_diff
 
 __all__ = [
@@ -31,6 +35,7 @@ __all__ = [
     "decode_image_stdlib",
     "decode_images",
     "exact_dedup",
+    "bucketed_carry",
     "exact_global_rank",
     "extend_dedup_index",
     "merge_edges",

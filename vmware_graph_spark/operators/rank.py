@@ -91,6 +91,99 @@ def exact_global_rank(
     )
 
 
+def bucketed_carry(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    value_cols: Sequence[str],
+    *,
+    buckets: int = 64,
+    prev_prefix: str = "prev_",
+    next_prefix: str = "next_",
+) -> DataFrame:
+    """Global carry-forward AND carry-backward without a single-task
+    window: appends, for each ``value_cols`` column ``v``,
+
+    - ``prev_v`` = ``last(v, ignorenulls) OVER (ORDER BY order_cols
+      ROWS UNBOUNDED PRECEDING AND 1 PRECEDING)``
+    - ``next_v`` = ``first(v, ignorenulls) OVER (ORDER BY order_cols
+      ROWS 1 FOLLOWING AND UNBOUNDED FOLLOWING)``
+
+    — the merged-sort as-of-match shape (nearest-neighbor matching,
+    gap fill) — bit-identical to the global windows, but the only
+    data-sized windows are partitioned by range bucket; the
+    cross-bucket handoff is a prefix carry over ≤ ``buckets`` rows
+    broadcast back.
+
+    ``value_cols`` must be null-together (all null or all non-null on
+    a row — e.g. columns projected from the same tagged source row),
+    because the boundary fixup carries them as one struct keyed on
+    the first column's nullness. ``order_cols`` must be a total order
+    for deterministic output.
+    """
+    first = order_cols[0]
+    vcols = list(value_cols)
+    fracs = [i / buckets for i in range(1, buckets)]
+    cuts_row = df.agg(
+        F.percentile_approx(first, F.array(*[F.lit(f) for f in fracs]), 10_000).alias("c")
+    ).first()
+    cuts = sorted({c for c in (cuts_row["c"] or []) if c is not None})
+
+    bucket = F.lit(0)
+    for c in cuts:
+        bucket = bucket + F.when(F.col(first) > F.lit(c), 1).otherwise(0)
+    b = df.withColumn(_RB, bucket)
+
+    wb = Window.partitionBy(_RB).orderBy(*order_cols).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wf = Window.partitionBy(_RB).orderBy(*order_cols).rowsBetween(
+        1, Window.unboundedFollowing
+    )
+    local = b.select(
+        "*",
+        *[F.last(v, ignorenulls=True).over(wb).alias(f"__lp_{v}") for v in vcols],
+        *[F.first(v, ignorenulls=True).over(wf).alias(f"__ln_{v}") for v in vcols],
+    )
+
+    # Per-bucket extremes of the NON-NULL rows (one struct each: max =
+    # last in order, min = first), left-joined onto every occupied
+    # bucket so empty-of-values buckets still receive a carry; the
+    # prefix carry itself windows over ≤ buckets rows.
+    tagged = b.filter(F.col(vcols[0]).isNotNull())
+    ext = tagged.groupBy(_RB).agg(
+        F.max(F.struct(*order_cols, *vcols)).alias("__mx"),
+        F.min(F.struct(*order_cols, *vcols)).alias("__mn"),
+    )
+    occupied = b.select(_RB).distinct()
+    cwb = Window.orderBy(_RB).rowsBetween(Window.unboundedPreceding, -1)
+    cwf = Window.orderBy(_RB).rowsBetween(1, Window.unboundedFollowing)
+    carry = (
+        occupied.join(ext, _RB, "left")
+        .select(
+            _RB,
+            F.last("__mx", ignorenulls=True).over(cwb).alias("__cin_prev"),
+            F.first("__mn", ignorenulls=True).over(cwf).alias("__cin_next"),
+        )
+    )
+
+    out = local.join(F.broadcast(carry), _RB)
+    key_prev, key_next = f"__lp_{vcols[0]}", f"__ln_{vcols[0]}"
+    sel = [c for c in df.columns]
+    for v in vcols:
+        sel.append(
+            F.when(F.col(key_prev).isNull(), F.col(f"__cin_prev.{v}"))
+            .otherwise(F.col(f"__lp_{v}"))
+            .alias(f"{prev_prefix}{v}")
+        )
+    for v in vcols:
+        sel.append(
+            F.when(F.col(key_next).isNull(), F.col(f"__cin_next.{v}"))
+            .otherwise(F.col(f"__ln_{v}"))
+            .alias(f"{next_prefix}{v}")
+        )
+    return out.select(*sel)
+
+
 def ntile_from_rank(rank: F.Column, n_rows: int, n_tiles: int) -> F.Column:
     """SQL ``ntile(n_tiles)`` reconstructed from an exact global rank:
     the first ``n_rows % n_tiles`` tiles take ``⌈n/t⌉`` rows, the rest

@@ -74,7 +74,17 @@ def uplift_deciles(spark, sf_dir):
     pre-period spend into deciles, per-decile treated-minus-control
     post-period means — where the uplift concentrates tells you who to
     target. Same hash cohorts and period split as the CUPED/DiD/z-test
-    family; the ntile runs over the per-user aggregate."""
+    family.
+
+    No global window (round-5 VERDICT: the former unpartitioned
+    ``ntile(10)`` serialized every user through one task — the
+    per-user table grows with the corpus): the exact rank under
+    ``ORDER BY x DESC, user_id`` comes from range-bucketed
+    ``exact_global_rank`` (descending via negated key), and
+    ``ntile_from_rank`` reconstructs the SQL ntile split in closed
+    form — bit-identical to the oracle's window."""
+    from vmware_graph_spark.operators.rank import exact_global_rank, ntile_from_rank
+
     per_user = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull())
@@ -119,9 +129,12 @@ def uplift_deciles(spark, sf_dir):
             ).otherwise("B"),
         )
     )
-    ranked = per_user.withColumn(
-        "decile", F.ntile(10).over(Window.orderBy(F.desc("x"), "user_id"))
-    )
+    n_users = per_user.count()
+    ranked = exact_global_rank(
+        per_user.withColumn("__negx", -F.col("x")),
+        ["__negx", "user_id"],
+        rank_col="__r",
+    ).withColumn("decile", ntile_from_rank(F.col("__r"), n_users, 10))
     na = F.sum(F.when(F.col("cohort") == "A", 1).otherwise(0))
     nb = F.sum(F.when(F.col("cohort") == "B", 1).otherwise(0))
     ya = F.sum(F.when(F.col("cohort") == "A", F.col("y"))).cast("double")
@@ -189,10 +202,18 @@ def matched_pairs_att(spark, sf_dir):
     """Matched-pairs average treatment effect on the treated: each
     treated (cohort A) user pairs with the control whose pre-period
     covariate is nearest — found with ONE merged sort + carry-forward/
-    backward IGNORE NULLS windows (the as-of join shape), never an
+    backward IGNORE NULLS carries (the as-of join shape), never an
     |A|×|B| distance matrix. ATT = mean matched post-period difference;
     the covariate gap reports match quality. Decimal-exact sums
-    throughout."""
+    throughout.
+
+    The carries are NOT global windows (round-5 VERDICT: two
+    unpartitioned ``last(..., ignorenulls)`` windows serialized every
+    user through one task): ``operators.rank.bucketed_carry`` runs
+    them per range bucket with a ≤buckets-row broadcast boundary
+    fixup — bit-identical to the oracle's global windows."""
+    from vmware_graph_spark.operators.rank import bucketed_carry
+
     per_user = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull())
@@ -246,16 +267,21 @@ def matched_pairs_att(spark, sf_dir):
         F.when(F.col("cohort") == "B", F.col("x")).alias("b_x"),
         F.when(F.col("cohort") == "B", F.col("y")).alias("b_y"),
     )
-    wb = Window.orderBy("x", "user_id").rowsBetween(Window.unboundedPreceding, -1)
-    wf = Window.orderBy("x", "user_id").rowsBetween(1, Window.unboundedFollowing)
-    carried = merged.select(
-        "*",
-        F.last("b_id", ignorenulls=True).over(wb).alias("prev_b"),
-        F.last("b_x", ignorenulls=True).over(wb).alias("prev_bx"),
-        F.last("b_y", ignorenulls=True).over(wb).alias("prev_by"),
-        F.first("b_id", ignorenulls=True).over(wf).alias("next_b"),
-        F.first("b_x", ignorenulls=True).over(wf).alias("next_bx"),
-        F.first("b_y", ignorenulls=True).over(wf).alias("next_by"),
+    carried = bucketed_carry(
+        merged,
+        ["x", "user_id"],
+        ["b_id", "b_x", "b_y"],
+        prev_prefix="prev_",
+        next_prefix="next_",
+    ).withColumnsRenamed(
+        {
+            "prev_b_id": "prev_b",
+            "prev_b_x": "prev_bx",
+            "prev_b_y": "prev_by",
+            "next_b_id": "next_b",
+            "next_b_x": "next_bx",
+            "next_b_y": "next_by",
+        }
     )
     use_prev = (
         F.col("next_b").isNull()

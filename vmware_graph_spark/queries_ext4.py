@@ -452,10 +452,14 @@ _LATENCY_SQL = """
 @query("conversion_latency_percentiles", _LATENCY_SQL)
 def conversion_latency_percentiles(spark, sf_dir):
     """Funnel latency: per-user first view, first purchase strictly
-    after it, exact p50/p90 of the latency distribution by rank pick —
-    the rank window runs over converters only (a tiny fraction of raw
-    events, already per-user reduced). Microsecond-integer epoch math,
-    so both engines agree exactly."""
+    after it, exact p50/p90 of the latency distribution by rank pick.
+    Converter count grows with the corpus, so the rank is NOT a global
+    ``row_number`` window (round-5 VERDICT: one task would sort every
+    converter at 100×) — it comes from range-bucketed
+    ``exact_global_rank``, bit-identical output, parallel sort.
+    Microsecond-integer epoch math, so both engines agree exactly."""
+    from vmware_graph_spark.operators.rank import exact_global_rank
+
     ev = load_table(spark, sf_dir, "events")
     fv = (
         ev.filter(F.col("event_type") == "view")
@@ -473,9 +477,7 @@ def conversion_latency_percentiles(spark, sf_dir):
         )
     )
     lat = fp.select("user_id", (F.col("p_us") - F.col("v_us")).alias("lat_us"))
-    ranked = lat.withColumn(
-        "rn", F.row_number().over(Window.orderBy("lat_us", "user_id"))
-    )
+    ranked = exact_global_rank(lat, ["lat_us", "user_id"], rank_col="rn")
     counts = fv.agg(F.count("*").alias("n_viewers")).crossJoin(
         lat.agg(F.count("*").alias("n_converters"))
     )
