@@ -807,6 +807,7 @@ def weighted_sssp(
     dist = sources.select(
         "id", "landmark", F.lit(0).cast("bigint").alias("dist")
     ).localCheckpoint(eager=True)
+    stats = dist.agg(F.count("*"), F.sum("dist")).first()
     for _ in range(max_iters):
         relaxed = (
             dist.alias("d")
@@ -823,13 +824,24 @@ def weighted_sssp(
             .agg(F.min("dist").alias("dist"))
             .localCheckpoint(eager=True)
         )
-        diff = (
-            new.exceptAll(dist).limit(1)
-            .unionAll(dist.exceptAll(new).limit(1))
-            .limit(1)
-        )
-        same = diff.count() == 0
-        dist = new
+        # Cheap gate first (round-4 ADVICE: the two exceptAll probes
+        # cost ~two extra scans every round): the reachable pair set
+        # only GROWS and each pair's dist only DECREASES under min-plus
+        # relaxation, so the state can't be a fixpoint unless both the
+        # pair count and the total distance are unchanged — one
+        # aggregate per round. The exact two-sided exceptAll probe runs
+        # only in (count, sum)-stable rounds, which outside pathological
+        # sum collisions is the convergence round itself.
+        new_stats = new.agg(F.count("*"), F.sum("dist")).first()
+        same = False
+        if tuple(new_stats) == tuple(stats):
+            diff = (
+                new.exceptAll(dist).limit(1)
+                .unionAll(dist.exceptAll(new).limit(1))
+                .limit(1)
+            )
+            same = diff.count() == 0
+        dist, stats = new, new_stats
         if same:
             return dist
     raise RuntimeError(f"weighted_sssp did not converge in {max_iters} rounds")

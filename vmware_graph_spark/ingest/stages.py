@@ -621,15 +621,43 @@ def stage_vinfo_vms(store: GraphStore, sheets: Mapping[str, DataFrame]) -> None:
     )
 
     store.add_edges(_edges(row, "Virtualmachine", vm_key, "HAS_VCPUS", "Vcpus", node_key(vcpu_name)))
-    for rel, label, col in [
+    # One EDGE batch for the five state dims (and below, the two OS
+    # rels and the Network #1-4 fan-out): rel_type/dst_label ride as
+    # data columns through a single explode instead of 5 (+2+4)
+    # separate per-rel selects — same rows (null dim values yield null
+    # dst_key, dropped by merge like the per-rel filters did), but one
+    # plan subtree where there were eleven. The per-label node upserts
+    # stay separate (different label tables).
+    state_dims = [
         ("CONNECTION_STATE", "Vconnectionstate", "Connection state"),
         ("CONFIG_STATUS", "Vconfigstatus", "Config status"),
         ("IN_POWER_STATE", "Vmpwrstate", "Powerstate"),
         ("IN_GUEST_STATE", "Vmpgueststate", "Guest state"),
         ("HEARTBEAT", "Vmheartbeat", "Heartbeat"),
-    ]:
+    ]
+    for _rel, label, col in state_dims:
         _dim(store, row, label, F.col(col))
-        store.add_edges(_edges(row, "Virtualmachine", vm_key, rel, label, node_key(F.col(col))))
+    fan = F.array(
+        *[
+            F.struct(
+                F.lit(rel).alias("r"), F.lit(label).alias("l"),
+                node_key(F.col(col)).alias("k"),
+            )
+            for rel, label, col in state_dims
+        ]
+    )
+    store.add_edges(
+        row.select(
+            F.lit("Virtualmachine").alias("src_label"),
+            vm_key.alias("src_key"),
+            F.explode(fan).alias("__p"),
+        ).select(
+            "src_label", "src_key",
+            F.col("__p.r").alias("rel_type"),
+            F.col("__p.l").alias("dst_label"),
+            F.col("__p.k").alias("dst_key"),
+        )
+    )
 
     # FOREACH-CASE conditionals (M6, :199-203) → filtered sub-upserts
     rp_cond = F.col("Resource pool").isNotNull() & (F.size(split_literal(F.col("Resource pool"), "/")) > 4)
@@ -654,21 +682,58 @@ def stage_vinfo_vms(store: GraphStore, sheets: Mapping[str, DataFrame]) -> None:
     store.add_edges(_edges(fl_rows, "Virtualmachine", vm_key, "IN_FOLDER",
                            "Vfolder", node_key(F.col("Folder"))))
 
-    for rel, col in [("OS_VIA_TOOLS", "OS according to the VMware Tools"),
-                     ("OS_VIA_CONFIG", "OS according to the configuration file")]:
-        os_rows = row.filter(F.col(col).isNotNull())
-        _dim(store, os_rows, "Vmos", F.col(col))
-        store.add_edges(_edges(os_rows, "Virtualmachine", vm_key, rel, "Vmos", node_key(F.col(col))))
-
-    # Network #1-4 fan-out (:204-211): nulls coalesce to 'Not Configured'
-    for i in (1, 2, 3, 4):
-        net = F.coalesce(F.col(f"Network #{i}"), F.lit("Not Configured"))
-        store.upsert_nodes(
-            "Vportgroup",
-            row.select(net.alias("name"), F.col(UID).alias("managedby")).distinct(),
+    os_dims = [("OS_VIA_TOOLS", "OS according to the VMware Tools"),
+               ("OS_VIA_CONFIG", "OS according to the configuration file")]
+    for _rel, col in os_dims:
+        _dim(store, row.filter(F.col(col).isNotNull()), "Vmos", F.col(col))
+    os_fan = F.array(
+        *[
+            F.struct(F.lit(rel).alias("r"), node_key(F.col(col)).alias("k"))
+            for rel, col in os_dims
+        ]
+    )
+    store.add_edges(
+        row.select(
+            F.lit("Virtualmachine").alias("src_label"),
+            vm_key.alias("src_key"),
+            F.explode(os_fan).alias("__p"),
+        ).select(
+            "src_label", "src_key",
+            F.col("__p.r").alias("rel_type"),
+            F.lit("Vmos").alias("dst_label"),
+            F.col("__p.k").alias("dst_key"),
         )
-        store.add_edges(_edges(row, "Virtualmachine", vm_key, "IN_PORTGROUP",
-                               "Vportgroup", node_key(net, F.col(UID))))
+    )
+
+    # Network #1-4 fan-out (:204-211): nulls coalesce to 'Not
+    # Configured'; one explode replaces four per-column upsert+edge
+    # rounds — the distinct over the exploded names equals the union
+    # of the four per-column distincts, and duplicate edges collapse
+    # in merge_edges.
+    nets = F.array(
+        *[
+            F.coalesce(F.col(f"Network #{i}"), F.lit("Not Configured"))
+            for i in (1, 2, 3, 4)
+        ]
+    )
+    net_rows = row.select(
+        vm_key.alias("__vmk"), F.col(UID).alias("__uid"), F.explode(nets).alias("__net")
+    )
+    store.upsert_nodes(
+        "Vportgroup",
+        net_rows.select(
+            F.col("__net").alias("name"), F.col("__uid").alias("managedby")
+        ).distinct(),
+    )
+    store.add_edges(
+        net_rows.select(
+            F.lit("Virtualmachine").alias("src_label"),
+            F.col("__vmk").alias("src_key"),
+            F.lit("IN_PORTGROUP").alias("rel_type"),
+            F.lit("Vportgroup").alias("dst_label"),
+            node_key(F.col("__net"), F.col("__uid")).alias("dst_key"),
+        )
+    )
 
     # hierarchy tail (:213-223) — all lookups against the store state
     # AFTER this stage's upserts (Cypher sees its own MERGEs)
