@@ -50,10 +50,30 @@ HEADLINE = [
 ]
 
 
+def _quiesce(max_wait_s: int = 120, idle_load: float = 8.0) -> float:
+    """Wait (bounded) for background load to drain before timing.
+
+    BENCH_r05 recorded an 18% phantom regression because the suite ran
+    concurrently with end-of-round snapshot work — the numbers were
+    load noise, not code (round-5 VERDICT #8). If the 1-minute load
+    average exceeds ``idle_load`` (machine has 32 CPUs; an idle box
+    with just this process sits well under 8), poll until it drops or
+    the wait budget runs out, then proceed either way — the run is
+    never refused, but the observed load is annotated in the output
+    so a noisy number is identifiable after the fact."""
+    deadline = time.time() + max_wait_s
+    load = os.getloadavg()[0]
+    while load > idle_load and time.time() < deadline:
+        time.sleep(10)
+        load = os.getloadavg()[0]
+    return load
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    load_at_start = round(_quiesce(), 2)
 
     from vmware_graph_spark.queries import QUERIES
     from vmware_graph_spark.session import get_spark
@@ -120,6 +140,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "load_1m_at_start": load_at_start,
     }
     print(json.dumps(result))
     # per-query history for round-over-round regression diffing
