@@ -228,6 +228,45 @@ def _md5_hash64(col, seed: int):
     )
 
 
+_H61_MOD = (1 << 61) - 1  # Mersenne prime; affine outputs stay < 2^61
+
+
+def _affine_consts(seed: int) -> tuple[int, int, int]:
+    """Per-seed affine constants, derived from md5 of a fixed tag so
+    the DuckDB oracle can re-derive them in SQL (``md5('A:' || i)``):
+    A, B are 28-bit (7 hex chars), C is 60-bit (15 hex chars)."""
+    import hashlib
+
+    a = int(hashlib.md5(f"A:{seed}".encode()).hexdigest()[:7], 16)
+    b = int(hashlib.md5(f"B:{seed}".encode()).hexdigest()[:7], 16)
+    c = int(hashlib.md5(f"C:{seed}".encode()).hexdigest()[:15], 16)
+    return a, b, c
+
+
+def _md5_base64(col) -> F.Column:
+    """The ONE md5 a value pays under the seeded-family scheme: 60-bit
+    integer base, split/derived per seed by :func:`_seeded_hash64`."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def _seeded_hash64(base: F.Column, seed: int) -> F.Column:
+    """seed-th hash from a shared md5 base — the MinHash hash family.
+
+    md5 per (value, seed) was the #1 CPU line of every minhash scan
+    (num_hashes md5 calls per shingle row); deriving the family from
+    one base via a per-seed affine map costs one md5 per ROW instead.
+    The base splits into 30-bit halves so every product stays < 2^58
+    and the mod-(2^61-1) sum < 2^62 — exact in non-ANSI Spark AND in
+    DuckDB (which would raise on a real bigint overflow). The halves
+    break monotonicity in the base, so per-seed argmins decorrelate
+    like independent hashes. Oracle twin: ``queries._h64_seeded``.
+    """
+    a, b, c = _affine_consts(seed)
+    hi = F.shiftright(base, 30)
+    lo = base.bitwiseAND(F.lit((1 << 30) - 1))
+    return (hi * F.lit(a) + lo * F.lit(b) + F.lit(c)) % F.lit(_H61_MOD)
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, *, n: int = 3, num_hashes: int = 16
 ) -> DataFrame:
@@ -237,9 +276,7 @@ def minhash_signatures(
     a single shuffle regardless of signature width.
     """
     sh = _shingle_table(df, id_col, text_col, n)
-    mins = [F.min(_md5_hash64(F.col("shingle"), i)).alias(f"h{i}") for i in range(num_hashes)]
-    agg = sh.groupBy("id").agg(*mins)
-    return agg.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+    return _minhash_sig(sh, num_hashes)
 
 
 def _lsh_candidates_from(
@@ -250,12 +287,7 @@ def _lsh_candidates_from(
     self-join. Shared by ``minhash_lsh_pairs`` (which verifies) and
     ``minhash_lsh_candidates`` (recall evaluation wants the raw set)."""
     rows = num_hashes // bands
-    mins = [F.min(_md5_hash64(F.col("shingle"), i)).alias(f"h{i}") for i in range(num_hashes)]
-    sig = (
-        sh.groupBy("id")
-        .agg(*mins)
-        .select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
-    )
+    sig = _minhash_sig(sh, num_hashes)
     band_cols = []
     for b in range(bands):
         piece = F.slice(F.col("sig"), b * rows + 1, rows)
@@ -367,13 +399,7 @@ def minhash_estimate_pairs(
     """
     rows = num_hashes // bands
     sh = _shingle_table(df, id_col, text_col, n)
-    mins = [F.min(_md5_hash64(F.col("shingle"), i)).alias(f"h{i}") for i in range(num_hashes)]
-    sig = (
-        sh.groupBy("id")
-        .agg(*mins)
-        .select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
-        .localCheckpoint(eager=False)
-    )
+    sig = _minhash_sig(sh, num_hashes).localCheckpoint(eager=False)
     band_cols = []
     for b in range(bands):
         piece = F.slice(F.col("sig"), b * rows + 1, rows)
@@ -459,13 +485,18 @@ def dedup_against(
 
 
 def _minhash_sig(sh: DataFrame, num_hashes: int) -> DataFrame:
-    """(id, sig array<bigint>) MinHash signatures over a shingle table."""
+    """(id, sig array<bigint>) MinHash signatures over a shingle table.
+
+    One md5 per shingle row (projected once as the base), the
+    ``num_hashes`` family members derived by per-seed affine maps
+    inside the min-aggregates — see :func:`_seeded_hash64`."""
+    based = sh.withColumn("__hb", _md5_base64(F.col("shingle")))
     mins = [
-        F.min(_md5_hash64(F.col("shingle"), i)).alias(f"h{i}")
+        F.min(_seeded_hash64(F.col("__hb"), i)).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     return (
-        sh.groupBy("id")
+        based.groupBy("id")
         .agg(*mins)
         .select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
     )

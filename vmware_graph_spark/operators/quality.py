@@ -401,18 +401,53 @@ def clipped_ngram_overlap(
     join touches only each pair's gram rows (equi-join on id then on
     gram) — never a corpus cross product.
     """
+    return (
+        clipped_ngram_overlap_multi(docs, pairs, id_col, text_col, ns=(n,))
+        .withColumnRenamed(f"n{n}", "clipped_matches")
+    )
+
+
+def clipped_ngram_overlap_multi(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    ns: tuple[int, ...] = (1, 2),
+) -> DataFrame:
+    """Clipped n-gram matches for SEVERAL n in one pass: the gram rows
+    for every requested n ride one explode (tagged with their n), one
+    per-doc count shuffle, and one pair-join pipeline, instead of a
+    full explode+join per n — the 2× constant-factor the per-n calls
+    paid for BLEU's (1, 2). Output: (cand_id, ref_id, n1, n2, …) with
+    one ``n{k}`` column per requested k; pairs with no overlapping
+    grams at some k carry 0 there (only pairs with at least one
+    overlap at SOME k appear — same outer-join contract callers had
+    per n, applied jointly)."""
+    def _tagger(k: int):
+        # single-arg lambda: a 2-arg transform lambda would receive
+        # the ELEMENT INDEX as its second argument, not the default
+        return lambda g: F.struct(F.lit(k).alias("n"), g.alias("g"))
+
+    tagged = F.concat(
+        *[F.transform(word_shingles(text_col, n), _tagger(n)) for n in ns]
+    )
     grams = (
-        docs.select(F.col(id_col).alias("gid"),
-                    F.explode(word_shingles(text_col, n)).alias("g"))
-        .groupBy("gid", "g")
+        docs.select(F.col(id_col).alias("gid"), F.explode(tagged).alias("t"))
+        .groupBy("gid", F.col("t.n").alias("n"), F.col("t.g").alias("g"))
         .agg(F.count("*").alias("c"))
     )
-    cand = grams.select(F.col("gid").alias("cand_id"), "g", F.col("c").alias("cc"))
-    ref = grams.select(F.col("gid").alias("ref_id"), "g", F.col("c").alias("rc"))
-    return (
+    cand = grams.select(F.col("gid").alias("cand_id"), "n", "g", F.col("c").alias("cc"))
+    ref = grams.select(F.col("gid").alias("ref_id"), "n", "g", F.col("c").alias("rc"))
+    per_n = (
         pairs.select("cand_id", "ref_id")
         .join(cand, "cand_id")
-        .join(ref, ["ref_id", "g"])
-        .groupBy("cand_id", "ref_id")
-        .agg(F.sum(F.least("cc", "rc")).alias("clipped_matches"))
+        .join(ref, ["ref_id", "n", "g"])
+        .groupBy("cand_id", "ref_id", "n")
+        .agg(F.sum(F.least("cc", "rc")).alias("m"))
     )
+    aggs = [
+        F.sum(F.when(F.col("n") == k, F.col("m")).otherwise(0)).alias(f"n{k}")
+        for k in ns
+    ]
+    return per_n.groupBy("cand_id", "ref_id").agg(*aggs)

@@ -103,6 +103,23 @@ def _h64(expr: str, seed: str) -> str:
     return f"('0x' || substr(md5({seed} || ':' || {expr}), 1, 15))::BIGINT"
 
 
+def _h64_seeded(expr: str, seed: str) -> str:
+    """DuckDB twin of dedup._seeded_hash64: ONE md5 base per value,
+    per-seed affine derivation mod 2^61-1. The constants re-derive in
+    SQL from md5 of the fixed tags ('A:'||i 7 hex chars, 'B:'||i 7,
+    'C:'||i 15) — bit-identical to the Python-side _affine_consts.
+    The oracle recomputes the base md5 per term; only the Spark side
+    needs the one-md5-per-row economy."""
+    b = f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+    a_c = f"('0x' || substr(md5('A:' || {seed}), 1, 7))::BIGINT"
+    b_c = f"('0x' || substr(md5('B:' || {seed}), 1, 7))::BIGINT"
+    c_c = f"('0x' || substr(md5('C:' || {seed}), 1, 15))::BIGINT"
+    return (
+        f"((({b} >> 30) * {a_c} + ({b} & 1073741823) * {b_c} + {c_c})"
+        f" % 2305843009213693951)"
+    )
+
+
 def _ndp_pairs_cte() -> str:
     """The LSH→verify pair pipeline of ``near_dedup_clusters``, shared
     by the split/leakage/cluster-histogram oracles (queries_ext19/20):
@@ -111,7 +128,7 @@ def _ndp_pairs_cte() -> str:
     module can import it without ordering constraints."""
     return f"""{_SH3_CTE},
     hx AS (
-      SELECT id, i AS h_idx, min({_h64('shingle', 'i')}) AS h_val
+      SELECT id, i AS h_idx, min({_h64_seeded('shingle', 'i')}) AS h_val
       FROM sh CROSS JOIN (SELECT unnest(range(8)) AS i)
       GROUP BY id, i
     ),
@@ -1039,7 +1056,7 @@ def containment_pairs_excerpts(spark, sf_dir):
     WITH {_SH3_CTE},
     hx AS (
       SELECT id, i AS h_idx,
-             min({_h64('shingle', 'i')}) AS h_val
+             min({_h64_seeded('shingle', 'i')}) AS h_val
       FROM sh CROSS JOIN (SELECT unnest(range(8)) AS i)
       GROUP BY id, i
     )
@@ -1061,7 +1078,7 @@ def minhash_signatures_documents(spark, sf_dir):
     f"""
     WITH {_SH3_CTE},
     hx AS (
-      SELECT id, i AS h_idx, min({_h64('shingle', 'i')}) AS h_val
+      SELECT id, i AS h_idx, min({_h64_seeded('shingle', 'i')}) AS h_val
       FROM sh CROSS JOIN (SELECT unnest(range(8)) AS i)
       GROUP BY id, i
     ),
@@ -4572,7 +4589,7 @@ def corpus_prep_pipeline(spark, sf_dir):
     f"""
     WITH RECURSIVE {_SH3_CTE},
     hx AS (
-      SELECT id, i AS h_idx, min({_h64('shingle', 'i')}) AS h_val
+      SELECT id, i AS h_idx, min({_h64_seeded('shingle', 'i')}) AS h_val
       FROM sh CROSS JOIN (SELECT unnest(range(8)) AS i)
       GROUP BY id, i
     ),
@@ -6266,7 +6283,7 @@ def top_ngrams_corpus(spark, sf_dir):
     f"""
     WITH {_SH3_CTE},
     hx AS (
-      SELECT id, i AS h_idx, min({_h64('shingle', 'i')}) AS h_val
+      SELECT id, i AS h_idx, min({_h64_seeded('shingle', 'i')}) AS h_val
       FROM sh CROSS JOIN (SELECT unnest(range(8)) AS i)
       GROUP BY id, i
     ),
@@ -6723,11 +6740,11 @@ _DEDUP_AGAINST_SQL = f"""
     shn AS (SELECT DISTINCT doc_id AS id, unnest({_shingles('text', 3)}) AS shingle FROM newd),
     shr AS (SELECT DISTINCT doc_id AS id, unnest({_shingles('text', 3)}) AS shingle FROM refd),
     hxn AS (
-      SELECT id, i AS h_idx, min({_h64('shingle', 'i')}) AS h_val
+      SELECT id, i AS h_idx, min({_h64_seeded('shingle', 'i')}) AS h_val
       FROM shn CROSS JOIN (SELECT unnest(range(8)) AS i) GROUP BY id, i
     ),
     hxr AS (
-      SELECT id, i AS h_idx, min({_h64('shingle', 'i')}) AS h_val
+      SELECT id, i AS h_idx, min({_h64_seeded('shingle', 'i')}) AS h_val
       FROM shr CROSS JOIN (SELECT unnest(range(8)) AS i) GROUP BY id, i
     ),
     bn AS (

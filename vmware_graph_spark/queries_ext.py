@@ -548,7 +548,7 @@ def streaming_interval_join_views_clicks(spark, sf_dir):
 # rollups, policy-pluggable dedup survivors
 # ---------------------------------------------------------------------------
 
-from vmware_graph_spark.queries import _SH3_CTE, _h64  # noqa: E402
+from vmware_graph_spark.queries import _SH3_CTE, _h64_seeded  # noqa: E402
 
 
 @query(
@@ -825,7 +825,7 @@ def topk_plus_others_nation_revenue(spark, sf_dir):
     f"""
     WITH RECURSIVE {_SH3_CTE},
     hx AS (
-      SELECT id, i AS h_idx, min({_h64('shingle', 'i')}) AS h_val
+      SELECT id, i AS h_idx, min({_h64_seeded('shingle', 'i')}) AS h_val
       FROM sh CROSS JOIN (SELECT unnest(range(8)) AS i)
       GROUP BY id, i
     ),

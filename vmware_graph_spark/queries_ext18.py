@@ -234,7 +234,7 @@ def bleu2_adjacent_docs(spark, sf_dir):
     division keep it hash-exact. Scale: per-doc gram counts shuffle
     once; the pair join only ever touches each pair's gram rows."""
     from vmware_graph_spark.functions.text import n_tokens
-    from vmware_graph_spark.operators.quality import clipped_ngram_overlap
+    from vmware_graph_spark.operators.quality import clipped_ngram_overlap_multi
 
     d = load_table(spark, sf_dir, "documents")
     w = Window.partitionBy("source", "lang").orderBy("doc_id")
@@ -243,18 +243,12 @@ def bleu2_adjacent_docs(spark, sf_dir):
         .filter(F.col("ref_id").isNotNull())
         .select(F.col("doc_id").alias("cand_id"), "ref_id")
     )
-    m1 = clipped_ngram_overlap(d, pairs, "doc_id", "text", n=1).withColumnRenamed(
-        "clipped_matches", "n1"
-    )
-    m2 = clipped_ngram_overlap(d, pairs, "doc_id", "text", n=2).withColumnRenamed(
-        "clipped_matches", "n2"
-    )
+    # both n in ONE explode+join pipeline (the per-n calls paid the
+    # corpus scan and the pair join twice — the top scalebench line)
+    m = clipped_ngram_overlap_multi(d, pairs, "doc_id", "text", ns=(1, 2))
     lens = d.select("doc_id", n_tokens("text").alias("nt"))
-    keys = ["cand_id", "ref_id"]
-    out = (
-        pairs.join(lens.withColumnRenamed("doc_id", "cand_id"), "cand_id")
-        .join(m1, keys, "left")
-        .join(m2, keys, "left")
+    out = pairs.join(lens.withColumnRenamed("doc_id", "cand_id"), "cand_id").join(
+        m, ["cand_id", "ref_id"], "left"
     )
     p1_num = F.coalesce(F.col("n1"), F.lit(0)).cast("bigint")
     p2_num = F.coalesce(F.col("n2"), F.lit(0)).cast("bigint")

@@ -1253,7 +1253,7 @@ def type_diversity_gini_by_user(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def _lsh_recall_sql():
-    from vmware_graph_spark.queries import _SH3_CTE, _h64
+    from vmware_graph_spark.queries import _SH3_CTE, _h64_seeded
 
     return f"""
     WITH {_SH3_CTE},
@@ -1266,7 +1266,7 @@ def _lsh_recall_sql():
       WHERE inter::DOUBLE / (sa.n_sh + sb.n_sh - inter) >= 0.4
     ),
     hx AS (
-      SELECT id, i AS h_idx, min({_h64('shingle', 'i')}) AS h_val
+      SELECT id, i AS h_idx, min({_h64_seeded('shingle', 'i')}) AS h_val
       FROM sh CROSS JOIN (SELECT unnest(range(8)) AS i)
       GROUP BY id, i
     ),
