@@ -575,7 +575,12 @@ def test_gazetteer_dictionary_is_predicate_not_join(spark):
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
     # two real shuffles only: per-(doc, phrase) count + phrase rollup
     assert plan.count("Arguments: hashpartitioning") <= 2, plan[:3000]
-    assert re.search(r"Condition : phrase#\d+ IN \(hash value", plan), plan[:3000]
+    # both dictionary gates (head-token position filter + full-phrase
+    # match) apply INSIDE the gram arrays, before the explode — the
+    # Generate's input expression carries the IN predicates, and no
+    # post-explode Filter re-scans emitted rows
+    gen = [l for l in plan.splitlines() if "Arguments: explode" in l]
+    assert gen and gen[0].count(" IN (") >= 2, plan[:3000]
 
 
 def test_bleu2_pair_join_no_cartesian(spark):

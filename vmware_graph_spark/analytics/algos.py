@@ -24,6 +24,7 @@ import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def degrees(edges: DataFrame) -> DataFrame:
@@ -592,8 +593,35 @@ def _small_star(e: DataFrame) -> DataFrame:
     return re_pointed.unionAll(centers).distinct()
 
 
+def _unionfind_labels(pairs: list[tuple]) -> dict:
+    """Min-id component labels for a small collected edge list —
+    path-compressed union-find, used by the star-CC local finish."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in pairs:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+    return {x: find(x) for x in parent} | {
+        u: find(u) for uv in pairs for u in uv
+    }
+
+
 def connected_components_star(
-    vertices: DataFrame, edges: DataFrame, *, max_iters: int = 25
+    vertices: DataFrame,
+    edges: DataFrame,
+    *,
+    max_iters: int = 25,
+    local_finish_edges: int = 100_000,
 ) -> DataFrame:
     """Large-star/small-star connected components (Kiveris et al.,
     "Connected Components in MapReduce and Beyond", SoCC'14).
@@ -604,6 +632,16 @@ def connected_components_star(
     propagation (``connected_components``) needs O(diameter) shuffles.
     Returns (id, component) with component = min vertex id, identical
     labeling to ``connected_components``. Raises if not converged.
+
+    Once the (distinct, contracted) edge set fits ``local_finish_edges``
+    — at entry for LSH-sparse pair graphs, or after a round or two of
+    contraction otherwise — the remainder finishes as a driver-side
+    union-find instead of paying ~4 jobs per further round: each star
+    round costs checkpoint+count actions that dominate wall-clock when
+    the frontier is small relative to the cluster, and the bound keeps
+    the collect at ≤ ``local_finish_edges`` pairs (~MBs) by
+    construction. Labeling is identical (min id per component). Set
+    ``local_finish_edges=0`` to force pure dataflow to the fixpoint.
     """
     e = (
         edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
@@ -612,8 +650,30 @@ def connected_components_star(
         .localCheckpoint(eager=True)
     )
     e_cnt = e.count()
+
+    def _finish_local(cur: DataFrame) -> DataFrame:
+        comp = _unionfind_labels([(r.u, r.v) for r in cur.collect()])
+        id_type = cur.schema["u"].dataType
+        schema = T.StructType(
+            [T.StructField("id", id_type), T.StructField("component", id_type)]
+        )
+        labels_df = vertices.sparkSession.createDataFrame(
+            list(comp.items()), schema
+        )
+        return (
+            vertices.join(F.broadcast(labels_df), "id", "left")
+            .select(
+                "id", F.coalesce("component", F.col("id")).alias("component")
+            )
+        )
+
     converged = False
     for _ in range(max_iters):
+        if 0 < e_cnt <= local_finish_edges:
+            return _finish_local(e)
+        if e_cnt == 0:
+            converged = True  # no edges — every vertex is a singleton
+            break
         new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
         # Cheap gate first: distinct edge SETS can't be equal if their
         # counts differ, and early contraction rounds always shrink the
