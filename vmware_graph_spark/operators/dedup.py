@@ -126,7 +126,11 @@ def jaccard_pairs_prefix(
     The ⌈t·n⌉ is computed in decimal so float rounding can never
     shorten a prefix below the theorem's bound.
     """
-    sh = _shingle_table(df, id_col, text_col, n)
+    # the shingle table feeds FIVE consumers (df-rank, prefix build,
+    # both verify sides, sizes) — cut lineage once so the corpus
+    # tokenize+explode runs a single time, same role a persisted
+    # shingle stage plays on a cluster (mirrors minhash_lsh_pairs)
+    sh = _shingle_table(df, id_col, text_col, n).localCheckpoint(eager=False)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
 
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
