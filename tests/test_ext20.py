@@ -423,3 +423,36 @@ def test_cc_star_local_finish_matches_pure_dataflow(spark):
     assert ("q", "q") in local and ("r", "r") in local  # singletons
     assert {c for i, c in local if i in "abcd"} == {"a"}
     assert {c for i, c in local if i in "xyz"} == {"x"}
+
+
+def test_lm_bigram_neglogprob_hand_model(spark):
+    """Hand-checkable add-one bigram model: ref vocab {a,b}, V=2,
+    c(a)=2, c(b)=2, c('a b')=2, c('b a')=1."""
+    import math
+
+    from vmware_graph_spark.operators.quality import lm_bigram_neglogprob
+
+    ref = spark.createDataFrame([(1, "a b a b")], "id long, text string")
+    docs = spark.createDataFrame(
+        [
+            (10, "a b"),        # one bigram: p(a b)=(2+1)/(2+2)=0.75
+            (11, "b a"),        # p(b a)=(1+1)/(2+2)=0.5
+            (12, "z a"),        # oov context z: p=(0+1)/(0+2)=0.5, oov=1
+            (13, "a"),          # <2 tokens -> no row
+        ],
+        "id long, text string",
+    )
+    out = {r.id: r for r in lm_bigram_neglogprob(docs, ref, "id", "text").collect()}
+    assert set(out) == {10, 11, 12}
+    assert out[10].n_bigrams == 1
+    assert abs(out[10].avg_neglogp - round(-math.log(0.75), 6)) < 1e-6
+    assert out[10].oov_rate == 0.0
+    assert abs(out[11].avg_neglogp - round(-math.log(0.5), 6)) < 1e-6
+    assert out[12].oov_rate == 1.0
+    assert abs(out[12].avg_neglogp - round(-math.log(0.5), 6)) < 1e-6
+    # ref-like docs must score lower (better) than junk on the big table
+    junk = spark.createDataFrame([(20, "zq xw vv zq kk")], "id long, text string")
+    clean = spark.createDataFrame([(21, "a b a b a")], "id long, text string")
+    both = junk.unionByName(clean)
+    sc = {r.id: r.avg_neglogp for r in lm_bigram_neglogprob(both, ref, "id", "text").collect()}
+    assert sc[21] < sc[20]

@@ -451,3 +451,72 @@ def clipped_ngram_overlap_multi(
         for k in ns
     ]
     return per_n.groupBy("cand_id", "ref_id").agg(*aggs)
+
+
+def lm_bigram_neglogprob(
+    docs: DataFrame,
+    ref: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """CCNet-style n-gram LM quality score: train an add-one-smoothed
+    bigram model on a REFERENCE corpus (the "clean" slice), score
+    every document by its mean negative log bigram probability — low
+    = reference-like, high = junk/outlier. The standard pre-filter a
+    training-data pipeline runs before expensive dedup/embedding
+    passes (CCNet uses KenLM perplexity; the relational equivalent is
+    a counted bigram table).
+
+    p(w2|w1) = (c_ref(w1 w2) + 1) / (c_ref(w1) + V), V = |ref vocab|.
+    Per doc: ``n_bigrams``, ``avg_neglogp`` (mean of per-bigram
+    −ln p, each rounded to 6dp and summed as DECIMAL so the aggregate
+    hash-matches a SQL oracle — the BM25 float-determinism recipe),
+    and ``oov_rate`` (fraction of bigram positions whose CONTEXT
+    token is unseen in the reference). Docs with < 2 tokens emit no
+    row (no bigram evidence either way).
+
+    Scale: two reference aggregations (bigram + unigram counts — at
+    100 TB the reference slice is a small fraction by construction,
+    and the model tables are vocabulary-sized, broadcast-or-bucketed
+    at the join), one corpus explode, one per-doc aggregate. No
+    windows, no self-joins.
+    """
+    rt = ref.select(F.explode(tokens(text_col)).alias("tok"))
+    c1 = rt.groupBy("tok").agg(F.count("*").alias("c1"))
+    vocab = rt.agg(F.countDistinct("tok").alias("v"))
+    c2 = (
+        ref.select(F.explode(word_shingles(text_col, 2)).alias("g"))
+        .groupBy("g")
+        .agg(F.count("*").alias("c2"))
+    )
+    db = docs.select(
+        F.col(id_col).alias("id"), F.explode(word_shingles(text_col, 2)).alias("g")
+    ).withColumn("w1", F.element_at(F.split("g", " "), 1))
+    scored = (
+        db.join(c2, "g", "left")
+        .join(c1.withColumnRenamed("tok", "w1"), "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "id",
+            (F.col("c1").isNull()).alias("oov"),
+            F.round(
+                -F.log(
+                    (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1)).cast("double")
+                    / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v")).cast("double")
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("nlp"),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.round(
+            F.sum("nlp").cast("double") / F.count("*"), 6
+        ).alias("avg_neglogp"),
+        F.round(
+            F.sum(F.when(F.col("oov"), 1).otherwise(0)).cast("double") / F.count("*"),
+            6,
+        ).alias("oov_rate"),
+    )

@@ -512,3 +512,62 @@ def ngram_novelty_by_doc(spark, sf_dir):
             F.round(F.sum(novel).cast("double") / F.count("*"), 6).alias("novelty"),
         )
     )
+
+
+@query(
+    "lm_bigram_quality_scores",
+    f"""
+    WITH dt AS (SELECT doc_id, {_toks('text')} AS t FROM documents),
+    db AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(t), 1)),
+                                   i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS g
+      FROM dt WHERE len(t) >= 2
+    ),
+    rt AS (SELECT unnest(t) AS tok FROM dt WHERE doc_id % 7 = 0),
+    c1 AS (SELECT tok, count(*) AS c1 FROM rt GROUP BY tok),
+    vocab AS (SELECT count(DISTINCT tok) AS v FROM rt),
+    rb AS (
+      SELECT unnest(list_transform(range(1, greatest(len(t), 1)),
+                                   i -> array_to_string(list_slice(t, i, i + 1), ' '))) AS g
+      FROM dt WHERE doc_id % 7 = 0 AND len(t) >= 2
+    ),
+    c2 AS (SELECT g, count(*) AS c2 FROM rb GROUP BY g),
+    scored AS (
+      SELECT db.doc_id,
+             c1.c1 IS NULL AS oov,
+             CAST(round(-ln((COALESCE(c2.c2, 0) + 1)::DOUBLE
+                            / (COALESCE(c1.c1, 0) + vocab.v)::DOUBLE), 6)
+                  AS DECIMAL(18,6)) AS nlp
+      FROM db
+      LEFT JOIN c2 ON db.g = c2.g
+      LEFT JOIN c1 ON string_split(db.g, ' ')[1] = c1.tok
+      CROSS JOIN vocab
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(CAST(sum(nlp) AS DOUBLE) / count(*), 6) AS avg_neglogp,
+           round(sum(CASE WHEN oov THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+             AS oov_rate
+    FROM scored GROUP BY doc_id
+    """,
+)
+def lm_bigram_quality_scores(spark, sf_dir):
+    """Reference-trained LM quality filter (the CCNet shape): an
+    add-one-smoothed bigram model is built from the clean slice
+    (doc_id % 7 = 0 stands in for "curated reference"), and every
+    document scores its mean −ln p(w2|w1) plus an OOV-context rate —
+    the cheap gate a pipeline runs before dedup/embedding passes.
+    Complements ``unigram_logprob_documents``: that scores against the
+    corpus's OWN unigram mix (outlier detector); this scores against a
+    FIXED external reference (distribution-shift detector), which is
+    what lets it rank a whole crawl against a quality anchor. See
+    ``operators.quality.lm_bigram_neglogprob`` for the scale shape."""
+    from vmware_graph_spark.operators.quality import lm_bigram_neglogprob
+
+    d = load_table(spark, sf_dir, "documents")
+    ref = d.filter(F.col("doc_id") % 7 == 0)
+    out = lm_bigram_neglogprob(d, ref, "doc_id", "text")
+    return out.select(
+        F.col("id").alias("doc_id"), "n_bigrams", "avg_neglogp", "oov_rate"
+    )
