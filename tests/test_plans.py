@@ -693,3 +693,14 @@ def test_matched_pairs_carry_windows_are_range_bucketed(spark):
     assert data_specs, plan[:3000]
     for spec in data_specs:
         assert "__range_bucket" in spec, spec
+
+
+def test_skew_report_rank_is_range_bucketed(spark):
+    # The p99 pick ranks the per-key histogram — one row per DISTINCT
+    # join key, data-scale at 100x — so the row_number must window per
+    # __range_bucket (round-5 VERDICT class, caught by the same sweep).
+    plan = executed_plan(spark, "shuffle_skew_report")
+    rn_specs = re.findall(r"row_number\(\) windowspecdefinition\(([^)]*)\)", plan)
+    assert rn_specs, plan[:3000]
+    for spec in rn_specs:
+        assert "__range_bucket" in spec, spec

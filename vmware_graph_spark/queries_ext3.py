@@ -696,9 +696,12 @@ def shuffle_skew_report(spark, sf_dir):
             F.sum("cnt").alias("n"),
             F.max("cnt").alias("mx"),
         )
-        ranked = hist.withColumn(
-            "rn", F.row_number().over(Window.orderBy("cnt", key))
-        )
+        # the histogram has one row per DISTINCT join key — data-scale
+        # at 100× — so the p99 pick uses the range-bucketed exact rank,
+        # not a single-task global row_number (round-5 VERDICT class)
+        from vmware_graph_spark.operators.rank import exact_global_rank
+
+        ranked = exact_global_rank(hist, ["cnt", key], rank_col="rn")
         p99 = (
             ranked.crossJoin(F.broadcast(s.select("d")))
             .filter(F.col("rn") == F.expr("div(99 * d - 1, 100) + 1"))
