@@ -298,3 +298,37 @@ def test_bucketed_carry_data_windows_are_bucket_partitioned(spark):
     assert specs
     bucketed = [s for s in specs if "__range_bucket" in s]
     assert bucketed, specs
+
+
+def test_bucketed_carry_edges_allnull_constkey_empty(spark):
+    from pyspark.sql import functions as F
+
+    from vmware_graph_spark.operators.rank import bucketed_carry
+
+    # all-null tags: every carry is null
+    df = spark.range(0, 50).select(
+        F.col("id").cast("double").alias("v"),
+        F.col("id").alias("tid"),
+        F.lit(None).cast("bigint").alias("tag"),
+    )
+    out = bucketed_carry(df, ["v", "tid"], ["tag"], buckets=8).collect()
+    assert len(out) == 50
+    assert all(r.prev_tag is None and r.next_tag is None for r in out)
+
+    # constant order key (degenerate single bucket): pure within-bucket
+    df2 = spark.range(0, 20).select(
+        F.lit(1.0).alias("v"),
+        F.col("id").alias("tid"),
+        F.when(F.col("id") == 5, F.col("id")).alias("tag"),
+    )
+    got = {
+        r.tid: (r.prev_tag, r.next_tag)
+        for r in bucketed_carry(df2, ["v", "tid"], ["tag"], buckets=8).collect()
+    }
+    assert got[4] == (None, 5) and got[6] == (5, None) and got[5] == (None, None)
+
+    # empty input: empty output, schema intact
+    df3 = spark.createDataFrame([], "v double, tid long, tag long")
+    out3 = bucketed_carry(df3, ["v", "tid"], ["tag"], buckets=8)
+    assert out3.collect() == []
+    assert {"prev_tag", "next_tag"}.issubset(set(out3.columns))
