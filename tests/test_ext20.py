@@ -456,3 +456,81 @@ def test_lm_bigram_neglogprob_hand_model(spark):
     both = junk.unionByName(clean)
     sc = {r.id: r.avg_neglogp for r in lm_bigram_neglogprob(both, ref, "id", "text").collect()}
     assert sc[21] < sc[20]
+
+
+def test_compact_recovers_from_crash_inside_rename_window(spark, tmp_path):
+    """A crash between the two renames leaves src absent and the data
+    at .__old__ (or .__compact__); re-running compact must restore
+    and proceed, never delete the only surviving copy."""
+    import os
+    import shutil
+
+    from vmware_graph_spark.operators.dedup import (
+        INDEX_TABLES,
+        compact_dedup_index,
+        dedup_against_index,
+        write_dedup_index,
+    )
+    from vmware_graph_spark.sources.tables import load_table
+
+    d = load_table(spark, SF, "documents")
+    ref = d.filter(F.col("doc_id") % 3 != 2)
+    probe = d.filter(F.col("doc_id") % 3 == 2).limit(20)
+    idx = str(tmp_path / "idx")
+    write_dedup_index(ref, idx, "doc_id", "text")
+    exp = sorted(map(tuple, dedup_against_index(probe, spark, idx, "doc_id", "text").collect()))
+
+    # crash state A: src gone, original parked at __old__
+    t0 = f"{idx}/buckets.parquet"
+    os.rename(t0, t0 + ".__old__")
+    compact_dedup_index(spark, idx)
+    assert os.path.exists(t0) and not os.path.exists(t0 + ".__old__")
+    got = sorted(map(tuple, dedup_against_index(probe, spark, idx, "doc_id", "text").collect()))
+    assert got == exp
+
+    # crash state B: src gone, only the compacted copy at __compact__
+    t1 = f"{idx}/shingles.parquet"
+    shutil.move(t1, t1 + ".__compact__")
+    compact_dedup_index(spark, idx)
+    assert os.path.exists(t1) and not os.path.exists(t1 + ".__compact__")
+    got = sorted(map(tuple, dedup_against_index(probe, spark, idx, "doc_id", "text").collect()))
+    assert got == exp
+
+
+def test_index_format_marker_rejects_mismatch(spark, tmp_path):
+    """Reading or extending an index under different parameters or a
+    different hash family must fail loudly — a silent family mismatch
+    would flag every near-duplicate as kept (round-6 review)."""
+    import json
+    import os
+
+    import pytest
+
+    from vmware_graph_spark.operators.dedup import (
+        dedup_against_index,
+        extend_dedup_index,
+        write_dedup_index,
+    )
+    from vmware_graph_spark.sources.tables import load_table
+
+    d = load_table(spark, SF, "documents")
+    idx = str(tmp_path / "idx")
+    write_dedup_index(d.filter(F.col("doc_id") % 3 == 0), idx, "doc_id", "text")
+    probe = d.filter(F.col("doc_id") % 3 == 1).limit(5)
+
+    with pytest.raises(ValueError, match="format mismatch"):
+        dedup_against_index(probe, spark, idx, "doc_id", "text", bands=2)
+    with pytest.raises(ValueError, match="format mismatch"):
+        extend_dedup_index(probe, idx, "doc_id", "text", num_hashes=16)
+
+    # stale hash family (an index persisted before this commit)
+    fp = os.path.join(idx, "format.json")
+    meta = json.load(open(fp))
+    meta["hash_family"] = "md5-per-seed-v1"
+    json.dump(meta, open(fp, "w"))
+    with pytest.raises(ValueError, match="format mismatch"):
+        dedup_against_index(probe, spark, idx, "doc_id", "text")
+
+    os.remove(fp)
+    with pytest.raises(ValueError, match="no format.json"):
+        dedup_against_index(probe, spark, idx, "doc_id", "text")

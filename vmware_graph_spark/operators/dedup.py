@@ -592,6 +592,61 @@ def _dedup_decisions(
 
 INDEX_TABLES = ("fingerprints", "buckets", "shingles", "sizes")
 
+# Bumped whenever the hash scheme feeding the persisted index tables
+# changes (v2 = the one-md5-base affine family). An index built under
+# one family is UNREADABLE under another — bucket keys simply never
+# collide — so reads must fail loudly, not return silent no-matches.
+INDEX_HASH_FAMILY = "md5-affine-v2"
+
+
+def _write_index_format(path: str, n: int, num_hashes: int, bands: int) -> None:
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "format.json"), "w") as fh:
+        json.dump(
+            {
+                "hash_family": INDEX_HASH_FAMILY,
+                "n": n,
+                "num_hashes": num_hashes,
+                "bands": bands,
+            },
+            fh,
+        )
+
+
+def _check_index_format(path: str, n: int, num_hashes: int, bands: int) -> None:
+    """Fail loudly when an index was built under different parameters
+    or a different hash family (round-6 review: a family mismatch
+    makes every LSH bucket key miss, silently flagging every
+    near-duplicate as kept). A marker-less directory predates the
+    versioning and is equally unreadable — also an error."""
+    import json
+    import os
+
+    fp = os.path.join(path, "format.json")
+    if not os.path.exists(fp):
+        raise ValueError(
+            f"dedup index at {path} has no format.json marker — built "
+            "before hash-family versioning (or not an index); rebuild "
+            "with write_dedup_index"
+        )
+    with open(fp) as fh:
+        got = json.load(fh)
+    want = {
+        "hash_family": INDEX_HASH_FAMILY,
+        "n": n,
+        "num_hashes": num_hashes,
+        "bands": bands,
+    }
+    if got != want:
+        raise ValueError(
+            f"dedup index format mismatch at {path}: index={got}, "
+            f"caller={want} — parameters and hash family must match "
+            "the original build"
+        )
+
 
 def write_dedup_index(
     ref: DataFrame,
@@ -613,6 +668,7 @@ def write_dedup_index(
     slices the batch's candidates hit; the index appends under the
     same layout when the corpus grows (``kept`` docs' rows union in).
     """
+    _write_index_format(path, n, num_hashes, bands)
     sh = _shingle_table(ref, id_col, text_col, n)
     tables = {
         "fingerprints": ref.select(fingerprint(text_col).alias("__fp")).distinct(),
@@ -655,6 +711,7 @@ def extend_dedup_index(
     reclaims the space."""
     from pyspark.errors import AnalysisException
 
+    _check_index_format(path, n, num_hashes, bands)
     spark = kept.sparkSession
     kept_new = kept
     try:
@@ -697,11 +754,15 @@ def compact_dedup_index(spark, path: str) -> None:
     never an in-place overwrite of the files being read (a mid-job
     executor loss during an in-place overwrite would lose both the
     lineage source and the already-deleted originals). The swap is
-    crash-safe per table: until the final rename the original is
-    intact, and a leftover ``.__compact__``/``.__old__`` from a prior
-    crash is cleared on entry. On an object store (no atomic dir
-    rename) point a manifest at versioned table directories instead —
-    same two-phase shape."""
+    crash-safe per table: until the first rename the original is
+    intact, and if a prior run crashed INSIDE the rename window (src
+    absent) the entry step first restores the surviving copy —
+    ``.__old__`` (the untouched original) if present, else
+    ``.__compact__`` (complete by rename time: its write finished
+    before the window opened) — BEFORE clearing leftovers, so no
+    crash point deletes the only copy. On an object store (no atomic
+    dir rename) point a manifest at versioned table directories
+    instead — same two-phase shape."""
     import os
     import shutil
 
@@ -715,6 +776,11 @@ def compact_dedup_index(spark, path: str) -> None:
         src = f"{path}/{name}.parquet"
         tmp = f"{path}/{name}.parquet.__compact__"
         old = f"{path}/{name}.parquet.__old__"
+        if not os.path.exists(src):
+            if os.path.exists(old):
+                os.rename(old, src)  # crash between the two renames
+            elif os.path.exists(tmp):
+                os.rename(tmp, src)  # crash after old was removed
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(old, ignore_errors=True)
         fix(spark.read.parquet(src)).write.mode("overwrite").parquet(tmp)
@@ -740,7 +806,9 @@ def dedup_against_index(
     pinned by sharing the same oracle SQL — with per-batch cost that
     reads only index parquet, never the corpus text. The ``n``/
     ``num_hashes``/``bands`` must match the index build (they
-    parameterize what was persisted)."""
+    parameterize what was persisted) — ENFORCED via the index's
+    ``format.json`` marker, which also pins the hash family."""
+    _check_index_format(path, n, num_hashes, bands)
     return _dedup_decisions(
         new,
         id_col,

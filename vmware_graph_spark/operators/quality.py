@@ -483,7 +483,10 @@ def lm_bigram_neglogprob(
     """
     rt = ref.select(F.explode(tokens(text_col)).alias("tok"))
     c1 = rt.groupBy("tok").agg(F.count("*").alias("c1"))
-    vocab = rt.agg(F.countDistinct("tok").alias("v"))
+    # |vocab| is just the unigram table's row count — a vocabulary-
+    # sized aggregate, not a third corpus-sized explode (round-6
+    # review: countDistinct over rt re-scanned the reference)
+    vocab = c1.agg(F.count("*").alias("v"))
     c2 = (
         ref.select(F.explode(word_shingles(text_col, 2)).alias("g"))
         .groupBy("g")

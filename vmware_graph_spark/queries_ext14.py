@@ -129,6 +129,10 @@ def uplift_deciles(spark, sf_dir):
             ).otherwise("B"),
         )
     )
+    # pin the reduced per-user table: it feeds the count, the rank's
+    # cutpoint aggregate, and the final DAG — without the cut each one
+    # re-runs the full events scan + groupBy (round-6 review)
+    per_user = per_user.localCheckpoint(eager=True)
     n_users = per_user.count()
     ranked = exact_global_rank(
         per_user.withColumn("__negx", -F.col("x")),
@@ -267,6 +271,9 @@ def matched_pairs_att(spark, sf_dir):
         F.when(F.col("cohort") == "B", F.col("x")).alias("b_x"),
         F.when(F.col("cohort") == "B", F.col("y")).alias("b_y"),
     )
+    # pin: merged feeds the carry's cutpoint aggregate AND the main
+    # window DAG — one events scan, not two (round-6 review)
+    merged = merged.localCheckpoint(eager=True)
     carried = bucketed_carry(
         merged,
         ["x", "user_id"],

@@ -686,10 +686,13 @@ def shuffle_skew_report(spark, sf_dir):
     window runs over the reduced histogram, never the raw table."""
 
     def block(table, key):
+        # pinned: the histogram feeds the stats aggregate, the rank's
+        # cutpoint pass, and the p99 pick — one fact-table scan total
         hist = (
             load_table(spark, sf_dir, table)
             .groupBy(key)
             .agg(F.count("*").alias("cnt"))
+            .localCheckpoint(eager=True)
         )
         s = hist.agg(
             F.count("*").alias("d"),
