@@ -319,18 +319,40 @@ def stage_vhost(store: GraphStore, sheets: Mapping[str, DataFrame]) -> None:
         .distinct(),
     )
 
-    for rel, dst_label, dst_key in [
-        ("CONFIG_STATUS", "Vconfigstatus", node_key(F.col("Config status"))),
-        ("IN_CPU_POW_MGMT", "Vspherecpupwrmgpol", node_key(F.col("`Current CPU power man. policy`"))),
-        ("IN_HOST_POW_PLCY", "Vspherehostpwrmgpol", node_key(F.col("Host Power Policy"))),
-        ("HAS_CPU", "Cpumodel", node_key(F.col("CPU Model"))),
-        ("IS_ESX_BUILD", "Vsphereesxbuild", node_key(esx_build)),
-        ("IS_ESX_VERSION", "Vsphereesxversion", node_key(esx_ver)),
-        ("MANUFACTURED_BY", "Crmmanufacturer", node_key(vendor)),
-        ("ASSET_MODEL", "Crmmodel", node_key(model)),
-        ("BIOS_VERSION", "Biosversion", node_key(bios_ver, F.col("BIOS Date"))),
-    ]:
-        store.add_edges(_edges(joined, "Vspherehost", host_key, rel, dst_label, dst_key))
+    # one edge batch for the nine host→dim rels: rel_type/dst_label
+    # ride as data columns through a single explode instead of nine
+    # sheet-scanning selects (same fusion as stage_vinfo_vms; null dim
+    # values yield null dst_key, dropped by merge like before)
+    host_fan = F.array(
+        *[
+            F.struct(
+                F.lit(rel).alias("r"), F.lit(label).alias("l"), key.alias("k")
+            )
+            for rel, label, key in [
+                ("CONFIG_STATUS", "Vconfigstatus", node_key(F.col("Config status"))),
+                ("IN_CPU_POW_MGMT", "Vspherecpupwrmgpol", node_key(F.col("`Current CPU power man. policy`"))),
+                ("IN_HOST_POW_PLCY", "Vspherehostpwrmgpol", node_key(F.col("Host Power Policy"))),
+                ("HAS_CPU", "Cpumodel", node_key(F.col("CPU Model"))),
+                ("IS_ESX_BUILD", "Vsphereesxbuild", node_key(esx_build)),
+                ("IS_ESX_VERSION", "Vsphereesxversion", node_key(esx_ver)),
+                ("MANUFACTURED_BY", "Crmmanufacturer", node_key(vendor)),
+                ("ASSET_MODEL", "Crmmodel", node_key(model)),
+                ("BIOS_VERSION", "Biosversion", node_key(bios_ver, F.col("BIOS Date"))),
+            ]
+        ]
+    )
+    store.add_edges(
+        joined.select(
+            F.lit("Vspherehost").alias("src_label"),
+            host_key.alias("src_key"),
+            F.explode(host_fan).alias("__p"),
+        ).select(
+            "src_label", "src_key",
+            F.col("__p.r").alias("rel_type"),
+            F.col("__p.l").alias("dst_label"),
+            F.col("__p.k").alias("dst_key"),
+        )
+    )
     store.add_edges(
         _edges(joined, "Vsphereesxbuild", node_key(esx_build), "BUILD_OF",
                "Vsphereesxversion", node_key(esx_ver))
