@@ -305,3 +305,72 @@ def test_packing_plan_bucket_arithmetic(spark, seed, n_docs):
         assert r.total_tokens >= r.n_docs * (r.seq_len // 2)
         docs_per_batch = max(4096 // r.seq_len, 1)
         assert r.n_batches == -(-r.n_docs // docs_per_batch)
+
+
+@PROP
+@given(
+    st.lists(
+        st.tuples(st.integers(-1000, 1000), st.booleans()),
+        min_size=1,
+        max_size=120,
+    ),
+    st.integers(2, 16),
+)
+def test_exact_global_rank_matches_window_on_random_data(spark, rows, buckets):
+    """exact_global_rank == row_number() OVER (ORDER BY v, tid) for any
+    data (duplicates, skew, negative values) and any bucket count."""
+    from pyspark.sql import Window
+
+    from vmware_graph_spark.operators.rank import exact_global_rank
+
+    df = spark.createDataFrame(
+        [(float(v), i) for i, (v, _) in enumerate(rows)], "v double, tid long"
+    )
+    got = {
+        (r.tid, r.rank)
+        for r in exact_global_rank(df, ["v", "tid"], buckets=buckets).collect()
+    }
+    want = {
+        (r.tid, r.rank)
+        for r in df.withColumn(
+            "rank", F.row_number().over(Window.orderBy("v", "tid"))
+        ).collect()
+    }
+    assert got == want
+
+
+@PROP
+@given(
+    st.lists(
+        st.tuples(st.integers(-50, 50), st.booleans()),
+        min_size=1,
+        max_size=120,
+    ),
+    st.integers(2, 16),
+)
+def test_bucketed_carry_matches_global_windows_on_random_data(spark, rows, buckets):
+    """bucketed_carry == global last/first IGNORE NULLS for any tag
+    density (including none and all) and any bucket count."""
+    from pyspark.sql import Window
+
+    from vmware_graph_spark.operators.rank import bucketed_carry
+
+    df = spark.createDataFrame(
+        [(float(v), i, i if tag else None) for i, (v, tag) in enumerate(rows)],
+        "v double, tid long, tag long",
+    )
+    got = {
+        (r.tid, r.prev_tag, r.next_tag)
+        for r in bucketed_carry(df, ["v", "tid"], ["tag"], buckets=buckets).collect()
+    }
+    wb = Window.orderBy("v", "tid").rowsBetween(Window.unboundedPreceding, -1)
+    wf = Window.orderBy("v", "tid").rowsBetween(1, Window.unboundedFollowing)
+    want = {
+        (r.tid, r.prev_tag, r.next_tag)
+        for r in df.select(
+            "tid",
+            F.last("tag", ignorenulls=True).over(wb).alias("prev_tag"),
+            F.first("tag", ignorenulls=True).over(wf).alias("next_tag"),
+        ).collect()
+    }
+    assert got == want
