@@ -332,3 +332,27 @@ def test_bucketed_carry_edges_allnull_constkey_empty(spark):
     out3 = bucketed_carry(df3, ["v", "tid"], ["tag"], buckets=8)
     assert out3.collect() == []
     assert {"prev_tag", "next_tag"}.issubset(set(out3.columns))
+
+
+def test_bucketed_prefix_sum_matches_global_window(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from vmware_graph_spark.operators.rank import bucketed_prefix_sum
+
+    df = spark.range(0, 300).select(
+        (F.col("id") * 37 % 301).alias("k"),  # permutation → total order
+        (F.col("id") % 13 + 1).alias("v"),
+    )
+    got = {
+        (r.k, r.cum)
+        for r in bucketed_prefix_sum(df, ["k"], "v", buckets=8).collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    want = {
+        (r.k, r.cum)
+        for r in df.withColumn(
+            "cum", F.coalesce(F.sum("v").over(w), F.lit(0))
+        ).collect()
+    }
+    assert got == want

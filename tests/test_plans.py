@@ -704,3 +704,13 @@ def test_skew_report_rank_is_range_bucketed(spark):
     assert rn_specs, plan[:3000]
     for spec in rn_specs:
         assert "__range_bucket" in spec, spec
+
+
+def test_zipf_cumsum_is_range_bucketed(spark):
+    # The frequency-histogram cumulative must window per range bucket;
+    # the only unpartitioned window left is the <=buckets-row offset
+    # prefix (the last theoretically-unbounded ordered scan retired).
+    plan = executed_plan(spark, "zipf_slope_token_frequencies")
+    specs = re.findall(r"sum\(cnt[^\n]*windowspecdefinition\(([^)]*)\)", plan)
+    bucketed = [s for s in specs if "__range_bucket" in s]
+    assert bucketed, plan[:3000]

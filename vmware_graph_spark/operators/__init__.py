@@ -21,6 +21,7 @@ from vmware_graph_spark.operators.multimodal import (
 )
 from vmware_graph_spark.operators.rank import (
     bucketed_carry,
+    bucketed_prefix_sum,
     exact_global_rank,
     ntile_from_rank,
 )
@@ -36,6 +37,7 @@ __all__ = [
     "decode_images",
     "exact_dedup",
     "bucketed_carry",
+    "bucketed_prefix_sum",
     "exact_global_rank",
     "extend_dedup_index",
     "merge_edges",

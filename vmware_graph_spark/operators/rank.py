@@ -184,6 +184,54 @@ def bucketed_carry(
     return out.select(*sel)
 
 
+def bucketed_prefix_sum(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    value_col: str,
+    *,
+    buckets: int = 64,
+    out_col: str = "cum",
+) -> DataFrame:
+    """Append ``out_col`` = EXCLUSIVE running sum of ``value_col``
+    under ``ORDER BY order_cols`` (``sum(v) OVER (ORDER BY … ROWS
+    UNBOUNDED PRECEDING AND 1 PRECEDING)``, null→0) without a
+    single-task window — the same two-phase range-bucket shape as
+    :func:`exact_global_rank`: per-bucket exclusive sums in a
+    partitioned window, per-bucket totals prefix-summed over
+    ≤ ``buckets`` rows and broadcast back as offsets.
+
+    ``order_cols`` must be a total order (exclusive frames are
+    order-sensitive under ties). Ascending only — negate a numeric
+    key for descending."""
+    first = order_cols[0]
+    fracs = [i / buckets for i in range(1, buckets)]
+    cuts_row = df.agg(
+        F.percentile_approx(first, F.array(*[F.lit(f) for f in fracs]), 10_000).alias("c")
+    ).first()
+    cuts = sorted({c for c in (cuts_row["c"] or []) if c is not None})
+
+    bucket = F.lit(0)
+    for c in cuts:
+        bucket = bucket + F.when(F.col(first) > F.lit(c), 1).otherwise(0)
+    b = df.withColumn(_RB, bucket)
+
+    wloc = Window.partitionBy(_RB).orderBy(*order_cols).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    local = b.withColumn("__ps_loc", F.coalesce(F.sum(value_col).over(wloc), F.lit(0)))
+
+    totals = b.groupBy(_RB).agg(F.sum(value_col).alias("__ps_tot"))
+    woff = Window.orderBy(_RB).rowsBetween(Window.unboundedPreceding, -1)
+    offs = totals.select(
+        _RB, F.coalesce(F.sum("__ps_tot").over(woff), F.lit(0)).alias(_OFF)
+    )
+    return (
+        local.join(F.broadcast(offs), _RB)
+        .withColumn(out_col, F.col(_OFF) + F.col("__ps_loc"))
+        .drop(_RB, _OFF, "__ps_loc")
+    )
+
+
 def ntile_from_rank(rank: F.Column, n_rows: int, n_tiles: int) -> F.Column:
     """SQL ``ntile(n_tiles)`` reconstructed from an exact global rank:
     the first ``n_rows % n_tiles`` tiles take ``⌈n/t⌉`` rows, the rest

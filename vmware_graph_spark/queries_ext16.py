@@ -81,13 +81,20 @@ def zipf_slope_token_frequencies(spark, sf_dir):
         return expr
 
     hist = uni.groupBy("n").agg(F.count("*").cast("bigint").alias("cnt"))
-    wcum = (
-        Window.orderBy(F.desc("n"))
-        .rowsBetween(Window.unboundedPreceding, -1)
+    # Exclusive cumulative over the frequency histogram — formerly the
+    # one remaining ordered scan through a single task (≤ √(2·mass)
+    # rows, ~4.5M at 10^13 tokens); now range-bucketed like the exact
+    # ranks (descending via negated key, n is distinct → total order).
+    from vmware_graph_spark.operators.rank import bucketed_prefix_sum
+
+    hist = (
+        bucketed_prefix_sum(
+            hist.withColumn("__negn", -F.col("n")), ["__negn"], "cnt", out_col="__cum"
+        )
+        .withColumn("lo", F.col("__cum").cast("bigint") + 1)
+        .withColumn("hi", F.col("lo") + F.col("cnt") - 1)
+        .drop("__negn", "__cum")
     )
-    hist = hist.withColumn(
-        "lo", F.coalesce(F.sum("cnt").over(wcum), F.lit(0).cast("bigint")) + 1
-    ).withColumn("hi", F.col("lo") + F.col("cnt") - 1)
     # tokens of this frequency whose rank lands in log2-bin k:
     # |[lo,hi] ∩ [2^k, 2^(k+1)-1]|  (top bin 20 is open-ended)
     overlaps = F.array(
