@@ -668,7 +668,18 @@ def write_dedup_index(
     slices the batch's candidates hit; the index appends under the
     same layout when the corpus grows (``kept`` docs' rows union in).
     """
-    _write_index_format(path, n, num_hashes, bands)
+    import os
+
+    # A stale marker must never cover freshly-parameterized tables:
+    # remove it first and stamp the new one only after ALL four tables
+    # are written (round-6 review: marker-first meant a crash mid-
+    # rebuild-with-new-params left a matching marker over a mix of
+    # old- and new-parameter tables — silent zero-candidate reads).
+    # Marker absent ⇒ _check_index_format fails loudly ⇒ rebuild.
+    try:
+        os.remove(os.path.join(path, "format.json"))
+    except FileNotFoundError:
+        pass
     sh = _shingle_table(ref, id_col, text_col, n)
     tables = {
         "fingerprints": ref.select(fingerprint(text_col).alias("__fp")).distinct(),
@@ -678,6 +689,7 @@ def write_dedup_index(
     }
     for name, df in tables.items():
         df.write.mode("overwrite").parquet(f"{path}/{name}.parquet")
+    _write_index_format(path, n, num_hashes, bands)
 
 
 def extend_dedup_index(

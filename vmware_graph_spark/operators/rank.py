@@ -30,6 +30,28 @@ from pyspark.sql import functions as F
 _RB, _LR, _OFF = "__range_bucket", "__local_rank", "__bucket_offset"
 
 
+def _range_bucketed(df: DataFrame, first: str, buckets: int) -> DataFrame:
+    """Append ``__range_bucket`` = the range partition of ``first``
+    under ~``buckets`` percentile cutpoints — the shared phase 1 of
+    every bucketed total-order operator here. The cutpoints only steer
+    PARTITIONING; exactness of downstream ranks/carries/sums never
+    depends on them. Equal keys always share a bucket (strict ``>``
+    against each cut), so within-bucket windows see every tie.
+    NaN keys are safe: Spark's comparison semantics treat NaN as
+    larger than any value (unlike IEEE), so ``NaN > cut`` is true for
+    every cut and NaN rows land in the LAST bucket — exactly where
+    ``ORDER BY`` sorts them."""
+    fracs = [i / buckets for i in range(1, buckets)]
+    cuts_row = df.agg(
+        F.percentile_approx(first, F.array(*[F.lit(f) for f in fracs]), 10_000).alias("c")
+    ).first()
+    cuts = sorted({c for c in (cuts_row["c"] or []) if c is not None})
+    bucket = F.lit(0)
+    for c in cuts:
+        bucket = bucket + F.when(F.col(first) > F.lit(c), 1).otherwise(0)
+    return df.withColumn(_RB, bucket)
+
+
 def exact_global_rank(
     df: DataFrame,
     order_cols: Sequence[str],
@@ -55,18 +77,8 @@ def exact_global_rank(
     partitioned by range bucket — at 100 TB each bucket is ~1/buckets
     of the slice and AQE splits stragglers.
     """
-    first = order_cols[0]
     pcols = list(partition_cols)
-    fracs = [i / buckets for i in range(1, buckets)]
-    cuts_row = df.agg(
-        F.percentile_approx(first, F.array(*[F.lit(f) for f in fracs]), 10_000).alias("c")
-    ).first()
-    cuts = sorted({c for c in (cuts_row["c"] or []) if c is not None})
-
-    bucket = F.lit(0)
-    for c in cuts:
-        bucket = bucket + F.when(F.col(first) > F.lit(c), 1).otherwise(0)
-    b = df.withColumn(_RB, bucket)
+    b = _range_bucketed(df, order_cols[0], buckets)
 
     wloc = Window.partitionBy(*pcols, _RB).orderBy(
         *[F.col(c) for c in order_cols]
@@ -120,18 +132,8 @@ def bucketed_carry(
     the first column's nullness. ``order_cols`` must be a total order
     for deterministic output.
     """
-    first = order_cols[0]
     vcols = list(value_cols)
-    fracs = [i / buckets for i in range(1, buckets)]
-    cuts_row = df.agg(
-        F.percentile_approx(first, F.array(*[F.lit(f) for f in fracs]), 10_000).alias("c")
-    ).first()
-    cuts = sorted({c for c in (cuts_row["c"] or []) if c is not None})
-
-    bucket = F.lit(0)
-    for c in cuts:
-        bucket = bucket + F.when(F.col(first) > F.lit(c), 1).otherwise(0)
-    b = df.withColumn(_RB, bucket)
+    b = _range_bucketed(df, order_cols[0], buckets)
 
     wb = Window.partitionBy(_RB).orderBy(*order_cols).rowsBetween(
         Window.unboundedPreceding, -1
@@ -203,17 +205,7 @@ def bucketed_prefix_sum(
     ``order_cols`` must be a total order (exclusive frames are
     order-sensitive under ties). Ascending only — negate a numeric
     key for descending."""
-    first = order_cols[0]
-    fracs = [i / buckets for i in range(1, buckets)]
-    cuts_row = df.agg(
-        F.percentile_approx(first, F.array(*[F.lit(f) for f in fracs]), 10_000).alias("c")
-    ).first()
-    cuts = sorted({c for c in (cuts_row["c"] or []) if c is not None})
-
-    bucket = F.lit(0)
-    for c in cuts:
-        bucket = bucket + F.when(F.col(first) > F.lit(c), 1).otherwise(0)
-    b = df.withColumn(_RB, bucket)
+    b = _range_bucketed(df, order_cols[0], buckets)
 
     wloc = Window.partitionBy(_RB).orderBy(*order_cols).rowsBetween(
         Window.unboundedPreceding, -1

@@ -80,7 +80,14 @@ def zipf_slope_token_frequencies(spark, sf_dir):
             expr = F.when(col >= 2**k, F.lit(k)).otherwise(expr)
         return expr
 
-    hist = uni.groupBy("n").agg(F.count("*").cast("bigint").alias("cnt"))
+    # pinned: the reduced histogram feeds the prefix-sum's cutpoint
+    # aggregate AND the window/totals branches — without the cut each
+    # one re-runs the corpus explode + both groupBys (round-6 review)
+    hist = (
+        uni.groupBy("n")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
     # Exclusive cumulative over the frequency histogram — formerly the
     # one remaining ordered scan through a single task (≤ √(2·mass)
     # rows, ~4.5M at 10^13 tokens); now range-bucketed like the exact
