@@ -383,7 +383,7 @@ def test_dedup_persisted_index_registry_query_end_to_end(spark):
     assert len(rows1) > 0
 
     idx = os.path.join(cache_dir("dedup_index", data_key(SF, "documents")), "index")
-    marker = os.path.join(idx, "sizes.parquet", "_SUCCESS")
+    marker = os.path.join(idx, "format.json")
     assert os.path.exists(marker)
     mtime = os.path.getmtime(marker)
 
