@@ -730,11 +730,21 @@ def extend_dedup_index(
         committed = spark.read.parquet(f"{path}/sizes.parquet").select(
             F.col("id").alias("__committed_id")
         )
-        kept_new = kept.join(
-            committed,
-            kept[id_col] == F.col("__committed_id"),
-            "left_anti",
-        ).localCheckpoint(eager=True)  # pin one consistent batch across writes
+        from vmware_graph_spark.operators.pin import pinned
+
+        # pin one consistent batch across the four table writes —
+        # persist(DISK_ONLY)+count rather than localCheckpoint so an
+        # executor loss mid-extend recomputes from lineage (the
+        # anti-join re-reads ``sizes``, which this extend only appends
+        # to AFTER everything else — recompute sees unchanged input
+        # under the single-writer contract; round-6 VERDICT #5)
+        kept_new = pinned(
+            kept.join(
+                committed,
+                kept[id_col] == F.col("__committed_id"),
+                "left_anti",
+            )
+        )
     except AnalysisException as e:
         # Only the missing-path case means "nothing committed yet" —
         # any other failure (corrupt footer, transient FS error) must
@@ -743,15 +753,20 @@ def extend_dedup_index(
         msg = str(e)
         if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
             raise
-    sh = _shingle_table(kept_new, id_col, text_col, n)
-    tables = {  # sizes LAST: its ids are the commit marker
-        "fingerprints": kept_new.select(fingerprint(text_col).alias("__fp")).distinct(),
-        "buckets": _band_buckets(_minhash_sig(sh, num_hashes), num_hashes, bands),
-        "shingles": sh,
-        "sizes": sh.groupBy("id").agg(F.count("*").alias("n_ref")),
-    }
-    for name, df in tables.items():
-        df.write.mode("append").parquet(f"{path}/{name}.parquet")
+    try:
+        sh = _shingle_table(kept_new, id_col, text_col, n)
+        tables = {  # sizes LAST: its ids are the commit marker
+            "fingerprints": kept_new.select(
+                fingerprint(text_col).alias("__fp")
+            ).distinct(),
+            "buckets": _band_buckets(_minhash_sig(sh, num_hashes), num_hashes, bands),
+            "shingles": sh,
+            "sizes": sh.groupBy("id").agg(F.count("*").alias("n_ref")),
+        }
+        for name, df in tables.items():
+            df.write.mode("append").parquet(f"{path}/{name}.parquet")
+    finally:
+        kept_new.unpersist()  # no-op on the nothing-committed-yet path
 
 
 def compact_dedup_index(spark, path: str) -> None:

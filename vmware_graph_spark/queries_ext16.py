@@ -81,13 +81,14 @@ def zipf_slope_token_frequencies(spark, sf_dir):
         return expr
 
     # pinned: the reduced histogram feeds the prefix-sum's cutpoint
-    # aggregate AND the window/totals branches — without the cut each
-    # one re-runs the corpus explode + both groupBys (round-6 review)
-    hist = (
-        uni.groupBy("n")
-        .agg(F.count("*").cast("bigint").alias("cnt"))
-        .localCheckpoint(eager=True)
-    )
+    # aggregate AND the window/totals branches — without the pin each
+    # one re-runs the corpus explode + both groupBys (round-6 review).
+    # persist(DISK_ONLY)+count, NOT localCheckpoint: the histogram is
+    # bounded (≤ √(2·mass) rows) but an executor loss must recompute it
+    # from lineage, not fail the query (round-6 VERDICT #5).
+    from vmware_graph_spark.operators.pin import pinned
+
+    hist = pinned(uni.groupBy("n").agg(F.count("*").cast("bigint").alias("cnt")))
     # Exclusive cumulative over the frequency histogram — formerly the
     # one remaining ordered scan through a single task (≤ √(2·mass)
     # rows, ~4.5M at 10^13 tokens); now range-bucketed like the exact
