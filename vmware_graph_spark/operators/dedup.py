@@ -720,7 +720,28 @@ def extend_dedup_index(
     bucket duplicates collapse in the candidate ``distinct``, shingle
     duplicates collapse in the ``countDistinct`` intersection, and
     ``sizes`` rows are deduped at read. :func:`compact_dedup_index`
-    reclaims the space."""
+    reclaims the space.
+
+    CONCURRENCY CONTRACT — single writer, decision-safe readers: at
+    most ONE writer (write/extend/compact) may run against an index at
+    a time; coordinate writers outside the engine (the scheduler that
+    owns day-2 ingestion, a queue, or an advisory lease on the index
+    path). Two concurrent extends can both pass the ``sizes``
+    anti-join for the same ids and double-append them — decisions stay
+    correct (every duplicated row class collapses at read, above) but
+    the retry-idempotency accounting is voided and space leaks; an
+    extend racing a compact can append rows AFTER the compact derived
+    its rewrite, and the compact's table swap then drops them — a lost
+    update, the one genuinely unsafe interleaving. READERS need no
+    coordination: appends only add rows (a reader that listed files
+    earlier decides against the slightly older corpus — the same
+    answer it would have produced a moment before), and compaction
+    preserves each table's logical content, so even a reader that
+    catches a MIX of pre- and post-compact tables computes identical
+    decisions; a reader that catches the compact's rename window or a
+    deleted file fails LOUDLY (missing path/file) and succeeds on
+    retry. Pinned by
+    ``tests/test_ext20.py::test_reader_racing_compact_identical_or_loud``."""
     from pyspark.errors import AnalysisException
 
     _check_index_format(path, n, num_hashes, bands)
@@ -789,7 +810,17 @@ def compact_dedup_index(spark, path: str) -> None:
     before the window opened) — BEFORE clearing leftovers, so no
     crash point deletes the only copy. On an object store (no atomic
     dir rename) point a manifest at versioned table directories
-    instead — same two-phase shape."""
+    instead — same two-phase shape.
+
+    Runs under the index's single-WRITER contract (see
+    :func:`extend_dedup_index`): never concurrently with an extend —
+    rows appended after this compact derived a table's rewrite would
+    be dropped by the swap. Readers may overlap freely: the swap is
+    atomic per table, not per index, so an in-flight reader can see a
+    mix of pre- and post-compact tables — decision-identical, because
+    compaction only removes duplicate rows the read path already
+    collapses — or fail loudly on a vanished file, never answer
+    wrong."""
     import os
     import shutil
 
