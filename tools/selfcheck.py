@@ -26,6 +26,73 @@ TABLES = (
 )
 
 
+# ---------------------------------------------------------------------------
+# Machine-checked BOUNDS for the oracle-less queries (round-6 VERDICT #3):
+# sketches/float-fixpoints can't hash-match a SQL twin by design, but each
+# one has an exact reference it must stay within a documented tolerance of.
+# The transcript prints BOUND-PASS/FAIL instead of a blind "no oracle";
+# the driver's no_oracle rows remain, this closes the in-tree blind spot.
+# ---------------------------------------------------------------------------
+
+
+def _bound_approx_distinct(sdf, con, sqls):
+    """approx_count_distinct (HLL, rsd 0.05) within 15% of the exact
+    per-type distinct (same bound as tests/test_sketch.py:25)."""
+    ref = con.execute(
+        "SELECT event_type, count(DISTINCT user_id) AS exact_n "
+        "FROM events GROUP BY event_type"
+    ).fetchdf()
+    m = sdf.merge(ref, on="event_type", how="outer")
+    if len(m) != len(ref) or m[["approx_users", "exact_n"]].isna().any().any():
+        return "group sets differ from exact reference"
+    bad = m[(m["approx_users"] - m["exact_n"]).abs() > 0.15 * m["exact_n"]]
+    if not bad.empty:
+        return f"HLL rel err > 15%: {bad.to_dict('records')}"
+    return None
+
+
+def _bound_approx_percentile(sdf, con, sqls):
+    """percentile_approx(accuracy=10000) within 5% of the per-group
+    value spread of the exact discrete quantile (tests/test_sketch.py:40)."""
+    ref = con.execute(
+        "SELECT event_type, quantile_disc(value, 0.50) AS e50, "
+        "quantile_disc(value, 0.95) AS e95, "
+        "max(value) - min(value) AS spread "
+        "FROM events WHERE value IS NOT NULL GROUP BY event_type"
+    ).fetchdf()
+    m = sdf.merge(ref, on="event_type", how="outer")
+    if len(m) != len(ref) or m[["p50", "e50"]].isna().any().any():
+        return "group sets differ from exact reference"
+    bad = m[
+        ((m["p50"] - m["e50"]).abs() > 0.05 * m["spread"])
+        | ((m["p95"] - m["e95"]).abs() > 0.05 * m["spread"])
+    ]
+    if not bad.empty:
+        return f"percentile err > 5% of spread: {bad.to_dict('records')}"
+    return None
+
+
+def _bound_pagerank_float(sdf, con, sqls):
+    """Float PageRank within L-inf 1e-3 of the hash-verified fixed-point
+    twin's oracle (tests/test_snapshot_algos.py:136 tolerance)."""
+    ref = con.execute(sqls["pagerank_fixedpoint_customer_nation"]).fetchdf()
+    m = sdf.merge(ref, on="id", how="outer")
+    if len(m) != len(ref) or m[["rank", "rank_micros"]].isna().any().any():
+        return "vertex sets differ from fixed-point twin"
+    err = (m["rank"] - m["rank_micros"] / 1e6).abs()
+    if (err >= 1e-3).any():
+        worst = m.loc[err.idxmax()]
+        return f"L-inf {err.max():.2e} >= 1e-3 (worst: {worst.to_dict()})"
+    return None
+
+
+BOUNDS = {
+    "approx_distinct_users_per_type": _bound_approx_distinct,
+    "approx_percentile_value": _bound_approx_percentile,
+    "pagerank_customer_nation": _bound_pagerank_float,
+}
+
+
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -50,7 +117,7 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
-    n_pass = n_fail = n_rows_only = 0
+    n_pass = n_fail = n_bound = n_rows_only = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -62,6 +129,21 @@ def main() -> int:
             n_fail += 1
             continue
         if name not in sqls:
+            if name in BOUNDS:
+                try:
+                    err = BOUNDS[name](sdf, con, sqls)
+                except Exception as e:  # reference/bound machinery error
+                    err = f"bound check error: {e}"
+                if err is None:
+                    print(
+                        f"BOUND-PASS {name}: {len(sdf)} rows within tolerance "
+                        f"of exact reference [{time.time()-t0:.1f}s]"
+                    )
+                    n_bound += 1
+                else:
+                    print(f"FAIL {name}: bound: {err}")
+                    n_fail += 1
+                continue
             print(f"ROWS {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
             n_rows_only += 1
             continue
@@ -92,7 +174,10 @@ def main() -> int:
         print(f"PASS {name}: {len(s)} rows [{time.time()-t0:.1f}s]")
         n_pass += 1
 
-    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    print(
+        f"\n{n_pass} pass, {n_fail} fail, {n_bound} bound-pass, "
+        f"{n_rows_only} rows-only"
+    )
     return 1 if n_fail else 0
 
 
