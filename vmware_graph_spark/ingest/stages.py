@@ -74,6 +74,51 @@ def _dim(store: GraphStore, df: DataFrame, label: str, name_expr, extra=None) ->
     store.upsert_nodes(label, df.select(*cols).filter(F.col("name").isNotNull()).distinct())
 
 
+def _bt(name: str) -> str:
+    """Backtick-quote an identifier for SQL-string expression building
+    (RVTools column names carry spaces and '#')."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _key_sql(*cols: str) -> str:
+    """SQL-string twin of :func:`node_key` for the selectExpr-built fan
+    batches: NULL if any component is null (concat semantics), chr(31)
+    separator. ``cols`` are column NAMES (backticked here) or
+    parenthesized SQL expressions (passed through)."""
+    qs = [c if c.startswith("(") else _bt(c) for c in cols]
+    if len(qs) == 1:
+        return f"cast({qs[0]} AS string)"
+    return "concat(" + ", chr(31), ".join(f"cast({q} AS string)" for q in qs) + ")"
+
+
+def _dims_tagged(store: GraphStore, df: DataFrame, specs) -> None:
+    """Fuse k single-key STRING dimension MERGEs from one sheet into ONE
+    tagged explode + ONE distinct: the label rides as a data column
+    through a single plan subtree (the node-upsert half of the
+    edge-fusion pattern, round-6 VERDICT #6), split back per label only
+    at the store boundary — k explode/distinct subtrees and k flush
+    shuffles become 1, and the whole fan is TWO selectExpr strings
+    instead of k column chains. ``specs`` = [(label, name_sql), ...]
+    with ``name_sql`` a SQL expression string; labels with extra
+    properties or non-string keys keep their own ``_dim``."""
+    fan = ", ".join(
+        f"struct('{label}' AS l, {name_sql} AS name)" for label, name_sql in specs
+    )
+    tagged = (
+        df.selectExpr(f"explode(array({fan})) AS __d")
+        .selectExpr("__d.l AS __l", "__d.name AS name")
+        .filter("name IS NOT NULL")
+        .distinct()
+    )
+    # one shared cut: each label's flush re-reads the SAME materialized
+    # distinct instead of re-running the explode per label
+    tagged = store._cut(tagged)
+    for label in dict.fromkeys(label for label, _ in specs):
+        store.upsert_nodes(
+            label, tagged.filter(f"__l = '{label}'").selectExpr("name")
+        )
+
+
 # --------------------------------------------------------------------------
 # Stage: vCluster → Vcenterserver / Vcentercluster (+sentinels)
 # --------------------------------------------------------------------------
@@ -607,21 +652,21 @@ def stage_vinfo_vms(store: GraphStore, sheets: Mapping[str, DataFrame]) -> None:
 
     store.upsert_nodes(
         "Virtualmachine",
-        row.select(
-            F.col("VM UUID").alias("uuid"),
-            F.col(UID).alias("managedby"),
-            F.col("VM").alias("name"),
-            F.col("DNS Name").alias("fqdn"),
-            F.col("PowerOn").alias("poweron"),
-            F.col("Change Version").alias("changedon"),
-            F.col("Annotation").alias("note"),
-            F.col("VM ID").alias("vmid"),
-            F.col("Consolidation Needed").alias("needsconsolidation"),
-            F.col("CPUs").alias("cpus"),
-            try_int(F.col("Memory")).alias("memory"),
-            try_int(F.col("NICs")).alias("nics"),
-            try_int(F.col("Disks")).alias("disks"),
-            F.col("CBT").alias("cbt"),
+        row.selectExpr(
+            "`VM UUID` AS uuid",
+            f"{_bt(UID)} AS managedby",
+            "VM AS name",
+            "`DNS Name` AS fqdn",
+            "PowerOn AS poweron",
+            "`Change Version` AS changedon",
+            "Annotation AS note",
+            "`VM ID` AS vmid",
+            "`Consolidation Needed` AS needsconsolidation",
+            "CPUs AS cpus",
+            "try_cast(Memory AS int) AS memory",
+            "try_cast(NICs AS int) AS nics",
+            "try_cast(Disks AS int) AS disks",
+            "CBT AS cbt",
         ),
     )
 
@@ -642,45 +687,6 @@ def stage_vinfo_vms(store: GraphStore, sheets: Mapping[str, DataFrame]) -> None:
         )
     )
 
-    store.add_edges(_edges(row, "Virtualmachine", vm_key, "HAS_VCPUS", "Vcpus", node_key(vcpu_name)))
-    # One EDGE batch for the five state dims (and below, the two OS
-    # rels and the Network #1-4 fan-out): rel_type/dst_label ride as
-    # data columns through a single explode instead of 5 (+2+4)
-    # separate per-rel selects — same rows (null dim values yield null
-    # dst_key, dropped by merge like the per-rel filters did), but one
-    # plan subtree where there were eleven. The per-label node upserts
-    # stay separate (different label tables).
-    state_dims = [
-        ("CONNECTION_STATE", "Vconnectionstate", "Connection state"),
-        ("CONFIG_STATUS", "Vconfigstatus", "Config status"),
-        ("IN_POWER_STATE", "Vmpwrstate", "Powerstate"),
-        ("IN_GUEST_STATE", "Vmpgueststate", "Guest state"),
-        ("HEARTBEAT", "Vmheartbeat", "Heartbeat"),
-    ]
-    for _rel, label, col in state_dims:
-        _dim(store, row, label, F.col(col))
-    fan = F.array(
-        *[
-            F.struct(
-                F.lit(rel).alias("r"), F.lit(label).alias("l"),
-                node_key(F.col(col)).alias("k"),
-            )
-            for rel, label, col in state_dims
-        ]
-    )
-    store.add_edges(
-        row.select(
-            F.lit("Virtualmachine").alias("src_label"),
-            vm_key.alias("src_key"),
-            F.explode(fan).alias("__p"),
-        ).select(
-            "src_label", "src_key",
-            F.col("__p.r").alias("rel_type"),
-            F.col("__p.l").alias("dst_label"),
-            F.col("__p.k").alias("dst_key"),
-        )
-    )
-
     # FOREACH-CASE conditionals (M6, :199-203) → filtered sub-upserts
     rp_cond = F.col("Resource pool").isNotNull() & (F.size(split_literal(F.col("Resource pool"), "/")) > 4)
     rp_rows = row.filter(rp_cond)
@@ -692,38 +698,74 @@ def stage_vinfo_vms(store: GraphStore, sheets: Mapping[str, DataFrame]) -> None:
             path_last("Resource pool").alias("name"),
         ),
     )
-    store.add_edges(_edges(rp_rows, "Virtualmachine", vm_key, "IN_RESOURCE_POOL",
-                           "Vresourcepool", node_key(F.col(SERVER), F.col("Resource pool"))))
-
     fl_cond = F.col("Folder").isNotNull() & (F.size(split_literal(F.col("Folder"), "/")) > 2)
     fl_rows = row.filter(fl_cond)
     store.upsert_nodes(
         "Vfolder",
         fl_rows.select(F.col("Folder").alias("path"), path_last("Folder").alias("name")),
     )
-    store.add_edges(_edges(fl_rows, "Virtualmachine", vm_key, "IN_FOLDER",
-                           "Vfolder", node_key(F.col("Folder"))))
 
+    # ONE tagged explode for the ten per-VM edge families (five state
+    # dims, HAS_VCPUS, two OS rels, the two M6 conditional rels):
+    # rel_type/dst_label ride as data columns; a null dst_key — null
+    # dim value, or a FOREACH-CASE condition that's false — drops the
+    # row in merge exactly like the former per-rel filters did. One
+    # plan subtree + one edge batch where there were ten (round-6: 11
+    # subtrees fused to 3; round-7 finishes the job — py4j plan
+    # chatter and the edges() union width both shrink ~3×). The
+    # matching node upserts for the plain string dims fuse the same
+    # way (_dims_tagged); Vcpus keeps its own _dim (extra qty prop)
+    # and Vhwver its own upsert (int key).
+    state_dims = [
+        ("CONNECTION_STATE", "Vconnectionstate", "Connection state"),
+        ("CONFIG_STATUS", "Vconfigstatus", "Config status"),
+        ("IN_POWER_STATE", "Vmpwrstate", "Powerstate"),
+        ("IN_GUEST_STATE", "Vmpgueststate", "Guest state"),
+        ("HEARTBEAT", "Vmheartbeat", "Heartbeat"),
+    ]
     os_dims = [("OS_VIA_TOOLS", "OS according to the VMware Tools"),
                ("OS_VIA_CONFIG", "OS according to the configuration file")]
-    for _rel, col in os_dims:
-        _dim(store, row.filter(F.col(col).isNotNull()), "Vmos", F.col(col))
-    os_fan = F.array(
-        *[
-            F.struct(F.lit(rel).alias("r"), node_key(F.col(col)).alias("k"))
+    _dims_tagged(
+        store,
+        row,
+        [(label, _bt(col)) for _rel, label, col in state_dims]
+        + [("Vmos", _bt(col)) for _rel, col in os_dims],
+    )
+    vm_key_sql = _key_sql("VM UUID", UID)
+    rp_cond_sql = (
+        f"{_bt('Resource pool')} IS NOT NULL "
+        f"AND size(split({_bt('Resource pool')}, '/')) > 4"
+    )
+    fl_cond_sql = (
+        f"{_bt('Folder')} IS NOT NULL AND size(split({_bt('Folder')}, '/')) > 2"
+    )
+    vcpu_name_sql = "(concat(cast(CPUs AS string), ' vCPUs'))"
+    fan = ", ".join(
+        [
+            f"struct('{rel}' AS r, '{label}' AS l, {_key_sql(col)} AS k)"
+            for rel, label, col in state_dims
+        ]
+        + [f"struct('HAS_VCPUS' AS r, 'Vcpus' AS l, {_key_sql(vcpu_name_sql)} AS k)"]
+        + [
+            f"struct('{rel}' AS r, 'Vmos' AS l, {_key_sql(col)} AS k)"
             for rel, col in os_dims
+        ]
+        + [
+            "struct('IN_RESOURCE_POOL' AS r, 'Vresourcepool' AS l, "
+            f"CASE WHEN {rp_cond_sql} THEN "
+            f"{_key_sql(SERVER, 'Resource pool')} END AS k)",
+            "struct('IN_FOLDER' AS r, 'Vfolder' AS l, "
+            f"CASE WHEN {fl_cond_sql} THEN {_key_sql('Folder')} END AS k)",
         ]
     )
     store.add_edges(
-        row.select(
-            F.lit("Virtualmachine").alias("src_label"),
-            vm_key.alias("src_key"),
-            F.explode(os_fan).alias("__p"),
-        ).select(
+        row.selectExpr(
+            "'Virtualmachine' AS src_label",
+            f"{vm_key_sql} AS src_key",
+            f"explode(array({fan})) AS __p",
+        ).selectExpr(
             "src_label", "src_key",
-            F.col("__p.r").alias("rel_type"),
-            F.lit("Vmos").alias("dst_label"),
-            F.col("__p.k").alias("dst_key"),
+            "__p.r AS rel_type", "__p.l AS dst_label", "__p.k AS dst_key",
         )
     )
 
@@ -732,28 +774,25 @@ def stage_vinfo_vms(store: GraphStore, sheets: Mapping[str, DataFrame]) -> None:
     # rounds — the distinct over the exploded names equals the union
     # of the four per-column distincts, and duplicate edges collapse
     # in merge_edges.
-    nets = F.array(
-        *[
-            F.coalesce(F.col(f"Network #{i}"), F.lit("Not Configured"))
-            for i in (1, 2, 3, 4)
-        ]
+    nets = ", ".join(
+        f"coalesce({_bt(f'Network #{i}')}, 'Not Configured')" for i in (1, 2, 3, 4)
     )
-    net_rows = row.select(
-        vm_key.alias("__vmk"), F.col(UID).alias("__uid"), F.explode(nets).alias("__net")
+    net_rows = row.selectExpr(
+        f"{vm_key_sql} AS __vmk",
+        f"{_bt(UID)} AS __uid",
+        f"explode(array({nets})) AS __net",
     )
     store.upsert_nodes(
         "Vportgroup",
-        net_rows.select(
-            F.col("__net").alias("name"), F.col("__uid").alias("managedby")
-        ).distinct(),
+        net_rows.selectExpr("__net AS name", "__uid AS managedby").distinct(),
     )
     store.add_edges(
-        net_rows.select(
-            F.lit("Virtualmachine").alias("src_label"),
-            F.col("__vmk").alias("src_key"),
-            F.lit("IN_PORTGROUP").alias("rel_type"),
-            F.lit("Vportgroup").alias("dst_label"),
-            node_key(F.col("__net"), F.col("__uid")).alias("dst_key"),
+        net_rows.selectExpr(
+            "'Virtualmachine' AS src_label",
+            "__vmk AS src_key",
+            "'IN_PORTGROUP' AS rel_type",
+            "'Vportgroup' AS dst_label",
+            f"{_key_sql('__net', '__uid')} AS dst_key",
         )
     )
 
@@ -795,24 +834,50 @@ def stage_vinfo_vms(store: GraphStore, sheets: Mapping[str, DataFrame]) -> None:
         .join(pf, (F.col("__rpparent") == pf.__prppath) & (F.col(SERVER) == pf.__pvc), "left")
     )
 
-    has_fl, has_pfl = F.col("__flpath").isNotNull(), F.col("__pflpath").isNotNull()
-    has_rp, has_prp = F.col("__rppath").isNotNull(), F.col("__prppath").isNotNull()
-    has_dc, has_cc = F.col("__dcname").isNotNull(), F.col("__ccname").isNotNull()
-    dc_key = node_key("__dcname", "__dcuid")
-    cc_key = node_key("__ccname", "__ccuid")
+    has_fl, has_pfl = "__flpath IS NOT NULL", "__pflpath IS NOT NULL"
+    has_rp, has_prp = "__rppath IS NOT NULL", "__prppath IS NOT NULL"
+    has_dc, has_cc = "__dcname IS NOT NULL", "__ccname IS NOT NULL"
+    dc_key = _key_sql("__dcname", "__dcuid")
+    cc_key = _key_sql("__ccname", "__ccuid")
+    fl_key, pfl_key = _key_sql("__flpath"), _key_sql("__pflpath")
+    rp_key = _key_sql(SERVER, "__rppath")
+    prp_key = _key_sql(SERVER, "__prppath")
 
-    store.add_edges(_edges(t.filter(has_fl & has_pfl), "Vfolder", node_key("__flpath"),
-                           "IN_FOLDER", "Vfolder", node_key("__pflpath")))
-    store.add_edges(_edges(t.filter(has_fl & ~has_pfl & has_dc), "Vfolder", node_key("__flpath"),
-                           "LOCATED_IN_DC", "Vspheredatacenter", dc_key))
-    store.add_edges(_edges(t.filter(~has_fl & has_dc), "Virtualmachine", F.col("__vmkey"),
-                           "LOCATED_IN_DC", "Vspheredatacenter", dc_key))
-    store.add_edges(_edges(t.filter(has_rp & has_prp), "Vresourcepool", node_key(F.col(SERVER), "__rppath"),
-                           "CHILD_RESOURCE_OF", "Vresourcepool", node_key(F.col(SERVER), "__prppath")))
-    store.add_edges(_edges(t.filter(has_cc & has_rp & ~has_prp), "Vresourcepool",
-                           node_key(F.col(SERVER), "__rppath"), "LOCATED_IN_CLUSTER", "Vcentercluster", cc_key))
-    store.add_edges(_edges(t.filter(has_cc & ~has_rp), "Virtualmachine", F.col("__vmkey"),
-                           "LOCATED_IN_CLUSTER", "Vcentercluster", cc_key))
+    # one tagged explode for the six hierarchy rels: src/dst label AND
+    # src key ride as struct fields; a false OPTIONAL-MATCH condition
+    # nulls both keys, which merge drops — identical rows to the six
+    # former filter+select batches, one plan subtree + edge batch
+    def _h(cond, sl, sk, r, dl, dk):
+        return (
+            f"struct('{sl}' AS sl, CASE WHEN {cond} THEN {sk} END AS sk, "
+            f"'{r}' AS r, '{dl}' AS dl, CASE WHEN {cond} THEN {dk} END AS dk)"
+        )
+
+    hfan = ", ".join(
+        [
+            _h(f"{has_fl} AND {has_pfl}", "Vfolder", fl_key,
+               "IN_FOLDER", "Vfolder", pfl_key),
+            _h(f"{has_fl} AND NOT ({has_pfl}) AND {has_dc}", "Vfolder", fl_key,
+               "LOCATED_IN_DC", "Vspheredatacenter", dc_key),
+            _h(f"NOT ({has_fl}) AND {has_dc}", "Virtualmachine", "__vmkey",
+               "LOCATED_IN_DC", "Vspheredatacenter", dc_key),
+            _h(f"{has_rp} AND {has_prp}", "Vresourcepool", rp_key,
+               "CHILD_RESOURCE_OF", "Vresourcepool", prp_key),
+            _h(f"{has_cc} AND {has_rp} AND NOT ({has_prp})", "Vresourcepool", rp_key,
+               "LOCATED_IN_CLUSTER", "Vcentercluster", cc_key),
+            _h(f"{has_cc} AND NOT ({has_rp})", "Virtualmachine", "__vmkey",
+               "LOCATED_IN_CLUSTER", "Vcentercluster", cc_key),
+        ]
+    )
+    store.add_edges(
+        t.selectExpr(f"explode(array({hfan})) AS __p").selectExpr(
+            "__p.sl AS src_label",
+            "__p.sk AS src_key",
+            "__p.r AS rel_type",
+            "__p.dl AS dst_label",
+            "__p.dk AS dst_key",
+        )
+    )
 
 
 # --------------------------------------------------------------------------

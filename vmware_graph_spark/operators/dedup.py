@@ -103,6 +103,7 @@ def jaccard_pairs_prefix(
     *,
     n: int = 1,
     threshold: float = 0.6,
+    candidates_only: bool = False,
 ) -> DataFrame:
     """Exact Jaccard pairs ≥ threshold via PREFIX FILTERING (PPJoin
     family) — same results as :func:`jaccard_pairs`, different join
@@ -152,6 +153,11 @@ def jaccard_pairs_prefix(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    if candidates_only:
+        # introspection surface for scale measurement (tools/scalebench):
+        # the prefix-filter candidate set BEFORE exact verification —
+        # the quantity the kernel's runtime is linear in
+        return cands
     xa = sh.select(F.col("id").alias("id_a"), "shingle")
     xb = sh.select(F.col("id").alias("id_b"), "shingle")
     inter = (
