@@ -285,3 +285,25 @@ def test_fuse_batches_breaks_runs_on_flag_or_schema_change(spark):
     # runs: [s1,s1]/False → 1, [s1]/True, [s2]/True, [s1]/False
     assert len(fused) == 4
     assert [f for _, f in fused] == [False, True, True, False]
+
+
+def test_node_key_null_propagation_and_int_rendering(spark):
+    """node_key is built from one null-propagating concat (round-7
+    rewrite): NULL when ANY component is null — never a phantom key
+    from concat_ws's null-skipping — and non-string components render
+    exactly as cast-to-string."""
+    from vmware_graph_spark.store.graph import US, node_key
+
+    df = spark.createDataFrame(
+        [("a", "b", 17), ("a", None, 17), (None, "b", 17), (None, None, None)],
+        "x string, y string, z int",
+    )
+    rows = df.select(
+        node_key("x", "y").alias("k2"),
+        node_key(F.col("z")).alias("k1"),
+        node_key("x", F.col("z")).alias("km"),
+    ).collect()
+    assert rows[0].k2 == f"a{US}b" and rows[0].k1 == "17" and rows[0].km == f"a{US}17"
+    assert rows[1].k2 is None and rows[1].k1 == "17"
+    assert rows[2].k2 is None
+    assert rows[3].k2 is None and rows[3].k1 is None and rows[3].km is None

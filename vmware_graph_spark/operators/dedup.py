@@ -150,19 +150,21 @@ def jaccard_pairs_prefix(
     b = pref.alias("b")
     # PPJoin's LENGTH filter rides the candidate join: J(x,y) ≥ t
     # forces min(|x|,|y|) ≥ t·max(|x|,|y|) (|A∩B| ≤ min, |A∪B| ≥ max),
-    # so size-incompatible pairs never become candidates — measured at
-    # 100×-rows this cuts the verify join's input, the one kernel whose
-    # runtime grew slightly faster than its candidate count. The bound
-    # is evaluated in decimal (t_dec) so float rounding can never
-    # exclude a boundary pair the theorem admits.
+    # so size-incompatible pairs never reach the candidate distinct or
+    # the verify join. Evaluated in pure BIGINT — min·10⁶ ≥ ⌊t·10⁶⌋·max
+    # — because the predicate runs on every RAW prefix-join row (far
+    # more rows than surviving candidates) and per-row decimal math
+    # measurably outweighed the pruning at 100× rows; flooring t·10⁶
+    # only ever weakens the bound, so no admissible pair is excluded.
+    t_int = F.lit(int(threshold * 1_000_000))
     cands = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.id") < F.col("b.id"))
             & (
-                F.least(F.col("a.n_sh"), F.col("b.n_sh"))
-                >= t_dec * F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
+                F.least(F.col("a.n_sh"), F.col("b.n_sh")) * 1_000_000
+                >= t_int * F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
             ),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
