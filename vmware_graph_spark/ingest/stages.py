@@ -137,44 +137,43 @@ def stage_vcluster(store: GraphStore, sheets: Mapping[str, DataFrame]) -> None:
     row = sheets["vCluster"]
     store.upsert_nodes(
         "Vcenterserver",
-        row.select(F.col(UID).alias("uid"), F.col(SERVER).alias("name")).distinct(),
+        row.selectExpr(f"{_bt(UID)} AS uid", f"{_bt(SERVER)} AS name").distinct(),
     )
     store.upsert_nodes(
         "Vresourcepool",
-        row.select(
-            F.col(SERVER).alias("vc"),
-            F.lit("None Configured").alias("path"),
-            F.lit("None Configured").alias("name"),
+        row.selectExpr(
+            f"{_bt(SERVER)} AS vc",
+            "'None Configured' AS path",
+            "'None Configured' AS name",
         ).distinct(),
     )
     store.upsert_nodes(
         "Vmportgroup",
-        row.select(
-            F.lit("None Provided").alias("name"), F.col(UID).alias("managedby")
+        row.selectExpr(
+            "'None Provided' AS name", f"{_bt(UID)} AS managedby"
         ).distinct(),
     )
     store.upsert_nodes(
         "Vcentercluster",
-        row.select(
-            F.col("Name").alias("name"),
-            F.col(UID).alias("managedby"),
+        row.selectExpr(
+            "Name AS name",
+            f"{_bt(UID)} AS managedby",
             # bug §0.2.6 kept as declared behavior: status → `hosts`
-            F.col("OverallStatus").alias("hosts"),
-            F.col("TotalCpu").alias("cpu"),
-            F.col("NumCpuCores").alias("CpuCored"),
-            F.col("TotalMemory").alias("memory"),
-            F.col("HA enabled").alias("ha"),
-            F.col("DRS enabled").alias("drs"),
+            "OverallStatus AS hosts",
+            "TotalCpu AS cpu",
+            "NumCpuCores AS CpuCored",
+            "TotalMemory AS memory",
+            "`HA enabled` AS ha",
+            "`DRS enabled` AS drs",
         ),
     )
     store.add_edges(
-        _edges(
-            row,
-            "Vcentercluster",
-            node_key(F.col("Name"), F.col(UID)),
-            "CONTROLLED_BY_VC",
-            "Vcenterserver",
-            node_key(F.col(UID)),
+        row.selectExpr(
+            "'Vcentercluster' AS src_label",
+            f"{_key_sql('Name', UID)} AS src_key",
+            "'CONTROLLED_BY_VC' AS rel_type",
+            "'Vcenterserver' AS dst_label",
+            f"{_key_sql(UID)} AS dst_key",
         )
     )
 
@@ -320,91 +319,111 @@ def stage_vhost(store: GraphStore, sheets: Mapping[str, DataFrame]) -> None:
     host_key = node_key(F.col("Object ID"), F.col(UID))
     store.upsert_nodes(
         "Vspherehost",
-        joined.select(
-            F.col("Object ID").alias("objid"),
-            F.col(UID).alias("managedby"),
-            F.col("Host").alias("name"),
-            F.col("NumHosts").alias("hosts"),
-            F.col("# CPU").alias("cpu"),
-            F.col("# Cores").alias("cores"),
-            F.col("# Memory").alias("memory"),
-            F.col("Memory usage %").alias("memusage"),
-            F.col("# VMs").alias("vms"),
-            F.col("Assigned License(s)").alias("license"),
-            F.col("Max EVC").alias("chipset"),
-            F.col("Boot time").alias("boot"),
-            F.col("Service tag").alias("servicetag"),
+        joined.selectExpr(
+            "`Object ID` AS objid",
+            f"{_bt(UID)} AS managedby",
+            "Host AS name",
+            "NumHosts AS hosts",
+            "`# CPU` AS cpu",
+            "`# Cores` AS cores",
+            "`# Memory` AS memory",
+            "`Memory usage %` AS memusage",
+            "`# VMs` AS vms",
+            "`Assigned License(s)` AS license",
+            "`Max EVC` AS chipset",
+            "`Boot time` AS boot",
+            "`Service tag` AS servicetag",
         ),
     )
+    host_key_sql = _key_sql("Object ID", UID)
     store.add_edges(_edges(joined, "Vspherehost", host_key, "CONTROLLED_BY_VC",
                            "Vcenterserver", node_key(F.col(UID))))
     store.add_edges(_edges(joined, "Vspherehost", host_key, "MEMBER_OF_CLUSTER",
                            "Vcentercluster", node_key("Cluster", F.col(UID))))
 
-    esx_ver = split_literal(F.col("ESX Version"), " build-").getItem(0)
-    esx_build = split_literal(F.col("ESX Version"), " build-").getItem(1)
-    vendor = F.coalesce(F.col("Vendor"), F.lit("None Provided"))
-    model = F.coalesce(F.col("Model"), F.lit("None Provided"))
-    bios_ver = F.coalesce(F.col("BIOS Version"), F.lit("None Provided"))
+    # SQL-string twins of the dim expressions (the split delimiter has
+    # no regex metacharacters, so SQL split == split_literal here)
+    esx_ver_sql = "(split(`ESX Version`, ' build-')[0])"
+    esx_build_sql = "(split(`ESX Version`, ' build-')[1])"
+    vendor_sql = "(coalesce(Vendor, 'None Provided'))"
+    model_sql = "(coalesce(Model, 'None Provided'))"
+    bios_ver_sql = "(coalesce(`BIOS Version`, 'None Provided'))"
 
-    _dim(store, joined, "Vconfigstatus", F.col("Config status"))
-    _dim(store, joined, "Vspherecpupwrmgpol", F.col("`Current CPU power man. policy`"))
-    _dim(store, joined, "Vspherehostpwrmgpol", F.col("Host Power Policy"))
-    _dim(store, joined, "Cpumodel", F.col("CPU Model"))
-    _dim(store, joined, "Vsphereesxversion", esx_ver)
-    store.upsert_nodes(
-        "Vsphereesxbuild", joined.select(esx_build.alias("build")).filter(esx_build.isNotNull()).distinct()
+    # six plain string dims fuse through ONE tagged explode + distinct
+    # (the stage_vinfo_vms _dims_tagged pattern); Vsphereesxbuild
+    # (build key) and Biosversion (two-column key) keep their own
+    # upserts below
+    _dims_tagged(
+        store,
+        joined,
+        [
+            ("Vconfigstatus", _bt("Config status")),
+            ("Vspherecpupwrmgpol", _bt("Current CPU power man. policy")),
+            ("Vspherehostpwrmgpol", _bt("Host Power Policy")),
+            ("Cpumodel", _bt("CPU Model")),
+            ("Vsphereesxversion", esx_ver_sql),
+            ("Crmmanufacturer", vendor_sql),
+            ("Crmmodel", model_sql),
+        ],
     )
-    _dim(store, joined, "Crmmanufacturer", vendor)
-    _dim(store, joined, "Crmmodel", model)
+    store.upsert_nodes(
+        "Vsphereesxbuild",
+        joined.selectExpr(f"{esx_build_sql} AS build").filter("build IS NOT NULL").distinct(),
+    )
     store.upsert_nodes(
         "Biosversion",
-        joined.select(bios_ver.alias("version"), F.col("BIOS Date").alias("date"))
-        .filter(F.col("BIOS Date").isNotNull())
+        joined.selectExpr(f"{bios_ver_sql} AS version", "`BIOS Date` AS date")
+        .filter("date IS NOT NULL")
         .distinct(),
     )
 
     # one edge batch for the nine host→dim rels: rel_type/dst_label
     # ride as data columns through a single explode instead of nine
     # sheet-scanning selects (same fusion as stage_vinfo_vms; null dim
-    # values yield null dst_key, dropped by merge like before)
-    host_fan = F.array(
-        *[
-            F.struct(
-                F.lit(rel).alias("r"), F.lit(label).alias("l"), key.alias("k")
-            )
-            for rel, label, key in [
-                ("CONFIG_STATUS", "Vconfigstatus", node_key(F.col("Config status"))),
-                ("IN_CPU_POW_MGMT", "Vspherecpupwrmgpol", node_key(F.col("`Current CPU power man. policy`"))),
-                ("IN_HOST_POW_PLCY", "Vspherehostpwrmgpol", node_key(F.col("Host Power Policy"))),
-                ("HAS_CPU", "Cpumodel", node_key(F.col("CPU Model"))),
-                ("IS_ESX_BUILD", "Vsphereesxbuild", node_key(esx_build)),
-                ("IS_ESX_VERSION", "Vsphereesxversion", node_key(esx_ver)),
-                ("MANUFACTURED_BY", "Crmmanufacturer", node_key(vendor)),
-                ("ASSET_MODEL", "Crmmodel", node_key(model)),
-                ("BIOS_VERSION", "Biosversion", node_key(bios_ver, F.col("BIOS Date"))),
-            ]
+    # values yield null dst_key, dropped by merge like before) — the
+    # whole fan is one selectExpr string
+    host_fan = ", ".join(
+        f"struct('{rel}' AS r, '{label}' AS l, {k} AS k)"
+        for rel, label, k in [
+            ("CONFIG_STATUS", "Vconfigstatus", _key_sql("Config status")),
+            ("IN_CPU_POW_MGMT", "Vspherecpupwrmgpol",
+             _key_sql("Current CPU power man. policy")),
+            ("IN_HOST_POW_PLCY", "Vspherehostpwrmgpol", _key_sql("Host Power Policy")),
+            ("HAS_CPU", "Cpumodel", _key_sql("CPU Model")),
+            ("IS_ESX_BUILD", "Vsphereesxbuild", _key_sql(esx_build_sql)),
+            ("IS_ESX_VERSION", "Vsphereesxversion", _key_sql(esx_ver_sql)),
+            ("MANUFACTURED_BY", "Crmmanufacturer", _key_sql(vendor_sql)),
+            ("ASSET_MODEL", "Crmmodel", _key_sql(model_sql)),
+            ("BIOS_VERSION", "Biosversion", _key_sql(bios_ver_sql, "BIOS Date")),
         ]
     )
     store.add_edges(
-        joined.select(
-            F.lit("Vspherehost").alias("src_label"),
-            host_key.alias("src_key"),
-            F.explode(host_fan).alias("__p"),
-        ).select(
+        joined.selectExpr(
+            "'Vspherehost' AS src_label",
+            f"{host_key_sql} AS src_key",
+            f"explode(array({host_fan})) AS __p",
+        ).selectExpr(
             "src_label", "src_key",
-            F.col("__p.r").alias("rel_type"),
-            F.col("__p.l").alias("dst_label"),
-            F.col("__p.k").alias("dst_key"),
+            "__p.r AS rel_type", "__p.l AS dst_label", "__p.k AS dst_key",
         )
     )
     store.add_edges(
-        _edges(joined, "Vsphereesxbuild", node_key(esx_build), "BUILD_OF",
-               "Vsphereesxversion", node_key(esx_ver))
+        joined.selectExpr(
+            "'Vsphereesxbuild' AS src_label",
+            f"{_key_sql(esx_build_sql)} AS src_key",
+            "'BUILD_OF' AS rel_type",
+            "'Vsphereesxversion' AS dst_label",
+            f"{_key_sql(esx_ver_sql)} AS dst_key",
+        )
     )
     store.add_edges(
-        _edges(joined, "Biosversion", node_key(bios_ver, F.col("BIOS Date")),
-               "MANUFACTURED_BY", "Crmmanufacturer", node_key(vendor))
+        joined.selectExpr(
+            "'Biosversion' AS src_label",
+            f"{_key_sql(bios_ver_sql, 'BIOS Date')} AS src_key",
+            "'MANUFACTURED_BY' AS rel_type",
+            "'Crmmanufacturer' AS dst_label",
+            f"{_key_sql(vendor_sql)} AS dst_key",
+        )
     )
 
     # domain tail (:100-103): 2-hop MATCH through the seeded
