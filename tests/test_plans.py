@@ -714,3 +714,13 @@ def test_zipf_cumsum_is_range_bucketed(spark):
     specs = re.findall(r"sum\(cnt[^\n]*windowspecdefinition\(([^)]*)\)", plan)
     bucketed = [s for s in specs if "__range_bucket" in s]
     assert bucketed, plan[:3000]
+
+
+def test_vinfo_stage_fans_stay_fused(spark):
+    """The vInfo stage's edge families must ride exactly THREE tagged
+    explodes (ten per-VM rels, the Network #1-4 fan, six hierarchy
+    rels) — a regression back to per-rel batches multiplies Generate
+    nodes and the edges() union width (round-7 fusion). formatted
+    explain lists each op twice (tree + details), so 3 ops == 6 hits."""
+    plan = executed_plan(spark, "ingest_vinfo_conditional_stage")
+    assert plan.count("Generate") <= 8, plan.count("Generate")
