@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from vmware_graph_spark.functions.text import fingerprint, tokens, word_shingles
+from vmware_graph_spark.operators.pin import pinned_lazy
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -131,7 +132,7 @@ def jaccard_pairs_prefix(
     # both verify sides, sizes) — cut lineage once so the corpus
     # tokenize+explode runs a single time, same role a persisted
     # shingle stage plays on a cluster (mirrors minhash_lsh_pairs)
-    sh = _shingle_table(df, id_col, text_col, n).localCheckpoint(eager=False)
+    sh = _shingle_table(df, id_col, text_col, n).transform(pinned_lazy)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
 
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
@@ -377,7 +378,7 @@ def minhash_lsh_pairs(
     lineage-cut once so the tokenize+explode runs a single time — on a
     cluster the same role is played by persisting the shingle stage.
     """
-    sh = _shingle_table(df, id_col, text_col, n).localCheckpoint(eager=False)
+    sh = _shingle_table(df, id_col, text_col, n).transform(pinned_lazy)
     cands = _lsh_candidates_from(sh, num_hashes=num_hashes, bands=bands)
     # Verify ONLY the candidate pairs: join candidates to the per-doc
     # shingle sets and count intersections for those pairs alone. The
@@ -426,7 +427,7 @@ def minhash_estimate_pairs(
     """
     rows = num_hashes // bands
     sh = _shingle_table(df, id_col, text_col, n)
-    sig = _minhash_sig(sh, num_hashes).localCheckpoint(eager=False)
+    sig = _minhash_sig(sh, num_hashes).transform(pinned_lazy)
     band_cols = []
     for b in range(bands):
         piece = F.slice(F.col("sig"), b * rows + 1, rows)
@@ -493,7 +494,7 @@ def dedup_against(
     shingle tables (exact Jaccard, no false positives), mirroring
     :func:`minhash_lsh_pairs`.
     """
-    sh_ref = _shingle_table(ref, id_col, text_col, n).localCheckpoint(eager=False)
+    sh_ref = _shingle_table(ref, id_col, text_col, n).transform(pinned_lazy)
     return _dedup_decisions(
         new,
         id_col,
@@ -572,7 +573,7 @@ def _dedup_decisions(
         .select("id", (F.col("__hit").isNotNull()).alias("exact_dup"))
     )
 
-    sh_new = _shingle_table(new, id_col, text_col, n).localCheckpoint(eager=False)
+    sh_new = _shingle_table(new, id_col, text_col, n).transform(pinned_lazy)
     cands = (
         _band_buckets(_minhash_sig(sh_new, num_hashes), num_hashes, bands)
         .withColumnRenamed("id", "id_new")

@@ -13,7 +13,7 @@ from lineage instead of failing the job.
 
 Recompute-safety contract: callers must only pin plans whose recompute
 is deterministic at the time downstream jobs run (pure transforms over
-immutable inputs). Both in-tree callers qualify:
+immutable inputs). In-tree callers all qualify:
 
 - the Zipf frequency histogram (queries_ext16) — pure aggregation over
   the corpus parquet;
@@ -21,7 +21,12 @@ immutable inputs). Both in-tree callers qualify:
   index's ``sizes`` table, which is the LAST table the extend writes,
   so a recompute during the earlier appends re-reads unchanged input
   (and the index's single-writer contract excludes concurrent
-  extends).
+  extends);
+- the per-user reduction tables feeding the rank rewrites
+  (queries_ext14), the converter-latency table (queries_ext4), the
+  skew-report histograms (queries_ext3), and the NN-Descent sample
+  (queries_ext17) — each a pure transform over immutable parquet
+  (round-7 VERDICT #2 / ADVICE sweep).
 
 DISK_ONLY rather than MEMORY_*: pinned frames here are bounded but not
 tiny (≤ √(2·token mass) histogram rows; batch-sized dedup derivations),
@@ -47,3 +52,28 @@ def pinned(df: DataFrame) -> DataFrame:
     out = df.persist(StorageLevel.DISK_ONLY)
     out.count()
     return out
+
+
+def pinned_lazy(df: DataFrame) -> DataFrame:
+    """Lazy variant of :func:`pinned`: mark ``df`` DISK_ONLY persisted
+    but let the FIRST downstream action materialize it (no extra job
+    here). Same single-materialization sharing and executor-loss safety
+    (lineage kept, lost blocks recompute); use when the pin sits inside
+    a plan-builder whose caller may never run an action (e.g. the
+    ``candidates_only`` introspection paths in operators/dedup) — an
+    eager count there would pay a job the caller never needed."""
+    return df.persist(StorageLevel.DISK_ONLY)
+
+
+def iterpin(df: DataFrame) -> DataFrame:
+    """Per-round lineage TRUNCATION for iterative algorithms (k-truss,
+    CC, PageRank-style loops): ``localCheckpoint(eager=True)``. Here
+    the growing lineage CHAIN is the problem — analysis cost compounds
+    per round and a recompute from the full chain is exactly what must
+    never happen — so truncation is intended, not an oversight.
+    Cluster deployment note (same contract as analytics/algos.py):
+    localCheckpoint blocks live on executors and are lost with them; on
+    a multi-executor cluster swap this body for reliable
+    ``df.checkpoint()`` with ``spark.sparkContext.setCheckpointDir`` on
+    shared storage — identical semantics, failure-safe blocks."""
+    return df.localCheckpoint(eager=True)

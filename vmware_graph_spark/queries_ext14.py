@@ -131,8 +131,12 @@ def uplift_deciles(spark, sf_dir):
     )
     # pin the reduced per-user table: it feeds the count, the rank's
     # cutpoint aggregate, and the final DAG — without the cut each one
-    # re-runs the full events scan + groupBy (round-6 review)
-    per_user = per_user.localCheckpoint(eager=True)
+    # re-runs the full events scan + groupBy (round-6 review).
+    # pinned() not localCheckpoint: user-scale table, lineage must
+    # survive executor loss (round-7 VERDICT #2)
+    from vmware_graph_spark.operators.pin import pinned
+
+    per_user = pinned(per_user)
     n_users = per_user.count()
     ranked = exact_global_rank(
         per_user.withColumn("__negx", -F.col("x")),
@@ -272,8 +276,12 @@ def matched_pairs_att(spark, sf_dir):
         F.when(F.col("cohort") == "B", F.col("y")).alias("b_y"),
     )
     # pin: merged feeds the carry's cutpoint aggregate AND the main
-    # window DAG — one events scan, not two (round-6 review)
-    merged = merged.localCheckpoint(eager=True)
+    # window DAG — one events scan, not two (round-6 review).
+    # pinned() not localCheckpoint: lineage kept for executor-loss
+    # recovery (round-7 VERDICT #2)
+    from vmware_graph_spark.operators.pin import pinned
+
+    merged = pinned(merged)
     carried = bucketed_carry(
         merged,
         ["x", "user_id"],

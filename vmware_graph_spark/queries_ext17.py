@@ -359,16 +359,19 @@ def nn_descent_knn_graph(spark, sf_dir):
     from vmware_graph_spark.sources.tables import load_table
 
     e = load_table(spark, sf_dir, "embeddings")
-    # pin the top-N selection once (lazy cut, computed inside the first
-    # job) — the iterative build references its base ~8 times and would
-    # otherwise re-run the scan+top-N per reference; repartition first
-    # so the single-partition GlobalLimit output doesn't serialize the
-    # seeding self-joins
-    sample = (
+    # pin the top-N selection once — the iterative build references its
+    # base ~8 times and would otherwise re-run the scan+top-N per
+    # reference; repartition first so the single-partition GlobalLimit
+    # output doesn't serialize the seeding self-joins. pinned() (persist
+    # DISK_ONLY + count, lineage kept) not localCheckpoint: the sample
+    # is tiny and pure over parquet, so it meets pinned()'s
+    # recompute-safety contract (round-7 ADVICE)
+    from vmware_graph_spark.operators.pin import pinned
+
+    sample = pinned(
         e.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
         .limit(_NN_SAMPLE_N)
         .repartition(16, "vec_id")
-        .localCheckpoint(eager=False)
     )
     return knn_graph_nn_descent(
         sample, "vec_id", "embedding", dim=64, k=5, iters=2, planes=6, views=3, seed=7

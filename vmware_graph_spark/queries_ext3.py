@@ -687,12 +687,15 @@ def shuffle_skew_report(spark, sf_dir):
 
     def block(table, key):
         # pinned: the histogram feeds the stats aggregate, the rank's
-        # cutpoint pass, and the p99 pick — one fact-table scan total
-        hist = (
+        # cutpoint pass, and the p99 pick — one fact-table scan total.
+        # pin.pinned() not localCheckpoint: lineage kept so a lost
+        # executor recomputes instead of failing (round-7 VERDICT #2)
+        from vmware_graph_spark.operators.pin import pinned
+
+        hist = pinned(
             load_table(spark, sf_dir, table)
             .groupBy(key)
             .agg(F.count("*").alias("cnt"))
-            .localCheckpoint(eager=True)
         )
         s = hist.agg(
             F.count("*").alias("d"),

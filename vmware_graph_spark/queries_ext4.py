@@ -479,9 +479,13 @@ def conversion_latency_percentiles(spark, sf_dir):
     # pin the converter table: it feeds the rank's cutpoint aggregate,
     # the converter count, and the percentile picks — without the cut
     # each consumer re-runs the two event scans + joins (round-6 review)
-    lat = fp.select(
-        "user_id", (F.col("p_us") - F.col("v_us")).alias("lat_us")
-    ).localCheckpoint(eager=True)
+    # pinned() not localCheckpoint: recompute is pure over parquet, so
+    # keep lineage for executor-loss recovery (round-7 VERDICT #2)
+    from vmware_graph_spark.operators.pin import pinned
+
+    lat = pinned(
+        fp.select("user_id", (F.col("p_us") - F.col("v_us")).alias("lat_us"))
+    )
     ranked = exact_global_rank(lat, ["lat_us", "user_id"], rank_col="rn")
     counts = fv.agg(F.count("*").alias("n_viewers")).crossJoin(
         lat.agg(F.count("*").alias("n_converters"))
