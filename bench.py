@@ -8,6 +8,9 @@ Prints ONE JSON line:
 Each query is forced with a noop write (full computation, no driver
 collect). The headline set spans the engine's surface: scan-agg, joins,
 windows, merge/upsert, dedup (exact + LSH), similarity, text, graph.
+The suite runs SPARK_GRAFT_BENCH_PASSES (default 3) full passes after
+a load<2 quiesce gate; the reported per-query numbers are medians and
+the artifact carries the per-pass totals (`runs`) and min/max `band`.
 
 Continuity: HEADLINE is PINNED as of round 2 (the 21 names below match
 BENCH_r02.json exactly) — do not rename or reorder, so per-query
@@ -50,14 +53,15 @@ HEADLINE = [
 ]
 
 
-def _quiesce(max_wait_s: int = 120, idle_load: float = 8.0) -> float:
+def _quiesce(max_wait_s: int = 240, idle_load: float = 2.0) -> float:
     """Wait (bounded) for background load to drain before timing.
 
     BENCH_r05 recorded an 18% phantom regression because the suite ran
     concurrently with end-of-round snapshot work — the numbers were
-    load noise, not code (round-5 VERDICT #8). If the 1-minute load
-    average exceeds ``idle_load`` (machine has 32 CPUs; an idle box
-    with just this process sits well under 8), poll until it drops or
+    load noise, not code (round-5 VERDICT #8), and BENCH_r07 was
+    captured at load 7.07, 16% above the same-day idle runs (round-7
+    VERDICT #2 — gate tightened to <2 with a longer budget). If the
+    1-minute load average exceeds ``idle_load``, poll until it drops or
     the wait budget runs out, then proceed either way — the run is
     never refused, but the observed load is annotated in the output
     so a noisy number is identifiable after the fact."""
@@ -122,16 +126,31 @@ def main() -> None:
     # uses — otherwise its classloading lands in the first query's time.
     warm.write.format("noop").mode("overwrite").save()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = QUERIES[name]
-        best = None
-        for _ in range(2):  # report min-of-2: strips GC/compilation noise
+    # Three full suite passes; report the per-query MEDIAN plus the
+    # per-pass totals and their min/max band, so a committed artifact
+    # carries its own noise evidence (round-7 VERDICT #2: a single
+    # loaded run made <30% per-query regressions invisible).
+    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    per_pass: list[dict[str, float]] = []
+    pass_loads: list[float] = []
+    for _ in range(n_passes):
+        pass_loads.append(round(os.getloadavg()[0], 2))
+        t: dict[str, float] = {}
+        for name in HEADLINE:
             t0 = time.time()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            t[name] = round(time.time() - t0, 3)
+        per_pass.append(t)
+
+    def median(vals: list[float]) -> float:
+        s = sorted(vals)
+        mid = len(s) // 2
+        return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+
+    timings = {
+        name: round(median([p[name] for p in per_pass]), 3) for name in HEADLINE
+    }
+    run_totals = [round(sum(p.values()), 3) for p in per_pass]
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -141,6 +160,9 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "load_1m_at_start": load_at_start,
+        "runs": run_totals,
+        "band": [min(run_totals), max(run_totals)],
+        "load_1m_per_run": pass_loads,
     }
     print(json.dumps(result))
     # per-query history for round-over-round regression diffing

@@ -293,11 +293,17 @@ def time_queries(spark, sf_dir: str, names) -> dict[str, float]:
 
 
 def work_metrics(spark, sf_dir: str, names) -> dict[str, dict[str, int]]:
-    res = {}
+    # dedupe by driver FUNCTION: minhash_lsh_pairs_documents and
+    # near_dedup_clusters share the same candidate-pair count job — run
+    # it once per scale and record it under both names (round-7 ADVICE)
+    res, by_fn = {}, {}
     for name in names:
         fn = WORK_METRICS.get(name)
-        if fn is not None and name not in res:
-            res[name] = fn(spark, sf_dir)
+        if fn is None or name in res:
+            continue
+        if fn not in by_fn:
+            by_fn[fn] = fn(spark, sf_dir)
+        res[name] = by_fn[fn]
     return res
 
 

@@ -80,12 +80,19 @@ def _bt(name: str) -> str:
     return "`" + name.replace("`", "``") + "`"
 
 
+class _Raw(str):
+    """Explicit marker for a pre-built SQL expression passed to
+    :func:`_key_sql`. Anything NOT wrapped is treated as a column NAME
+    and backticked — a sheet column whose name happens to start with
+    '(' can therefore never be injected as raw SQL (round-7 ADVICE)."""
+
+
 def _key_sql(*cols: str) -> str:
     """SQL-string twin of :func:`node_key` for the selectExpr-built fan
     batches: NULL if any component is null (concat semantics), chr(31)
     separator. ``cols`` are column NAMES (backticked here) or
-    parenthesized SQL expressions (passed through)."""
-    qs = [c if c.startswith("(") else _bt(c) for c in cols]
+    :class:`_Raw`-wrapped SQL expressions (passed through verbatim)."""
+    qs = [c if isinstance(c, _Raw) else _bt(c) for c in cols]
     if len(qs) == 1:
         return f"cast({qs[0]} AS string)"
     return "concat(" + ", chr(31), ".join(f"cast({q} AS string)" for q in qs) + ")"
@@ -343,11 +350,11 @@ def stage_vhost(store: GraphStore, sheets: Mapping[str, DataFrame]) -> None:
 
     # SQL-string twins of the dim expressions (the split delimiter has
     # no regex metacharacters, so SQL split == split_literal here)
-    esx_ver_sql = "(split(`ESX Version`, ' build-')[0])"
-    esx_build_sql = "(split(`ESX Version`, ' build-')[1])"
-    vendor_sql = "(coalesce(Vendor, 'None Provided'))"
-    model_sql = "(coalesce(Model, 'None Provided'))"
-    bios_ver_sql = "(coalesce(`BIOS Version`, 'None Provided'))"
+    esx_ver_sql = _Raw("(split(`ESX Version`, ' build-')[0])")
+    esx_build_sql = _Raw("(split(`ESX Version`, ' build-')[1])")
+    vendor_sql = _Raw("(coalesce(Vendor, 'None Provided'))")
+    model_sql = _Raw("(coalesce(Model, 'None Provided'))")
+    bios_ver_sql = _Raw("(coalesce(`BIOS Version`, 'None Provided'))")
 
     # six plain string dims fuse through ONE tagged explode + distinct
     # (the stage_vinfo_vms _dims_tagged pattern); Vsphereesxbuild
@@ -758,7 +765,7 @@ def stage_vinfo_vms(store: GraphStore, sheets: Mapping[str, DataFrame]) -> None:
     fl_cond_sql = (
         f"{_bt('Folder')} IS NOT NULL AND size(split({_bt('Folder')}, '/')) > 2"
     )
-    vcpu_name_sql = "(concat(cast(CPUs AS string), ' vCPUs'))"
+    vcpu_name_sql = _Raw("(concat(cast(CPUs AS string), ' vCPUs'))")
     fan = ", ".join(
         [
             f"struct('{rel}' AS r, '{label}' AS l, {_key_sql(col)} AS k)"
