@@ -609,3 +609,91 @@ def test_reader_racing_compact_identical_or_loud(spark, tmp_path):
         map(tuple, dedup_against_index(probe, spark, idx, "doc_id", "text").collect())
     )
     assert fresh == expected
+
+
+def test_reader_threads_racing_live_extend(spark, tmp_path):
+    """TRUE-concurrency smoke for the coordination-free-reader claim
+    (DEPLOY.md round-7 section; round-7 VERDICT missing #3): a reader
+    thread loops full ``dedup_against_index`` probes WHILE the main
+    thread commits several real ``extend_dedup_index`` batches against
+    the same path. The extend batches are vocabulary-disjoint from the
+    probes (no shared fingerprint, shingle, or — after the Jaccard
+    verify — surviving candidate), so a correct reader's decisions are
+    IDENTICAL no matter which mix of pre/mid/post-append files its
+    listing catches; a reader that catches an in-flight file state may
+    fail LOUDLY and retry, but must never answer silently wrong."""
+    import threading
+
+    from vmware_graph_spark.operators.dedup import (
+        dedup_against_index,
+        extend_dedup_index,
+        write_dedup_index,
+    )
+    from vmware_graph_spark.sources.tables import load_table
+
+    d = load_table(spark, SF, "documents")
+    ref = d.filter(F.col("doc_id") % 3 == 0)
+    probe = d.filter(F.col("doc_id") % 3 == 2).limit(20).cache()
+    probe.count()
+
+    idx = str(tmp_path / "idx")
+    write_dedup_index(ref, idx, "doc_id", "text")
+    expected = sorted(
+        map(tuple, dedup_against_index(probe, spark, idx, "doc_id", "text").collect())
+    )
+
+    done = threading.Event()
+    outcomes: list[tuple[str, object]] = []
+
+    def reader():
+        while not done.is_set():
+            try:
+                got = sorted(
+                    map(
+                        tuple,
+                        dedup_against_index(
+                            probe, spark, idx, "doc_id", "text"
+                        ).collect(),
+                    )
+                )
+            except Exception as e:  # loud-is-fine: retry on next loop
+                outcomes.append(("loud", type(e).__name__))
+            else:
+                outcomes.append(("ok", got))
+
+    t = threading.Thread(target=reader, daemon=True)
+    t.start()
+    try:
+        # three real extends with disjoint vocabulary: per-batch synthetic
+        # docs whose every token carries a batch-unique suffix
+        for b in range(3):
+            batch = (
+                d.filter(F.col("doc_id") % 3 == 1)
+                .limit(30)
+                .select(
+                    (F.col("doc_id") + (b + 1) * 10_000_000).alias("doc_id"),
+                    F.array_join(
+                        F.transform(
+                            F.split(F.col("text"), r"\s+"),
+                            lambda x: F.concat(x, F.lit(f"~xb{b}")),
+                        ),
+                        " ",
+                    ).alias("text"),
+                )
+            )
+            extend_dedup_index(batch, idx, "doc_id", "text")
+    finally:
+        done.set()
+        t.join(timeout=120)
+    assert not t.is_alive()
+
+    oks = [o for kind, o in outcomes if kind == "ok"]
+    assert len(oks) >= 2, outcomes  # the reader genuinely overlapped the writes
+    for got in oks:
+        assert got == expected  # decision-identical under a live writer
+
+    # and a fresh post-extend read still agrees
+    fresh = sorted(
+        map(tuple, dedup_against_index(probe, spark, idx, "doc_id", "text").collect())
+    )
+    assert fresh == expected

