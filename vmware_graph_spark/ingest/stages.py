@@ -196,28 +196,40 @@ def stage_vcenter_version(store: GraphStore, sheets: Mapping[str, DataFrame]) ->
     row = sheets["vInfo"]
     vc = store.vertices("Vcenterserver")
     parts = (
-        row.select(
-            F.col("VI SDK Server type").alias("vcversion"),
-            F.col(SERVER).alias("vcserver"),
+        row.selectExpr(
+            "`VI SDK Server type` AS vcversion", f"{_bt(SERVER)} AS vcserver"
         )
         .distinct()
-        .select(
+        .selectExpr(
             "vcserver",
-            split_literal("vcversion", " build-").getItem(0).alias("vname"),
-            split_literal("vcversion", " build-").getItem(1).alias("build"),
+            "split(vcversion, ' build-')[0] AS vname",
+            "split(vcversion, ' build-')[1] AS build",
         )
         # MATCH (vc {name:vcserver}) — inner join drops unknown servers
-        .join(vc.select(F.col("name").alias("vcserver"), "uid"), "vcserver")
+        .join(vc.selectExpr("name AS vcserver", "uid"), "vcserver")
         # null build would fail the Cypher MERGE → row dropped
-        .filter(F.col("vname").isNotNull() & F.col("build").isNotNull())
+        .filter("vname IS NOT NULL AND build IS NOT NULL")
     )
-    _dim(store, parts, "Vcenterversion", F.col("vname"))
-    store.upsert_nodes("Vcenterbuild", parts.select(F.col("build")).distinct())
-    store.add_edges(
-        _edges(parts, "Vcenterbuild", node_key("build"), "BUILD_OF", "Vcenterversion", node_key("vname"))
+    store.upsert_nodes(
+        "Vcenterversion",
+        parts.selectExpr("vname AS name").filter("name IS NOT NULL").distinct(),
+    )
+    store.upsert_nodes("Vcenterbuild", parts.selectExpr("build").distinct())
+    # both edge families on one tagged explode (src label+key ride as
+    # struct fields)
+    fan = ", ".join(
+        [
+            f"struct('Vcenterbuild' AS sl, {_key_sql('build')} AS sk, "
+            f"'BUILD_OF' AS r, 'Vcenterversion' AS dl, {_key_sql('vname')} AS dk)",
+            f"struct('Vcenterserver' AS sl, {_key_sql('uid')} AS sk, "
+            f"'IS_VCENTER_BUILD' AS r, 'Vcenterbuild' AS dl, {_key_sql('build')} AS dk)",
+        ]
     )
     store.add_edges(
-        _edges(parts, "Vcenterserver", node_key("uid"), "IS_VCENTER_BUILD", "Vcenterbuild", node_key("build"))
+        parts.selectExpr(f"explode(array({fan})) AS __p").selectExpr(
+            "__p.sl AS src_label", "__p.sk AS src_key",
+            "__p.r AS rel_type", "__p.dl AS dst_label", "__p.dk AS dst_key",
+        )
     )
 
 
@@ -235,16 +247,18 @@ def stage_vrp(store: GraphStore, sheets: Mapping[str, DataFrame]) -> None:
     path (§2.10 pattern 1).
     """
     row = sheets["vRP"]
-    rp = split_literal(F.col("Resource pool"), "Resources")
-    parsed = row.select(
+    # split on the LITERAL 'Resources' (no regex metachars), '/' segments
+    parsed = row.selectExpr(
         "*",
-        F.element_at(split_literal(rp.getItem(0), "/"), 2).alias("datacenter"),
-        F.element_at(split_literal(rp.getItem(0), "/"), 3).alias("cluster"),
-        rp.getItem(1).alias("resourcepool"),
+        "element_at(split(split(`Resource pool`, 'Resources')[0], '/'), 2) AS datacenter",
+        "element_at(split(split(`Resource pool`, 'Resources')[0], '/'), 3) AS cluster",
+        "split(`Resource pool`, 'Resources')[1] AS resourcepool",
     )
-    vc = store.vertices("Vcenterserver").select(F.col("name").alias("__vcname"), F.col("uid").alias("__vcuid"))
-    vcc = store.vertices("Vcentercluster").select(
-        F.col("name").alias("__ccname"), F.col("managedby").alias("__ccuid")
+    vc = store.vertices("Vcenterserver").selectExpr(
+        "name AS __vcname", "uid AS __vcuid"
+    )
+    vcc = store.vertices("Vcentercluster").selectExpr(
+        "name AS __ccname", "managedby AS __ccuid"
     )
     # MATCH vc by name AND vcc by (cluster, uid) — inner joins (:59)
     joined = (
@@ -254,56 +268,76 @@ def stage_vrp(store: GraphStore, sheets: Mapping[str, DataFrame]) -> None:
     )
     store.upsert_nodes(
         "Vspheredatacenter",
-        joined.select(F.col("datacenter").alias("name"), F.col(UID).alias("managedby")).distinct(),
+        joined.selectExpr(
+            "datacenter AS name", f"{_bt(UID)} AS managedby"
+        ).distinct(),
+    )
+    # both DC edge families on one tagged explode
+    dc_key_sql = _key_sql("datacenter", UID)
+    fan = ", ".join(
+        [
+            f"struct('Vcentercluster' AS sl, {_key_sql('cluster', UID)} AS sk, "
+            f"'LOCATED_IN_DC' AS r, 'Vspheredatacenter' AS dl, {dc_key_sql} AS dk)",
+            f"struct('Vspheredatacenter' AS sl, {dc_key_sql} AS sk, "
+            f"'CONTROLLED_BY_VC' AS r, 'Vcenterserver' AS dl, {_key_sql(UID)} AS dk)",
+        ]
     )
     store.add_edges(
-        _edges(joined, "Vcentercluster", node_key("cluster", F.col(UID)), "LOCATED_IN_DC",
-               "Vspheredatacenter", node_key("datacenter", F.col(UID)))
+        joined.selectExpr(f"explode(array({fan})) AS __p").selectExpr(
+            "__p.sl AS src_label", "__p.sk AS src_key",
+            "__p.r AS rel_type", "__p.dl AS dst_label", "__p.dk AS dst_key",
+        )
     )
-    store.add_edges(
-        _edges(joined, "Vspheredatacenter", node_key("datacenter", F.col(UID)),
-               "CONTROLLED_BY_VC", "Vcenterserver", node_key(F.col(UID)))
-    )
-    pools = joined.select(
+    # structural path parse (documented divergence — see module doc)
+    pools = joined.selectExpr(
         "*",
-        path_last("resourcepool").alias("pool"),
-        path_parent("resourcepool").alias("parentpath"),
-    ).filter(F.col("pool") != "")
+        "element_at(split(resourcepool, '/'), -1) AS pool",
+        "array_join(slice(split(resourcepool, '/'), 1,"
+        " greatest(size(split(resourcepool, '/')) - 1, 1)), '/') AS parentpath",
+    ).filter("pool <> ''")
     store.upsert_nodes(
         "Vresourcepool",
-        pools.select(
-            F.col(SERVER).alias("vc"),
-            F.col("Resource pool").alias("path"),
-            F.col("pool").alias("name"),
-            F.col("cluster"),
-            F.col("datacenter").alias("dc"),
-            F.col("# VMs").alias("vms"),
-            F.col("# vCPUs").alias("cpus"),
-            F.col("Mem Configured").alias("memcfg"),
+        pools.selectExpr(
+            f"{_bt(SERVER)} AS vc",
+            "`Resource pool` AS path",
+            "pool AS name",
+            "cluster",
+            "datacenter AS dc",
+            "`# VMs` AS vms",
+            "`# vCPUs` AS cpus",
+            "`Mem Configured` AS memcfg",
         ),
     )
     store.add_edges(
-        _edges(pools, "Vresourcepool", node_key(F.col(SERVER), F.col("Resource pool")),
-               "MEMBER_OF_CLUSTER", "Vcentercluster", node_key("cluster", F.col(UID)))
+        pools.selectExpr(
+            "'Vresourcepool' AS src_label",
+            f"{_key_sql(SERVER, 'Resource pool')} AS src_key",
+            "'MEMBER_OF_CLUSTER' AS rel_type",
+            "'Vcentercluster' AS dst_label",
+            f"{_key_sql('cluster', UID)} AS dst_key",
+        )
     )
     # parent pool self-join (:70-71): parent node exists iff another row
     # of this sheet claims the parent's full path (within the same vc).
-    parent_full = F.concat(
-        F.element_at(split_literal(F.col("Resource pool"), "Resources"), 1),
-        F.lit("Resources"),
-        F.col("parentpath"),
+    with_parent = pools.selectExpr(
+        f"{_bt(SERVER)} AS vc",
+        "`Resource pool` AS path",
+        "CASE WHEN parentpath <> '' THEN concat("
+        " element_at(split(`Resource pool`, 'Resources'), 1),"
+        " 'Resources', parentpath) END AS parent_path",
     )
-    with_parent = pools.select(
-        F.col(SERVER).alias("vc"), F.col("Resource pool").alias("path"),
-        F.when(F.col("parentpath") != "", parent_full).alias("parent_path"),
-    )
-    parents = pools.select(
-        F.col(SERVER).alias("vc"), F.col("Resource pool").alias("parent_path")
+    parents = pools.selectExpr(
+        f"{_bt(SERVER)} AS vc", "`Resource pool` AS parent_path"
     ).distinct()
     linked = with_parent.join(parents, ["vc", "parent_path"], "inner")
     store.add_edges(
-        _edges(linked, "Vresourcepool", node_key("vc", "path"), "CHILD_RESOURCE_POOL",
-               "Vresourcepool", node_key("vc", "parent_path"))
+        linked.selectExpr(
+            "'Vresourcepool' AS src_label",
+            f"{_key_sql('vc', 'path')} AS src_key",
+            "'CHILD_RESOURCE_POOL' AS rel_type",
+            "'Vresourcepool' AS dst_label",
+            f"{_key_sql('vc', 'parent_path')} AS dst_key",
+        )
     )
 
 
@@ -479,8 +513,8 @@ def _server_list_stage(
     (Cypher `=~` full-match — the P5 trap), and upsert ip-keyed vs
     fqdn-keyed dimension nodes + USES_* edges."""
     row = sheets["vHost"]
-    hosts = store.vertices("Vspherehost").select(
-        F.col("objid").alias("__objid"), F.col("name").alias("__hname"), F.col("managedby").alias("__huid")
+    hosts = store.vertices("Vspherehost").selectExpr(
+        "objid AS __objid", "name AS __hname", "managedby AS __huid"
     )
     # MATCH {objid, name} (:107) — objid + name equality, any tenant
     j = row.join(
@@ -489,8 +523,10 @@ def _server_list_stage(
     )
     entries = (
         j.filter(F.col(col).isNotNull())
-        .select("__objid", "__huid", F.explode(split_literal(F.col(col), ",")).alias("raw"))
-        .select("__objid", "__huid", F.trim("raw").alias("address"))
+        .selectExpr(
+            "__objid", "__huid", f"explode(split({_bt(col)}, ',')) AS raw"
+        )
+        .selectExpr("__objid", "__huid", "trim(raw) AS address")
     )
     is_ip = rlike_full(F.col("address"), IPV4_RE)
     classified = entries.select(
@@ -500,15 +536,20 @@ def _server_list_stage(
     )
     store.upsert_nodes(
         label,
-        classified.select(
+        classified.selectExpr(
             "kind", "address",
-            F.when(F.col("kind") == "ip", F.col("address")).alias("ipaddress"),
-            F.when(F.col("kind") == "fqdn", F.col("address")).alias("fqdn"),
+            "CASE WHEN kind = 'ip' THEN address END AS ipaddress",
+            "CASE WHEN kind = 'fqdn' THEN address END AS fqdn",
         ).distinct(),
     )
     store.add_edges(
-        _edges(classified, "Vspherehost", node_key("__objid", "__huid"), rel,
-               label, node_key("kind", "address"))
+        classified.selectExpr(
+            "'Vspherehost' AS src_label",
+            f"{_key_sql('__objid', '__huid')} AS src_key",
+            f"'{rel}' AS rel_type",
+            f"'{label}' AS dst_label",
+            f"{_key_sql('kind', 'address')} AS dst_key",
+        )
     )
 
 
@@ -528,25 +569,19 @@ def stage_dns(store: GraphStore, sheets: Mapping[str, DataFrame]) -> None:
 def _rows_host_cluster(store: GraphStore, row: DataFrame) -> DataFrame:
     """The J3 edge-hop MATCH (vmh {name:Host})--(vcc {name:Cluster,
     managedby:uid}) [cypher:143,156,168]: host by NAME joined to the
-    cluster through any existing edge, either direction."""
-    hosts = store.vertices("Vspherehost").select(
-        F.col("name").alias("__hname"), node_key("objid", "managedby").alias("__hkey")
+    cluster through any existing edge, either direction. The hop reads
+    ``store.edge_pairs`` (raw-batch label filter + distinct), not the
+    canonical edges() merge — identical pair set, no full-edge-table
+    dedup re-run per calling stage."""
+    hosts = store.vertices("Vspherehost").selectExpr(
+        "name AS __hname", f"{_key_sql('objid', 'managedby')} AS __hkey"
     )
-    clusters = store.vertices("Vcentercluster").select(
-        F.col("name").alias("__cname"), F.col("managedby").alias("__cuid"),
-        node_key("name", "managedby").alias("__ckey"),
+    clusters = store.vertices("Vcentercluster").selectExpr(
+        "name AS __cname", "managedby AS __cuid",
+        f"{_key_sql('name', 'managedby')} AS __ckey",
     )
-    e = store.edges().select("src_label", "src_key", "dst_label", "dst_key")
-    sym = e.unionByName(
-        e.select(
-            F.col("dst_label").alias("src_label"), F.col("dst_key").alias("src_key"),
-            F.col("src_label").alias("dst_label"), F.col("src_key").alias("dst_key"),
-        )
-    )
-    hop = (
-        sym.filter((F.col("src_label") == "Vspherehost") & (F.col("dst_label") == "Vcentercluster"))
-        .select(F.col("src_key").alias("__hkey"), F.col("dst_key").alias("__ckey"))
-        .distinct()
+    hop = store.edge_pairs("Vspherehost", "Vcentercluster").selectExpr(
+        "a_key AS __hkey", "b_key AS __ckey"
     )
     linked = hosts.join(hop, "__hkey").join(clusters, "__ckey")
     return (
@@ -562,98 +597,162 @@ def _rows_host_cluster(store: GraphStore, row: DataFrame) -> DataFrame:
 def stage_vswitch(store: GraphStore, sheets: Mapping[str, DataFrame]) -> None:
     """refresh-vmware.cypher:142-152 (+ the J6 Jumboframes theta join)."""
     j = _rows_host_cluster(store, sheets["vSwitch"])
-    sw_key = node_key(F.col("Switch"), F.col("Host"))
+    sw_key_sql = _key_sql("Switch", "Host")
     store.upsert_nodes(
         "Vswitch",
-        j.select(
-            F.col("Switch").alias("name"),
-            F.col("Host").alias("host"),
-            F.col("# Ports").alias("ports"),
-            F.col("Free Ports").alias("freeports"),
-            F.col("Promiscuous Mode").alias("promiscuous"),
-            F.col("Mac Changes").alias("macchanges"),
-            F.col("Forged Transmits").alias("forged"),
-            F.col("Traffic Shaping").alias("shaping"),
-            F.col("Notify Switch").alias("notifysw"),
-            try_int(F.col("MTU")).alias("mtu"),
-            F.col("Offload").alias("offload"),
+        j.selectExpr(
+            "Switch AS name",
+            "Host AS host",
+            "`# Ports` AS ports",
+            "`Free Ports` AS freeports",
+            "`Promiscuous Mode` AS promiscuous",
+            "`Mac Changes` AS macchanges",
+            "`Forged Transmits` AS forged",
+            "`Traffic Shaping` AS shaping",
+            "`Notify Switch` AS notifysw",
+            "try_cast(MTU AS int) AS mtu",
+            "Offload AS offload",
         ),
     )
-    store.add_edges(_edges(j, "Vswitch", sw_key, "VSWITCH_FOR_HOST", "Vspherehost", F.col("__hkey")))
     # Vlbpolicy here has NO coalesce (:148) — null Policy fails the row
-    pol = j.filter(F.col("Policy").isNotNull())
-    _dim(store, pol, "Vlbpolicy", F.col("Policy"))
-    store.add_edges(_edges(pol, "Vswitch", sw_key, "LOAD_BALANCING_POLICY", "Vlbpolicy", node_key(F.col("Policy"))))
+    # (a null dim key drops in merge exactly like the former filter did)
+    store.upsert_nodes(
+        "Vlbpolicy",
+        j.selectExpr("Policy AS name").filter("name IS NOT NULL").distinct(),
+    )
+    # both per-switch edge families on ONE tagged explode (the vInfo
+    # fan pattern): null Policy nulls that struct's dst_key → dropped
+    fan = ", ".join(
+        [
+            "struct('VSWITCH_FOR_HOST' AS r, 'Vspherehost' AS l, __hkey AS k)",
+            "struct('LOAD_BALANCING_POLICY' AS r, 'Vlbpolicy' AS l, "
+            "cast(Policy AS string) AS k)",
+        ]
+    )
+    store.add_edges(
+        j.selectExpr(
+            "'Vswitch' AS src_label",
+            f"{sw_key_sql} AS src_key",
+            f"explode(array({fan})) AS __p",
+        ).selectExpr(
+            "src_label", "src_key",
+            "__p.r AS rel_type", "__p.l AS dst_label", "__p.k AS dst_key",
+        )
+    )
     # Jumboframes (:151-152): cartesian with the 1-row seed, theta mtu>=9000
     jumbo = store.vertices("Jumboframes")
     if jumbo is not None:
-        big = j.filter(try_int(F.col("MTU")) >= 9000).crossJoin(
-            F.broadcast(jumbo.filter(F.col("name") == "enabled").select(F.col("name").alias("__jmb")))
+        big = j.filter("try_cast(MTU AS int) >= 9000").crossJoin(
+            F.broadcast(
+                jumbo.filter(F.col("name") == "enabled").selectExpr("name AS __jmb")
+            )
         )
-        store.add_edges(_edges(big, "Vswitch", sw_key, "HAS_JUMBO_FRAMES", "Jumboframes", node_key("__jmb")))
+        store.add_edges(
+            big.selectExpr(
+                "'Vswitch' AS src_label",
+                f"{sw_key_sql} AS src_key",
+                "'HAS_JUMBO_FRAMES' AS rel_type",
+                "'Jumboframes' AS dst_label",
+                "cast(__jmb AS string) AS dst_key",
+            )
+        )
 
 
 def stage_vport(store: GraphStore, sheets: Mapping[str, DataFrame]) -> None:
     """refresh-vmware.cypher:155-163."""
     j = _rows_host_cluster(store, sheets["vPort"])
-    vsw = store.vertices("Vswitch").select(
-        F.col("name").alias("__swname"), F.col("host").alias("__swhost"),
-        node_key("name", "host").alias("__swkey"),
+    vsw = store.vertices("Vswitch").selectExpr(
+        "name AS __swname", "host AS __swhost",
+        f"{_key_sql('name', 'host')} AS __swkey",
     )
     j = j.join(vsw, (j["Switch"] == vsw.__swname) & (j["Host"] == vsw.__swhost))
-    pg_key = node_key(F.col("Port Group"), F.col("Host"), F.col(UID))
+    pol_sql = _Raw("(coalesce(Policy, 'None Provided'))")
     store.upsert_nodes(
         "Vportgroup",
-        j.select(F.col("Port Group").alias("name"), F.col(UID).alias("managedby")).distinct(),
+        j.selectExpr("`Port Group` AS name", f"{_bt(UID)} AS managedby").distinct(),
     )
     store.upsert_nodes(
         "Vhostportgroup",
-        j.select(
-            F.col("Port Group").alias("name"),
-            F.col("Host").alias("host"),
-            F.col(UID).alias("managedby"),
-            F.col("VLAN").alias("vlan"),
-            F.col("Promiscuous Mode").alias("promiscuous"),
-            F.col("Mac Changes").alias("macchanges"),
-            F.col("Forged Transmits").alias("forged"),
-            F.col("Traffic Shaping").alias("shaping"),
+        j.selectExpr(
+            "`Port Group` AS name",
+            "Host AS host",
+            f"{_bt(UID)} AS managedby",
+            "VLAN AS vlan",
+            "`Promiscuous Mode` AS promiscuous",
+            "`Mac Changes` AS macchanges",
+            "`Forged Transmits` AS forged",
+            "`Traffic Shaping` AS shaping",
         ),
     )
-    _dim(store, j, "Vlbpolicy", F.coalesce(F.col("Policy"), F.lit("None Provided")))
-    store.add_edges(_edges(j, "Vhostportgroup", pg_key, "HOST_PG_FOR",
-                           "Vportgroup", node_key(F.col("Port Group"), F.col(UID))))
-    store.add_edges(_edges(j, "Vhostportgroup", pg_key, "STANDARD_PG_ON", "Vspherehost", F.col("__hkey")))
-    store.add_edges(_edges(j, "Vswitch", F.col("__swkey"), "LOAD_BALANCING_POLICY",
-                           "Vlbpolicy", node_key(F.coalesce(F.col("Policy"), F.lit("None Provided")))))
+    store.upsert_nodes(
+        "Vlbpolicy",
+        j.selectExpr(f"{pol_sql} AS name").distinct(),
+    )
+    # the three edge families on ONE tagged explode; src label AND key
+    # ride as struct fields (two come from Vhostportgroup, one from the
+    # matched Vswitch)
+    pg_key_sql = _key_sql("Port Group", "Host", UID)
+    fan = ", ".join(
+        [
+            f"struct('Vhostportgroup' AS sl, {pg_key_sql} AS sk, 'HOST_PG_FOR' AS r, "
+            f"'Vportgroup' AS dl, {_key_sql('Port Group', UID)} AS dk)",
+            f"struct('Vhostportgroup' AS sl, {pg_key_sql} AS sk, 'STANDARD_PG_ON' AS r, "
+            "'Vspherehost' AS dl, __hkey AS dk)",
+            "struct('Vswitch' AS sl, __swkey AS sk, 'LOAD_BALANCING_POLICY' AS r, "
+            f"'Vlbpolicy' AS dl, {_key_sql(pol_sql)} AS dk)",
+        ]
+    )
+    store.add_edges(
+        j.selectExpr(f"explode(array({fan})) AS __p").selectExpr(
+            "__p.sl AS src_label", "__p.sk AS src_key",
+            "__p.r AS rel_type", "__p.dl AS dst_label", "__p.dk AS dst_key",
+        )
+    )
 
 
 def stage_vnic(store: GraphStore, sheets: Mapping[str, DataFrame]) -> None:
     """refresh-vmware.cypher:166-176."""
     j = _rows_host_cluster(store, sheets["vNIC"])
-    vsw = store.vertices("Vswitch").select(
-        F.col("name").alias("__swname"), F.col("host").alias("__swhost"),
-        node_key("name", "host").alias("__swkey"),
+    vsw = store.vertices("Vswitch").selectExpr(
+        "name AS __swname", "host AS __swhost",
+        f"{_key_sql('name', 'host')} AS __swkey",
     )
     j = j.join(vsw, (j["Switch"] == vsw.__swname) & (j["Host"] == vsw.__swhost))
-    speed = F.coalesce(F.col("Speed"), F.lit("No link"))
-    driver = F.coalesce(F.col("Driver"), F.lit("None Provided"))
-    nic_key = node_key(F.col("Network Device"), F.col("Host"))
+    speed_sql = _Raw("(coalesce(Speed, 'No link'))")
+    driver_sql = _Raw("(coalesce(Driver, 'None Provided'))")
+    nic_key_sql = _key_sql("Network Device", "Host")
     store.upsert_nodes(
         "Vmnic",
-        j.select(
-            F.col("Network Device").alias("name"),
-            F.col("Host").alias("host"),
-            F.col("MAC").alias("mac"),
-            F.col("WakeOn").alias("wake"),
-            F.col("PCI").alias("pci"),
+        j.selectExpr(
+            "`Network Device` AS name",
+            "Host AS host",
+            "MAC AS mac",
+            "WakeOn AS wake",
+            "PCI AS pci",
         ),
     )
-    _dim(store, j, "Vmnicdriver", driver)
-    _dim(store, j, "Vmnicspeed", speed)
-    store.add_edges(_edges(j, "Vmnic", nic_key, "USES_DRIVER", "Vmnicdriver", node_key(driver)))
-    store.add_edges(_edges(j, "Vmnic", nic_key, "LINK_SPEED", "Vmnicspeed", node_key(speed)))
-    store.add_edges(_edges(j, "Vmnic", nic_key, "PNIC_OF_HOST", "Vspherehost", F.col("__hkey")))
-    store.add_edges(_edges(j, "Vswitch", F.col("__swkey"), "NETWORK_ADAPTERS", "Vmnic", nic_key))
+    # the two string dims fuse through one tagged distinct
+    _dims_tagged(store, j, [("Vmnicdriver", driver_sql), ("Vmnicspeed", speed_sql)])
+    # the four edge families on ONE tagged explode (three from Vmnic,
+    # one from the matched Vswitch)
+    fan = ", ".join(
+        [
+            f"struct('Vmnic' AS sl, {nic_key_sql} AS sk, 'USES_DRIVER' AS r, "
+            f"'Vmnicdriver' AS dl, {_key_sql(driver_sql)} AS dk)",
+            f"struct('Vmnic' AS sl, {nic_key_sql} AS sk, 'LINK_SPEED' AS r, "
+            f"'Vmnicspeed' AS dl, {_key_sql(speed_sql)} AS dk)",
+            f"struct('Vmnic' AS sl, {nic_key_sql} AS sk, 'PNIC_OF_HOST' AS r, "
+            "'Vspherehost' AS dl, __hkey AS dk)",
+            "struct('Vswitch' AS sl, __swkey AS sk, 'NETWORK_ADAPTERS' AS r, "
+            f"'Vmnic' AS dl, {nic_key_sql} AS dk)",
+        ]
+    )
+    store.add_edges(
+        j.selectExpr(f"explode(array({fan})) AS __p").selectExpr(
+            "__p.sl AS src_label", "__p.sk AS src_key",
+            "__p.r AS rel_type", "__p.dl AS dst_label", "__p.dk AS dst_key",
+        )
+    )
 
 
 # --------------------------------------------------------------------------
@@ -915,46 +1014,76 @@ def stage_vdatastore(store: GraphStore, sheets: Mapping[str, DataFrame]) -> None
     """refresh-vmware.cypher:228-240. Bug §0.2.4 (`ds.verion` typo) is
     fixed: the property is ``version``."""
     row = sheets["vDatastore"]
-    vc = store.vertices("Vcenterserver").select(F.col("uid").alias("__vcuid"))
+    vc = store.vertices("Vcenterserver").selectExpr("uid AS __vcuid")
     j = row.join(vc, row[UID] == vc.__vcuid)
-    ds_key = node_key(F.col("URL"))
+    ds_key_sql = _key_sql("URL")
     store.upsert_nodes(
         "Vdatastore",
-        j.select(
-            F.col("URL").alias("url"),
-            F.col("Name").alias("name"),
-            F.col("Accessible").alias("accessible"),
-            F.col("Capacity MB").alias("capacity"),
-            F.col("In Use MB").alias("inuse"),
-            F.col("Free MB").alias("free"),
-            F.col("# Hosts").alias("hosts"),
-            F.col("Version").alias("version"),
-            F.col("SIOC enabled").alias("sio"),
-            F.col("# VMs").alias("vms"),
-            F.col("Address").alias("address"),
-            F.col(UID).alias("managedby"),
+        j.selectExpr(
+            "URL AS url",
+            "Name AS name",
+            "Accessible AS accessible",
+            "`Capacity MB` AS capacity",
+            "`In Use MB` AS inuse",
+            "`Free MB` AS free",
+            "`# Hosts` AS hosts",
+            "Version AS version",
+            "`SIOC enabled` AS sio",
+            "`# VMs` AS vms",
+            "Address AS address",
+            f"{_bt(UID)} AS managedby",
         ),
     )
-    _dim(store, j, "Vconfigstatus", F.col("Config status"))
-    store.add_edges(_edges(j, "Vdatastore", ds_key, "CONFIG_STATUS",
-                           "Vconfigstatus", node_key(F.col("Config status"))))
-    _dim(store, j, "Vdatastoretype", F.col("Type"))
-    store.add_edges(_edges(j, "Vdatastore", ds_key, "DATASTORE_TYPE",
-                           "Vdatastoretype", node_key(F.col("Type"))))
+    # both string dims through one tagged distinct, both per-datastore
+    # edge families on one tagged explode (null dim → null dst_key →
+    # dropped in merge, same as the former _dim filters)
+    _dims_tagged(
+        store, j,
+        [("Vconfigstatus", _bt("Config status")), ("Vdatastoretype", "Type")],
+    )
+    fan = ", ".join(
+        [
+            "struct('CONFIG_STATUS' AS r, 'Vconfigstatus' AS l, "
+            f"{_key_sql('Config status')} AS k)",
+            "struct('DATASTORE_TYPE' AS r, 'Vdatastoretype' AS l, "
+            f"{_key_sql('Type')} AS k)",
+        ]
+    )
+    store.add_edges(
+        j.selectExpr(
+            "'Vdatastore' AS src_label",
+            f"{ds_key_sql} AS src_key",
+            f"explode(array({fan})) AS __p",
+        ).selectExpr(
+            "src_label", "src_key",
+            "__p.r AS rel_type", "__p.l AS dst_label", "__p.k AS dst_key",
+        )
+    )
     # hosts explode + trim (:237-239) — join hosts by (trimmed name, uid)
-    hosts = store.vertices("Vspherehost").select(
-        F.col("name").alias("__hname"), F.col("managedby").alias("__huid"),
-        node_key("objid", "managedby").alias("__hkey"),
+    hosts = store.vertices("Vspherehost").selectExpr(
+        "name AS __hname", "managedby AS __huid",
+        f"{_key_sql('objid', 'managedby')} AS __hkey",
     )
     exploded = (
-        j.filter(F.col("Hosts").isNotNull())
-        .select("URL", F.col(UID).alias("__uid"), F.explode(split_literal(F.col("Hosts"), ",")).alias("raw"))
-        .select("URL", "__uid", F.trim("raw").alias("__hname"))
+        j.filter("Hosts IS NOT NULL")
+        .selectExpr(
+            "URL",
+            f"{_bt(UID)} AS __uid",
+            "explode(split(Hosts, ',')) AS raw",
+        )
+        .selectExpr("URL", "__uid", "trim(raw) AS __hname")
         .join(hosts, ["__hname"])
         .filter(F.col("__uid") == F.col("__huid"))
     )
-    store.add_edges(_edges(exploded, "Vspherehost", F.col("__hkey"), "CONNECTED_DATASTORE",
-                           "Vdatastore", node_key(F.col("URL"))))
+    store.add_edges(
+        exploded.selectExpr(
+            "'Vspherehost' AS src_label",
+            "__hkey AS src_key",
+            "'CONNECTED_DATASTORE' AS rel_type",
+            "'Vdatastore' AS dst_label",
+            f"{_key_sql('URL')} AS dst_key",
+        )
+    )
 
 
 def stage_vdisk(store: GraphStore, sheets: Mapping[str, DataFrame]) -> None:
@@ -962,50 +1091,57 @@ def stage_vdisk(store: GraphStore, sheets: Mapping[str, DataFrame]) -> None:
     path parse ``[dsname] vm/vm.vmdk`` (§2.10-5) with the J5
     existence-qualified datastore join."""
     row = sheets["vDisk"]
-    vms = store.vertices("Virtualmachine").select(
-        F.col("uuid").alias("__vmuuid"), F.col("managedby").alias("__vmuid"),
-        node_key("uuid", "managedby").alias("__vmkey"),
+    vms = store.vertices("Virtualmachine").selectExpr(
+        "uuid AS __vmuuid", "managedby AS __vmuid",
+        f"{_key_sql('uuid', 'managedby')} AS __vmkey",
     )
     j = row.join(vms, (row["VM UUID"] == vms.__vmuuid) & (row[UID] == vms.__vmuid))
-    vd_key = node_key(F.col("Path"))
     store.upsert_nodes(
         "Virtualdisk",
-        j.select(
-            F.col("Path").alias("path"),
-            F.col("Disk").alias("disk"),
-            F.col("Capacity MB").alias("capacity"),
-            F.col("Thin").alias("thin"),
-            F.col("Controller").alias("controller"),
-            F.col("Disk Mode").alias("mode"),
-            F.col("Eagerly Scrub").alias("eager"),
-            F.col("Template").alias("template"),
+        j.selectExpr(
+            "Path AS path",
+            "Disk AS disk",
+            "`Capacity MB` AS capacity",
+            "Thin AS thin",
+            "Controller AS controller",
+            "`Disk Mode` AS mode",
+            "`Eagerly Scrub` AS eager",
+            "Template AS template",
         ),
     )
-    store.add_edges(_edges(j, "Virtualdisk", vd_key, "VDISK_FOR_VM", "Virtualmachine", F.col("__vmkey")))
-    # datastore name parse (:249): regexp_extract of the [bracket] head
-    dsname = F.regexp_extract(F.col("Path"), r"^\[([^\]]*)\]", 1)
-    # J5 (:250): ds {name,managedby} connected (any edge) to host {name:Host,managedby}
-    ds = store.vertices("Vdatastore").select(
-        F.col("name").alias("__dsname"), F.col("managedby").alias("__dsuid"),
-        node_key("url").alias("__dskey"),
+    store.add_edges(
+        j.selectExpr(
+            "'Virtualdisk' AS src_label",
+            f"{_key_sql('Path')} AS src_key",
+            "'VDISK_FOR_VM' AS rel_type",
+            "'Virtualmachine' AS dst_label",
+            "__vmkey AS dst_key",
+        )
     )
-    hosts = store.vertices("Vspherehost").select(
-        F.col("name").alias("__hname"), F.col("managedby").alias("__huid2"),
-        node_key("objid", "managedby").alias("__hkey2"),
+    # J5 (:250): ds {name,managedby} connected (any edge) to host
+    # {name:Host,managedby} — the hop reads edge_pairs (raw-batch label
+    # filter), not the full canonical edge merge
+    ds = store.vertices("Vdatastore").selectExpr(
+        "name AS __dsname", "managedby AS __dsuid",
+        f"{_key_sql('url')} AS __dskey",
     )
-    e = store.edges().select("src_label", "src_key", "dst_label", "dst_key")
-    sym = e.unionByName(e.select(
-        F.col("dst_label").alias("src_label"), F.col("dst_key").alias("src_key"),
-        F.col("src_label").alias("dst_label"), F.col("src_key").alias("dst_key"),
-    ))
-    ds_host = (
-        sym.filter((F.col("src_label") == "Vdatastore") & (F.col("dst_label") == "Vspherehost"))
-        .select(F.col("src_key").alias("__dskey"), F.col("dst_key").alias("__hkey2"))
-        .distinct()
+    hosts = store.vertices("Vspherehost").selectExpr(
+        "name AS __hname", "managedby AS __huid2",
+        f"{_key_sql('objid', 'managedby')} AS __hkey2",
+    )
+    ds_host = store.edge_pairs("Vdatastore", "Vspherehost").selectExpr(
+        "a_key AS __dskey", "b_key AS __hkey2"
     )
     qualified = ds.join(ds_host, "__dskey").join(hosts, "__hkey2")
+    # datastore name parse (:249): regexp_extract of the [bracket] head
     withds = (
-        j.select("Path", "Host", F.col(UID).alias("__uid"), vd_key.alias("__vdkey"), dsname.alias("__parsed_ds"))
+        j.selectExpr(
+            "Path",
+            "Host",
+            f"{_bt(UID)} AS __uid",
+            f"{_key_sql('Path')} AS __vdkey",
+            r"regexp_extract(Path, '^\\[([^\\]]*)\\]', 1) AS __parsed_ds",
+        )
         .join(
             qualified,
             (F.col("__parsed_ds") == qualified.__dsname)
@@ -1016,98 +1152,144 @@ def stage_vdisk(store: GraphStore, sheets: Mapping[str, DataFrame]) -> None:
         .select("__vdkey", "__dskey")
         .distinct()
     )
-    store.add_edges(_edges(withds, "Virtualdisk", F.col("__vdkey"), "ON_DATASTORE",
-                           "Vdatastore", F.col("__dskey")))
+    store.add_edges(
+        withds.selectExpr(
+            "'Virtualdisk' AS src_label",
+            "__vdkey AS src_key",
+            "'ON_DATASTORE' AS rel_type",
+            "'Vdatastore' AS dst_label",
+            "__dskey AS dst_key",
+        )
+    )
 
 
 def stage_vnetwork(store: GraphStore, sheets: Mapping[str, DataFrame]) -> None:
     """refresh-vmware.cypher:254-263."""
     row = sheets["vNetwork"]
-    vms = store.vertices("Virtualmachine").select(
-        F.col("uuid").alias("__vmuuid"), F.col("managedby").alias("__vmuid"),
-        node_key("uuid", "managedby").alias("__vmkey"),
+    vms = store.vertices("Virtualmachine").selectExpr(
+        "uuid AS __vmuuid", "managedby AS __vmuid",
+        f"{_key_sql('uuid', 'managedby')} AS __vmkey",
     )
-    vc = store.vertices("Vcenterserver").select(F.col("name").alias("__vcname"))
+    vc = store.vertices("Vcenterserver").selectExpr("name AS __vcname")
     j = (
         row.join(vc, row[SERVER] == vc.__vcname)
         .join(vms, (row["VM UUID"] == vms.__vmuuid) & (row[UID] == vms.__vmuid))
     )
-    ad_key = node_key(F.col("Mac Address"), F.col("VM UUID"))
+    ad_key_sql = _key_sql("Mac Address", "VM UUID")
     store.upsert_nodes(
         "Vmadapter",
-        j.select(
-            F.col("Mac Address").alias("mac"),
-            F.col("VM UUID").alias("vmuuid"),
-            F.col("Starts Connected").alias("startconnected"),
-            F.col("IP Address").alias("ip"),
+        j.selectExpr(
+            "`Mac Address` AS mac",
+            "`VM UUID` AS vmuuid",
+            "`Starts Connected` AS startconnected",
+            "`IP Address` AS ip",
         ),
     )
-    store.add_edges(_edges(j, "Vmadapter", ad_key, "ADAPTER_FOR", "Virtualmachine", F.col("__vmkey")))
-    _dim(store, j, "Vmadaptertype", F.col("Adapter"))
-    store.add_edges(_edges(j, "Vmadapter", ad_key, "ADAPTER_TYPE",
-                           "Vmadaptertype", node_key(F.col("Adapter"))))
+    store.upsert_nodes(
+        "Vmadaptertype",
+        j.selectExpr("Adapter AS name").filter("name IS NOT NULL").distinct(),
+    )
+    # both per-adapter edge families on one tagged explode
+    fan = ", ".join(
+        [
+            "struct('ADAPTER_FOR' AS r, 'Virtualmachine' AS l, __vmkey AS k)",
+            f"struct('ADAPTER_TYPE' AS r, 'Vmadaptertype' AS l, {_key_sql('Adapter')} AS k)",
+        ]
+    )
+    store.add_edges(
+        j.selectExpr(
+            "'Vmadapter' AS src_label",
+            f"{ad_key_sql} AS src_key",
+            f"explode(array({fan})) AS __p",
+        ).selectExpr(
+            "src_label", "src_key",
+            "__p.r AS rel_type", "__p.l AS dst_label", "__p.k AS dst_key",
+        )
+    )
     # portgroup tail (:261-263): MATCH Vhostportgroup {name:Network,host,managedby}
-    pg = store.vertices("Vhostportgroup").select(
-        F.col("name").alias("__pgname"), F.col("host").alias("__pghost"), F.col("managedby").alias("__pguid"),
-        node_key("name", "host", "managedby").alias("__pgkey"),
+    pg = store.vertices("Vhostportgroup").selectExpr(
+        "name AS __pgname", "host AS __pghost", "managedby AS __pguid",
+        f"{_key_sql('name', 'host', 'managedby')} AS __pgkey",
     )
     tail = j.join(
         pg,
         (j["Network"] == pg.__pgname) & (j["Host"] == pg.__pghost) & (j[UID] == pg.__pguid),
     )
-    store.add_edges(_edges(tail, "Vmadapter", ad_key, "IN_PORTGROUP", "Vhostportgroup", F.col("__pgkey")))
+    store.add_edges(
+        tail.selectExpr(
+            "'Vmadapter' AS src_label",
+            f"{ad_key_sql} AS src_key",
+            "'IN_PORTGROUP' AS rel_type",
+            "'Vhostportgroup' AS dst_label",
+            "__pgkey AS dst_key",
+        )
+    )
 
 
 def stage_vpartition(store: GraphStore, sheets: Mapping[str, DataFrame]) -> None:
     """refresh-vmware.cypher:266-270."""
     row = sheets["vPartition"]
-    vms = store.vertices("Virtualmachine").select(
-        F.col("uuid").alias("__vmuuid"), F.col("managedby").alias("__vmuid"),
-        node_key("uuid", "managedby").alias("__vmkey"),
+    vms = store.vertices("Virtualmachine").selectExpr(
+        "uuid AS __vmuuid", "managedby AS __vmuid",
+        f"{_key_sql('uuid', 'managedby')} AS __vmkey",
     )
-    vc = store.vertices("Vcenterserver").select(F.col("name").alias("__vcname"))
+    vc = store.vertices("Vcenterserver").selectExpr("name AS __vcname")
     j = (
         row.join(vc, row[SERVER] == vc.__vcname)
         .join(vms, (row["VM UUID"] == vms.__vmuuid) & (row[UID] == vms.__vmuid))
     )
     store.upsert_nodes(
         "Vpartition",
-        j.select(
-            F.col("Disk").alias("disk"),
-            F.col("VM UUID").alias("vmuuid"),
-            F.col("Capacity MB").alias("capacity"),
-            F.col("Consumed MB").alias("consumed"),
-            F.col("Free %").alias("free"),
+        j.selectExpr(
+            "Disk AS disk",
+            "`VM UUID` AS vmuuid",
+            "`Capacity MB` AS capacity",
+            "`Consumed MB` AS consumed",
+            "`Free %` AS free",
         ),
     )
-    store.add_edges(_edges(j, "Vpartition", node_key(F.col("Disk"), F.col("VM UUID")),
-                           "PARTITION_FOR", "Virtualmachine", F.col("__vmkey")))
+    store.add_edges(
+        j.selectExpr(
+            "'Vpartition' AS src_label",
+            f"{_key_sql('Disk', 'VM UUID')} AS src_key",
+            "'PARTITION_FOR' AS rel_type",
+            "'Virtualmachine' AS dst_label",
+            "__vmkey AS dst_key",
+        )
+    )
 
 
 def stage_vsnapshot(store: GraphStore, sheets: Mapping[str, DataFrame]) -> None:
     """refresh-vmware.cypher:273-277."""
     row = sheets["vSnapshot"]
-    vms = store.vertices("Virtualmachine").select(
-        F.col("uuid").alias("__vmuuid"), F.col("managedby").alias("__vmuid"),
-        node_key("uuid", "managedby").alias("__vmkey"),
+    vms = store.vertices("Virtualmachine").selectExpr(
+        "uuid AS __vmuuid", "managedby AS __vmuid",
+        f"{_key_sql('uuid', 'managedby')} AS __vmkey",
     )
-    vc = store.vertices("Vcenterserver").select(F.col("name").alias("__vcname"))
+    vc = store.vertices("Vcenterserver").selectExpr("name AS __vcname")
     j = (
         row.join(vc, row[SERVER] == vc.__vcname)
         .join(vms, (row["VM UUID"] == vms.__vmuuid) & (row[UID] == vms.__vmuid))
     )
     store.upsert_nodes(
         "Vsnapshot",
-        j.select(
-            F.col("Name").alias("name"),
-            F.col("VM UUID").alias("vmuuid"),
-            F.col("Description").alias("description"),
-            F.col("Date / time").alias("timestamp"),
-            F.col("Size MB (total)").alias("size"),
+        j.selectExpr(
+            "Name AS name",
+            "`VM UUID` AS vmuuid",
+            "Description AS description",
+            "`Date / time` AS timestamp",
+            "`Size MB (total)` AS size",
         ),
     )
-    store.add_edges(_edges(j, "Vsnapshot", node_key(F.col("Name"), F.col("VM UUID")),
-                           "SNAPSHOT_OF", "Virtualmachine", F.col("__vmkey")))
+    store.add_edges(
+        j.selectExpr(
+            "'Vsnapshot' AS src_label",
+            f"{_key_sql('Name', 'VM UUID')} AS src_key",
+            "'SNAPSHOT_OF' AS rel_type",
+            "'Virtualmachine' AS dst_label",
+            "__vmkey AS dst_key",
+        )
+    )
 
 
 # The reference's statement order (pass 1) — later stages join against

@@ -360,6 +360,37 @@ class GraphStore:
         )
         return self._edges_cache
 
+    def edge_pairs(self, a_label: str, b_label: str) -> DataFrame:
+        """Distinct (a_key, b_key) pairs connected by ANY edge between
+        the two labels, in EITHER direction — the J3 edge-hop MATCH
+        ``(x:A)--(y:B)`` shape (refresh-vmware.cypher:143,156,168,250).
+
+        Reads the RAW batch union with a label-pair filter + distinct
+        instead of the canonical :meth:`edges` merge: the hop's own
+        symmetrize+distinct collapses exactly the duplicates (and
+        undirected canonicalization differences) the global merge
+        would, so the pair set is identical — while skipping a
+        full-edge-table dedup per calling stage. Four ingest stages
+        (vSwitch/vPort/vNIC/vDisk) each re-ran that dedup before this
+        existed because every ``add_edges`` invalidates the edges()
+        cache. Null-keyed endpoints pass through; they join nothing
+        downstream, exactly as the merged path dropped them."""
+        batch = self._union_edge_batches()
+        if batch is None:
+            return self.spark.createDataFrame([], "a_key string, b_key string")
+        fwd = batch.filter(
+            (F.col("src_label") == a_label) & (F.col("dst_label") == b_label)
+        ).select(F.col("src_key").alias("a_key"), F.col("dst_key").alias("b_key"))
+        rev = batch.filter(
+            (F.col("src_label") == b_label) & (F.col("dst_label") == a_label)
+        ).select(F.col("dst_key").alias("a_key"), F.col("src_key").alias("b_key"))
+        # CUT before returning: the caller's edge batch EMBEDS this
+        # plan, and without a cut every later edges()/edge_pairs call
+        # would re-execute the whole batch union nested inside it —
+        # measured 3× slower on the vDisk stage than the canonical
+        # edges() path this method replaces.
+        return self._cut(fwd.unionByName(rev).distinct())
+
     def edges_with_props(self) -> DataFrame:
         """The canonical edge table WITH its ``props`` string map —
         same rows as ``edges()`` plus per-edge properties merged
