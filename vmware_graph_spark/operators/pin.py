@@ -77,3 +77,14 @@ def iterpin(df: DataFrame) -> DataFrame:
     ``df.checkpoint()`` with ``spark.sparkContext.setCheckpointDir`` on
     shared storage — identical semantics, failure-safe blocks."""
     return df.localCheckpoint(eager=True)
+
+
+def iterpin_lazy(df: DataFrame) -> DataFrame:
+    """Lazy variant of :func:`iterpin` for iterative loops whose round
+    output is consumed exactly once by the next round's plan build
+    (PQ codebook refinement, NN-Descent rounds): lineage TRUNCATION is
+    the point — without it each round's plan embeds every prior
+    round — but deferring materialization keeps the whole loop one job
+    chain. Same cluster note as iterpin: swap for reliable
+    ``df.checkpoint()`` on shared storage off-box."""
+    return df.localCheckpoint(eager=False)

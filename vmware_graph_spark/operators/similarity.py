@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from vmware_graph_spark.functions.vector import as_double_vec, cosine, dot
+from vmware_graph_spark.operators.pin import iterpin_lazy
 
 
 def _score(queries: DataFrame, candidates: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -204,7 +205,7 @@ def pq_codebook(
     )
     cb = _pq_centroids(x, assign, sublen)
     for _ in range(max(0, iters - 1)):
-        cb = _pq_centroids(x, _pq_assign(x, cb), sublen).localCheckpoint(eager=False)
+        cb = _pq_centroids(x, _pq_assign(x, cb), sublen).transform(iterpin_lazy)
     return cb
 
 
@@ -656,7 +657,7 @@ def knn_graph_nn_descent(
         )
         cand = both if cand is None else cand.unionByName(both)
     cand = cand.distinct()
-    knn = _knn_topk(_knn_pair_score(cand, base), k).localCheckpoint(eager=False)
+    knn = _knn_topk(_knn_pair_score(cand, base), k).transform(iterpin_lazy)
     for _ in range(iters):
         x, y = knn.alias("x"), knn.alias("y")
         nn2 = (
@@ -668,7 +669,7 @@ def knn_graph_nn_descent(
         cand = (
             knn.select("src", "dst").unionByName(rev).unionByName(nn2).distinct()
         )
-        knn = _knn_topk(_knn_pair_score(cand, base), k).localCheckpoint(eager=False)
+        knn = _knn_topk(_knn_pair_score(cand, base), k).transform(iterpin_lazy)
     return knn.withColumn("cosine", F.round("cosine", 6))
 
 
