@@ -377,10 +377,6 @@ def stage_vhost(store: GraphStore, sheets: Mapping[str, DataFrame]) -> None:
         ),
     )
     host_key_sql = _key_sql("Object ID", UID)
-    store.add_edges(_edges(joined, "Vspherehost", host_key, "CONTROLLED_BY_VC",
-                           "Vcenterserver", node_key(F.col(UID))))
-    store.add_edges(_edges(joined, "Vspherehost", host_key, "MEMBER_OF_CLUSTER",
-                           "Vcentercluster", node_key("Cluster", F.col(UID))))
 
     # SQL-string twins of the dim expressions (the split delimiter has
     # no regex metacharacters, so SQL split == split_literal here)
@@ -418,14 +414,19 @@ def stage_vhost(store: GraphStore, sheets: Mapping[str, DataFrame]) -> None:
         .distinct(),
     )
 
-    # one edge batch for the nine host→dim rels: rel_type/dst_label
-    # ride as data columns through a single explode instead of nine
-    # sheet-scanning selects (same fusion as stage_vinfo_vms; null dim
-    # values yield null dst_key, dropped by merge like before) — the
-    # whole fan is one selectExpr string
+    # one edge batch for the eleven per-host rels (two structural +
+    # nine dims): rel_type/dst_label ride as data columns through a
+    # single explode instead of eleven sheet-scanning selects (same
+    # fusion as stage_vinfo_vms; null dim values yield null dst_key,
+    # dropped by merge like before) — the whole fan is one selectExpr
+    # string
     host_fan = ", ".join(
         f"struct('{rel}' AS r, '{label}' AS l, {k} AS k)"
         for rel, label, k in [
+            # the two structural rels ride the same fan as the nine
+            # dim rels (round 8 — they were separate batches)
+            ("CONTROLLED_BY_VC", "Vcenterserver", _key_sql(UID)),
+            ("MEMBER_OF_CLUSTER", "Vcentercluster", _key_sql("Cluster", UID)),
             ("CONFIG_STATUS", "Vconfigstatus", _key_sql("Config status")),
             ("IN_CPU_POW_MGMT", "Vspherecpupwrmgpol",
              _key_sql("Current CPU power man. policy")),
