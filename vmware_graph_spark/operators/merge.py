@@ -95,19 +95,25 @@ def upsert_last_writer_wins(
     if existing is None:
         return _dedup_one_per_key(updates, keys)
     if set(updates.columns) == set(existing.columns):
-        tag = "__from_updates"
-        both = updates.withColumn(tag, F.lit(1)).unionByName(
-            _drop_null_keys(existing, keys).withColumn(tag, F.lit(0))
+        # one union + one window, both as SQL strings — this helper
+        # runs twice per label per refresh, and the per-value-column
+        # Column-object order chain was a top remaining
+        # plan-construction cost (round-8 profile: refresh() compose
+        # held ~29k py4j roundtrips, mostly here)
+        both = updates.selectExpr("*", "1 AS __from_updates").unionByName(
+            _drop_null_keys(existing, keys).selectExpr("*", "0 AS __from_updates")
         )
         value_cols = [c for c in existing.columns if c not in keys]
-        pref = F.col(tag).desc() if updates_win else F.col(tag).asc()
-        w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
-            pref, *[F.col(c).asc_nulls_last() for c in value_cols]
+        part = ", ".join(_bt(k) for k in keys)
+        pref = "__from_updates " + ("DESC" if updates_win else "ASC")
+        order = ", ".join(
+            [pref] + [f"{_bt(c)} ASC NULLS LAST" for c in value_cols]
         )
+        rn = F.expr(f"row_number() OVER (PARTITION BY {part} ORDER BY {order})")
         return (
-            both.withColumn(_PICK, F.row_number().over(w))
-            .filter(F.col(_PICK) == 1)
-            .select(*keys, *value_cols)
+            both.withColumn(_PICK, rn)
+            .filter(f"{_bt(_PICK)} = 1")
+            .selectExpr(*[_bt(c) for c in (*keys, *value_cols)])
         )
     updates = _dedup_one_per_key(updates, keys)
     existing = _drop_null_keys(existing, keys)
@@ -116,31 +122,35 @@ def upsert_last_writer_wins(
 
     u_cols = [c for c in updates.columns if c not in keys]
     e_cols = [c for c in existing.columns if c not in keys]
-    u = updates.withColumn("__u_present", F.lit(True)).alias("u")
-    e = existing.withColumn("__e_present", F.lit(True)).alias("e")
+    u = updates.selectExpr("*", "true AS __u_present").alias("u")
+    e = existing.selectExpr("*", "true AS __e_present").alias("e")
     joined = e.join(u, on=list(keys), how="full_outer")
 
-    u_matched = F.col("u.__u_present").isNotNull()
-    e_matched = F.col("e.__e_present").isNotNull()
-    out: list = [F.col(k) for k in keys]
+    # ONE selectExpr: per-column CASEs as SQL text. Qualified refs are
+    # backtick-escaped (`u`.`col`) — the former f"u.{c}" Column lookup
+    # mis-parsed column names containing dots.
+    u_matched = "u.`__u_present` IS NOT NULL"
+    e_matched = "e.`__e_present` IS NOT NULL"
+    out: list[str] = [_bt(k) for k in keys]
     for c in e_cols + [c for c in u_cols if c not in e_cols]:
         in_u, in_e = c in u_cols, c in e_cols
+        qu, qe = f"u.{_bt(c)}", f"e.{_bt(c)}"
         if updates_win:
             if in_u and in_e:
-                expr = F.when(u_matched, F.col(f"u.{c}")).otherwise(F.col(f"e.{c}"))
+                expr = f"CASE WHEN {u_matched} THEN {qu} ELSE {qe} END"
             elif in_u:
-                expr = F.col(f"u.{c}")
+                expr = qu
             else:
-                expr = F.col(f"e.{c}")
+                expr = qe
         else:
             if in_u and in_e:
-                expr = F.when(e_matched, F.col(f"e.{c}")).otherwise(F.col(f"u.{c}"))
+                expr = f"CASE WHEN {e_matched} THEN {qe} ELSE {qu} END"
             elif in_e:
-                expr = F.col(f"e.{c}")
+                expr = qe
             else:
-                expr = F.when(e_matched, F.lit(None)).otherwise(F.col(f"u.{c}"))
-        out.append(expr.alias(c))
-    return joined.select(*out)
+                expr = f"CASE WHEN {e_matched} THEN NULL ELSE {qu} END"
+        out.append(f"{expr} AS {_bt(c)}")
+    return joined.selectExpr(*out)
 
 
 def merge_nodes(

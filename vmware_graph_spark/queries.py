@@ -1871,44 +1871,41 @@ def _vhost_sheet(spark, sf_dir, *, prime: bool = False):
     b = _host_base(spark, sf_dir)
     if prime:
         b = b.filter(F.col("sk") % 10 != 0)
-    sk = F.col("sk")
-    status = F.when(sk % 3 == 0, "green").when(sk % 3 == 1, "yellow").otherwise("red")
-    return b.select(
-        F.col("uid").alias("VI SDK UUID"),
-        F.col("srv").alias("VI SDK Server"),
-        F.concat(F.lit("host-"), _s(sk)).alias("Object ID"),
-        F.concat(F.lit("esx"), _s(sk), F.lit(".example")).alias("Host"),
-        F.when(sk % 11 == 0, "ClusterX").otherwise(F.col("cluster")).alias("Cluster"),
-        F.lit(1).alias("NumHosts"),
-        (sk % 2 + 2).alias("# CPU"),
-        F.lit(16).alias("# Cores"),
-        ((sk % 4 + 1).cast("double") * 1.0e9).alias("# Memory"),
-        ((sk % 100).cast("double") / 2.0).alias("Memory usage %"),
-        (sk % 20).alias("# VMs"),
-        F.lit("vSphere Ent").alias("Assigned License(s)"),
-        F.concat(F.lit("evc-"), _s(sk % 3)).alias("Max EVC"),
-        F.lit("2024-01-01 00:00:00").alias("Boot time"),
-        F.concat(F.lit("ST-"), _s(sk)).alias("Service tag"),
-        status.alias("Config status"),
-        F.when(sk % 2 == 0, "Balanced").otherwise("Low power").alias(
-            "Current CPU power man. policy"
-        ),
-        F.concat(F.lit("HP-"), _s(sk % 2)).alias("Host Power Policy"),
-        F.concat(F.lit("Xeon-"), _s(sk % 4)).alias("CPU Model"),
-        F.concat(
-            F.lit("VMware ESXi "), _s(sk % 2 + 6), F.lit(".0 build-"), _s(sk % 7 + 10000)
-        ).alias("ESX Version"),
-        F.when(sk % 5 != 0, F.concat(F.lit("Vendor-"), _s(sk % 3))).alias("Vendor"),
-        F.when(sk % 5 != 0, F.concat(F.lit("Model-"), _s(sk % 3))).alias("Model"),
-        F.when(sk % 6 != 0, F.concat(F.lit("B-"), _s(sk % 4))).alias("BIOS Version"),
-        F.when(sk % 7 != 0, F.concat(F.lit("2021-0"), _s(sk % 8 + 1))).alias("BIOS Date"),
-        F.lit(None).cast("string").alias("Domain"),
-        F.concat(
-            F.lit("10.0."), _s(sk % 200), F.lit(".1, ntp"), _s(sk), F.lit(".example")
-        ).alias("NTP Server(s)"),
-        F.when(sk % 9 != 0, F.concat(F.lit("8.8.8.8 , dns"), _s(sk % 4), F.lit(".example"))).alias(
-            "DNS Servers"
-        ),
+    # one selectExpr string (see _vinfo_sheet note — the second-widest
+    # fixture sheet)
+    return b.selectExpr(
+        "uid AS `VI SDK UUID`",
+        "srv AS `VI SDK Server`",
+        "concat('host-', cast(sk AS string)) AS `Object ID`",
+        "concat('esx', cast(sk AS string), '.example') AS Host",
+        "CASE WHEN sk % 11 = 0 THEN 'ClusterX' ELSE cluster END AS Cluster",
+        "1 AS NumHosts",
+        "sk % 2 + 2 AS `# CPU`",
+        "16 AS `# Cores`",
+        "cast(sk % 4 + 1 AS double) * 1.0e9 AS `# Memory`",
+        "cast(sk % 100 AS double) / 2.0 AS `Memory usage %`",
+        "sk % 20 AS `# VMs`",
+        "'vSphere Ent' AS `Assigned License(s)`",
+        "concat('evc-', cast(sk % 3 AS string)) AS `Max EVC`",
+        "'2024-01-01 00:00:00' AS `Boot time`",
+        "concat('ST-', cast(sk AS string)) AS `Service tag`",
+        "CASE WHEN sk % 3 = 0 THEN 'green' WHEN sk % 3 = 1 THEN 'yellow' "
+        "ELSE 'red' END AS `Config status`",
+        "CASE WHEN sk % 2 = 0 THEN 'Balanced' ELSE 'Low power' END "
+        "AS `Current CPU power man. policy`",
+        "concat('HP-', cast(sk % 2 AS string)) AS `Host Power Policy`",
+        "concat('Xeon-', cast(sk % 4 AS string)) AS `CPU Model`",
+        "concat('VMware ESXi ', cast(sk % 2 + 6 AS string), '.0 build-', "
+        "cast(sk % 7 + 10000 AS string)) AS `ESX Version`",
+        "CASE WHEN sk % 5 != 0 THEN concat('Vendor-', cast(sk % 3 AS string)) END AS Vendor",
+        "CASE WHEN sk % 5 != 0 THEN concat('Model-', cast(sk % 3 AS string)) END AS Model",
+        "CASE WHEN sk % 6 != 0 THEN concat('B-', cast(sk % 4 AS string)) END AS `BIOS Version`",
+        "CASE WHEN sk % 7 != 0 THEN concat('2021-0', cast(sk % 8 + 1 AS string)) END AS `BIOS Date`",
+        "CAST(NULL AS STRING) AS Domain",
+        "concat('10.0.', cast(sk % 200 AS string), '.1, ntp', cast(sk AS string), "
+        "'.example') AS `NTP Server(s)`",
+        "CASE WHEN sk % 9 != 0 THEN concat('8.8.8.8 , dns', cast(sk % 4 AS string), "
+        "'.example') END AS `DNS Servers`",
     )
 
 
@@ -2154,58 +2151,56 @@ def _vinfo_sheet(spark, sf_dir, *, prime: bool = False):
     )
     if prime:
         b = b.filter(F.col("ck") % 13 != 0)
-    ck = F.col("ck")
-    rp_base = F.concat(
-        F.lit("/DC-"), F.col("rname"), F.lit("/"), F.col("cluster"),
-        F.lit("/Resources/p"), _s(ck % 5),
-    )
+    # ONE selectExpr string (the vInfo sheet is the widest fixture —
+    # ~33 columns; the former Column-object chain was the largest
+    # remaining plan-construction cost in the full-refresh profile:
+    # each _workbook() build held ~10k py4j roundtrips, mostly here)
+    rp_base = "concat('/DC-', rname, '/', cluster, '/Resources/p', cast(ck % 5 AS string))"
     rp = (
-        F.when(ck % 15 == 0, F.concat(rp_base, F.lit("/sub")))
-        .when(ck % 3 == 0, rp_base)
-        .when(
-            ck % 3 == 1,
-            F.concat(F.lit("/DC-"), F.col("rname"), F.lit("/"), F.col("cluster"), F.lit("/Resources")),
-        )
+        f"CASE WHEN ck % 15 = 0 THEN concat({rp_base}, '/sub') "
+        f"WHEN ck % 3 = 0 THEN {rp_base} "
+        "WHEN ck % 3 = 1 THEN concat('/DC-', rname, '/', cluster, '/Resources') END"
     )
-    folder = F.when(ck % 2 == 0, F.concat(F.lit("/RootFolder/f"), _s(ck % 7))).otherwise(
-        F.concat(F.lit("/DC-"), F.col("rname"))
+    folder = (
+        "CASE WHEN ck % 2 = 0 THEN concat('/RootFolder/f', cast(ck % 7 AS string)) "
+        "ELSE concat('/DC-', rname) END"
     )
-    stype = F.concat(
-        F.lit("VMware vCenter Server "), _s(F.length("rname") % 3 + 6), F.lit(".0 build-"),
-        _s(F.length("rname") + 14000000),
+    stype = (
+        "concat('VMware vCenter Server ', cast(length(rname) % 3 + 6 AS string), "
+        "'.0 build-', cast(length(rname) + 14000000 AS string))"
     )
-    return b.select(
-        F.col("uid").alias("VI SDK UUID"),
-        F.col("srv").alias("VI SDK Server"),
-        stype.alias("VI SDK Server type"),
-        F.concat(F.lit("vm-"), _s(ck)).alias("VM UUID"),
-        F.col("vmname").alias("VM"),
-        F.concat(F.lit("vmid-"), _s(ck)).alias("VM ID"),
-        F.concat(F.lit("vm"), _s(ck), F.lit(".example")).alias("DNS Name"),
-        F.lit("poweredOn").alias("PowerOn"),
-        F.lit("1").alias("Change Version"),
-        F.lit(None).cast("string").alias("Annotation"),
-        F.lit("False").alias("Consolidation Needed"),
-        (ck % 8 + 1).alias("CPUs"),
-        F.lit("4096").alias("Memory"),
-        F.lit("1").alias("NICs"),
-        F.lit("2").alias("Disks"),
-        F.lit("False").alias("CBT"),
-        _s(ck % 3 + 17).alias("HW version"),
-        F.when(ck % 7 == 0, "Pending").otherwise("None").alias("HW upgrade status"),
-        F.lit("connected").alias("Connection state"),
-        F.lit("green").alias("Config status"),
-        F.when(ck % 2 == 0, "poweredOn").otherwise("poweredOff").alias("Powerstate"),
-        F.lit("running").alias("Guest state"),
-        F.lit("green").alias("Heartbeat"),
-        rp.alias("Resource pool"),
-        folder.alias("Folder"),
-        F.concat(F.lit("OS-"), _s(ck % 4)).alias("OS according to the VMware Tools"),
-        F.concat(F.lit("OS-"), _s(ck % 4)).alias("OS according to the configuration file"),
-        F.concat(F.lit("net-"), _s(ck % 10)).alias("Network #1"),
-        F.lit(None).cast("string").alias("Network #2"),
-        F.when(ck % 4 == 0, F.concat(F.lit("n3-"), _s(ck % 3))).alias("Network #3"),
-        F.lit(None).cast("string").alias("Network #4"),
+    return b.selectExpr(
+        "uid AS `VI SDK UUID`",
+        "srv AS `VI SDK Server`",
+        f"{stype} AS `VI SDK Server type`",
+        "concat('vm-', cast(ck AS string)) AS `VM UUID`",
+        "vmname AS VM",
+        "concat('vmid-', cast(ck AS string)) AS `VM ID`",
+        "concat('vm', cast(ck AS string), '.example') AS `DNS Name`",
+        "'poweredOn' AS PowerOn",
+        "'1' AS `Change Version`",
+        "CAST(NULL AS STRING) AS Annotation",
+        "'False' AS `Consolidation Needed`",
+        "ck % 8 + 1 AS CPUs",
+        "'4096' AS Memory",
+        "'1' AS NICs",
+        "'2' AS Disks",
+        "'False' AS CBT",
+        "cast(ck % 3 + 17 AS string) AS `HW version`",
+        "CASE WHEN ck % 7 = 0 THEN 'Pending' ELSE 'None' END AS `HW upgrade status`",
+        "'connected' AS `Connection state`",
+        "'green' AS `Config status`",
+        "CASE WHEN ck % 2 = 0 THEN 'poweredOn' ELSE 'poweredOff' END AS Powerstate",
+        "'running' AS `Guest state`",
+        "'green' AS Heartbeat",
+        f"{rp} AS `Resource pool`",
+        f"{folder} AS Folder",
+        "concat('OS-', cast(ck % 4 AS string)) AS `OS according to the VMware Tools`",
+        "concat('OS-', cast(ck % 4 AS string)) AS `OS according to the configuration file`",
+        "concat('net-', cast(ck % 10 AS string)) AS `Network #1`",
+        "CAST(NULL AS STRING) AS `Network #2`",
+        "CASE WHEN ck % 4 = 0 THEN concat('n3-', cast(ck % 3 AS string)) END AS `Network #3`",
+        "CAST(NULL AS STRING) AS `Network #4`",
     )
 
 

@@ -457,6 +457,15 @@ class GraphStore:
         hash half is ``sources/bucketed.py``. Pay the sort once at
         publish, skip on every read after.
         """
+        # flush serially (mutates shared state), then submit the ~42
+        # per-label write JOBS concurrently: each is tiny, so serial
+        # submission is pure scheduler latency — concurrent submission
+        # is the standard Spark pattern (jobs from multiple threads
+        # share the scheduler; FAIR/FIFO both fine for write-only jobs
+        # with disjoint outputs). Measured at sf0.01: publish 17 s → ~6 s.
+        from concurrent.futures import ThreadPoolExecutor
+
+        jobs = []
         for label in self.labels():
             self._flush(label)
             df = self._vertices[label]
@@ -465,13 +474,26 @@ class GraphStore:
                 if keys:
                     df = df.repartition(*keys).sortWithinPartitions(*keys)
             cols = [c for c in partition_vertices_by if c in df.columns]
+            jobs.append((label, df, cols))
+        edges = self.edges_with_props()
+
+        def _write_label(job):
+            label, df, cols = job
             w = df.write.mode("overwrite")
             if cols:
                 w = w.partitionBy(*cols)
             w.parquet(os.path.join(path, "vertices", label))
-        self.edges_with_props().write.mode("overwrite").partitionBy("rel_type").parquet(
-            os.path.join(path, "edges")
-        )
+
+        def _write_edges():
+            edges.write.mode("overwrite").partitionBy("rel_type").parquet(
+                os.path.join(path, "edges")
+            )
+
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            futs = [pool.submit(_write_label, j) for j in jobs]
+            futs.append(pool.submit(_write_edges))
+            for f in futs:
+                f.result()  # surface the first failure
 
     def publish(self, path: str) -> None:
         """Write the snapshot to a staging dir, then swap it into place.
