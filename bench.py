@@ -11,6 +11,11 @@ windows, merge/upsert, dedup (exact + LSH), similarity, text, graph.
 The suite runs SPARK_GRAFT_BENCH_PASSES (default 3) full passes after
 a load<2 quiesce gate; the reported per-query numbers are medians and
 the artifact carries the per-pass totals (`runs`) and min/max `band`.
+`load_1m_per_run` samples the 1-minute load at each pass START — from
+pass 2 on it mostly reads the PREVIOUS pass's own decaying self-load,
+so only the first entry (gated <2) indicates external contention.
+Caches are cleared between passes so every pass times the same
+cold-plan work.
 
 Continuity: HEADLINE is PINNED as of round 2 (the 21 names below match
 BENCH_r02.json exactly) — do not rename or reorder, so per-query
@@ -133,7 +138,13 @@ def main() -> None:
     n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     per_pass: list[dict[str, float]] = []
     pass_loads: list[float] = []
-    for _ in range(n_passes):
+    for i in range(n_passes):
+        if i:
+            # pass independence: queries persist DISK_ONLY frames
+            # (operators/pin) that otherwise accumulate across passes
+            # and churn the block manager — observed as 1.5-2× slow
+            # passes inside one bench session
+            spark.catalog.clearCache()
         pass_loads.append(round(os.getloadavg()[0], 2))
         t: dict[str, float] = {}
         for name in HEADLINE:
