@@ -505,3 +505,40 @@ def test_canonical_edges_hostile_prop_column(spark, prop_name, rows):
         ).collect()
     )
     assert got == want
+
+
+@PROP
+@given(
+    st.lists(_hostile_name, min_size=2, max_size=3, unique=True),
+    st.lists(
+        st.tuples(st.one_of(st.none(), st.text(max_size=3)),
+                  st.one_of(st.none(), st.text(max_size=3))),
+        min_size=1,
+        max_size=10,
+    ),
+)
+def test_key_sql_matches_node_key_on_hostile_names(spark, names, rows):
+    """ingest/stages._key_sql (the selectExpr twin of store.node_key)
+    must produce node_key's exact null-propagating concat semantics for
+    ANY sheet column name — RVTools headers already carry spaces, '#'
+    and parens; this pins backtick escaping for the rest."""
+    from vmware_graph_spark.ingest.stages import _key_sql
+    from vmware_graph_spark.store.graph import node_key
+
+    a, b = names[0], names[1]
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    df = spark.createDataFrame(
+        [(x, y) for x, y in rows],
+        StructType([StructField(a, StringType(), True),
+                    StructField(b, StringType(), True)]),
+    )
+    safe = spark.createDataFrame([(x, y) for x, y in rows], "x string, y string")
+
+    got1 = [r[0] for r in df.selectExpr(f"{_key_sql(a)} AS k").collect()]
+    want1 = [r[0] for r in safe.select(node_key("x").alias("k")).collect()]
+    assert got1 == want1
+
+    got2 = [r[0] for r in df.selectExpr(f"{_key_sql(a, b)} AS k").collect()]
+    want2 = [r[0] for r in safe.select(node_key("x", "y").alias("k")).collect()]
+    assert got2 == want2
