@@ -40,16 +40,34 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-# The registry is exposed in plain registration order — no reordering
-# or curation — so any sampling the driver's correctness gate does is
-# unbiased. Breadth certification across EVERY family is a separate,
-# documented suite: `python tools/selfcheck.py` runs the FULL registry
-# (row + schema + value compare vs DuckDB at sf0.01), and
-# `tools/breadth_suite.py` lists one representative per operator
-# family for a quick spanning check.
+# The registry is exposed in a DETERMINISTIC PER-ROUND ROTATION of its
+# registration order (round-8 VERDICT #5): the driver's correctness
+# gate samples a prefix of this dict, and a fixed order meant eight
+# rounds of CORRECTNESS_r*.json hash-checked the SAME first-50 queries
+# while ~300 later registrations were only covered in-tree. Sorting by
+# md5(name || round) keeps the exposure UNCURATED (no human picks the
+# sample; the hash has no knowledge of which queries are easy) while
+# walking the whole registry across rounds. The round number is read
+# off the committed CORRECTNESS_r*.json artifacts — deterministic at
+# driver run time, no clock involved. Breadth certification across
+# EVERY family remains a separate, documented suite:
+# `python tools/selfcheck.py` runs the FULL registry (row + schema +
+# value compare vs DuckDB at sf0.01), and `tools/breadth_suite.py`
+# lists one representative per operator family for a quick spanning
+# check.
+
+
+def _round_number() -> int:
+    import glob
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    return len(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))) + 1
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    import hashlib
+
     from vmware_graph_spark.queries import QUERIES
     from vmware_graph_spark.session import tune
 
@@ -60,7 +78,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return run
 
-    return {name: wrap(fn) for name, fn in QUERIES.items()}
+    rnd = _round_number()
+    order = sorted(
+        QUERIES, key=lambda n: hashlib.md5(f"{n}|{rnd}".encode()).hexdigest()
+    )
+    return {name: wrap(QUERIES[name]) for name in order}
 
 
 def oracle_sql() -> dict[str, str]:

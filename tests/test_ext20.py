@@ -664,9 +664,19 @@ def test_reader_threads_racing_live_extend(spark, tmp_path):
     t = threading.Thread(target=reader, daemon=True)
     t.start()
     try:
-        # three real extends with disjoint vocabulary: per-batch synthetic
-        # docs whose every token carries a batch-unique suffix
-        for b in range(3):
+        # real extends with disjoint vocabulary: per-batch synthetic
+        # docs whose every token carries a batch-unique suffix. The
+        # writer KEEPS extending (minimum 3 batches, bounded at 12)
+        # until the reader has completed at least two full probes
+        # DURING the writes — a fixed batch count could outpace the
+        # reader on a loaded box and fail spuriously despite correct
+        # behavior (round-8 ADVICE #4). Decisions are batch-count
+        # independent: every batch is vocabulary-disjoint from the
+        # probes, so `expected` holds for any number of extends.
+        n_ok = lambda: len([o for k, o in outcomes if k == "ok"])
+        pre_write_oks = n_ok()  # probes finished before any write don't count
+        b = 0
+        while b < 3 or (b < 12 and n_ok() - pre_write_oks < 2):
             batch = (
                 d.filter(F.col("doc_id") % 3 == 1)
                 .limit(30)
@@ -682,13 +692,15 @@ def test_reader_threads_racing_live_extend(spark, tmp_path):
                 )
             )
             extend_dedup_index(batch, idx, "doc_id", "text")
+            b += 1
     finally:
         done.set()
         t.join(timeout=120)
     assert not t.is_alive()
 
     oks = [o for kind, o in outcomes if kind == "ok"]
-    assert len(oks) >= 2, outcomes  # the reader genuinely overlapped the writes
+    # >=2 probes completed AFTER writing began: genuine overlap
+    assert len(oks) - pre_write_oks >= 2, outcomes
     for got in oks:
         assert got == expected  # decision-identical under a live writer
 
@@ -697,3 +709,46 @@ def test_reader_threads_racing_live_extend(spark, tmp_path):
         map(tuple, dedup_against_index(probe, spark, idx, "doc_id", "text").collect())
     )
     assert fresh == expected
+
+
+def test_release_pins_reclaims_disk_blocks(spark):
+    """release_pins() unpersists every registered pin (DISK_ONLY
+    blocks are NOT LRU-evicted — round-8 ADVICE #1: repeated
+    per-batch dedup invocations otherwise accumulate disk blocks
+    unboundedly), drains the registry, and never breaks a released
+    frame (lineage kept, recompute works)."""
+    from vmware_graph_spark.operators.pin import pinned, pinned_lazy, release_pins
+
+    release_pins()  # drain pins other tests may have left behind
+    eager = pinned(spark.range(100))
+    lazy = pinned_lazy(spark.range(50))
+    lazy.count()  # materialize the lazy pin too
+    assert eager.storageLevel.useDisk and lazy.storageLevel.useDisk
+
+    assert release_pins() == 2
+    assert not eager.storageLevel.useDisk
+    assert not lazy.storageLevel.useDisk
+    assert release_pins() == 0  # registry drained; second call a no-op
+    assert eager.count() == 100  # correctness-safe: recompute from lineage
+
+
+def test_stream_dedup_releases_pins_per_batch(spark, tmp_path):
+    """The streaming dedup path reclaims its per-batch pins at every
+    micro-batch boundary: after the run, no dedup-created pin remains
+    registered (the unbounded-disk-accumulation ADVICE scenario)."""
+    from vmware_graph_spark.operators.pin import _LIVE_PINS, release_pins
+    from vmware_graph_spark.sources.tables import load_table
+    from vmware_graph_spark.streaming.events import stream_dedup_against
+
+    release_pins()
+    d = load_table(spark, SF, "documents")
+    ref = d.filter(F.col("doc_id") % 5 == 0)
+    arrivals = str(tmp_path / "arrivals")
+    d.filter(F.col("doc_id") % 5 == 1).limit(20).coalesce(1).write.json(arrivals)
+    sdf = spark.readStream.schema(d.schema).json(arrivals)
+    stream_dedup_against(
+        sdf, ref, "doc_id", "text",
+        str(tmp_path / "out"), str(tmp_path / "ckpt"),
+    )
+    assert len(_LIVE_PINS) == 0  # every batch released its pins
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 20

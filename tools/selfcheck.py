@@ -86,10 +86,31 @@ def _bound_pagerank_float(sdf, con, sqls):
     return None
 
 
+def _bound_knn_noise_nn_descent(sdf, con, sqls):
+    """NN-Descent-routed label-noise audit vs the EXACT brute audit
+    (knn_label_noise_audit's quadratic oracle): every point audited,
+    flag agreement at the discriminative 0.7 threshold >= 0.95, and
+    mean |disagreement delta| <= 0.10 (measured at sf0.01: agreement
+    0.99, mean delta 0.049 — the bound leaves approximation headroom
+    without admitting a broken neighbor graph)."""
+    ref = con.execute(sqls["knn_label_noise_audit"]).fetchdf()
+    m = sdf.merge(ref, on="vec_id", how="outer", suffixes=("_a", "_e"))
+    if len(m) != len(ref) or m[["disagreement_a", "disagreement_e"]].isna().any().any():
+        return "audited point sets differ from exact reference"
+    agree = ((m["disagreement_a"] >= 0.7) == (m["disagreement_e"] >= 0.7)).mean()
+    mean_delta = (m["disagreement_a"] - m["disagreement_e"]).abs().mean()
+    if agree < 0.95:
+        return f"flag agreement {agree:.4f} < 0.95 at thr=0.7"
+    if mean_delta > 0.10:
+        return f"mean |disagreement delta| {mean_delta:.4f} > 0.10"
+    return None
+
+
 BOUNDS = {
     "approx_distinct_users_per_type": _bound_approx_distinct,
     "approx_percentile_value": _bound_approx_percentile,
     "pagerank_customer_nation": _bound_pagerank_float,
+    "knn_label_noise_audit_nn_descent": _bound_knn_noise_nn_descent,
 }
 
 

@@ -40,18 +40,60 @@ those call sites document reliable ``checkpoint()`` as the swap-in.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
+
+# Every pin is registered here so long-lived sessions have a
+# reclamation path. DISK_ONLY blocks are NOT LRU-evicted — Spark's
+# MemoryStore eviction applies to memory blocks only; disk blocks stay
+# registered in the CacheManager until explicit unpersist/clearCache or
+# session end (round-8 ADVICE: the former "rely on LRU eviction"
+# reading was wrong for disk storage). Strong references on purpose:
+# the JVM cache entry outlives the Python wrapper, so a weakref that
+# lapses would strand exactly the blocks this registry exists to
+# reclaim. The held objects are thin plan handles, not data.
+_LIVE_PINS: list[DataFrame] = []
+_PINS_LOCK = threading.Lock()
+
+
+def _register(df: DataFrame) -> DataFrame:
+    with _PINS_LOCK:
+        _LIVE_PINS.append(df)
+    return df
+
+
+def release_pins() -> int:
+    """Unpersist every pin created since the last release — the
+    batch-boundary reclamation hook for repeated-invocation paths
+    (per-arrival-batch ``dedup_against_index`` probes, looped
+    ``jaccard_pairs``/``minhash_*`` builds). ALWAYS correctness-safe:
+    pins keep lineage, so a released frame that some still-lazy plan
+    references simply recomputes (losing only the one-materialization
+    sharing for that plan). Call it when the batch's consumers have
+    materialized. Returns the number of frames unpersisted."""
+    with _PINS_LOCK:
+        pins, _LIVE_PINS[:] = _LIVE_PINS[:], []
+    n = 0
+    for df in pins:
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped — nothing left to reclaim
+    return n
 
 
 def pinned(df: DataFrame) -> DataFrame:
     """Materialize ``df`` once into the block store (disk), keeping
     lineage for failure recovery. Returns the persisted frame; the
-    caller may ``unpersist()`` when its consumers are done (bounded
-    pins may also be left to LRU eviction)."""
+    caller should ``unpersist()`` when its consumers are done, or rely
+    on :func:`release_pins` at a batch boundary — DISK_ONLY blocks are
+    never LRU-reclaimed (see module registry note)."""
     out = df.persist(StorageLevel.DISK_ONLY)
     out.count()
-    return out
+    return _register(out)
 
 
 def pinned_lazy(df: DataFrame) -> DataFrame:
@@ -61,8 +103,9 @@ def pinned_lazy(df: DataFrame) -> DataFrame:
     (lineage kept, lost blocks recompute); use when the pin sits inside
     a plan-builder whose caller may never run an action (e.g. the
     ``candidates_only`` introspection paths in operators/dedup) — an
-    eager count there would pay a job the caller never needed."""
-    return df.persist(StorageLevel.DISK_ONLY)
+    eager count there would pay a job the caller never needed.
+    Registered for :func:`release_pins` like every pin."""
+    return _register(df.persist(StorageLevel.DISK_ONLY))
 
 
 def iterpin(df: DataFrame) -> DataFrame:

@@ -1007,6 +1007,74 @@ def behavior_similarity_users(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+# Absolute document-frequency cap for the scale-tier behavioral twin.
+# The stream bound is structural: after the cap, every surviving
+# shingle joins ≤ C(max_df, 2) pairs, so the candidate stream is
+# ≤ |kept vocabulary| · C(max_df, 2) REGARDLESS of corpus size — the
+# uncapped twin's measured ~n² growth (SCALING.md: 59.6k → 604M at
+# 100×) cannot recur. 100 exceeds every per-bigram document frequency
+# at sf0.01 (8 filtered users) AND sf0.1 (75), so the capped twin is
+# value-identical to the uncapped one at both oracle scales — the cap
+# only engages at 10×+ where it is the point.
+_BEHAVIOR_MAX_DF = 100
+
+
+@query(
+    "behavior_similarity_users_capped",
+    f"""
+    WITH seq AS (
+      SELECT user_id AS id,
+             array_to_string(list(event_type ORDER BY ts, event_id), ' ') AS behavior
+      FROM events WHERE user_id % 20 = 0 GROUP BY user_id
+    ),
+    sh AS (SELECT DISTINCT id, unnest({_shingles('behavior', 2)}) AS shingle FROM seq),
+    kept AS (
+      SELECT sh.id, sh.shingle FROM sh
+      JOIN (SELECT shingle FROM sh GROUP BY shingle
+            HAVING count(*) <= {_BEHAVIOR_MAX_DF}) k USING (shingle)
+    ),
+    sizes AS (SELECT id, count(*) AS n_sh FROM kept GROUP BY id),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+      FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b,
+           round(inter::DOUBLE / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+    FROM pairs JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+    WHERE inter::DOUBLE / (sa.n_sh + sb.n_sh - inter) >= 0.5
+    """,
+)
+def behavior_similarity_users_capped(spark, sf_dir):
+    """Scale-tier twin of ``behavior_similarity_users``: identical
+    pipeline with the inverted index's ``max_df`` skew cap SET
+    (round-8 VERDICT weak #1 — the uncapped registry shape was
+    measured ~quadratic at 100×: a 5-type event vocabulary yields ≤25
+    distinct bigrams, so near-universal bigrams join every user with
+    every user). The cap is the tf-idf insight applied to dedup: a
+    shingle present in >max_df documents carries no discriminative
+    signal — pairs that matched ONLY through such stopword-shingles
+    are exactly the spurious ones — so dropping it before the
+    self-join bounds the candidate stream at |vocab|·C(max_df,2)
+    while keeping the pairs that share RARE behavior. Value-identical
+    to the uncapped twin at sf0.01/sf0.1 (no bigram exceeds the cap
+    there); 10×/100× stream + runtime measured in SCALEBENCH*.json."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 20 == 0)
+    seq = e.groupBy(F.col("user_id").alias("id")).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            " ",
+        ).alias("behavior")
+    )
+    out = jaccard_pairs(
+        seq, "id", "behavior", n=2, threshold=0.5, max_df=_BEHAVIOR_MAX_DF
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 @query(
     "containment_pairs_excerpts",
     f"""
@@ -1381,6 +1449,45 @@ def simhash_pairs_documents(spark, sf_dir):
     quadratic oracle verifies the same answer at sf0.01 scale."""
     d = load_table(spark, sf_dir, "documents")
     return simhash_pairs(d, "doc_id", "text", bits=48, max_hamming=10, pieces=12)
+
+
+@query(
+    "simhash_pairs_documents_scale_tier",
+    f"""
+    WITH tok AS (SELECT doc_id AS id, unnest({_toks('text')}) AS tok FROM documents),
+    h AS (SELECT id, {_h64('tok', "'0'")} AS h FROM tok),
+    bits AS (
+      SELECT id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM h CROSS JOIN (SELECT unnest(range(48)) AS i) GROUP BY id, i
+    ),
+    sig AS (
+      SELECT id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS sh
+      FROM bits GROUP BY id
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+    FROM sig a JOIN sig b ON a.id < b.id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 2
+    """,
+)
+def simhash_pairs_documents_scale_tier(spark, sf_dir):
+    """Scale-tier twin of ``simhash_pairs_documents`` (round-8 VERDICT
+    weak #2): the SAME 48-bit fingerprints with the pigeonhole split
+    re-tuned for corpus scale — 3 pieces × 16 bits, Hamming radius ≤ 2
+    (the fractional radius of the classic production setting: Manku,
+    Jain & Das Sarma, WWW'07 run 64-bit simhash at radius 3 with
+    16-bit blocks). The committed exact tier's 12×4-bit split
+    saturates its 16 buckets per piece, so its candidate stream grows
+    ~n² (measured 41.7M at sf0.1 → 241B at 100×, work-only); 16-bit
+    pieces give 65,536 buckets per piece, so bucket occupancy — and
+    with it the piece-bucket pair stream — tracks real near-dup
+    density instead of bucket saturation. Within its declared radius
+    the tier is EXACT, not approximate (pigeonhole: hamming ≤ 2 < 3
+    pieces forces an identical 16-bit slice); the trade-off vs the
+    radius-10 tier is radius alone, measured as pair coverage in
+    SCALING.md. 10×/100× stream + runtime in SCALEBENCH*.json."""
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(d, "doc_id", "text", bits=48, max_hamming=2, pieces=3)
 
 
 @query(

@@ -87,10 +87,13 @@ def zipf_slope_token_frequencies(spark, sf_dir):
     # bounded (≤ √(2·mass) rows) but an executor loss must recompute it
     # from lineage, not fail the query (round-6 VERDICT #5).
     # Lifetime: the pin is referenced by the RETURNED plan, so the
-    # builder cannot unpersist it; in a long-lived session repeated
-    # invocations rely on LRU eviction of the bounded DISK_ONLY blocks
-    # by design (round-7 ADVICE) — callers that materialize the result
-    # and want the disk back may spark.catalog.clearCache().
+    # builder cannot unpersist it. DISK_ONLY blocks are NOT
+    # LRU-evicted (memory-store eviction only — round-8 ADVICE
+    # corrected the earlier claim here); reclamation is explicit:
+    # repeated-invocation callers call operators.pin.release_pins()
+    # once the batch's consumers have materialized (always
+    # correctness-safe — lineage is kept, a released-but-referenced
+    # frame recomputes), or clearCache()/session end.
     from vmware_graph_spark.operators.pin import pinned
 
     hist = pinned(uni.groupBy("n").agg(F.count("*").cast("bigint").alias("cnt")))

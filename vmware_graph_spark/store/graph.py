@@ -237,6 +237,14 @@ class GraphStore:
         self._checkpoint = checkpoint
         self._every = max(1, checkpoint_every)
         self._since_cut: dict[str, int] = {}
+        # Lazy cuts handed to CALLERS (edge_pairs) get embedded in
+        # multiple downstream plans — several label chains plus the
+        # edge union. write()'s concurrent fan-out materializes those
+        # plans from 8 threads at once, and a still-unmaterialized
+        # shared cut would be computed racily/redundantly by whichever
+        # threads hit it first (round-8 ADVICE #3). Tracked here so
+        # write() can materialize each one ONCE, serially, pre-fan-out.
+        self._shared_cuts: list[DataFrame] = []
 
     def _cut(self, df: DataFrame, label: str | None = None) -> DataFrame:
         if not self._checkpoint:
@@ -389,7 +397,10 @@ class GraphStore:
         # would re-execute the whole batch union nested inside it —
         # measured 3× slower on the vDisk stage than the canonical
         # edges() path this method replaces.
-        return self._cut(fwd.unionByName(rev).distinct())
+        out = self._cut(fwd.unionByName(rev).distinct())
+        if self._checkpoint:  # plain plans need no pre-materialization
+            self._shared_cuts.append(out)
+        return out
 
     def edges_with_props(self) -> DataFrame:
         """The canonical edge table WITH its ``props`` string map —
@@ -463,7 +474,7 @@ class GraphStore:
         # is the standard Spark pattern (jobs from multiple threads
         # share the scheduler; FAIR/FIFO both fine for write-only jobs
         # with disjoint outputs). Measured at sf0.01: publish 17 s → ~6 s.
-        from concurrent.futures import ThreadPoolExecutor
+        from concurrent.futures import ThreadPoolExecutor, as_completed
 
         jobs = []
         for label in self.labels():
@@ -476,6 +487,16 @@ class GraphStore:
             cols = [c for c in partition_vertices_by if c in df.columns]
             jobs.append((label, df, cols))
         edges = self.edges_with_props()
+
+        # Materialize cuts that MULTIPLE fan-out plans embed (the
+        # edge_pairs hop outputs) once, serially, before the threads
+        # start — first-touch from 8 threads at once would compute the
+        # same shared subtree racily/redundantly (round-8 ADVICE #3).
+        # These frames are small (distinct key pairs), so the count is
+        # cheap; after it, every thread reads the checkpoint blocks.
+        for cut in self._shared_cuts:
+            cut.count()
+        self._shared_cuts.clear()
 
         def _write_label(job):
             label, df, cols = job
@@ -492,8 +513,19 @@ class GraphStore:
         with ThreadPoolExecutor(max_workers=8) as pool:
             futs = [pool.submit(_write_label, j) for j in jobs]
             futs.append(pool.submit(_write_edges))
-            for f in futs:
-                f.result()  # surface the first failure
+            try:
+                # as_completed + cancel-on-first-failure: a failing
+                # publish aborts the still-queued writes instead of
+                # burning the full fan-out cost before surfacing the
+                # error (round-8 ADVICE #3). Already-running jobs
+                # finish (Spark jobs aren't interruptible from here);
+                # queued ones never start.
+                for f in as_completed(futs):
+                    f.result()
+            except BaseException:
+                for f in futs:
+                    f.cancel()
+                raise
 
     def publish(self, path: str) -> None:
         """Write the snapshot to a staging dir, then swap it into place.

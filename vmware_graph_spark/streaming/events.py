@@ -304,6 +304,7 @@ def stream_dedup_against(
     precomputed once and reused every batch, so per-batch cost follows
     the batch."""
     from vmware_graph_spark.operators.dedup import dedup_against
+    from vmware_graph_spark.operators.pin import release_pins
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -311,6 +312,17 @@ def stream_dedup_against(
         dedup_against(batch_df, ref, id_col, text_col, **dedup_kw).write.mode(
             "append"
         ).parquet(out_dir)
+        # batch-boundary pin reclamation (round-8 ADVICE): each
+        # dedup_against call pins its derivations DISK_ONLY, and disk
+        # blocks are never LRU-evicted — without this an always-on
+        # stream accumulates one batch's worth of blocks per trigger,
+        # unboundedly. Releasing also drops the REFERENCE-side pin
+        # (same CacheManager entry every batch, since the ref plan is
+        # canonical-identical), trading a per-batch ref recompute for
+        # bounded storage; a deployment with a hot reference should
+        # persist the ref's derivations caller-side, outside the loop,
+        # and leave the registry to the batch-scoped pins.
+        release_pins()
 
     q = (
         sdf.writeStream.foreachBatch(handle)
