@@ -444,6 +444,50 @@ def test_read_xlsx_many_distributed(spark, tmp_path):
     assert rows[0]["_workbook"].endswith("vc1.xlsx")
 
 
+def test_read_xlsx_many_all_single_pass(spark, tmp_path):
+    """Round-9 fleet path: ALL sheets of every workbook from one scan
+    + one zip parse per workbook, rows sheet-tagged with a
+    non-null-cells map; fleet_sheet projects a sheet back onto a
+    declared column tuple (missing columns null, provenance kept) —
+    equal rows to the per-sheet reader."""
+    from vmware_graph_spark.sources.workbook import (
+        fleet_sheet,
+        read_xlsx_many,
+        read_xlsx_many_all,
+    )
+
+    for i in (1, 2):
+        _write_minimal_xlsx(
+            str(tmp_path / f"vc{i}.xlsx"),
+            {
+                "vCluster": [["Name", "VI SDK UUID"], [f"Cluster{i}", f"uid-{i}"]],
+                "vHost": [["Host", "# CPU"], [f"esx{i}", 16], [f"esx{i}b", None]],
+            },
+        )
+    decoded = read_xlsx_many_all(
+        spark, str(tmp_path / "*.xlsx"), sheets=("vCluster", "vHost")
+    )
+    rows = decoded.collect()
+    assert {r["_sheet"] for r in rows} == {"vCluster", "vHost"}
+    assert len(rows) == 2 + 4  # 1 vCluster + 2 vHost rows per workbook
+    # None cells are absent from the map, not null-valued entries
+    sparse = [r for r in rows if r["_sheet"] == "vHost" and "# CPU" not in r["row"]]
+    assert len(sparse) == 2
+
+    proj = fleet_sheet(decoded, "vCluster", ("Name", "VI SDK UUID", "NotInFile"))
+    got = sorted(proj.collect(), key=lambda r: r["Name"])
+    via_many = sorted(
+        read_xlsx_many(
+            spark, str(tmp_path / "*.xlsx"), "vCluster",
+            ("Name", "VI SDK UUID", "NotInFile"),
+        ).collect(),
+        key=lambda r: r["Name"],
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in via_many]
+    assert got[0]["NotInFile"] is None
+    assert got[0]["_workbook"].endswith("vc1.xlsx")
+
+
 def test_parse_xlsx_duplicate_headers_and_bad_refs(tmp_path):
     """ADVICE r3: duplicate sheet headers are suffixed pandas-style
     (name, name.1) so DataFrame schemas never carry duplicate columns,
