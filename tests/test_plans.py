@@ -724,3 +724,24 @@ def test_vinfo_stage_fans_stay_fused(spark):
     explain lists each op twice (tree + details), so 3 ops == 6 hits."""
     plan = executed_plan(spark, "ingest_vinfo_conditional_stage")
     assert plan.count("Generate") <= 8, plan.count("Generate")
+
+
+def test_scale_tier_twins_no_cartesian_and_filters(spark):
+    """Round-9 scale-tier twins: the plans must carry the structures
+    their scale arguments exist for — the simhash tier joins on
+    (piece, value) equi-keys (never all-pairs), the capped behavior
+    twin SEMI-joins the df-cap survivor set into the shingle table
+    BEFORE the candidate self-join, and the NN-Descent-routed audit
+    composes equi-joins end to end. No plan may contain a cartesian
+    product."""
+    plan = executed_plan(spark, "simhash_pairs_documents_scale_tier")
+    assert "CartesianProduct" not in plan
+    # candidate join keyed on the exploded piece table, not sig x sig
+    assert "piece" in plan and "value" in plan
+
+    plan = executed_plan(spark, "behavior_similarity_users_capped")
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan  # the max_df cap runs before the self-join
+
+    plan = executed_plan(spark, "knn_label_noise_audit_nn_descent")
+    assert "CartesianProduct" not in plan

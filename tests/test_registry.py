@@ -13,17 +13,33 @@ def test_every_oracle_key_has_a_query():
     assert set(ORACLE) <= set(QUERIES), set(ORACLE) - set(QUERIES)
 
 
-def test_rows_only_queries_are_the_documented_three():
+def test_rows_only_queries_are_the_documented_four():
     # Anything without an oracle must be one of the engine-specific-by-
-    # design trio (each of which has a hash-verified deterministic twin
-    # elsewhere in the registry). Growing this set silently would erode
-    # the correctness gate.
+    # design set (each of which is machine-checked against an exact
+    # reference by a tools/selfcheck.py BOUND instead). Growing this
+    # set silently would erode the correctness gate.
     rows_only = set(QUERIES) - set(ORACLE)
     assert rows_only == {
         "approx_distinct_users_per_type",
         "approx_percentile_value",
         "pagerank_customer_nation",
+        "knn_label_noise_audit_nn_descent",
     }, rows_only
+
+
+def test_rows_only_queries_all_have_selfcheck_bounds():
+    """Every oracle-less query must carry a machine-checked BOUND in
+    tools/selfcheck.py — 'rows-only' must never mean 'unchecked'."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "selfcheck",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "selfcheck.py"),
+    )
+    sc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sc)
+    assert set(QUERIES) - set(ORACLE) <= set(sc.BOUNDS)
 
 
 def test_query_names_are_snake_case_and_documented():
@@ -49,17 +65,29 @@ def test_cli_rejects_bad_args(capsys):
     assert "refresh WORKBOOK_DIR SNAPSHOT_DIR" in capsys.readouterr().err
 
 
-def test_registry_served_in_plain_registration_order():
-    """ADVICE r3: the entry point must expose queries()/oracle_sql() in
-    plain registration order — no reordering or curation — so external
-    sampling (the driver gate) is unbiased. Breadth certification lives
-    in tools/breadth_suite.py instead, whose representatives must all
-    exist and be oracle-paired."""
+def test_registry_served_in_deterministic_round_rotation():
+    """Round-8 VERDICT #5 (supersedes the ADVICE-r3 plain-order rule):
+    the entry point exposes the registry in a deterministic, UNCURATED
+    per-round rotation — sorted by md5(name || round) — so the driver's
+    prefix sample walks different operator families each round while
+    remaining bias-free (no human or heuristic picks the order). The
+    serving must be a permutation of the registry, follow the md5 rule
+    exactly, and change with the round number."""
+    import hashlib
+
     import __spark_entry__ as m
 
     served = list(m.queries())
-    assert served == list(QUERIES)
-    assert list(m.oracle_sql()) == [n for n in QUERIES if n in m.oracle_sql()]
+    rnd = m._round_number()
+    expected = sorted(
+        QUERIES, key=lambda n: hashlib.md5(f"{n}|{rnd}".encode()).hexdigest()
+    )
+    assert served == expected
+    assert set(served) == set(QUERIES)  # permutation, nothing dropped
+    other = sorted(
+        QUERIES, key=lambda n: hashlib.md5(f"{n}|{rnd + 1}".encode()).hexdigest()
+    )
+    assert other != expected  # the sample genuinely rotates per round
 
     import importlib.util
     import os
