@@ -542,3 +542,64 @@ def test_key_sql_matches_node_key_on_hostile_names(spark, names, rows):
     got2 = [r[0] for r in df.selectExpr(f"{_key_sql(a, b)} AS k").collect()]
     want2 = [r[0] for r in safe.select(node_key("x", "y").alias("k")).collect()]
     assert got2 == want2
+
+
+# Cell text for the OOXML roundtrip: any printable-ish unicode WITHOUT
+# carriage returns (XML 1.0 parsing normalizes \r\n -> \n by spec, so a
+# CR can never roundtrip through any conformant reader) and without
+# other C0 controls (not representable in XML 1.0 at all).
+_XLSX_CELL = st.text(
+    st.characters(
+        blacklist_categories=("Cs", "Cc"),
+        # XML-active characters stay IN: escaping them is the point
+    ),
+    min_size=0,
+    max_size=24,
+)
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    header=st.lists(
+        st.text(st.characters(blacklist_categories=("Cs", "Cc")), min_size=1, max_size=12),
+        min_size=1,
+        max_size=5,
+        unique=True,
+    ),
+    rows=st.lists(
+        st.lists(st.one_of(st.none(), _XLSX_CELL), min_size=1, max_size=5),
+        min_size=1,
+        max_size=6,
+    ),
+)
+def test_write_xlsx_parse_xlsx_roundtrip(tmp_path_factory, header, rows):
+    """The round-9 fleet-fixture writer (tools/xlsx_scalebench.write_xlsx)
+    and the stdlib reader (sources/workbook.parse_xlsx) roundtrip
+    arbitrary XML-hostile cell text (&, <, >, quotes, unicode): what the
+    scalebench writes is exactly what the production reader hands the
+    ingest stages — sparse None cells come back None (right-truncation
+    collapses with row width), everything else verbatim."""
+    import importlib.util
+    import os as _os
+
+    spec = importlib.util.spec_from_file_location(
+        "xlsx_scalebench",
+        _os.path.join(_os.path.dirname(__file__), "..", "tools", "xlsx_scalebench.py"),
+    )
+    xsb = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(xsb)
+    from vmware_graph_spark.sources.workbook import parse_xlsx
+
+    width = len(header)
+    rows = [(r + [None] * width)[:width] for r in rows]
+    p = str(tmp_path_factory.mktemp("xlsxprop") / "wb.xlsx")
+    xsb.write_xlsx(p, {"vInfo": (header, rows)})
+    with open(p, "rb") as f:
+        parsed = parse_xlsx(f.read(), ("vInfo",))
+    got_header, got_rows = parsed["vInfo"]
+    # the reader dedupes/fills header names only for duplicates/None —
+    # unique non-null headers must come back verbatim
+    assert got_header == header
+    assert len(got_rows) == len(rows)
+    for exp, got in zip(rows, got_rows):
+        assert got == [None if v is None else str(v) for v in exp]
