@@ -142,8 +142,20 @@ def build_fleet(spark, n_books: int) -> dict[str, list[str]]:
         collected[name] = (list(header), rows)
         columns[name] = list(header)
 
+    # Tenant-identity columns: the vCenter identity ("VI SDK *" — every
+    # node key embedding `managedby` becomes tenant-disjoint through
+    # it) AND "VM UUID" (in reality globally unique per VM; the
+    # vmuuid-keyed labels — Vmadapter/Vpartition/Vsnapshot — key on it
+    # directly). Labels the reference keys GLOBALLY by name/path
+    # (Vfolder, Vmos, Cpumodel, Ntpserver…) stay shared across
+    # tenants — that is the reference's own key choice, not a fixture
+    # artifact.
     vc_cols = {
-        name: [i for i, h in enumerate(cols[0]) if "VI SDK" in h]
+        name: [
+            i
+            for i, h in enumerate(cols[0])
+            if "VI SDK" in h or h == "VM UUID"
+        ]
         for name, cols in ((n, collected[n]) for n in collected)
     }
     for t in range(n_books):
@@ -235,9 +247,14 @@ def main() -> None:
             "single_pass_rows_per_s": round(single_rows / single_pass_s, 0),
         }
 
-        if n == 1:
-            # end-to-end: decode one real workbook, pin the sheets, run
-            # the full 2-pass refresh + publish — the composed path
+        if n in (1, 10):
+            # end-to-end: decode the real workbook fleet, pin the
+            # sheets, run the full build + publish — the composed
+            # path. At n=10 this is a genuine MULTI-TENANT estate:
+            # each workbook's "VI SDK" identity is tenant-prefixed and
+            # every node label's natural key embeds the vCenter uid,
+            # so 10 books must build ~10x the per-label entities
+            # (global dimension labels stay shared).
             from vmware_graph_spark.ingest.refresh import run_ingest
 
             t0 = time.time()
