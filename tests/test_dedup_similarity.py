@@ -406,3 +406,48 @@ def test_knn_graph_extend_incremental_properties(spark):
     rev_srcs = {r.dst for r in rows if r.src >= 450 and r.dst < 450}
     untouched_base = {t for t in base if t[0] not in rev_srcs}
     assert untouched_base <= got
+
+
+def test_prepared_reference_decisions_identical_and_caller_owned(spark):
+    """prepare_dedup_reference + dedup_against_prepared = the same
+    per-document decisions as dedup_against (same dataflow, reference
+    derived once), and the prepared artifacts are CALLER-owned: a
+    batch-boundary release_pins() must not unpersist them (that is the
+    whole point — the reference stays hot across batches), while
+    release_dedup_reference does."""
+    from vmware_graph_spark.operators.dedup import (
+        dedup_against,
+        dedup_against_prepared,
+        prepare_dedup_reference,
+        release_dedup_reference,
+    )
+    from vmware_graph_spark.operators.pin import release_pins
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ref = docs.filter(F.col("doc_id") % 3 == 0)
+    # expectations FIRST: dedup_against registers a registry pin whose
+    # canonical plan equals the prepared shingle table, and Spark's
+    # cache is PLAN-keyed — releasing that aliased pin inside the loop
+    # would drop the shared entry (documented in
+    # prepare_dedup_reference; the streaming sink's loop only ever
+    # pins batch-plans, so the alias cannot arise there)
+    batches = [docs.filter(F.col("doc_id") % 3 == m).limit(40) for m in (1, 2)]
+    exp = [
+        sorted(map(tuple, dedup_against(b, ref, "doc_id", "text").collect()))
+        for b in batches
+    ]
+    release_pins()
+    prepared = prepare_dedup_reference(ref, "doc_id", "text")
+    try:
+        for b, e in zip(batches, exp):
+            got = sorted(
+                map(tuple, dedup_against_prepared(b, prepared, "doc_id", "text").collect())
+            )
+            assert got == e
+            release_pins()  # the batch boundary
+            # caller-owned reference survives the boundary release
+            assert prepared["shingles"].storageLevel.useDisk
+            assert prepared["buckets"].storageLevel.useDisk
+    finally:
+        release_dedup_reference(prepared)
+    assert not prepared["shingles"].storageLevel.useDisk

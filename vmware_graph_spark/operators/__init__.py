@@ -1,6 +1,9 @@
 from vmware_graph_spark.operators.dedup import (
     dedup_against,
     dedup_against_index,
+    dedup_against_prepared,
+    prepare_dedup_reference,
+    release_dedup_reference,
     exact_dedup,
     extend_dedup_index,
     minhash_lsh_pairs,
@@ -32,6 +35,9 @@ __all__ = [
     "canonical_edges",
     "dedup_against",
     "dedup_against_index",
+    "dedup_against_prepared",
+    "prepare_dedup_reference",
+    "release_dedup_reference",
     "decode_audio_stdlib",
     "decode_image_stdlib",
     "decode_images",

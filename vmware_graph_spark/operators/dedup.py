@@ -512,6 +512,94 @@ def dedup_against(
     )
 
 
+def prepare_dedup_reference(
+    ref: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> dict:
+    """Derive the REFERENCE-side dedup artifacts (fingerprints, band
+    buckets, shingles, set sizes) ONCE and persist them CALLER-OWNED —
+    the repeated-batch companion to :func:`dedup_against`, which
+    derives them per call. A long-lived consumer (the streaming dedup
+    sink, any per-arrival-batch loop) prepares the reference outside
+    its loop, runs :func:`dedup_against_prepared` per batch, and calls
+    :func:`operators.pin.release_pins` at each batch boundary — the
+    prepared frames use raw ``persist`` (NOT the pin registry), so the
+    boundary release reclaims only batch-scoped blocks while the
+    reference stays hot across batches. Release with
+    :func:`release_dedup_reference` when the loop ends.
+
+    DISK_ONLY like every pin in this module: bounded-but-not-tiny
+    derivations whose recompute is a corpus-wide explode+groupBy.
+
+    Aliasing caveat: Spark's CacheManager is keyed by CANONICALIZED
+    PLAN, not by Python object — if some other code registers a
+    registry pin over a plan identical to one of these artifacts
+    (e.g. calling plain :func:`dedup_against` on the same reference),
+    ``release_pins`` will drop the SHARED entry. Keep prepared-path
+    and in-flight-path usage of one reference out of the same release
+    scope; the streaming sink satisfies this by construction (its loop
+    only ever pins batch-derived plans)."""
+    from pyspark import StorageLevel
+
+    sh_ref = _shingle_table(ref, id_col, text_col, n).persist(
+        StorageLevel.DISK_ONLY
+    )
+    return {
+        "fp": ref.select(fingerprint(text_col).alias("__fp"))
+        .distinct()
+        .persist(StorageLevel.DISK_ONLY),
+        "buckets": _band_buckets(
+            _minhash_sig(sh_ref, num_hashes), num_hashes, bands
+        ).persist(StorageLevel.DISK_ONLY),
+        "shingles": sh_ref,
+        "sizes": sh_ref.groupBy("id")
+        .agg(F.count("*").alias("n_ref"))
+        .persist(StorageLevel.DISK_ONLY),
+        "params": (n, num_hashes, bands),
+    }
+
+
+def dedup_against_prepared(
+    new: DataFrame,
+    prepared: dict,
+    id_col: str,
+    text_col: str,
+    *,
+    verify_threshold: float = 0.5,
+) -> DataFrame:
+    """:func:`dedup_against` with the reference artifacts prederived by
+    :func:`prepare_dedup_reference` — identical per-document decisions
+    (same ``_dedup_decisions`` dataflow), per-batch cost only."""
+    n, num_hashes, bands = prepared["params"]
+    return _dedup_decisions(
+        new,
+        id_col,
+        text_col,
+        ref_fp=prepared["fp"],
+        ref_buckets=prepared["buckets"],
+        ref_shingles=prepared["shingles"],
+        ref_sizes=prepared["sizes"],
+        n=n,
+        num_hashes=num_hashes,
+        bands=bands,
+        verify_threshold=verify_threshold,
+    )
+
+
+def release_dedup_reference(prepared: dict) -> None:
+    """Unpersist a :func:`prepare_dedup_reference` artifact set."""
+    for k in ("fp", "buckets", "shingles", "sizes"):
+        try:
+            prepared[k].unpersist()
+        except Exception:
+            pass  # session already stopped
+
+
 def _minhash_sig(sh: DataFrame, num_hashes: int) -> DataFrame:
     """(id, sig array<bigint>) MinHash signatures over a shingle table.
 

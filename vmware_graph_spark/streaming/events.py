@@ -300,28 +300,33 @@ def stream_dedup_against(
     micro-batch outputs is EXACTLY the full-batch result regardless of
     how arrivals split into batches (the property the oracle twin
     checks). The checkpoint makes delivery exactly-once across
-    restarts; at scale the reference's fingerprints/signatures are
-    precomputed once and reused every batch, so per-batch cost follows
-    the batch."""
-    from vmware_graph_spark.operators.dedup import dedup_against
+    restarts. The reference's fingerprints/signatures are derived and
+    persisted ONCE, outside the trigger loop
+    (``prepare_dedup_reference``) and reused every batch, so per-batch
+    cost follows the batch; each batch's OWN pins are reclaimed at the
+    batch boundary (``release_pins`` — DISK_ONLY blocks are never
+    LRU-evicted, so an always-on stream would otherwise accumulate one
+    batch of blocks per trigger, round-8 ADVICE), which cannot touch
+    the caller-owned reference artifacts."""
+    from vmware_graph_spark.operators.dedup import (
+        dedup_against_prepared,
+        prepare_dedup_reference,
+        release_dedup_reference,
+    )
     from vmware_graph_spark.operators.pin import release_pins
+
+    verify_kw = {
+        k: v for k, v in dedup_kw.items() if k == "verify_threshold"
+    }
+    prep_kw = {k: v for k, v in dedup_kw.items() if k != "verify_threshold"}
+    prepared = prepare_dedup_reference(ref, id_col, text_col, **prep_kw)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        dedup_against(batch_df, ref, id_col, text_col, **dedup_kw).write.mode(
-            "append"
-        ).parquet(out_dir)
-        # batch-boundary pin reclamation (round-8 ADVICE): each
-        # dedup_against call pins its derivations DISK_ONLY, and disk
-        # blocks are never LRU-evicted — without this an always-on
-        # stream accumulates one batch's worth of blocks per trigger,
-        # unboundedly. Releasing also drops the REFERENCE-side pin
-        # (same CacheManager entry every batch, since the ref plan is
-        # canonical-identical), trading a per-batch ref recompute for
-        # bounded storage; a deployment with a hot reference should
-        # persist the ref's derivations caller-side, outside the loop,
-        # and leave the registry to the batch-scoped pins.
+        dedup_against_prepared(
+            batch_df, prepared, id_col, text_col, **verify_kw
+        ).write.mode("append").parquet(out_dir)
         release_pins()
 
     q = (
@@ -330,7 +335,10 @@ def stream_dedup_against(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        release_dedup_reference(prepared)
 
 
 def stream_cms_heavy_hitters(
