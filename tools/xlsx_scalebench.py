@@ -247,7 +247,7 @@ def main() -> None:
             "single_pass_rows_per_s": round(single_rows / single_pass_s, 0),
         }
 
-        if n in (1, 10):
+        if n in (1, 10, 100):
             # end-to-end: decode the real workbook fleet, pin the
             # sheets, run the full build + publish — the composed
             # path. At n=10 this is a genuine MULTI-TENANT estate:
