@@ -112,6 +112,12 @@ def measure_tier(spark, docs, tier: str, copy_idx: int) -> dict:
     t0 = time.time()
     decisions = (
         dedup_against_index(probe, spark, IDX, "doc_id", "text")
+        .select(
+            F.when(F.col("exact_dup"), "exact_dup")
+            .when(F.col("near_dup"), "near_dup")
+            .otherwise("kept")
+            .alias("decision")
+        )
         .groupBy("decision")
         .count()
         .collect()
