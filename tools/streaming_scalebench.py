@@ -216,18 +216,84 @@ def kernel_kmv(spark, in_dir: str, work: str) -> dict:
     return {"wall_s": round(time.time() - t0, 1), "groups": est}
 
 
+def kernel_stream_dedup(spark, in_dir: str, work: str) -> dict:
+    """Continuous-arrival corpus dedup (round-9 prepared-reference
+    path): n_copies 500-doc arrival batches — one parquet file each,
+    ``maxFilesPerTrigger=1`` so every copy is its own micro-batch —
+    deduped against the FIXED sf0.1 reference corpus. The claims to
+    prove at scale: total wall ∝ total arrivals with per-batch cost
+    FLAT (the reference's artifacts are derived+persisted ONCE by
+    ``prepare_dedup_reference``, never per batch), and the pin
+    registry is EMPTY after the drain (every batch's own DISK_ONLY
+    blocks reclaimed at its boundary — the round-8 ADVICE leak)."""
+    from pyspark.sql import functions as F
+
+    from vmware_graph_spark.operators.pin import _LIVE_PINS
+    from vmware_graph_spark.streaming.events import stream_dedup_against
+
+    n_copies = int(in_dir.rsplit("_", 1)[1].rstrip("x"))
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    ref = docs  # the full 5k-doc corpus is the reference
+    arr_dir = f"{work}/dedup_arrivals"
+    os.makedirs(arr_dir)
+    base = docs.filter(F.col("doc_id") % 7 == 0).limit(500)
+    for i in range(n_copies):
+        c = base.withColumn("doc_id", F.col("doc_id") + F.lit(i * 1_000_000))
+        if i % 2:  # odd copies: novel text (kept); even copies: dups
+            c = c.withColumn(
+                "text",
+                F.array_join(
+                    F.transform(
+                        F.split(F.col("text"), " "),
+                        lambda x: F.concat(x, F.lit(f"~a{i}")),
+                    ),
+                    " ",
+                ),
+            )
+        c.coalesce(1).write.mode("overwrite").parquet(f"{arr_dir}/__tmp")
+        src = glob.glob(f"{arr_dir}/__tmp/part-*.parquet")[0]
+        shutil.move(src, f"{arr_dir}/batch-{i:03d}.parquet")
+    shutil.rmtree(f"{arr_dir}/__tmp")
+
+    sdf = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arr_dir)
+    )
+    out, ckpt = f"{work}/dedup_out", f"{work}/dedup_ckpt"
+    t0 = time.time()
+    stream_dedup_against(sdf, ref, "doc_id", "text", out, ckpt)
+    wall = round(time.time() - t0, 1)
+    res = spark.read.parquet(out)
+    decided = res.count()
+    dup = res.filter(F.col("exact_dup") | F.col("near_dup")).count()
+    return {
+        "wall_s": wall,
+        "batches": n_copies,
+        "per_batch_s": round(wall / n_copies, 2),
+        "rows_decided": decided,
+        "dup_decisions": dup,
+        "live_pins_after": len(_LIVE_PINS),
+    }
+
+
 KERNELS = {
     "windowed_counts": kernel_windowed,
     "late_data_phased": kernel_late_phased,
     "interval_join": kernel_interval,
     "cms_heavy_hitters": kernel_cms,
     "kmv_distinct": kernel_kmv,
+    "stream_dedup_prepared_ref": kernel_stream_dedup,
 }
 
 
 def main() -> None:
     out_json = sys.argv[1] if len(sys.argv) > 1 else "/tmp/streaming_scalebench.json"
-    scales = [int(s) for s in sys.argv[2:]] or [1, 10, 100]
+    # numeric argv entries are scales, non-numeric ones select a kernel
+    # subset (subset-run JSONs merge into the committed artifact, same
+    # convention as tools/scalebench.py)
+    scales = [int(s) for s in sys.argv[2:] if s.isdigit()] or [1, 10, 100]
+    only = {s for s in sys.argv[2:] if not s.isdigit()}
 
     from vmware_graph_spark.session import get_spark, tune
 
@@ -244,6 +310,8 @@ def main() -> None:
         os.makedirs(work)
         entry = {}
         for name, fn in KERNELS.items():
+            if only and name not in only:
+                continue
             entry[name] = fn(spark, in_dir, work)
             print(f"  {n}x {name}: {entry[name]}", file=sys.stderr)
         report["scales"][f"{n}x"] = entry
