@@ -3,9 +3,11 @@ family — a quick SPANNING check (every family green) as opposed to the
 exhaustive full-registry run of ``tools/selfcheck.py``.
 
 This exists so breadth certification is an explicit, documented suite
-rather than anything baked into the registry's registration order
-(the driver entry point exposes ``queries()`` in plain registration
-order; external samplers see an unbiased prefix).
+rather than anything baked into the registry's serving order (the
+driver entry point exposes ``queries()`` in a deterministic md5
+per-round ROTATION since round 9 — uncurated, and walking different
+families each round — so external prefix samplers stay unbiased while
+this suite stays the explicit spanning check).
 
 Usage: python tools/breadth_suite.py [sf_dir]
   (delegates to selfcheck's row/schema/value comparison)
@@ -61,6 +63,8 @@ FAMILY_REPRESENTATIVES = (
     "jaccard_pairs_prefix_filtered",
     "minhash_lsh_pairs_documents",
     "simhash_documents",
+    "simhash_pairs_documents_scale_tier",
+    "behavior_similarity_users_capped",
     "dedup_new_against_corpus",
     "near_dedup_clusters",
     # ANN ladder
