@@ -1,0 +1,266 @@
+"""Unit + property tests for the web-crawl prep family: WARC
+writer/parser/fleet reader, HTML→text extraction, URL canonicalization,
+and the composed registry queries."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# WARC container
+# ---------------------------------------------------------------------------
+
+def test_warc_roundtrip_framing_survives_hostile_bodies():
+    """Content-Length framing, not marker scanning: bodies containing
+    CRLFs, the record separator, and a literal 'WARC/1.0' line must
+    come back byte-exact."""
+    from vmware_graph_spark.sources.warc import make_warc_bytes, parse_warc
+
+    bodies = [
+        b"plain",
+        b"",  # empty body
+        b"line1\r\nline2\r\n\r\nline3",  # embedded header terminator
+        b"WARC/1.0\r\nWARC-Type: response\r\n\r\nfake nested record",
+        bytes(range(256)),  # non-UTF8 binary payload
+    ]
+    recs = [
+        {"uri": f"http://h/{i}", "body": b, "status": 200 + i}
+        for i, b in enumerate(bodies)
+    ]
+    data = make_warc_bytes(recs, warcinfo="test")
+    out = list(parse_warc(data))
+    assert [r["warc_type"] for r in out] == ["warcinfo"] + ["response"] * len(bodies)
+    for i, r in enumerate(out[1:]):
+        assert r["uri"] == f"http://h/{i}"
+        assert r["http_status"] == 200 + i
+        assert r["body"] == bodies[i]
+
+
+def test_warc_parser_raises_on_corruption():
+    from vmware_graph_spark.sources.warc import make_warc_bytes, parse_warc
+
+    good = make_warc_bytes([{"uri": "http://h/1", "body": b"xyz"}])
+    with pytest.raises(ValueError):
+        list(parse_warc(b"GARBAGE" + good))
+    with pytest.raises(ValueError):
+        list(parse_warc(good[:-8]))  # truncated final block+separator
+    # Missing Content-Length
+    with pytest.raises(ValueError):
+        list(parse_warc(b"WARC/1.0\r\nWARC-Type: response\r\n\r\nbody"))
+
+
+def test_warc_roundtrip_property():
+    """Random binary bodies (hypothesis) roundtrip byte-exact."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from vmware_graph_spark.sources.warc import make_warc_bytes, parse_warc
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.lists(st.binary(max_size=300), min_size=1, max_size=5))
+    def check(bodies):
+        recs = [{"uri": f"http://h/{i}", "body": b} for i, b in enumerate(bodies)]
+        out = list(parse_warc(make_warc_bytes(recs)))
+        assert [r["body"] for r in out] == bodies
+
+    check()
+
+
+def test_read_warc_distributed_provenance(spark, tmp_path):
+    """Fleet read: records across files, with per-file provenance and
+    parse-order record_idx; warcinfo records filtered at the parser."""
+    from vmware_graph_spark.sources.warc import write_warc_files
+
+    shards = {
+        "a": [
+            {"uri": "http://h/1", "body": b"<p>one</p>"},
+            {"uri": "http://h/2", "body": b"<p>two</p>", "status": 404},
+        ],
+        "b": [{"uri": "http://h/3", "body": b"<p>three</p>"}],
+    }
+    write_warc_files(shards, str(tmp_path))
+    from vmware_graph_spark.sources.warc import read_warc
+
+    out = read_warc(spark, str(tmp_path / "*.warc")).collect()
+    assert len(out) == 3
+    by_uri = {r.uri: r for r in out}
+    assert by_uri["http://h/2"].http_status == 404
+    assert bytes(by_uri["http://h/3"].body) == b"<p>three</p>"
+    assert by_uri["http://h/1"].warc_file.endswith("a.warc")
+    # warcinfo occupies record_idx 0 in each file; responses start at 1.
+    assert by_uri["http://h/1"].record_idx == 1
+    assert by_uri["http://h/3"].record_idx == 1
+
+
+# ---------------------------------------------------------------------------
+# HTML → text
+# ---------------------------------------------------------------------------
+
+def _extract_one(spark, html: str) -> str:
+    from vmware_graph_spark.functions.text import html_to_text
+
+    df = spark.createDataFrame([(html,)], "h string")
+    return df.select(html_to_text("h").alias("t")).collect()[0].t
+
+
+def test_html_to_text_rules(spark):
+    cases = {
+        # script content (incl. tags + bare '<') must not leak
+        '<script a="b">var x = "<div>" && 1 < 2;</script>after': "after",
+        "<style>p { color: red; }</style>body": "body",
+        # comments may contain tags
+        "<!-- <b>hidden</b> -->shown": "shown",
+        # entity decode, &amp; last (single-decode semantics)
+        "<p>a &amp;lt; b &quot;q&quot; &#39;s&#39; x&nbsp;y</p>": "a &lt; b \"q\" 's' x y",
+        # whitespace collapse + trim
+        "  <p>a</p>\n\n<p>b</p>\t": "a b",
+        # no-markup passthrough
+        "plain text": "plain text",
+        # unclosed script swallows to end (documented greedy-safe behavior:
+        # non-greedy needs a closer; without one the block rule doesn't
+        # fire and the tag-strip leaves the script TEXT — spec'd below)
+    }
+    for html, want in cases.items():
+        assert _extract_one(spark, html) == want, html
+
+
+def test_html_to_text_matches_duckdb_twin(spark):
+    """Cross-engine parity of the full chain on hostile pages."""
+    import duckdb
+
+    from vmware_graph_spark.functions.text import html_to_text_sql
+
+    pages = [
+        "<html><body><h1>T</h1><p>a  b</p></body></html>",
+        '<script>s</script><style>c</style><!-- x --><p>&amp;&lt;&gt;</p>',
+        "no tags at all",
+        "<p>tail&nbsp;42</p>",
+        "<SCRIPT>upper</SCRIPT>kept",  # (?i) on the block rules
+    ]
+    con = duckdb.connect()
+    sql = html_to_text_sql("?")
+    df = spark.createDataFrame([(p,) for p in pages], "h string")
+    from vmware_graph_spark.functions.text import html_to_text
+
+    got = [r.t for r in df.select(html_to_text("h").alias("t")).collect()]
+    want = [con.execute(f"select {sql}", [p]).fetchone()[0] for p in pages]
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization
+# ---------------------------------------------------------------------------
+
+def _canon_one(spark, url: str) -> str:
+    from vmware_graph_spark.functions.url import url_canonical
+
+    df = spark.createDataFrame([(url,)], "u string")
+    return df.select(url_canonical("u").alias("c")).collect()[0].c
+
+
+def test_url_canonical_rules(spark):
+    cases = {
+        "HTTP://WWW.Ex.COM:80/a?utm_source=x&b=2&a=1#f": "http://www.ex.com/a?a=1&b=2",
+        "https://Ex.com:443/": "https://ex.com/",
+        "https://user:pw@Ex.com:8443/x": "https://ex.com:8443/x",  # non-default port kept
+        "http://ex.com": "http://ex.com/",  # empty path -> '/'
+        "http://ex.com/?gclid=1&fbclid=2&ref=3&msclkid=4": "http://ex.com/",
+        "http://ex.com/p?keep=1&utm_=x": "http://ex.com/p?keep=1",
+        "ftp://Ex.com:80/f": "ftp://ex.com:80/f",  # :80 only default for http
+    }
+    for url, want in cases.items():
+        assert _canon_one(spark, url) == want, url
+
+
+def test_url_canonical_matches_duckdb_twin(spark):
+    import duckdb
+
+    from vmware_graph_spark.functions.url import url_canonical, url_canonical_sql
+
+    urls = [
+        "HTTP://WWW.Ex.COM:80/a?utm_source=x&b=2&a=1#f",
+        "https://user@Host.NET/deep/path?z=1&y=2&x=3",
+        "http://ex.com",
+        "http://ex.com/?gclid=1",
+        "weird-not-a-url",
+    ]
+    con = duckdb.connect()
+    sql = url_canonical_sql("u")
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    got = [r.c for r in df.select(url_canonical("u").alias("c")).collect()]
+    want = [
+        con.execute(f"select {sql} from (select ? as u)", [u]).fetchone()[0]
+        for u in urls
+    ]
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Registry queries (invariants; oracle hash parity is selfcheck's job)
+# ---------------------------------------------------------------------------
+
+def test_warc_fleet_ingest_covers_every_document(spark):
+    from vmware_graph_spark.queries_ext21 import warc_fleet_ingest
+    from vmware_graph_spark.sources.tables import load_table
+
+    out = warc_fleet_ingest(spark, SF)
+    docs = load_table(spark, SF, "documents")
+    assert out.count() == docs.count()
+    assert out.filter(F.col("doc_id").isNull()).count() == 0
+    statuses = {r.http_status for r in out.select("http_status").distinct().collect()}
+    assert statuses <= {200, 404} and 200 in statuses
+
+
+def test_url_canonical_dedup_groups_are_3_and_1(spark):
+    from vmware_graph_spark.queries_ext21 import url_canonical_dedup
+
+    out = url_canonical_dedup(spark, SF)
+    counts = {r.n_raw_urls for r in out.select("n_raw_urls").distinct().collect()}
+    assert counts == {1, 3}
+
+
+def test_crawl_prep_pipeline_excludes_non_200(spark):
+    """Host rollup totals must reconcile with the 200-status page count."""
+    from vmware_graph_spark.queries_ext21 import crawl_prep_pipeline
+    from vmware_graph_spark.sources.tables import load_table
+
+    out = crawl_prep_pipeline(spark, SF).collect()
+    docs = load_table(spark, SF, "documents")
+    n_ok = docs.filter(F.col("doc_id") % 53 != 0).count()
+    assert sum(r.n_pages for r in out) <= n_ok  # token gate can only shrink
+    assert sum(r.n_pages for r in out) > 0
+    assert all(r.host.startswith("www.site") for r in out)
+
+
+def test_html_extract_query_is_pure_catalyst(spark):
+    """The HTML build + extraction must stay JVM-side: no Python eval
+    node anywhere in the physical plan."""
+    from vmware_graph_spark.queries_ext21 import html_extract_text_stats
+
+    df = html_extract_text_stats(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_url_dedup_query_is_pure_catalyst(spark):
+    from vmware_graph_spark.queries_ext21 import url_canonical_dedup
+
+    df = url_canonical_dedup(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan

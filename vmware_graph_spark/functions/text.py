@@ -167,3 +167,57 @@ def count_pattern(col: Column | str, pattern: str) -> Column:
     """Occurrence count of ``pattern`` in ``col`` (0 for no match)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.size(F.regexp_extract_all(c, F.lit(pattern), 0))
+
+
+# ---------------------------------------------------------------------------
+# HTML → text extraction (crawl prep). The regex spec is deliberately
+# limited to constructs with identical semantics in Java regex (Spark)
+# and RE2 (DuckDB): inline (?is) flags, non-greedy .*?, char classes —
+# no backreferences or lookaround. The SQL twin mirrors it step for
+# step so the oracle can verify the chain on the same synthetic pages.
+# ---------------------------------------------------------------------------
+
+#: (pattern, replacement) chain: comments first (they may contain tags),
+#: then script/style blocks whole (their CONTENT is not text — a naive
+#: tag-strip would leak "var x = 1" into the corpus), then remaining
+#: tags. Entities decode afterwards, &amp; strictly LAST so literal
+#: "&amp;lt;" in a page renders "&lt;" (single-decode semantics).
+HTML_STRIP_STEPS: tuple[tuple[str, str], ...] = (
+    (r"(?s)<!--.*?-->", " "),
+    (r"(?is)<script\b[^>]*>.*?</script\s*>", " "),
+    (r"(?is)<style\b[^>]*>.*?</style\s*>", " "),
+    (r"<[^>]*>", " "),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", "\""),
+    (r"&#39;", "'"),
+    (r"&nbsp;", " "),
+    (r"&amp;", "&"),
+)
+
+
+def html_to_text(col: Column | str) -> Column:
+    """Plain text from an HTML page: strip comments, script/style
+    blocks, tags; decode the six ubiquitous entities; collapse
+    whitespace. Pure Catalyst ``regexp_replace`` chain — JVM-side,
+    whole-stage-codegen friendly, no UDF in the hot path of a crawl.
+    Boilerplate REMOVAL (nav/footer text) is a separate corpus-level
+    pass (``dedup_lines_corpus`` — repeated lines across pages of a
+    host ARE the boilerplate signal)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, rep in HTML_STRIP_STEPS:
+        c = F.regexp_replace(c, pat, rep)
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def html_to_text_sql(expr: str) -> str:
+    """DuckDB twin of :func:`html_to_text` (RE2 accepts the same
+    inline-flag patterns; 'g' makes each step a global replace).
+    DuckDB's standard single-quoted strings pass backslashes through
+    verbatim, so patterns embed as-is — only quotes need escaping."""
+    out = expr
+    for pat, rep in HTML_STRIP_STEPS:
+        p = pat.replace("'", "''")
+        r = rep.replace("'", "''")
+        out = f"regexp_replace({out}, '{p}', '{r}', 'g')"
+    return rf"trim(regexp_replace({out}, '\s+', ' ', 'g'))"

@@ -1,0 +1,121 @@
+"""URL parsing + canonicalization (crawl prep), pure Catalyst.
+
+A crawl's URL frontier and its post-hoc dedup both need ONE canonical
+spelling per page. The spec here is the conservative, loss-free core
+every pipeline agrees on (lowercase scheme/host, drop default port,
+drop userinfo, drop fragment, drop tracking parameters, sort the rest,
+empty path → '/'); anything stronger (www-stripping, %XX normalization,
+path dot-segments) changes identity and stays a caller decision.
+
+Everything is regexp_extract / split / filter / array_sort /
+concat — JVM-side, codegen-friendly, no UDF, and each helper has a
+DuckDB SQL twin built from the same constants so the oracle can verify
+the chain verbatim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Query parameters that never affect page identity: analytics tags.
+#: Anchored key-match against "key=value" pairs (shared with the twin).
+TRACKING_PARAM_RE = r"^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|ref)="
+
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+_AUTH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+_QUERY_RE = r"\?([^#]*)"
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def url_scheme(col: Column | str) -> Column:
+    return F.lower(F.regexp_extract(_c(col), _SCHEME_RE, 1))
+
+
+def url_host(col: Column | str) -> Column:
+    """Lowercased host with userinfo and the scheme's default port
+    stripped (http:80, https:443; other ports kept — they change
+    identity)."""
+    auth = F.regexp_extract(_c(col), _AUTH_RE, 1)
+    host = F.lower(F.regexp_replace(auth, r"^[^@]*@", ""))
+    scheme = url_scheme(col)
+    return (
+        F.when(scheme == "http", F.regexp_replace(host, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host, r":443$", ""))
+        .otherwise(host)
+    )
+
+
+def url_path(col: Column | str) -> Column:
+    p = F.regexp_extract(_c(col), _PATH_RE, 1)
+    return F.when(p == "", F.lit("/")).otherwise(p)
+
+
+def url_query_canonical(col: Column | str) -> Column:
+    """Query string with tracking params dropped and the survivors
+    sorted (byte order on the full "key=value" pair — deterministic and
+    engine-agnostic); '' when nothing survives."""
+    q = F.regexp_extract(_c(col), _QUERY_RE, 1)
+    parts = F.filter(
+        F.split(q, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    return F.array_join(F.array_sort(parts), "&")
+
+
+def url_canonical(col: Column | str) -> Column:
+    """The canonical spelling: scheme://host/path[?sorted-query]."""
+    qs = url_query_canonical(col)
+    return F.concat(
+        url_scheme(col),
+        F.lit("://"),
+        url_host(col),
+        url_path(col),
+        F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB twins (same constants; DuckDB standard strings pass
+# backslashes through verbatim, so the patterns embed as-is).
+# ---------------------------------------------------------------------------
+
+def url_scheme_sql(x: str) -> str:
+    return f"lower(regexp_extract({x}, '{_SCHEME_RE}', 1))"
+
+
+def url_host_sql(x: str) -> str:
+    host = f"lower(regexp_replace(regexp_extract({x}, '{_AUTH_RE}', 1), '^[^@]*@', ''))"
+    scheme = url_scheme_sql(x)
+    return (
+        f"CASE WHEN {scheme} = 'http' THEN regexp_replace({host}, ':80$', '') "
+        f"WHEN {scheme} = 'https' THEN regexp_replace({host}, ':443$', '') "
+        f"ELSE {host} END"
+    )
+
+
+def url_path_sql(x: str) -> str:
+    p = f"regexp_extract({x}, '{_PATH_RE}', 1)"
+    return f"CASE WHEN {p} = '' THEN '/' ELSE {p} END"
+
+
+def url_query_canonical_sql(x: str) -> str:
+    q = f"regexp_extract({x}, '{_QUERY_RE}', 1)"
+    parts = (
+        f"list_filter(string_split({q}, '&'), "
+        f"p -> p <> '' AND NOT regexp_matches(p, '{TRACKING_PARAM_RE}'))"
+    )
+    # DuckDB: array_to_string([]) is NULL where Spark's array_join is ''.
+    return f"coalesce(array_to_string(list_sort({parts}), '&'), '')"
+
+
+def url_canonical_sql(x: str) -> str:
+    qs = url_query_canonical_sql(x)
+    return (
+        f"({url_scheme_sql(x)} || '://' || {url_host_sql(x)} || {url_path_sql(x)} || "
+        f"CASE WHEN {qs} = '' THEN '' ELSE '?' || {qs} END)"
+    )

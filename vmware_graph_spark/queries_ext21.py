@@ -1,0 +1,353 @@
+"""Round-9 continuation: the web-crawl prep family.
+
+A 100 TB training corpus starts as WARC archives, not parquet. This
+module makes that leg first-class: a WARC fleet read (binaryFile +
+Arrow ``mapInPandas`` over the unsplittable archive grain —
+``sources/warc.py``), HTML→text extraction as a pure-Catalyst
+``regexp_replace`` chain (``functions/text.py::html_to_text``), and
+URL canonicalization/dedup (``functions/url.py``) — composed end to
+end in ``crawl_prep_pipeline``.
+
+Fixture discipline (the multimodal pattern): deterministic WARC/HTML
+pages are synthesized FROM the documents table, pushed through the
+production decode path, and each oracle recomputes the answer straight
+from the SOURCE rows — so a framing bug, tag-strip leak, entity
+mis-decode, or canonicalization error anywhere breaks the hash match.
+The synthesized page text rides the fixture's ``text`` verbatim (plain
+words — the template owns all markup, so ground-truth extraction is
+exactly expressible in SQL). The WARC fixture builder is driver-side
+by design (oracle-scale only; at corpus scale archives already exist —
+the engine path under test is the READ side).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from vmware_graph_spark.functions.text import (
+    html_to_text,
+    html_to_text_sql,
+    lang_id,
+    lang_id_sql,
+    n_tokens,
+)
+from vmware_graph_spark.functions.url import (
+    url_canonical,
+    url_host,
+)
+from vmware_graph_spark.queries import _toks, query
+from vmware_graph_spark.sources.tables import load_table
+from vmware_graph_spark.tmpcache import cache_dir, data_key
+
+# ---------------------------------------------------------------------------
+# The synthetic page template. Single line, no apostrophes (embeds in
+# single-quoted SQL verbatim), and it exercises every extraction rule:
+# a DOCTYPE, a comment CONTAINING tags, script/style blocks whose
+# content must not leak (the script even contains a '<div>' literal and
+# a bare '<'), and the six entities with &amp; in decode-last position.
+# ---------------------------------------------------------------------------
+
+_P1 = "<!DOCTYPE html><html><head><title>Doc "
+_P2 = (
+    '</title><style>body { color: #fff; }</style>'
+    '<script type="text/javascript">var s = "<div>" && 1 < 2;</script>'
+    "</head><body><!-- crawl <b>"
+)
+_P3 = "</b> --><h1>Doc &quot;"
+_P4 = "&quot; &amp; more</h1><p>"
+_P5 = '</p><div class="tail">tail&nbsp;'
+_P6 = "</div></body></html>"
+
+#: Ground-truth plain text of the template (before whitespace collapse
+#: of the riding document text): what a CORRECT extractor must emit.
+_EXPECTED_PREFIX = "Doc "  # Doc {id} Doc "{id}" & more {text} tail {n_chars}
+
+_N_SHARDS = 8
+
+
+def _html_page(doc_id: int, text: str, n_chars: int) -> str:
+    return f"{_P1}{doc_id}{_P2}{doc_id}{_P3}{doc_id}{_P4}{text}{_P5}{n_chars}{_P6}"
+
+
+def _html_col():
+    """The same page as a Catalyst concat over documents columns."""
+    i = F.col("doc_id").cast("string")
+    return F.concat(
+        F.lit(_P1), i, F.lit(_P2), i, F.lit(_P3), i, F.lit(_P4),
+        F.col("text"), F.lit(_P5), F.col("n_chars").cast("string"), F.lit(_P6),
+    )
+
+
+def _html_sql(id_expr: str = "doc_id", text_expr: str = "text", nchars_expr: str = "n_chars") -> str:
+    """The same page as a DuckDB concat (template has no apostrophes)."""
+    return (
+        "('" + _P1 + "' || " + id_expr + " || '" + _P2 + "' || " + id_expr
+        + " || '" + _P3 + "' || " + id_expr + " || '" + _P4 + "' || " + text_expr
+        + " || '" + _P5 + "' || " + nchars_expr + " || '" + _P6 + "')"
+    )
+
+
+def _expected_text_sql() -> str:
+    """Ground-truth extraction, built from the SOURCE columns — not by
+    running the regex twin — so the oracle pins INTENT, independent of
+    the implementation. The final collapse also normalizes any
+    whitespace runs inside the riding document text, exactly as the
+    extractor's last step does."""
+    raw = (
+        "('Doc ' || doc_id || ' Doc \"' || doc_id || '\" & more ' || text"
+        " || ' tail ' || n_chars)"
+    )
+    return rf"trim(regexp_replace({raw}, '\s+', ' ', 'g'))"
+
+
+def _status_case_sql() -> str:
+    return "CASE WHEN doc_id % 53 = 0 THEN 404 ELSE 200 END"
+
+
+def _warc_fixture_dir(spark, sf_dir: str) -> str:
+    """Synthesize the WARC fleet once per (dataset, mtime): _N_SHARDS
+    archives, each holding a warcinfo record (the reader must skip it)
+    plus one HTTP response per document (deterministic shard/order,
+    a 404 every 53rd doc, tracking params on every URI)."""
+    root = cache_dir("warc_fleet", data_key(sf_dir, "documents"))
+    sentinel = os.path.join(root, "_COMPLETE")
+    if os.path.exists(sentinel):
+        return root
+
+    from vmware_graph_spark.sources.warc import write_warc_files
+
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text", "n_chars")
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    shards: dict[str, list[dict]] = {f"shard_{i}": [] for i in range(_N_SHARDS)}
+    for did, text, nc in zip(rows["doc_id"], rows["text"], rows["n_chars"]):
+        did, nc = int(did), int(nc)
+        shards[f"shard_{did % _N_SHARDS}"].append(
+            {
+                "uri": (
+                    f"http://www.site{did % 5}.example.com/docs/{did}"
+                    "?utm_source=crawler"
+                ),
+                "status": 404 if did % 53 == 0 else 200,
+                "body": _html_page(did, text, nc).encode("utf-8"),
+            }
+        )
+    write_warc_files(shards, root)
+    with open(sentinel, "w") as f:
+        f.write("ok")
+    return root
+
+
+@query(
+    "warc_fleet_ingest",
+    f"""
+    SELECT doc_id,
+           CAST({_status_case_sql()} AS INTEGER) AS http_status,
+           CAST(length({_html_sql()}) AS BIGINT) AS body_chars,
+           md5({_html_sql()}) AS body_md5
+    FROM documents
+    """,
+)
+def warc_fleet_ingest(spark, sf_dir):
+    """REAL WARC ingest, end to end: a fleet of archives is synthesized
+    from the documents table (one HTTP response per doc + a warcinfo
+    record per shard), read back through the production distributed
+    reader (binaryFile + Arrow ``mapInPandas``, Content-Length framing),
+    and the oracle recomputes every record's status/char-count/body-md5
+    straight from the SOURCE rows — a framing slip, header mis-parse,
+    warcinfo leak, or byte corruption anywhere breaks the hash match.
+    Scale shape: parallelism = archive count (Common Crawl ships tens
+    of thousands of ~1 GB segments), no shuffle until aggregation."""
+    from vmware_graph_spark.sources.warc import read_warc
+
+    root = _warc_fixture_dir(spark, sf_dir)
+    recs = read_warc(spark, os.path.join(root, "*.warc"))
+    return recs.select(
+        F.regexp_extract("uri", r"/docs/(\d+)", 1).cast("bigint").alias("doc_id"),
+        F.col("http_status").cast("int").alias("http_status"),
+        F.length(F.col("body").cast("string")).cast("bigint").alias("body_chars"),
+        F.md5("body").alias("body_md5"),
+    )
+
+
+@query(
+    "html_extract_text_stats",
+    f"""
+    WITH exp AS (
+      SELECT doc_id, {_expected_text_sql()} AS t FROM documents
+    )
+    SELECT doc_id, md5(t) AS text_md5,
+           CAST(len({_toks('t')}) AS BIGINT) AS n_toks
+    FROM exp
+    """,
+)
+def html_extract_text_stats(spark, sf_dir):
+    """HTML→text extraction verified against GROUND TRUTH: the page is
+    built in Catalyst (concat over documents columns — zero UDF, zero
+    Python), pushed through ``html_to_text``, and the oracle constructs
+    the CORRECT plain text directly from the source columns (never by
+    re-running the regexes) — so a tag-strip leak (the template's
+    script contains a literal '<div>' and a bare '<'), a comment-
+    containing-tags slip, an entity mis-decode, or a collapse bug all
+    break the hash. The whole query is one codegen'd projection."""
+    d = load_table(spark, sf_dir, "documents")
+    t = html_to_text(_html_col())
+    return d.select(
+        "doc_id",
+        F.md5(t).alias("text_md5"),
+        n_tokens(t).cast("bigint").alias("n_toks"),
+    )
+
+
+@query(
+    "url_canonical_dedup",
+    """
+    WITH v AS (
+      SELECT 'http://www.site' || (doc_id % 5) || '.example.com/a/' || doc_id
+               || '?a=1&b=2' AS canonical_url,
+             3 AS n
+      FROM documents
+      UNION ALL
+      SELECT 'https://www.site' || (doc_id % 5) || '.example.com/a/' || doc_id
+               || '?a=1&b=2' AS canonical_url,
+             1 AS n
+      FROM documents
+    )
+    SELECT canonical_url, CAST(n AS BIGINT) AS n_raw_urls FROM v
+    """,
+)
+def url_canonical_dedup(spark, sf_dir):
+    """URL frontier dedup: four deterministic raw spellings per page
+    (scheme/host case, default ports, tracking params, fragments,
+    shuffled query order) canonicalize and group — three http variants
+    must collapse to ONE canonical URL and the https variant must stay
+    distinct (scheme changes identity). The oracle writes the expected
+    canonical strings directly, so every rule in the canonicalizer is
+    pinned to intent. Pure Catalyst: explode + regexp/array ops, one
+    aggregation shuffle on the canonical key."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    k = (F.col("doc_id") % 5).cast("string")
+    i = F.col("doc_id").cast("string")
+    v1 = F.concat(
+        F.lit("HTTP://WWW.Site"), k, F.lit(".Example.COM:80/a/"), i,
+        F.lit("?utm_source=feed&b=2&a=1#frag"),
+    )
+    v2 = F.concat(
+        F.lit("http://www.site"), k, F.lit(".example.com/a/"), i,
+        F.lit("?a=1&b=2&utm_campaign=x"),
+    )
+    v3 = F.concat(
+        F.lit("http://www.site"), k, F.lit(".example.com/a/"), i, F.lit("?b=2&a=1")
+    )
+    v4 = F.concat(
+        F.lit("https://www.site"), k, F.lit(".example.com:443/a/"), i,
+        F.lit("?a=1&b=2"),
+    )
+    urls = d.select(F.explode(F.array(v1, v2, v3, v4)).alias("url"))
+    return (
+        urls.select(url_canonical("url").alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(F.count("*").cast("bigint").alias("n_raw_urls"))
+    )
+
+
+@query(
+    "domain_quality_rollup",
+    """
+    SELECT 'www.site' || (doc_id % 5) || '.example.com' AS host,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def domain_quality_rollup(spark, sf_dir):
+    """Per-domain crawl report (the first table a crawl triage shows):
+    host extracted from the MESSY raw URL spelling (upper-case
+    authority, default port, userinfo-free) rolled up against document
+    quality columns. Exact integer aggregates; the one division is
+    IEEE-on-exact-ints, rounded identically on both sides."""
+    d = load_table(spark, sf_dir, "documents")
+    k = (F.col("doc_id") % 5).cast("string")
+    i = F.col("doc_id").cast("string")
+    raw = F.concat(
+        F.lit("HTTP://WWW.Site"), k, F.lit(".Example.COM:80/docs/"), i,
+        F.lit("?utm_source=feed"),
+    )
+    return (
+        d.select(url_host(raw).alias("host"), "lang", "n_chars")
+        .groupBy("host")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.count("*"), 6
+            ).alias("avg_chars"),
+        )
+    )
+
+
+@query(
+    "crawl_prep_pipeline",
+    f"""
+    WITH page AS (
+      SELECT doc_id,
+             'www.site' || (doc_id % 5) || '.example.com' AS host,
+             {html_to_text_sql(_html_sql())} AS t
+      FROM documents
+      WHERE doc_id % 53 <> 0
+    ),
+    scored AS (
+      SELECT host, t, len({_toks('t')}) AS n_toks, {lang_id_sql('t')} AS lang_pred
+      FROM page
+    )
+    SELECT host,
+           CAST(count(*) AS BIGINT) AS n_pages,
+           CAST(sum(n_toks) AS BIGINT) AS total_toks,
+           CAST(count(DISTINCT lang_pred) AS BIGINT) AS n_langs
+    FROM scored
+    WHERE n_toks >= 5
+    GROUP BY host
+    """,
+)
+def crawl_prep_pipeline(spark, sf_dir):
+    """The crawl-prep leg end to end, the way a 100 TB run composes it:
+    WARC fleet read (production distributed parser) → HTTP status gate
+    → HTML→text extraction (pure Catalyst) → host from the canonical
+    URL machinery → token/language scoring → per-domain corpus stats.
+    The oracle rebuilds the same pages in SQL and runs the extraction
+    TWIN (``html_to_text_sql``) — unlike ``html_extract_text_stats``
+    this row pins cross-engine regex parity of the full chain, so the
+    two queries together pin both intent and parity. One narrow
+    aggregation shuffle; everything upstream is a per-file scan."""
+    from vmware_graph_spark.sources.warc import read_warc
+
+    root = _warc_fixture_dir(spark, sf_dir)
+    recs = read_warc(spark, os.path.join(root, "*.warc"))
+    t = html_to_text(F.col("body").cast("string"))
+    page = recs.filter(F.col("http_status") == 200).select(
+        url_host("uri").alias("host"),
+        t.alias("t"),
+    )
+    scored = page.select(
+        "host",
+        n_tokens("t").cast("bigint").alias("n_toks"),
+        lang_id("t").alias("lang_pred"),
+    )
+    return (
+        scored.filter(F.col("n_toks") >= 5)
+        .groupBy("host")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pages"),
+            F.sum("n_toks").cast("bigint").alias("total_toks"),
+            F.countDistinct("lang_pred").cast("bigint").alias("n_langs"),
+        )
+    )
