@@ -1,0 +1,169 @@
+"""Scale measurement for the web-crawl prep family (round-9 addition):
+WARC fleet decode, HTML→text extraction, and URL canonicalization at
+1x/10x/100x ARCHIVE volume — the Common Crawl growth mode (more ~equal
+segments, not bigger ones).
+
+Fixture: the sf0.1 documents table (override via CRAWL_SRC_SF) rendered as deterministic HTML
+pages (the queries_ext21 template) into 8 .warc shards per copy;
+copies tenant-shift doc_ids so records stay distinct. 100x = 800
+archives / ~500k pages.
+
+Measured per scale N in {1, 10, 100} (copies):
+
+- ``warc_decode_s``: read_warc().count() — the per-archive Python
+  framing parse, parallelism = archive count;
+- ``crawl_pipeline_s``: the full crawl_prep_pipeline shape over the
+  scaled fleet (status gate → html_to_text → tokens/lang → host
+  rollup) — extraction is a pure-Catalyst regexp chain, so this is
+  the JVM-side cost on top of decode;
+- ``url_canon_s``: 4 raw spellings per page canonicalized + grouped
+  (one narrow shuffle on the canonical key).
+
+Usage: python tools/crawl_scalebench.py [out_json] [copies...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+FLEET = "/tmp/vgs_warc_fleet"
+SRC_SF = os.environ.get("CRAWL_SRC_SF", "/root/testdata/sf0.1")
+SHARDS_PER_COPY = 8
+
+
+def build_fleet(n_copies: int) -> int:
+    """Write n_copies * SHARDS_PER_COPY archives; returns page count.
+    Driver-side by design (fixture synthesis; the engine path under
+    test is the READ side)."""
+    import duckdb
+
+    from vmware_graph_spark.queries_ext21 import _html_page
+    from vmware_graph_spark.sources.warc import write_warc_files
+
+    if os.path.isdir(FLEET):
+        shutil.rmtree(FLEET)
+    rows = duckdb.sql(
+        f"SELECT doc_id, text, n_chars FROM "
+        f"read_parquet('{SRC_SF}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    n_pages = 0
+    for c in range(n_copies):
+        shards: dict[str, list[dict]] = {
+            f"c{c:03d}_s{i}": [] for i in range(SHARDS_PER_COPY)
+        }
+        for did, text, nc in rows:
+            tid = did + c * 1_000_000
+            shards[f"c{c:03d}_s{did % SHARDS_PER_COPY}"].append(
+                {
+                    "uri": (
+                        f"http://www.site{tid % 5}.example.com/docs/{tid}"
+                        "?utm_source=crawler"
+                    ),
+                    "status": 404 if tid % 53 == 0 else 200,
+                    "body": _html_page(tid, text, nc).encode("utf-8"),
+                }
+            )
+            n_pages += 1
+        write_warc_files(shards, FLEET)
+    return n_pages
+
+
+def main() -> None:
+    out_json = sys.argv[1] if len(sys.argv) > 1 else "/tmp/crawl_scalebench.json"
+    copies = [int(c) for c in sys.argv[2:]] or [1, 10, 100]
+
+    from pyspark.sql import functions as F
+
+    from vmware_graph_spark.functions.text import html_to_text, lang_id, n_tokens
+    from vmware_graph_spark.functions.url import url_canonical, url_host
+    from vmware_graph_spark.session import get_spark, tune
+    from vmware_graph_spark.sources.warc import read_warc
+
+    spark = get_spark("crawl-scalebench")
+    tune(spark)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    report: dict = {"load_1m_at_start": round(os.getloadavg()[0], 2), "copies": {}}
+    for n in copies:
+        t0 = time.time()
+        n_pages = build_fleet(n)
+        build_s = round(time.time() - t0, 1)
+        glob = f"{FLEET}/*.warc"
+        n_archives = n * SHARDS_PER_COPY
+
+        t0 = time.time()
+        decoded_rows = read_warc(spark, glob).count()
+        decode_s = round(time.time() - t0, 2)
+
+        t0 = time.time()
+        recs = read_warc(spark, glob)
+        t = html_to_text(F.col("body").cast("string"))
+        page = recs.filter(F.col("http_status") == 200).select(
+            url_host("uri").alias("host"), t.alias("t")
+        )
+        scored = page.select(
+            "host",
+            n_tokens("t").cast("bigint").alias("n_toks"),
+            lang_id("t").alias("lang_pred"),
+        )
+        rollup = (
+            scored.filter(F.col("n_toks") >= 5)
+            .groupBy("host")
+            .agg(
+                F.count("*").alias("n_pages"),
+                F.sum("n_toks").alias("total_toks"),
+                F.countDistinct("lang_pred").alias("n_langs"),
+            )
+        )
+        hosts = rollup.count()
+        pipeline_s = round(time.time() - t0, 2)
+
+        t0 = time.time()
+        recs = read_warc(spark, glob).select("uri")
+        variants = recs.select(
+            F.explode(
+                F.array(
+                    F.col("uri"),
+                    F.concat(F.col("uri"), F.lit("&utm_campaign=x")),
+                    F.concat(F.upper(F.col("uri")), F.lit("#frag")),
+                    F.regexp_replace("uri", "^http:", "https:"),
+                )
+            ).alias("url")
+        )
+        canon = (
+            variants.select(url_canonical("url").alias("c"))
+            .groupBy("c")
+            .agg(F.count("*").alias("n"))
+        )
+        canon_groups = canon.count()
+        url_s = round(time.time() - t0, 2)
+
+        entry = {
+            "archives": n_archives,
+            "pages": n_pages,
+            "build_fleet_s": build_s,
+            "warc_decode_s": decode_s,
+            "decode_pages_per_s": round(n_pages / decode_s, 0),
+            "decoded_rows": decoded_rows,
+            "crawl_pipeline_s": pipeline_s,
+            "pipeline_hosts": hosts,
+            "url_canon_s": url_s,
+            "url_raw_spellings": n_pages * 4,
+            "url_canon_groups": canon_groups,
+        }
+        report["copies"][f"{n}"] = entry
+        print(json.dumps({f"{n}": entry}), file=sys.stderr)
+
+    with open(out_json, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
