@@ -264,3 +264,57 @@ def test_url_dedup_query_is_pure_catalyst(spark):
     plan = buf.getvalue()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_streaming_crawl_ingest_equals_batch_twin(spark):
+    """The drained streaming rollup must equal crawl_prep_pipeline
+    row-for-row (per-page rows are batch-boundary independent), and a
+    second invocation must be a cache hit (no second stream run)."""
+    import time
+
+    from vmware_graph_spark.queries_ext21 import (
+        crawl_prep_pipeline,
+        streaming_crawl_ingest,
+    )
+
+    batch = {r.host: (r.n_pages, r.total_toks, r.n_langs)
+             for r in crawl_prep_pipeline(spark, SF).collect()}
+    streamed = {r.host: (r.n_pages, r.total_toks, r.n_langs)
+                for r in streaming_crawl_ingest(spark, SF).collect()}
+    assert streamed == batch
+    t0 = time.time()
+    again = {r.host: (r.n_pages, r.total_toks, r.n_langs)
+             for r in streaming_crawl_ingest(spark, SF).collect()}
+    assert again == batch
+    assert time.time() - t0 < 5  # cache hit: just a parquet read + agg
+
+
+def test_read_warc_stream_parity_with_batch_reader(spark, tmp_path):
+    """Same records, same columns, through both readers."""
+    from vmware_graph_spark.sources.warc import (
+        read_warc,
+        read_warc_stream,
+        write_warc_files,
+    )
+
+    shards = {
+        "a": [{"uri": "http://h/1", "body": b"<p>one</p>"}],
+        "b": [{"uri": "http://h/2", "body": b"<p>two</p>", "status": 500}],
+    }
+    write_warc_files(shards, str(tmp_path / "fleet"))
+    glob = str(tmp_path / "fleet" / "*.warc")
+    batch = read_warc(spark, glob)
+    stream = read_warc_stream(spark, glob, max_files_per_trigger=1)
+    assert stream.isStreaming and batch.schema == stream.schema
+    sink = str(tmp_path / "sink")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {(r.uri, r.http_status, bytes(r.body)) for r in spark.read.parquet(sink).collect()}
+    want = {(r.uri, r.http_status, bytes(r.body)) for r in batch.collect()}
+    assert got == want and len(want) == 2

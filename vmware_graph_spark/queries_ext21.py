@@ -351,3 +351,77 @@ def crawl_prep_pipeline(spark, sf_dir):
             F.countDistinct("lang_pred").cast("bigint").alias("n_langs"),
         )
     )
+
+
+_CRAWL_ROLLUP_SQL = f"""
+    WITH page AS (
+      SELECT doc_id,
+             'www.site' || (doc_id % 5) || '.example.com' AS host,
+             {html_to_text_sql(_html_sql())} AS t
+      FROM documents
+      WHERE doc_id % 53 <> 0
+    ),
+    scored AS (
+      SELECT host, t, len({_toks('t')}) AS n_toks, {lang_id_sql('t')} AS lang_pred
+      FROM page
+    )
+    SELECT host,
+           CAST(count(*) AS BIGINT) AS n_pages,
+           CAST(sum(n_toks) AS BIGINT) AS total_toks,
+           CAST(count(DISTINCT lang_pred) AS BIGINT) AS n_langs
+    FROM scored
+    WHERE n_toks >= 5
+    GROUP BY host
+"""
+
+
+@query("streaming_crawl_ingest", _CRAWL_ROLLUP_SQL)
+def streaming_crawl_ingest(spark, sf_dir):
+    """REAL streaming run of the crawl-prep leg: the WARC fleet arrives
+    as a ``binaryFile`` file-source STREAM (maxFilesPerTrigger=2 → four
+    micro-batches over the eight archives), each batch flowing through
+    the SAME executor-side parser as the batch reader
+    (``read_warc_stream`` shares ``_parse_files_fn`` verbatim) and the
+    same pure-Catalyst extraction chain, with per-page rows appended to
+    a parquet sink exactly-once via the checkpoint. Per-page rows are
+    independent of batch boundaries, so the drained sink's rollup must
+    equal the batch twin ``crawl_prep_pipeline`` row-for-row — the
+    oracle is that twin's SQL, unchanged. This is the continuous-crawl
+    shape at 100 TB: segments land, records flow, the corpus grows."""
+    from vmware_graph_spark.sources.warc import read_warc_stream
+
+    root = _warc_fixture_dir(spark, sf_dir)
+    run_dir = cache_dir("crawl_stream", data_key(sf_dir, "documents"))
+    sink = os.path.join(run_dir, "pages")
+    sentinel = os.path.join(run_dir, "_COMPLETE")
+    if not os.path.exists(sentinel):
+        os.makedirs(run_dir, exist_ok=True)
+        recs = read_warc_stream(
+            spark, os.path.join(root, "*.warc"), max_files_per_trigger=2
+        )
+        t = html_to_text(F.col("body").cast("string"))
+        page = recs.filter(F.col("http_status") == 200).select(
+            url_host("uri").alias("host"),
+            n_tokens(t).cast("bigint").alias("n_toks"),
+            lang_id(t).alias("lang_pred"),
+        )
+        q = (
+            page.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        with open(sentinel, "w") as f:
+            f.write("ok")
+    pages = spark.read.parquet(sink)
+    return (
+        pages.filter(F.col("n_toks") >= 5)
+        .groupBy("host")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pages"),
+            F.sum("n_toks").cast("bigint").alias("total_toks"),
+            F.countDistinct("lang_pred").cast("bigint").alias("n_langs"),
+        )
+    )

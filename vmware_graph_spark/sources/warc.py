@@ -194,23 +194,9 @@ _READ_SCHEMA = (
 )
 
 
-def read_warc(
-    spark: SparkSession,
-    path_glob: str,
-    *,
-    types: tuple[str, ...] = ("response",),
-) -> DataFrame:
-    """Distributed fleet read of WARC archives.
-
-    ``binaryFile`` lists + loads the files in parallel; each executor
-    parses its files with :func:`parse_warc` inside an Arrow-batched
-    ``mapInPandas`` (per-file iteration is executor-side over the
-    unsplittable archive grain — the same shape as the xlsx fleet
-    reader). ``types`` filters records at the parser (default: only
-    ``response`` — warcinfo/request records never leave the executor).
-    ``record_idx`` is the record's parse-order index within its file,
-    so (warc_file, record_idx) is a stable provenance key.
-    """
+def _parse_files_fn(types: tuple[str, ...]):
+    """The executor-side parse iterator shared by the batch and
+    streaming readers (mapInPandas over (path, content) batches)."""
     import pandas as pd
 
     want = set(types)
@@ -237,5 +223,52 @@ def read_warc(
                 if rows["warc_file"]:
                     yield pd.DataFrame(rows)
 
+    return parse_files
+
+
+def read_warc(
+    spark: SparkSession,
+    path_glob: str,
+    *,
+    types: tuple[str, ...] = ("response",),
+) -> DataFrame:
+    """Distributed fleet read of WARC archives.
+
+    ``binaryFile`` lists + loads the files in parallel; each executor
+    parses its files with :func:`parse_warc` inside an Arrow-batched
+    ``mapInPandas`` (per-file iteration is executor-side over the
+    unsplittable archive grain — the same shape as the xlsx fleet
+    reader). ``types`` filters records at the parser (default: only
+    ``response`` — warcinfo/request records never leave the executor).
+    ``record_idx`` is the record's parse-order index within its file,
+    so (warc_file, record_idx) is a stable provenance key.
+    """
     files = spark.read.format("binaryFile").load(path_glob).select("path", "content")
-    return files.mapInPandas(parse_files, _READ_SCHEMA)
+    return files.mapInPandas(_parse_files_fn(types), _READ_SCHEMA)
+
+
+#: binaryFile's fixed schema — streaming file sources require it
+#: up front (no inference on readStream).
+_BINARYFILE_SCHEMA = (
+    "path string, modificationTime timestamp, length bigint, content binary"
+)
+
+
+def read_warc_stream(
+    spark: SparkSession,
+    path_glob: str,
+    *,
+    types: tuple[str, ...] = ("response",),
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of :func:`read_warc`: a ``binaryFile`` file-source
+    stream (each arriving archive becomes records in some micro-batch,
+    exactly once via the sink checkpoint) through the SAME executor-side
+    parser — batch/stream semantic parity comes from sharing
+    ``_parse_files_fn`` verbatim. The continuous-crawl ingest shape:
+    segments land in a directory, records flow downstream."""
+    reader = spark.readStream.format("binaryFile").schema(_BINARYFILE_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    files = reader.load(path_glob).select("path", "content")
+    return files.mapInPandas(_parse_files_fn(types), _READ_SCHEMA)
