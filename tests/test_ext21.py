@@ -318,3 +318,66 @@ def test_read_warc_stream_parity_with_batch_reader(spark, tmp_path):
     got = {(r.uri, r.http_status, bytes(r.body)) for r in spark.read.parquet(sink).collect()}
     want = {(r.uri, r.http_status, bytes(r.body)) for r in batch.collect()}
     assert got == want and len(want) == 2
+
+
+# ---------------------------------------------------------------------------
+# robots.txt frontier filter
+# ---------------------------------------------------------------------------
+
+def test_robots_filter_longest_match_semantics(spark):
+    from vmware_graph_spark.operators.crawl import robots_filter
+
+    urls = spark.createDataFrame(
+        [
+            ("h1", "/a/x"),      # blocked by /a/
+            ("h1", "/a/b/c"),    # allowed by deeper /a/b carve-out
+            ("h1", "/other"),    # no matching rule -> allowed
+            ("h2", "/a/x"),      # rule-free host -> allowed
+            ("h1", ""),          # empty path, no match -> allowed
+        ],
+        "host string, path string",
+    )
+    rules = spark.createDataFrame(
+        [("h1", "/a/", False), ("h1", "/a/b", True)],
+        "host string, path_prefix string, allow boolean",
+    )
+    got = {(r.host, r.path): r.fetch_allowed for r in robots_filter(urls, rules).collect()}
+    assert got == {
+        ("h1", "/a/x"): False,
+        ("h1", "/a/b/c"): True,
+        ("h1", "/other"): True,
+        ("h2", "/a/x"): True,
+        ("h1", ""): True,
+    }
+
+
+def test_robots_filter_root_disallow_and_carveout(spark):
+    """Disallow-everything with one Allow carve-out (the common
+    crawl-hostile robots shape)."""
+    from vmware_graph_spark.operators.crawl import robots_filter
+
+    urls = spark.createDataFrame(
+        [("h", "/public/page"), ("h", "/private/x"), ("h", "/")],
+        "host string, path string",
+    )
+    rules = spark.createDataFrame(
+        [("h", "/", False), ("h", "/public/", True)],
+        "host string, path_prefix string, allow boolean",
+    )
+    got = {r.path: r.fetch_allowed for r in robots_filter(urls, rules).collect()}
+    assert got == {"/public/page": True, "/private/x": False, "/": False}
+
+
+def test_robots_filter_plan_broadcasts_and_never_shuffles_frontier(spark):
+    from vmware_graph_spark.queries_ext21 import robots_frontier_filter
+
+    df = robots_frontier_filter(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    # the only allowed exchanges are on the tiny rules side (its groupBy
+    # + the broadcast); the frontier must not hash-partition on its key
+    assert "hashpartitioning(doc_id" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

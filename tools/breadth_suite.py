@@ -101,6 +101,12 @@ FAMILY_REPRESENTATIVES = (
     "audio_wav_rms_windows",
     "dedup_against_persisted_index",
     "streaming_late_data_drop_audit",
+    # round-9: web-crawl prep (WARC source, HTML->text, URL canon)
+    "warc_fleet_ingest",
+    "html_extract_text_stats",
+    "url_canonical_dedup",
+    "crawl_prep_pipeline",
+    "streaming_crawl_ingest",
 )
 
 

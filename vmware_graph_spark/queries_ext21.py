@@ -425,3 +425,52 @@ def streaming_crawl_ingest(spark, sf_dir):
             F.countDistinct("lang_pred").cast("bigint").alias("n_langs"),
         )
     )
+
+
+@query(
+    "robots_frontier_filter",
+    """
+    SELECT doc_id,
+           'www.site' || (doc_id % 5) || '.example.com' AS host,
+           CAST(CASE
+             WHEN doc_id % 5 = 4 THEN 1
+             WHEN doc_id % 5 = 2 THEN
+               CASE WHEN CAST(doc_id AS VARCHAR) LIKE '1%'
+                     AND CAST(doc_id AS VARCHAR) NOT LIKE '12%'
+                    THEN 1 ELSE 0 END
+             ELSE CASE WHEN CAST(doc_id AS VARCHAR) LIKE '1%' THEN 1 ELSE 0 END
+           END AS INTEGER) AS fetch_allowed
+    FROM documents
+    """,
+)
+def robots_frontier_filter(spark, sf_dir):
+    """Crawl-frontier robots.txt gate (RFC 9309 longest-match): each
+    host's rules pack into ONE broadcast array row and every frontier
+    URL resolves per-row in Catalyst — the frontier itself never
+    shuffles. The fixture rules exercise every semantic: a Disallow
+    with an Allow carve-out inside it (hosts 0-3 block /a/ but allow
+    /a/1*), a deeper Disallow re-blocking inside the carve-out (host 2
+    blocks /a/12*), and a rule-free host (site4 — default allow). The
+    oracle writes the expected verdict as ground-truth CASE arms, so
+    the operator's precedence order is pinned to intent, not to its
+    own implementation."""
+    from vmware_graph_spark.operators.crawl import robots_filter
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    k = (F.col("doc_id") % 5).cast("string")
+    urls = d.select(
+        "doc_id",
+        F.concat(F.lit("www.site"), k, F.lit(".example.com")).alias("host"),
+        F.concat(F.lit("/a/"), F.col("doc_id").cast("string")).alias("path"),
+    )
+    hosts = [f"www.site{i}.example.com" for i in range(5)]
+    rule_rows = [(h, "/a/", False) for h in hosts[:4]]
+    rule_rows += [(h, "/a/1", True) for h in hosts]
+    rule_rows += [(hosts[2], "/a/12", False)]
+    rules = spark.createDataFrame(
+        rule_rows, "host string, path_prefix string, allow boolean"
+    )
+    out = robots_filter(urls, rules)
+    return out.select(
+        "doc_id", "host", F.col("fetch_allowed").cast("int").alias("fetch_allowed")
+    )
