@@ -381,3 +381,56 @@ def test_robots_filter_plan_broadcasts_and_never_shuffles_frontier(spark):
     # + the broadcast); the frontier must not hash-partition on its key
     assert "hashpartitioning(doc_id" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_warc_gzip_transparent_whole_and_per_member(spark, tmp_path):
+    """.warc.gz parses both as one gzip stream and as concatenated
+    per-record members (the Common Crawl layout)."""
+    import gzip
+
+    from vmware_graph_spark.sources.warc import make_warc_bytes, parse_warc, read_warc
+
+    recs = [
+        {"uri": "http://h/1", "body": b"<p>one</p>"},
+        {"uri": "http://h/2", "body": b"<p>two</p>"},
+    ]
+    whole = gzip.compress(make_warc_bytes(recs))
+    per_member = b"".join(gzip.compress(make_warc_bytes([r])) for r in recs)
+    for data in (whole, per_member):
+        uris = [r["uri"] for r in parse_warc(data)]
+        assert uris == ["http://h/1", "http://h/2"]
+    (tmp_path / "a.warc.gz").write_bytes(per_member)
+    out = read_warc(spark, str(tmp_path / "*.warc.gz")).collect()
+    assert {r.uri for r in out} == {"http://h/1", "http://h/2"}
+
+
+def test_jsonl_ingest_counts_reconcile(spark):
+    """Good + corrupt rows partition the corpus exactly."""
+    from vmware_graph_spark.queries_ext21 import jsonl_corpus_ingest
+    from vmware_graph_spark.sources.tables import load_table
+
+    out = {r.lang: (r.n_docs, r.total_toks)
+           for r in jsonl_corpus_ingest(spark, SF).collect()}
+    docs = load_table(spark, SF, "documents")
+    n_total = docs.count()
+    n_corrupt = docs.filter(F.col("doc_id") % 41 == 0).count()
+    assert sum(n for n, _ in out.values()) == n_total
+    assert out["_corrupt"] == (n_corrupt, 0)
+
+
+def test_politeness_waves_cap_and_conservation(spark):
+    from vmware_graph_spark.queries_ext21 import crawl_politeness_waves
+    from vmware_graph_spark.sources.tables import load_table
+
+    out = crawl_politeness_waves(spark, SF).collect()
+    docs_n = load_table(spark, SF, "documents").count()
+    assert sum(r.n_urls for r in out) == docs_n
+    assert all(1 <= r.n_urls <= 8 for r in out)
+    # every wave but a host's last must be FULL (no idle politeness slots)
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r.host, []).append((r.wave, r.n_urls))
+    for waves in by_host.values():
+        waves.sort()
+        assert [w for w, _ in waves] == list(range(1, len(waves) + 1))
+        assert all(n == 8 for _, n in waves[:-1])

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import os
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from vmware_graph_spark.functions.text import (
@@ -473,4 +474,137 @@ def robots_frontier_filter(spark, sf_dir):
     out = robots_filter(urls, rules)
     return out.select(
         "doc_id", "host", F.col("fetch_allowed").cast("int").alias("fetch_allowed")
+    )
+
+
+def _jsonl_fixture_dir(spark, sf_dir: str) -> str:
+    """JSONL corpus fixture: 4 shard files, one JSON object per line,
+    with every 41st document's line TRUNCATED mid-string (the classic
+    crash-mid-write corruption a permissive reader must survive and a
+    governance pass must count)."""
+    import json as _json
+
+    root = cache_dir("jsonl_corpus", data_key(sf_dir, "documents"))
+    sentinel = os.path.join(root, "_COMPLETE")
+    if os.path.exists(sentinel):
+        return root
+    os.makedirs(root, exist_ok=True)
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text", "lang")
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    shards: dict[int, list[str]] = {i: [] for i in range(4)}
+    for did, text, lang in zip(rows["doc_id"], rows["text"], rows["lang"]):
+        did = int(did)
+        line = _json.dumps(
+            {"doc_id": did, "text": text, "lang": lang}, separators=(",", ":")
+        )
+        if did % 41 == 0:
+            line = line[: len(line) // 2]  # truncated mid-record
+        shards[did % 4].append(line)
+    for i, lines in shards.items():
+        with open(os.path.join(root, f"part_{i}.jsonl"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+    with open(sentinel, "w") as f:
+        f.write("ok")
+    return root
+
+
+@query(
+    "jsonl_corpus_ingest",
+    """
+    SELECT CASE WHEN doc_id % 41 = 0 THEN '_corrupt' ELSE lang END AS lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN doc_id % 41 = 0 THEN 0
+                         ELSE len(list_filter(string_split_regex(text, '\\s+'),
+                                              x -> x <> '')) END) AS BIGINT)
+             AS total_toks
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def jsonl_corpus_ingest(spark, sf_dir):
+    """The JSONL landing leg (how LLM corpora actually arrive): a
+    sharded JSONL fixture with deterministic mid-record truncations is
+    read back through Spark's native json source in PERMISSIVE mode
+    with a corrupt-record column — good lines parse to typed columns,
+    torn lines land in the audit bucket instead of killing the job or
+    silently vanishing. Output: per-language doc/token counts with the
+    corrupt lines as their own '_corrupt' row, so the governance number
+    rides the same rollup. The oracle reconstructs both populations
+    from the source rows (a truncated line must parse as corrupt — if
+    the reader ever 'recovers' one, the counts break)."""
+    from vmware_graph_spark.functions.text import n_tokens
+
+    root = _jsonl_fixture_dir(spark, sf_dir)
+    schema = "doc_id bigint, text string, lang string, _corrupt string"
+    raw = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(os.path.join(root, "*.jsonl"))
+    )
+    tagged = raw.select(
+        F.when(F.col("_corrupt").isNotNull(), F.lit("_corrupt"))
+        .otherwise(F.col("lang"))
+        .alias("lang"),
+        F.when(F.col("_corrupt").isNotNull(), F.lit(0))
+        .otherwise(n_tokens("text"))
+        .cast("bigint")
+        .alias("n_toks"),
+    )
+    return tagged.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("total_toks"),
+    )
+
+
+@query(
+    "crawl_politeness_waves",
+    """
+    WITH u AS (
+      SELECT 'www.site' || (doc_id % 5) || '.example.com' AS host,
+             md5('http://www.site' || (doc_id % 5) || '.example.com/a/'
+                 || doc_id) AS ord
+      FROM documents
+    ),
+    r AS (
+      SELECT host, row_number() OVER (PARTITION BY host ORDER BY ord) AS rn
+      FROM u
+    )
+    SELECT host, CAST((rn - 1) // 8 + 1 AS BIGINT) AS wave,
+           CAST(count(*) AS BIGINT) AS n_urls
+    FROM r GROUP BY host, wave
+    """,
+)
+def crawl_politeness_waves(spark, sf_dir):
+    """Frontier scheduling under per-host politeness: each host fetches
+    at most 8 URLs per wave, so the frontier partitions into
+    (host, wave) batches — the dispatch plan a polite crawler executes.
+    The per-host window is the POINT (politeness serializes a host
+    anyway, so a host's frontier is one partition's work by
+    definition); deterministic md5 order stands in for priority. A
+    pathological single-host frontier would route through
+    ``operators.rank.exact_global_rank`` instead — same contract as the
+    other user-scale windows."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    k = (F.col("doc_id") % 5).cast("string")
+    url = F.concat(
+        F.lit("http://www.site"), k, F.lit(".example.com/a/"),
+        F.col("doc_id").cast("string"),
+    )
+    u = d.select(
+        F.concat(F.lit("www.site"), k, F.lit(".example.com")).alias("host"),
+        F.md5(url).alias("ord"),
+    )
+    w = Window.partitionBy("host").orderBy("ord")
+    r = u.select("host", F.row_number().over(w).alias("rn"))
+    return (
+        r.select(
+            "host", (((F.col("rn") - 1) / 8).cast("bigint") + 1).alias("wave")
+        )
+        .groupBy("host", "wave")
+        .agg(F.count("*").cast("bigint").alias("n_urls"))
     )

@@ -116,6 +116,13 @@ def parse_warc(data: bytes) -> Iterator[dict]:
     line, unparseable/missing Content-Length, truncated block) — a
     silently-skipped record is a silently-shrunk corpus.
     """
+    if data[:2] == b"\x1f\x8b":
+        # Transparent gzip: Common Crawl ships .warc.gz with one gzip
+        # MEMBER per record; gzip.decompress consumes concatenated
+        # members, so both whole-file and per-record compression parse.
+        import gzip
+
+        data = gzip.decompress(data)
     pos, n = 0, len(data)
     while pos < n:
         # Tolerate extra record separators (some writers pad).
