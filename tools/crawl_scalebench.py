@@ -144,6 +144,43 @@ def main() -> None:
         canon_groups = canon.count()
         url_s = round(time.time() - t0, 2)
 
+        stream_entry = None
+        if n >= 10:
+            # Streaming twin at scale: 8 archives per micro-batch →
+            # n batches; per-batch cost should stay flat (stateless
+            # projection, the parser is the same function object).
+            import shutil as _sh
+            import tempfile
+
+            from vmware_graph_spark.sources.warc import read_warc_stream
+
+            run = tempfile.mkdtemp(prefix="vgs_crawl_stream_")
+            recs_s = read_warc_stream(spark, glob, max_files_per_trigger=8)
+            t_s = html_to_text(F.col("body").cast("string"))
+            page_s = recs_s.filter(F.col("http_status") == 200).select(
+                url_host("uri").alias("host"),
+                n_tokens(t_s).cast("bigint").alias("n_toks"),
+            )
+            t0 = time.time()
+            q = (
+                page_s.writeStream.format("parquet")
+                .option("path", os.path.join(run, "sink"))
+                .option("checkpointLocation", os.path.join(run, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(1800)
+            stream_wall = round(time.time() - t0, 2)
+            n_batches = max(1, n_archives // 8)
+            sunk = spark.read.parquet(os.path.join(run, "sink")).count()
+            stream_entry = {
+                "stream_wall_s": stream_wall,
+                "micro_batches": n_batches,
+                "per_batch_s": round(stream_wall / n_batches, 3),
+                "rows_sunk": sunk,
+            }
+            _sh.rmtree(run, ignore_errors=True)
+
         entry = {
             "archives": n_archives,
             "pages": n_pages,
@@ -157,6 +194,8 @@ def main() -> None:
             "url_raw_spellings": n_pages * 4,
             "url_canon_groups": canon_groups,
         }
+        if stream_entry is not None:
+            entry["streaming"] = stream_entry
         report["copies"][f"{n}"] = entry
         print(json.dumps({f"{n}": entry}), file=sys.stderr)
 
