@@ -434,3 +434,27 @@ def test_politeness_waves_cap_and_conservation(spark):
         waves.sort()
         assert [w for w, _ in waves] == list(range(1, len(waves) + 1))
         assert all(n == 8 for _, n in waves[:-1])
+
+
+def test_sniff_charset_precedence_and_twin(spark):
+    import duckdb
+
+    from vmware_graph_spark.functions.text import sniff_charset, sniff_charset_sql
+
+    cases = [
+        ("text/html; charset=UTF-8", '<meta charset="latin-1">', "utf-8"),
+        ("text/html", '<meta charset=big5>', "big5"),
+        ("text/html", '<meta http-equiv="Content-Type" content="text/html; charset=KOI8-R">', "koi8-r"),
+        ("text/html", "<p>nothing</p>", "utf-8"),
+        ("TEXT/HTML; CHARSET='Windows-1252'", "", "windows-1252"),
+    ]
+    df = spark.createDataFrame(cases, "ct string, page string, want string")
+    got = df.select(sniff_charset("ct", "page").alias("c"), "want").collect()
+    assert all(r.c == r.want for r in got), [(r.c, r.want) for r in got]
+    con = duckdb.connect()
+    sql = sniff_charset_sql("ct", "page")
+    for ct, page, want in cases:
+        v = con.execute(
+            f"select {sql} from (select ? as ct, ? as page)", [ct, page]
+        ).fetchone()[0]
+        assert v == want, (ct, page, v, want)

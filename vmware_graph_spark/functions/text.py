@@ -221,3 +221,47 @@ def html_to_text_sql(expr: str) -> str:
         r = rep.replace("'", "''")
         out = f"regexp_replace({out}, '{p}', '{r}', 'g')"
     return rf"trim(regexp_replace({out}, '\s+', ' ', 'g'))"
+
+
+# ---------------------------------------------------------------------------
+# Charset sniffing (crawl prep): WHATWG precedence — the transport
+# header wins, then <meta charset>, then the legacy http-equiv form,
+# else UTF-8. Same Java/RE2-portable construct set as html_to_text.
+# ---------------------------------------------------------------------------
+
+_CHARSET_HDR_RE = r"""(?i)charset=["']?([A-Za-z0-9_\-]+)"""
+_CHARSET_META_RE = r"""(?i)<meta\s+charset=["']?([A-Za-z0-9_\-]+)"""
+_CHARSET_EQUIV_RE = r"""(?i)<meta[^>]*http-equiv[^>]*charset=([A-Za-z0-9_\-]+)"""
+
+
+def sniff_charset(http_content_type: Column | str, html: Column | str) -> Column:
+    """Effective charset of a fetched page (lowercased): HTTP
+    Content-Type parameter > ``<meta charset>`` > legacy
+    ``http-equiv`` content charset > ``utf-8``. Pure Catalyst."""
+    ct = F.col(http_content_type) if isinstance(http_content_type, str) else http_content_type
+    h = F.col(html) if isinstance(html, str) else html
+    hdr = F.lower(F.regexp_extract(ct, _CHARSET_HDR_RE, 1))
+    meta = F.lower(F.regexp_extract(h, _CHARSET_META_RE, 1))
+    equiv = F.lower(F.regexp_extract(h, _CHARSET_EQUIV_RE, 1))
+    return (
+        F.when(hdr != "", hdr)
+        .when(meta != "", meta)
+        .when(equiv != "", equiv)
+        .otherwise(F.lit("utf-8"))
+    )
+
+
+def sniff_charset_sql(ct: str, html: str) -> str:
+    """DuckDB twin of :func:`sniff_charset` (backslashes embed verbatim
+    in DuckDB standard strings; the patterns' single quotes double)."""
+    p_hdr = _CHARSET_HDR_RE.replace("'", "''")
+    p_meta = _CHARSET_META_RE.replace("'", "''")
+    p_equiv = _CHARSET_EQUIV_RE.replace("'", "''")
+    hdr = f"lower(regexp_extract({ct}, '{p_hdr}', 1))"
+    meta = f"lower(regexp_extract({html}, '{p_meta}', 1))"
+    equiv = f"lower(regexp_extract({html}, '{p_equiv}', 1))"
+    return (
+        f"CASE WHEN {hdr} <> '' THEN {hdr} "
+        f"WHEN {meta} <> '' THEN {meta} "
+        f"WHEN {equiv} <> '' THEN {equiv} ELSE 'utf-8' END"
+    )

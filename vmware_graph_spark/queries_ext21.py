@@ -608,3 +608,52 @@ def crawl_politeness_waves(spark, sf_dir):
         .groupBy("host", "wave")
         .agg(F.count("*").cast("bigint").alias("n_urls"))
     )
+
+
+@query(
+    "charset_sniff_pages",
+    """
+    SELECT doc_id,
+           CASE doc_id % 4
+             WHEN 0 THEN 'utf-8'
+             WHEN 1 THEN 'windows-1252'
+             WHEN 2 THEN 'iso-8859-1'
+             ELSE 'shift_jis'
+           END AS charset
+    FROM documents
+    """,
+)
+def charset_sniff_pages(spark, sf_dir):
+    """Effective-charset detection with WHATWG precedence (transport
+    header > <meta charset> > legacy http-equiv > utf-8 default) —
+    the step a crawl runs before decoding bytes to text. Four
+    deterministic page shapes exercise every precedence arm, including
+    the header-beats-meta and the http-equiv-only legacy form; the
+    oracle writes the expected charset per arm as ground truth. Pure
+    Catalyst (page + header built by concat/CASE, sniffed by the
+    regexp chain)."""
+    from vmware_graph_spark.functions.text import sniff_charset
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % 4
+    ct = (
+        F.when(m == 0, F.lit("text/html; charset=UTF-8"))
+        .when(m == 2, F.lit("text/html; charset=iso-8859-1"))
+        .otherwise(F.lit("text/html"))
+    )
+    page = (
+        F.when(
+            m == 1,
+            F.lit('<html><head><meta charset="windows-1252"></head><body>x</body></html>'),
+        )
+        .when(
+            m == 3,
+            F.lit(
+                '<html><head><meta http-equiv="Content-Type" '
+                'content="text/html; charset=Shift_JIS"></head>'
+                "<body>x</body></html>"
+            ),
+        )
+        .otherwise(F.lit("<html><head></head><body>x</body></html>"))
+    )
+    return d.select("doc_id", sniff_charset(ct, page).alias("charset"))
