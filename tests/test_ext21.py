@@ -458,3 +458,58 @@ def test_sniff_charset_precedence_and_twin(spark):
             f"select {sql} from (select ? as ct, ? as page)", [ct, page]
         ).fetchone()[0]
         assert v == want, (ct, page, v, want)
+
+
+def test_extract_and_resolve_hrefs(spark):
+    from vmware_graph_spark.functions.url import extract_hrefs, resolve_href
+
+    df = spark.createDataFrame(
+        [
+            (
+                "http",
+                "h.com",
+                '<a href="HTTPS://X.com/a">1</a> <a class=q href=/rel>2</a> '
+                '<a href="#f">3</a> <a href="mailto:a@b">4</a> '
+                "<a href='page.html'>5</a>",
+            )
+        ],
+        "s string, h string, html string",
+    )
+    out = df.select(
+        F.explode(extract_hrefs("html")).alias("href"), "s", "h"
+    ).select(
+        "href", resolve_href(F.col("s"), F.col("h"), F.col("href")).alias("r")
+    ).collect()
+    got = {r.href: r.r for r in out}
+    assert got == {
+        "HTTPS://X.com/a": "HTTPS://X.com/a",
+        "/rel": "http://h.com/rel",
+        "#f": None,
+        "mailto:a@b": None,
+        "page.html": None,  # path-relative deliberately out of frontier scope
+    }
+
+
+def test_link_frontier_boundary_doc_is_new(spark):
+    """The max-id page's absolute link discovers a never-crawled URL."""
+    from vmware_graph_spark.queries_ext21 import link_frontier_discovery
+    from vmware_graph_spark.sources.tables import load_table
+
+    out = {r.host: r.n_new_urls for r in link_frontier_discovery(spark, SF).collect()}
+    docs = load_table(spark, SF, "documents")
+    import pyspark.sql.functions as Fn
+
+    mx = docs.agg(Fn.max("doc_id")).collect()[0][0]
+    per_host = {
+        r["k"]: r["n"]
+        for r in docs.groupBy((Fn.col("doc_id") % 5).alias("k"))
+        .agg(Fn.count("*").alias("n"))
+        .collect()
+    }
+    # gaps in doc_id also add absolute-link discoveries; compute exactly
+    ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    for did in ids:
+        if did + 1 not in ids:
+            per_host[(did + 1) % 5] = per_host.get((did + 1) % 5, 0) + 1
+    want = {f"www.site{k}.example.com": n for k, n in per_host.items()}
+    assert out == want

@@ -107,6 +107,11 @@ FAMILY_REPRESENTATIVES = (
     "url_canonical_dedup",
     "crawl_prep_pipeline",
     "streaming_crawl_ingest",
+    "robots_frontier_filter",
+    "jsonl_corpus_ingest",
+    "crawl_politeness_waves",
+    "charset_sniff_pages",
+    "link_frontier_discovery",
 )
 
 

@@ -119,3 +119,34 @@ def url_canonical_sql(x: str) -> str:
         f"({url_scheme_sql(x)} || '://' || {url_host_sql(x)} || {url_path_sql(x)} || "
         f"CASE WHEN {qs} = '' THEN '' ELSE '?' || {qs} END)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Link extraction + resolution (the frontier-growing half of a crawl).
+# ---------------------------------------------------------------------------
+
+_HREF_RE = r"""(?i)<a\s[^>]*href=["']?([^"'\s>]+)"""
+
+
+def extract_hrefs(html: Column | str) -> Column:
+    """All anchor hrefs in a page (array<string>), as written —
+    absolute, relative, fragments, javascript: alike. Resolution and
+    filtering are :func:`resolve_href`'s job."""
+    h = F.col(html) if isinstance(html, str) else html
+    return F.regexp_extract_all(h, F.lit(_HREF_RE), 1)
+
+
+def resolve_href(scheme: Column, host: Column, href: Column) -> Column:
+    """Resolve one href against its page's scheme://host: absolute
+    http(s) passes through, root-relative joins the page origin,
+    everything else (fragments, javascript:, mailto:, path-relative —
+    which needs path algebra a frontier doesn't want) resolves to NULL
+    and drops out of the frontier."""
+    return (
+        F.when(href.rlike(r"(?i)^https?://"), href)
+        .when(
+            href.startswith("/"),
+            F.concat(scheme, F.lit("://"), host, href),
+        )
+        .otherwise(F.lit(None).cast("string"))
+    )

@@ -657,3 +657,78 @@ def charset_sniff_pages(spark, sf_dir):
         .otherwise(F.lit("<html><head></head><body>x</body></html>"))
     )
     return d.select("doc_id", sniff_charset(ct, page).alias("charset"))
+
+
+@query(
+    "link_frontier_discovery",
+    """
+    WITH rel_new AS (
+      SELECT (doc_id % 5) AS k, 1 AS n FROM documents
+    ),
+    abs_new AS (
+      SELECT ((doc_id + 1) % 5) AS k, 1 AS n FROM documents d
+      WHERE NOT EXISTS (
+        SELECT 1 FROM documents d2 WHERE d2.doc_id = d.doc_id + 1
+      )
+    ),
+    u AS (SELECT * FROM rel_new UNION ALL SELECT * FROM abs_new)
+    SELECT 'www.site' || k || '.example.com' AS host,
+           CAST(sum(n) AS BIGINT) AS n_new_urls
+    FROM u GROUP BY 1
+    """,
+)
+def link_frontier_discovery(spark, sf_dir):
+    """The frontier-growing half of the crawl loop: pages carry four
+    anchors each (an absolute link to the NEXT document's page, a
+    root-relative link, a javascript: and a fragment link), hrefs are
+    harvested and resolved in Catalyst, canonicalized, DISTINCT'd, and
+    anti-joined against the already-crawled canonical set — what
+    survives is the next fetch wave. The oracle derives the expected
+    delta from first principles: every root-relative /b/{id} is new;
+    the absolute link to doc_id+1's page is new ONLY where no such
+    document exists (corpus boundary / id gaps) — so a resolution,
+    canonicalization (the absolute link carries a tracking param and
+    the relative one a fragment), or anti-join bug each breaks
+    different rows. Scale shape: extraction is per-row, the frontier
+    delta is one distinct + one anti-join on the canonical key."""
+    from vmware_graph_spark.functions.url import (
+        extract_hrefs,
+        resolve_href,
+        url_scheme,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    k = (F.col("doc_id") % 5).cast("string")
+    k_next = ((F.col("doc_id") + 1) % 5).cast("string")
+    i = F.col("doc_id").cast("string")
+    i_next = (F.col("doc_id") + 1).cast("string")
+    page_url = F.concat(
+        F.lit("http://www.site"), k, F.lit(".example.com/a/"), i
+    )
+    body = F.concat(
+        F.lit('<html><body><a href="http://www.site'), k_next,
+        F.lit(".example.com/a/"), i_next,
+        F.lit('?utm_source=x">next</a><a href="/b/'), i,
+        F.lit('#frag">rel</a><a href="javascript:void(0)">js</a>'),
+        F.lit('<a href="#top">top</a></body></html>'),
+    )
+    pages = d.select(page_url.alias("url"), body.alias("html"))
+    crawled = pages.select(url_canonical("url").alias("canon"))
+    hrefs = pages.select(
+        url_scheme("url").alias("s"),
+        url_host("url").alias("h"),
+        F.explode(extract_hrefs("html")).alias("href"),
+    )
+    resolved = hrefs.select(
+        resolve_href(F.col("s"), F.col("h"), F.col("href")).alias("r")
+    ).filter(F.col("r").isNotNull())
+    frontier = (
+        resolved.select(url_canonical("r").alias("canon"))
+        .distinct()
+        .join(crawled, "canon", "left_anti")
+    )
+    return (
+        frontier.select(url_host("canon").alias("host"))
+        .groupBy("host")
+        .agg(F.count("*").cast("bigint").alias("n_new_urls"))
+    )
