@@ -181,6 +181,54 @@ def main() -> None:
             }
             _sh.rmtree(run, ignore_errors=True)
 
+        # Link-frontier discovery at scale: pages replicated in-engine
+        # (explode over a copy index, tenant-shifted ids), then the full
+        # harvest -> resolve -> canonicalize -> distinct -> anti-join.
+        from vmware_graph_spark.functions.url import (
+            extract_hrefs,
+            resolve_href,
+            url_canonical,
+            url_host,
+            url_scheme,
+        )
+
+        t0 = time.time()
+        base = spark.read.parquet(f"{SRC_SF}/documents.parquet").select("doc_id")
+        d = base.select(
+            "doc_id", F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("c")
+        ).select((F.col("doc_id") + F.col("c") * 1_000_000).alias("doc_id"))
+        kk = (F.col("doc_id") % 5).cast("string")
+        kn = ((F.col("doc_id") + 1) % 5).cast("string")
+        ii = F.col("doc_id").cast("string")
+        inx = (F.col("doc_id") + 1).cast("string")
+        pages_f = d.select(
+            F.concat(
+                F.lit("http://www.site"), kk, F.lit(".example.com/a/"), ii
+            ).alias("url"),
+            F.concat(
+                F.lit('<html><body><a href="http://www.site'), kn,
+                F.lit(".example.com/a/"), inx,
+                F.lit('?utm_source=x">n</a><a href="/b/'), ii,
+                F.lit('#f">r</a></body></html>'),
+            ).alias("html"),
+        )
+        crawled = pages_f.select(url_canonical("url").alias("canon"))
+        hrefs = pages_f.select(
+            url_scheme("url").alias("s"),
+            url_host("url").alias("h"),
+            F.explode(extract_hrefs("html")).alias("href"),
+        )
+        resolved = hrefs.select(
+            resolve_href(F.col("s"), F.col("h"), F.col("href")).alias("r")
+        ).filter(F.col("r").isNotNull())
+        frontier_n = (
+            resolved.select(url_canonical("r").alias("canon"))
+            .distinct()
+            .join(crawled, "canon", "left_anti")
+            .count()
+        )
+        frontier_s = round(time.time() - t0, 2)
+
         entry = {
             "archives": n_archives,
             "pages": n_pages,
@@ -193,6 +241,9 @@ def main() -> None:
             "url_canon_s": url_s,
             "url_raw_spellings": n_pages * 4,
             "url_canon_groups": canon_groups,
+            "link_frontier_s": frontier_s,
+            "link_hrefs_resolved": n_pages * 2,
+            "link_frontier_new": frontier_n,
         }
         if stream_entry is not None:
             entry["streaming"] = stream_entry
