@@ -513,3 +513,73 @@ def test_link_frontier_boundary_doc_is_new(spark):
             per_host[(did + 1) % 5] = per_host.get((did + 1) % 5, 0) + 1
     want = {f"www.site{k}.example.com": n for k, n in per_host.items()}
     assert out == want
+
+
+# ---------------------------------------------------------------------------
+# persisted ANN index
+# ---------------------------------------------------------------------------
+
+def test_ann_index_probe_equals_inflight_twin(spark, tmp_path):
+    """Index-only probe must be decision-identical to ivf_learned_topk,
+    and the probe must raise loudly on a foreign/missing marker."""
+    import json
+
+    from vmware_graph_spark.operators.similarity import (
+        ann_topk_against_index,
+        ivf_learned_topk,
+        write_ann_index,
+    )
+    from vmware_graph_spark.sources.tables import load_table
+
+    e = load_table(spark, SF, "embeddings")
+    qs = e.filter(F.col("vec_id") % 50 == 0).select("vec_id", "embedding")
+    idx = str(tmp_path / "idx")
+    import os
+
+    os.makedirs(idx)
+    write_ann_index(e, idx, "vec_id", "embedding", "label")
+    got = {
+        (r.qid, r.rank): (r.cid, round(r.cos, 9))
+        for r in ann_topk_against_index(
+            spark, idx, qs, "vec_id", "embedding", k=5
+        ).collect()
+    }
+    want = {
+        (r.qid, r.rank): (r.cid, round(r.cos, 9))
+        for r in ivf_learned_topk(
+            e, qs, "vec_id", "embedding", "label", k=5
+        ).collect()
+    }
+    assert got == want and got
+    # foreign marker -> loud failure
+    with open(os.path.join(idx, "format.json"), "w") as f:
+        json.dump({"kind": "something_else"}, f)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ann_topk_against_index(spark, idx, qs, "vec_id", "embedding")
+
+
+def test_ann_index_crash_marker_rule(spark, tmp_path):
+    """format.json is stamped LAST: a crash mid-write leaves no marker,
+    so a reader fails loudly instead of probing a half-built index."""
+    import os
+
+    from vmware_graph_spark.operators.similarity import write_ann_index
+    from vmware_graph_spark.sources.tables import load_table
+
+    e = load_table(spark, SF, "embeddings")
+    idx = str(tmp_path / "idx2")
+    os.makedirs(idx)
+    write_ann_index(e, idx, "vec_id", "embedding", "label")
+    assert os.path.exists(os.path.join(idx, "format.json"))
+    # rebuild removes the marker FIRST — simulate a crash right after
+    os.remove(os.path.join(idx, "format.json"))
+    from vmware_graph_spark.operators.similarity import ann_topk_against_index
+
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        ann_topk_against_index(
+            spark, idx, e.limit(1), "vec_id", "embedding"
+        )

@@ -112,6 +112,8 @@ FAMILY_REPRESENTATIVES = (
     "crawl_politeness_waves",
     "charset_sniff_pages",
     "link_frontier_discovery",
+    # round-9: persisted ANN index (day-2 similarity serving)
+    "ann_topk_against_persisted_index",
 )
 
 

@@ -898,3 +898,87 @@ def hard_negatives(
             "rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted ANN index: the day-2 serving shape for learned IVF (the
+# similarity-search mirror of operators/dedup.write_dedup_index).
+# ---------------------------------------------------------------------------
+
+
+def write_ann_index(
+    df: DataFrame, path: str, id_col: str, vec_col: str, label_col: str
+) -> None:
+    """Train and PERSIST the learned-IVF serving artifacts ONCE: the
+    ``centroids`` table (clabel, dim, c — the codebook) and the
+    ``corpus`` table (cid, assigned_label, vec) — everything
+    :func:`ivf_learned_topk` re-derives from the corpus on every call.
+    Day-2 ANN at 100 TB: arriving query batches probe reading ONLY the
+    (cluster-keyed, partition-prunable) index slices their assigned
+    lists hit; the corpus embeddings are never re-scanned. ``format.json``
+    is removed first and stamped only after BOTH tables land (the
+    dedup-index crash-consistency rule: a marker must never cover a
+    partially rebuilt index).
+    """
+    import json
+    import os
+
+    try:
+        os.remove(os.path.join(path, "format.json"))
+    except FileNotFoundError:
+        pass
+    cent = centroids_by_label(df, label_col, vec_col)
+    cent.write.mode("overwrite").parquet(f"{path}/centroids.parquet")
+    # Assign against the PERSISTED codebook so the index is internally
+    # consistent even if the in-memory plan would recompute differently.
+    spark = df.sparkSession
+    cent_r = spark.read.parquet(f"{path}/centroids.parquet")
+    assign = assign_to_centroids(df, id_col, vec_col, cent_r)
+    corpus = (
+        df.select(F.col(id_col).alias("cid"), as_double_vec(vec_col).alias("vec"))
+        .join(
+            assign.select(F.col(id_col).alias("cid"), "assigned_label"), "cid"
+        )
+    )
+    corpus.repartition("assigned_label").write.mode("overwrite").partitionBy(
+        "assigned_label"
+    ).parquet(f"{path}/corpus.parquet")
+    with open(os.path.join(path, "format.json"), "w") as f:
+        json.dump({"kind": "ann_ivf_learned", "version": 1}, f)
+
+
+def ann_topk_against_index(
+    spark, path: str, queries: DataFrame, id_col: str, vec_col: str, *, k: int = 5
+) -> DataFrame:
+    """Probe a persisted ANN index: assign the query batch to the
+    persisted codebook, equi-join its inverted lists (cluster-partitioned
+    parquet → partition-pruned scan), exact cosine top-k within the
+    list. Reads ONLY the index — given the same corpus, results are
+    decision-identical to the in-flight :func:`ivf_learned_topk`
+    (shared oracle + equality pytest). Readers are coordination-free;
+    rebuild/probe concurrency follows the dedup index's single-writer
+    contract. Raises loudly on a missing/foreign format marker."""
+    import json
+    import os
+
+    with open(os.path.join(path, "format.json")) as f:
+        fmt = json.load(f)
+    if fmt.get("kind") != "ann_ivf_learned":
+        raise ValueError(f"not an ANN index: {fmt!r}")
+    cent = spark.read.parquet(f"{path}/centroids.parquet")
+    corpus = spark.read.parquet(f"{path}/corpus.parquet")
+    qassign = assign_to_centroids(queries, id_col, vec_col, cent)
+    qs = queries.select(
+        F.col(id_col).alias("qid"), as_double_vec(vec_col).alias("__vq")
+    ).join(qassign.select(F.col(id_col).alias("qid"), "assigned_label"), "qid")
+    scored = (
+        qs.join(corpus, "assigned_label")
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn("cos", cosine(F.col("__vq"), F.col("vec")))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "cid")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", "cos", "rank")
+    )

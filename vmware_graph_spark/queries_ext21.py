@@ -732,3 +732,40 @@ def link_frontier_discovery(spark, sf_dir):
         .groupBy("host")
         .agg(F.count("*").cast("bigint").alias("n_new_urls"))
     )
+
+
+def _ann_index_dir(sf_dir: str) -> str:
+    return os.path.join(
+        cache_dir("ann_index", data_key(sf_dir, "embeddings")), "index"
+    )
+
+
+def _ivf_learned_oracle() -> str:
+    from vmware_graph_spark.queries import ORACLE
+
+    return ORACLE["ivf_learned_topk_embeddings"]
+
+
+@query("ann_topk_against_persisted_index", _ivf_learned_oracle())
+def ann_topk_against_persisted_index(spark, sf_dir):
+    """Day-2 ANN serving: the learned-IVF codebook + cluster-partitioned
+    corpus lists persist ONCE (``write_ann_index``), and the query
+    batch (vec_id % 50 = 0) probes reading ONLY the index — assignment
+    against the persisted centroids, partition-pruned inverted-list
+    scan, exact cosine top-5 within the list. Results are
+    decision-identical to the in-flight ``ivf_learned_topk`` twin, so
+    the oracle is that twin's SQL, unchanged (the dedup-index
+    discipline applied to similarity search)."""
+    from vmware_graph_spark.operators.similarity import (
+        ann_topk_against_index,
+        write_ann_index,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    idx = _ann_index_dir(sf_dir)
+    if not os.path.exists(os.path.join(idx, "format.json")):
+        os.makedirs(idx, exist_ok=True)
+        write_ann_index(e, idx, "vec_id", "embedding", "label")
+    qs = e.filter(F.col("vec_id") % 50 == 0).select("vec_id", "embedding")
+    out = ann_topk_against_index(spark, idx, qs, "vec_id", "embedding", k=5)
+    return out.select("qid", "cid", F.round("cos", 6).alias("cos"), "rank")
