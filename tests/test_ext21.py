@@ -583,3 +583,139 @@ def test_ann_index_crash_marker_rule(spark, tmp_path):
         ann_topk_against_index(
             spark, idx, e.limit(1), "vec_id", "embedding"
         )
+
+
+# ---------------------------------------------------------------------------
+# property tests: cross-engine parity over generated hostile inputs
+# ---------------------------------------------------------------------------
+
+def test_url_canonical_twin_parity_property(spark):
+    """Spark and DuckDB twins must agree on URLs assembled from random
+    parts (case, ports, userinfo, params incl. tracking, fragments)."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from vmware_graph_spark.functions.url import url_canonical, url_canonical_sql
+
+    con = duckdb.connect()
+    sql = url_canonical_sql("u")
+
+    host_chars = st.text("abcXYZ09.-", min_size=1, max_size=8)
+    param = st.sampled_from(
+        ["a=1", "b=2", "utm_source=x", "gclid=9", "z=", "k=v&broken"]
+    )
+    urls = st.builds(
+        lambda scheme, user, host, port, path, params, frag: (
+            scheme
+            + "://"
+            + (user + "@" if user else "")
+            + host
+            + port
+            + path
+            + ("?" + "&".join(params) if params else "")
+            + ("#" + frag if frag else "")
+        ),
+        st.sampled_from(["http", "HTTP", "https", "HtTpS", "ftp"]),
+        st.sampled_from(["", "u", "u:p"]),
+        host_chars,
+        st.sampled_from(["", ":80", ":443", ":8080"]),
+        st.sampled_from(["", "/", "/A/b", "/x%20y"]),
+        st.lists(param, max_size=3),
+        st.sampled_from(["", "f", "sec?x=1"]),
+    )
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.lists(urls, min_size=1, max_size=8, unique=True))
+    def check(batch):
+        df = spark.createDataFrame([(u,) for u in batch], "u string")
+        got = {
+            r.u: r.c
+            for r in df.select("u", url_canonical("u").alias("c")).collect()
+        }
+        for u in batch:
+            want = con.execute(
+                f"select {sql} from (select ? as u)", [u]
+            ).fetchone()[0]
+            assert got[u] == want, (u, got[u], want)
+
+    check()
+
+
+def test_html_to_text_twin_parity_property(spark):
+    """Spark and DuckDB extraction chains must agree on pages assembled
+    from random markup fragments (nesting, entities, hostile text)."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from vmware_graph_spark.functions.text import html_to_text, html_to_text_sql
+
+    con = duckdb.connect()
+    sql = html_to_text_sql("h")
+
+    frag = st.sampled_from(
+        [
+            "plain words",
+            "<p>para</p>",
+            "<script>var a = '<b>';</script>",
+            "<style>p{x:1}</style>",
+            "<!-- <div>c</div> -->",
+            "&amp;lt; &quot;q&quot; x&nbsp;y",
+            "<SCRIPT a=b>S</SCRIPT>",
+            "<div class='k'>d</div>",
+            "a < b",
+            "tag<br>break",
+            "\n\t  ",
+        ]
+    )
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.lists(frag, min_size=1, max_size=6))
+    def check(frags):
+        page = "".join(frags)
+        df = spark.createDataFrame([(page,)], "h string")
+        got = df.select(html_to_text("h").alias("t")).collect()[0].t
+        want = con.execute(
+            f"select {sql} from (select ? as h)", [page]
+        ).fetchone()[0]
+        assert got == want, (page, got, want)
+
+    check()
+
+
+def test_ann_index_extend_incremental_and_idempotent(spark, tmp_path):
+    """Extend = assign-against-persisted-codebook + append; a probe
+    after extend sees the new vectors; a retried (overlapping) extend
+    changes nothing."""
+    import os
+
+    from vmware_graph_spark.operators.similarity import (
+        ann_topk_against_index,
+        extend_ann_index,
+        write_ann_index,
+    )
+    from vmware_graph_spark.sources.tables import load_table
+
+    e = load_table(spark, SF, "embeddings")
+    old = e.filter(F.col("vec_id") % 3 != 0)
+    new = e.filter(F.col("vec_id") % 3 == 0).select("vec_id", "embedding")
+    idx = str(tmp_path / "idx")
+    os.makedirs(idx)
+    write_ann_index(old, idx, "vec_id", "embedding", "label")
+    qs = e.filter(F.col("vec_id") % 50 == 0).select("vec_id", "embedding")
+    before = {(r.qid, r.rank): r.cid
+              for r in ann_topk_against_index(spark, idx, qs, "vec_id", "embedding").collect()}
+    extend_ann_index(new, idx, "vec_id", "embedding")
+    after = {(r.qid, r.rank): r.cid
+             for r in ann_topk_against_index(spark, idx, qs, "vec_id", "embedding").collect()}
+    new_ids = {r.vec_id for r in new.collect()}
+    assert any(cid in new_ids for cid in after.values())
+    assert before != after
+    # retried/overlapping extend is a no-op
+    extend_ann_index(new, idx, "vec_id", "embedding")
+    again = {(r.qid, r.rank): r.cid
+             for r in ann_topk_against_index(spark, idx, qs, "vec_id", "embedding").collect()}
+    assert again == after
+    n_rows = spark.read.parquet(f"{idx}/corpus.parquet").count()
+    assert n_rows == e.count()

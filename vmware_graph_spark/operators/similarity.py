@@ -982,3 +982,39 @@ def ann_topk_against_index(
         .filter(F.col("rank") <= k)
         .select("qid", "cid", "cos", "rank")
     )
+
+
+def extend_ann_index(
+    new: DataFrame, path: str, id_col: str, vec_col: str
+) -> None:
+    """APPEND a batch of new vectors to a persisted ANN index — the
+    grow-the-corpus half of day-2 similarity serving: assign the batch
+    against the PERSISTED codebook (never retrained here — codebook
+    refresh is an explicit rebuild decision, see SCALING.md's √n
+    note), then append cluster-partitioned rows. Cost ∝ batch.
+
+    IDEMPOTENT under retries and overlapping batches: ids already in
+    the corpus are anti-joined away before anything is derived (the
+    extend_dedup_index rule). Single-writer contract: one of
+    write/extend at a time; probes are coordination-free."""
+    import json
+    import os
+
+    with open(os.path.join(path, "format.json")) as f:
+        fmt = json.load(f)
+    if fmt.get("kind") != "ann_ivf_learned":
+        raise ValueError(f"not an ANN index: {fmt!r}")
+    spark = new.sparkSession
+    cent = spark.read.parquet(f"{path}/centroids.parquet")
+    existing = spark.read.parquet(f"{path}/corpus.parquet").select(
+        F.col("cid").alias(id_col)
+    )
+    fresh = new.join(existing, id_col, "left_anti")
+    assign = assign_to_centroids(fresh, id_col, vec_col, cent)
+    corpus = (
+        fresh.select(F.col(id_col).alias("cid"), as_double_vec(vec_col).alias("vec"))
+        .join(assign.select(F.col(id_col).alias("cid"), "assigned_label"), "cid")
+    )
+    corpus.repartition("assigned_label").write.mode("append").partitionBy(
+        "assigned_label"
+    ).parquet(f"{path}/corpus.parquet")
