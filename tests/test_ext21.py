@@ -719,3 +719,53 @@ def test_ann_index_extend_incremental_and_idempotent(spark, tmp_path):
     assert again == after
     n_rows = spark.read.parquet(f"{idx}/corpus.parquet").count()
     assert n_rows == e.count()
+
+
+def test_robots_filter_property_vs_reference_model(spark):
+    """The Catalyst longest-match resolution must agree with an
+    independent Python reference (RFC 9309: longest prefix wins,
+    Allow beats Disallow on ties, default allow) over generated rule
+    sets and paths."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from vmware_graph_spark.operators.crawl import robots_filter
+
+    prefix = st.sampled_from(["/", "/a", "/a/", "/a/b", "/ab", "/b", "/a/b/c"])
+    rule = st.tuples(prefix, st.booleans())
+    path = st.sampled_from(
+        ["/", "/a", "/a/", "/a/b", "/a/bx", "/a/b/c/d", "/ab", "/b/z", "/c", ""]
+    )
+
+    def reference(rules, p):
+        best = None  # (score, allow)
+        for pre, allow in rules:
+            if p.startswith(pre):
+                score = 2 * len(pre) + int(allow)
+                if best is None or score > best[0]:
+                    best = (score, allow)
+        return True if best is None else best[1]
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.dictionaries(prefix, st.booleans(), max_size=5),
+        st.lists(path, min_size=1, max_size=6, unique=True),
+    )
+    def check(rule_map, paths):
+        rules = [("h", pre, allow) for pre, allow in rule_map.items()]
+        urls = spark.createDataFrame(
+            [("h", p) for p in paths], "host string, path string"
+        )
+        rules_df = spark.createDataFrame(
+            rules or [("h", "/__never__", True)],
+            "host string, path_prefix string, allow boolean",
+        )
+        got = {
+            r.path: r.fetch_allowed
+            for r in robots_filter(urls, rules_df).collect()
+        }
+        eff_rules = list(rule_map.items()) if rule_map else [("/__never__", True)]
+        for p in paths:
+            assert got[p] == reference(eff_rules, p), (rule_map, p, got[p])
+
+    check()
