@@ -769,3 +769,20 @@ def test_robots_filter_property_vs_reference_model(spark):
             assert got[p] == reference(eff_rules, p), (rule_map, p, got[p])
 
     check()
+
+
+def test_mrr_rows_exclude_self_and_bound(spark):
+    from vmware_graph_spark.queries_ext21 import mrr_retrieval_labels
+    from vmware_graph_spark.sources.tables import load_table
+
+    out = mrr_retrieval_labels(spark, SF).collect()
+    qs_n = (
+        load_table(spark, SF, "embeddings").filter(F.col("vec_id") % 20 == 0).count()
+    )
+    assert len(out) == qs_n  # no-hit queries still present
+    for r in out:
+        assert 0 <= r.first_rel_rank <= 10
+        if r.first_rel_rank == 0:
+            assert r.rr == 0.0
+        else:
+            assert abs(r.rr - round(1 / r.first_rel_rank, 6)) < 1e-12

@@ -769,3 +769,73 @@ def ann_topk_against_persisted_index(spark, sf_dir):
     qs = e.filter(F.col("vec_id") % 50 == 0).select("vec_id", "embedding")
     out = ann_topk_against_index(spark, idx, qs, "vec_id", "embedding", k=5)
     return out.select("qid", "cid", F.round("cos", 6).alias("cos"), "rank")
+
+
+@query(
+    "mrr_retrieval_labels",
+    """
+    WITH pts AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT * FROM pts WHERE vec_id % 20 = 0),
+    s AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS nlabel,
+             list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+      FROM q CROSS JOIN pts c WHERE c.vec_id <> q.vec_id
+    ),
+    r AS (
+      SELECT query_id, nlabel,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM s
+    ),
+    hit AS (
+      SELECT r.query_id, min(r.rank) AS first_rel_rank
+      FROM r JOIN q ON q.vec_id = r.query_id
+      WHERE r.rank <= 10 AND r.nlabel = q.label
+      GROUP BY r.query_id
+    )
+    SELECT q.vec_id AS query_id,
+           CAST(coalesce(h.first_rel_rank, 0) AS BIGINT) AS first_rel_rank,
+           round(CASE WHEN h.first_rel_rank IS NULL THEN 0.0
+                      ELSE 1.0 / h.first_rel_rank END, 6) AS rr
+    FROM q LEFT JOIN hit h ON h.query_id = q.vec_id
+    """,
+)
+def mrr_retrieval_labels(spark, sf_dir):
+    """Mean-reciprocal-rank eval rows (the metric the nDCG/RBO/recall
+    eval set was missing): for each query vector, the rank of the
+    FIRST same-label neighbor within the exact cosine top-10, and its
+    reciprocal (0 when no relevant neighbor makes the cut — queries
+    with no hit must still appear, or the mean silently inflates).
+    MRR itself is avg(rr) — left per-row so the hash gate pins every
+    query's outcome, not one scalar."""
+    # _score/_topk rather than cosine_topk: the ranked list must
+    # EXCLUDE the query itself (cosine 1.0 with its own label would
+    # hand every query a free rank-1 hit), and the self-filter has to
+    # sit between scoring and ranking so rank stays dense.
+    from vmware_graph_spark.operators.similarity import _score, _topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") % 20 == 0)
+    scored = _score(qs, e, "vec_id", "embedding").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    top = _topk(scored, 10)
+    qlab = qs.select(F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel"))
+    nlab = e.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlabel"))
+    hits = (
+        top.join(qlab, "query_id")
+        .join(nlab, "neighbor_id")
+        .filter(F.col("nlabel") == F.col("qlabel"))
+        .groupBy("query_id")
+        .agg(F.min("rank").alias("first_rel_rank"))
+    )
+    return qlab.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce("first_rel_rank", F.lit(0)).cast("bigint").alias("first_rel_rank"),
+        F.round(
+            F.when(F.col("first_rel_rank").isNull(), F.lit(0.0)).otherwise(
+                1.0 / F.col("first_rel_rank")
+            ),
+            6,
+        ).alias("rr"),
+    )
