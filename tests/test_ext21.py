@@ -169,6 +169,8 @@ def _canon_one(spark, url: str) -> str:
 def test_url_canonical_rules(spark):
     cases = {
         "HTTP://WWW.Ex.COM:80/a?utm_source=x&b=2&a=1#f": "http://www.ex.com/a?a=1&b=2",
+        # a '?' INSIDE the dropped fragment must not resurrect as a query
+        "http://ex.com/a#sec?x=1": "http://ex.com/a",
         "https://Ex.com:443/": "https://ex.com/",
         "https://user:pw@Ex.com:8443/x": "https://ex.com:8443/x",  # non-default port kept
         "http://ex.com": "http://ex.com/",  # empty path -> '/'
@@ -282,11 +284,24 @@ def test_streaming_crawl_ingest_equals_batch_twin(spark):
     streamed = {r.host: (r.n_pages, r.total_toks, r.n_langs)
                 for r in streaming_crawl_ingest(spark, SF).collect()}
     assert streamed == batch
-    t0 = time.time()
+    ckpt_dir = None
+    import os as _os
+    from vmware_graph_spark.tmpcache import cache_dir, data_key
+    run_dir = cache_dir("crawl_stream", data_key(SF, "documents"))
+    ckpt_dir = _os.path.join(run_dir, "ckpt")
+    mtime_before = max(
+        _os.path.getmtime(_os.path.join(r, f))
+        for r, _, fs in _os.walk(ckpt_dir) for f in fs
+    )
     again = {r.host: (r.n_pages, r.total_toks, r.n_langs)
              for r in streaming_crawl_ingest(spark, SF).collect()}
     assert again == batch
-    assert time.time() - t0 < 5  # cache hit: just a parquet read + agg
+    # cache hit = no second stream run: the checkpoint was not touched
+    mtime_after = max(
+        _os.path.getmtime(_os.path.join(r, f))
+        for r, _, fs in _os.walk(ckpt_dir) for f in fs
+    )
+    assert mtime_after == mtime_before
 
 
 def test_read_warc_stream_parity_with_batch_reader(spark, tmp_path):
@@ -444,6 +459,7 @@ def test_sniff_charset_precedence_and_twin(spark):
     cases = [
         ("text/html; charset=UTF-8", '<meta charset="latin-1">', "utf-8"),
         ("text/html", '<meta charset=big5>', "big5"),
+        ("text/html", '<meta data-x="1" charset="gbk">', "gbk"),  # attr order free
         ("text/html", '<meta http-equiv="Content-Type" content="text/html; charset=KOI8-R">', "koi8-r"),
         ("text/html", "<p>nothing</p>", "utf-8"),
         ("TEXT/HTML; CHARSET='Windows-1252'", "", "windows-1252"),
@@ -470,7 +486,7 @@ def test_extract_and_resolve_hrefs(spark):
                 "h.com",
                 '<a href="HTTPS://X.com/a">1</a> <a class=q href=/rel>2</a> '
                 '<a href="#f">3</a> <a href="mailto:a@b">4</a> '
-                "<a href='page.html'>5</a>",
+                "<a href='page.html'>5</a> <a href=\"//cdn.ex.net/j\">6</a>",
             )
         ],
         "s string, h string, html string",
@@ -487,6 +503,7 @@ def test_extract_and_resolve_hrefs(spark):
         "#f": None,
         "mailto:a@b": None,
         "page.html": None,  # path-relative deliberately out of frontier scope
+        "//cdn.ex.net/j": "http://cdn.ex.net/j",  # protocol-relative takes page scheme
     }
 
 

@@ -230,7 +230,13 @@ def html_to_text_sql(expr: str) -> str:
 # ---------------------------------------------------------------------------
 
 _CHARSET_HDR_RE = r"""(?i)charset=["']?([A-Za-z0-9_\-]+)"""
-_CHARSET_META_RE = r"""(?i)<meta\s+charset=["']?([A-Za-z0-9_\-]+)"""
+# [^>]*? before charset: attribute order in <meta> is unconstrained
+# ('<meta id="x" charset="gbk">' is valid HTML), so requiring charset
+# to be the FIRST attribute silently fell through to the utf-8 default
+# (round-9 review finding). This laxer form also matches the
+# http-equiv tag's content charset — harmless, the equiv arm would
+# return the same value one precedence step later.
+_CHARSET_META_RE = r"""(?i)<meta[^>]*?\scharset=["']?([A-Za-z0-9_\-]+)"""
 _CHARSET_EQUIV_RE = r"""(?i)<meta[^>]*http-equiv[^>]*charset=([A-Za-z0-9_\-]+)"""
 
 

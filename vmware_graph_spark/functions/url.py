@@ -25,7 +25,11 @@ TRACKING_PARAM_RE = r"^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|ref)="
 _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
 _AUTH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
 _PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
-_QUERY_RE = r"\?([^#]*)"
+# Anchored past the fragment-free prefix: a '?' INSIDE the fragment
+# ("/a#sec?x=1") must not resurrect as a query string, or two
+# spellings differing only in fragment get different canonicals
+# (round-9 review finding — shared by the SQL twin via this constant).
+_QUERY_RE = r"^[^#]*\?([^#]*)"
 
 
 def _c(col: Column | str) -> Column:
@@ -138,12 +142,16 @@ def extract_hrefs(html: Column | str) -> Column:
 
 def resolve_href(scheme: Column, host: Column, href: Column) -> Column:
     """Resolve one href against its page's scheme://host: absolute
-    http(s) passes through, root-relative joins the page origin,
-    everything else (fragments, javascript:, mailto:, path-relative —
-    which needs path algebra a frontier doesn't want) resolves to NULL
-    and drops out of the frontier."""
+    http(s) passes through, protocol-relative ('//cdn.x.com/p') takes
+    the page's scheme, root-relative joins the page origin, everything
+    else (fragments, javascript:, mailto:, path-relative — which needs
+    path algebra a frontier doesn't want) resolves to NULL and drops
+    out of the frontier. The '//' check must precede the '/' check or
+    protocol-relative links would fabricate 'http://host//cdn.x.com/p'
+    (round-9 review finding)."""
     return (
         F.when(href.rlike(r"(?i)^https?://"), href)
+        .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
         .when(
             href.startswith("/"),
             F.concat(scheme, F.lit("://"), host, href),

@@ -296,9 +296,11 @@ def domain_quality_rollup(spark, sf_dir):
     )
 
 
-@query(
-    "crawl_prep_pipeline",
-    f"""
+# ONE definition serves both the batch query and its streaming twin —
+# the twin's whole contract is "equals the batch rollup row-for-row",
+# so the shared oracle must exist exactly once (round-9 review
+# finding: it was two hand-maintained verbatim copies).
+_CRAWL_ROLLUP_SQL = f"""
     WITH page AS (
       SELECT doc_id,
              'www.site' || (doc_id % 5) || '.example.com' AS host,
@@ -317,8 +319,10 @@ def domain_quality_rollup(spark, sf_dir):
     FROM scored
     WHERE n_toks >= 5
     GROUP BY host
-    """,
-)
+"""
+
+
+@query("crawl_prep_pipeline", _CRAWL_ROLLUP_SQL)
 def crawl_prep_pipeline(spark, sf_dir):
     """The crawl-prep leg end to end, the way a 100 TB run composes it:
     WARC fleet read (production distributed parser) → HTTP status gate
@@ -354,26 +358,6 @@ def crawl_prep_pipeline(spark, sf_dir):
     )
 
 
-_CRAWL_ROLLUP_SQL = f"""
-    WITH page AS (
-      SELECT doc_id,
-             'www.site' || (doc_id % 5) || '.example.com' AS host,
-             {html_to_text_sql(_html_sql())} AS t
-      FROM documents
-      WHERE doc_id % 53 <> 0
-    ),
-    scored AS (
-      SELECT host, t, len({_toks('t')}) AS n_toks, {lang_id_sql('t')} AS lang_pred
-      FROM page
-    )
-    SELECT host,
-           CAST(count(*) AS BIGINT) AS n_pages,
-           CAST(sum(n_toks) AS BIGINT) AS total_toks,
-           CAST(count(DISTINCT lang_pred) AS BIGINT) AS n_langs
-    FROM scored
-    WHERE n_toks >= 5
-    GROUP BY host
-"""
 
 
 @query("streaming_crawl_ingest", _CRAWL_ROLLUP_SQL)
@@ -413,7 +397,11 @@ def streaming_crawl_ingest(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        if not q.awaitTermination(600):
+            # A sentinel over a half-drained sink would cache a wrong
+            # answer forever (round-9 review finding) — fail loudly.
+            q.stop()
+            raise TimeoutError("streaming crawl ingest did not drain in 600s")
         with open(sentinel, "w") as f:
             f.write("ok")
     pages = spark.read.parquet(sink)
@@ -514,12 +502,11 @@ def _jsonl_fixture_dir(spark, sf_dir: str) -> str:
 
 @query(
     "jsonl_corpus_ingest",
-    """
+    f"""
     SELECT CASE WHEN doc_id % 41 = 0 THEN '_corrupt' ELSE lang END AS lang,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(CASE WHEN doc_id % 41 = 0 THEN 0
-                         ELSE len(list_filter(string_split_regex(text, '\\s+'),
-                                              x -> x <> '')) END) AS BIGINT)
+                         ELSE len({_toks('text')}) END) AS BIGINT)
              AS total_toks
     FROM documents
     GROUP BY 1
