@@ -30,6 +30,13 @@ ENGINE_CONF = {
     # The events fixture stores TIMESTAMP(NANOS) which Spark refuses by
     # default; read as long and convert in sources.tables.load_table.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Hive-style ${var} substitution rewrites SQL TEXT before parsing,
+    # so a column literally named `${0}` vanishes inside selectExpr no
+    # matter how it is backtick-escaped (hypothesis found this via the
+    # hostile-identifier property tests). The engine never uses
+    # variable substitution; turning it off makes the SQL-string
+    # ingest/merge paths total over arbitrary sheet column names.
+    "spark.sql.variable.substitute": "false",
 }
 
 
