@@ -171,10 +171,16 @@ def test_url_canonical_rules(spark):
         "HTTP://WWW.Ex.COM:80/a?utm_source=x&b=2&a=1#f": "http://www.ex.com/a?a=1&b=2",
         # a '?' INSIDE the dropped fragment must not resurrect as a query
         "http://ex.com/a#sec?x=1": "http://ex.com/a",
+        # '?' is legal INSIDE a query: anchor to the FIRST '?', so these
+        # two spellings stay distinct instead of colliding on 'x=2'
+        "http://ex.com/p?a=1?x=2": "http://ex.com/p?a=1?x=2",
+        "http://ex.com/p?a=9?x=2": "http://ex.com/p?a=9?x=2",
         "https://Ex.com:443/": "https://ex.com/",
         "https://user:pw@Ex.com:8443/x": "https://ex.com:8443/x",  # non-default port kept
         "http://ex.com": "http://ex.com/",  # empty path -> '/'
-        "http://ex.com/?gclid=1&fbclid=2&ref=3&msclkid=4": "http://ex.com/",
+        # 'ref' is content-bearing (e.g. a branch selector) and KEPT;
+        # only the unambiguous analytics tags drop
+        "http://ex.com/?gclid=1&fbclid=2&ref=3&msclkid=4": "http://ex.com/?ref=3",
         "http://ex.com/p?keep=1&utm_=x": "http://ex.com/p?keep=1",
         "ftp://Ex.com:80/f": "ftp://ex.com:80/f",  # :80 only default for http
     }
@@ -329,7 +335,7 @@ def test_read_warc_stream_parity_with_batch_reader(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "stream did not drain in 300s"
     got = {(r.uri, r.http_status, bytes(r.body)) for r in spark.read.parquet(sink).collect()}
     want = {(r.uri, r.http_status, bytes(r.body)) for r in batch.collect()}
     assert got == want and len(want) == 2
@@ -381,6 +387,97 @@ def test_robots_filter_root_disallow_and_carveout(spark):
     )
     got = {r.path: r.fetch_allowed for r in robots_filter(urls, rules).collect()}
     assert got == {"/public/page": True, "/private/x": False, "/": False}
+
+
+def test_robots_filter_wildcards_and_anchor(spark):
+    """RFC 9309 '*' and trailing '$': wildcard disallows, anchored
+    match (no-match past the anchor), literal metachars, and
+    most-octets precedence over a shorter Allow."""
+    from vmware_graph_spark.operators.crawl import robots_filter
+
+    urls = spark.createDataFrame(
+        [("h", p) for p in
+         ["/a/14", "/a/1", "/x.pdf", "/x.pdfz", "/s?sessionid=1",
+          "/s?x=1", "/dot.path", "/dotXpath"]],
+        "host string, path string",
+    )
+    rules = spark.createDataFrame(
+        [("h", "/a/", False), ("h", "/a/1", True), ("h", "/a/*4$", False),
+         ("h", "/*.pdf$", False), ("h", "/*?sessionid=", False),
+         ("h", "/dot.path", False)],
+        "host string, path_prefix string, allow boolean",
+    )
+    got = {r.path: r.fetch_allowed for r in robots_filter(urls, rules).collect()}
+    assert got == {
+        "/a/14": False,        # /a/*4$ (6 octets) out-scores Allow /a/1 (4)
+        "/a/1": True,          # carve-out still wins where no wildcard hits
+        "/x.pdf": False,       # the classic Disallow: /*.pdf$
+        "/x.pdfz": True,       # $ anchors: .pdfz does NOT match
+        "/s?sessionid=1": False,
+        "/s?x=1": True,
+        "/dot.path": False,    # '.' matched literally...
+        "/dotXpath": True,     # ...so it must NOT match as regex-any
+    }
+
+
+def test_parse_robots_txt_group_selection():
+    """RFC 9309 §2.2.1: exact token, prefix token, group merging,
+    '*' fallback, empty-value no-op, comments/unknown fields."""
+    from vmware_graph_spark.operators.crawl import parse_robots_txt
+
+    txt = (
+        "# comment\n"
+        "User-agent: examplebot\n"
+        "Disallow: /private/   # trailing comment\n"
+        "Allow: /private/ok\n"
+        "\n"
+        "User-agent: otherbot\n"
+        "User-agent: examplebot\n"
+        "Disallow: /*.zip$\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /\n"
+        "Crawl-delay: 10\n"
+        "Sitemap: http://e/s.xml\n"
+        "\n"
+        "User-agent: greedybot\n"
+        "Disallow:\n"
+    )
+    want = [("/private/", False), ("/private/ok", True), ("/*.zip$", False)]
+    assert parse_robots_txt(txt, "ExampleBot") == want          # case-insensitive
+    assert parse_robots_txt(txt, "examplebot-news") == want     # prefix token
+    assert parse_robots_txt(txt, "unknown") == [("/", False)]   # * fallback
+    assert parse_robots_txt(txt, "greedybot") == []             # empty = no-op
+    assert parse_robots_txt("", "x") == []
+    # most-specific prefix beats a shorter one
+    two = "User-agent: ex\nDisallow: /short\n\nUser-agent: examp\nDisallow: /long\n"
+    assert parse_robots_txt(two, "examplebot") == [("/long", False)]
+
+
+def test_robots_group_gate_arms(spark):
+    """Every selection arm of robots_txt_group_gate produces the
+    arithmetic verdict the oracle derives."""
+    from vmware_graph_spark.queries_ext21 import robots_txt_group_gate
+
+    out = robots_txt_group_gate(spark, SF).collect()
+    assert out
+    for r in out:
+        want = 1 if (r.doc_id % 5 == 3 or r.doc_id % 10 == r.doc_id % 5) else 0
+        assert r.fetch_allowed == want, (r.doc_id, r.host, r.fetch_allowed)
+
+
+def test_robots_group_gate_plan_never_shuffles_frontier(spark):
+    from vmware_graph_spark.queries_ext21 import robots_txt_group_gate
+
+    df = robots_txt_group_gate(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    assert "hashpartitioning(doc_id" not in plan
+    # the only Python node allowed is the robots-side parser
+    assert plan.count("ArrowEvalPython") == 0
 
 
 def test_robots_filter_plan_broadcasts_and_never_shuffles_frontier(spark):
@@ -505,6 +602,42 @@ def test_extract_and_resolve_hrefs(spark):
         "page.html": None,  # path-relative deliberately out of frontier scope
         "//cdn.ex.net/j": "http://cdn.ex.net/j",  # protocol-relative takes page scheme
     }
+
+
+def test_extract_hrefs_not_hijacked_by_attr_value(spark):
+    """An earlier attribute whose VALUE contains 'href=' must not
+    hijack the capture (round-10 review finding)."""
+    from vmware_graph_spark.functions.url import extract_hrefs
+
+    df = spark.createDataFrame(
+        [
+            ('<a href="/real" data-x="href=evil">t</a>',),
+            ('<a data-x="href=evil" href="/real">t</a>',),
+            ("<a\nclass='k'\nhref=/nl>t</a>",),  # newline separators
+        ],
+        "html string",
+    )
+    got = [r.hs for r in df.select(extract_hrefs("html").alias("hs")).collect()]
+    assert got == [["/real"], ["/real"], ["/nl"]]
+
+
+def test_warc_non_utf8_header_bytes_parse(spark):
+    """Real archives carry non-UTF-8 bytes in header values; the parser
+    must fall back to latin-1 instead of raising UnicodeDecodeError."""
+    from vmware_graph_spark.sources.warc import make_warc_bytes, parse_warc
+
+    data = bytearray(
+        make_warc_bytes(
+            [{"uri": "http://h/XX", "body": b"<p>x</p>", "record_id": "<urn:r:0>"}]
+        )
+    )
+    # patch the URI's placeholder to raw 0xE9 0xFF (invalid UTF-8)
+    i = data.find(b"http://h/XX")
+    data[i + 9 : i + 11] = b"\xe9\xff"
+    recs = list(parse_warc(bytes(data)))
+    assert len(recs) == 1
+    assert recs[0]["uri"] == "http://h/" + b"\xe9\xff".decode("latin-1")
+    assert recs[0]["body"] == b"<p>x</p>"
 
 
 def test_link_frontier_boundary_doc_is_new(spark):
@@ -739,26 +872,41 @@ def test_ann_index_extend_incremental_and_idempotent(spark, tmp_path):
 
 
 def test_robots_filter_property_vs_reference_model(spark):
-    """The Catalyst longest-match resolution must agree with an
-    independent Python reference (RFC 9309: longest prefix wins,
-    Allow beats Disallow on ties, default allow) over generated rule
-    sets and paths."""
+    """The Catalyst pattern compilation + longest-match resolution must
+    agree with an independent Python re-based reference (RFC 9309:
+    most-octets pattern wins, '*' matches any sequence, trailing '$'
+    anchors, Allow beats Disallow on ties, default allow) over
+    generated rule sets and paths."""
+    import re
+
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
     from vmware_graph_spark.operators.crawl import robots_filter
 
-    prefix = st.sampled_from(["/", "/a", "/a/", "/a/b", "/ab", "/b", "/a/b/c"])
+    prefix = st.sampled_from(
+        [
+            "/", "/a", "/a/", "/a/b", "/ab", "/b", "/a/b/c",
+            # wildcard / anchor shapes, incl. metachars that must stay literal
+            "/*b", "/a/*", "/a$", "/a/b$", "/*.x$", "/a/*c$", "/a.b", "/*?s=",
+        ]
+    )
     rule = st.tuples(prefix, st.booleans())
     path = st.sampled_from(
-        ["/", "/a", "/a/", "/a/b", "/a/bx", "/a/b/c/d", "/ab", "/b/z", "/c", ""]
+        [
+            "/", "/a", "/a/", "/a/b", "/a/bx", "/a/b/c/d", "/ab", "/b/z",
+            "/c", "", "/a.x", "/aZx", "/a/q.x", "/a/zc", "/p?s=1", "/a.b", "/aXb",
+        ]
     )
 
     def reference(rules, p):
         best = None  # (score, allow)
-        for pre, allow in rules:
-            if p.startswith(pre):
-                score = 2 * len(pre) + int(allow)
+        for pat, allow in rules:
+            anchored = pat.endswith("$")
+            body = pat[:-1] if anchored else pat
+            rx = "^" + re.escape(body).replace(r"\*", ".*") + ("$" if anchored else "")
+            if re.search(rx, p):
+                score = 2 * len(pat) + int(allow)
                 if best is None or score > best[0]:
                     best = (score, allow)
         return True if best is None else best[1]

@@ -20,7 +20,12 @@ from pyspark.sql import functions as F
 
 #: Query parameters that never affect page identity: analytics tags.
 #: Anchored key-match against "key=value" pairs (shared with the twin).
-TRACKING_PARAM_RE = r"^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|ref)="
+#: Deliberately only the UNAMBIGUOUS set — 'ref' is widely
+#: content-bearing (GitHub's ?ref=<branch> selects different content),
+#: so dropping it would merge distinct pages and break the module's
+#: conservative loss-free contract (round-9 review finding). Callers
+#: with a known-analytics 'ref' pass their own ``tracking_re``.
+TRACKING_PARAM_RE = r"^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid)="
 
 _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
 _AUTH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
@@ -29,7 +34,11 @@ _PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
 # ("/a#sec?x=1") must not resurrect as a query string, or two
 # spellings differing only in fragment get different canonicals
 # (round-9 review finding — shared by the SQL twin via this constant).
-_QUERY_RE = r"^[^#]*\?([^#]*)"
+# The prefix also excludes '?' so the query anchors to the FIRST '?':
+# '?' is legal INSIDE a query per RFC 3986, and a greedy prefix made
+# "?a=1?x" and "?a=2?x" collide to canonical query "x" (round-10
+# review finding).
+_QUERY_RE = r"^[^#?]*\?([^#]*)"
 
 
 def _c(col: Column | str) -> Column:
@@ -59,21 +68,22 @@ def url_path(col: Column | str) -> Column:
     return F.when(p == "", F.lit("/")).otherwise(p)
 
 
-def url_query_canonical(col: Column | str) -> Column:
+def url_query_canonical(col: Column | str, *, tracking_re: str = TRACKING_PARAM_RE) -> Column:
     """Query string with tracking params dropped and the survivors
     sorted (byte order on the full "key=value" pair — deterministic and
-    engine-agnostic); '' when nothing survives."""
+    engine-agnostic); '' when nothing survives. ``tracking_re`` lets a
+    caller widen the drop set beyond the conservative default."""
     q = F.regexp_extract(_c(col), _QUERY_RE, 1)
     parts = F.filter(
         F.split(q, "&"),
-        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        lambda p: (p != "") & ~p.rlike(tracking_re),
     )
     return F.array_join(F.array_sort(parts), "&")
 
 
-def url_canonical(col: Column | str) -> Column:
+def url_canonical(col: Column | str, *, tracking_re: str = TRACKING_PARAM_RE) -> Column:
     """The canonical spelling: scheme://host/path[?sorted-query]."""
-    qs = url_query_canonical(col)
+    qs = url_query_canonical(col, tracking_re=tracking_re)
     return F.concat(
         url_scheme(col),
         F.lit("://"),
@@ -107,18 +117,18 @@ def url_path_sql(x: str) -> str:
     return f"CASE WHEN {p} = '' THEN '/' ELSE {p} END"
 
 
-def url_query_canonical_sql(x: str) -> str:
+def url_query_canonical_sql(x: str, *, tracking_re: str = TRACKING_PARAM_RE) -> str:
     q = f"regexp_extract({x}, '{_QUERY_RE}', 1)"
     parts = (
         f"list_filter(string_split({q}, '&'), "
-        f"p -> p <> '' AND NOT regexp_matches(p, '{TRACKING_PARAM_RE}'))"
+        f"p -> p <> '' AND NOT regexp_matches(p, '{tracking_re}'))"
     )
     # DuckDB: array_to_string([]) is NULL where Spark's array_join is ''.
     return f"coalesce(array_to_string(list_sort({parts}), '&'), '')"
 
 
-def url_canonical_sql(x: str) -> str:
-    qs = url_query_canonical_sql(x)
+def url_canonical_sql(x: str, *, tracking_re: str = TRACKING_PARAM_RE) -> str:
+    qs = url_query_canonical_sql(x, tracking_re=tracking_re)
     return (
         f"({url_scheme_sql(x)} || '://' || {url_host_sql(x)} || {url_path_sql(x)} || "
         f"CASE WHEN {qs} = '' THEN '' ELSE '?' || {qs} END)"
@@ -129,7 +139,13 @@ def url_canonical_sql(x: str) -> str:
 # Link extraction + resolution (the frontier-growing half of a crawl).
 # ---------------------------------------------------------------------------
 
-_HREF_RE = r"""(?i)<a\s[^>]*href=["']?([^"'\s>]+)"""
+# The optional attribute prefix is LAZY and must end at a whitespace
+# boundary, so href= binds to the FIRST real href attribute — a greedy
+# [^>]* let an earlier attribute VALUE containing 'href=' hijack the
+# capture (<a href="/real" data-x="href=evil"> extracted 'evil';
+# round-10 review finding). 'href=' inside a quoted value can't match:
+# it is preceded by '"', never by the required whitespace.
+_HREF_RE = r"""(?i)<a\s(?:[^>]*?\s)?href=["']?([^"'\s>]+)"""
 
 
 def extract_hrefs(html: Column | str) -> Column:

@@ -1,25 +1,56 @@
-"""Crawl-frontier operators: robots.txt filtering.
+"""Crawl-frontier operators: robots.txt parsing + filtering (RFC 9309).
 
 The frontier side of crawl prep: given the canonical URL set and each
-host's robots rules, decide fetchability. Semantics are the de-facto
-standard (RFC 9309 / Googlebot): the matching rule with the LONGEST
-path prefix wins; on a tie, Allow beats Disallow; a URL no rule
-matches is allowed.
+host's robots rules, decide fetchability. Semantics are RFC 9309:
+
+- path patterns support ``*`` (any character sequence) and a trailing
+  ``$`` (end-of-URL anchor) — §2.2.3; a ``$`` anywhere else is a
+  literal octet;
+- the matching rule with the MOST OCTETS (longest pattern) wins — §2.2.2;
+  on a tie, Allow beats Disallow;
+- a URL no rule matches is allowed, as is a URL on a rule-free host;
+- group selection (:func:`parse_robots`): the crawler's product token
+  is matched case-insensitively against each group's User-agent lines;
+  the most specific match wins (exact token, else the longest group
+  token that prefixes the crawler token), falling back to the ``*``
+  group; ALL groups with the winning token merge — §2.2.1.
 
 Scale shape: robots corpora are tiny relative to the frontier (a few
 rules per host), so the per-host rule set is packed into ONE array row
-and broadcast — the frontier never shuffles at all. Longest-match
-resolution is a per-row Catalyst expression (filter → transform →
-array_max over a (specificity, allow) struct), so the whole operator
-is a broadcast hash join plus a codegen'd projection. The score struct
-orders by ``(2*len(prefix) + allow)`` so longer prefixes dominate and
+and broadcast — the frontier never shuffles at all. Patterns compile to
+anchored regexes INSIDE Catalyst (escape → ``*``→``.*`` → anchor), and
+longest-match resolution is a per-row codegen'd expression (filter →
+transform → array_max over a (specificity, allow) struct), so the whole
+operator is a broadcast hash join plus a projection. The score struct
+orders by ``(2*len(pattern) + allow)`` so longer patterns dominate and
 an Allow beats a Disallow of equal length.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# Java-regex metacharacters to neutralize in a robots path pattern,
+# EXCEPT '*' (the RFC wildcard, rewritten to '.*' afterwards) and the
+# trailing '$' (stripped before escaping; any other '$' is literal).
+_META_CLASS = r"([\\^$.|?+()\[\]{}])"
+
+
+def _compile_pattern(pat):
+    """Robots path pattern -> anchored Java regex, in Catalyst.
+
+    ``/a/*4$`` becomes ``^/a/.*4$``; a plain prefix ``/a/`` becomes
+    ``^/a/`` (startswith semantics, unchanged from the literal-prefix
+    era). Runs over the tiny rules side only — never the frontier.
+    """
+    anchored = pat.endswith("$")
+    body = F.when(anchored, F.substring(pat, F.lit(1), F.length(pat) - 1)).otherwise(pat)
+    esc = F.regexp_replace(body, _META_CLASS, r"\\$1")
+    wild = F.regexp_replace(esc, r"\*", ".*")
+    return F.concat(
+        F.lit("^"), wild, F.when(anchored, F.lit("$")).otherwise(F.lit(""))
+    )
 
 
 def robots_filter(
@@ -34,18 +65,24 @@ def robots_filter(
 ) -> DataFrame:
     """Append a boolean ``fetch_allowed`` to ``urls``.
 
-    ``rules``: one row per (host, path_prefix, allow). Duplicate
-    (host, prefix) pairs must not carry conflicting verdicts (robots
-    files don't); everything else — overlapping prefixes, allow-inside-
-    disallow carve-outs — resolves by longest-match. A URL whose host
-    has no rules (or no matching prefix) is allowed.
+    ``rules``: one row per (host, path_pattern, allow) — the pattern may
+    use RFC 9309 ``*``/trailing-``$``; a wildcard-free pattern behaves
+    exactly like a literal prefix. Duplicate (host, pattern) pairs must
+    not carry conflicting verdicts (robots files don't); everything
+    else — overlapping patterns, allow-inside-disallow carve-outs —
+    resolves by most-octets longest-match. A URL whose host has no
+    rules (or no matching pattern) is allowed. Empty patterns are the
+    parse layer's job to drop (RFC: an empty Disallow disallows
+    nothing); here an empty pattern would match everything.
     """
+    pat = F.col(prefix_col)
     per_host = (
         rules.groupBy(F.col(rule_host_col).alias("__r_host"))
         .agg(
             F.collect_list(
                 F.struct(
-                    F.col(prefix_col).alias("prefix"),
+                    _compile_pattern(pat).alias("rx"),
+                    F.length(pat).alias("octets"),
                     F.col(allow_col).cast("boolean").alias("allow"),
                 )
             ).alias("__rules")
@@ -57,14 +94,17 @@ def robots_filter(
         "left",
     )
     matches = F.filter(
-        F.coalesce("__rules", F.array().cast("array<struct<prefix:string,allow:boolean>>")),
-        lambda r: F.col(path_col).startswith(r["prefix"]),
+        F.coalesce(
+            "__rules",
+            F.array().cast("array<struct<rx:string,octets:int,allow:boolean>>"),
+        ),
+        lambda r: F.rlike(F.col(path_col), r["rx"]),
     )
     best = F.array_max(
         F.transform(
             matches,
             lambda r: F.struct(
-                (F.length(r["prefix"]) * 2 + r["allow"].cast("int")).alias("score"),
+                (r["octets"] * 2 + r["allow"].cast("int")).alias("score"),
                 r["allow"].alias("allow"),
             ),
         )
@@ -72,4 +112,94 @@ def robots_filter(
     return joined.select(
         *urls.columns,
         F.coalesce(best["allow"], F.lit(True)).alias("fetch_allowed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# robots.txt parsing + User-agent group selection (RFC 9309 §2.2.1).
+# ---------------------------------------------------------------------------
+
+def parse_robots_txt(txt: str, user_agent: str) -> list[tuple[str, bool]]:
+    """Parse one robots.txt body and select the rule group that applies
+    to ``user_agent`` (a product token, e.g. ``examplebot``).
+
+    Grammar (RFC 9309 §2.1): ``field: value`` lines, ``#`` comments,
+    unknown fields ignored; consecutive ``User-agent`` lines open a
+    group that the following Allow/Disallow rules attach to; a
+    ``User-agent`` line after rules starts a new group. Selection:
+    case-insensitive; an exact token match wins, else the LONGEST group
+    token that is a prefix of the crawler's token (``examplebot-news``
+    obeys an ``examplebot`` group), else the ``*`` group, else no rules
+    (allow all). ALL groups carrying the winning token merge. Empty
+    Allow/Disallow values are no-ops per the RFC and are dropped here
+    (so :func:`robots_filter` never sees a match-everything empty
+    pattern). Returns ``[(path_pattern, allow), ...]``.
+    """
+    ua = user_agent.strip().lower()
+    groups: list[tuple[list[str], list[tuple[str, bool]]]] = []
+    cur_agents: list[str] = []
+    cur_rules: list[tuple[str, bool]] = []
+    in_agents = False
+    for raw in txt.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        field, sep, value = line.partition(":")
+        if not sep:
+            continue
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if not in_agents and (cur_agents or cur_rules):
+                groups.append((cur_agents, cur_rules))
+                cur_agents, cur_rules = [], []
+            cur_agents.append(value.lower())
+            in_agents = True
+        elif field in ("allow", "disallow"):
+            in_agents = False
+            if value:  # empty value = no-op rule per RFC 9309
+                cur_rules.append((value, field == "allow"))
+        else:
+            in_agents = False  # crawl-delay/sitemap/unknown: ignored
+    if cur_agents or cur_rules:
+        groups.append((cur_agents, cur_rules))
+
+    tokens = {t for agents, _ in groups for t in agents}
+    if ua in tokens:
+        winner = ua
+    else:
+        prefixes = [t for t in tokens if t != "*" and ua.startswith(t)]
+        winner = max(prefixes, key=len) if prefixes else ("*" if "*" in tokens else None)
+    if winner is None:
+        return []
+    return [r for agents, rs in groups if winner in agents for r in rs]
+
+
+def parse_robots(
+    robots: DataFrame,
+    user_agent: str,
+    *,
+    host_col: str = "host",
+    txt_col: str = "robots_txt",
+) -> DataFrame:
+    """Distributed robots.txt parse: one ``(host, robots_txt)`` row in,
+    ``(host, path_prefix, allow)`` rule rows out — the exact shape
+    :func:`robots_filter` consumes. Parsing runs executor-side in an
+    Arrow-batched ``mapInPandas`` (a 100 TB crawl holds millions of
+    robots bodies — never driver-collected); group selection happens
+    per host inside :func:`parse_robots_txt`."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            rows = {"host": [], "path_prefix": [], "allow": []}
+            for h, t in zip(pdf[host_col], pdf[txt_col]):
+                for pat, allow in parse_robots_txt(t or "", user_agent):
+                    rows["host"].append(h)
+                    rows["path_prefix"].append(pat)
+                    rows["allow"].append(allow)
+            yield pd.DataFrame(rows)
+
+    return robots.select(host_col, txt_col).mapInPandas(
+        run, "host string, path_prefix string, allow boolean"
     )

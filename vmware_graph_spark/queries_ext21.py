@@ -427,22 +427,34 @@ def streaming_crawl_ingest(spark, sf_dir):
                CASE WHEN CAST(doc_id AS VARCHAR) LIKE '1%'
                      AND CAST(doc_id AS VARCHAR) NOT LIKE '12%'
                     THEN 1 ELSE 0 END
+             WHEN doc_id % 5 = 3 THEN
+               CASE WHEN CAST(doc_id AS VARCHAR) LIKE '1%'
+                     AND CAST(doc_id AS VARCHAR) NOT LIKE '%4'
+                    THEN 1 ELSE 0 END
+             WHEN doc_id % 5 = 1 THEN
+               CASE WHEN CAST(doc_id AS VARCHAR) LIKE '1%'
+                     AND CAST(doc_id AS VARCHAR) NOT LIKE '1%7'
+                    THEN 1 ELSE 0 END
              ELSE CASE WHEN CAST(doc_id AS VARCHAR) LIKE '1%' THEN 1 ELSE 0 END
            END AS INTEGER) AS fetch_allowed
     FROM documents
     """,
 )
 def robots_frontier_filter(spark, sf_dir):
-    """Crawl-frontier robots.txt gate (RFC 9309 longest-match): each
-    host's rules pack into ONE broadcast array row and every frontier
-    URL resolves per-row in Catalyst — the frontier itself never
-    shuffles. The fixture rules exercise every semantic: a Disallow
-    with an Allow carve-out inside it (hosts 0-3 block /a/ but allow
-    /a/1*), a deeper Disallow re-blocking inside the carve-out (host 2
-    blocks /a/12*), and a rule-free host (site4 — default allow). The
-    oracle writes the expected verdict as ground-truth CASE arms, so
-    the operator's precedence order is pinned to intent, not to its
-    own implementation."""
+    """Crawl-frontier robots.txt gate (RFC 9309 most-octets match,
+    ``*``/trailing-``$`` wildcards): each host's rules pack into ONE
+    broadcast array row, patterns compile to anchored regexes inside
+    Catalyst, and every frontier URL resolves per-row — the frontier
+    itself never shuffles. The fixture rules exercise every semantic:
+    a Disallow with an Allow carve-out inside it (hosts 0-3 block /a/
+    but allow /a/1*), a deeper Disallow re-blocking inside the
+    carve-out (host 2 blocks /a/12*), WILDCARD disallows that out-score
+    the carve-out (host 3 blocks ``/a/*4$`` — any id ending in 4; host
+    1 blocks ``/a/1*7$`` — ids starting 1 ending 7), and a rule-free
+    host (site4 — default allow). The oracle writes the expected
+    verdict as ground-truth CASE arms (LIKE twins of the wildcards), so
+    the operator's precedence order AND its pattern compilation are
+    pinned to intent, not to its own implementation."""
     from vmware_graph_spark.operators.crawl import robots_filter
 
     d = load_table(spark, sf_dir, "documents").select("doc_id")
@@ -456,9 +468,77 @@ def robots_frontier_filter(spark, sf_dir):
     rule_rows = [(h, "/a/", False) for h in hosts[:4]]
     rule_rows += [(h, "/a/1", True) for h in hosts]
     rule_rows += [(hosts[2], "/a/12", False)]
+    rule_rows += [(hosts[3], "/a/*4$", False)]   # wildcard + end anchor
+    rule_rows += [(hosts[1], "/a/1*7$", False)]  # wildcard inside a prefix
     rules = spark.createDataFrame(
         rule_rows, "host string, path_prefix string, allow boolean"
     )
+    out = robots_filter(urls, rules)
+    return out.select(
+        "doc_id", "host", F.col("fetch_allowed").cast("int").alias("fetch_allowed")
+    )
+
+
+@query(
+    "robots_txt_group_gate",
+    """
+    SELECT doc_id,
+           'www.site' || (doc_id % 5) || '.example.com' AS host,
+           CAST(CASE WHEN doc_id % 5 = 3 OR doc_id % 10 = doc_id % 5
+                     THEN 1 ELSE 0 END AS INTEGER) AS fetch_allowed
+    FROM documents
+    """,
+)
+def robots_txt_group_gate(spark, sf_dir):
+    """The FULL robots pipeline from raw robots.txt text: per-host
+    bodies parse executor-side (``parse_robots`` — Arrow mapInPandas,
+    never driver-collected), RFC 9309 §2.2.1 group selection picks the
+    rules that bind OUR crawler ('examplebot'), and the selected rules
+    gate the frontier through the same broadcast zero-shuffle filter.
+    Each host exercises a different selection arm: host0 an exact-token
+    group (decoys above and below it must lose), host1 a prefix token
+    ('example' binds 'examplebot'), host2 TWO groups naming the token
+    (rules must merge), host3 a foreign-token-only file (no group
+    binds — allow all), host4 the ``*`` fallback. Every selected group
+    blocks /a/ except ids ending in the host digit (``Allow:
+    /a/*<k>$`` out-scores the Disallow), so the oracle's ground truth
+    is pure arithmetic: allowed ⇔ host3 ∨ doc_id%10 = doc_id%5 — a
+    wrong group pick, a missed merge, or a mis-scored wildcard each
+    flips different rows."""
+    from vmware_graph_spark.operators.crawl import parse_robots, robots_filter
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    k = (F.col("doc_id") % 5).cast("string")
+    urls = d.select(
+        "doc_id",
+        F.concat(F.lit("www.site"), k, F.lit(".example.com")).alias("host"),
+        F.concat(F.lit("/a/"), F.col("doc_id").cast("string")).alias("path"),
+    )
+
+    def allow_tail(i: int) -> str:
+        return f"Disallow: /a/\nAllow: /a/*{i}$\n"
+
+    bodies = [
+        # host0: exact token between two decoy groups
+        "User-agent: otherbot\nDisallow: /\n\n"
+        "User-agent: examplebot\n" + allow_tail(0) + "\n"
+        "User-agent: *\nDisallow: /\n",
+        # host1: prefix token binds examplebot; * group is a decoy
+        "User-agent: example\n" + allow_tail(1) + "\n"
+        "User-agent: *\nDisallow: /\n",
+        # host2: two groups carry the token -> rules merge
+        "User-agent: examplebot\nDisallow: /a/\n\n"
+        "User-agent: otherbot\nUser-agent: examplebot\nAllow: /a/*2$\n",
+        # host3: foreign token only, no * group -> nothing binds, allow
+        "User-agent: otherbot\nDisallow: /\n",
+        # host4: only the * fallback group
+        "User-agent: *\n" + allow_tail(4),
+    ]
+    robots = spark.createDataFrame(
+        [(f"www.site{i}.example.com", b) for i, b in enumerate(bodies)],
+        "host string, robots_txt string",
+    )
+    rules = parse_robots(robots, "examplebot")
     out = robots_filter(urls, rules)
     return out.select(
         "doc_id", "host", F.col("fetch_allowed").cast("int").alias("fetch_allowed")

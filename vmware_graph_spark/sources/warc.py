@@ -101,6 +101,20 @@ def make_warc_bytes(records: Iterable[dict], *, warcinfo: str | None = None) -> 
     return bytes(out)
 
 
+def _hdecode(b: bytes) -> str:
+    """Header-value decode that never kills a file: UTF-8 when valid
+    (how this module's writer and modern crawlers encode), else
+    latin-1 — the HTTP wire default and a total byte→str map, so
+    real-world archives with stray non-UTF-8 bytes in WARC-Target-URI
+    or HTTP headers (Common Crawl has them) parse instead of raising
+    UnicodeDecodeError out of an executor task (round-10 review
+    finding)."""
+    try:
+        return b.decode("utf-8")
+    except UnicodeDecodeError:
+        return b.decode("latin-1")
+
+
 def parse_warc(data: bytes) -> Iterator[dict]:
     """Iterate a WARC file's records as dicts.
 
@@ -141,7 +155,7 @@ def parse_warc(data: bytes) -> Iterator[dict]:
             k, sep, v = line.partition(b":")
             if not sep:
                 raise ValueError(f"malformed WARC header line {line!r}")
-            headers[k.decode("utf-8").strip().lower()] = v.decode("utf-8").strip()
+            headers[_hdecode(k).strip().lower()] = _hdecode(v).strip()
         try:
             length = int(headers["content-length"])
         except (KeyError, ValueError):
@@ -171,8 +185,8 @@ def parse_warc(data: bytes) -> Iterator[dict]:
             rec["http_status"] = int(status_parts[1])
             for line in http_lines[1:]:
                 k, _, v = line.partition(b":")
-                if k.decode("utf-8").strip().lower() == "content-type":
-                    rec["http_content_type"] = v.decode("utf-8").strip()
+                if _hdecode(k).strip().lower() == "content-type":
+                    rec["http_content_type"] = _hdecode(v).strip()
             rec["body"] = block[http_end + len(_HDR_END):]
         yield rec
         pos = block_end
