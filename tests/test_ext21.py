@@ -155,6 +155,36 @@ def test_html_to_text_matches_duckdb_twin(spark):
     assert got == want
 
 
+def test_html_numeric_character_refs_decode(spark):
+    """Every table'd codepoint decodes from ALL its spellings (named,
+    decimal, hex upper/lower, leading zeros) to exactly what Python's
+    html.unescape produces; out-of-table refs pass through verbatim;
+    '&'-producing refs keep single-decode semantics."""
+    import html as _html
+
+    from vmware_graph_spark.functions.text import _DECODED_ENTITIES, html_to_text
+
+    spellings = []
+    for cp, named, rep in _DECODED_ENTITIES + ((38, ("amp",), "&"),):
+        forms = [f"&#{cp};", f"&#0{cp};", f"&#x{cp:x};", f"&#X{cp:X};"]
+        forms += [f"&{n};" for n in named]
+        for s in forms:
+            # &nbsp;/&#160; normalize to plain space in the extractor
+            want = " " if cp == 160 else rep
+            assert _html.unescape(s) == (chr(cp) if cp != 160 else "\xa0")
+            spellings.append((f"a{s}b", f"a{want}b".strip()))
+    spellings += [
+        ("x&#12345;y", "x&#12345;y"),          # outside the table: verbatim
+        ("&amp;#39;", "&#39;"),                 # single decode, not "'"
+        ("&#38;amp;", "&amp;"),                 # numeric & also single-decodes
+        ("it&#8217;s fine", "it’s fine"),
+    ]
+    df = spark.createDataFrame(spellings, "h string, want string")
+    rows = df.select(html_to_text("h").alias("t"), "want").collect()
+    bad = [(r.t, r.want) for r in rows if r.t != r.want]
+    assert not bad, bad
+
+
 # ---------------------------------------------------------------------------
 # URL canonicalization
 # ---------------------------------------------------------------------------
@@ -817,6 +847,13 @@ def test_html_to_text_twin_parity_property(spark):
             "a < b",
             "tag<br>break",
             "\n\t  ",
+            # numeric character references: decimal, hex (case/zeros),
+            # double-escaped, and an out-of-table ref that must survive
+            "it&#8217;s &#x27;x&#X27;",
+            "&#039;zero&#x0027;",
+            "dash&#8211;dash&#x2014;em",
+            "&amp;#38; &#38;amp;",
+            "&#12345; stays &#xBEEF;",
         ]
     )
 

@@ -177,22 +177,67 @@ def count_pattern(col: Column | str, pattern: str) -> Column:
 # step so the oracle can verify the chain on the same synthetic pages.
 # ---------------------------------------------------------------------------
 
+def _entity_pat(codepoint: int, named: tuple[str, ...] = ()) -> str:
+    """One alternation matching every spelling of a character reference:
+    the named forms plus the NUMERIC forms — decimal ``&#39;`` and hex
+    ``&#x27;`` with optional leading zeros and case-free hex digits
+    (``&#X27;``/``&#x027;`` are all valid HTML). Hex letters become
+    explicit ``[cC]`` classes rather than an inline ``(?i)`` so the
+    named alternatives keep HTML's case-sensitive entity names and the
+    pattern stays identical under Java regex and RE2."""
+    hx = "".join(
+        f"[{c}{c.upper()}]" if c.isalpha() else c for c in format(codepoint, "x")
+    )
+    alts = list(named) + [f"#0*{codepoint}", f"#[xX]0*{hx}"]
+    return "&(" + "|".join(alts) + ");"
+
+
+#: Character references decoded by the extractor, NAMED + NUMERIC forms
+#: per entry. The cutoff is deliberate and documented: the six classic
+#: named entities plus the Latin-1/General-Punctuation codepoints that
+#: dominate real crawled pages (curly quotes, dashes, ellipsis, bullet,
+#: (c)/(r)/tm, e-acute, euro). References OUTSIDE the table pass
+#: through verbatim — a bounded lookup chain is the price of keeping
+#: the decode pure-regexp and engine-portable (no chr() in either
+#: engine's regexp_replace). The ampersand entry is NOT here: it must
+#: decode strictly LAST (see HTML_STRIP_STEPS).
+_DECODED_ENTITIES: tuple[tuple[int, tuple[str, ...], str], ...] = (
+    (60, ("lt",), "<"),
+    (62, ("gt",), ">"),
+    (34, ("quot",), "\""),
+    (39, ("apos",), "'"),
+    (160, ("nbsp",), " "),
+    (8211, (), "–"),   # en dash
+    (8212, (), "—"),   # em dash
+    (8216, (), "‘"),   # left single quote
+    (8217, (), "’"),   # right single quote / apostrophe
+    (8220, (), "“"),   # left double quote
+    (8221, (), "”"),   # right double quote
+    (8226, (), "•"),   # bullet
+    (8230, (), "…"),   # ellipsis
+    (169, (), "©"),    # (c)
+    (174, (), "®"),    # (r)
+    (8482, (), "™"),   # tm
+    (233, (), "é"),    # e-acute
+    (8364, (), "€"),   # euro
+)
+
 #: (pattern, replacement) chain: comments first (they may contain tags),
 #: then script/style blocks whole (their CONTENT is not text — a naive
 #: tag-strip would leak "var x = 1" into the corpus), then remaining
-#: tags. Entities decode afterwards, &amp; strictly LAST so literal
-#: "&amp;lt;" in a page renders "&lt;" (single-decode semantics).
+#: tags. Entities decode afterwards — named AND numeric spellings in
+#: one step per character — with every '&'-PRODUCING reference
+#: (&amp;/&#38;/&#x26;) merged into the single LAST step so literal
+#: "&amp;lt;" renders "&lt;" and "&#38;amp;" renders "&amp;"
+#: (single-decode semantics: one left-to-right pass, replacements are
+#: never rescanned).
 HTML_STRIP_STEPS: tuple[tuple[str, str], ...] = (
     (r"(?s)<!--.*?-->", " "),
     (r"(?is)<script\b[^>]*>.*?</script\s*>", " "),
     (r"(?is)<style\b[^>]*>.*?</style\s*>", " "),
     (r"<[^>]*>", " "),
-    (r"&lt;", "<"),
-    (r"&gt;", ">"),
-    (r"&quot;", "\""),
-    (r"&#39;", "'"),
-    (r"&nbsp;", " "),
-    (r"&amp;", "&"),
+    *((_entity_pat(cp, named), rep) for cp, named, rep in _DECODED_ENTITIES),
+    (_entity_pat(38, ("amp",)), "&"),
 )
 
 
