@@ -546,6 +546,33 @@ def test_warc_gzip_transparent_whole_and_per_member(spark, tmp_path):
     assert {r.uri for r in out} == {"http://h/1", "http://h/2"}
 
 
+def test_write_warc_gzip_members_roundtrip(spark, tmp_path):
+    """write_warc_files(gzip_members=True) emits the Common Crawl
+    layout (one member per record incl. a warcinfo member) and the
+    fleet reader returns byte-identical records to the plain fleet;
+    bytes are mtime-free so fixtures stay deterministic."""
+    from vmware_graph_spark.sources.warc import read_warc, write_warc_files
+
+    shards = {
+        "a": [{"uri": "http://h/1", "body": b"<p>one</p>"},
+              {"uri": "http://h/2", "body": b"<p>two</p>", "status": 404}],
+        "b": [{"uri": "http://h/3", "body": b"x" * 5000}],
+    }
+    p_plain = write_warc_files(shards, str(tmp_path / "plain"))
+    p_gz = write_warc_files(shards, str(tmp_path / "gz"), gzip_members=True)
+    assert [p.endswith(".warc") for p in p_plain] == [True, True]
+    assert [p.endswith(".warc.gz") for p in p_gz] == [True, True]
+    plain = {(r.uri, r.http_status, bytes(r.body))
+             for r in read_warc(spark, str(tmp_path / "plain" / "*.warc")).collect()}
+    gz = {(r.uri, r.http_status, bytes(r.body))
+          for r in read_warc(spark, str(tmp_path / "gz" / "*.warc.gz")).collect()}
+    assert plain == gz and len(plain) == 3
+    # deterministic bytes (mtime=0): a rewrite is byte-identical
+    b1 = (tmp_path / "gz" / "a.warc.gz").read_bytes()
+    write_warc_files(shards, str(tmp_path / "gz2"), gzip_members=True)
+    assert (tmp_path / "gz2" / "a.warc.gz").read_bytes() == b1
+
+
 def test_jsonl_ingest_counts_reconcile(spark):
     """Good + corrupt rows partition the corpus exactly."""
     from vmware_graph_spark.queries_ext21 import jsonl_corpus_ingest
@@ -576,6 +603,52 @@ def test_politeness_waves_cap_and_conservation(spark):
         waves.sort()
         assert [w for w, _ in waves] == list(range(1, len(waves) + 1))
         assert all(n == 8 for _, n in waves[:-1])
+
+
+def test_politeness_giant_host_routes_bucketed_and_matches_window(spark):
+    """The giant-host twin must (a) equal the plain window's rollup
+    row-for-row, (b) never funnel the frontier through one task: its
+    windows are partitioned by (host, range-bucket), and no
+    single-partition exchange appears."""
+    from pyspark.sql import Window as W
+
+    from vmware_graph_spark.queries_ext21 import crawl_politeness_waves_giant_host
+    from vmware_graph_spark.sources.tables import load_table
+
+    df = crawl_politeness_waves_giant_host(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "SinglePartition" not in plan
+    assert "__range_bucket" in plan  # the bucketed-rank route, not a plain window
+    got = {(r.host, r.wave): r.n_urls for r in df.collect()}
+
+    d = load_table(spark, SF, "documents").select("doc_id")
+    host = F.when(
+        F.col("doc_id") % 101 == 0,
+        F.concat(F.lit("www.side"), (F.col("doc_id") % 2).cast("string"),
+                 F.lit(".example.com")),
+    ).otherwise(F.lit("www.giant.example.com"))
+    u = d.select(
+        host.alias("host"),
+        "doc_id",
+        F.conv(F.substring(F.md5(F.concat(F.lit("http://x/"),
+               F.col("doc_id").cast("string"))), 1, 15), 16, 10)
+        .cast("bigint").alias("ord"),
+    )
+    rn = F.row_number().over(W.partitionBy("host").orderBy("ord", "doc_id"))
+    want_df = (
+        u.select("host", (((rn - 1) / 8).cast("bigint") + 1).alias("wave"))
+        .groupBy("host", "wave")
+        .agg(F.count("*").cast("bigint").alias("n_urls"))
+    )
+    want = {(r.host, r.wave): r.n_urls for r in want_df.collect()}
+    assert got == want
+    # one giant host dominates: its wave count dwarfs the side hosts'
+    giant_waves = max(w for (h, w) in got if h == "www.giant.example.com")
+    side_waves = max(w for (h, w) in got if h != "www.giant.example.com")
+    assert giant_waves > 10 * side_waves
 
 
 def test_sniff_charset_precedence_and_twin(spark):

@@ -38,9 +38,11 @@ SHARDS_PER_COPY = 8
 
 
 def build_fleet(n_copies: int) -> int:
-    """Write n_copies * SHARDS_PER_COPY archives; returns page count.
-    Driver-side by design (fixture synthesis; the engine path under
-    test is the READ side)."""
+    """Write n_copies * SHARDS_PER_COPY archives — each copy both as a
+    plain .warc and as a per-member-gzipped .warc.gz (the Common Crawl
+    layout), so the gz decode cost is measured on the SAME records.
+    Returns page count. Driver-side by design (fixture synthesis; the
+    engine path under test is the READ side)."""
     import duckdb
 
     from vmware_graph_spark.queries_ext21 import _html_page
@@ -70,7 +72,8 @@ def build_fleet(n_copies: int) -> int:
                 }
             )
             n_pages += 1
-        write_warc_files(shards, FLEET)
+        write_warc_files(shards, os.path.join(FLEET, "plain"))
+        write_warc_files(shards, os.path.join(FLEET, "gz"), gzip_members=True)
     return n_pages
 
 
@@ -94,12 +97,29 @@ def main() -> None:
         t0 = time.time()
         n_pages = build_fleet(n)
         build_s = round(time.time() - t0, 1)
-        glob = f"{FLEET}/*.warc"
+        glob = f"{FLEET}/plain/*.warc"
+        gz_glob = f"{FLEET}/gz/*.warc.gz"
         n_archives = n * SHARDS_PER_COPY
 
         t0 = time.time()
         decoded_rows = read_warc(spark, glob).count()
         decode_s = round(time.time() - t0, 2)
+
+        # Gzipped twin (per-member compression — the Common Crawl
+        # layout): same records, same file grain; the delta is pure
+        # decompression cost inside the executor-side parser.
+        t0 = time.time()
+        gz_rows = read_warc(spark, gz_glob).count()
+        gz_decode_s = round(time.time() - t0, 2)
+        assert gz_rows == decoded_rows, (gz_rows, decoded_rows)
+        gz_bytes = sum(
+            os.path.getsize(os.path.join(f"{FLEET}/gz", f))
+            for f in os.listdir(f"{FLEET}/gz")
+        )
+        plain_bytes = sum(
+            os.path.getsize(os.path.join(f"{FLEET}/plain", f))
+            for f in os.listdir(f"{FLEET}/plain")
+        )
 
         t0 = time.time()
         recs = read_warc(spark, glob)
@@ -236,6 +256,12 @@ def main() -> None:
             "warc_decode_s": decode_s,
             "decode_pages_per_s": round(n_pages / decode_s, 0),
             "decoded_rows": decoded_rows,
+            "warc_gz_decode_s": gz_decode_s,
+            "gz_decode_pages_per_s": round(n_pages / gz_decode_s, 0),
+            "gz_vs_plain_ratio": round(gz_decode_s / decode_s, 2),
+            "gz_bytes": gz_bytes,
+            "plain_bytes": plain_bytes,
+            "gz_compression": round(plain_bytes / gz_bytes, 2),
             "crawl_pipeline_s": pipeline_s,
             "pipeline_hosts": hosts,
             "url_canon_s": url_s,

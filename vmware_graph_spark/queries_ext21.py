@@ -653,9 +653,10 @@ def crawl_politeness_waves(spark, sf_dir):
     The per-host window is the POINT (politeness serializes a host
     anyway, so a host's frontier is one partition's work by
     definition); deterministic md5 order stands in for priority. A
-    pathological single-host frontier would route through
-    ``operators.rank.exact_global_rank`` instead — same contract as the
-    other user-scale windows."""
+    pathological single-host frontier routes through
+    ``operators.rank.exact_global_rank`` instead — EXECUTED (not
+    prose) as the oracle-paired twin
+    ``crawl_politeness_waves_giant_host`` below."""
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     k = (F.col("doc_id") % 5).cast("string")
     url = F.concat(
@@ -668,6 +669,72 @@ def crawl_politeness_waves(spark, sf_dir):
     )
     w = Window.partitionBy("host").orderBy("ord")
     r = u.select("host", F.row_number().over(w).alias("rn"))
+    return (
+        r.select(
+            "host", (((F.col("rn") - 1) / 8).cast("bigint") + 1).alias("wave")
+        )
+        .groupBy("host", "wave")
+        .agg(F.count("*").cast("bigint").alias("n_urls"))
+    )
+
+
+@query(
+    "crawl_politeness_waves_giant_host",
+    """
+    WITH u AS (
+      SELECT CASE WHEN doc_id % 101 = 0
+                  THEN 'www.side' || (doc_id % 2) || '.example.com'
+                  ELSE 'www.giant.example.com' END AS host,
+             doc_id,
+             CAST('0x' || substr(md5('http://x/' || doc_id), 1, 15) AS BIGINT)
+               AS ord
+      FROM documents
+    ),
+    r AS (
+      SELECT host,
+             row_number() OVER (PARTITION BY host ORDER BY ord, doc_id) AS rn
+      FROM u
+    )
+    SELECT host, CAST((rn - 1) // 8 + 1 AS BIGINT) AS wave,
+           CAST(count(*) AS BIGINT) AS n_urls
+    FROM r GROUP BY host, wave
+    """,
+)
+def crawl_politeness_waves_giant_host(spark, sf_dir):
+    """The pathological frontier ``crawl_politeness_waves`` documents:
+    ONE host owns ~99% of the URLs (every doc except each 101st), so a
+    plain per-host window would funnel the whole frontier through a
+    single task. This twin EXECUTES the promised escape: the per-host
+    rank routes through ``exact_global_rank(partition_cols=['host'])``
+    — range-bucketed windows partitioned by (host, bucket), per-group
+    offsets prefix-summed over ≤ |hosts|×buckets rows — so the giant
+    host's ranks compute across ~buckets parallel tasks while staying
+    bit-identical to ``row_number() OVER (PARTITION BY host ORDER BY
+    ord, doc_id)``, which is exactly what the oracle runs. Priority is
+    the engine-portable 60-bit md5 key (numeric, as the range
+    cutpoints require) with doc_id as total-order tiebreak."""
+    from vmware_graph_spark.operators.rank import exact_global_rank
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    host = F.when(
+        F.col("doc_id") % 101 == 0,
+        F.concat(
+            F.lit("www.side"), (F.col("doc_id") % 2).cast("string"),
+            F.lit(".example.com"),
+        ),
+    ).otherwise(F.lit("www.giant.example.com"))
+    u = d.select(
+        host.alias("host"),
+        "doc_id",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("http://x/"), F.col("doc_id").cast("string"))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("bigint").alias("ord"),
+    )
+    r = exact_global_rank(u, ["ord", "doc_id"], rank_col="rn", partition_cols=["host"])
     return (
         r.select(
             "host", (((F.col("rn") - 1) / 8).cast("bigint") + 1).alias("wave")

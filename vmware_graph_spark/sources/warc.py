@@ -192,19 +192,37 @@ def parse_warc(data: bytes) -> Iterator[dict]:
         pos = block_end
 
 
-def write_warc_files(shards: dict[str, list[dict]], out_dir: str, *, warcinfo: str = "vmware-graph-spark") -> list[str]:
+def write_warc_files(
+    shards: dict[str, list[dict]],
+    out_dir: str,
+    *,
+    warcinfo: str = "vmware-graph-spark",
+    gzip_members: bool = False,
+) -> list[str]:
     """Write one ``.warc`` file per shard name into ``out_dir``; returns
-    the written paths. Fixture/test helper — production re-sharding
+    the written paths. With ``gzip_members`` each record becomes its own
+    gzip MEMBER in a ``.warc.gz`` (the Common Crawl layout — members
+    concatenate into one valid gzip stream; ``mtime=0`` keeps fixture
+    bytes deterministic). Fixture/test helper — production re-sharding
     would route per-partition bytes through the same
     :func:`make_warc_bytes`."""
+    import gzip
     import os
 
     os.makedirs(out_dir, exist_ok=True)
     paths = []
     for name, records in sorted(shards.items()):
-        path = os.path.join(out_dir, f"{name}.warc")
-        with open(path, "wb") as f:
-            f.write(make_warc_bytes(records, warcinfo=warcinfo))
+        if gzip_members:
+            path = os.path.join(out_dir, f"{name}.warc.gz")
+            with open(path, "wb") as f:
+                if warcinfo is not None:
+                    f.write(gzip.compress(make_warc_bytes([], warcinfo=warcinfo), mtime=0))
+                for rec in records:
+                    f.write(gzip.compress(make_warc_bytes([rec]), mtime=0))
+        else:
+            path = os.path.join(out_dir, f"{name}.warc")
+            with open(path, "wb") as f:
+                f.write(make_warc_bytes(records, warcinfo=warcinfo))
         paths.append(path)
     return paths
 
