@@ -160,6 +160,92 @@ def test_decode_images_mapinpandas_roundtrip(spark):
     assert (r.mean_r, r.mean_g, r.mean_b) == (1.0, 101.0, 201.0)
 
 
+def _pil_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_decode_image_auto_routes_ppm_to_stdlib():
+    """PPM/BMP always take the deterministic stdlib path, Pillow or not."""
+    from vmware_graph_spark.operators.multimodal import decode_image_auto
+
+    d = decode_image_auto(
+        _ppm(2, 2, [[(10, 20, 30), (20, 30, 40)], [(30, 40, 50), (40, 50, 60)]]),
+        "image/x-portable-pixmap",
+    )
+    assert (d.width, d.height, d.mean_r) == (2, 2, 25.0)
+
+
+def test_decode_image_auto_contract_without_pillow():
+    """Where Pillow is absent, the auto decoder must be the documented
+    NotImplementedError injection gate for codec formats — never a
+    silent wrong answer."""
+    import pytest
+
+    if _pil_available():
+        pytest.skip("Pillow installed: the gated test covers this env")
+    from vmware_graph_spark.operators.multimodal import (
+        decode_image_auto,
+        pillow_image_decoder,
+    )
+
+    with pytest.raises(ImportError):
+        pillow_image_decoder()
+    with pytest.raises(NotImplementedError):
+        decode_image_auto(b"\xff\xd8\xff\xe0fakejpeg", "image/jpeg")
+
+
+def test_decode_images_with_pillow_when_present(spark):
+    """The if-present arm (mirrors workbook's openpyxl pattern): when
+    Pillow exists, a real PNG decodes through the SAME mapInPandas
+    plumbing with the injected codec."""
+    import pytest
+
+    if not _pil_available():
+        pytest.skip("Pillow not installed: the contract test covers this env")
+    import io as _io
+
+    from PIL import Image
+
+    from vmware_graph_spark.operators.multimodal import (
+        as_media,
+        decode_image_auto,
+        decode_images,
+    )
+
+    img = Image.new("RGB", (4, 2), (10, 20, 30))
+    buf = _io.BytesIO()
+    img.save(buf, format="PNG")
+    df = spark.createDataFrame([(1, bytearray(buf.getvalue()))], "id bigint, raw binary")
+    out = decode_images(
+        as_media(df, "id", "raw", "image/png"), decoder=decode_image_auto
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.width, r.height) == (4, 2)
+    assert (round(r.mean_r), round(r.mean_g), round(r.mean_b)) == (10, 20, 30)
+
+
+def test_decode_images_injected_fake_codec(spark):
+    """The injection seam itself, independent of any library: a caller-
+    supplied decoder flows through decode_images verbatim."""
+    from vmware_graph_spark.operators.multimodal import as_media, decode_images
+
+    class _Fake:
+        width, height = 7, 9
+        mean_r, mean_g, mean_b = 1.0, 2.0, 3.0
+
+    df = spark.createDataFrame([(5, bytearray(b"opaque"))], "id bigint, raw binary")
+    out = decode_images(
+        as_media(df, "id", "raw", "video/mp4"), decoder=lambda b, t: _Fake()
+    ).collect()
+    assert [(r.asset_id, r.width, r.height, r.mean_b) for r in out] == [(5, 7, 9, 3.0)]
+
+
 def test_decode_audio_stdlib_wav_roundtrip_and_rejects():
     import io
     import struct

@@ -11,9 +11,15 @@ parses binary PPM (P6) and uncompressed 24-bit BMP byte-for-byte (the
 same move as the stdlib OOXML reader for XLSX), and
 :func:`decode_images` runs it through the production mapInPandas shape.
 ``decode_media`` still raises for formats that genuinely need a codec
-(JPEG/PNG/MP4) unless one is injected, and
-:func:`fingerprint_features` keeps the deterministic md5 stand-in whose
-SQL twin oracle-verifies the Arrow plumbing value-for-value.
+(JPEG/PNG/MP4) unless one is injected — and the injection now has a
+REAL first-party arm: :func:`pillow_image_decoder` builds a JPEG/PNG/…
+decoder when Pillow is installed (the pandas/openpyxl-if-present
+pattern from ``sources/workbook.py``), and :func:`decode_image_auto`
+routes PPM/BMP to the stdlib parser and everything else to Pillow,
+falling back to the documented ``NotImplementedError`` gate where no
+codec exists. :func:`fingerprint_features` keeps the deterministic md5
+stand-in whose SQL twin oracle-verifies the Arrow plumbing
+value-for-value.
 """
 
 from __future__ import annotations
@@ -142,6 +148,50 @@ def decode_image_stdlib(data: bytes, media_type: str) -> _DecodedImage:
     raise NotImplementedError(
         f"stdlib decoder handles PPM/BMP only; inject a codec for {media_type}"
     )
+
+
+def pillow_image_decoder() -> Callable[[bytes, str], _DecodedImage]:
+    """The REAL injectable codec for :func:`decode_images` /
+    :func:`decode_media`: a decoder backed by Pillow for JPEG/PNG/...,
+    mirroring the pandas/openpyxl-if-present pattern of
+    ``sources/workbook.py`` — raises ImportError where Pillow isn't
+    installed (callers that want a soft fallback use
+    :func:`decode_image_auto`). Output contract matches
+    :func:`decode_image_stdlib`: dimensions + per-channel means over
+    the RGB-converted pixels."""
+    import io as _io
+
+    from PIL import Image, ImageStat  # ImportError here IS the gate
+
+    def decode(data: bytes, media_type: str) -> _DecodedImage:
+        img = Image.open(_io.BytesIO(bytes(data))).convert("RGB")
+        w, h = img.size
+        mr, mg, mb = ImageStat.Stat(img).mean
+        return _DecodedImage(w, h, mr, mg, mb)
+
+    return decode
+
+
+def decode_image_auto(data: bytes, media_type: str) -> _DecodedImage:
+    """Format-routing decoder: PPM/BMP through the deterministic stdlib
+    parser (always available, byte-exact), everything else through
+    Pillow when installed — otherwise the documented
+    NotImplementedError injection gate. This is the default a
+    deployment wires into :func:`decode_images` when its corpus mixes
+    formats; the stdlib default stays for oracle-checked paths."""
+    b = bytes(data)
+    if b[:2] in (b"P6", b"BM") or media_type in (
+        "image/x-portable-pixmap", "image/bmp",
+    ):
+        return decode_image_stdlib(b, media_type)
+    try:
+        decode = pillow_image_decoder()
+    except ImportError:
+        raise NotImplementedError(
+            f"no codec for {media_type}: install Pillow or inject a "
+            "decoder=(bytes, media_type) -> obj into decode_images/decode_media"
+        ) from None
+    return decode(b, media_type)
 
 
 def decode_images(
