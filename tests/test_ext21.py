@@ -768,6 +768,62 @@ def test_link_frontier_boundary_doc_is_new(spark):
     assert out == want
 
 
+def test_crawled_urls_index_extend_probe_idempotent(spark, tmp_path):
+    """The crawl loop's persisted state: probe excludes indexed URLs,
+    extend appends only the fresh wave (cost ∝ batch), a retried /
+    overlapping extend is a no-op, and a marker-less dir fails loudly."""
+    import os
+
+    import pytest as _pytest
+
+    from vmware_graph_spark.operators.crawl import (
+        extend_crawled_urls,
+        frontier_against_crawled,
+        write_crawled_urls,
+    )
+
+    idx = str(tmp_path / "crawled")
+    day1 = spark.createDataFrame(
+        [(f"http://h/{i}",) for i in range(100)], "canon string"
+    )
+    write_crawled_urls(day1, idx)
+    cand = spark.createDataFrame(
+        [(f"http://h/{i}",) for i in range(90, 130)], "canon string"
+    )
+    new1 = {r.canon for r in frontier_against_crawled(spark, idx, cand).collect()}
+    assert new1 == {f"http://h/{i}" for i in range(100, 130)}
+
+    # fetch wave 1 -> extend; next probe of the same candidates is empty
+    extend_crawled_urls(spark, cand, idx)
+    assert frontier_against_crawled(spark, idx, cand).count() == 0
+    n_rows = spark.read.parquet(f"{idx}/urls.parquet").count()
+    assert n_rows == 130  # 100 + the 30 genuinely new; overlap not re-appended
+
+    # retried extend: no-op
+    extend_crawled_urls(spark, cand, idx)
+    assert spark.read.parquet(f"{idx}/urls.parquet").count() == 130
+
+    # crash rule: marker stamped last -> marker-less dir fails loudly
+    os.remove(os.path.join(idx, "format.json"))
+    with _pytest.raises(FileNotFoundError):
+        frontier_against_crawled(spark, idx, cand)
+    with _pytest.raises(FileNotFoundError):
+        extend_crawled_urls(spark, cand, idx)
+
+
+def test_frontier_persisted_state_equals_inflight_twin(spark):
+    from vmware_graph_spark.queries_ext21 import (
+        frontier_dedup_persisted_state,
+        link_frontier_discovery,
+    )
+
+    got = {r.host: r.n_new_urls
+           for r in frontier_dedup_persisted_state(spark, SF).collect()}
+    want = {r.host: r.n_new_urls
+            for r in link_frontier_discovery(spark, SF).collect()}
+    assert got == want and got
+
+
 # ---------------------------------------------------------------------------
 # persisted ANN index
 # ---------------------------------------------------------------------------

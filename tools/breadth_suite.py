@@ -114,6 +114,20 @@ FAMILY_REPRESENTATIVES = (
     "link_frontier_discovery",
     # round-9: persisted ANN index (day-2 similarity serving)
     "ann_topk_against_persisted_index",
+    # round-10: coverage-ledger fold-in (tools/coverage_ledger.py) —
+    # one representative per module that had NEITHER a committed
+    # driver-rotation sample NOR a breadth member
+    "golden_records_customers",          # queries_ext4
+    "textrank_keywords_documents",       # queries_ext5
+    "lsh_precision_vs_exact",            # queries_ext8
+    "harmonic_centrality_landmarks",     # queries_ext9
+    "seasonal_naive_backtest",           # queries_ext11
+    "degree_distribution_log2_bins",     # queries_ext12
+    "effective_dim_embeddings",          # queries_ext13
+    "matched_pairs_att",                 # queries_ext14
+    # round-10: RFC 9309 robots pipeline + giant-host politeness escape
+    "robots_txt_group_gate",
+    "crawl_politeness_waves_giant_host",
 )
 
 

@@ -203,3 +203,97 @@ def parse_robots(
     return robots.select(host_col, txt_col).mapInPandas(
         run, "host string, path_prefix string, allow boolean"
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted crawl state: the crawled-URL set as a day-2 index.
+# ``link_frontier_discovery`` anti-joins the in-flight crawled set;
+# a real crawl LOOP needs that set persisted so each wave's frontier
+# delta costs ∝ batch — the same discipline as the dedup/ANN persisted
+# indexes (operators/dedup.py:763, operators/similarity.py:909).
+# ---------------------------------------------------------------------------
+
+CRAWL_INDEX_KIND = "crawled-urls-v1"
+_URL_BUCKETS = 32
+
+
+def _check_crawl_index(path: str) -> None:
+    import json
+    import os
+
+    fp = os.path.join(path, "format.json")
+    if not os.path.exists(fp):
+        raise FileNotFoundError(
+            f"crawled-url index at {path} has no format.json marker — "
+            "half-built or not an index; rebuild with write_crawled_urls"
+        )
+    with open(fp) as fh:
+        got = json.load(fh)
+    if got.get("kind") != CRAWL_INDEX_KIND:
+        raise ValueError(
+            f"index at {path} is {got.get('kind')!r}, not {CRAWL_INDEX_KIND}"
+        )
+
+
+def _bucketed(urls: DataFrame, url_col: str) -> DataFrame:
+    # Murmur3 bucket: layout-internal only (never oracle-visible), it
+    # sizes the partition dirs so probes and compactions parallelize.
+    return urls.select(
+        F.col(url_col).alias("canon"),
+        F.pmod(F.hash(url_col), F.lit(_URL_BUCKETS)).alias("bucket"),
+    ).distinct()
+
+
+def write_crawled_urls(urls: DataFrame, path: str, *, url_col: str = "canon") -> None:
+    """Persist the crawled canonical-URL set: distinct keys in a
+    bucket-partitioned parquet layout, ``format.json`` marker stamped
+    LAST (the dedup/ANN crash-consistency rule: a crash mid-write
+    leaves no marker, and readers fail loudly instead of probing a
+    half-built index). Rebuild removes the marker FIRST."""
+    import json
+    import os
+
+    try:
+        os.remove(os.path.join(path, "format.json"))
+    except FileNotFoundError:
+        pass
+    _bucketed(urls, url_col).write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{path}/urls.parquet"
+    )
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "format.json"), "w") as fh:
+        json.dump({"kind": CRAWL_INDEX_KIND, "buckets": _URL_BUCKETS}, fh)
+
+
+def extend_crawled_urls(
+    spark: SparkSession, fetched: DataFrame, path: str, *, url_col: str = "canon"
+) -> None:
+    """APPEND a fetched wave to the persisted crawled set — day-2 cost
+    ∝ batch (the batch derives its own rows; the index is never
+    rewritten). IDEMPOTENT under retries and overlapping waves: the
+    batch anti-joins the persisted keys first, so a retried extend
+    appends nothing; a crash mid-append leaves only key rows, which are
+    harmless duplicates to every reader (the probe is an anti-join on
+    the key — same decision with or without them). Single writer at a
+    time, per the dedup-index concurrency contract."""
+    _check_crawl_index(path)
+    existing = spark.read.parquet(f"{path}/urls.parquet").select("canon")
+    fresh = (
+        _bucketed(fetched, url_col)
+        .join(existing, "canon", "left_anti")
+    )
+    fresh.write.mode("append").partitionBy("bucket").parquet(f"{path}/urls.parquet")
+
+
+def frontier_against_crawled(
+    spark: SparkSession, path: str, candidates: DataFrame, *, url_col: str = "canon"
+) -> DataFrame:
+    """The crawl loop's frontier delta against PERSISTED state: keep
+    the candidate URLs whose canonical key is not in the index — one
+    anti-join; the index side is a single-column columnar scan, the
+    candidate side is the batch. Returns the candidates' columns."""
+    _check_crawl_index(path)
+    crawled = spark.read.parquet(f"{path}/urls.parquet").select(
+        F.col("canon").alias(url_col)
+    )
+    return candidates.join(crawled, url_col, "left_anti")

@@ -868,6 +868,77 @@ def link_frontier_discovery(spark, sf_dir):
     )
 
 
+def _link_frontier_oracle() -> str:
+    from vmware_graph_spark.queries import ORACLE
+
+    return ORACLE["link_frontier_discovery"]
+
+
+@query("frontier_dedup_persisted_state", _link_frontier_oracle())
+def frontier_dedup_persisted_state(spark, sf_dir):
+    """``link_frontier_discovery`` with the crawled set PERSISTED — the
+    day-2 crawl loop: the canonical URLs of every crawled page land
+    once in a bucket-partitioned crawled-urls index
+    (``write_crawled_urls``, marker-stamped-last), and each wave's
+    frontier delta anti-joins against the INDEX instead of re-deriving
+    the in-flight set (``frontier_against_crawled``) — the persisted-
+    index discipline dedup/ANN already follow, applied to the crawl
+    state. Decisions are identical to the in-flight twin, so the
+    oracle is that twin's SQL, unchanged. Day-2 dynamics (extend cost
+    ∝ batch, idempotent retries, crash-marker rule) are pinned by
+    tests/test_ext21.py and measured in CRAWL_SCALEBENCH.json's
+    frontier_index section."""
+    from vmware_graph_spark.functions.url import (
+        extract_hrefs,
+        resolve_href,
+        url_scheme,
+    )
+    from vmware_graph_spark.operators.crawl import (
+        frontier_against_crawled,
+        write_crawled_urls,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    k = (F.col("doc_id") % 5).cast("string")
+    k_next = ((F.col("doc_id") + 1) % 5).cast("string")
+    i = F.col("doc_id").cast("string")
+    i_next = (F.col("doc_id") + 1).cast("string")
+    page_url = F.concat(
+        F.lit("http://www.site"), k, F.lit(".example.com/a/"), i
+    )
+    body = F.concat(
+        F.lit('<html><body><a href="http://www.site'), k_next,
+        F.lit(".example.com/a/"), i_next,
+        F.lit('?utm_source=x">next</a><a href="/b/'), i,
+        F.lit('#frag">rel</a><a href="javascript:void(0)">js</a>'),
+        F.lit('<a href="#top">top</a></body></html>'),
+    )
+    pages = d.select(page_url.alias("url"), body.alias("html"))
+
+    idx = os.path.join(
+        cache_dir("crawled_urls", data_key(sf_dir, "documents")), "index"
+    )
+    if not os.path.exists(os.path.join(idx, "format.json")):
+        write_crawled_urls(
+            pages.select(url_canonical("url").alias("canon")), idx
+        )
+    hrefs = pages.select(
+        url_scheme("url").alias("s"),
+        url_host("url").alias("h"),
+        F.explode(extract_hrefs("html")).alias("href"),
+    )
+    resolved = hrefs.select(
+        resolve_href(F.col("s"), F.col("h"), F.col("href")).alias("r")
+    ).filter(F.col("r").isNotNull())
+    candidates = resolved.select(url_canonical("r").alias("canon")).distinct()
+    frontier = frontier_against_crawled(spark, idx, candidates)
+    return (
+        frontier.select(url_host("canon").alias("host"))
+        .groupBy("host")
+        .agg(F.count("*").cast("bigint").alias("n_new_urls"))
+    )
+
+
 def _ann_index_dir(sf_dir: str) -> str:
     return os.path.join(
         cache_dir("ann_index", data_key(sf_dir, "embeddings")), "index"
