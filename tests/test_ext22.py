@@ -1,0 +1,213 @@
+"""Unit tests for the crawl-maintenance family (round-10): sitemap
+source, recrawl scheduling, and URL-parameter mining."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# sitemap container
+# ---------------------------------------------------------------------------
+
+def test_parse_sitemap_urlset_and_index():
+    from vmware_graph_spark.sources.sitemap import (
+        make_sitemap_index,
+        make_sitemap_xml,
+        parse_sitemap,
+    )
+
+    entries = [
+        {"loc": "http://h/a", "lastmod": "2026-01-02", "changefreq": "daily",
+         "priority": "0.8"},
+        {"loc": "http://h/b"},  # optional fields absent
+    ]
+    got = list(parse_sitemap(make_sitemap_xml(entries)))
+    assert [e["kind"] for e in got] == ["url", "url"]
+    assert got[0]["loc"] == "http://h/a" and got[0]["priority"] == "0.8"
+    assert got[1]["lastmod"] is None and got[1]["changefreq"] is None
+
+    idx = make_sitemap_index([("http://h/s1.xml.gz", "2026-02-03"),
+                              ("http://h/s2.xml.gz", None)])
+    got = list(parse_sitemap(idx))
+    assert [(e["kind"], e["loc"], e["lastmod"]) for e in got] == [
+        ("sitemap", "http://h/s1.xml.gz", "2026-02-03"),
+        ("sitemap", "http://h/s2.xml.gz", None),
+    ]
+
+
+def test_parse_sitemap_namespace_tolerance_and_gzip():
+    import gzip
+
+    from vmware_graph_spark.sources.sitemap import parse_sitemap
+
+    # no xmlns at all (common in the wild)
+    bare = b"<urlset><url><loc>http://h/x</loc></url></urlset>"
+    assert [e["loc"] for e in parse_sitemap(bare)] == ["http://h/x"]
+    # namespace PREFIX form
+    pfx = (
+        b'<sm:urlset xmlns:sm="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        b"<sm:url><sm:loc>http://h/y</sm:loc><sm:priority>0.5</sm:priority>"
+        b"</sm:url></sm:urlset>"
+    )
+    got = list(parse_sitemap(pfx))
+    assert got[0]["loc"] == "http://h/y" and got[0]["priority"] == "0.5"
+    # gzip transport
+    assert [e["loc"] for e in parse_sitemap(gzip.compress(bare))] == ["http://h/x"]
+    # extension elements under the root are skipped, not fatal
+    ext = (
+        b"<urlset><weird/><url><loc>http://h/z</loc>"
+        b"<video:thing xmlns:video='v'>ignored</video:thing></url></urlset>"
+    )
+    assert [e["loc"] for e in parse_sitemap(ext)] == ["http://h/z"]
+
+
+def test_parse_sitemap_rejects_corruption():
+    from vmware_graph_spark.sources.sitemap import parse_sitemap
+
+    with pytest.raises(ValueError):
+        list(parse_sitemap(b"this is not xml"))
+    with pytest.raises(ValueError):
+        list(parse_sitemap(b"<html><body>nope</body></html>"))
+    with pytest.raises(ValueError):
+        list(parse_sitemap(b"<urlset><url><lastmod>2026-01-01</lastmod></url></urlset>"))
+
+
+def test_read_sitemaps_fleet_roundtrip(spark, tmp_path):
+    from vmware_graph_spark.sources.sitemap import read_sitemaps, write_sitemap_files
+
+    shards = {
+        "s1": [{"loc": "http://h/1", "priority": "0.3"}],
+        "s2": [{"loc": "http://h/2"}, {"loc": "http://h/3", "lastmod": "2026-05-05"}],
+    }
+    write_sitemap_files(shards, str(tmp_path / "fleet"), gzip_files=True)
+    out = read_sitemaps(spark, str(tmp_path / "fleet" / "*.xml*")).collect()
+    urls = {r.loc: (r.kind, r.lastmod, r.priority) for r in out if r.kind == "url"}
+    assert urls == {
+        "http://h/1": ("url", None, 0.3),
+        "http://h/2": ("url", None, None),
+        "http://h/3": ("url", "2026-05-05", None),
+    }
+    # the index file's children surface as kind='sitemap' rows
+    idx_rows = [r for r in out if r.kind == "sitemap"]
+    assert {r.loc for r in idx_rows} == {
+        "http://example.com/s1.xml.gz", "http://example.com/s2.xml.gz"
+    }
+    # provenance key: (file, entry_idx) unique
+    keys = {(r.sitemap_file, r.entry_idx) for r in out}
+    assert len(keys) == len(out)
+
+
+def test_sitemap_seed_ingest_covers_every_document(spark):
+    from vmware_graph_spark.queries_ext22 import sitemap_seed_ingest
+    from vmware_graph_spark.sources.tables import load_table
+
+    out = sitemap_seed_ingest(spark, SF)
+    docs = load_table(spark, SF, "documents")
+    assert out.count() == docs.count()
+    assert out.filter(F.col("doc_id").isNull()).count() == 0
+    assert out.filter(~F.col("changefreq").isin("daily", "weekly", "monthly")).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# recrawl scheduling
+# ---------------------------------------------------------------------------
+
+def test_recrawl_priority_change_detection_and_rates(spark):
+    from vmware_graph_spark.operators.crawl import recrawl_priority
+
+    rows = [
+        # u1: 3 fetches, changes at t2 only -> rate 1/2
+        ("u1", "2026-01-01 00:00:00", "a"),
+        ("u1", "2026-01-08 00:00:00", "b"),
+        ("u1", "2026-01-15 00:00:00", "b"),
+        # u2: single fetch -> rate 0, priority 0
+        ("u2", "2026-01-01 00:00:00", "x"),
+        # u3: every fetch changes -> rate 1
+        ("u3", "2026-01-01 00:00:00", "p"),
+        ("u3", "2026-01-02 00:00:00", "q"),
+        ("u3", "2026-01-03 00:00:00", "r"),
+    ]
+    h = spark.createDataFrame(rows, "url string, ts string, fp string")
+    h = h.select("url", F.to_timestamp("ts").alias("fetch_ts"), "fp")
+    out = {
+        r.url: (r.n_fetches, r.n_changes, r.change_rate, r.age_days, r.priority)
+        for r in recrawl_priority(h, F.lit("2026-01-25")).collect()
+    }
+    assert out["u1"] == (3, 1, 0.5, 10, 5.0)
+    assert out["u2"] == (1, 0, 0.0, 24, 0.0)
+    assert out["u3"] == (3, 2, 1.0, 22, 22.0)
+
+
+def test_recrawl_priority_ignores_row_order(spark):
+    """Change detection orders by fetch_ts, not by input order."""
+    from vmware_graph_spark.operators.crawl import recrawl_priority
+
+    rows = [
+        ("u", "2026-01-15 00:00:00", "b"),
+        ("u", "2026-01-01 00:00:00", "a"),
+        ("u", "2026-01-08 00:00:00", "b"),
+    ]
+    h = spark.createDataFrame(rows, "url string, ts string, fp string")
+    h = h.select("url", F.to_timestamp("ts").alias("fetch_ts"), "fp")
+    r = recrawl_priority(h, F.lit("2026-01-16")).collect()[0]
+    assert (r.n_changes, r.change_rate) == (1, 0.5)
+
+
+# ---------------------------------------------------------------------------
+# URL-parameter mining
+# ---------------------------------------------------------------------------
+
+def test_mine_content_params_convicts_and_acquits(spark):
+    from vmware_graph_spark.operators.crawl import mine_content_params
+
+    rows = []
+    for i in range(4):
+        for s in range(3):
+            rows.append((f"http://h/p?id={i}&sess={s}", f"fp{i}"))
+    pages = spark.createDataFrame(rows, "url string, fp string")
+    out = {r.param_key: (r.n_multi_groups, r.n_divergent_groups, r.content_bearing)
+           for r in mine_content_params(pages).collect()}
+    # sess groups: fixed id, 3 sess values, same fp -> multi, never divergent
+    assert out["sess"] == (4, 0, 0)
+    # id groups: fixed sess, 4 id values, 4 fps -> divergent
+    assert out["id"] == (3, 3, 1)
+
+
+def test_mine_content_params_edge_cases(spark):
+    from vmware_graph_spark.operators.crawl import mine_content_params
+
+    pages = spark.createDataFrame(
+        [
+            ("http://h/only?solo=1", "f1"),      # singleton group -> (0,0,0)
+            ("http://h/noquery", "f2"),          # no params -> no rows
+            ("http://h/p?a=1&a=2&b=1", "f3"),    # duplicate key: one 'a' row
+            ("http://h/p?a=9&b=1", "f4"),        # differs from f3 only in a
+        ],
+        "url string, fp string",
+    )
+    out = {r.param_key: (r.n_multi_groups, r.n_divergent_groups, r.content_bearing)
+           for r in mine_content_params(pages).collect()}
+    assert out["solo"] == (0, 0, 0)
+    assert "noquery" not in out
+    # removing ALL 'a' params makes the two /p URLs one group ('?b=1'),
+    # with different fps -> convicted
+    assert out["a"] == (1, 1, 1)
+    assert out["b"] == (0, 0, 0)  # bases differ once b removed -> singletons
+
+
+def test_url_param_mining_query_is_pure_catalyst(spark):
+    from vmware_graph_spark.queries_ext22 import url_param_mining
+
+    df = url_param_mining(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

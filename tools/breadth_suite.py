@@ -128,6 +128,12 @@ FAMILY_REPRESENTATIVES = (
     # round-10: RFC 9309 robots pipeline + giant-host politeness escape
     "robots_txt_group_gate",
     "crawl_politeness_waves_giant_host",
+    # round-10: crawl maintenance (sitemap seeding, recrawl scheduling,
+    # URL-parameter mining) + persisted crawl state
+    "sitemap_seed_ingest",
+    "recrawl_priority_urls",
+    "url_param_mining",
+    "frontier_dedup_persisted_state",
 )
 
 

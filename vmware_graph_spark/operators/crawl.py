@@ -28,7 +28,7 @@ an Allow beats a Disallow of equal length.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 # Java-regex metacharacters to neutralize in a robots path pattern,
@@ -297,3 +297,128 @@ def frontier_against_crawled(
         F.col("canon").alias(url_col)
     )
     return candidates.join(crawled, url_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Crawl maintenance: recrawl scheduling + URL-parameter mining.
+# ---------------------------------------------------------------------------
+
+def recrawl_priority(
+    history: DataFrame,
+    now: Column,
+    *,
+    url_col: str = "url",
+    ts_col: str = "fetch_ts",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Freshness-driven recrawl scheduling (the Cho/Garcia-Molina
+    shape): per URL, estimate the change rate from its fetch history —
+    a fetch "changed" when its content fingerprint differs from the
+    previous fetch's — and rank staleness as ``change_rate × days
+    since last fetch``. Emits per URL: ``n_fetches``, ``n_changes``,
+    ``change_rate`` (changes per revisit interval; 0.0 for a
+    single-fetch URL), ``age_days`` and ``priority`` (both vs ``now``,
+    rounded to 6).
+
+    Scale shape: the change detection is a lag window partitioned BY
+    URL — per-URL history is bounded (politeness caps revisit
+    frequency), so partitions are tiny and uniform; everything after
+    is one groupBy(url). No giant-key hazard (contrast the per-host
+    politeness windows, which route giant hosts through
+    ``exact_global_rank``)."""
+    w = Window.partitionBy(url_col).orderBy(ts_col)
+    prev = F.lag(fp_col).over(w)
+    per = history.select(
+        url_col,
+        F.col(ts_col).alias("__ts"),
+        (prev.isNotNull() & (F.col(fp_col) != prev)).cast("int").alias("__chg"),
+    )
+    agg = per.groupBy(url_col).agg(
+        F.count("*").cast("bigint").alias("n_fetches"),
+        F.sum("__chg").cast("bigint").alias("n_changes"),
+        F.max("__ts").alias("__last"),
+    )
+    rate = F.when(
+        F.col("n_fetches") > 1,
+        F.col("n_changes") / (F.col("n_fetches") - 1),
+    ).otherwise(F.lit(0.0))
+    age = F.datediff(F.to_date(now), F.to_date("__last")).cast("bigint")
+    return agg.select(
+        url_col,
+        "n_fetches",
+        "n_changes",
+        F.round(rate, 6).alias("change_rate"),
+        age.alias("age_days"),
+        F.round(rate * age, 6).alias("priority"),
+    )
+
+
+def mine_content_params(
+    pages: DataFrame,
+    *,
+    url_col: str = "url",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Data-driven URL-parameter classification — the empirical upgrade
+    of the hardcoded tracking list in ``functions/url.py``: a query
+    parameter is CONTENT-BEARING if two fetched URLs that differ only
+    in that parameter returned different content fingerprints, and
+    droppable if every such pair returned identical content.
+
+    Per URL and per parameter key, the URL's identity-with-that-key-
+    removed (``path?sorted-other-params``) is the comparison group;
+    groups with ≥2 distinct URLs are the informative ones, and a group
+    whose fingerprints diverge convicts the key of carrying content.
+    Emits per key: ``n_multi_groups`` (groups with ≥2 URLs),
+    ``n_divergent_groups`` (of those, fingerprints differ) and
+    ``content_bearing`` (1 when any group diverges) — keys whose
+    every group is a singleton yield (0, 0, 0): no evidence, keep.
+
+    Pure Catalyst (split/filter/transform/explode; no UDF); one
+    shuffle on (key, group), one on key. At corpus scale the group key
+    is fine-grained (host+path+params), so skew is bounded by per-page
+    param fan-out."""
+    q = F.regexp_extract(F.col(url_col), r"^[^#?]*\?([^#]*)", 1)
+    prefix = F.regexp_extract(F.col(url_col), r"^([^?#]*)", 1)
+    params = F.filter(F.split(q, "&"), lambda p: p != "")
+    keys = F.array_distinct(
+        F.transform(params, lambda p: F.element_at(F.split(p, "="), 1))
+    )
+    e = pages.select(
+        F.col(url_col).alias("__u"),
+        F.col(fp_col).alias("__fp"),
+        prefix.alias("__pre"),
+        params.alias("__params"),
+        F.explode(keys).alias("param_key"),
+    )
+    others = F.array_sort(
+        F.filter(
+            F.col("__params"),
+            lambda p: F.element_at(F.split(p, "="), 1) != F.col("param_key"),
+        )
+    )
+    base = F.concat(
+        F.col("__pre"),
+        F.when(F.size(others) > 0, F.concat(F.lit("?"), F.array_join(others, "&")))
+        .otherwise(F.lit("")),
+    )
+    grouped = (
+        e.select("param_key", base.alias("__base"), "__u", "__fp")
+        .groupBy("param_key", "__base")
+        .agg(
+            F.countDistinct("__u").alias("__n_urls"),
+            F.countDistinct("__fp").alias("__n_fps"),
+        )
+    )
+    return grouped.groupBy("param_key").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("__n_urls") >= 2, 1)), F.lit(0)
+        ).cast("bigint").alias("n_multi_groups"),
+        F.coalesce(
+            F.sum(F.when((F.col("__n_urls") >= 2) & (F.col("__n_fps") >= 2), 1)),
+            F.lit(0),
+        ).cast("bigint").alias("n_divergent_groups"),
+        F.max(
+            F.when((F.col("__n_urls") >= 2) & (F.col("__n_fps") >= 2), 1).otherwise(0)
+        ).cast("int").alias("content_bearing"),
+    )

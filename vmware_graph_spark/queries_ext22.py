@@ -1,0 +1,224 @@
+"""Round-10 continuation: crawl MAINTENANCE — the loop that keeps a
+100 TB corpus fresh after the first harvest.
+
+Three legs, each oracle-paired on the documents table with the fixture
+discipline of the round-9 crawl family (deterministic artifacts
+synthesized FROM source rows, pushed through the production distributed
+path, oracle recomputing the answer from the SOURCE, never from the
+implementation):
+
+- **sitemap seeding** (``sources/sitemap.py``): sitemapindex + gzipped
+  urlset shards read through the binaryFile + Arrow ``mapInPandas``
+  fleet reader;
+- **recrawl scheduling** (``operators/crawl.py::recrawl_priority``):
+  change-rate estimation over fetch history → freshness priority;
+- **URL-parameter mining** (``operators/crawl.py::
+  mine_content_params``): which query parameters empirically carry
+  content — the data-driven upgrade of the static tracking-param list.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from vmware_graph_spark.queries import query
+from vmware_graph_spark.sources.tables import load_table
+from vmware_graph_spark.tmpcache import cache_dir, data_key
+
+_N_SHARDS = 4
+
+
+def _sitemap_fixture_dir(spark, sf_dir: str) -> str:
+    """Synthesize the sitemap fleet once per (dataset, mtime): a plain
+    ``sitemap_index.xml`` plus _N_SHARDS GZIPPED urlset shards (the
+    spec's preferred transport), one ``<url>`` per document with
+    lastmod/changefreq/priority derived deterministically from
+    doc_id."""
+    from datetime import date, timedelta
+
+    from vmware_graph_spark.sources.sitemap import write_sitemap_files
+
+    root = cache_dir("sitemap_fleet", data_key(sf_dir, "documents"))
+    sentinel = os.path.join(root, "_COMPLETE")
+    if os.path.exists(sentinel):
+        return root
+    ids = [
+        int(r.doc_id)
+        for r in load_table(spark, sf_dir, "documents").select("doc_id").collect()
+    ]
+    freq = ("daily", "weekly", "monthly")
+    shards: dict[str, list[dict]] = {f"shard_{i}": [] for i in range(_N_SHARDS)}
+    for did in sorted(ids):
+        shards[f"shard_{did % _N_SHARDS}"].append(
+            {
+                "loc": f"http://www.site{did % 5}.example.com/a/{did}",
+                "lastmod": (date(2026, 1, 1) + timedelta(days=did % 365)).isoformat(),
+                "changefreq": freq[did % 3],
+                "priority": f"{(did % 10) / 10:.1f}",
+            }
+        )
+    write_sitemap_files(shards, root, gzip_files=True)
+    with open(sentinel, "w") as f:
+        f.write("ok")
+    return root
+
+
+@query(
+    "sitemap_seed_ingest",
+    """
+    SELECT doc_id,
+           'http://www.site' || (doc_id % 5) || '.example.com/a/' || doc_id
+             AS loc,
+           strftime(DATE '2026-01-01' + CAST(doc_id % 365 AS INTEGER),
+                    '%Y-%m-%d') AS lastmod,
+           CASE doc_id % 3 WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly'
+                ELSE 'monthly' END AS changefreq,
+           CAST(doc_id % 10 AS DOUBLE) / 10 AS priority
+    FROM documents
+    """,
+)
+def sitemap_seed_ingest(spark, sf_dir):
+    """Frontier seeding from sitemaps, end to end: a sitemapindex plus
+    GZIPPED urlset shards are synthesized from the documents table,
+    read back through the production fleet reader (binaryFile + Arrow
+    ``mapInPandas``, namespace-tolerant stdlib XML parse, transparent
+    gunzip), and the oracle recomputes every entry's loc / lastmod
+    date arithmetic / changefreq / priority straight from the source
+    rows — a parse slip, gz mishandling, entry-field mixup, or a
+    leaked ``<sitemapindex>`` child (kind='sitemap' rows are filtered,
+    so an unfiltered leak changes the row count) breaks the match.
+    Scale shape: parallelism = sitemap-file count; no shuffle at all
+    (the output is a per-row projection)."""
+    from vmware_graph_spark.sources.sitemap import read_sitemaps
+
+    root = _sitemap_fixture_dir(spark, sf_dir)
+    entries = read_sitemaps(spark, os.path.join(root, "*.xml*"))
+    return entries.filter(F.col("kind") == "url").select(
+        F.regexp_extract("loc", r"/a/(\d+)$", 1).cast("bigint").alias("doc_id"),
+        "loc",
+        "lastmod",
+        "changefreq",
+        F.col("priority").cast("double").alias("priority"),
+    )
+
+
+@query(
+    "recrawl_priority_urls",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             'http://www.site' || (doc_id % 5) || '.example.com/a/' || doc_id
+               AS url,
+             CAST(CASE WHEN (doc_id + 1) % 4 = 0 THEN 1 ELSE 0 END
+                + CASE WHEN (doc_id + 4) % 4 = 0 THEN 1 ELSE 0 END
+                + CASE WHEN (doc_id + 9) % 4 = 0 THEN 1 ELSE 0 END
+               AS BIGINT) AS n_changes
+      FROM documents
+    )
+    SELECT url,
+           CAST(4 AS BIGINT) AS n_fetches,
+           n_changes,
+           round(n_changes / 3.0, 6) AS change_rate,
+           CAST(datediff('day',
+                 DATE '2026-06-22' ,
+                 DATE '2026-08-16') AS BIGINT) AS age_days,
+           round((n_changes / 3.0)
+                 * datediff('day', DATE '2026-06-22', DATE '2026-08-16'),
+                 6) AS priority
+    FROM h
+    """,
+)
+def recrawl_priority_urls(spark, sf_dir):
+    """Freshness-driven recrawl scheduling over a deterministic fetch
+    history: each URL has 4 fetches a week apart, whose content
+    fingerprint advances exactly when ``(doc_id + v²) % 4 = 0`` at
+    revisit v — so URLs genuinely differ in change rate (0, 1/3 or
+    2/3). The ENGINE path detects changes from the fingerprints alone
+    (lag window inside ``recrawl_priority``); the oracle recomputes
+    n_changes/rate/age/priority from pure arithmetic — a fingerprint-
+    construction bug, a lag/ordering slip, or a rate formula drift
+    each breaks the hash. ``now`` is pinned (2026-08-16), last fetch
+    is 2026-06-22 for every URL (age 55 days)."""
+    from vmware_graph_spark.operators.crawl import recrawl_priority
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    k = (F.col("doc_id") % 5).cast("string")
+    url = F.concat(
+        F.lit("http://www.site"), k, F.lit(".example.com/a/"),
+        F.col("doc_id").cast("string"),
+    )
+    v = F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("v")
+    h = d.select("doc_id", url.alias("url"), v)
+    # cumulative change count up to visit v -> the fingerprint version
+    chg = lambda vv: F.when(  # noqa: E731
+        (vv > 0) & ((F.col("doc_id") + vv * vv) % 4 == 0), 1
+    ).otherwise(0)
+    version = sum(
+        [F.when(F.col("v") >= i, chg(F.lit(i))).otherwise(0) for i in (1, 2, 3)],
+        F.lit(0),
+    )
+    history = h.select(
+        "url",
+        (
+            F.to_timestamp(F.lit("2026-06-01 00:00:00"))
+            + F.make_dt_interval(F.col("v") * 7)
+        ).alias("fetch_ts"),
+        F.md5(
+            F.concat(F.col("doc_id").cast("string"), F.lit("|"),
+                     version.cast("string"))
+        ).alias("fp"),
+    )
+    out = recrawl_priority(history, F.lit("2026-08-16"))
+    return out.select(
+        "url", "n_fetches", "n_changes", "change_rate", "age_days", "priority"
+    )
+
+
+@query(
+    "url_param_mining",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT doc_id % 50 AS x, doc_id % 7 AS y FROM documents
+    ),
+    idg AS (SELECT y, count(*) AS n FROM pairs GROUP BY y),
+    sessg AS (SELECT x, count(*) AS n FROM pairs GROUP BY x)
+    SELECT 'id' AS param_key,
+           CAST((SELECT count(*) FROM idg WHERE n >= 2) AS BIGINT)
+             AS n_multi_groups,
+           CAST((SELECT count(*) FROM idg WHERE n >= 2) AS BIGINT)
+             AS n_divergent_groups,
+           CAST(CASE WHEN (SELECT count(*) FROM idg WHERE n >= 2) > 0
+                     THEN 1 ELSE 0 END AS INTEGER) AS content_bearing
+    UNION ALL
+    SELECT 'sess',
+           CAST((SELECT count(*) FROM sessg WHERE n >= 2) AS BIGINT),
+           CAST(0 AS BIGINT),
+           CAST(0 AS INTEGER)
+    """,
+)
+def url_param_mining(spark, sf_dir):
+    """Data-driven URL-parameter classification: fetched pages carry
+    ``?id=X&sess=Y`` where the content fingerprint depends ONLY on X —
+    so 'id' must be convicted as content-bearing (URLs differing only
+    in id diverge in content) and 'sess' acquitted (URLs differing
+    only in sess always agree). The oracle derives group/divergence
+    counts from the residue arithmetic alone (distinct (x, y) pairs,
+    grouped each way) — it never touches URL strings, so the
+    operator's param parsing, group-key reconstruction, and divergence
+    logic are each pinned independently. This is the empirical upgrade
+    path for functions/url.py's static tracking list: run the miner
+    over a fetch log, drop what it acquits."""
+    from vmware_graph_spark.operators.crawl import mine_content_params
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    x = (F.col("doc_id") % 50).cast("string")
+    y = (F.col("doc_id") % 7).cast("string")
+    pages = d.select(
+        F.concat(
+            F.lit("http://www.shop.example.com/p?id="), x, F.lit("&sess="), y
+        ).alias("url"),
+        F.md5(F.concat(F.lit("content-"), x)).alias("fp"),
+    ).distinct()
+    return mine_content_params(pages)
