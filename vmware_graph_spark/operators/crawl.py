@@ -17,13 +17,17 @@ host's robots rules, decide fetchability. Semantics are RFC 9309:
 
 Scale shape: robots corpora are tiny relative to the frontier (a few
 rules per host), so the per-host rule set is packed into ONE array row
-and broadcast — the frontier never shuffles at all. Patterns compile to
-anchored regexes INSIDE Catalyst (escape → ``*``→``.*`` → anchor), and
-longest-match resolution is a per-row codegen'd expression (filter →
-transform → array_max over a (specificity, allow) struct), so the whole
-operator is a broadcast hash join plus a projection. The score struct
-orders by ``(2*len(pattern) + allow)`` so longer patterns dominate and
-an Allow beats a Disallow of equal length.
+and broadcast — the frontier never shuffles at all. Wildcard patterns
+compile to anchored regexes INSIDE Catalyst (escape → ``*``→``.*`` →
+anchor); wildcard-FREE rules — the overwhelming majority in real
+robots files — keep plain ``startswith`` so the hot path never pays
+per-row regex compilation (``rlike`` with a non-literal pattern
+recompiles per evaluation). Longest-match resolution is a per-row
+codegen'd expression (filter → transform → array_max over a
+(specificity, allow) struct), so the whole operator is a broadcast
+hash join plus a projection. The score struct orders by
+``(2*len(pattern) + allow)`` so longer patterns dominate and an Allow
+beats a Disallow of equal length.
 """
 
 from __future__ import annotations
@@ -76,12 +80,19 @@ def robots_filter(
     nothing); here an empty pattern would match everything.
     """
     pat = F.col(prefix_col)
+    # Hybrid resolution (the 100 TB fast path): real robots files are
+    # overwhelmingly wildcard-FREE prefixes, and `rlike` with a
+    # non-literal pattern recompiles the regex per evaluation — so
+    # literal rules keep `startswith` (rx = NULL) and only rules that
+    # actually use '*' or a trailing '$' pay the regex.
+    is_wild = pat.contains("*") | pat.endswith("$")
     per_host = (
         rules.groupBy(F.col(rule_host_col).alias("__r_host"))
         .agg(
             F.collect_list(
                 F.struct(
-                    _compile_pattern(pat).alias("rx"),
+                    F.when(is_wild, _compile_pattern(pat)).alias("rx"),
+                    F.when(~is_wild, pat).alias("prefix"),
                     F.length(pat).alias("octets"),
                     F.col(allow_col).cast("boolean").alias("allow"),
                 )
@@ -96,9 +107,13 @@ def robots_filter(
     matches = F.filter(
         F.coalesce(
             "__rules",
-            F.array().cast("array<struct<rx:string,octets:int,allow:boolean>>"),
+            F.array().cast(
+                "array<struct<rx:string,prefix:string,octets:int,allow:boolean>>"
+            ),
         ),
-        lambda r: F.rlike(F.col(path_col), r["rx"]),
+        lambda r: F.when(
+            r["rx"].isNull(), F.col(path_col).startswith(r["prefix"])
+        ).otherwise(F.rlike(F.col(path_col), r["rx"])),
     )
     best = F.array_max(
         F.transform(
