@@ -161,6 +161,45 @@ def test_recrawl_priority_ignores_row_order(spark):
 
 
 # ---------------------------------------------------------------------------
+# redirect chains
+# ---------------------------------------------------------------------------
+
+def test_resolve_redirects_chains_cycles_and_caps(spark):
+    from vmware_graph_spark.operators.crawl import resolve_redirects
+
+    edges = [("a", "b"), ("b", "c"), ("c", "T")]        # 3-hop chain
+    edges += [("x", "y"), ("y", "x")]                     # 2-cycle
+    edges += [("s", "s")]                                 # self-redirect
+    edges += [("q", "T")]                                 # single hop
+    edges += [(f"n{i}", f"n{i+1}") for i in range(40)]    # 40 hops > max 32
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = {r.src: (r.final_url, r.hops, r.status)
+           for r in resolve_redirects(df, max_hops=32).collect()}
+    assert out["a"] == ("T", 3, "ok")
+    assert out["b"] == ("T", 2, "ok")
+    assert out["q"] == ("T", 1, "ok")
+    assert out["x"] == (None, None, "unresolved")
+    assert out["y"] == (None, None, "unresolved")
+    assert out["s"] == (None, None, "unresolved")
+    assert out["n0"] == (None, None, "unresolved")  # beyond the hop cap
+    assert out["n20"] == ("n40", 20, "ok")          # tail fits inside it
+    assert len(out) == len(edges)                   # one row per source
+
+
+def test_resolve_redirects_exact_cap_boundary(spark):
+    """A chain of exactly max_hops resolves; max_hops+1 does not."""
+    from vmware_graph_spark.operators.crawl import resolve_redirects
+
+    edges = [(f"a{i}", f"a{i+1}") for i in range(8)]  # a0 -> a8: 8 hops
+    df = spark.createDataFrame(edges, "src string, dst string")
+    ok = {r.src: r.hops for r in resolve_redirects(df, max_hops=8).collect()
+          if r.status == "ok"}
+    assert ok["a0"] == 8
+    out4 = {r.src: r.status for r in resolve_redirects(df, max_hops=4).collect()}
+    assert out4["a0"] == "unresolved" and out4["a4"] == "ok"
+
+
+# ---------------------------------------------------------------------------
 # URL-parameter mining
 # ---------------------------------------------------------------------------
 

@@ -134,6 +134,7 @@ FAMILY_REPRESENTATIVES = (
     "recrawl_priority_urls",
     "url_param_mining",
     "frontier_dedup_persisted_state",
+    "redirect_chain_resolution",
 )
 
 

@@ -177,6 +177,62 @@ def recrawl_priority_urls(spark, sf_dir):
 
 
 @query(
+    "redirect_chain_resolution",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 97 = 0 THEN NULL
+                ELSE '/t/' || doc_id END AS final_url,
+           CASE WHEN doc_id % 97 = 0 THEN NULL
+                ELSE CAST(doc_id % 4 + 1 AS BIGINT) END AS hops,
+           CASE WHEN doc_id % 97 = 0 THEN 'unresolved' ELSE 'ok' END AS status
+    FROM documents
+    """,
+)
+def redirect_chain_resolution(spark, sf_dir):
+    """HTTP redirect chains resolved to corpus identity: every doc's
+    page sits behind a chain of doc_id%4 + 1 redirects ending at
+    /t/{id}, except each 97th doc whose chain is a 2-CYCLE (the loop a
+    crawler must refuse to follow). The engine runs pointer-doubling
+    ``resolve_redirects`` over the raw edge rows — ⌈log2(max_hops)⌉
+    self-joins, one state row per source — while the oracle writes
+    final/hops/status from pure arithmetic, so a doubling slip (wrong
+    hop count), a premature stop (chain length 4 needs 3 rounds), or a
+    missed cycle each breaks different rows."""
+    from vmware_graph_spark.operators.crawl import resolve_redirects
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id").cast("string")
+
+    chain = d.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.col("doc_id") % 4)).alias("k"),
+    )
+    L = F.col("doc_id") % 4
+    chain_edges = chain.select(
+        F.concat(F.lit("/c/"), i, F.lit("/"), F.col("k").cast("string")).alias("src"),
+        F.when(
+            F.col("k") < L,
+            F.concat(F.lit("/c/"), i, F.lit("/"), (F.col("k") + 1).cast("string")),
+        ).otherwise(F.concat(F.lit("/t/"), i)).alias("dst"),
+    )
+    cyc = d.filter(F.col("doc_id") % 97 == 0).select(
+        "doc_id", F.explode(F.array(F.lit(0), F.lit(1))).alias("k")
+    )
+    cyc_edges = cyc.select(
+        F.concat(F.lit("/c/"), i, F.lit("/"), F.col("k").cast("string")).alias("src"),
+        F.concat(F.lit("/c/"), i, F.lit("/"), (1 - F.col("k")).cast("string")).alias("dst"),
+    )
+    resolved = resolve_redirects(chain_edges.unionByName(cyc_edges))
+    return resolved.select(
+        F.regexp_extract("src", r"^/c/(\d+)/0$", 1).alias("__id"),
+        "final_url", "hops", "status",
+    ).filter(F.col("__id") != "").select(
+        F.col("__id").cast("bigint").alias("doc_id"),
+        "final_url", "hops", "status",
+    )
+
+
+@query(
     "url_param_mining",
     """
     WITH pairs AS (
