@@ -161,6 +161,48 @@ def test_recrawl_priority_ignores_row_order(spark):
 
 
 # ---------------------------------------------------------------------------
+# anchor text
+# ---------------------------------------------------------------------------
+
+def test_extract_links_pairs_and_hostile_markup(spark):
+    from vmware_graph_spark.functions.url import extract_links
+
+    html = (
+        '<a href="/a">plain</a>'
+        '<a href="/b"><b>bold</b>\n\t inner</a>'
+        '<a class="k" href=/c>unquoted</a>'
+        '<a href="/d" data-x="href=evil">safe</a>'
+        '<a href="/e">first</a><a href="/f">second</a>'
+        '<a href="/g">never closed...'
+    )
+    df = spark.createDataFrame([(html,)], "h string")
+    out = [
+        (r.l.href, r.l.text)
+        for r in df.select(F.explode(extract_links("h")).alias("l")).collect()
+    ]
+    assert out == [
+        ("/a", "plain"),
+        ("/b", "bold inner"),     # inner tags stripped, whitespace collapsed
+        ("/c", "unquoted"),
+        ("/d", "safe"),           # attr-value 'href=' cannot hijack
+        ("/e", "first"),          # lazy body: anchors don't merge
+        ("/f", "second"),
+        # '/g' never closes -> no pair, like a browser dropping the tail
+    ]
+
+
+def test_anchor_text_profile_invariants(spark):
+    from vmware_graph_spark.queries_ext22 import anchor_text_profile
+    from vmware_graph_spark.sources.tables import load_table
+
+    out = anchor_text_profile(spark, SF)
+    n_docs = load_table(spark, SF, "documents").count()
+    rows = out.collect()
+    assert len(rows) == n_docs
+    assert all(r.n_links == 2 and r.texts.endswith("|read more") for r in rows)
+
+
+# ---------------------------------------------------------------------------
 # redirect chains
 # ---------------------------------------------------------------------------
 

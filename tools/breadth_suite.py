@@ -135,6 +135,7 @@ FAMILY_REPRESENTATIVES = (
     "url_param_mining",
     "frontier_dedup_persisted_state",
     "redirect_chain_resolution",
+    "anchor_text_profile",
 )
 
 

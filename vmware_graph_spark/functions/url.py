@@ -156,6 +156,40 @@ def extract_hrefs(html: Column | str) -> Column:
     return F.regexp_extract_all(h, F.lit(_HREF_RE), 1)
 
 
+# Full-anchor form of _HREF_RE: same lazy hijack-safe prefix, plus the
+# element body up to the FIRST closing tag (lazy across newlines via
+# (?s)) so the anchor TEXT rides along with its href.
+_ANCHOR_RE = r"""(?is)<a\s(?:[^>]*?\s)?href=["']?([^"'\s>]+)[^>]*>(.*?)</a\s*>"""
+
+
+def extract_links(html: Column | str) -> Column:
+    """All anchors as ``array<struct<href,text>>`` — the href exactly
+    as :func:`extract_hrefs` captures it, paired with the anchor's
+    VISIBLE text (inner markup stripped, whitespace collapsed,
+    trimmed). Anchor text is the classic link-context signal: the web
+    describes a page by how others link to it (anchor-term profiles
+    feed retrieval and quality scoring). Anchors that never close
+    before the page ends yield nothing, matching a browser's recovery
+    of unterminated trailing markup."""
+    h = F.col(html) if isinstance(html, str) else html
+    matches = F.regexp_extract_all(h, F.lit(_ANCHOR_RE), 0)
+    return F.transform(
+        matches,
+        lambda m: F.struct(
+            F.regexp_extract(m, _ANCHOR_RE, 1).alias("href"),
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.regexp_extract(m, _ANCHOR_RE, 2), r"<[^>]*>", " "
+                    ),
+                    r"\s+",
+                    " ",
+                )
+            ).alias("text"),
+        ),
+    )
+
+
 def resolve_href(scheme: Column, host: Column, href: Column) -> Column:
     """Resolve one href against its page's scheme://host: absolute
     http(s) passes through, protocol-relative ('//cdn.x.com/p') takes

@@ -177,6 +177,45 @@ def recrawl_priority_urls(spark, sf_dir):
 
 
 @query(
+    "anchor_text_profile",
+    """
+    SELECT '/t/' || (doc_id + 1) AS target,
+           CAST(2 AS BIGINT) AS n_links,
+           'guide ' || ((doc_id + 1) % 7) || '|read more' AS texts
+    FROM documents
+    """,
+)
+def anchor_text_profile(spark, sf_dir):
+    """Link-context aggregation — the web describes a page by how
+    others link to it: every page carries two anchors to the NEXT
+    page's target, one plain ('guide {k}') and one with nested markup
+    and sloppy whitespace ('<b>read</b>  more'), and the profile
+    groups anchor TEXTS per target. The oracle writes each target's
+    expected (count, sorted-joined texts) from doc_id arithmetic, so
+    href↔text pair alignment, inner-markup stripping, whitespace
+    collapse, and the aggregation each break the hash independently.
+    Pure Catalyst extraction (regexp_extract_all + transform); one
+    shuffle on the target key."""
+    from vmware_graph_spark.functions.url import extract_links
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    i_next = (F.col("doc_id") + 1).cast("string")
+    k_next = ((F.col("doc_id") + 1) % 7).cast("string")
+    body = F.concat(
+        F.lit('<html><body><a href="/t/'), i_next, F.lit('">guide '), k_next,
+        F.lit('</a> <a href="/t/'), i_next,
+        F.lit('"><b>read</b>  more</a></body></html>'),
+    )
+    links = d.select(F.explode(extract_links(body)).alias("l")).select(
+        F.col("l.href").alias("target"), F.col("l.text").alias("text")
+    )
+    return links.groupBy("target").agg(
+        F.count("*").cast("bigint").alias("n_links"),
+        F.array_join(F.array_sort(F.collect_set("text")), "|").alias("texts"),
+    )
+
+
+@query(
     "redirect_chain_resolution",
     """
     SELECT doc_id,
