@@ -161,6 +161,79 @@ def test_recrawl_priority_ignores_row_order(spark):
 
 
 # ---------------------------------------------------------------------------
+# WET sink
+# ---------------------------------------------------------------------------
+
+def test_wet_roundtrip_and_executor_sink(spark, tmp_path):
+    """make_wet_bytes frames conversion records parse_warc reads back
+    byte-exact; write_wet lands one file per non-empty partition from
+    the executors and the fleet reader recovers every row."""
+    from vmware_graph_spark.sources.warc import (
+        make_wet_bytes,
+        parse_warc,
+        read_warc,
+        write_wet,
+    )
+
+    recs = [
+        {"uri": "http://h/1", "text": "plain text"},
+        {"uri": "http://h/2", "text": "framing hazards: \r\n\r\n WARC/1.0"},
+        {"uri": "http://h/3", "text": ""},  # empty extraction survives
+    ]
+    back = list(parse_warc(make_wet_bytes(recs)))
+    assert [(r["warc_type"], r["uri"], r["body"].decode()) for r in back] == [
+        ("conversion", "http://h/1", "plain text"),
+        ("conversion", "http://h/2", "framing hazards: \r\n\r\n WARC/1.0"),
+        ("conversion", "http://h/3", ""),
+    ]
+
+    df = spark.createDataFrame(
+        [(r["uri"], r["text"]) for r in recs], "uri string, text string"
+    ).repartition(2)
+    out_dir = str(tmp_path / "wet")
+    n = write_wet(df, out_dir, gzip_members=True)
+    assert n == 3
+    got = {(r.uri, bytes(r.body).decode())
+           for r in read_warc(spark, f"{out_dir}/*.warc.wet.gz",
+                              types=("conversion",)).collect()}
+    assert got == {(r["uri"], r["text"]) for r in recs}
+
+
+# ---------------------------------------------------------------------------
+# budget apportionment
+# ---------------------------------------------------------------------------
+
+def test_apportion_budget_exact_and_largest_remainder(spark):
+    from vmware_graph_spark.operators.crawl import apportion_budget
+
+    w = spark.createDataFrame(
+        [("a", 5), ("b", 3), ("c", 3)], "host string, weight long"
+    )
+    # total 10, W=11: base = floor(50/11, 30/11, 30/11) = 4,2,2 -> R=2
+    # remainders: a: 50%11=6; b,c: 30%11=8 -> b and c get the extras
+    out = {r.host: r.alloc for r in apportion_budget(w, 10).collect()}
+    assert out == {"a": 4, "b": 3, "c": 3}
+    assert sum(out.values()) == 10
+
+    # tie on remainder resolves by key; conservation holds regardless
+    w2 = spark.createDataFrame(
+        [(f"h{i}", 1) for i in range(7)], "host string, weight long"
+    )
+    out2 = {r.host: r.alloc for r in apportion_budget(w2, 10).collect()}
+    assert sum(out2.values()) == 10
+    # 10*1 div 7 = 1 each, R=3 extras to the 3 smallest keys (equal rems)
+    assert out2 == {"h0": 2, "h1": 2, "h2": 2, "h3": 1, "h4": 1, "h5": 1, "h6": 1}
+
+
+def test_budget_allocation_conserves(spark):
+    from vmware_graph_spark.queries_ext22 import crawl_budget_allocation
+
+    out = crawl_budget_allocation(spark, SF).collect()
+    assert sum(r.alloc for r in out) == 1000
+    assert all(r.alloc >= 0 for r in out)
+
+
+# ---------------------------------------------------------------------------
 # anchor text
 # ---------------------------------------------------------------------------
 

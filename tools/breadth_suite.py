@@ -136,6 +136,8 @@ FAMILY_REPRESENTATIVES = (
     "frontier_dedup_persisted_state",
     "redirect_chain_resolution",
     "anchor_text_profile",
+    "wet_conversion_roundtrip",
+    "crawl_budget_allocation",
 )
 
 

@@ -384,6 +384,59 @@ def resolve_redirects(
     )
 
 
+def apportion_budget(
+    weights: DataFrame,
+    total: int,
+    *,
+    key_col: str = "host",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Allocate an integer fetch budget across hosts proportional to
+    weight — Hamilton's largest-remainder apportionment, the standard
+    way a crawl scheduler turns priorities into whole fetch slots:
+    each host gets ``floor(total·w/W)``, and the leftover slots go to
+    the largest remainders (ties broken by key). All arithmetic is
+    INTEGER (``total·w div W`` and ``total·w mod W``), so the result
+    is engine-exact — no float quota ever materializes.
+
+    Scale shape: the weight total and the leftover count are two
+    scalar aggregates broadcast back; the remainder ranking routes
+    through :func:`exact_global_rank` (range-bucketed, no
+    SinglePartition window), because at crawl scale 'hosts' is
+    millions of rows. Output: (key, weight, alloc) with
+    Σalloc = total exactly."""
+    from vmware_graph_spark.operators.rank import exact_global_rank
+
+    tot = weights.agg(F.sum(weight_col).cast("bigint").alias("__W"))
+    j = weights.crossJoin(F.broadcast(tot))
+    num = F.col(weight_col).cast("bigint") * F.lit(int(total))
+    based = j.select(
+        key_col,
+        weight_col,
+        num.alias("__num"),
+        F.col("__W"),
+    ).selectExpr(
+        key_col,
+        weight_col,
+        "__num div __W as __base",   # exact integral division — no double quota
+        "__num % __W as __rem",
+    )
+    based = based.withColumn("__negrem", -F.col("__rem"))
+    ranked = exact_global_rank(based, ["__negrem", key_col], rank_col="__rk")
+    leftover = ranked.agg(
+        (F.lit(int(total)) - F.sum("__base")).cast("bigint").alias("__left")
+    )
+    out = ranked.crossJoin(F.broadcast(leftover))
+    return out.select(
+        key_col,
+        weight_col,
+        (
+            F.col("__base")
+            + F.when(F.col("__rk") <= F.col("__left"), 1).otherwise(0)
+        ).cast("bigint").alias("alloc"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Crawl maintenance: recrawl scheduling + URL-parameter mining.
 # ---------------------------------------------------------------------------

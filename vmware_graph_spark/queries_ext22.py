@@ -24,6 +24,7 @@ import os
 from pyspark.sql import functions as F
 
 from vmware_graph_spark.queries import query
+from vmware_graph_spark.queries_ext21 import _warc_fixture_dir
 from vmware_graph_spark.sources.tables import load_table
 from vmware_graph_spark.tmpcache import cache_dir, data_key
 
@@ -174,6 +175,100 @@ def recrawl_priority_urls(spark, sf_dir):
     return out.select(
         "url", "n_fetches", "n_changes", "change_rate", "age_days", "priority"
     )
+
+
+def _expected_wet_oracle() -> str:
+    from vmware_graph_spark.queries_ext21 import _expected_text_sql
+
+    return f"""
+    WITH exp AS (
+      SELECT doc_id, {_expected_text_sql()} AS t
+      FROM documents WHERE doc_id % 53 <> 0
+    )
+    SELECT doc_id, md5(t) AS text_md5, CAST(length(t) AS BIGINT) AS n_chars
+    FROM exp
+    """
+
+
+@query("wet_conversion_roundtrip", _expected_wet_oracle())
+def wet_conversion_roundtrip(spark, sf_dir):
+    """The crawl-prep WRITE side, end to end — what Common Crawl ships
+    as WET: the WARC response fleet decodes, extracts text
+    (pure-Catalyst chain), and the extracted corpus lands as WARC
+    ``conversion`` records written FROM THE EXECUTORS (``write_wet``:
+    one gzip-membered .warc.wet.gz per partition, driver never touches
+    record bytes), then reads BACK through the same fleet reader. The
+    oracle is the ground-truth extraction built from source columns —
+    so the whole loop (response framing → extraction → WET
+    serialization → gz members → conversion-record parse) must
+    preserve every byte of every document's text to hash-match."""
+    from vmware_graph_spark.sources.warc import read_warc, write_wet
+
+    root = _warc_fixture_dir(spark, sf_dir)
+    out_dir = os.path.join(cache_dir("wet_sink", data_key(sf_dir, "documents")), "wet")
+    sentinel = os.path.join(out_dir, "_COMPLETE")
+    if not os.path.exists(sentinel):
+        from vmware_graph_spark.functions.text import html_to_text
+
+        recs = read_warc(spark, os.path.join(root, "*.warc"))
+        page = recs.filter(F.col("http_status") == 200).select(
+            "uri", html_to_text(F.col("body").cast("string")).alias("text")
+        )
+        write_wet(page, out_dir, gzip_members=True)
+        with open(sentinel, "w") as f:
+            f.write("ok")
+    wet = read_warc(spark, os.path.join(out_dir, "*.warc.wet.gz"),
+                    types=("conversion",))
+    t = F.col("body").cast("string")
+    return wet.select(
+        F.regexp_extract("uri", r"/docs/(\d+)", 1).cast("bigint").alias("doc_id"),
+        F.md5(t).alias("text_md5"),
+        F.length(t).cast("bigint").alias("n_chars"),
+    )
+
+
+@query(
+    "crawl_budget_allocation",
+    """
+    WITH w AS (
+      SELECT 'h' || (doc_id % 23) AS host, count(*) AS weight
+      FROM documents GROUP BY 1
+    ),
+    t AS (SELECT sum(weight) AS W FROM w),
+    b AS (
+      SELECT host, weight,
+             (1000 * weight) // W AS base,
+             (1000 * weight) % W AS rem
+      FROM w, t
+    ),
+    r AS (
+      SELECT *, row_number() OVER (ORDER BY rem DESC, host) AS rk FROM b
+    ),
+    l AS (SELECT 1000 - sum(base) AS R FROM b)
+    SELECT host, CAST(weight AS BIGINT) AS weight,
+           CAST(base + CASE WHEN rk <= R THEN 1 ELSE 0 END AS BIGINT) AS alloc
+    FROM r, l
+    """,
+)
+def crawl_budget_allocation(spark, sf_dir):
+    """Integer fetch-budget apportionment (Hamilton largest-remainder)
+    across 23 hosts weighted by URL count: floor quotas from EXACT
+    integral division (no float quota on either engine), leftover
+    slots to the largest remainders with key tiebreak — Σalloc is
+    exactly the 1000-slot budget. The engine ranks remainders through
+    ``exact_global_rank`` (range-bucketed — at crawl scale 'hosts' is
+    millions of rows, and a plain ORDER BY window would funnel them
+    through one task); the oracle runs the same apportionment as a
+    window twin."""
+    from vmware_graph_spark.operators.crawl import apportion_budget
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    w = (
+        d.select(F.concat(F.lit("h"), (F.col("doc_id") % 23).cast("string")).alias("host"))
+        .groupBy("host")
+        .agg(F.count("*").cast("bigint").alias("weight"))
+    )
+    return apportion_budget(w, 1000)
 
 
 @query(

@@ -227,6 +227,83 @@ def write_warc_files(
     return paths
 
 
+def make_wet_bytes(records: Iterable[dict]) -> bytes:
+    """Serialize extracted-text records as WET (WARC ``conversion``
+    records, Content-Type text/plain — the Common Crawl companion
+    format for the text a pipeline extracts from its WARC responses).
+    Each record dict: ``uri`` (str), ``text`` (str), optional ``date``
+    / ``record_id``. :func:`parse_warc` reads these back with
+    ``warc_type='conversion'`` and the text bytes as ``body``."""
+    out = bytearray()
+    for i, rec in enumerate(records):
+        block = rec["text"].encode("utf-8")
+        headers = (
+            ("WARC-Type", "conversion"),
+            ("WARC-Record-ID", rec.get("record_id", f"<urn:wet:{i}:{rec['uri']}>")),
+            ("WARC-Date", rec.get("date", "2026-01-01T00:00:00Z")),
+            ("WARC-Target-URI", rec["uri"]),
+            ("Content-Type", "text/plain"),
+        )
+        out.extend(b"WARC/1.0" + _CRLF)
+        for k, v in headers:
+            out.extend(f"{k}: {v}\r\n".encode("utf-8"))
+        out.extend(f"Content-Length: {len(block)}\r\n".encode("utf-8"))
+        out.extend(_CRLF)
+        out.extend(block)
+        out.extend(_CRLF + _CRLF)
+    return bytes(out)
+
+
+def write_wet(
+    df,
+    out_dir: str,
+    *,
+    uri_col: str = "uri",
+    text_col: str = "text",
+    gzip_members: bool = False,
+) -> int:
+    """Distributed WET SINK: each partition's rows serialize into one
+    ``.warc.wet[.gz]`` file written FROM THE EXECUTOR (the re-shard
+    sink production crawl prep needs — the driver never touches
+    record bytes; contrast the driver-side fixture writers). Rows are
+    sorted by URI within each file so file contents are deterministic
+    given a partitioning; file NAMES carry the partition id. Returns
+    the number of records written (from the executors' manifest rows).
+    Readers use ``read_warc(types=('conversion',))``."""
+    import gzip
+    import os
+
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+    ext = ".warc.wet.gz" if gzip_members else ".warc.wet"
+
+    def write_part(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        rows = []
+        for pdf in batches:
+            rows.extend(zip(pdf[uri_col], pdf[text_col]))
+        if rows:
+            rows.sort()
+            recs = [{"uri": u, "text": t} for u, t in rows]
+            if gzip_members:
+                payload = b"".join(
+                    gzip.compress(make_wet_bytes([r]), mtime=0) for r in recs
+                )
+            else:
+                payload = make_wet_bytes(recs)
+            with open(os.path.join(out_dir, f"part-{pid:05d}{ext}"), "wb") as f:
+                f.write(payload)
+        yield pd.DataFrame({"n": [len(rows)]})
+
+    manifest = df.select(uri_col, text_col).mapInPandas(write_part, "n bigint")
+    from pyspark.sql import functions as F
+
+    return manifest.agg(F.sum("n")).collect()[0][0] or 0
+
+
 _READ_SCHEMA = (
     "warc_file string, record_idx bigint, warc_type string, uri string, "
     "warc_date string, http_status int, http_content_type string, body binary"
