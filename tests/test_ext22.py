@@ -161,6 +161,58 @@ def test_recrawl_priority_ignores_row_order(spark):
 
 
 # ---------------------------------------------------------------------------
+# script profiling
+# ---------------------------------------------------------------------------
+
+def test_script_count_ranges_and_duckdb_twin(spark):
+    """Counts match a character-level Python reference AND the DuckDB
+    twin on mixed-script samples (kana counts as cjk, Latin-1 letters
+    as latin, punctuation/digits as nothing)."""
+    import duckdb
+
+    from vmware_graph_spark.functions.text import (
+        SCRIPT_RANGES,
+        script_count,
+        script_count_sql,
+    )
+
+    samples = [
+        "hello world",                 # 10 latin
+        "привет мир",                  # 9 cyrillic
+        "日本語のテキスト",              # 8 cjk (ideographs + kana)
+        "한국어 텍스트",                 # 6 hangul
+        "mixed: café, Ψυχή, 中文!",    # latin incl é; greek; cjk
+        "1234 !?",                     # nothing
+        "",
+    ]
+    ref_ranges = {
+        "latin": [(0x41, 0x5A), (0x61, 0x7A), (0xC0, 0x24F)],
+        "cyrillic": [(0x400, 0x4FF)],
+        "greek": [(0x370, 0x3FF)],
+        "cjk": [(0x4E00, 0x9FFF), (0x3040, 0x30FF)],
+        "hangul": [(0xAC00, 0xD7AF), (0x1100, 0x11FF)],
+    }
+
+    def ref(s, script):
+        return sum(
+            1 for ch in s
+            if any(lo <= ord(ch) <= hi for lo, hi in ref_ranges[script])
+        )
+
+    df = spark.createDataFrame([(s,) for s in samples], "t string")
+    con = duckdb.connect()
+    for script in ref_ranges:
+        got = [r.n for r in df.select(script_count("t", script).alias("n")).collect()]
+        want = [ref(s, script) for s in samples]
+        assert got == want, (script, got, want)
+        sql = script_count_sql("t", script)
+        twin = [con.execute(f"select {sql} from (select ? as t)", [s]).fetchone()[0]
+                for s in samples]
+        assert twin == want, (script, twin, want)
+    assert set(ref_ranges) <= set(SCRIPT_RANGES)
+
+
+# ---------------------------------------------------------------------------
 # WET sink
 # ---------------------------------------------------------------------------
 

@@ -138,6 +138,7 @@ FAMILY_REPRESENTATIVES = (
     "anchor_text_profile",
     "wet_conversion_roundtrip",
     "crawl_budget_allocation",
+    "script_mix_documents",
 )
 
 

@@ -269,6 +269,43 @@ def html_to_text_sql(expr: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Unicode script profiling (multilingual corpus curation): how much of
+# a text is written in which script. Codepoint-range character classes
+# in the \x{....} spelling — the one form BOTH Java regex (Spark) and
+# RE2 (DuckDB) accept, unlike the \p{script=...} names, which the two
+# engines spell differently.
+# ---------------------------------------------------------------------------
+
+#: script -> portable codepoint-range class (core block per script;
+#: deliberately the BASE blocks — extensions change identity rarely
+#: enough for curation ratios, and a bounded documented range beats a
+#: property name the engines disagree on).
+SCRIPT_RANGES: dict[str, str] = {
+    "latin": r"[A-Za-z\x{00C0}-\x{024F}]",
+    "cyrillic": r"[\x{0400}-\x{04FF}]",
+    "greek": r"[\x{0370}-\x{03FF}]",
+    "arabic": r"[\x{0600}-\x{06FF}]",
+    "devanagari": r"[\x{0900}-\x{097F}]",
+    "cjk": r"[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}]",  # unified ideographs + kana
+    "hangul": r"[\x{AC00}-\x{D7AF}\x{1100}-\x{11FF}]",
+}
+
+
+def script_count(col: Column | str, script: str) -> Column:
+    """Count of ``script`` characters in the text (0 when absent).
+    Pure Catalyst ``regexp_count`` over :data:`SCRIPT_RANGES`."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(SCRIPT_RANGES[script]))
+
+
+def script_count_sql(expr: str, script: str) -> str:
+    """DuckDB twin (RE2 accepts the same \\x{....} ranges; DuckDB's
+    standard strings pass backslashes through verbatim)."""
+    pat = SCRIPT_RANGES[script].replace("'", "''")
+    return f"len(regexp_extract_all({expr}, '{pat}'))"
+
+
+# ---------------------------------------------------------------------------
 # Charset sniffing (crawl prep): WHATWG precedence — the transport
 # header wins, then <meta charset>, then the legacy http-equiv form,
 # else UTF-8. Same Java/RE2-portable construct set as html_to_text.

@@ -177,6 +177,51 @@ def recrawl_priority_urls(spark, sf_dir):
     )
 
 
+@query(
+    "script_mix_documents",
+    """
+    SELECT doc_id,
+           CAST(5 * (doc_id % 3 + 1) AS BIGINT) AS n_latin,
+           CAST(6 * (doc_id % 2) AS BIGINT) AS n_cyrillic,
+           CAST(2 * (doc_id % 5) AS BIGINT) AS n_cjk,
+           CAST(CASE WHEN (CASE WHEN doc_id % 2 > 0 THEN 1 ELSE 0 END)
+                       + (CASE WHEN doc_id % 5 > 0 THEN 1 ELSE 0 END) >= 1
+                THEN 1 ELSE 0 END AS INTEGER) AS multiscript
+    FROM documents
+    """,
+)
+def script_mix_documents(spark, sf_dir):
+    """Unicode script profiling — the multilingual-curation signal
+    (mixed-script text is the classic spam/mojibake tell, and
+    per-script ratios drive language routing): text is synthesized
+    with EXACTLY counted script content (doc_id%3+1 Latin 'hello'
+    words, doc_id%2 Cyrillic 'привет' words, doc_id%5 CJK '你好'
+    pairs), counted via portable \\x{....}-range regexp_count, and the
+    oracle writes the expected per-script counts from the arithmetic
+    alone — a range slip (kana vs ideographs, Latin-1 letters), a
+    count-vs-match bug, or a multiscript-flag error each breaks rows.
+    One codegen'd projection, no shuffle."""
+    from vmware_graph_spark.functions.text import script_count
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    text = F.concat(
+        F.repeat(F.lit("hello "), (F.col("doc_id") % 3 + 1).cast("int")),
+        F.repeat(F.lit("привет "), (F.col("doc_id") % 2).cast("int")),
+        F.repeat(F.lit("你好 "), (F.col("doc_id") % 5).cast("int")),
+    )
+    n_cyr = script_count(text, "cyrillic")
+    n_cjk = script_count(text, "cjk")
+    return d.select(
+        "doc_id",
+        script_count(text, "latin").cast("bigint").alias("n_latin"),
+        n_cyr.cast("bigint").alias("n_cyrillic"),
+        n_cjk.cast("bigint").alias("n_cjk"),
+        (
+            (n_cyr > 0).cast("int") + (n_cjk > 0).cast("int") >= 1
+        ).cast("int").alias("multiscript"),
+    )
+
+
 def _expected_wet_oracle() -> str:
     from vmware_graph_spark.queries_ext21 import _expected_text_sql
 
