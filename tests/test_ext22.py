@@ -161,6 +161,73 @@ def test_recrawl_priority_ignores_row_order(spark):
 
 
 # ---------------------------------------------------------------------------
+# Luhn / card redaction
+# ---------------------------------------------------------------------------
+
+def test_luhn_valid_property_vs_reference(spark):
+    """The Catalyst Luhn aggregate must agree with an independent
+    Python reference over random digit strings (and their corrected
+    check digits, so both verdicts are exercised)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from vmware_graph_spark.functions.text import luhn_valid
+
+    def ref(s: str) -> bool:
+        total = 0
+        for i, ch in enumerate(reversed(s)):
+            d = int(ch)
+            if i % 2 == 1:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            total += d
+        return bool(s) and total % 10 == 0
+
+    digits = st.text("0123456789", min_size=12, max_size=19)
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(digits, min_size=1, max_size=8, unique=True))
+    def check(batch):
+        # add a corrected-check-digit variant of each so True happens
+        fixed = []
+        for s in batch:
+            for last in range(10):
+                if ref(s[:-1] + str(last)):
+                    fixed.append(s[:-1] + str(last))
+                    break
+        all_s = list(dict.fromkeys(batch + fixed))
+        df = spark.createDataFrame([(s,) for s in all_s], "d string")
+        got = {r.d: r.v for r in df.select("d", luhn_valid("d").alias("v")).collect()}
+        for s in all_s:
+            assert got[s] == ref(s), (s, got[s], ref(s))
+
+    check()
+
+
+def test_redact_cc_only_luhn_valid_spans(spark):
+    from vmware_graph_spark.functions.text import redact_cc_numbers
+
+    cases = [
+        # valid 16-digit redacts; same-shape invalid survives
+        ("pay 4111111111111111 now", "pay [CC] now"),
+        ("pay 4111111111111112 now", "pay 4111111111111112 now"),
+        # spaced and dashed spellings redact as one span
+        ("card 5500 0000 0000 0004.", "card [CC]."),
+        ("card 3400-0000-0000-009!", "card [CC]!"),
+        # short digit runs are never candidates
+        ("order 123456789012 ok", "order 123456789012 ok"),
+        # two valid cards in one text both redact
+        ("a 4111111111111111 b 6011000000000004 c", "a [CC] b [CC] c"),
+        ("no digits at all", "no digits at all"),
+    ]
+    df = spark.createDataFrame(cases, "t string, want string")
+    out = df.select(redact_cc_numbers("t").alias("r"), "want").collect()
+    bad = [(r.r, r.want) for r in out if r.r != r.want]
+    assert not bad, bad
+
+
+# ---------------------------------------------------------------------------
 # script profiling
 # ---------------------------------------------------------------------------
 

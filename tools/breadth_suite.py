@@ -139,6 +139,7 @@ FAMILY_REPRESENTATIVES = (
     "wet_conversion_roundtrip",
     "crawl_budget_allocation",
     "script_mix_documents",
+    "pii_cc_redaction_audit",
 )
 
 

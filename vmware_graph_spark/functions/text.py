@@ -163,6 +163,53 @@ def redact_pii(col: Column | str, *, email_token: str = "[EMAIL]", ip_token: str
     )
 
 
+#: Candidate payment-card spans: 13-19 digits, single space/dash
+#: separators allowed (how cards are actually typed). A CANDIDATE is
+#: not a match — only Luhn-valid spans redact, so order ids and
+#: tracking numbers of the same shape survive.
+CC_CANDIDATE_RE = r"\b\d(?:[ -]?\d){12,18}\b"
+
+
+def luhn_valid(digits: Column | str) -> Column:
+    """Luhn checksum over a digits-only string — pure Catalyst (an
+    aggregate over the reversed digit positions; no UDF): from the
+    right, every second digit doubles (minus 9 past 9) and the total
+    must divide by 10. False for empty/short input."""
+    d = F.col(digits) if isinstance(digits, str) else digits
+    rev = F.reverse(d)
+    n = F.length(rev)
+    total = F.aggregate(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(
+            (i - 1) % 2 == 1,
+            F.when(
+                F.substring(rev, i, F.lit(1)).cast("int") * 2 > 9,
+                F.substring(rev, i, F.lit(1)).cast("int") * 2 - 9,
+            ).otherwise(F.substring(rev, i, F.lit(1)).cast("int") * 2),
+        ).otherwise(F.substring(rev, i, F.lit(1)).cast("int")),
+    )
+    return F.when(n > 0, (total % 10) == 0).otherwise(F.lit(False))
+
+
+def redact_cc_numbers(col: Column | str, *, token: str = "[CC]") -> Column:
+    """Redact payment-card numbers with CHECKSUM validation — the PII
+    upgrade over shape-only matching: every 13-19-digit candidate span
+    (separators allowed) is Luhn-checked on its digits, and only valid
+    ones replace with ``token`` — same-shaped order/tracking numbers
+    pass through untouched. Pure Catalyst: extract candidates, filter
+    by :func:`luhn_valid`, fold literal replacements over the text."""
+    c = F.col(col) if isinstance(col, str) else col
+    cands = F.regexp_extract_all(c, F.lit(CC_CANDIDATE_RE), 0)
+    valid = F.filter(
+        cands, lambda m: luhn_valid(F.regexp_replace(m, r"[^0-9]", ""))
+    )
+    return F.aggregate(
+        valid, c, lambda acc, m: F.replace(acc, m, F.lit(token))
+    )
+
+
 def count_pattern(col: Column | str, pattern: str) -> Column:
     """Occurrence count of ``pattern`` in ``col`` (0 for no match)."""
     c = F.col(col) if isinstance(col, str) else col

@@ -177,6 +177,67 @@ def recrawl_priority_urls(spark, sf_dir):
     )
 
 
+# Public PAN test numbers (the standard Luhn-valid examples every
+# payment sandbox publishes) and their checksum-broken twins.
+_VALID_CCS = (
+    "4111111111111111",       # 16-digit
+    "5500 0000 0000 0004",    # spaced
+    "3400-0000-0000-009",     # 15-digit, dashed
+    "6011000000000004",
+    "30000000000004",         # 14-digit
+)
+_INVALID_CCS = tuple(c[:-1] + str((int(c[-1]) + 1) % 10) for c in _VALID_CCS)
+
+
+def _cc_case_sql(items: tuple[str, ...]) -> str:
+    arms = " ".join(
+        f"WHEN {i} THEN '{v}'" for i, v in enumerate(items)
+    )
+    return f"(CASE doc_id % 5 {arms} END)"
+
+
+@query(
+    "pii_cc_redaction_audit",
+    f"""
+    SELECT doc_id,
+           ('pay [CC] not ' || {_cc_case_sql(_INVALID_CCS)}
+             || ' ref 12345 done') AS redacted,
+           CAST(1 AS BIGINT) AS n_redacted
+    FROM documents
+    """,
+)
+def pii_cc_redaction_audit(spark, sf_dir):
+    """Checksum-validated card redaction: each text carries one
+    Luhn-VALID public test PAN (16/15/14-digit, spaced and dashed
+    spellings) and its checksum-broken twin plus a short digit run —
+    only the valid span may redact, the broken twin and the order id
+    must survive byte-for-byte. The oracle writes the expected
+    redacted text as literals (the invalid twin spelled out), so a
+    Luhn slip (doubling parity, the minus-9 fold), a separator
+    mishandling, or an over-eager shape-only redaction each breaks the
+    hash. One codegen'd projection, no shuffle."""
+    from vmware_graph_spark.functions.text import redact_cc_numbers
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    valid = F.element_at(
+        F.array(*[F.lit(c) for c in _VALID_CCS]), (F.col("doc_id") % 5 + 1).cast("int")
+    )
+    bad = F.element_at(
+        F.array(*[F.lit(c) for c in _INVALID_CCS]), (F.col("doc_id") % 5 + 1).cast("int")
+    )
+    text = F.concat(
+        F.lit("pay "), valid, F.lit(" not "), bad, F.lit(" ref 12345 done")
+    )
+    red = redact_cc_numbers(text)
+    return d.select(
+        "doc_id",
+        red.alias("redacted"),
+        (
+            F.size(F.split(red, r"\[CC\]", -1)) - 1
+        ).cast("bigint").alias("n_redacted"),
+    )
+
+
 @query(
     "script_mix_documents",
     """
