@@ -484,3 +484,33 @@ def test_url_param_mining_query_is_pure_catalyst(spark):
         df.explain("formatted")
     plan = buf.getvalue()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# within-doc repetition (queries_ext23)
+# ---------------------------------------------------------------------------
+
+def test_doc_repetition_stats_known_docs(spark):
+    """Hand-checked repetition arithmetic on constructed docs."""
+    from vmware_graph_spark.queries_ext23 import doc_repetition_stats  # noqa: F401
+    from vmware_graph_spark.functions.text import tokens, word_shingles
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),            # no repeats
+            (2, "a a a b"),            # 'a' x3 -> rep 3/4; bigram 'a a' x2
+            (3, "x y x y x"),          # x3+y2 all repeated; 'x y' x2
+        ],
+        "doc_id long, text string",
+    )
+    t = df.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    c = t.groupBy("doc_id", "tok").agg(F.count("*").alias("n"))
+    rep = {r.doc_id: r.rep for r in
+           c.groupBy("doc_id").agg(
+               F.coalesce(F.sum(F.when(F.col("n") > 1, F.col("n"))), F.lit(0))
+               .alias("rep")).collect()}
+    assert rep == {1: 0, 2: 3, 3: 5}
+    bg = (df.select("doc_id", F.explode(word_shingles("text", 2)).alias("b"))
+          .groupBy("doc_id", "b").agg(F.count("*").alias("n"))
+          .groupBy("doc_id").agg(F.max("n").alias("m")))
+    assert {r.doc_id: r.m for r in bg.collect()} == {1: 1, 2: 2, 3: 2}

@@ -140,6 +140,7 @@ FAMILY_REPRESENTATIVES = (
     "crawl_budget_allocation",
     "script_mix_documents",
     "pii_cc_redaction_audit",
+    "doc_repetition_stats",
 )
 
 

@@ -7386,3 +7386,4 @@ from vmware_graph_spark import queries_ext19 as _queries_ext19  # noqa: E402,F40
 from vmware_graph_spark import queries_ext20 as _queries_ext20  # noqa: E402,F401
 from vmware_graph_spark import queries_ext21 as _queries_ext21  # noqa: E402,F401
 from vmware_graph_spark import queries_ext22 as _queries_ext22  # noqa: E402,F401
+from vmware_graph_spark import queries_ext23 as _queries_ext23  # noqa: E402,F401
