@@ -514,3 +514,33 @@ def test_doc_repetition_stats_known_docs(spark):
           .groupBy("doc_id", "b").agg(F.count("*").alias("n"))
           .groupBy("doc_id").agg(F.max("n").alias("m")))
     assert {r.doc_id: r.m for r in bg.collect()} == {1: 1, 2: 2, 3: 2}
+
+
+def test_sitemap_escaping_and_lenient_priority(spark, tmp_path):
+    """Locs with &/<> roundtrip through entity escaping (the spec
+    REQUIRES escaping — real locs carry '&' constantly); a garbage
+    priority value degrades to NULL instead of killing the file."""
+    from vmware_graph_spark.sources.sitemap import (
+        make_sitemap_xml,
+        parse_sitemap,
+        read_sitemaps,
+        write_sitemap_files,
+    )
+
+    hostile = "http://h/p?a=1&b=2&x=<y>"
+    back = list(parse_sitemap(make_sitemap_xml([{"loc": hostile}])))
+    assert back[0]["loc"] == hostile
+
+    xml = make_sitemap_xml(
+        [{"loc": "http://h/ok", "priority": "not-a-number"}]
+    )
+    got = list(parse_sitemap(xml))
+    assert got[0]["priority"] == "not-a-number"  # parser is raw strings
+    write_sitemap_files(
+        {"s": [{"loc": hostile, "priority": "junk"},
+               {"loc": "http://h/2", "priority": "0.7"}]},
+        str(tmp_path / "f"), index_name=None,
+    )
+    rows = {r.loc: r.priority
+            for r in read_sitemaps(spark, str(tmp_path / "f" / "*.xml")).collect()}
+    assert rows == {hostile: None, "http://h/2": 0.7}

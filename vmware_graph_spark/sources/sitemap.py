@@ -38,33 +38,41 @@ _NS = "http://www.sitemaps.org/schemas/sitemap/0.9"
 
 def make_sitemap_xml(entries: Iterable[dict]) -> bytes:
     """Serialize a ``<urlset>``: each entry dict carries ``loc`` plus
-    optional ``lastmod``/``changefreq``/``priority``."""
+    optional ``lastmod``/``changefreq``/``priority``. Values are
+    entity-escaped — the sitemaps.org spec REQUIRES it, and real locs
+    carry ``&`` constantly (``?a=1&b=2``); an unescaped ampersand is
+    malformed XML that kills the whole file at read time."""
+    from xml.sax.saxutils import escape
+
     parts = [
         '<?xml version="1.0" encoding="UTF-8"?>',
         f'<urlset xmlns="{_NS}">',
     ]
     for e in entries:
         parts.append("<url>")
-        parts.append(f"<loc>{e['loc']}</loc>")
+        parts.append(f"<loc>{escape(str(e['loc']))}</loc>")
         for k in ("lastmod", "changefreq", "priority"):
             if e.get(k) is not None:
-                parts.append(f"<{k}>{e[k]}</{k}>")
+                parts.append(f"<{k}>{escape(str(e[k]))}</{k}>")
         parts.append("</url>")
     parts.append("</urlset>")
     return "\n".join(parts).encode("utf-8")
 
 
 def make_sitemap_index(locs: Iterable[tuple[str, str | None]]) -> bytes:
-    """Serialize a ``<sitemapindex>`` of (loc, lastmod-or-None)."""
+    """Serialize a ``<sitemapindex>`` of (loc, lastmod-or-None);
+    values entity-escaped like :func:`make_sitemap_xml`."""
+    from xml.sax.saxutils import escape
+
     parts = [
         '<?xml version="1.0" encoding="UTF-8"?>',
         f'<sitemapindex xmlns="{_NS}">',
     ]
     for loc, lastmod in locs:
         parts.append("<sitemap>")
-        parts.append(f"<loc>{loc}</loc>")
+        parts.append(f"<loc>{escape(str(loc))}</loc>")
         if lastmod is not None:
-            parts.append(f"<lastmod>{lastmod}</lastmod>")
+            parts.append(f"<lastmod>{escape(str(lastmod))}</lastmod>")
         parts.append("</sitemap>")
     parts.append("</sitemapindex>")
     return "\n".join(parts).encode("utf-8")
@@ -140,9 +148,15 @@ def _parse_files_fn():
                     rows["loc"].append(e["loc"])
                     rows["lastmod"].append(e["lastmod"])
                     rows["changefreq"].append(e["changefreq"])
-                    rows["priority"].append(
-                        float(e["priority"]) if e["priority"] is not None else None
-                    )
+                    # value-level leniency (vs STRUCTURAL strictness):
+                    # priority is optional decoration per the spec, and
+                    # real files carry garbage in it — a torn value must
+                    # not kill the whole file's parse.
+                    try:
+                        pr = float(e["priority"]) if e["priority"] is not None else None
+                    except ValueError:
+                        pr = None
+                    rows["priority"].append(pr)
                 if rows["sitemap_file"]:
                     yield pd.DataFrame(rows)
 
