@@ -544,3 +544,40 @@ def test_sitemap_escaping_and_lenient_priority(spark, tmp_path):
     rows = {r.loc: r.priority
             for r in read_sitemaps(spark, str(tmp_path / "f" / "*.xml")).collect()}
     assert rows == {hostile: None, "http://h/2": 0.7}
+
+
+def test_robots_txt_bom_and_redirect_duplicate_edges(spark):
+    """A BOM-prefixed robots.txt must not lose its first group;
+    duplicate redirect observations must not explode the doubling."""
+    from vmware_graph_spark.operators.crawl import (
+        parse_robots_txt,
+        resolve_redirects,
+    )
+
+    txt = "﻿User-agent: bot\nDisallow: /x\n"
+    assert parse_robots_txt(txt, "bot") == [("/x", False)]
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "b"), ("a", "c"), ("b", "T")],
+        "src string, dst string",
+    )
+    out = {r.src: (r.final_url, r.hops, r.status)
+           for r in resolve_redirects(edges).collect()}
+    # conflicts collapse to min(dst): a -> b -> T
+    assert out == {"a": ("T", 2, "ok"), "b": ("T", 1, "ok")}
+
+
+def test_write_wet_percent_encodes_control_chars(spark, tmp_path):
+    from vmware_graph_spark.sources.warc import read_warc, write_wet
+
+    df = spark.createDataFrame(
+        [("http://h/inject\r\nWARC-Evil: x", "body text")],
+        "uri string, text string",
+    )
+    out_dir = str(tmp_path / "wet")
+    assert write_wet(df, out_dir) == 1
+    rows = read_warc(spark, f"{out_dir}/*.warc.wet",
+                     types=("conversion",)).collect()
+    assert len(rows) == 1
+    assert rows[0].uri == "http://h/inject%0D%0AWARC-Evil: x"
+    assert bytes(rows[0].body) == b"body text"

@@ -151,6 +151,10 @@ def parse_robots_txt(txt: str, user_agent: str) -> list[tuple[str, bool]]:
     pattern). Returns ``[(path_pattern, allow), ...]``.
     """
     ua = user_agent.strip().lower()
+    # Real robots.txt files frequently begin with a UTF-8 BOM; left in
+    # place it glues onto the first field name ('﻿User-agent'),
+    # silently discarding the first group.
+    txt = txt.lstrip("﻿")
     groups: list[tuple[list[str], list[tuple[str, bool]]]] = []
     cur_agents: list[str] = []
     cur_rules: list[tuple[str, bool]] = []
@@ -343,14 +347,20 @@ def resolve_redirects(
     large-star/small-star connected-components kernel."""
     import math
 
+    # One outgoing edge per source: real fetch logs can observe a URL
+    # twice (re-fetch, changed Location) — duplicate sources would
+    # EXPLODE every pointer-doubling join and corrupt hop counts, so
+    # conflicts collapse deterministically to min(dst). Callers with a
+    # recency notion resolve their own winner first.
+    edges = edges.groupBy(F.col(src_col).alias("__s")).agg(
+        F.min(dst_col).alias("__d")
+    )
     m = edges.select(
-        F.col(src_col).alias("orig"),
-        F.col(dst_col).alias("tgt"),
+        F.col("__s").alias("orig"),
+        F.col("__d").alias("tgt"),
         F.lit(1).cast("bigint").alias("hops"),
     )
-    step = edges.select(
-        F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
-    )
+    step = edges
     for _ in range(max(1, math.ceil(math.log2(max_hops)))):
         # advance each pointer by its target's pointer (2^k -> 2^(k+1))
         jump = m.select(

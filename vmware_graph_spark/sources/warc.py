@@ -287,7 +287,16 @@ def write_wet(
             rows.extend(zip(pdf[uri_col], pdf[text_col]))
         if rows:
             rows.sort()
-            recs = [{"uri": u, "text": t} for u, t in rows]
+            # WARC headers are CRLF-delimited lines: a URI carrying
+            # CR/LF would inject headers / break framing. Control
+            # characters percent-encode (canonical URLs never contain
+            # them, but a sink must not trust its input's hygiene).
+            def _safe(u: str) -> str:
+                return "".join(
+                    f"%{ord(ch):02X}" if ord(ch) < 0x20 else ch for ch in u
+                )
+
+            recs = [{"uri": _safe(u), "text": t} for u, t in rows]
             if gzip_members:
                 payload = b"".join(
                     gzip.compress(make_wet_bytes([r]), mtime=0) for r in recs
