@@ -581,3 +581,130 @@ def test_write_wet_percent_encodes_control_chars(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0].uri == "http://h/inject%0D%0AWARC-Evil: x"
     assert bytes(rows[0].body) == b"body text"
+
+
+# ---------------------------------------------------------------------------
+# round-10 review fixes
+# ---------------------------------------------------------------------------
+
+def test_href_hijack_space_inside_quoted_value(spark):
+    """A quoted attribute value containing ' href=' must not hijack
+    the capture (the prefix consumes quoted values atomically)."""
+    from vmware_graph_spark.functions.url import extract_hrefs, extract_links
+
+    df = spark.createDataFrame(
+        [
+            ('<a data-x="see href=evil" href="/real">t</a>',),
+            ("<a data-x='see href=evil2' href=/real2>t</a>",),
+        ],
+        "html string",
+    )
+    got = [r.hs for r in df.select(extract_hrefs("html").alias("hs")).collect()]
+    assert got == [["/real"], ["/real2"]]
+    pairs = [
+        [(p.href, p.text) for p in r.ls]
+        for r in df.select(extract_links("html").alias("ls")).collect()
+    ]
+    assert pairs == [[("/real", "t")], [("/real2", "t")]]
+
+
+def test_robots_unknown_fields_do_not_break_groups():
+    """RFC 9309 §2.2.4: Crawl-delay/Sitemap/unknown records are
+    transparent to grouping — agents around them merge."""
+    from vmware_graph_spark.operators.crawl import parse_robots_txt
+
+    txt = (
+        "User-agent: examplebot\n"
+        "Crawl-delay: 10\n"
+        "User-agent: otherbot\n"
+        "Disallow: /private\n"
+    )
+    # both agents share the ONE group; examplebot must see the rule
+    assert parse_robots_txt(txt, "examplebot") == [("/private", False)]
+    assert parse_robots_txt(txt, "otherbot") == [("/private", False)]
+    # after a rule, an unknown field still doesn't merge the NEXT group
+    txt2 = (
+        "User-agent: a\nDisallow: /x\nCrawl-delay: 5\n\n"
+        "User-agent: b\nDisallow: /y\n"
+    )
+    assert parse_robots_txt(txt2, "a") == [("/x", False)]
+    assert parse_robots_txt(txt2, "b") == [("/y", False)]
+
+
+def test_redact_cc_substring_of_longer_run_survives(spark):
+    """A valid PAN recurring INSIDE a longer non-candidate digit run
+    must not be replaced there (boundary-guarded, not literal)."""
+    from vmware_graph_spark.functions.text import redact_cc_numbers
+
+    t = "order 94111111111111111180 pay 4111111111111111 done"
+    df = spark.createDataFrame([(t,)], "t string")
+    got = df.select(redact_cc_numbers("t").alias("r")).collect()[0].r
+    assert got == "order 94111111111111111180 pay [CC] done"
+
+
+def test_resolve_redirects_cap_is_contract_not_reach(spark):
+    """max_hops not a power of two: a chain longer than the cap is
+    'unresolved' even though the doubling reach covers it."""
+    from vmware_graph_spark.operators.crawl import resolve_redirects
+
+    edges = [(f"a{i}", f"a{i+1}") for i in range(25)]  # a0: 25 hops
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = {r.src: (r.hops, r.status)
+           for r in resolve_redirects(df, max_hops=20).collect()}
+    assert out["a0"] == (None, "unresolved")   # 25 > 20 despite reach 32
+    assert out["a5"] == (20, "ok")             # exactly the cap resolves
+    assert out["a6"] == (19, "ok")
+
+
+def test_sitemap_priority_nan_inf_degrade_to_null(spark, tmp_path):
+    from vmware_graph_spark.sources.sitemap import read_sitemaps, write_sitemap_files
+
+    write_sitemap_files(
+        {"s": [{"loc": "http://h/1", "priority": "NaN"},
+               {"loc": "http://h/2", "priority": "1e999"},
+               {"loc": "http://h/3", "priority": "-inf"},
+               {"loc": "http://h/4", "priority": "0.4"}]},
+        str(tmp_path / "f"), index_name=None,
+    )
+    rows = {r.loc: r.priority
+            for r in read_sitemaps(spark, str(tmp_path / "f" / "*.xml")).collect()}
+    assert rows == {"http://h/1": None, "http://h/2": None,
+                    "http://h/3": None, "http://h/4": 0.4}
+
+
+def test_apportion_budget_zero_total_degenerate(spark):
+    from vmware_graph_spark.operators.crawl import apportion_budget
+
+    w = spark.createDataFrame([("a", 0), ("b", 0)], "host string, weight long")
+    out = {r.host: r.alloc for r in apportion_budget(w, 1).collect()}
+    # documented degenerate: no proportional base; key order gets slots
+    assert out == {"a": 1, "b": 0}
+
+
+def _pil_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_decode_image_auto_bmp_variant_falls_back_or_raises():
+    """A BMP past the stdlib subset (8-bit) falls to Pillow when
+    present; without Pillow the stdlib strictness stands."""
+    import struct
+
+    import pytest as _pytest
+
+    from vmware_graph_spark.operators.multimodal import decode_image_auto
+
+    # minimal 8-bit BMP header (bpp=8 -> stdlib ValueError)
+    dib = struct.pack("<IiiHHIIiiII", 40, 1, 1, 1, 8, 0, 4, 2835, 2835, 0, 0)
+    b = b"BM" + struct.pack("<IHHI", 14 + 40 + 4, 0, 0, 14 + 40) + dib + b"\x00" * 4
+    if _pil_available():
+        d = decode_image_auto(b, "image/bmp")  # Pillow handles palettized
+        assert (d.width, d.height) == (1, 1)
+    else:
+        with _pytest.raises(ValueError):
+            decode_image_auto(b, "image/bmp")

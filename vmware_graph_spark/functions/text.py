@@ -205,8 +205,19 @@ def redact_cc_numbers(col: Column | str, *, token: str = "[CC]") -> Column:
     valid = F.filter(
         cands, lambda m: luhn_valid(F.regexp_replace(m, r"[^0-9]", ""))
     )
+    # Boundary-guarded regex replace, NOT a literal replace-all: a
+    # valid span can recur as a SUBSTRING of a longer digit run that
+    # was never a candidate (a 20-digit order id containing a card
+    # number), and a literal replace would corrupt it (round-10 review
+    # finding). Candidates contain only digits/space/dash — no regex
+    # metachars to escape; the token must not contain '$'/'\\' (Java
+    # replacement specials).
     return F.aggregate(
-        valid, c, lambda acc, m: F.replace(acc, m, F.lit(token))
+        valid,
+        c,
+        lambda acc, m: F.regexp_replace(
+            acc, F.concat(F.lit(r"(?<!\d)"), m, F.lit(r"(?!\d)")), F.lit(token)
+        ),
     )
 
 

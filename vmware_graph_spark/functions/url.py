@@ -139,13 +139,17 @@ def url_canonical_sql(x: str, *, tracking_re: str = TRACKING_PARAM_RE) -> str:
 # Link extraction + resolution (the frontier-growing half of a crawl).
 # ---------------------------------------------------------------------------
 
-# The optional attribute prefix is LAZY and must end at a whitespace
-# boundary, so href= binds to the FIRST real href attribute — a greedy
-# [^>]* let an earlier attribute VALUE containing 'href=' hijack the
-# capture (<a href="/real" data-x="href=evil"> extracted 'evil';
-# round-10 review finding). 'href=' inside a quoted value can't match:
-# it is preceded by '"', never by the required whitespace.
-_HREF_RE = r"""(?i)<a\s(?:[^>]*?\s)?href=["']?([^"'\s>]+)"""
+# The optional attribute prefix is LAZY, consumes QUOTED VALUES
+# ATOMICALLY (the alternation can only cross a quote character by
+# taking the full quoted-string branch), and must end at a whitespace
+# boundary — so href= binds to the first real href ATTRIBUTE and
+# nothing inside an attribute value can hijack the capture. Two prior
+# forms fell to hijacks: greedy [^>]* (value containing 'href=') and a
+# lazy prefix without quote-atomicity (value containing ' href=' —
+# the whitespace inside the quotes served as the boundary; round-10
+# review findings).
+_HREF_PREFIX = r"""(?:(?:[^>"']|"[^"]*"|'[^']*')*?\s)?"""
+_HREF_RE = r"""(?i)<a\s""" + _HREF_PREFIX + r"""href=["']?([^"'\s>]+)"""
 
 
 def extract_hrefs(html: Column | str) -> Column:
@@ -156,10 +160,13 @@ def extract_hrefs(html: Column | str) -> Column:
     return F.regexp_extract_all(h, F.lit(_HREF_RE), 1)
 
 
-# Full-anchor form of _HREF_RE: same lazy hijack-safe prefix, plus the
-# element body up to the FIRST closing tag (lazy across newlines via
-# (?s)) so the anchor TEXT rides along with its href.
-_ANCHOR_RE = r"""(?is)<a\s(?:[^>]*?\s)?href=["']?([^"'\s>]+)[^>]*>(.*?)</a\s*>"""
+# Full-anchor form of _HREF_RE: same quote-atomic hijack-safe prefix,
+# plus the element body up to the FIRST closing tag (lazy across
+# newlines via (?s)) so the anchor TEXT rides along with its href.
+_ANCHOR_RE = (
+    r"""(?is)<a\s""" + _HREF_PREFIX
+    + r"""href=["']?([^"'\s>]+)[^>]*>(.*?)</a\s*>"""
+)
 
 
 def extract_links(html: Column | str) -> Column:

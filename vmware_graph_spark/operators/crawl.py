@@ -178,8 +178,12 @@ def parse_robots_txt(txt: str, user_agent: str) -> list[tuple[str, bool]]:
             in_agents = False
             if value:  # empty value = no-op rule per RFC 9309
                 cur_rules.append((value, field == "allow"))
-        else:
-            in_agents = False  # crawl-delay/sitemap/unknown: ignored
+        # crawl-delay/sitemap/unknown fields: fully TRANSPARENT — RFC
+        # 9309 §2.2.4 says other records MUST NOT interfere with
+        # grouping, so 'User-agent: a / Crawl-delay: 10 / User-agent:
+        # b / Disallow: /' is ONE group binding both agents (a prior
+        # version closed the group at the unknown field, stranding 'a'
+        # with zero rules — round-10 review finding).
     if cur_agents or cur_rules:
         groups.append((cur_agents, cur_rules))
 
@@ -376,21 +380,21 @@ def resolve_redirects(
                 (F.col("hops") + F.coalesce("__jh", F.lit(0))).alias("hops"),
             )
         )
-    # a target that is STILL a redirect source after max_hops doublings
-    # is a cycle or an over-long chain -> unresolved
+    # a target still pointing at a redirect source is a cycle or an
+    # over-long chain; and because ⌈log2⌉ rounds can REACH past
+    # max_hops when it is not a power of two, a resolved chain whose
+    # hop count exceeds the cap is ALSO unresolved — the documented
+    # contract, not the doubling reach (round-10 review finding).
     srcs = step.select(F.col("__s").alias("tgt")).distinct().withColumn(
         "__is_src", F.lit(True)
     )
     out = m.join(srcs, "tgt", "left")
+    ok = F.col("__is_src").isNull() & (F.col("hops") <= max_hops)
     return out.select(
         F.col("orig").alias(src_col),
-        F.when(F.col("__is_src").isNull(), F.col("tgt")).alias("final_url"),
-        F.when(F.col("__is_src").isNull(), F.col("hops"))
-        .cast("bigint")
-        .alias("hops"),
-        F.when(F.col("__is_src").isNull(), F.lit("ok"))
-        .otherwise(F.lit("unresolved"))
-        .alias("status"),
+        F.when(ok, F.col("tgt")).alias("final_url"),
+        F.when(ok, F.col("hops")).cast("bigint").alias("hops"),
+        F.when(ok, F.lit("ok")).otherwise(F.lit("unresolved")).alias("status"),
     )
 
 
@@ -407,7 +411,13 @@ def apportion_budget(
     each host gets ``floor(total·w/W)``, and the leftover slots go to
     the largest remainders (ties broken by key). All arithmetic is
     INTEGER (``total·w div W`` and ``total·w mod W``), so the result
-    is engine-exact — no float quota ever materializes.
+    is engine-exact — no float quota ever materializes. CONTRACT:
+    ``weight_col`` must be NONNEGATIVE INTEGERS with a positive total
+    (counts, or priorities pre-scaled by the caller — fractional
+    weights would truncate at the bigint cast and skew the shares);
+    with a zero/empty total the proportional base is empty and the
+    whole budget falls to the largest-remainder pass, i.e. one slot
+    per key in key order up to ``total``.
 
     Scale shape: the weight total and the leftover count are two
     scalar aggregates broadcast back; the remainder ranking routes
@@ -428,8 +438,10 @@ def apportion_budget(
     ).selectExpr(
         key_col,
         weight_col,
-        "__num div __W as __base",   # exact integral division — no double quota
-        "__num % __W as __rem",
+        # exact integral division — no double quota; null-safe for the
+        # documented zero-total degenerate case
+        "coalesce(__num div __W, 0) as __base",
+        "coalesce(__num % __W, 0) as __rem",
     )
     based = based.withColumn("__negrem", -F.col("__rem"))
     ranked = exact_global_rank(based, ["__negrem", key_col], rank_col="__rk")

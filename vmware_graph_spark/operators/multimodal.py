@@ -183,7 +183,19 @@ def decode_image_auto(data: bytes, media_type: str) -> _DecodedImage:
     if b[:2] in (b"P6", b"BM") or media_type in (
         "image/x-portable-pixmap", "image/bmp",
     ):
-        return decode_image_stdlib(b, media_type)
+        try:
+            return decode_image_stdlib(b, media_type)
+        except ValueError as err:
+            # a BMP variant past the stdlib parser's subset (RLE,
+            # palettized, 32-bit): fall through to Pillow when present
+            # instead of failing a payload Pillow could decode
+            # (round-10 review finding); without Pillow the original
+            # strictness stands.
+            try:
+                decode = pillow_image_decoder()
+            except ImportError:
+                raise err
+            return decode(b, media_type)
     try:
         decode = pillow_image_decoder()
     except ImportError:

@@ -42,106 +42,23 @@ from vmware_graph_spark.queries import _toks, query
 from vmware_graph_spark.sources.tables import load_table
 from vmware_graph_spark.tmpcache import cache_dir, data_key
 
-# ---------------------------------------------------------------------------
-# The synthetic page template. Single line, no apostrophes (embeds in
-# single-quoted SQL verbatim), and it exercises every extraction rule:
-# a DOCTYPE, a comment CONTAINING tags, script/style blocks whose
-# content must not leak (the script even contains a '<div>' literal and
-# a bare '<'), and the six entities with &amp; in decode-last position.
-# ---------------------------------------------------------------------------
-
-_P1 = "<!DOCTYPE html><html><head><title>Doc "
-_P2 = (
-    '</title><style>body { color: #fff; }</style>'
-    '<script type="text/javascript">var s = "<div>" && 1 < 2;</script>'
-    "</head><body><!-- crawl <b>"
+# The page template, its SQL/Catalyst builders, the ground-truth
+# extraction oracle, and the WARC fleet synthesizer live in
+# vmware_graph_spark.crawl_fixture (shared with queries_ext22 WITHOUT a
+# cross-ext import — queries.py imports every ext module at its tail,
+# so ext-to-ext imports are latent circular imports; round-10 review
+# finding). Re-exported here because tools/crawl_scalebench.py and the
+# tests import them under this module's name.
+from vmware_graph_spark.crawl_fixture import (  # noqa: E402,F401
+    _EXPECTED_PREFIX,
+    _N_SHARDS,
+    _expected_text_sql,
+    _html_col,
+    _html_page,
+    _html_sql,
+    _status_case_sql,
+    _warc_fixture_dir,
 )
-_P3 = "</b> --><h1>Doc &quot;"
-_P4 = "&quot; &amp; more</h1><p>"
-_P5 = '</p><div class="tail">tail&nbsp;'
-_P6 = "</div></body></html>"
-
-#: Ground-truth plain text of the template (before whitespace collapse
-#: of the riding document text): what a CORRECT extractor must emit.
-_EXPECTED_PREFIX = "Doc "  # Doc {id} Doc "{id}" & more {text} tail {n_chars}
-
-_N_SHARDS = 8
-
-
-def _html_page(doc_id: int, text: str, n_chars: int) -> str:
-    return f"{_P1}{doc_id}{_P2}{doc_id}{_P3}{doc_id}{_P4}{text}{_P5}{n_chars}{_P6}"
-
-
-def _html_col():
-    """The same page as a Catalyst concat over documents columns."""
-    i = F.col("doc_id").cast("string")
-    return F.concat(
-        F.lit(_P1), i, F.lit(_P2), i, F.lit(_P3), i, F.lit(_P4),
-        F.col("text"), F.lit(_P5), F.col("n_chars").cast("string"), F.lit(_P6),
-    )
-
-
-def _html_sql(id_expr: str = "doc_id", text_expr: str = "text", nchars_expr: str = "n_chars") -> str:
-    """The same page as a DuckDB concat (template has no apostrophes)."""
-    return (
-        "('" + _P1 + "' || " + id_expr + " || '" + _P2 + "' || " + id_expr
-        + " || '" + _P3 + "' || " + id_expr + " || '" + _P4 + "' || " + text_expr
-        + " || '" + _P5 + "' || " + nchars_expr + " || '" + _P6 + "')"
-    )
-
-
-def _expected_text_sql() -> str:
-    """Ground-truth extraction, built from the SOURCE columns — not by
-    running the regex twin — so the oracle pins INTENT, independent of
-    the implementation. The final collapse also normalizes any
-    whitespace runs inside the riding document text, exactly as the
-    extractor's last step does."""
-    raw = (
-        "('Doc ' || doc_id || ' Doc \"' || doc_id || '\" & more ' || text"
-        " || ' tail ' || n_chars)"
-    )
-    return rf"trim(regexp_replace({raw}, '\s+', ' ', 'g'))"
-
-
-def _status_case_sql() -> str:
-    return "CASE WHEN doc_id % 53 = 0 THEN 404 ELSE 200 END"
-
-
-def _warc_fixture_dir(spark, sf_dir: str) -> str:
-    """Synthesize the WARC fleet once per (dataset, mtime): _N_SHARDS
-    archives, each holding a warcinfo record (the reader must skip it)
-    plus one HTTP response per document (deterministic shard/order,
-    a 404 every 53rd doc, tracking params on every URI)."""
-    root = cache_dir("warc_fleet", data_key(sf_dir, "documents"))
-    sentinel = os.path.join(root, "_COMPLETE")
-    if os.path.exists(sentinel):
-        return root
-
-    from vmware_graph_spark.sources.warc import write_warc_files
-
-    rows = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", "text", "n_chars")
-        .toPandas()
-        .sort_values("doc_id")
-    )
-    shards: dict[str, list[dict]] = {f"shard_{i}": [] for i in range(_N_SHARDS)}
-    for did, text, nc in zip(rows["doc_id"], rows["text"], rows["n_chars"]):
-        did, nc = int(did), int(nc)
-        shards[f"shard_{did % _N_SHARDS}"].append(
-            {
-                "uri": (
-                    f"http://www.site{did % 5}.example.com/docs/{did}"
-                    "?utm_source=crawler"
-                ),
-                "status": 404 if did % 53 == 0 else 200,
-                "body": _html_page(did, text, nc).encode("utf-8"),
-            }
-        )
-    write_warc_files(shards, root)
-    with open(sentinel, "w") as f:
-        f.write("ok")
-    return root
 
 
 @query(
@@ -429,11 +346,11 @@ def streaming_crawl_ingest(spark, sf_dir):
                     THEN 1 ELSE 0 END
              WHEN doc_id % 5 = 3 THEN
                CASE WHEN CAST(doc_id AS VARCHAR) LIKE '1%'
-                     AND CAST(doc_id AS VARCHAR) NOT LIKE '%4'
+                     AND CAST(doc_id AS VARCHAR) NOT LIKE '%8'
                     THEN 1 ELSE 0 END
              WHEN doc_id % 5 = 1 THEN
                CASE WHEN CAST(doc_id AS VARCHAR) LIKE '1%'
-                     AND CAST(doc_id AS VARCHAR) NOT LIKE '1%7'
+                     AND CAST(doc_id AS VARCHAR) NOT LIKE '1%6'
                     THEN 1 ELSE 0 END
              ELSE CASE WHEN CAST(doc_id AS VARCHAR) LIKE '1%' THEN 1 ELSE 0 END
            END AS INTEGER) AS fetch_allowed
@@ -449,8 +366,11 @@ def robots_frontier_filter(spark, sf_dir):
     a Disallow with an Allow carve-out inside it (hosts 0-3 block /a/
     but allow /a/1*), a deeper Disallow re-blocking inside the
     carve-out (host 2 blocks /a/12*), WILDCARD disallows that out-score
-    the carve-out (host 3 blocks ``/a/*4$`` — any id ending in 4; host
-    1 blocks ``/a/1*7$`` — ids starting 1 ending 7), and a rule-free
+    the carve-out (host 3 blocks ``/a/*8$`` — any id ending in 8; host
+    1 blocks ``/a/1*6$`` — ids starting 1 ending 6; the ending digits
+    are chosen REACHABLE in each host's residue class — host k's ids
+    end in k or k+5, so an unreachable digit would make the rule dead
+    and the oracle vacuous, round-10 review finding), and a rule-free
     host (site4 — default allow). The oracle writes the expected
     verdict as ground-truth CASE arms (LIKE twins of the wildcards), so
     the operator's precedence order AND its pattern compilation are
@@ -468,8 +388,8 @@ def robots_frontier_filter(spark, sf_dir):
     rule_rows = [(h, "/a/", False) for h in hosts[:4]]
     rule_rows += [(h, "/a/1", True) for h in hosts]
     rule_rows += [(hosts[2], "/a/12", False)]
-    rule_rows += [(hosts[3], "/a/*4$", False)]   # wildcard + end anchor
-    rule_rows += [(hosts[1], "/a/1*7$", False)]  # wildcard inside a prefix
+    rule_rows += [(hosts[3], "/a/*8$", False)]   # wildcard + end anchor
+    rule_rows += [(hosts[1], "/a/1*6$", False)]  # wildcard inside a prefix
     rules = spark.createDataFrame(
         rule_rows, "host string, path_prefix string, allow boolean"
     )

@@ -23,8 +23,8 @@ import os
 
 from pyspark.sql import functions as F
 
+from vmware_graph_spark.crawl_fixture import _expected_text_sql, _warc_fixture_dir
 from vmware_graph_spark.queries import query
-from vmware_graph_spark.queries_ext21 import _warc_fixture_dir
 from vmware_graph_spark.sources.tables import load_table
 from vmware_graph_spark.tmpcache import cache_dir, data_key
 
@@ -284,8 +284,6 @@ def script_mix_documents(spark, sf_dir):
 
 
 def _expected_wet_oracle() -> str:
-    from vmware_graph_spark.queries_ext21 import _expected_text_sql
-
     return f"""
     WITH exp AS (
       SELECT doc_id, {_expected_text_sql()} AS t

@@ -132,6 +132,8 @@ _READ_SCHEMA = (
 
 
 def _parse_files_fn():
+    import math
+
     import pandas as pd
 
     def parse_files(batches):
@@ -151,9 +153,14 @@ def _parse_files_fn():
                     # value-level leniency (vs STRUCTURAL strictness):
                     # priority is optional decoration per the spec, and
                     # real files carry garbage in it — a torn value must
-                    # not kill the whole file's parse.
+                    # not kill the whole file's parse. Python's float()
+                    # also parses 'nan'/'inf'/overflow spellings, which
+                    # are garbage too (NaN poisons downstream equality/
+                    # sort) — only finite values survive.
                     try:
                         pr = float(e["priority"]) if e["priority"] is not None else None
+                        if pr is not None and not math.isfinite(pr):
+                            pr = None
                     except ValueError:
                         pr = None
                     rows["priority"].append(pr)
