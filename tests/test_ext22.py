@@ -708,3 +708,61 @@ def test_decode_image_auto_bmp_variant_falls_back_or_raises():
     else:
         with _pytest.raises(ValueError):
             decode_image_auto(b, "image/bmp")
+
+
+def test_redact_cc_separator_joined_run_survives(spark):
+    """A valid PAN separator-joined to more digits (an 18-digit
+    '<card>-22' order id) must stay untouched — and so must the PAN
+    occurrence inside it, even when the bare PAN is also present."""
+    from vmware_graph_spark.functions.text import redact_cc_numbers
+
+    t = "ref 4111111111111111-22 pay 4111111111111111 done"
+    df = spark.createDataFrame([(t,)], "t string")
+    got = df.select(redact_cc_numbers("t").alias("r")).collect()[0].r
+    assert got == "ref 4111111111111111-22 pay [CC] done"
+
+
+def test_redact_cc_token_with_replacement_specials(spark):
+    from vmware_graph_spark.functions.text import redact_cc_numbers
+
+    df = spark.createDataFrame([("pay 4111111111111111 now",)], "t string")
+    got = df.select(
+        redact_cc_numbers("t", token=r"US$1-\REDACTED").alias("r")
+    ).collect()[0].r
+    assert got == r"pay US$1-\REDACTED now"
+
+
+def test_anchor_text_not_polluted_by_gt_in_attr(spark):
+    """A '>' inside a later quoted attribute must not terminate the
+    tag early and pollute the captured anchor text."""
+    from vmware_graph_spark.functions.url import extract_links
+
+    df = spark.createDataFrame(
+        [
+            ('<a href="/x" title="a>b">text</a>',),
+            ('<a href="/x" data-y="> evil href=/bad">real</a>',),
+        ],
+        "html string",
+    )
+    pairs = [
+        [(p.href, p.text) for p in r.ls]
+        for r in df.select(extract_links("html").alias("ls")).collect()
+    ]
+    assert pairs == [[("/x", "text")], [("/x", "real")]]
+
+
+def test_href_fail_closed_on_unbalanced_quotes(spark):
+    """Documented contract: tags with unbalanced/misplaced quotes
+    (invalid HTML5 attribute syntax) yield NO link — fail-closed, never
+    a hijacked URL."""
+    from vmware_graph_spark.functions.url import extract_hrefs
+
+    df = spark.createDataFrame(
+        [
+            ("<a data-name=O'Brien href=/x>t</a>",),
+            ('<a data-x="unclosed href=/z>t</a>',),
+        ],
+        "html string",
+    )
+    got = [r.hs for r in df.select(extract_hrefs("html").alias("hs")).collect()]
+    assert got == [[], []]

@@ -199,24 +199,36 @@ def redact_cc_numbers(col: Column | str, *, token: str = "[CC]") -> Column:
     (separators allowed) is Luhn-checked on its digits, and only valid
     ones replace with ``token`` — same-shaped order/tracking numbers
     pass through untouched. Pure Catalyst: extract candidates, filter
-    by :func:`luhn_valid`, fold literal replacements over the text."""
+    by :func:`luhn_valid`, fold boundary-guarded replacements over the
+    text. DELIBERATELY CONSERVATIVE: an occurrence of a valid card
+    that sits digit- or separator-adjacent to MORE digits (inside
+    ``...111-22``, or space-joined to another number) is left alone —
+    it is indistinguishable from a longer non-card identifier, and a
+    PII pass must never corrupt non-PII."""
     c = F.col(col) if isinstance(col, str) else col
     cands = F.regexp_extract_all(c, F.lit(CC_CANDIDATE_RE), 0)
     valid = F.filter(
         cands, lambda m: luhn_valid(F.regexp_replace(m, r"[^0-9]", ""))
     )
     # Boundary-guarded regex replace, NOT a literal replace-all: a
-    # valid span can recur as a SUBSTRING of a longer digit run that
-    # was never a candidate (a 20-digit order id containing a card
-    # number), and a literal replace would corrupt it (round-10 review
-    # finding). Candidates contain only digits/space/dash — no regex
-    # metachars to escape; the token must not contain '$'/'\\' (Java
-    # replacement specials).
+    # valid span can recur as a SUBSTRING of a longer candidate-grammar
+    # run that Luhn rejected (an 18-digit '<card>-22' order id), and
+    # both plain literal replace AND digit-only guards corrupted it
+    # (round-10 review findings). The guards exclude digit neighbors
+    # and separator-joined digit neighbors on both sides — the
+    # candidate grammar's own continuations. Candidates contain only
+    # digits/space/dash (no regex metachars); the token escapes Java's
+    # replacement specials ('$', '\\') so any literal token is safe.
+    safe_token = token.replace("\\", "\\\\").replace("$", "\\$")
     return F.aggregate(
         valid,
         c,
         lambda acc, m: F.regexp_replace(
-            acc, F.concat(F.lit(r"(?<!\d)"), m, F.lit(r"(?!\d)")), F.lit(token)
+            acc,
+            F.concat(
+                F.lit(r"(?<!\d)(?<!\d[ -])"), m, F.lit(r"(?![ -]?\d)")
+            ),
+            F.lit(safe_token),
         ),
     )
 

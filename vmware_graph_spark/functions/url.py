@@ -147,7 +147,13 @@ def url_canonical_sql(x: str, *, tracking_re: str = TRACKING_PARAM_RE) -> str:
 # forms fell to hijacks: greedy [^>]* (value containing 'href=') and a
 # lazy prefix without quote-atomicity (value containing ' href=' —
 # the whitespace inside the quotes served as the boundary; round-10
-# review findings).
+# review findings). FAIL-CLOSED contract: a tag with unbalanced or
+# misplaced quote characters (invalid per the HTML5 attribute grammar
+# — e.g. a bare apostrophe in an unquoted value) yields NO link. Any
+# bare-quote fallback branch reopens the hijack through the lazy
+# prefix (a shorter hijacking prefix always wins), so the choice is
+# fail-closed vs hijackable, and a frontier must not fetch
+# attacker-chosen URLs.
 _HREF_PREFIX = r"""(?:(?:[^>"']|"[^"]*"|'[^']*')*?\s)?"""
 _HREF_RE = r"""(?i)<a\s""" + _HREF_PREFIX + r"""href=["']?([^"'\s>]+)"""
 
@@ -163,9 +169,13 @@ def extract_hrefs(html: Column | str) -> Column:
 # Full-anchor form of _HREF_RE: same quote-atomic hijack-safe prefix,
 # plus the element body up to the FIRST closing tag (lazy across
 # newlines via (?s)) so the anchor TEXT rides along with its href.
+# The href value's CLOSING quote is consumed and the post-href tail is
+# quote-atomic like the prefix — a '>' inside a later quoted attribute
+# (title="a>b") otherwise terminated the tag early and polluted the
+# captured text (round-10 review finding).
 _ANCHOR_RE = (
     r"""(?is)<a\s""" + _HREF_PREFIX
-    + r"""href=["']?([^"'\s>]+)[^>]*>(.*?)</a\s*>"""
+    + r"""href=["']?([^"'\s>]+)["']?(?:[^>"']|"[^"]*"|'[^']*')*>(.*?)</a\s*>"""
 )
 
 

@@ -414,10 +414,13 @@ def apportion_budget(
     is engine-exact — no float quota ever materializes. CONTRACT:
     ``weight_col`` must be NONNEGATIVE INTEGERS with a positive total
     (counts, or priorities pre-scaled by the caller — fractional
-    weights would truncate at the bigint cast and skew the shares);
-    with a zero/empty total the proportional base is empty and the
-    whole budget falls to the largest-remainder pass, i.e. one slot
-    per key in key order up to ``total``.
+    weights would truncate at the bigint cast and skew the shares).
+    ``Σalloc = total`` holds exactly whenever the weight total is
+    positive; in the DEGENERATE zero/empty-total case there is no
+    proportion to honor and the function hands out AT MOST one slot
+    per key in key order — ``Σalloc = min(total, n_keys)``, never an
+    error (guarded explicitly, so the behavior is identical under
+    ANSI-on sessions where a raw ``div`` by zero would throw).
 
     Scale shape: the weight total and the leftover count are two
     scalar aggregates broadcast back; the remainder ranking routes
@@ -438,10 +441,13 @@ def apportion_budget(
     ).selectExpr(
         key_col,
         weight_col,
-        # exact integral division — no double quota; null-safe for the
-        # documented zero-total degenerate case
-        "coalesce(__num div __W, 0) as __base",
-        "coalesce(__num % __W, 0) as __rem",
+        # exact integral division — no double quota. The zero-total
+        # guard is an explicit CASE (not a coalesce over the division):
+        # under ANSI mode 'x div 0' THROWS before null-handling runs,
+        # so the guard must prevent the division, not absorb its null
+        # (round-10 review finding).
+        "CASE WHEN __W IS NULL OR __W = 0 THEN 0 ELSE __num div __W END as __base",
+        "CASE WHEN __W IS NULL OR __W = 0 THEN 0 ELSE __num % __W END as __rem",
     )
     based = based.withColumn("__negrem", -F.col("__rem"))
     ranked = exact_global_rank(based, ["__negrem", key_col], rank_col="__rk")
