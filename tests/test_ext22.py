@@ -766,3 +766,97 @@ def test_href_fail_closed_on_unbalanced_quotes(spark):
     )
     got = [r.hs for r in df.select(extract_hrefs("html").alias("hs")).collect()]
     assert got == [[], []]
+
+
+def test_extract_links_property_vs_html_parser(spark):
+    """On generated VALID HTML (balanced quotes — the documented
+    fail-closed boundary), extract_links must agree with Python's real
+    html.parser on every (href, text) pair: attribute order, quote
+    style, hostile values containing 'href=', nested inline markup,
+    and messy whitespace all covered."""
+    from html.parser import HTMLParser
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from vmware_graph_spark.functions.url import extract_links
+
+    class Ref(HTMLParser):
+        def __init__(self):
+            super().__init__()
+            self.links, self._href, self._buf = [], None, []
+
+        def handle_starttag(self, tag, attrs):
+            if tag == "a":
+                self._href = dict(attrs).get("href")
+                self._buf = []
+
+        def handle_data(self, data):
+            if self._href is not None:
+                self._buf.append(data)
+
+        def handle_endtag(self, tag):
+            if tag == "a" and self._href is not None:
+                self.links.append(
+                    (self._href, " ".join("".join(self._buf).split()))
+                )
+                self._href = None
+
+    # href values are URL-LEGAL (no raw whitespace — RFC 3986 forbids
+    # it, and the extractor's value grammar stops at whitespace); a
+    # space-containing quoted href is outside the contract and covered
+    # by its own case test below.
+    href_val = st.sampled_from(
+        ["/a", "/p?x=1&y=2", "http://h/q", "/odd=href=trick", "/b#f"]
+    )
+    extra_attr = st.sampled_from(
+        ["", ' class="k"', " data-x='see href=evil'", ' title="a b"',
+         ' rel="nofollow" target="_blank"']
+    )
+    text = st.sampled_from(
+        ["plain", "two  words", "<b>bold</b> tail", "x\n\ty", ""]
+    )
+    quote = st.sampled_from(['"', "'"])
+
+    def mk_anchor(h, extra, t, q):
+        return f"<a{extra} href={q}{h}{q}>{t}</a>"
+
+    anchor = st.builds(mk_anchor, href_val, extra_attr, text, quote)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(anchor, min_size=1, max_size=5))
+    def check(anchors):
+        page = "<html><body>" + " mid ".join(anchors) + "</body></html>"
+        ref = Ref()
+        ref.feed(page)
+        # the regex extractor skips href-less anchors by design;
+        # html.parser reports them with href=None — filter those
+        want = [(h, t) for h, t in ref.links if h is not None]
+        df = spark.createDataFrame([(page,)], "h string")
+        got = [
+            (p.href, p.text)
+            for r in df.select(extract_links("h").alias("ls")).collect()
+            for p in r.ls
+        ]
+        # html.parser unescapes entities in attribute values; our
+        # generated hrefs contain none, so direct comparison holds
+        assert got == want, (page, got, want)
+
+    check()
+
+
+def test_extract_links_space_in_quoted_href_drops_anchor(spark):
+    """A quoted href containing a raw space is not a legal URL (RFC
+    3986); the pair extractor drops the anchor rather than emitting a
+    truncated URL."""
+    from vmware_graph_spark.functions.url import extract_links
+
+    df = spark.createDataFrame(
+        [('<a href="/with space">t</a> <a href="/ok">u</a>',)], "html string"
+    )
+    got = [
+        (p.href, p.text)
+        for r in df.select(extract_links("html").alias("ls")).collect()
+        for p in r.ls
+    ]
+    assert got == [("/ok", "u")]

@@ -187,7 +187,11 @@ def extract_links(html: Column | str) -> Column:
     describes a page by how others link to it (anchor-term profiles
     feed retrieval and quality scoring). Anchors that never close
     before the page ends yield nothing, matching a browser's recovery
-    of unterminated trailing markup."""
+    of unterminated trailing markup. Value grammar: href values are
+    URL-LEGAL (no raw whitespace — RFC 3986 forbids it); an anchor
+    whose quoted href contains a space is dropped rather than emitted
+    truncated. On generated VALID HTML the pair output is
+    property-tested identical to Python's html.parser."""
     h = F.col(html) if isinstance(html, str) else html
     matches = F.regexp_extract_all(h, F.lit(_ANCHOR_RE), 0)
     return F.transform(
