@@ -479,9 +479,19 @@ def test_parse_robots_txt_group_selection():
     assert parse_robots_txt(txt, "unknown") == [("/", False)]   # * fallback
     assert parse_robots_txt(txt, "greedybot") == []             # empty = no-op
     assert parse_robots_txt("", "x") == []
-    # most-specific prefix beats a shorter one
-    two = "User-agent: ex\nDisallow: /short\n\nUser-agent: examp\nDisallow: /long\n"
-    assert parse_robots_txt(two, "examplebot") == [("/long", False)]
+    # most-specific separator-bounded prefix beats a shorter one
+    two = (
+        "User-agent: examplebot\nDisallow: /short\n\n"
+        "User-agent: examplebot-news\nDisallow: /long\n"
+    )
+    assert parse_robots_txt(two, "examplebot-news-eu") == [("/long", False)]
+    # prefix binding requires a separator boundary: a group token that
+    # ends mid-word never captures the crawler (round-10 advice)
+    mid = "User-agent: e\nDisallow: /e\n\nUser-agent: examp\nDisallow: /m\n"
+    assert parse_robots_txt(mid, "examplebot") == []
+    assert parse_robots_txt(mid + "User-agent: *\nDisallow: /star\n", "examplebot") == [
+        ("/star", False)
+    ]
 
 
 def test_robots_group_gate_arms(spark):

@@ -182,7 +182,7 @@ def test_luhn_valid_property_vs_reference(spark):
                 if d > 9:
                     d -= 9
             total += d
-        return bool(s) and total % 10 == 0
+        return len(s) >= 2 and total % 10 == 0
 
     digits = st.text("0123456789", min_size=12, max_size=19)
 
@@ -203,6 +203,11 @@ def test_luhn_valid_property_vs_reference(spark):
             assert got[s] == ref(s), (s, got[s], ref(s))
 
     check()
+    # short-input guard: a lone digit has nothing to checksum ('0'
+    # passed the pre-guard arithmetic vacuously — round-10 advice)
+    df = spark.createDataFrame([("",), ("0",), ("00",), ("18",)], "d string")
+    got = {r.d: r.v for r in df.select("d", luhn_valid("d").alias("v")).collect()}
+    assert got == {"": False, "0": False, "00": True, "18": True}
 
 
 def test_redact_cc_only_luhn_valid_spans(spark):
@@ -571,16 +576,24 @@ def test_write_wet_percent_encodes_control_chars(spark, tmp_path):
     from vmware_graph_spark.sources.warc import read_warc, write_wet
 
     df = spark.createDataFrame(
-        [("http://h/inject\r\nWARC-Evil: x", "body text")],
+        [
+            ("http://h/inject\r\nWARC-Evil: x", "body text"),
+            # a dirty URI carrying a literal '%' must escape it too
+            # (%25 before the control escape) so decoding is
+            # unambiguous; a CLEAN %-URI passes through verbatim.
+            ("http://h/a%20b\rc", "second"),
+            ("http://h/clean%0Dspelling", "third"),
+        ],
         "uri string, text string",
     )
     out_dir = str(tmp_path / "wet")
-    assert write_wet(df, out_dir) == 1
+    assert write_wet(df, out_dir) == 3
     rows = read_warc(spark, f"{out_dir}/*.warc.wet",
                      types=("conversion",)).collect()
-    assert len(rows) == 1
-    assert rows[0].uri == "http://h/inject%0D%0AWARC-Evil: x"
-    assert bytes(rows[0].body) == b"body text"
+    uris = {bytes(r.body).decode(): r.uri for r in rows}
+    assert uris["body text"] == "http://h/inject%0D%0AWARC-Evil: x"
+    assert uris["second"] == "http://h/a%2520b%0Dc"
+    assert uris["third"] == "http://h/clean%0Dspelling"
 
 
 # ---------------------------------------------------------------------------

@@ -174,7 +174,11 @@ def luhn_valid(digits: Column | str) -> Column:
     """Luhn checksum over a digits-only string — pure Catalyst (an
     aggregate over the reversed digit positions; no UDF): from the
     right, every second digit doubles (minus 9 past 9) and the total
-    must divide by 10. False for empty/short input."""
+    must divide by 10. False for empty and single-digit input (a lone
+    check digit has nothing to check — '0' would otherwise pass; the
+    guard matters to direct callers, not :func:`redact_cc_numbers`,
+    whose candidate grammar is already 13-19 digits — round-10
+    advice)."""
     d = F.col(digits) if isinstance(digits, str) else digits
     rev = F.reverse(d)
     n = F.length(rev)
@@ -190,7 +194,7 @@ def luhn_valid(digits: Column | str) -> Column:
             ).otherwise(F.substring(rev, i, F.lit(1)).cast("int") * 2),
         ).otherwise(F.substring(rev, i, F.lit(1)).cast("int")),
     )
-    return F.when(n > 0, (total % 10) == 0).otherwise(F.lit(False))
+    return F.when(n >= 2, (total % 10) == 0).otherwise(F.lit(False))
 
 
 def redact_cc_numbers(col: Column | str, *, token: str = "[CC]") -> Column:

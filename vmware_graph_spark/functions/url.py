@@ -154,7 +154,20 @@ def url_canonical_sql(x: str, *, tracking_re: str = TRACKING_PARAM_RE) -> str:
 # prefix (a shorter hijacking prefix always wins), so the choice is
 # fail-closed vs hijackable, and a frontier must not fetch
 # attacker-chosen URLs.
-_HREF_PREFIX = r"""(?:(?:[^>"']|"[^"]*"|'[^']*')*?\s)?"""
+#
+# LINEAR-TIME shape (round-10 advice): the tokens are POSSESSIVE
+# (`++`, Java regex — this pattern is Spark-side only; oracles derive
+# link expectations from first principles, never from this regex) and
+# their first characters are mutually disjoint (non-space/quote/'>',
+# '"', "'", whitespace), so tokenization at any position is
+# deterministic and the engine never re-splits a whitespace run or a
+# quoted value while backtracking — the prior form's single-char
+# branch overlapped `\s` with the boundary terminator, giving O(n²)
+# rejection on hostile href-free anchors. The whitespace boundary
+# before `href=` is now a zero-width lookbehind, satisfied either by
+# the `<a\s` separator itself (empty prefix) or by a possessive `\s++`
+# token's last character.
+_HREF_PREFIX = r"""(?:[^>"'\s]++|"[^"]*+"|'[^']*+'|\s++)*?(?<=\s)"""
 _HREF_RE = r"""(?i)<a\s""" + _HREF_PREFIX + r"""href=["']?([^"'\s>]+)"""
 
 
@@ -172,10 +185,13 @@ def extract_hrefs(html: Column | str) -> Column:
 # The href value's CLOSING quote is consumed and the post-href tail is
 # quote-atomic like the prefix — a '>' inside a later quoted attribute
 # (title="a>b") otherwise terminated the tag early and polluted the
-# captured text (round-10 review finding).
+# captured text (round-10 review finding). The tail's tokens are
+# possessive for the same linear-time reason as _HREF_PREFIX (their
+# first characters are disjoint, so the old greedy form never matched
+# differently — it only backtracked uselessly on unbalanced quotes).
 _ANCHOR_RE = (
     r"""(?is)<a\s""" + _HREF_PREFIX
-    + r"""href=["']?([^"'\s>]+)["']?(?:[^>"']|"[^"]*"|'[^']*')*>(.*?)</a\s*>"""
+    + r"""href=["']?([^"'\s>]+)["']?(?:[^>"']++|"[^"]*+"|'[^']*+')*+>(.*?)</a\s*>"""
 )
 
 

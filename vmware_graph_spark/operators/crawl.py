@@ -13,7 +13,14 @@ host's robots rules, decide fetchability. Semantics are RFC 9309:
   is matched case-insensitively against each group's User-agent lines;
   the most specific match wins (exact token, else the longest group
   token that prefixes the crawler token), falling back to the ``*``
-  group; ALL groups with the winning token merge — §2.2.1.
+  group; ALL groups with the winning token merge. NOTE the prefix arm
+  is a DELIBERATE DEVIATION from strict RFC 9309 §2.2.1 (whose
+  matching is exact-token-or-``*`` only): it is the de-facto
+  Googlebot behavior webmasters write for (``examplebot`` groups are
+  meant to bind ``examplebot-news``), and prefix binding additionally
+  requires the boundary in the crawler token to be a non-alphanumeric
+  separator — so a one-letter group ``e`` never captures
+  ``examplebot`` (round-10 advice).
 
 Scale shape: robots corpora are tiny relative to the frontier (a few
 rules per host), so the per-host rule set is packed into ONE array row
@@ -143,9 +150,15 @@ def parse_robots_txt(txt: str, user_agent: str) -> list[tuple[str, bool]]:
     group that the following Allow/Disallow rules attach to; a
     ``User-agent`` line after rules starts a new group. Selection:
     case-insensitive; an exact token match wins, else the LONGEST group
-    token that is a prefix of the crawler's token (``examplebot-news``
-    obeys an ``examplebot`` group), else the ``*`` group, else no rules
-    (allow all). ALL groups carrying the winning token merge. Empty
+    token that is a prefix of the crawler's token ENDING AT A
+    SEPARATOR (``examplebot-news`` obeys an ``examplebot`` group —
+    the next crawler-token character must be non-alphanumeric, so a
+    short group like ``e`` or ``example`` never captures
+    ``examplebot``), else the ``*`` group, else no rules (allow all).
+    The prefix arm is de-facto Googlebot behavior, NOT strict RFC 9309
+    §2.2.1 exact-match — the deviation webmasters rely on (see module
+    docstring; round-10 advice pinned the boundary rule). ALL groups
+    carrying the winning token merge. Empty
     Allow/Disallow values are no-ops per the RFC and are dropped here
     (so :func:`robots_filter` never sees a match-everything empty
     pattern). Returns ``[(path_pattern, allow), ...]``.
@@ -191,7 +204,14 @@ def parse_robots_txt(txt: str, user_agent: str) -> list[tuple[str, bool]]:
     if ua in tokens:
         winner = ua
     else:
-        prefixes = [t for t in tokens if t != "*" and ua.startswith(t)]
+        prefixes = [
+            t
+            for t in tokens
+            if t != "*"
+            and t
+            and ua.startswith(t)
+            and not ua[len(t)].isalnum()  # separator-bounded prefix only
+        ]
         winner = max(prefixes, key=len) if prefixes else ("*" if "*" in tokens else None)
     if winner is None:
         return []
@@ -298,9 +318,28 @@ def extend_crawled_urls(
     appends nothing; a crash mid-append leaves only key rows, which are
     harmless duplicates to every reader (the probe is an anti-join on
     the key — same decision with or without them). Single writer at a
-    time, per the dedup-index concurrency contract."""
+    time, per the dedup-index concurrency contract.
+
+    The existing keys are read via an EXPLICIT file list snapshotted
+    before the append starts — a directory-path read in the same
+    action as an append to that directory relies on the input listing
+    being resolved first, which holds under Spark's local-FS committer
+    but is exactly the kind of self-read an object-store committer or
+    a listing change can break (round-10 advice). Pinning the part
+    files makes the job's input set immutable by construction."""
+    import glob
+    import os
+
     _check_crawl_index(path)
-    existing = spark.read.parquet(f"{path}/urls.parquet").select("canon")
+    part_files = sorted(
+        glob.glob(os.path.join(path, "urls.parquet", "bucket=*", "*.parquet"))
+    )
+    if part_files:
+        # leaf-file read: the bucket partition column is not derived,
+        # but only the key column participates in the anti-join.
+        existing = spark.read.parquet(*part_files).select("canon")
+    else:
+        existing = spark.createDataFrame([], "canon string")
     fresh = (
         _bucketed(fetched, url_col)
         .join(existing, "canon", "left_anti")

@@ -413,13 +413,15 @@ def robots_txt_group_gate(spark, sf_dir):
     """The FULL robots pipeline from raw robots.txt text: per-host
     bodies parse executor-side (``parse_robots`` — Arrow mapInPandas,
     never driver-collected), RFC 9309 §2.2.1 group selection picks the
-    rules that bind OUR crawler ('examplebot'), and the selected rules
-    gate the frontier through the same broadcast zero-shuffle filter.
-    Each host exercises a different selection arm: host0 an exact-token
-    group (decoys above and below it must lose), host1 a prefix token
-    ('example' binds 'examplebot'), host2 TWO groups naming the token
-    (rules must merge), host3 a foreign-token-only file (no group
-    binds — allow all), host4 the ``*`` fallback. Every selected group
+    rules that bind OUR crawler ('examplebot-news'), and the selected
+    rules gate the frontier through the same broadcast zero-shuffle
+    filter. Each host exercises a different selection arm: host0 an
+    exact-token group (decoys above and below it must lose), host1 a
+    separator-bounded prefix token ('examplebot' binds
+    'examplebot-news' at the '-' boundary), host2 TWO groups naming a
+    binding token (rules must merge), host3 a foreign-token-only file
+    (no group binds — allow all), host4 the ``*`` fallback. Every
+    selected group
     blocks /a/ except ids ending in the host digit (``Allow:
     /a/*<k>$`` out-scores the Disallow), so the oracle's ground truth
     is pure arithmetic: allowed ⇔ host3 ∨ doc_id%10 = doc_id%5 — a
@@ -441,12 +443,14 @@ def robots_txt_group_gate(spark, sf_dir):
     bodies = [
         # host0: exact token between two decoy groups
         "User-agent: otherbot\nDisallow: /\n\n"
-        "User-agent: examplebot\n" + allow_tail(0) + "\n"
+        "User-agent: examplebot-news\n" + allow_tail(0) + "\n"
         "User-agent: *\nDisallow: /\n",
-        # host1: prefix token binds examplebot; * group is a decoy
-        "User-agent: example\n" + allow_tail(1) + "\n"
+        # host1: separator-bounded prefix token binds examplebot-news;
+        # * group is a decoy (a mid-word prefix like 'example' would
+        # NOT bind — see parse_robots_txt's boundary rule)
+        "User-agent: examplebot\n" + allow_tail(1) + "\n"
         "User-agent: *\nDisallow: /\n",
-        # host2: two groups carry the token -> rules merge
+        # host2: two groups carry a binding token -> rules merge
         "User-agent: examplebot\nDisallow: /a/\n\n"
         "User-agent: otherbot\nUser-agent: examplebot\nAllow: /a/*2$\n",
         # host3: foreign token only, no * group -> nothing binds, allow
@@ -458,7 +462,7 @@ def robots_txt_group_gate(spark, sf_dir):
         [(f"www.site{i}.example.com", b) for i, b in enumerate(bodies)],
         "host string, robots_txt string",
     )
-    rules = parse_robots(robots, "examplebot")
+    rules = parse_robots(robots, "examplebot-news")
     out = robots_filter(urls, rules)
     return out.select(
         "doc_id", "host", F.col("fetch_allowed").cast("int").alias("fetch_allowed")

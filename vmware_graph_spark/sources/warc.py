@@ -291,10 +291,24 @@ def write_wet(
             # CR/LF would inject headers / break framing. Control
             # characters percent-encode (canonical URLs never contain
             # them, but a sink must not trust its input's hygiene).
+            # When a URI needs escaping, its literal '%'s escape too
+            # (%25, FIRST — before the control escapes introduce new
+            # '%'s), so an escaped URI decodes unambiguously back to
+            # its original. Clean URIs pass through verbatim —
+            # real-world WET fidelity beats re-encoding every %20.
+            # Residual (documented, round-10 advice): the mapping is
+            # injective within each class but not across them — a
+            # CLEAN URI that literally spells a control escape
+            # ('a%0Db') collides with the escaped form of a dirty one
+            # ('a\rb'); consumers needing byte-exact provenance for
+            # hostile URIs keep their own manifest.
             def _safe(u: str) -> str:
-                return "".join(
-                    f"%{ord(ch):02X}" if ord(ch) < 0x20 else ch for ch in u
-                )
+                if any(ord(ch) < 0x20 for ch in u):
+                    u = u.replace("%", "%25")
+                    u = "".join(
+                        f"%{ord(ch):02X}" if ord(ch) < 0x20 else ch for ch in u
+                    )
+                return u
 
             recs = [{"uri": _safe(u), "text": t} for u, t in rows]
             if gzip_members:
