@@ -494,7 +494,109 @@ def test_parse_robots_txt_group_selection():
     ]
 
 
-def test_parse_robots_txt_crawl_delay():
+def test_pct_normalize_property_vs_urllib(spark):
+    """pct_normalize_query (Spark) and its DuckDB twin must agree with
+    an independent re-based partial decoder on generated URL-legal
+    query strings, and the result must be urllib-consistent: the
+    normalization preserves full-decode identity
+    (unquote(norm(s)) == unquote_plus(s)), is idempotent, and leaves
+    no unreserved escape behind."""
+    import re
+    from urllib.parse import unquote, unquote_plus
+
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from vmware_graph_spark.functions.url import (
+        _UNRESERVED,
+        pct_normalize_query,
+        pct_normalize_query_sql,
+    )
+
+    unres_escapes = [f"%{ord(c):02X}" for c in "AzZ09._~-"] + [
+        f"%{ord(c):02x}" for c in "qT5_~"
+    ]
+    atoms = st.sampled_from(
+        ["a", "b", "Z", "7", "=", "&", "+", "-", ".", "~", "%2F", "%3D",
+         "%26", "%2B", "%20", "%2f", "%C3"] + unres_escapes
+    )
+    qstr = st.lists(atoms, max_size=12).map("".join)
+
+    def ref(s: str) -> str:
+        s = s.replace("+", "%20")
+        return re.sub(
+            r"%([0-9A-Fa-f]{2})",
+            lambda m: (
+                chr(int(m.group(1), 16))
+                if chr(int(m.group(1), 16)) in _UNRESERVED
+                else m.group(0)
+            ),
+            s,
+        )
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(qstr, min_size=1, max_size=10, unique=True))
+    def check(batch):
+        df = spark.createDataFrame([(s,) for s in batch], "s string")
+        got_spark = {
+            r.s: r.n
+            for r in df.select("s", pct_normalize_query("s").alias("n")).collect()
+        }
+        con = duckdb.connect()
+        sql = pct_normalize_query_sql("s")
+        for s in batch:
+            want = ref(s)
+            assert got_spark[s] == want, (s, got_spark[s], want)
+            got_duck = con.execute(
+                f"SELECT {sql} FROM (SELECT ? AS s)", [s]
+            ).fetchone()[0]
+            assert got_duck == want, (s, got_duck, want)
+            # urllib anchors (the round-10 directive's ground truth)
+            assert unquote(want) == unquote_plus(s)
+            assert ref(want) == want                      # idempotent
+            assert not re.search(
+                r"(?i)%(4[1-9a-f]|5[0-9a]|6[1-9a-f]|7[0-9a]|3[0-9]|2[de]|5f|7e)",
+                want,
+            )
+
+    check()
+
+
+def test_url_canonical_and_param_mining_merge_escape_spellings(spark):
+    """The identity wins the directive was about: '%69d' == 'id' as a
+    param key, 'a+b' == 'a%20b' as a value, and an escape-spelled
+    tracking param is recognized and dropped."""
+    from vmware_graph_spark.functions.url import url_canonical
+    from vmware_graph_spark.operators.crawl import mine_content_params
+
+    df = spark.createDataFrame(
+        [
+            ("http://h.example.com/p?%69d=7&x=a+b",),
+            ("http://h.example.com/p?id=7&x=a%20b",),
+            ("http://h.example.com/p?id=7&x=a%20b&utm%5Fsource=z",),
+        ],
+        "url string",
+    )
+    canon = [r.c for r in df.select(url_canonical("url").alias("c")).collect()]
+    assert canon[0] == canon[1] == canon[2] == (
+        "http://h.example.com/p?id=7&x=a%20b"
+    )
+
+    pages = spark.createDataFrame(
+        [
+            ("http://h/p?%69d=1&x=a+b", "fpA"),
+            ("http://h/p?id=2&x=a%20b", "fpB"),
+        ],
+        "url string, fp string",
+    )
+    got = {r.param_key: r for r in mine_content_params(pages).collect()}
+    # the two spellings of key 'id' and value 'a b' must form ONE
+    # comparison group for x (divergent fps -> content-bearing id)
+    assert set(got) == {"id", "x"}
+    assert got["id"].n_multi_groups == 1 and got["id"].content_bearing == 1
+    # x's two groups (id=1 vs id=2) stay singletons — no evidence
+    assert got["x"].n_multi_groups == 0 and got["x"].content_bearing == 0
     """Crawl-delay: consumed from the WINNING group (first valid value
     in document order across merges), invalid/negative/inf ignored,
     grouping transparency preserved."""

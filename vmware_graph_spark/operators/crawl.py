@@ -683,8 +683,21 @@ def mine_content_params(
     Pure Catalyst (split/filter/transform/explode; no UDF); one
     shuffle on (key, group), one on key. At corpus scale the group key
     is fine-grained (host+path+params), so skew is bounded by per-page
-    param fan-out."""
-    q = F.regexp_extract(F.col(url_col), r"^[^#?]*\?([^#]*)", 1)
+    param fan-out.
+
+    Param keys and values are percent-NORMALIZED before grouping
+    (``pct_normalize_query``: unreserved escapes decode, query ``+``
+    → ``%20`` — round-10 VERDICT #3): '%69d' and 'id' are the same
+    key, and a '+'-vs-'%20' value spelling no longer splits a
+    comparison group and undercounts divergence evidence. Reserved
+    escapes stay byte-wise — the same documented cutoff as the
+    canonical form. The path prefix is byte-wise by design (path
+    normalization changes identity)."""
+    from vmware_graph_spark.functions.url import pct_normalize_query
+
+    q = pct_normalize_query(
+        F.regexp_extract(F.col(url_col), r"^[^#?]*\?([^#]*)", 1)
+    )
     prefix = F.regexp_extract(F.col(url_col), r"^([^?#]*)", 1)
     params = F.filter(F.split(q, "&"), lambda p: p != "")
     keys = F.array_distinct(
