@@ -1,0 +1,83 @@
+"""Round-11: composed crawl loop + sitemap-prior recrawl scheduling."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_recrawl_priority_with_sitemap_arms(spark):
+    """History precedence, changefreq prior ladder, unknown-freq
+    default, missing/future lastmod clamp."""
+    from vmware_graph_spark.operators.crawl import (
+        DEFAULT_RATE_PRIOR,
+        recrawl_priority_with_sitemap,
+    )
+
+    history = spark.createDataFrame(
+        [
+            ("u1", "2026-06-01 00:00:00", "a"),
+            ("u1", "2026-06-22 00:00:00", "b"),
+        ],
+        "url string, fetch_ts string, fp string",
+    )
+    sitemap = spark.createDataFrame(
+        [
+            ("u1", "2026-01-01", "always"),    # has history -> ignored
+            ("u2", "2026-07-17", "weekly"),    # 30 days * 0.25
+            ("u3", "2026-09-01", "daily"),     # future lastmod -> 0
+            ("u4", None, "quarterly"),         # unknown freq + no lastmod
+            ("u5", "2026-08-06", "never"),     # rate 0 -> priority 0
+        ],
+        "loc string, lastmod string, changefreq string",
+    )
+    out = {
+        r.url: r
+        for r in recrawl_priority_with_sitemap(
+            history, sitemap, F.lit("2026-08-16")
+        ).collect()
+    }
+    assert len(out) == 5
+    u1 = out["u1"]
+    assert (u1.source, u1.n_fetches, u1.change_rate, u1.age_days) == (
+        "history", 2, 1.0, 55
+    )
+    u2 = out["u2"]
+    assert (u2.source, u2.change_rate, u2.age_days, u2.priority) == (
+        "sitemap", 0.25, 30, 7.5
+    )
+    assert (out["u3"].age_days, out["u3"].priority) == (0, 0.0)
+    u4 = out["u4"]
+    assert (u4.change_rate, u4.age_days) == (DEFAULT_RATE_PRIOR, 0)
+    assert (out["u5"].change_rate, out["u5"].priority) == (0.0, 0.0)
+
+
+def test_crawl_loop_pipeline_rows_and_plan(spark):
+    """The composed loop's per-host output: budget conserves exactly,
+    waves = ceil(n/8), and the plan broadcasts the rules side (5 hosts
+    -> broadcast regime) with no Python in the frontier path except
+    the robots parser."""
+    from vmware_graph_spark.queries_ext24 import crawl_loop_pipeline
+
+    df = crawl_loop_pipeline(spark, SF)
+    rows = df.collect()
+    assert {r.host for r in rows} == {
+        f"www.site{k}.example.com" for k in range(5)
+    }
+    assert sum(r.alloc for r in rows) == 1000
+    for r in rows:
+        assert r.n_waves == -(-r.n_eligible // 8), r
+        assert r.alloc > 0 and r.n_eligible > 0
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    # the only Python node is the executor-side robots parser
+    assert plan.count("ArrowEvalPython") == 0
+    assert "BatchEvalPython" not in plan

@@ -177,6 +177,94 @@ def recrawl_priority_urls(spark, sf_dir):
     )
 
 
+@query(
+    "recrawl_priority_sitemap_prior",
+    """
+    WITH sm AS (
+      SELECT doc_id,
+             'http://www.site' || (doc_id % 5) || '.example.com/a/' || doc_id
+               AS url,
+             DATE '2026-01-01' + CAST(doc_id % 365 AS INTEGER) AS lastmod,
+             (doc_id % 3) AS k
+      FROM documents
+    )
+    SELECT url,
+           CAST(2 AS BIGINT) AS n_fetches,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS n_changes,
+           round(CASE WHEN doc_id % 2 = 0 THEN 1.0 ELSE 0.0 END, 6)
+             AS change_rate,
+           CAST(55 AS BIGINT) AS age_days,
+           round(CASE WHEN doc_id % 2 = 0 THEN 55.0 ELSE 0.0 END, 6)
+             AS priority,
+           'history' AS source
+    FROM sm WHERE k = 0
+    UNION ALL
+    SELECT url,
+           CAST(0 AS BIGINT) AS n_fetches,
+           CAST(0 AS BIGINT) AS n_changes,
+           round(CASE k WHEN 1 THEN 0.25 ELSE 0.1 END, 6) AS change_rate,
+           CAST(greatest(0, datediff('day', lastmod, DATE '2026-08-16'))
+                AS BIGINT) AS age_days,
+           round(CASE k WHEN 1 THEN 0.25 ELSE 0.1 END
+                 * greatest(0, datediff('day', lastmod, DATE '2026-08-16')),
+                 6) AS priority,
+           'sitemap' AS source
+    FROM sm WHERE k <> 0
+    """,
+)
+def recrawl_priority_sitemap_prior(spark, sf_dir):
+    """Recrawl scheduling with the SITEMAP PRIOR for cold-start URLs
+    (round-10 VERDICT #8): the sitemap fleet's lastmod/changefreq feed
+    ``recrawl_priority_with_sitemap`` as the ranking signal for URLs
+    that have never been fetched. Fixture: every 3rd document's URL
+    carries a real 2-fetch history (fingerprint changes exactly when
+    doc_id is even → observed rate 1.0 or 0.0, last fetch 2026-06-22 →
+    age 55); the other two thirds appear ONLY in the sitemap fixture
+    (changefreq weekly → prior 0.25, monthly → 0.1; staleness = days
+    from their lastmod to the pinned now, clamped at 0 for
+    future-dated lastmods — doc_id%365 runs past 2026-08-16). The
+    sitemap leg goes through the PRODUCTION gz fleet reader
+    (``read_sitemaps`` over the shared fixture), so a lastmod parse
+    slip or changefreq mixup breaks rows the history leg can't mask.
+    The oracle derives both legs from doc_id arithmetic alone."""
+    from vmware_graph_spark.operators.crawl import recrawl_priority_with_sitemap
+    from vmware_graph_spark.sources.sitemap import read_sitemaps
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    k = (F.col("doc_id") % 5).cast("string")
+    url = F.concat(
+        F.lit("http://www.site"), k, F.lit(".example.com/a/"),
+        F.col("doc_id").cast("string"),
+    )
+    h = d.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id",
+        url.alias("url"),
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("v"),
+    )
+    version = F.when((F.col("v") == 1) & (F.col("doc_id") % 2 == 0), 1).otherwise(0)
+    history = h.select(
+        "url",
+        (
+            F.to_timestamp(F.lit("2026-06-01 00:00:00"))
+            + F.make_dt_interval(F.col("v") * 21)
+        ).alias("fetch_ts"),
+        F.md5(
+            F.concat(F.col("doc_id").cast("string"), F.lit("|"),
+                     version.cast("string"))
+        ).alias("fp"),
+    )
+    root = _sitemap_fixture_dir(spark, sf_dir)
+    sitemap = read_sitemaps(spark, os.path.join(root, "*.xml*")).filter(
+        F.col("kind") == "url"
+    )
+    out = recrawl_priority_with_sitemap(history, sitemap, F.lit("2026-08-16"))
+    return out.select(
+        "url", "n_fetches", "n_changes", "change_rate", "age_days",
+        "priority", "source",
+    )
+
+
 # Public PAN test numbers (the standard Luhn-valid examples every
 # payment sandbox publishes) and their checksum-broken twins.
 _VALID_CCS = (
