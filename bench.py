@@ -61,6 +61,18 @@ HEADLINE = [
 # never retuned afterwards so the normalized series stays comparable.
 CALIB_REF = 0.543
 
+# CALIBRATION GATE (round-10 VERDICT #6): a committed artifact must
+# come from a run whose median calibration probe is within
+# ±CALIB_GATE_PCT of CALIB_REF — BENCH_r10 was captured under load
+# (calib drift up to 1.5x within the run) and read as a phantom +9%.
+# When an attempt's median probe lands outside the gate, the suite
+# re-quiesces and re-runs the counted passes (up to
+# SPARK_GRAFT_BENCH_ATTEMPTS attempts, default 3) and commits the
+# attempt whose probe sits CLOSEST to the reference; the artifact
+# carries `calib_within_gate` + per-attempt probe medians so a still-
+# drifting host is identifiable rather than silently normalized away.
+CALIB_GATE_PCT = 15
+
 
 def _quiesce(max_wait_s: int = 240, idle_load: float = 2.0) -> float:
     """Wait (bounded) for background load to drain before timing.
@@ -183,23 +195,48 @@ def main() -> None:
     # its own noise evidence (round-7 VERDICT #2: a single loaded run
     # made <30% per-query regressions invisible).
     n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
-    per_pass: list[dict[str, float]] = []
-    pass_loads: list[float] = []
-    calib_per_pass: list[float] = []
-    # NOTE: caches are deliberately NOT cleared between passes — the
-    # historical series (r2-r7 min-of-2) is warm, and a clearCache
-    # variant was measured to raise medians ~1.5 s without removing
-    # the occasional slow pass (GC/compaction pauses show up in the
-    # band either way; that is what `runs`/`band` are for).
-    for i in range(n_passes):
-        pass_loads.append(round(os.getloadavg()[0], 2))
-        calib_per_pass.append(round(_calibration(), 3))
-        per_pass.append(_run_pass())
 
     def median(vals: list[float]) -> float:
         s = sorted(vals)
         mid = len(s) // 2
         return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+
+    # NOTE: caches are deliberately NOT cleared between passes — the
+    # historical series (r2-r7 min-of-2) is warm, and a clearCache
+    # variant was measured to raise medians ~1.5 s without removing
+    # the occasional slow pass (GC/compaction pauses show up in the
+    # band either way; that is what `runs`/`band` are for).
+    def _attempt() -> tuple[list[dict[str, float]], list[float], list[float]]:
+        pp: list[dict[str, float]] = []
+        loads: list[float] = []
+        calib: list[float] = []
+        for _ in range(n_passes):
+            loads.append(round(os.getloadavg()[0], 2))
+            calib.append(round(_calibration(), 3))
+            pp.append(_run_pass())
+        return pp, loads, calib
+
+    # the calibration gate: retry whole attempts (re-quiescing first)
+    # while the probe median sits outside ±CALIB_GATE_PCT of CALIB_REF;
+    # keep the attempt closest to the reference.
+    max_attempts = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3")))
+    gate_lo = CALIB_REF * (1 - CALIB_GATE_PCT / 100)
+    gate_hi = CALIB_REF * (1 + CALIB_GATE_PCT / 100)
+    attempts: list[tuple[list[dict[str, float]], list[float], list[float]]] = []
+    attempt_calib_medians: list[float] = []
+    for a in range(max_attempts):
+        if a > 0:
+            _quiesce()
+        attempts.append(_attempt())
+        attempt_calib_medians.append(round(median(attempts[-1][2]), 3))
+        if gate_lo <= attempt_calib_medians[-1] <= gate_hi:
+            break
+    best = min(
+        range(len(attempts)),
+        key=lambda a: abs(attempt_calib_medians[a] - CALIB_REF),
+    )
+    per_pass, pass_loads, calib_per_pass = attempts[best]
+    calib_within_gate = gate_lo <= attempt_calib_medians[best] <= gate_hi
 
     timings = {
         name: round(median([p[name] for p in per_pass]), 3) for name in HEADLINE
@@ -232,6 +269,9 @@ def main() -> None:
         "calib_per_pass": calib_per_pass,
         "calib_ref": CALIB_REF,
         "value_normalized": value_normalized,
+        "calib_gate_pct": CALIB_GATE_PCT,
+        "calib_within_gate": calib_within_gate,
+        "calib_attempt_medians": attempt_calib_medians,
     }
     print(json.dumps(result))
     # per-query history for round-over-round regression diffing

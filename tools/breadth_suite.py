@@ -144,12 +144,36 @@ FAMILY_REPRESENTATIVES = (
 )
 
 
+def full_suite() -> tuple[str, ...]:
+    """The COMPLETE breadth suite (round-10 VERDICT #4): every
+    oracle-paired registry query, with the family representatives as
+    the quick spanning prefix. Membership is computed, not listed, so
+    a newly registered oracle-paired query is in the suite by
+    construction and the rotation blind spot cannot re-open. The
+    committed per-round evidence that the full suite actually RAN is
+    the selfcheck transcript ``SELFCHECK_r{N}.txt`` (full registry,
+    row + schema + value vs DuckDB), which ``tools/coverage_ledger.py``
+    parses and cross-checks against this membership."""
+    from vmware_graph_spark.queries import ORACLE, QUERIES
+
+    rest = [
+        n for n in sorted(QUERIES)
+        if n in ORACLE and n not in FAMILY_REPRESENTATIVES
+    ]
+    return tuple(FAMILY_REPRESENTATIVES) + tuple(rest)
+
+
 def main() -> int:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo not in sys.path:
+        sys.path.insert(0, repo)
     import selfcheck
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    sys.argv = ["selfcheck.py", sf_dir, *FAMILY_REPRESENTATIVES]
+    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    names = full_suite() if "--full" in sys.argv else FAMILY_REPRESENTATIVES
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    sys.argv = ["selfcheck.py", sf_dir, *names]
     return selfcheck.main()
 
 

@@ -58,17 +58,44 @@ def main() -> int:
         else:
             m["never"].append(n)
 
-    blind = [
-        n for n in never
-        if n not in FAMILY_REPRESENTATIVES and n in ORACLE
-    ]
+    # round-11 (VERDICT #4): the breadth suite is now the FULL
+    # oracle-paired registry (quick spanning reps first), so the blind
+    # spot is closed by construction; the committed per-round evidence
+    # it RAN is the latest SELFCHECK_r*.txt, parsed below.
+    from breadth_suite import full_suite
+
+    suite = set(full_suite())
+    blind = [n for n in never if n not in suite and n in ORACLE]
+
+    import re
+
+    sc_paths = sorted(
+        glob.glob(os.path.join(root, "SELFCHECK_r*.txt")),
+        key=lambda p: int(
+            os.path.basename(p)[len("SELFCHECK_r"):-len(".txt")]
+        ),
+    )
+    latest_selfcheck: dict = {"artifact": None}
+    if sc_paths:
+        with open(sc_paths[-1], errors="replace") as f:
+            txt = f.read()
+        checked = set(re.findall(r"(?:PASS|BOUND-PASS) ([A-Za-z0-9_]+)", txt))
+        missing = sorted(n for n in names if n not in checked)
+        latest_selfcheck = {
+            "artifact": os.path.basename(sc_paths[-1]),
+            "value_checked": len(checked & set(names)),
+            "registry_missing_from_artifact": missing,
+        }
+
     ledger = {
         "rounds_seen": rounds,
         "registry_total": len(names),
         "driver_sampled_ever": len(names) - len(never),
         "never_driver_sampled": never,
-        "breadth_suite_size": len(FAMILY_REPRESENTATIVES),
+        "breadth_suite_size": len(suite),
+        "breadth_quick_prefix_size": len(FAMILY_REPRESENTATIVES),
         "never_sampled_and_not_in_breadth_suite_with_oracle": blind,
+        "latest_selfcheck": latest_selfcheck,
         "by_module": {
             k: v for k, v in sorted(
                 by_module.items(),
