@@ -56,6 +56,68 @@ def test_recrawl_priority_with_sitemap_arms(spark):
     assert (out["u5"].change_rate, out["u5"].priority) == (0.0, 0.0)
 
 
+def test_parse_robots_sitemap_urls_edges():
+    from vmware_graph_spark.operators.crawl import parse_robots_sitemap_urls
+
+    txt = (
+        "﻿# bom + comment\n"
+        "User-agent: a\nDisallow: /x\n"
+        "Sitemap: http://h/s1.xml\n"
+        "SITEMAP:   https://h/s2.xml.gz   # trailing comment\n"
+        "Sitemap: http://h/s1.xml\n"          # duplicate
+        "Sitemap: /relative.xml\n"            # protocol-invalid
+        "Sitemap: ftp://h/s.xml\n"            # non-http scheme
+        "Sitemap:\n"                          # empty
+        "Sitemap http://h/nocolon.xml\n"      # no separator
+    )
+    assert parse_robots_sitemap_urls(txt) == [
+        "http://h/s1.xml",
+        "https://h/s2.xml.gz",
+    ]
+    assert parse_robots_sitemap_urls("") == []
+
+
+def test_robots_access_policy_arms(spark):
+    from vmware_graph_spark.operators.crawl import robots_access_policy
+
+    df = spark.createDataFrame(
+        [(200,), (204,), (301,), (404,), (451,), (500,), (503,), (None,)],
+        "status int",
+    )
+    got = {
+        r.status: r.p
+        for r in df.select(
+            "status", robots_access_policy(F.col("status")).alias("p")
+        ).collect()
+    }
+    assert got[200] == got[204] == "use_rules"
+    assert got[404] == got[451] == "allow_all"
+    # unresolved 3xx, 5xx and unreachable all assume complete disallow
+    assert got[301] == got[500] == got[503] == got[None] == "disallow_all"
+
+
+def test_detect_crawl_traps_template_and_threshold(spark):
+    from vmware_graph_spark.operators.crawl import detect_crawl_traps
+
+    rows = [(f"http://h/cal/{2000 + i % 4}/{i}", f"fp{i % 2}") for i in range(40)]
+    rows += [(f"http://h/art/{i}", f"u{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "url string, fp string")
+    got = {r.template: r for r in detect_crawl_traps(
+        df, min_urls=10, max_content_ratio=0.1
+    ).collect()}
+    t = got["h/cal/N/N"]
+    assert (t.n_urls, t.n_fps, t.is_trap) == (40, 2, 1)
+    a = got["h/art/N"]
+    assert (a.n_urls, a.n_fps, a.is_trap) == (40, 40, 0)
+    # threshold boundary: n_fps == ceil(n_urls * ratio) still convicts
+    edge = spark.createDataFrame(
+        [(f"http://h/x/{i}", f"f{i % 4}") for i in range(40)],
+        "url string, fp string",
+    )
+    e = detect_crawl_traps(edge, min_urls=10, max_content_ratio=0.1).collect()[0]
+    assert (e.n_fps, e.is_trap) == (4, 1)
+
+
 def test_crawl_loop_pipeline_rows_and_plan(spark):
     """The composed loop's per-host output: budget conserves exactly,
     waves = ceil(n/8), and the plan broadcasts the rules side (5 hosts

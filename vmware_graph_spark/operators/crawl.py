@@ -320,6 +320,62 @@ def parse_robots(
     )
 
 
+def parse_robots_sitemap_urls(txt: str) -> list[str]:
+    """All ``Sitemap:`` URLs in one robots.txt body — the crawl loop's
+    OTHER seed channel (robots.txt is where a host advertises its
+    sitemaps; sitemaps.org: the field is independent of any User-agent
+    group and "can be specified anywhere in the file", which is also
+    why RFC 9309 grouping treats it as transparent). Values must be
+    FULL URLs per the protocol, so anything without an http(s) scheme
+    is dropped rather than resolved (a relative value is
+    protocol-invalid; guessing a base risks fetching attacker-chosen
+    paths). Order-preserving dedup; comments/BOM handled as in
+    :func:`parse_robots_txt`."""
+    txt = txt.lstrip("﻿")
+    out: list[str] = []
+    seen: set[str] = set()
+    for raw in txt.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        field, sep, value = line.partition(":")
+        if not sep or field.strip().lower() != "sitemap":
+            continue
+        # partition split at the FIRST ':' only — the URL's own
+        # '://' colons are all inside `value`, intact.
+        value = value.strip()
+        low = value.lower()
+        if (low.startswith("http://") or low.startswith("https://")) and value not in seen:
+            seen.add(value)
+            out.append(value)
+    return out
+
+
+def robots_sitemap_sources(
+    robots: DataFrame,
+    *,
+    host_col: str = "host",
+    txt_col: str = "robots_txt",
+) -> DataFrame:
+    """Distributed ``Sitemap:`` discovery: ``(host, robots_txt)`` rows
+    in, ``(host, sitemap_url, sitemap_idx)`` rows out (idx = position
+    among the host's deduped sitemap lines — a stable provenance key).
+    Same executor-side Arrow shape as :func:`parse_robots`."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            rows = {"host": [], "sitemap_url": [], "sitemap_idx": []}
+            for h, t in zip(pdf[host_col], pdf[txt_col]):
+                for idx, u in enumerate(parse_robots_sitemap_urls(t or "")):
+                    rows["host"].append(h)
+                    rows["sitemap_url"].append(u)
+                    rows["sitemap_idx"].append(idx)
+            yield pd.DataFrame(rows)
+
+    return robots.select(host_col, txt_col).mapInPandas(
+        run, "host string, sitemap_url string, sitemap_idx int"
+    )
+
+
 def parse_robots_delays(
     robots: DataFrame,
     user_agent: str,
@@ -656,6 +712,77 @@ def recrawl_priority(
         F.round(rate, 6).alias("change_rate"),
         age.alias("age_days"),
         F.round(rate * age, 6).alias("priority"),
+    )
+
+
+def robots_access_policy(status: Column) -> Column:
+    """RFC 9309 §2.3.1 'access results' — what a crawler must assume
+    about a host whose robots.txt FETCH itself succeeded, failed, or
+    never answered (the parsing layer above only covers the 2xx case):
+
+    - 2xx → ``use_rules`` (parse the body, gate normally);
+    - 3xx: the fetch layer follows redirects (the RFC says crawlers
+      SHOULD follow at least five hops — :func:`resolve_redirects` is
+      the tool), so a 3xx seen HERE means the chain was NOT resolved:
+      treat as unreachable → ``disallow_all``;
+    - 4xx ("unavailable") → ``allow_all`` — the RFC is explicit that a
+      404 robots.txt means no restrictions;
+    - 5xx / network-unreachable (NULL status) → ``disallow_all`` —
+      MUST assume complete disallow until a successful fetch (the
+      long-persistence MAY-degrade escape is a scheduler decision,
+      deliberately not taken here).
+
+    Returns a string column in {'use_rules','allow_all',
+    'disallow_all'}; compose with :func:`robots_filter` by overriding
+    its verdict on the non-``use_rules`` hosts."""
+    return (
+        F.when((status >= 200) & (status < 300), F.lit("use_rules"))
+        .when((status >= 400) & (status < 500), F.lit("allow_all"))
+        .otherwise(F.lit("disallow_all"))
+    )
+
+
+def detect_crawl_traps(
+    pages: DataFrame,
+    *,
+    url_col: str = "url",
+    fp_col: str = "fp",
+    min_urls: int = 100,
+    max_content_ratio: float = 0.1,
+) -> DataFrame:
+    """Crawler-trap detection — infinite calendars, session-id path
+    segments, faceted-search explosions: URL families that generate
+    unbounded SPELLINGS of a bounded CONTENT set. A family is the
+    URL's path TEMPLATE (host + path with every digit run collapsed to
+    ``N`` — the spelling axis traps actually vary), and a template is
+    flagged when it has at least ``min_urls`` distinct URLs whose
+    distinct content fingerprints number at most ``max_content_ratio``
+    of the URLs (``ceil``-rounded, so tiny families need >1 shared
+    fingerprint to convict). Complements :func:`mine_content_params`
+    (the QUERY-string axis) on the PATH axis. Emits per template:
+    ``n_urls``, ``n_fps``, ``is_trap``.
+
+    Pure Catalyst: one regexp template projection, one (host,
+    template) aggregation — a single narrow shuffle; fine-grained
+    keys, no skew hazard beyond the trap families themselves (which
+    are exactly the rows worth paying for)."""
+    u = F.col(url_col)
+    host = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    template = F.concat(host, F.regexp_replace(path, r"[0-9]+", "N"))
+    agg = (
+        pages.select(template.alias("template"), u.alias("__u"), F.col(fp_col).alias("__fp"))
+        .groupBy("template")
+        .agg(
+            F.countDistinct("__u").cast("bigint").alias("n_urls"),
+            F.countDistinct("__fp").cast("bigint").alias("n_fps"),
+        )
+    )
+    is_trap = (F.col("n_urls") >= F.lit(int(min_urls))) & (
+        F.col("n_fps") <= F.ceil(F.col("n_urls") * F.lit(float(max_content_ratio)))
+    )
+    return agg.select(
+        "template", "n_urls", "n_fps", is_trap.cast("int").alias("is_trap")
     )
 
 

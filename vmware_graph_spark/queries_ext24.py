@@ -24,6 +24,205 @@ from vmware_graph_spark.sources.tables import load_table
 from vmware_graph_spark.tmpcache import cache_dir, data_key
 
 
+@query(
+    "robots_sitemap_discovery",
+    """
+    WITH k AS (SELECT DISTINCT (doc_id % 5) AS k FROM documents),
+    n AS (SELECT k.k, t.i FROM k, range(0, 5) t(i) WHERE t.i <= k.k)
+    SELECT 'www.site' || k || '.example.com' AS host,
+           'http://www.site' || k || '.example.com/sitemap_' || i
+             || '.xml.gz' AS sitemap_url,
+           CAST(i AS INTEGER) AS sitemap_idx
+    FROM n
+    UNION ALL
+    SELECT 'www.site' || k || '.example.com' AS host,
+           'HTTPS://www.site' || k || '.example.com/extra.xml'
+             AS sitemap_url,
+           CAST(k + 1 AS INTEGER) AS sitemap_idx
+    FROM k
+    """,
+)
+def robots_sitemap_discovery(spark, sf_dir):
+    """The crawl loop's OTHER seed channel: hosts advertise their
+    sitemaps in robots.txt ``Sitemap:`` lines (sitemaps.org — the
+    field is User-agent-INDEPENDENT and may appear anywhere, which is
+    exactly why RFC 9309 grouping treats it as transparent). Host k's
+    body carries k+1 numbered sitemap URLs, a DUPLICATE of the first
+    (deduped, order preserved), a protocol-invalid relative value
+    (dropped — guessing a base would fetch attacker-chosen paths), a
+    lowercase ``sitemap:`` field with an UPPERCASE scheme (field names
+    case-insensitive, value verbatim) and a trailing comment, all
+    interleaved with User-agent/Disallow noise the parser must see
+    through. Bodies are BUILT IN CATALYST from the distinct host
+    classes (sequence/transform/array_join) and parsed executor-side
+    (``robots_sitemap_sources``); the oracle regenerates every
+    (host, url, idx) row from arithmetic."""
+    from vmware_graph_spark.operators.crawl import robots_sitemap_sources
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    ks = d.select((F.col("doc_id") % 5).alias("k")).distinct()
+    kstr = F.col("k").cast("string")
+    site = F.concat(F.lit("www.site"), kstr, F.lit(".example.com"))
+    lines = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.col("k")),
+            lambda i: F.concat(
+                F.lit("Sitemap: http://"), site, F.lit("/sitemap_"),
+                i.cast("string"), F.lit(".xml.gz\n"),
+            ),
+        ),
+        "",
+    )
+    body = F.concat(
+        F.lit("# discovered seeds\nUser-agent: examplebot\nDisallow: /private/\n"),
+        lines,
+        F.lit("Sitemap: http://"), site, F.lit("/sitemap_0.xml.gz\n"),
+        F.lit("Sitemap: /relative/sitemap.xml\n"),
+        F.lit("sitemap: HTTPS://"), site, F.lit("/extra.xml   # advertised\n"),
+    )
+    robots = ks.select(site.alias("host"), body.alias("robots_txt"))
+    return robots_sitemap_sources(robots).select(
+        "host", "sitemap_url", F.col("sitemap_idx").cast("int").alias("sitemap_idx")
+    )
+
+
+@query(
+    "robots_availability_gate",
+    """
+    SELECT doc_id,
+           'www.site' || (doc_id % 5) || '.example.com' AS host,
+           CASE doc_id % 5 WHEN 0 THEN 'use_rules'
+                WHEN 1 THEN 'allow_all' ELSE 'disallow_all' END AS policy,
+           CAST(CASE WHEN doc_id % 5 = 1
+                       OR (doc_id % 5 = 0 AND doc_id % 10 = 0)
+                     THEN 1 ELSE 0 END AS INTEGER) AS fetch_allowed
+    FROM documents
+    """,
+)
+def robots_availability_gate(spark, sf_dir):
+    """RFC 9309 §2.3.1 access-result policy composed with the rules
+    gate: per host, the robots.txt FETCH outcome decides the gate
+    mode — host0 200 (parse + rules: Disallow /a/ with an
+    ``Allow: /a/*0$`` carve-out, so allowed ⇔ last digit 0), host1
+    404 (unavailable → allow all, the RFC's explicit rule), host2 503
+    and host3 network-unreachable (NULL status) → complete disallow,
+    host4 an UNRESOLVED 301 (the fetch layer should have followed it;
+    seen here it means the chain didn't resolve → unreachable →
+    disallow). The oracle derives every verdict from doc_id
+    arithmetic; a policy-arm or composition slip flips different
+    hosts."""
+    from vmware_graph_spark.operators.crawl import (
+        parse_robots,
+        robots_access_policy,
+        robots_filter,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    k = (F.col("doc_id") % 5).cast("string")
+    urls = d.select(
+        "doc_id",
+        F.concat(F.lit("www.site"), k, F.lit(".example.com")).alias("host"),
+        F.concat(F.lit("/a/"), F.col("doc_id").cast("string")).alias("path"),
+    )
+    statuses = spark.createDataFrame(
+        [
+            ("www.site0.example.com", 200),
+            ("www.site1.example.com", 404),
+            ("www.site2.example.com", 503),
+            ("www.site3.example.com", None),
+            ("www.site4.example.com", 301),
+        ],
+        "host string, status int",
+    ).select("host", robots_access_policy(F.col("status")).alias("policy"))
+    robots = spark.createDataFrame(
+        [
+            (
+                "www.site0.example.com",
+                "User-agent: examplebot\nDisallow: /a/\nAllow: /a/*0$\n",
+            )
+        ],
+        "host string, robots_txt string",
+    )
+    rules = parse_robots(robots, "examplebot")
+    gated = robots_filter(urls, rules)
+    out = gated.join(F.broadcast(statuses), "host", "left")
+    verdict = (
+        F.when(F.col("policy") == "allow_all", F.lit(True))
+        .when(F.col("policy") == "disallow_all", F.lit(False))
+        .otherwise(F.col("fetch_allowed"))
+    )
+    return out.select(
+        "doc_id",
+        "host",
+        "policy",
+        verdict.cast("int").alias("fetch_allowed"),
+    )
+
+
+@query(
+    "crawl_trap_detection",
+    """
+    WITH d AS (SELECT count(DISTINCT doc_id) AS nd,
+                      count(DISTINCT doc_id % 3) AS n3,
+                      count(DISTINCT doc_id % 5) AS n5
+               FROM documents)
+    SELECT 'www.trap.example.com/cal/N/N' AS template,
+           CAST(nd AS BIGINT) AS n_urls,
+           CAST(n3 AS BIGINT) AS n_fps,
+           CAST(CASE WHEN nd >= 100 AND n3 <= CEIL(nd * 0.1)
+                     THEN 1 ELSE 0 END AS INTEGER) AS is_trap
+    FROM d
+    UNION ALL
+    SELECT 'www.site.example.com/art/N',
+           CAST(nd AS BIGINT), CAST(nd AS BIGINT),
+           CAST(CASE WHEN nd >= 100 AND nd <= CEIL(nd * 0.1)
+                     THEN 1 ELSE 0 END AS INTEGER)
+    FROM d
+    UNION ALL
+    SELECT 'www.site.example.com/tiny/N',
+           CAST(n5 AS BIGINT), CAST(1 AS BIGINT),
+           CAST(CASE WHEN n5 >= 100 AND 1 <= CEIL(n5 * 0.1)
+                     THEN 1 ELSE 0 END AS INTEGER)
+    FROM d
+    """,
+)
+def crawl_trap_detection(spark, sf_dir):
+    """Crawler-trap detection on the PATH axis (``detect_crawl_traps``
+    — the companion of ``url_param_mining``'s query-string axis):
+    three synthesized URL families — an infinite-calendar trap
+    (every document a distinct ``/cal/<year>/<id>`` spelling over just
+    3 distinct contents), a healthy archive (distinct content per
+    URL), and a tiny family below the evidence floor. Templates
+    collapse digit runs to ``N``; a family is a trap when ≥100 URLs
+    share ≤10% as many fingerprints. The oracle recomputes every
+    count and the conviction from doc_id arithmetic."""
+    from vmware_graph_spark.operators.crawl import detect_crawl_traps
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id").cast("string")
+    trap = d.select(
+        F.concat(
+            F.lit("http://www.trap.example.com/cal/"),
+            (F.lit(2000) + F.col("doc_id") % 50).cast("string"),
+            F.lit("/"), i,
+        ).alias("url"),
+        F.concat(F.lit("shared"), (F.col("doc_id") % 3).cast("string")).alias("fp"),
+    )
+    art = d.select(
+        F.concat(F.lit("http://www.site.example.com/art/"), i).alias("url"),
+        F.md5(i).alias("fp"),
+    )
+    tiny = d.select(
+        F.concat(
+            F.lit("http://www.site.example.com/tiny/"),
+            (F.col("doc_id") % 5).cast("string"),
+        ).alias("url"),
+        F.lit("t").alias("fp"),
+    )
+    pages = trap.unionAll(art).unionAll(tiny)
+    return detect_crawl_traps(pages, min_urls=100, max_content_ratio=0.1)
+
+
 def _crawled_index_dir(spark, sf_dir: str) -> str:
     """Persist the 'already crawled' canonical-URL set once per
     (dataset, mtime): every 4th document's URL — the loop's day-2
