@@ -118,6 +118,37 @@ def test_detect_crawl_traps_template_and_threshold(spark):
     assert (e.n_fps, e.is_trap) == (4, 1)
 
 
+def test_robots_cache_policy_arms(spark):
+    from vmware_graph_spark.operators.crawl import robots_cache_policy
+
+    rows = [
+        ("2026-08-15 00:00:00", None),                      # default 24h, age 24h
+        ("2026-08-15 23:00:00", "max-age=3600"),            # exactly max-age
+        ("2026-08-15 23:00:01", "max-age=3600"),            # one second fresh
+        ("2026-08-15 12:00:00", "no-store, private"),       # always refetch
+        ("2026-08-17 00:00:00", None),                      # future fetch -> clamp
+        ("2026-08-15 12:00:00", "s-maxage=1, max-age=7200"),  # first max-age wins
+        ("2026-08-15 12:00:00", "maximum-age=1"),           # not the directive
+    ]
+    df = spark.createDataFrame(rows, "fetched string, cc string")
+    pol = robots_cache_policy(
+        F.to_timestamp("fetched"),
+        F.to_timestamp(F.lit("2026-08-16 00:00:00")),
+        F.col("cc"),
+    )
+    got = [
+        (r.p.max_age_s, r.p.age_s, r.p.refetch_due)
+        for r in df.select(pol.alias("p")).collect()
+    ]
+    assert got[0] == (86400, 86400, True)
+    assert got[1] == (3600, 3600, True)
+    assert got[2] == (3600, 3599, False)
+    assert got[3] == (0, 43200, True)
+    assert got[4] == (86400, 0, False)
+    assert got[5] == (7200, 43200, True)
+    assert got[6] == (86400, 43200, False)
+
+
 def test_crawl_loop_pipeline_rows_and_plan(spark):
     """The composed loop's per-host output: budget conserves exactly,
     waves = ceil(n/8), and the plan broadcasts the rules side (5 hosts

@@ -742,6 +742,52 @@ def robots_access_policy(status: Column) -> Column:
     )
 
 
+#: RFC 9309 §2.4: crawlers SHOULD NOT use a cached robots.txt for more
+#: than 24 hours unless HTTP cache-control says otherwise.
+ROBOTS_DEFAULT_MAX_AGE_S = 86_400
+
+
+def robots_cache_policy(
+    fetched_at: Column,
+    now: Column,
+    cache_control: Column,
+) -> Column:
+    """RFC 9309 §2.4 caching — the last leg of the robots lifecycle
+    (parsing §2.1-2.2, access results §2.3.1, caching §2.4): a cached
+    robots.txt is usable for HTTP cache-control's ``max-age``, else
+    the RFC's 24-hour default; past that the host is due a refetch.
+    Returns a struct ``(max_age_s, age_s, refetch_due)``:
+
+    - ``max_age_s``: the first ``max-age=<digits>`` directive in the
+      Cache-Control value (case-insensitive; a malformed or absent
+      directive falls back to :data:`ROBOTS_DEFAULT_MAX_AGE_S`). A
+      ``no-cache``/``no-store`` directive is honored as max-age 0 —
+      always refetch.
+    - ``age_s``: seconds since ``fetched_at`` (timestamps), floored
+      at 0 for clock skew.
+    - ``refetch_due``: ``age_s >= max_age_s``.
+
+    Pure Catalyst (one regexp over the tiny per-host header table —
+    never the frontier)."""
+    cc = F.coalesce(cache_control, F.lit(""))
+    digits = F.regexp_extract(cc, r"(?i)(?:^|[,\s])max-age\s*=\s*(\d{1,9})", 1)
+    max_age = (
+        F.when(cc.rlike(r"(?i)(?:^|[,\s])no-(?:cache|store)(?:$|[,\s])"), F.lit(0))
+        .when(digits != "", digits.cast("bigint"))
+        .otherwise(F.lit(ROBOTS_DEFAULT_MAX_AGE_S))
+        .cast("bigint")
+    )
+    age = F.greatest(
+        F.lit(0).cast("bigint"),
+        (F.unix_timestamp(now) - F.unix_timestamp(fetched_at)).cast("bigint"),
+    )
+    return F.struct(
+        max_age.alias("max_age_s"),
+        age.alias("age_s"),
+        (age >= max_age).alias("refetch_due"),
+    )
+
+
 def detect_crawl_traps(
     pages: DataFrame,
     *,

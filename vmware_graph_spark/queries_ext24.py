@@ -160,6 +160,57 @@ def robots_availability_gate(spark, sf_dir):
 
 
 @query(
+    "robots_cache_refresh_due",
+    """
+    SELECT doc_id,
+           CAST(CASE doc_id % 4
+                  WHEN 1 THEN 3600 WHEN 2 THEN 0 ELSE 86400
+                END AS BIGINT) AS max_age_s,
+           CAST(greatest(0, 86400 - (doc_id % 48) * 3600) AS BIGINT)
+             AS age_s,
+           CAST(CASE WHEN greatest(0, 86400 - (doc_id % 48) * 3600)
+                       >= CASE doc_id % 4
+                            WHEN 1 THEN 3600 WHEN 2 THEN 0 ELSE 86400
+                          END
+                     THEN 1 ELSE 0 END AS INTEGER) AS refetch_due
+    FROM documents
+    """,
+)
+def robots_cache_refresh_due(spark, sf_dir):
+    """RFC 9309 §2.4 robots caching (``robots_cache_policy`` — with
+    this, the robots family covers the full lifecycle: §2.1-2.2
+    parsing + group selection, §2.2.3 wildcards, §2.3.1 access
+    results, §2.4 caching): per host, is the cached robots.txt still
+    usable? Fetch times fan out hourly across two days (so ages span
+    0-24h and clock-skewed FUTURE fetches clamp to 0), and the
+    Cache-Control arms cover the absent-header 24h default, an
+    explicit max-age=3600, a ``no-cache`` (always refetch), and a
+    malformed ``max-age=oops`` falling back to the default. The oracle
+    recomputes age/max-age/verdict from doc_id arithmetic."""
+    from vmware_graph_spark.operators.crawl import robots_cache_policy
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    fetched = F.to_timestamp(F.lit("2026-08-15 00:00:00")) + F.make_dt_interval(
+        F.lit(0), (F.col("doc_id") % 48).cast("int")
+    )
+    cc = (
+        F.when(F.col("doc_id") % 4 == 1, F.lit("public, max-age=3600"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("no-cache"))
+        .when(F.col("doc_id") % 4 == 3, F.lit("private, max-age=oops"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    pol = robots_cache_policy(
+        fetched, F.to_timestamp(F.lit("2026-08-16 00:00:00")), cc
+    )
+    return d.select(
+        "doc_id",
+        pol["max_age_s"].alias("max_age_s"),
+        pol["age_s"].alias("age_s"),
+        pol["refetch_due"].cast("int").alias("refetch_due"),
+    )
+
+
+@query(
     "crawl_trap_detection",
     """
     WITH d AS (SELECT count(DISTINCT doc_id) AS nd,
