@@ -274,6 +274,78 @@ def crawl_trap_detection(spark, sf_dir):
     return detect_crawl_traps(pages, min_urls=100, max_content_ratio=0.1)
 
 
+@query(
+    "host_reputation_rollup",
+    """
+    WITH d AS (SELECT doc_id, doc_id % 5 AS k FROM documents),
+    a AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS n_pages,
+             CAST(CASE WHEN k = 0 THEN count(DISTINCT doc_id % 7)
+                       ELSE count(DISTINCT doc_id) END AS BIGINT)
+               AS n_distinct_fp,
+             CAST(sum(CASE WHEN k = 1 AND doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_blocked
+      FROM d GROUP BY k
+    )
+    SELECT 'www.site' || k || '.example.com' AS host,
+           n_pages, n_distinct_fp,
+           round(1 - n_distinct_fp / CAST(n_pages AS DOUBLE), 6) AS dup_rate,
+           round(n_blocked / CAST(n_pages AS DOUBLE), 6) AS blocked_rate,
+           round((n_distinct_fp / CAST(n_pages AS DOUBLE))
+                 * (1 - n_blocked / CAST(n_pages AS DOUBLE)), 6) AS score
+    FROM a
+    """,
+)
+def host_reputation_rollup(spark, sf_dir):
+    """Host-reputation scoring — the crawl-ops table that decides
+    which hosts deserve future budget (feeds ``apportion_budget`` as
+    weights): per host, the duplicate rate of its content fingerprints
+    and the robots-blocked share of its URLs, combined into
+    ``score = unique_share × allowed_share``. Fixture arms: host0 is
+    a content farm (every page one of 7 fingerprints → dup-heavy),
+    host1 robots-blocks its even-numbered pages (``Disallow: /a/``
+    with odd-digit ``Allow: /a/*d$`` carve-outs — the verdict comes
+    from the REAL gate, not fixture arithmetic), hosts 2-4 are
+    healthy. One groupBy(host) over the gated pages; the robots side
+    is the usual broadcast. The oracle recomputes counts, rates and
+    the score from doc_id arithmetic."""
+    from vmware_graph_spark.operators.crawl import robots_filter
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    k = F.col("doc_id") % 5
+    pages = d.select(
+        "doc_id",
+        F.concat(F.lit("www.site"), k.cast("string"), F.lit(".example.com")).alias(
+            "host"
+        ),
+        F.concat(F.lit("/a/"), F.col("doc_id").cast("string")).alias("path"),
+        F.when(k == 0, F.md5((F.col("doc_id") % 7).cast("string")))
+        .otherwise(F.md5(F.col("doc_id").cast("string")))
+        .alias("fp"),
+    )
+    rules = spark.createDataFrame(
+        [("www.site1.example.com", "/a/", False)]
+        + [("www.site1.example.com", f"/a/*{dig}$", True) for dig in (1, 3, 5, 7, 9)],
+        "host string, path_prefix string, allow boolean",
+    )
+    gated = robots_filter(pages, rules)
+    agg = gated.groupBy("host").agg(
+        F.count("*").cast("bigint").alias("n_pages"),
+        F.countDistinct("fp").cast("bigint").alias("n_distinct_fp"),
+        F.sum((~F.col("fetch_allowed")).cast("int")).cast("bigint").alias("__blk"),
+    )
+    uniq = F.col("n_distinct_fp") / F.col("n_pages")
+    blk = F.col("__blk") / F.col("n_pages")
+    return agg.select(
+        "host",
+        "n_pages",
+        "n_distinct_fp",
+        F.round(1 - uniq, 6).alias("dup_rate"),
+        F.round(blk, 6).alias("blocked_rate"),
+        F.round(uniq * (1 - blk), 6).alias("score"),
+    )
+
+
 def _crawled_index_dir(spark, sf_dir: str) -> str:
     """Persist the 'already crawled' canonical-URL set once per
     (dataset, mtime): every 4th document's URL — the loop's day-2
