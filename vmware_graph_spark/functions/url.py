@@ -64,20 +64,26 @@ def pct_normalize_query(col: Column | str) -> Column:
     ``%2B`` spelling), then decode every unreserved escape. Safe to
     run on the whole query string before splitting — no unreserved
     character is a separator (``&``/``=`` are reserved and stay
-    encoded)."""
-    out = F.regexp_replace(_c(col), r"\+", "%20")
+    encoded). HOT-PATH GATE: the 67-replace chain is the identity on
+    strings containing neither ``%`` nor ``+`` — the overwhelming
+    majority of real query strings — so one cheap membership check
+    routes those rows around the whole chain (shared by the SQL
+    twin)."""
+    c = _c(col)
+    out = F.regexp_replace(c, r"\+", "%20")
     for hh, ch in PCT_DECODE_TABLE:
         out = F.regexp_replace(out, f"(?i)%{hh}", ch)
-    return out
+    return F.when(c.rlike(r"[%+]"), out).otherwise(c)
 
 
 def pct_normalize_query_sql(x: str) -> str:
     """DuckDB twin of :func:`pct_normalize_query` — the same table,
-    the same order, RE2 ``(?i)`` + global replace."""
+    the same order, RE2 ``(?i)`` + global replace, the same
+    clean-string gate."""
     out = f"regexp_replace({x}, '\\+', '%20', 'g')"
     for hh, ch in PCT_DECODE_TABLE:
         out = f"regexp_replace({out}, '(?i)%{hh}', '{ch}', 'g')"
-    return out
+    return f"CASE WHEN regexp_matches({x}, '[%+]') THEN {out} ELSE {x} END"
 
 
 _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
