@@ -69,10 +69,12 @@ def test_parse_robots_sitemap_urls_edges():
         "Sitemap: ftp://h/s.xml\n"            # non-http scheme
         "Sitemap:\n"                          # empty
         "Sitemap http://h/nocolon.xml\n"      # no separator
+        "Sitemap: http://h/s3.xml and junk\n"  # trailing junk dropped
     )
     assert parse_robots_sitemap_urls(txt) == [
         "http://h/s1.xml",
         "https://h/s2.xml.gz",
+        "http://h/s3.xml",
     ]
     assert parse_robots_sitemap_urls("") == []
 
@@ -129,6 +131,8 @@ def test_robots_cache_policy_arms(spark):
         ("2026-08-17 00:00:00", None),                      # future fetch -> clamp
         ("2026-08-15 12:00:00", "s-maxage=1, max-age=7200"),  # first max-age wins
         ("2026-08-15 12:00:00", "maximum-age=1"),           # not the directive
+        ("2026-08-15 12:00:00", "max-age=99999999999999999999"),  # overflow -> cap
+        ("2026-08-15 12:00:00", "max-age=3155760000"),      # huge -> cap ~31y
     ]
     df = spark.createDataFrame(rows, "fetched string, cc string")
     pol = robots_cache_policy(
@@ -147,6 +151,8 @@ def test_robots_cache_policy_arms(spark):
     assert got[4] == (86400, 0, False)
     assert got[5] == (7200, 43200, True)
     assert got[6] == (86400, 43200, False)
+    assert got[7] == (999_999_999, 43200, False)
+    assert got[8] == (999_999_999, 43200, False)
 
 
 def test_crawl_loop_pipeline_rows_and_plan(spark):

@@ -113,7 +113,11 @@ def robots_filter(
     ``rules_rows`` when the caller already knows it (a metadata-only
     parquet count, a just-built fixture), else one ``rules.count()``
     job runs — a single-column scan of the SMALL side, never the
-    frontier."""
+    frontier. CAVEAT: when ``rules`` derives from an expensive lineage
+    (``parse_robots`` over raw bodies), that count RE-EXECUTES the
+    lineage before the join does — persist the parsed rules or pass
+    ``rules_rows``; a production loop materializes parsed rules
+    anyway (they are the robots CACHE)."""
     pat = F.col(prefix_col)
     # Hybrid resolution (the 100 TB fast path): real robots files are
     # overwhelmingly wildcard-FREE prefixes, and `rlike` with a
@@ -340,8 +344,10 @@ def parse_robots_sitemap_urls(txt: str) -> list[str]:
         if not sep or field.strip().lower() != "sitemap":
             continue
         # partition split at the FIRST ':' only — the URL's own
-        # '://' colons are all inside `value`, intact.
-        value = value.strip()
+        # '://' colons are all inside `value`, intact. An escaped URL
+        # never contains whitespace (RFC 3986), so anything past the
+        # first whitespace run is trailing junk, not URL.
+        value = value.strip().split()[0] if value.strip() else ""
         low = value.lower()
         if (low.startswith("http://") or low.startswith("https://")) and value not in seen:
             seen.add(value)
@@ -770,10 +776,18 @@ def robots_cache_policy(
     Pure Catalyst (one regexp over the tiny per-host header table —
     never the frontier)."""
     cc = F.coalesce(cache_control, F.lit(""))
-    digits = F.regexp_extract(cc, r"(?i)(?:^|[,\s])max-age\s*=\s*(\d{1,9})", 1)
+    digits = F.regexp_extract(cc, r"(?i)(?:^|[,\s])max-age\s*=\s*(\d+)", 1)
+    # the full digit run is captured (a bounded {1,9} quantifier would
+    # silently take a PREFIX of a longer value — a wrong, smaller
+    # number); try_cast absorbs bigint overflow (ANSI-safe) and any
+    # absurd value caps at ~31 years — "effectively forever" either way.
+    num = F.least(
+        F.coalesce(digits.try_cast("bigint"), F.lit(999_999_999)),
+        F.lit(999_999_999),
+    )
     max_age = (
         F.when(cc.rlike(r"(?i)(?:^|[,\s])no-(?:cache|store)(?:$|[,\s])"), F.lit(0))
-        .when(digits != "", digits.cast("bigint"))
+        .when(digits != "", num)
         .otherwise(F.lit(ROBOTS_DEFAULT_MAX_AGE_S))
         .cast("bigint")
     )
