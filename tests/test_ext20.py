@@ -838,3 +838,120 @@ def test_stream_dedup_releases_pins_per_batch(spark, tmp_path):
     )
     assert len(_LIVE_PINS) == 0  # every batch released its pins
     assert spark.read.parquet(str(tmp_path / "out")).count() == 20
+
+
+# ---------------------------------------------------------------------------
+# round-11: GIF (LZW) stdlib decode
+# ---------------------------------------------------------------------------
+
+def _lzw_encode_ref(indices, mcs):
+    """Independent test-side GIF-LZW encoder: greedy longest-match,
+    code width bumps at next_code == 2^width + 1 — the lagged rule
+    that mirrors the decoder's add-entry-then-bump (the decoder's
+    table is one entry behind the encoder's at read time)."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    bits = []
+
+    def emit(code, width):
+        for k in range(width):
+            bits.append((code >> k) & 1)
+
+    table = {(i,): i for i in range(clear)}
+    width, next_code = mcs + 1, eoi + 1
+    emit(clear, width)
+    seq = ()
+    for s in indices:
+        if seq + (s,) in table:
+            seq = seq + (s,)
+            continue
+        emit(table[seq], width)
+        if next_code < 4096:
+            table[seq + (s,)] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        seq = (s,)
+    if seq:
+        emit(table[seq], width)
+    emit(eoi, width)
+    by = bytearray()
+    for i in range(0, len(bits), 8):
+        v = 0
+        for j, bit in enumerate(bits[i : i + 8]):
+            v |= bit << j
+        by.append(v)
+    return bytes(by)
+
+
+def _build_gif(w, h, palette, indices, mcs):
+    import struct
+
+    gct_bits = {4: 1, 8: 2, 16: 3}[len(palette)]
+    head = b"GIF89a" + struct.pack("<HHBBB", w, h, 0x80 | gct_bits, 0, 0)
+    ct = b"".join(bytes(c) for c in palette)
+    gce = b"!\xf9\x04\x00\x00\x00\x00\x00"
+    img = b"," + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    data = _lzw_encode_ref(indices, mcs)
+    blocks = b""
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    return head + ct + gce + img + bytes([mcs]) + blocks + b"\x00;"
+
+
+def test_gif_decode_canonical_one_pixel():
+    """The classic public 1x1 white GIF89a byte vector decodes exactly
+    (header, GCE skip, 2-entry color table, real compressed stream)."""
+    from vmware_graph_spark.operators.multimodal import decode_image_stdlib
+
+    one = (
+        b"GIF89a\x01\x00\x01\x00\x80\x00\x00\xff\xff\xff\x00\x00\x00"
+        b"!\xf9\x04\x01\x00\x00\x00\x00"
+        b",\x00\x00\x00\x00\x01\x00\x01\x00\x00\x02\x02D\x01\x00;"
+    )
+    d = decode_image_stdlib(one, "image/gif")
+    assert (d.width, d.height) == (1, 1)
+    assert (d.mean_r, d.mean_g, d.mean_b) == (255.0, 255.0, 255.0)
+
+
+def test_gif_lzw_roundtrip_property():
+    """The decoder must invert an INDEPENDENT greedy LZW encoder over
+    random index streams — covering table growth through the variable
+    code widths up to the 12-bit cap and the KwKwK case."""
+    import random
+
+    from vmware_graph_spark.operators.multimodal import _gif_lzw_decode
+
+    rng = random.Random(7)
+    for _ in range(60):
+        n_colors = rng.choice([4, 8, 16])
+        mcs = {4: 2, 8: 3, 16: 4}[n_colors]
+        n = rng.randint(1, 4000)
+        idx = [rng.randrange(n_colors) for _ in range(n)]
+        # runs of repeats exercise KwKwK (code == next_code)
+        if n > 10:
+            idx[2:7] = [idx[1]] * 5
+        assert _gif_lzw_decode(_lzw_encode_ref(idx, mcs), mcs, n) == idx
+
+
+def test_gif_full_file_decode_and_rejects():
+    from vmware_graph_spark.operators.multimodal import decode_image_stdlib
+
+    pal = [(10, 20, 30), (40, 50, 60), (70, 80, 90), (200, 210, 220)]
+    w, h = 37, 29
+    idx = [(r * w + c) % 4 for r in range(h) for c in range(w)]
+    g = _build_gif(w, h, pal, idx, 2)
+    d = decode_image_stdlib(g, "image/gif")
+    exp = [sum(pal[i][ch] for i in idx) / (w * h) for ch in range(3)]
+    assert (d.width, d.height) == (w, h)
+    assert abs(d.mean_r - exp[0]) < 1e-9
+    assert abs(d.mean_g - exp[1]) < 1e-9
+    assert abs(d.mean_b - exp[2]) < 1e-9
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_image_stdlib(b"GIF89a" + b"\x00" * 7 + b";", "image/gif")
+    # truncated LZW stream must fail loudly, not return short pixels
+    with _pytest.raises(ValueError):
+        decode_image_stdlib(g[:-8] + b"\x00;", "image/gif")

@@ -120,6 +120,37 @@ def test_detect_crawl_traps_template_and_threshold(spark):
     assert (e.n_fps, e.is_trap) == (4, 1)
 
 
+def _plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_robots_availability_gate_plan(spark):
+    """The availability composition stays broadcast-only: the rules
+    side and the 5-row status table both replicate; the frontier never
+    hash-partitions on its key."""
+    from vmware_graph_spark.queries_ext24 import robots_availability_gate
+
+    plan = _plan_of(robots_availability_gate(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "hashpartitioning(doc_id" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_crawl_trap_detection_plan_single_shuffle(spark):
+    """Trap detection is one narrow aggregation: the only exchange is
+    the (template) hash partitioning for the countDistinct rollup —
+    no join, no Python."""
+    from vmware_graph_spark.queries_ext24 import crawl_trap_detection
+
+    plan = _plan_of(crawl_trap_detection(spark, SF))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "SinglePartition" not in plan
+
+
 def test_robots_cache_policy_arms(spark):
     from vmware_graph_spark.operators.crawl import robots_cache_policy
 

@@ -7,15 +7,16 @@ each batch once, vectorized — never a row-at-a-time UDF.
 
 No image/audio codec LIBRARIES ship in this container, but the decode
 path is no longer wholly stubbed: :func:`decode_image_stdlib` really
-parses binary PPM (P6) and uncompressed 24-bit BMP byte-for-byte (the
+parses binary PPM (P6), uncompressed 24-bit BMP, and GIF87a/89a —
+including the full LZW decompressor — byte-for-byte (the
 same move as the stdlib OOXML reader for XLSX), and
 :func:`decode_images` runs it through the production mapInPandas shape.
 ``decode_media`` still raises for formats that genuinely need a codec
-(JPEG/PNG/MP4) unless one is injected — and the injection now has a
+library (JPEG/PNG/MP4 — DEFLATE/DCT chains) unless one is injected — and the injection now has a
 REAL first-party arm: :func:`pillow_image_decoder` builds a JPEG/PNG/…
 decoder when Pillow is installed (the pandas/openpyxl-if-present
 pattern from ``sources/workbook.py``), and :func:`decode_image_auto`
-routes PPM/BMP to the stdlib parser and everything else to Pillow,
+routes PPM/BMP/GIF to the stdlib parser and everything else to Pillow,
 falling back to the documented ``NotImplementedError`` gate where no
 codec exists. :func:`fingerprint_features` keeps the deterministic md5
 stand-in whose SQL twin oracle-verifies the Arrow plumbing
@@ -88,13 +89,15 @@ class _DecodedImage:
 
 
 def decode_image_stdlib(data: bytes, media_type: str) -> _DecodedImage:
-    """REAL image decode for the two formats the stdlib can parse
-    byte-for-byte — binary PPM (P6) and uncompressed 24-bit BMP — the
-    same move as the stdlib OOXML reader for XLSX: no codec library,
-    but a genuine end-to-end decode path instead of a stub. Returns
-    dimensions plus per-channel means (the stats a dataset curator
-    filters on: resolution floors, solid-color detection). Other
-    media types still require an injected codec via ``decode_media``.
+    """REAL image decode for the formats the stdlib can parse
+    byte-for-byte — binary PPM (P6), uncompressed 24-bit BMP, and
+    GIF87a/89a with a full LZW decompressor (:func:`_decode_gif`) —
+    the same move as the stdlib OOXML reader for XLSX: no codec
+    library, but a genuine end-to-end decode path instead of a stub.
+    Returns dimensions plus per-channel means (the stats a dataset
+    curator filters on: resolution floors, solid-color detection).
+    Other media types still require an injected codec via
+    ``decode_media``.
     """
     b = bytes(data)
     if media_type == "image/x-portable-pixmap" or b[:2] == b"P6":
@@ -145,9 +148,135 @@ def decode_image_stdlib(data: bytes, media_type: str) -> _DecodedImage:
                 sums[i % 3] += v
         n = w * h
         return _DecodedImage(w, h, sums[2] / n, sums[1] / n, sums[0] / n)
+    if media_type == "image/gif" or b[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(b)
     raise NotImplementedError(
-        f"stdlib decoder handles PPM/BMP only; inject a codec for {media_type}"
+        f"stdlib decoder handles PPM/BMP/GIF only; inject a codec for {media_type}"
     )
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> list[int]:
+    """GIF-variant LZW: LSB-first variable-width codes, clear/EOI, code
+    width grows when the decoder's next free slot reaches 2^width
+    (capped at 12 bits — past 4096 entries the table freezes until a
+    clear, per the spec). Returns palette indices."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    base = {i: (i,) for i in range(clear)}
+
+    table = dict(base)
+    width = min_code_size + 1
+    next_code = eoi + 1
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    acc = nbits = pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("LZW stream truncated before EOI")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = dict(base)
+            width = min_code_size + 1
+            next_code = eoi + 1
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if code in table:
+            entry = table[code]
+        elif prev is not None and code == next_code:
+            entry = prev + (prev[0],)  # the KwKwK case
+        else:
+            raise ValueError(f"corrupt LZW code {code}")
+        out.extend(entry)
+        if len(out) > max_pixels:
+            raise ValueError("LZW output exceeds the image's pixel count")
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + (entry[0],)
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+def _decode_gif(b: bytes) -> _DecodedImage:
+    """REAL GIF87a/89a decode — header + color tables + extension-block
+    skipping + the first image block's LZW stream, all stdlib (GIF's
+    LZW needs no codec library, unlike JPEG/PNG's DEFLATE/DCT chains).
+    Channel means are computed over the frame's palette indices;
+    interlacing only permutes ROW order, which channel means cannot
+    see, and GCE transparency affects rendering, not the stored
+    palette stats — both documented no-ops here."""
+    import struct
+
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    try:
+        return _decode_gif_inner(b, struct)
+    except (IndexError, struct.error) as err:
+        # a block-size byte or header field past the end of the
+        # payload — truncation fails loudly as a parse error, never a
+        # raw index fault
+        raise ValueError(f"GIF payload truncated mid-structure: {err}") from err
+
+
+def _decode_gif_inner(b: bytes, struct) -> _DecodedImage:
+    _, _, packed, _, _ = struct.unpack_from("<HHBBB", b, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = b[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(b):
+        marker = b[pos]
+        if marker == 0x3B:  # trailer before any image block
+            raise ValueError("GIF has no image data")
+        if marker == 0x21:  # extension: label byte + data sub-blocks
+            pos += 2
+            while b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+            continue
+        if marker != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{marker:02x}")
+        break
+    _, _, w, h, ipacked = struct.unpack_from("<HHHHB", b, pos + 1)
+    pos += 10
+    ct = gct
+    if ipacked & 0x80:
+        n = 2 << (ipacked & 0x07)
+        ct = b[pos : pos + 3 * n]
+        pos += 3 * n
+    if ct is None:
+        raise ValueError("GIF image has no color table")
+    min_code_size = b[pos]
+    pos += 1
+    stream = bytearray()
+    while True:
+        sz = b[pos]
+        pos += 1
+        if sz == 0:
+            break
+        stream += b[pos : pos + sz]
+        pos += sz
+    idxs = _gif_lzw_decode(bytes(stream), min_code_size, w * h)
+    if len(idxs) != w * h:
+        raise ValueError(f"GIF pixel count {len(idxs)} != {w}x{h}")
+    sums = [0, 0, 0]
+    for i in idxs:
+        off = 3 * i
+        sums[0] += ct[off]
+        sums[1] += ct[off + 1]
+        sums[2] += ct[off + 2]
+    n = w * h
+    return _DecodedImage(w, h, sums[0] / n, sums[1] / n, sums[2] / n)
 
 
 def pillow_image_decoder() -> Callable[[bytes, str], _DecodedImage]:
@@ -173,15 +302,15 @@ def pillow_image_decoder() -> Callable[[bytes, str], _DecodedImage]:
 
 
 def decode_image_auto(data: bytes, media_type: str) -> _DecodedImage:
-    """Format-routing decoder: PPM/BMP through the deterministic stdlib
+    """Format-routing decoder: PPM/BMP/GIF through the deterministic stdlib
     parser (always available, byte-exact), everything else through
     Pillow when installed — otherwise the documented
     NotImplementedError injection gate. This is the default a
     deployment wires into :func:`decode_images` when its corpus mixes
     formats; the stdlib default stays for oracle-checked paths."""
     b = bytes(data)
-    if b[:2] in (b"P6", b"BM") or media_type in (
-        "image/x-portable-pixmap", "image/bmp",
+    if b[:2] in (b"P6", b"BM") or b[:6] in (b"GIF87a", b"GIF89a") or media_type in (
+        "image/x-portable-pixmap", "image/bmp", "image/gif",
     ):
         try:
             return decode_image_stdlib(b, media_type)

@@ -346,6 +346,112 @@ def host_reputation_rollup(spark, sf_dir):
     )
 
 
+@query(
+    "multimodal_decode_gif_stats",
+    """
+    WITH d AS (
+      SELECT doc_id, n_chars AS nc, 2 + doc_id % 3 AS w, 2 + doc_id % 2 AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, h, nc, unnest(range(w * h)) AS p FROM d
+    ),
+    m AS (
+      SELECT doc_id, w, h,
+             avg((nc + (p % 4) * 40) % 256) AS mr,
+             avg((nc + (p % 4) * 40 + 85) % 256) AS mg,
+             avg((nc + (p % 4) * 40 + 170) % 256) AS mb
+      FROM px GROUP BY doc_id, w, h
+    )
+    SELECT doc_id AS asset_id, CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           round(mr, 6) AS mean_r, round(mg, 6) AS mean_g,
+           round(mb, 6) AS mean_b
+    FROM m
+    """,
+)
+def multimodal_decode_gif_stats(spark, sf_dir):
+    """REAL GIF decode, end to end (round-11: GIF needs no codec
+    library — its LZW is ~60 lines of stdlib, so one more injection
+    gate becomes a real decoder, the ``multimodal_decode_ppm_stats``
+    move): deterministic GIF89a images are synthesized per document
+    (dims from doc_id, a 4-color palette ramped from n_chars, pixel
+    indices cycling the palette, plus a graphic-control extension the
+    parser must skip), LZW-encoded with the protocol's clear-code
+    resets, then decoded back through the production Arrow
+    ``mapInPandas`` path — header, color table, extension skipping and
+    LZW all exercised. The oracle recomputes width/height/channel
+    means from the SOURCE arithmetic. (The builder's naive
+    clear-per-symbol encoding is deliberately independent of the
+    decoder; proper compressed streams incl. 12-bit table growth are
+    covered by the LZW roundtrip property test.)"""
+    import pandas as pd_
+
+    from vmware_graph_spark.operators.multimodal import as_media, decode_images
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def build(batches):
+        import struct
+
+        def gif(w, h, nc):
+            pal = b"".join(
+                bytes((
+                    (nc + j * 40) % 256,
+                    (nc + j * 40 + 85) % 256,
+                    (nc + j * 40 + 170) % 256,
+                ))
+                for j in range(4)
+            )
+            head = b"GIF89a" + struct.pack("<HHBBB", w, h, 0x81, 0, 0)
+            gce = b"!\xf9\x04\x00\x00\x00\x00\x00"
+            img = b"," + struct.pack("<HHHHB", 0, 0, w, h, 0)
+            # naive valid LZW: CLEAR before every literal keeps the
+            # table empty and the code width constant at 3 bits
+            bits = []
+            def emit(code):
+                for k in range(3):
+                    bits.append((code >> k) & 1)
+            for p in range(w * h):
+                emit(4)           # clear
+                emit(p % 4)       # literal palette index
+            emit(5)               # EOI
+            by = bytearray()
+            for i in range(0, len(bits), 8):
+                v = 0
+                for j, bit in enumerate(bits[i : i + 8]):
+                    v |= bit << j
+                by.append(v)
+            blocks = b""
+            for i in range(0, len(by), 255):
+                chunk = bytes(by[i : i + 255])
+                blocks += bytes([len(chunk)]) + chunk
+            return head + pal + gce + img + b"\x02" + blocks + b"\x00;"
+
+        for pdf in batches:
+            medias = [
+                gif(2 + int(did) % 3, 2 + int(did) % 2, int(nc))
+                for did, nc in zip(pdf["doc_id"], pdf["n_chars"])
+            ]
+            yield pd_.DataFrame({"asset_id": pdf["doc_id"], "media": medias})
+
+    assets = as_media(
+        d.mapInPandas(build, "asset_id bigint, media binary"),
+        "asset_id",
+        "media",
+        "image/gif",
+    )
+    out = decode_images(assets)
+    return out.select(
+        "asset_id",
+        "width",
+        "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
 def _crawled_index_dir(spark, sf_dir: str) -> str:
     """Persist the 'already crawled' canonical-URL set once per
     (dataset, mtime): every 4th document's URL — the loop's day-2
