@@ -955,3 +955,31 @@ def test_gif_full_file_decode_and_rejects():
     # truncated LZW stream must fail loudly, not return short pixels
     with _pytest.raises(ValueError):
         decode_image_stdlib(g[:-8] + b"\x00;", "image/gif")
+
+
+def test_pgm_pbm_stdlib_decode():
+    """Binary PGM (P5) and PBM (P4) join the stdlib raster family:
+    grayscale byte payloads and MSB-first bit-packed rows (1 = black),
+    rows padded to byte boundaries."""
+    import pytest as _pytest
+
+    from vmware_graph_spark.operators.multimodal import decode_image_stdlib
+
+    pgm = b"P5\n# c\n3 2\n255\n" + bytes([0, 128, 255, 10, 20, 30])
+    d = decode_image_stdlib(pgm, "image/x-portable-graymap")
+    exp = (0 + 128 + 255 + 10 + 20 + 30) / 6
+    assert (d.width, d.height) == (3, 2)
+    assert d.mean_r == d.mean_g == d.mean_b == exp
+
+    # 10x2 bitmap: row0 all black (bits 1), row1 all white; stride 2
+    pbm = b"P4\n10 2\n" + bytes([0xFF, 0xC0, 0x00, 0x00])
+    d = decode_image_stdlib(pbm, "image/x-portable-bitmap")
+    assert (d.width, d.height) == (10, 2)
+    assert d.mean_r == 255.0 * 0.5
+
+    with _pytest.raises(ValueError):
+        decode_image_stdlib(b"P5\n3 2\n255\n\x00", "image/x-portable-graymap")
+    with _pytest.raises(ValueError):
+        decode_image_stdlib(b"P4\n10 2\n\xff", "image/x-portable-bitmap")
+    with _pytest.raises(ValueError):
+        decode_image_stdlib(b"P5\n3", "image/x-portable-graymap")

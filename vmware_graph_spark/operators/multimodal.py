@@ -80,6 +80,30 @@ def decode_media(df: DataFrame, decoder: Callable[[bytes, str], object] | None =
     return df.mapInPandas(run, out_schema)
 
 
+def _pnm_header(b: bytes, n_fields: int) -> tuple[int, int, int, int]:
+    """Parse a binary PNM header past the magic: ``n_fields`` decimal
+    fields (width, height[, maxval]) separated by whitespace/comments,
+    then the single whitespace before the pixel payload. Returns
+    (width, height, maxval-or-0, payload offset)."""
+    pos, fields = 2, []
+    while len(fields) < n_fields:
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if b[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(b) and b[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("PNM header truncated")
+        fields.append(int(b[start:pos]))
+    pos += 1  # the single whitespace after the last header field
+    w, h = fields[0], fields[1]
+    return w, h, (fields[2] if n_fields > 2 else 0), pos
+
+
 class _DecodedImage:
     __slots__ = ("width", "height", "mean_r", "mean_g", "mean_b")
 
@@ -90,8 +114,8 @@ class _DecodedImage:
 
 def decode_image_stdlib(data: bytes, media_type: str) -> _DecodedImage:
     """REAL image decode for the formats the stdlib can parse
-    byte-for-byte — binary PPM (P6), uncompressed 24-bit BMP, and
-    GIF87a/89a with a full LZW decompressor (:func:`_decode_gif`) —
+    byte-for-byte — binary PPM/PGM/PBM (P6/P5/P4), uncompressed 24-bit
+    BMP, and GIF87a/89a with a full LZW decompressor (:func:`_decode_gif`) —
     the same move as the stdlib OOXML reader for XLSX: no codec
     library, but a genuine end-to-end decode path instead of a stub.
     Returns dimensions plus per-channel means (the stats a dataset
@@ -101,21 +125,7 @@ def decode_image_stdlib(data: bytes, media_type: str) -> _DecodedImage:
     """
     b = bytes(data)
     if media_type == "image/x-portable-pixmap" or b[:2] == b"P6":
-        # header: "P6" <ws> width <ws> height <ws> maxval <single ws> pixels
-        pos, fields = 2, []
-        while len(fields) < 3:
-            while pos < len(b) and b[pos : pos + 1].isspace():
-                pos += 1
-            if b[pos : pos + 1] == b"#":  # comment to end of line
-                while pos < len(b) and b[pos : pos + 1] != b"\n":
-                    pos += 1
-                continue
-            start = pos
-            while pos < len(b) and not b[pos : pos + 1].isspace():
-                pos += 1
-            fields.append(int(b[start:pos]))
-        pos += 1  # the single whitespace after maxval
-        w, h, maxval = fields
+        w, h, maxval, pos = _pnm_header(b, 3)
         if maxval != 255:
             raise ValueError(f"PPM maxval {maxval} unsupported (need 255)")
         px = b[pos : pos + w * h * 3]
@@ -126,6 +136,30 @@ def decode_image_stdlib(data: bytes, media_type: str) -> _DecodedImage:
             sums[i % 3] += v
         n = w * h
         return _DecodedImage(w, h, sums[0] / n, sums[1] / n, sums[2] / n)
+    if media_type == "image/x-portable-graymap" or b[:2] == b"P5":
+        # binary PGM: like P6 with ONE gray byte per pixel
+        w, h, maxval, pos = _pnm_header(b, 3)
+        if maxval != 255:
+            raise ValueError(f"PGM maxval {maxval} unsupported (need 255)")
+        px = b[pos : pos + w * h]
+        if len(px) != w * h:
+            raise ValueError("PGM pixel payload truncated")
+        mean = sum(px) / (w * h)
+        return _DecodedImage(w, h, mean, mean, mean)
+    if media_type == "image/x-portable-bitmap" or b[:2] == b"P4":
+        # binary PBM: no maxval field; rows are MSB-first bit-packed,
+        # padded to a byte boundary; bit 1 = BLACK (0), 0 = white (255)
+        w, h, _, pos = _pnm_header(b, 2)
+        stride = (w + 7) // 8
+        if len(b) - pos < stride * h:
+            raise ValueError("PBM pixel payload truncated")
+        black = 0
+        for r in range(h):
+            row = b[pos + r * stride : pos + (r + 1) * stride]
+            for c in range(w):
+                black += (row[c >> 3] >> (7 - (c & 7))) & 1
+        mean = 255.0 * (1 - black / (w * h))
+        return _DecodedImage(w, h, mean, mean, mean)
     if media_type == "image/bmp" or b[:2] == b"BM":
         import struct
 
@@ -151,7 +185,7 @@ def decode_image_stdlib(data: bytes, media_type: str) -> _DecodedImage:
     if media_type == "image/gif" or b[:6] in (b"GIF87a", b"GIF89a"):
         return _decode_gif(b)
     raise NotImplementedError(
-        f"stdlib decoder handles PPM/BMP/GIF only; inject a codec for {media_type}"
+        f"stdlib decoder handles PNM/BMP/GIF only; inject a codec for {media_type}"
     )
 
 
@@ -309,8 +343,11 @@ def decode_image_auto(data: bytes, media_type: str) -> _DecodedImage:
     deployment wires into :func:`decode_images` when its corpus mixes
     formats; the stdlib default stays for oracle-checked paths."""
     b = bytes(data)
-    if b[:2] in (b"P6", b"BM") or b[:6] in (b"GIF87a", b"GIF89a") or media_type in (
-        "image/x-portable-pixmap", "image/bmp", "image/gif",
+    if b[:2] in (b"P6", b"P5", b"P4", b"BM") or b[:6] in (
+        b"GIF87a", b"GIF89a",
+    ) or media_type in (
+        "image/x-portable-pixmap", "image/x-portable-graymap",
+        "image/x-portable-bitmap", "image/bmp", "image/gif",
     ):
         try:
             return decode_image_stdlib(b, media_type)
