@@ -7,7 +7,8 @@ each batch once, vectorized — never a row-at-a-time UDF.
 
 No image/audio codec LIBRARIES ship in this container, but the decode
 path is no longer wholly stubbed: :func:`decode_image_stdlib` really
-parses binary PPM (P6), uncompressed 24-bit BMP, and GIF87a/89a —
+parses the binary PNM family (PPM/PGM/PBM), uncompressed 24-bit
+BMP, and GIF87a/89a —
 including the full LZW decompressor — byte-for-byte (the
 same move as the stdlib OOXML reader for XLSX), and
 :func:`decode_images` runs it through the production mapInPandas shape.
@@ -16,7 +17,7 @@ library (JPEG/PNG/MP4 — DEFLATE/DCT chains) unless one is injected — and the
 REAL first-party arm: :func:`pillow_image_decoder` builds a JPEG/PNG/…
 decoder when Pillow is installed (the pandas/openpyxl-if-present
 pattern from ``sources/workbook.py``), and :func:`decode_image_auto`
-routes PPM/BMP/GIF to the stdlib parser and everything else to Pillow,
+routes PNM/BMP/GIF to the stdlib parser and everything else to Pillow,
 falling back to the documented ``NotImplementedError`` gate where no
 codec exists. :func:`fingerprint_features` keeps the deterministic md5
 stand-in whose SQL twin oracle-verifies the Arrow plumbing
