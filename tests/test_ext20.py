@@ -983,3 +983,44 @@ def test_pgm_pbm_stdlib_decode():
         decode_image_stdlib(b"P4\n10 2\n\xff", "image/x-portable-bitmap")
     with _pytest.raises(ValueError):
         decode_image_stdlib(b"P5\n3", "image/x-portable-graymap")
+
+
+def test_ulaw_expansion_vs_audioop_and_wav_decode():
+    """The G.711 µ-law expansion must match Python's independent
+    audioop.ulaw2lin over ALL 256 byte values, and a format-7 WAV must
+    decode through the manual RIFF walk (wave.open rejects format 7)."""
+    import struct
+
+    from vmware_graph_spark.operators.multimodal import (
+        _ulaw_expand,
+        decode_audio_stdlib,
+    )
+
+    try:
+        import audioop  # removed in 3.13; present in this container
+
+        raw = bytes(range(256))
+        want = struct.unpack("<256h", audioop.ulaw2lin(raw, 2))
+        assert [_ulaw_expand(u) for u in range(256)] == list(want)
+    except ImportError:
+        # spot values from the ITU-T expansion (bias-0x84 form)
+        assert _ulaw_expand(0x00) == -32124
+        assert _ulaw_expand(0x80) == 32124
+        assert _ulaw_expand(0xFF) == 0
+        assert _ulaw_expand(0x7F) == -0
+
+    payload = bytes((i * 11) % 256 for i in range(50))
+    fmt = struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(payload)) + payload)
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    d = decode_audio_stdlib(wav, "audio/wav")
+    assert (d.channels, d.sample_rate, d.n_samples) == (1, 8000, 50)
+    assert d.samples == [_ulaw_expand(v) for v in payload]
+
+    import pytest as _pytest
+
+    bad = wav.replace(struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8),
+                      struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 16))
+    with _pytest.raises(ValueError):
+        decode_audio_stdlib(bad, "audio/wav")

@@ -417,21 +417,68 @@ class _DecodedAudio:
         self.samples = samples
 
 
+def _ulaw_expand(u: int) -> int:
+    """ITU-T G.711 µ-law byte → linear int16 (bias 0x84 form — the
+    exact expansion the spec's decode table encodes; max ±32124)."""
+    u = ~u & 0xFF
+    sign = u & 0x80
+    exponent = (u >> 4) & 0x07
+    mantissa = u & 0x0F
+    mag = (((mantissa << 3) + 0x84) << exponent) - 0x84
+    return -mag if sign else mag
+
+
+def _riff_chunks(b: bytes) -> dict[bytes, bytes]:
+    """RIFF/WAVE chunk map (first occurrence wins; word-aligned)."""
+    import struct
+
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    out: dict[bytes, bytes] = {}
+    pos = 12
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        sz = struct.unpack_from("<I", b, pos + 4)[0]
+        if cid not in out:
+            out[cid] = b[pos + 8 : pos + 8 + sz]
+        pos += 8 + sz + (sz & 1)
+    return out
+
+
 def decode_audio_stdlib(data: bytes, media_type: str) -> _DecodedAudio:
-    """REAL audio decode for PCM WAV — the one audio container the
-    stdlib (``wave`` + ``struct``) can own byte-for-byte, completing
-    the PPM/BMP move for the audio column. Returns format metadata and
-    the int16 sample values (channel-interleaved); compressed formats
-    (MP3/AAC/OGG) still require an injected codec by design."""
+    """REAL audio decode for the WAV container — 16-bit PCM through the
+    stdlib ``wave`` reader, and G.711 µ-law (format 7 — the telephony
+    byte-per-sample codec whose 'decompression' is a 256-entry
+    expansion formula, no codec library needed) through a manual RIFF
+    chunk walk, completing the PPM/BMP move for the audio column.
+    Returns format metadata and the int16 sample values
+    (channel-interleaved); genuinely compressed formats (MP3/AAC/OGG)
+    still require an injected codec by design."""
     import io
     import struct
     import wave
 
-    if media_type not in ("audio/wav", "audio/x-wav") and bytes(data[:4]) != b"RIFF":
+    b = bytes(data)
+    if media_type not in ("audio/wav", "audio/x-wav", "audio/basic") and b[:4] != b"RIFF":
         raise NotImplementedError(
-            f"stdlib decoder handles PCM WAV only; inject a codec for {media_type}"
+            f"stdlib decoder handles WAV (PCM/µ-law) only; inject a codec for {media_type}"
         )
-    with wave.open(io.BytesIO(bytes(data)), "rb") as wf:
+    chunks = _riff_chunks(b)
+    fmt = chunks.get(b"fmt ")
+    if fmt is None or len(fmt) < 16:
+        raise ValueError("WAV has no usable fmt chunk")
+    audio_format, ch, rate = struct.unpack_from("<HHI", fmt, 0)
+    bits = struct.unpack_from("<H", fmt, 14)[0]
+    if audio_format == 7:  # G.711 µ-law
+        if bits != 8:
+            raise ValueError(f"µ-law WAV must be 8-bit, got {bits}")
+        raw = chunks.get(b"data")
+        if raw is None:
+            raise ValueError("WAV has no data chunk")
+        samples = [_ulaw_expand(v) for v in raw]
+        n = len(raw) // max(1, ch)
+        return _DecodedAudio(ch, rate, n, (n * 1000) // rate, samples)
+    with wave.open(io.BytesIO(b), "rb") as wf:
         if wf.getsampwidth() != 2:
             raise ValueError("only 16-bit PCM WAV supported")
         ch, rate, n = wf.getnchannels(), wf.getframerate(), wf.getnframes()

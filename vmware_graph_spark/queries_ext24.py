@@ -452,6 +452,100 @@ def multimodal_decode_gif_stats(spark, sf_dir):
     )
 
 
+@query(
+    "audio_ulaw_rms_windows",
+    """
+    WITH d AS (SELECT doc_id, 64 + doc_id % 32 AS n FROM documents
+               WHERE doc_id % 10 = 5),
+    starts AS (SELECT doc_id, n, unnest(range(0, n, 16)) AS start FROM d),
+    s AS (SELECT doc_id, n, unnest(range(n)) AS i FROM d),
+    v AS (
+      SELECT doc_id, i,
+             255 - ((doc_id * 37 + i * 11) % 256) AS u2
+      FROM s
+    ),
+    x AS (
+      SELECT doc_id, i,
+             ((u2 % 16) * 8 + 132)
+               * CASE (u2 // 16) % 8
+                   WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 WHEN 3 THEN 8
+                   WHEN 4 THEN 16 WHEN 5 THEN 32 WHEN 6 THEN 64 ELSE 128
+                 END - 132 AS mag,
+             u2 >= 128 AS neg
+      FROM v
+    ),
+    smp AS (
+      SELECT doc_id, i, CASE WHEN neg THEN -mag ELSE mag END AS s FROM x
+    ),
+    w AS (
+      SELECT st.doc_id, st.start, CAST(count(*) AS BIGINT) AS n_smp,
+             sqrt(CAST(sum(smp.s * smp.s) AS DOUBLE) / count(*)) AS rms
+      FROM starts st JOIN smp
+        ON smp.doc_id = st.doc_id AND smp.i >= st.start
+       AND smp.i < st.start + 32
+      GROUP BY st.doc_id, st.start
+    )
+    SELECT doc_id AS asset_id, CAST(start // 16 AS INTEGER) AS win_idx,
+           CAST(start AS BIGINT) AS start, n_smp AS n, round(rms, 6) AS rms
+    FROM w
+    """,
+)
+def audio_ulaw_rms_windows(spark, sf_dir):
+    """REAL G.711 µ-law decode, end to end (round-11: µ-law's
+    'decompression' is the spec's bias-0x84 expansion formula — no
+    codec library, so the telephony WAV variant joins PCM as a real
+    stdlib decode): deterministic format-7 WAVs are synthesized per
+    sampled document (µ-law byte ramp seeded by doc_id), decoded
+    through the manual RIFF chunk walk + expansion, and folded to the
+    same overlapping RMS windows as the PCM twin — while the oracle
+    re-derives every int16 sample FROM THE EXPANSION FORMULA in pure
+    integer SQL and recomputes each window's RMS, so a chunk-walk,
+    sign, exponent-shift or bias slip breaks the hash. The expansion
+    itself is additionally pinned against Python's independent
+    ``audioop.ulaw2lin`` over all 256 byte values in pytest."""
+    import struct as struct_
+
+    import pandas as pd_
+
+    from vmware_graph_spark.operators.multimodal import as_media, audio_rms_windows
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 5)
+        .select("doc_id")
+    )
+
+    def build(batches):
+        def wav_ulaw(payload: bytes) -> bytes:
+            fmt = struct_.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+            body = (
+                b"WAVE"
+                + b"fmt " + struct_.pack("<I", len(fmt)) + fmt
+                + b"data" + struct_.pack("<I", len(payload)) + payload
+                + (b"\x00" if len(payload) % 2 else b"")
+            )
+            return b"RIFF" + struct_.pack("<I", len(body)) + body
+
+        for pdf in batches:
+            medias = []
+            for did in pdf["doc_id"]:
+                n = 64 + did % 32
+                payload = bytes((did * 37 + i * 11) % 256 for i in range(n))
+                medias.append(wav_ulaw(payload))
+            yield pd_.DataFrame({"asset_id": pdf["doc_id"], "media": medias})
+
+    assets = as_media(
+        d.mapInPandas(build, "asset_id bigint, media binary"),
+        "asset_id",
+        "media",
+        "audio/wav",
+    )
+    out = audio_rms_windows(assets, window=32, hop=16)
+    return out.select(
+        "asset_id", "win_idx", "start", "n", F.round("rms", 6).alias("rms")
+    )
+
+
 def _crawled_index_dir(spark, sf_dir: str) -> str:
     """Persist the 'already crawled' canonical-URL set once per
     (dataset, mtime): every 4th document's URL — the loop's day-2
