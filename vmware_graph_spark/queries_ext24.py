@@ -1,15 +1,25 @@
-"""Round-11: the crawl loop COMPOSED end to end.
+"""Round-11: the crawl loop COMPOSED end to end, the rest of the
+RFC 9309 lifecycle, and the decoders the stdlib can genuinely own.
 
-Round 10 built the pieces — sitemap seeding, the RFC 9309 robots gate,
-the persisted crawled-URL index, politeness waves, Hamilton budget
-apportionment. This module runs them as ONE lineage (round-10 VERDICT
-#7): seed → parse robots → gate → frontier delta against the persisted
-index → per-host wave schedule → integer budget split — the dispatch
-plan a polite crawler would hand its fetchers, with the oracle deriving
-every number from doc_id arithmetic alone (the ``crawl_prep_pipeline``
-composition discipline: a bug in ANY stage — a sitemap parse slip, a
-mis-scored wildcard, a stale index probe, a wave off-by-one, a
-non-exact apportionment — breaks different rows of the same hash).
+Round 10 built the crawl pieces — sitemap seeding, the RFC 9309 robots
+gate, the persisted crawled-URL index, politeness waves, Hamilton
+budget apportionment. This module (a) runs them as ONE lineage
+(``crawl_loop_pipeline``, round-10 VERDICT #7): seed → parse robots →
+gate → frontier delta against the persisted index → per-host wave
+schedule → integer budget split — the dispatch plan a polite crawler
+would hand its fetchers, with the oracle deriving every number from
+doc_id arithmetic alone (the ``crawl_prep_pipeline`` composition
+discipline: a bug in ANY stage breaks different rows of the same
+hash); (b) completes the robots lifecycle — §2.3.1 access results
+(``robots_availability_gate``), §2.4 caching
+(``robots_cache_refresh_due``), ``Sitemap:`` seed discovery
+(``robots_sitemap_discovery``); (c) adds the crawl-ops tables around
+it — path-axis trap detection (``crawl_trap_detection``),
+host reputation (``host_reputation_rollup``), sitemap-prior recrawl
+(``recrawl_priority_sitemap_prior``); and (d) pins the round's REAL
+stdlib decoders end to end — GIF/LZW (``multimodal_decode_gif_stats``)
+and G.711 µ-law WAV (``audio_ulaw_rms_windows``) — through the
+production Arrow paths with pure-arithmetic oracles.
 """
 
 from __future__ import annotations
