@@ -463,6 +463,83 @@ def multimodal_decode_gif_stats(spark, sf_dir):
 
 
 @query(
+    "focused_crawl_priority",
+    """
+    WITH l AS (
+      SELECT doc_id,
+             'http://www.site' || ((doc_id % 50) % 5) || '.example.com/b/'
+               || (doc_id % 50) AS target,
+             CASE WHEN doc_id % 4 IN (0, 1)
+                  THEN 1.0 / 3 ELSE 0.0 END AS frac
+      FROM documents
+    )
+    SELECT target,
+           CAST(count(*) AS BIGINT) AS n_inlinks,
+           round(avg(frac), 6) AS topic_score
+    FROM l GROUP BY target
+    """,
+)
+def focused_crawl_priority(spark, sf_dir):
+    """FOCUSED crawling's frontier prioritization (the classic
+    anchor-text relevance signal: the web describes a page by how
+    others link to it, so a topical crawler scores candidate URLs by
+    their in-link anchor text BEFORE fetching them): pages carry one
+    anchor each whose visible text mentions ``topic<q>`` for
+    q = doc_id%4 — the topic lexicon covers topics 0-1 only, so each
+    anchor's term-match fraction is 1/3 or 0 — and every target
+    aggregates its in-links' fractions into a priority score. The
+    composition is the real pipeline: ``extract_links`` (hijack-safe
+    pairs) → ``resolve_href`` → ``url_canonical`` → token split → a
+    constant-folded lexicon membership (the gazetteer move, no join)
+    → one groupBy(target). The oracle derives n_inlinks and the score
+    from doc_id arithmetic alone."""
+    from vmware_graph_spark.functions.url import (
+        extract_links,
+        resolve_href,
+        url_canonical,
+        url_host,
+        url_scheme,
+    )
+
+    lexicon = ["topic0", "topic1"]
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    m = (F.col("doc_id") % 50).cast("string")
+    km = ((F.col("doc_id") % 50) % 5).cast("string")
+    q = (F.col("doc_id") % 4).cast("string")
+    page_url = F.concat(
+        F.lit("http://www.site"), (F.col("doc_id") % 5).cast("string"),
+        F.lit(".example.com/a/"), F.col("doc_id").cast("string"),
+    )
+    body = F.concat(
+        F.lit('<html><body><a href="http://www.site'), km,
+        F.lit(".example.com/b/"), m,
+        F.lit('" rel="x">topic'), q, F.lit(" filler word</a>"),
+        F.lit('<a href="#skip">nav</a></body></html>'),
+    )
+    pages = d.select(page_url.alias("url"), body.alias("html"))
+    links = pages.select(
+        url_scheme("url").alias("s"),
+        url_host("url").alias("h"),
+        F.explode(extract_links("html")).alias("l"),
+    )
+    resolved = links.select(
+        resolve_href(F.col("s"), F.col("h"), F.col("l.href")).alias("r"),
+        F.split(F.lower(F.col("l.text")), r"\s+").alias("toks"),
+    ).filter(F.col("r").isNotNull())
+    frac = F.size(
+        F.filter(F.col("toks"), lambda t: t.isin(*lexicon))
+    ) / F.greatest(F.size("toks"), F.lit(1))
+    scored = resolved.select(
+        url_canonical("r").alias("target"), frac.alias("frac")
+    )
+    return scored.groupBy("target").agg(
+        F.count("*").cast("bigint").alias("n_inlinks"),
+        F.round(F.avg("frac"), 6).alias("topic_score"),
+    )
+
+
+@query(
     "audio_ulaw_rms_windows",
     """
     WITH d AS (SELECT doc_id, 64 + doc_id % 32 AS n FROM documents
