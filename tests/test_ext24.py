@@ -151,6 +151,35 @@ def test_crawl_trap_detection_plan_single_shuffle(spark):
     assert "SinglePartition" not in plan
 
 
+def test_focused_crawl_priority_rows_and_plan(spark):
+    """Anchor-relevance scoring: 50 targets, lexicon fraction 1/3 for
+    topic0/1 in-links and 0 for topic2/3; the plan is join-free (the
+    lexicon is a constant-folded membership) with one aggregation."""
+    from vmware_graph_spark.queries_ext24 import focused_crawl_priority
+
+    from collections import defaultdict
+
+    from vmware_graph_spark.sources.tables import load_table
+
+    df = focused_crawl_priority(spark, SF)
+    rows = {r.target: r for r in df.collect()}
+    ids = [
+        r.doc_id
+        for r in load_table(spark, SF, "documents").select("doc_id").collect()
+    ]
+    exp = defaultdict(list)
+    for i in ids:
+        exp[i % 50].append(1 / 3 if i % 4 in (0, 1) else 0.0)
+    assert len(rows) == len(exp)
+    for t, r in rows.items():
+        m = int(t.rsplit("/", 1)[1])
+        assert r.n_inlinks == len(exp[m])
+        assert abs(r.topic_score - round(sum(exp[m]) / len(exp[m]), 6)) < 1e-9
+    plan = _plan_of(df)
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_robots_cache_policy_arms(spark):
     from vmware_graph_spark.operators.crawl import robots_cache_policy
 

@@ -459,7 +459,7 @@ def decode_audio_stdlib(data: bytes, media_type: str) -> _DecodedAudio:
     import wave
 
     b = bytes(data)
-    if media_type not in ("audio/wav", "audio/x-wav", "audio/basic") and b[:4] != b"RIFF":
+    if media_type not in ("audio/wav", "audio/x-wav") and b[:4] != b"RIFF":
         raise NotImplementedError(
             f"stdlib decoder handles WAV (PCM/µ-law) only; inject a codec for {media_type}"
         )
