@@ -1024,3 +1024,8 @@ def test_ulaw_expansion_vs_audioop_and_wav_decode():
                       struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 16))
     with _pytest.raises(ValueError):
         decode_audio_stdlib(bad, "audio/wav")
+
+    # a truncated data chunk must fail LOUDLY (round-11 advice: the
+    # RIFF walk used to clamp the slice and decode a short sample list)
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_audio_stdlib(wav[:-10], "audio/wav")

@@ -597,6 +597,9 @@ def test_url_canonical_and_param_mining_merge_escape_spellings(spark):
     assert got["id"].n_multi_groups == 1 and got["id"].content_bearing == 1
     # x's two groups (id=1 vs id=2) stay singletons — no evidence
     assert got["x"].n_multi_groups == 0 and got["x"].content_bearing == 0
+
+
+def test_parse_robots_crawl_delay():
     """Crawl-delay: consumed from the WINNING group (first valid value
     in document order across merges), invalid/negative/inf ignored,
     grouping transparency preserved."""
@@ -1063,6 +1066,43 @@ def test_crawled_urls_index_extend_probe_idempotent(spark, tmp_path):
         frontier_against_crawled(spark, idx, cand)
     with _pytest.raises(FileNotFoundError):
         extend_crawled_urls(spark, cand, idx)
+
+
+def test_crawled_index_url_canon_version_gate(spark, tmp_path):
+    """An index keyed under an OLDER url_canonical form must fail
+    loudly (round-11 advice: percent-normalization re-spelled URLs
+    with unreserved escapes, so a v1 index silently re-admits
+    previously crawled URLs as uncrawled)."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from vmware_graph_spark.functions.url import URL_CANON_VERSION
+    from vmware_graph_spark.operators.crawl import (
+        crawl_index_current,
+        frontier_against_crawled,
+        write_crawled_urls,
+    )
+
+    idx = str(tmp_path / "crawled_v1")
+    write_crawled_urls(
+        spark.createDataFrame([("http://h/a",)], "canon string"), idx
+    )
+    marker = os.path.join(idx, "format.json")
+    with open(marker) as fh:
+        doc = json.load(fh)
+    assert doc["url_canon"] == URL_CANON_VERSION
+    assert crawl_index_current(idx)
+
+    # age the marker to the pre-stamp era (an absent key reads as v1)
+    del doc["url_canon"]
+    with open(marker, "w") as fh:
+        json.dump(doc, fh)
+    assert not crawl_index_current(idx)
+    cand = spark.createDataFrame([("http://h/b",)], "canon string")
+    with _pytest.raises(ValueError, match="url_canonical v1"):
+        frontier_against_crawled(spark, idx, cand)
 
 
 def test_frontier_persisted_state_equals_inflight_twin(spark):

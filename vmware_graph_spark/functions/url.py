@@ -18,6 +18,16 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+#: Version of the CANONICAL URL FORM this module produces. Bumped
+#: whenever `url_canonical`'s output can change for some input — v2 =
+#: percent-normalization (RFC 3986 §6.2.2.2 unreserved-escape decode +
+#: query '+'→'%20', round 11); v1 = the byte-wise query era before it.
+#: Persisted artifacts KEYED on the canonical spelling (the crawled-URL
+#: index) stamp this into their format.json so a reader can detect an
+#: index built under an older canonical form instead of silently
+#: re-crawling URLs whose spelling changed (round-11 advice).
+URL_CANON_VERSION = 2
+
 #: Query parameters that never affect page identity: analytics tags.
 #: Anchored key-match against "key=value" pairs (shared with the twin).
 #: Deliberately only the UNAMBIGUOUS set — 'ref' is widely

@@ -427,6 +427,8 @@ def _check_crawl_index(path: str) -> None:
     import json
     import os
 
+    from vmware_graph_spark.functions.url import URL_CANON_VERSION
+
     fp = os.path.join(path, "format.json")
     if not os.path.exists(fp):
         raise FileNotFoundError(
@@ -439,6 +441,32 @@ def _check_crawl_index(path: str) -> None:
         raise ValueError(
             f"index at {path} is {got.get('kind')!r}, not {CRAWL_INDEX_KIND}"
         )
+    # The index keys on the CANONICAL URL SPELLING, so an index built
+    # under an older url_canonical (absent key = the pre-stamp v1 era)
+    # would silently pass re-spelled URLs as uncrawled (round-11
+    # advice: percent-normalization changed canonical output for URLs
+    # with unreserved escapes or '+'). Fail loudly: rebuild, or
+    # re-canonicalize the keys offline.
+    got_ver = got.get("url_canon", 1)
+    if got_ver != URL_CANON_VERSION:
+        raise ValueError(
+            f"index at {path} was built under url_canonical v{got_ver}; "
+            f"this engine produces v{URL_CANON_VERSION} spellings — "
+            "rebuild the index so frontier probes compare like with like"
+        )
+
+
+def crawl_index_current(path: str) -> bool:
+    """True when ``path`` holds a complete crawled-URL index whose keys
+    were spelled under THIS engine's url_canonical version — the
+    predicate cache-or-rebuild callers gate on (a bare format.json
+    existence check would keep serving an index keyed on an older
+    canonical form; round-11 advice)."""
+    try:
+        _check_crawl_index(path)
+    except (FileNotFoundError, ValueError):
+        return False
+    return True
 
 
 def _bucketed(urls: DataFrame, url_col: str) -> DataFrame:
@@ -455,9 +483,14 @@ def write_crawled_urls(urls: DataFrame, path: str, *, url_col: str = "canon") ->
     bucket-partitioned parquet layout, ``format.json`` marker stamped
     LAST (the dedup/ANN crash-consistency rule: a crash mid-write
     leaves no marker, and readers fail loudly instead of probing a
-    half-built index). Rebuild removes the marker FIRST."""
+    half-built index). Rebuild removes the marker FIRST. The marker
+    records the url_canonical VERSION the keys were spelled under, so
+    a reader on a newer canonical form fails loudly instead of
+    re-fetching every re-spelled URL (round-11 advice)."""
     import json
     import os
+
+    from vmware_graph_spark.functions.url import URL_CANON_VERSION
 
     try:
         os.remove(os.path.join(path, "format.json"))
@@ -468,7 +501,14 @@ def write_crawled_urls(urls: DataFrame, path: str, *, url_col: str = "canon") ->
     )
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, "format.json"), "w") as fh:
-        json.dump({"kind": CRAWL_INDEX_KIND, "buckets": _URL_BUCKETS}, fh)
+        json.dump(
+            {
+                "kind": CRAWL_INDEX_KIND,
+                "buckets": _URL_BUCKETS,
+                "url_canon": URL_CANON_VERSION,
+            },
+            fh,
+        )
 
 
 def extend_crawled_urls(

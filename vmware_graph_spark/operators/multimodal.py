@@ -429,7 +429,12 @@ def _ulaw_expand(u: int) -> int:
 
 
 def _riff_chunks(b: bytes) -> dict[bytes, bytes]:
-    """RIFF/WAVE chunk map (first occurrence wins; word-aligned)."""
+    """RIFF/WAVE chunk map (first occurrence wins; word-aligned).
+    A chunk whose declared size runs past the payload fails LOUDLY —
+    the same truncation contract as the GIF/PNM/PCM paths (a silent
+    clamp here decoded a truncated µ-law data chunk to a short sample
+    list — round-11 advice). Only the terminal pad byte may be absent
+    (writers legitimately omit it at EOF)."""
     import struct
 
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
@@ -439,6 +444,11 @@ def _riff_chunks(b: bytes) -> dict[bytes, bytes]:
     while pos + 8 <= len(b):
         cid = b[pos : pos + 4]
         sz = struct.unpack_from("<I", b, pos + 4)[0]
+        if pos + 8 + sz > len(b):
+            raise ValueError(
+                f"WAV chunk {cid!r} declares {sz} bytes but only "
+                f"{len(b) - pos - 8} remain — payload truncated"
+            )
         if cid not in out:
             out[cid] = b[pos + 8 : pos + 8 + sz]
         pos += 8 + sz + (sz & 1)

@@ -912,6 +912,7 @@ def frontier_dedup_persisted_state(spark, sf_dir):
         url_scheme,
     )
     from vmware_graph_spark.operators.crawl import (
+        crawl_index_current,
         frontier_against_crawled,
         write_crawled_urls,
     )
@@ -936,7 +937,8 @@ def frontier_dedup_persisted_state(spark, sf_dir):
     idx = os.path.join(
         cache_dir("crawled_urls", data_key(sf_dir, "documents")), "index"
     )
-    if not os.path.exists(os.path.join(idx, "format.json")):
+    if not crawl_index_current(idx):  # absent, half-built, or keyed
+        # under an older url_canonical version — rebuild either way
         write_crawled_urls(
             pages.select(url_canonical("url").alias("canon")), idx
         )

@@ -638,12 +638,16 @@ def _crawled_index_dir(spark, sf_dir: str) -> str:
     (dataset, mtime): every 4th document's URL — the loop's day-2
     state, written through the production marker-stamped index
     writer."""
-    from vmware_graph_spark.operators.crawl import write_crawled_urls
+    from vmware_graph_spark.operators.crawl import (
+        crawl_index_current,
+        write_crawled_urls,
+    )
 
     idx = os.path.join(
         cache_dir("crawl_loop_index", data_key(sf_dir, "documents")), "index"
     )
-    if not os.path.exists(os.path.join(idx, "format.json")):
+    if not crawl_index_current(idx):  # absent, half-built, or keyed
+        # under an older url_canonical version — rebuild either way
         d = load_table(spark, sf_dir, "documents").select("doc_id")
         crawled = d.filter(F.col("doc_id") % 4 == 0).select(
             F.concat(
