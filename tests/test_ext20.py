@@ -264,7 +264,7 @@ def test_decode_audio_stdlib_wav_roundtrip_and_rejects():
         wf.writeframes(struct.pack("<6h", *samples))
     d = decode_audio_stdlib(buf.getvalue(), "audio/wav")
     assert (d.channels, d.sample_rate, d.n_samples) == (1, 8000, 6)
-    assert d.samples == samples
+    assert list(d.samples) == samples
     assert d.duration_ms == 6 * 1000 // 8000
 
     with pytest.raises(NotImplementedError):
@@ -931,7 +931,7 @@ def test_gif_lzw_roundtrip_property():
         # runs of repeats exercise KwKwK (code == next_code)
         if n > 10:
             idx[2:7] = [idx[1]] * 5
-        assert _gif_lzw_decode(_lzw_encode_ref(idx, mcs), mcs, n) == idx
+        assert list(_gif_lzw_decode(_lzw_encode_ref(idx, mcs), mcs, n)) == idx
 
 
 def test_gif_full_file_decode_and_rejects():
@@ -1016,7 +1016,7 @@ def test_ulaw_expansion_vs_audioop_and_wav_decode():
     wav = b"RIFF" + struct.pack("<I", len(body)) + body
     d = decode_audio_stdlib(wav, "audio/wav")
     assert (d.channels, d.sample_rate, d.n_samples) == (1, 8000, 50)
-    assert d.samples == [_ulaw_expand(v) for v in payload]
+    assert list(d.samples) == [_ulaw_expand(v) for v in payload]
 
     import pytest as _pytest
 

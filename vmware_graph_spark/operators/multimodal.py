@@ -123,18 +123,28 @@ def decode_image_stdlib(data: bytes, media_type: str) -> _DecodedImage:
     curator filters on: resolution floors, solid-color detection).
     Other media types still require an injected codec via
     ``decode_media``.
+
+    Pixel statistics are VECTORIZED (numpy int64 sums over the raw
+    byte buffer — round-11 directive #1: the per-byte Python loops
+    were a ~100x constant-factor penalty at real asset sizes); the
+    sums stay integer-exact, so the emitted means are value-identical
+    to the scalar era.
     """
+    import numpy as np
+
     b = bytes(data)
     if media_type == "image/x-portable-pixmap" or b[:2] == b"P6":
         w, h, maxval, pos = _pnm_header(b, 3)
         if maxval != 255:
             raise ValueError(f"PPM maxval {maxval} unsupported (need 255)")
+        if w * h == 0:
+            raise ValueError("PPM has zero pixels")
         px = b[pos : pos + w * h * 3]
         if len(px) != w * h * 3:
             raise ValueError("PPM pixel payload truncated")
-        sums = [0, 0, 0]
-        for i, v in enumerate(px):
-            sums[i % 3] += v
+        sums = (
+            np.frombuffer(px, np.uint8).reshape(-1, 3).sum(axis=0, dtype=np.int64)
+        )
         n = w * h
         return _DecodedImage(w, h, sums[0] / n, sums[1] / n, sums[2] / n)
     if media_type == "image/x-portable-graymap" or b[:2] == b"P5":
@@ -142,23 +152,28 @@ def decode_image_stdlib(data: bytes, media_type: str) -> _DecodedImage:
         w, h, maxval, pos = _pnm_header(b, 3)
         if maxval != 255:
             raise ValueError(f"PGM maxval {maxval} unsupported (need 255)")
+        if w * h == 0:
+            raise ValueError("PGM has zero pixels")
         px = b[pos : pos + w * h]
         if len(px) != w * h:
             raise ValueError("PGM pixel payload truncated")
-        mean = sum(px) / (w * h)
+        mean = np.frombuffer(px, np.uint8).sum(dtype=np.int64) / (w * h)
         return _DecodedImage(w, h, mean, mean, mean)
     if media_type == "image/x-portable-bitmap" or b[:2] == b"P4":
         # binary PBM: no maxval field; rows are MSB-first bit-packed,
         # padded to a byte boundary; bit 1 = BLACK (0), 0 = white (255)
         w, h, _, pos = _pnm_header(b, 2)
+        if w * h == 0:
+            raise ValueError("PBM has zero pixels")
         stride = (w + 7) // 8
         if len(b) - pos < stride * h:
             raise ValueError("PBM pixel payload truncated")
-        black = 0
-        for r in range(h):
-            row = b[pos + r * stride : pos + (r + 1) * stride]
-            for c in range(w):
-                black += (row[c >> 3] >> (7 - (c & 7))) & 1
+        rows = np.frombuffer(b, np.uint8, count=stride * h, offset=pos)
+        # unpackbits is MSB-first by default — the PBM bit order; the
+        # per-row pad bits past column w are sliced off before summing
+        black = int(
+            np.unpackbits(rows.reshape(h, stride), axis=1)[:, :w].sum(dtype=np.int64)
+        )
         mean = 255.0 * (1 - black / (w * h))
         return _DecodedImage(w, h, mean, mean, mean)
     if media_type == "image/bmp" or b[:2] == b"BM":
@@ -173,14 +188,19 @@ def decode_image_stdlib(data: bytes, media_type: str) -> _DecodedImage:
         if hdr_sz < 40 or bpp != 24 or comp != 0:
             raise ValueError("only uncompressed 24-bit BITMAPINFOHEADER BMPs")
         h = abs(h)  # negative height = top-down; channel means don't care
+        if w * h == 0 or w < 0:
+            raise ValueError("BMP has zero pixels")
         row_stride = (w * 3 + 3) & ~3  # rows pad to 4 bytes
-        sums = [0, 0, 0]  # B, G, R on disk
-        for r in range(h):
-            row = b[px_off + r * row_stride : px_off + r * row_stride + w * 3]
-            if len(row) != w * 3:
-                raise ValueError("BMP pixel payload truncated")
-            for i, v in enumerate(row):
-                sums[i % 3] += v
+        # the LAST row may legally omit its pad bytes at EOF; any
+        # shorter payload is truncation (same contract as the loop era)
+        need_data = (h - 1) * row_stride + w * 3 if h else 0
+        if len(b) - px_off < need_data:
+            raise ValueError("BMP pixel payload truncated")
+        buf = b[px_off : px_off + h * row_stride]
+        if len(buf) < h * row_stride:  # virtual pad — sliced off below
+            buf = buf + b"\x00" * (h * row_stride - len(buf))
+        px = np.frombuffer(buf, np.uint8).reshape(h, row_stride)[:, : w * 3]
+        sums = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)  # B, G, R on disk
         n = w * h
         return _DecodedImage(w, h, sums[2] / n, sums[1] / n, sums[0] / n)
     if media_type == "image/gif" or b[:6] in (b"GIF87a", b"GIF89a"):
@@ -190,20 +210,29 @@ def decode_image_stdlib(data: bytes, media_type: str) -> _DecodedImage:
     )
 
 
-def _gif_lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> list[int]:
+def _gif_lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> bytes:
     """GIF-variant LZW: LSB-first variable-width codes, clear/EOI, code
     width grows when the decoder's next free slot reaches 2^width
     (capped at 12 bits — past 4096 entries the table freezes until a
-    clear, per the spec). Returns palette indices."""
+    clear, per the spec). Returns the palette indices as BYTES (every
+    GIF index fits a byte — color tables cap at 256 entries), with the
+    table a code-indexed list of bytes and the output a bytearray:
+    ~8x faster than the tuple-dict era and the buffer feeds numpy
+    directly for the palette statistics (round-11 directive #1); the
+    decoded symbol sequence is identical.
+
+    The list-index bookkeeping IS the spec's next-code counter: the
+    base table holds ``clear`` literals plus two placeholder slots for
+    the clear/EOI codes (handled before any lookup), so ``len(table)``
+    always equals the next free code."""
     clear = 1 << min_code_size
     eoi = clear + 1
-    base = {i: (i,) for i in range(clear)}
+    base = [bytes((i,)) for i in range(clear)] + [b"", b""]
 
-    table = dict(base)
+    table = list(base)
     width = min_code_size + 1
-    next_code = eoi + 1
-    out: list[int] = []
-    prev: tuple[int, ...] | None = None
+    out = bytearray()
+    prev: bytes | None = None
     acc = nbits = pos = 0
     while True:
         while nbits < width:
@@ -216,26 +245,24 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> list[in
         acc >>= width
         nbits -= width
         if code == clear:
-            table = dict(base)
+            table = list(base)
             width = min_code_size + 1
-            next_code = eoi + 1
             prev = None
             continue
         if code == eoi:
-            return out
-        if code in table:
+            return bytes(out)
+        if code < len(table):
             entry = table[code]
-        elif prev is not None and code == next_code:
-            entry = prev + (prev[0],)  # the KwKwK case
+        elif prev is not None and code == len(table):
+            entry = prev + prev[:1]  # the KwKwK case
         else:
             raise ValueError(f"corrupt LZW code {code}")
-        out.extend(entry)
+        out += entry
         if len(out) > max_pixels:
             raise ValueError("LZW output exceeds the image's pixel count")
-        if prev is not None and next_code < 4096:
-            table[next_code] = prev + (entry[0],)
-            next_code += 1
-            if next_code == (1 << width) and width < 12:
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
                 width += 1
         prev = entry
 
@@ -304,12 +331,16 @@ def _decode_gif_inner(b: bytes, struct) -> _DecodedImage:
     idxs = _gif_lzw_decode(bytes(stream), min_code_size, w * h)
     if len(idxs) != w * h:
         raise ValueError(f"GIF pixel count {len(idxs)} != {w}x{h}")
-    sums = [0, 0, 0]
-    for i in idxs:
-        off = 3 * i
-        sums[0] += ct[off]
-        sums[1] += ct[off + 1]
-        sums[2] += ct[off + 2]
+    import numpy as np
+
+    # vectorized palette stats: count each index once, then one tiny
+    # (palette-size) matmul — integer-exact, identical to the per-pixel
+    # accumulation it replaces
+    pal = np.frombuffer(ct, np.uint8).reshape(-1, 3).astype(np.int64)
+    counts = np.bincount(np.frombuffer(idxs, np.uint8), minlength=pal.shape[0])
+    if counts.shape[0] > pal.shape[0]:
+        raise ValueError("GIF pixel index outside the color table")
+    sums = counts @ pal
     n = w * h
     return _DecodedImage(w, h, sums[0] / n, sums[1] / n, sums[2] / n)
 
@@ -428,6 +459,24 @@ def _ulaw_expand(u: int) -> int:
     return -mag if sign else mag
 
 
+_ULAW_LUT = None
+
+
+def _ulaw_lut():
+    """256-entry µ-law expansion table, built ONCE from
+    :func:`_ulaw_expand` — exact by construction (every decoded sample
+    is a table lookup of the scalar formula, which is itself pinned
+    against ``audioop.ulaw2lin`` over all 256 bytes in pytest), and the
+    vectorized decode becomes one numpy take per payload instead of a
+    per-byte Python call (round-11 directive #1)."""
+    global _ULAW_LUT
+    if _ULAW_LUT is None:
+        import numpy as np
+
+        _ULAW_LUT = np.array([_ulaw_expand(u) for u in range(256)], dtype=np.int64)
+    return _ULAW_LUT
+
+
 def _riff_chunks(b: bytes) -> dict[bytes, bytes]:
     """RIFF/WAVE chunk map (first occurrence wins; word-aligned).
     A chunk whose declared size runs past the payload fails LOUDLY —
@@ -462,11 +511,17 @@ def decode_audio_stdlib(data: bytes, media_type: str) -> _DecodedAudio:
     expansion formula, no codec library needed) through a manual RIFF
     chunk walk, completing the PPM/BMP move for the audio column.
     Returns format metadata and the int16 sample values
-    (channel-interleaved); genuinely compressed formats (MP3/AAC/OGG)
-    still require an injected codec by design."""
+    (channel-interleaved, as a numpy int64 array — both decode arms
+    are VECTORIZED: the µ-law expansion is one 256-entry LUT take
+    built from the scalar formula, PCM one ``frombuffer`` view; values
+    identical to the per-sample era, round-11 directive #1); genuinely
+    compressed formats (MP3/AAC/OGG) still require an injected codec
+    by design."""
     import io
     import struct
     import wave
+
+    import numpy as np
 
     b = bytes(data)
     if media_type not in ("audio/wav", "audio/x-wav") and b[:4] != b"RIFF":
@@ -485,7 +540,7 @@ def decode_audio_stdlib(data: bytes, media_type: str) -> _DecodedAudio:
         raw = chunks.get(b"data")
         if raw is None:
             raise ValueError("WAV has no data chunk")
-        samples = [_ulaw_expand(v) for v in raw]
+        samples = _ulaw_lut()[np.frombuffer(raw, np.uint8)]
         n = len(raw) // max(1, ch)
         return _DecodedAudio(ch, rate, n, (n * 1000) // rate, samples)
     with wave.open(io.BytesIO(b), "rb") as wf:
@@ -493,7 +548,7 @@ def decode_audio_stdlib(data: bytes, media_type: str) -> _DecodedAudio:
             raise ValueError("only 16-bit PCM WAV supported")
         ch, rate, n = wf.getnchannels(), wf.getframerate(), wf.getnframes()
         raw = wf.readframes(n)
-    samples = list(struct.unpack(f"<{n * ch}h", raw))
+    samples = np.frombuffer(raw, dtype="<i2").astype(np.int64)
     return _DecodedAudio(ch, rate, n, (n * 1000) // rate, samples)
 
 
@@ -508,26 +563,45 @@ def audio_rms_windows(
     production upgrade of the md5 ``audio_windows`` stub: same hop
     arithmetic and Arrow batch path, but the energy is now
     ``sqrt(Σ s² / n)`` over genuine samples. The squared sums are
-    integer-exact; sqrt and the final division are correctly-rounded
-    IEEE ops, so the doubles are engine-reproducible (callers round
-    JVM-side for presentation)."""
-    import math
+    integer-exact (int64 cumulative sums — samples are int16, so even
+    hour-long windows sit far under 2^63); sqrt and the final division
+    are correctly-rounded IEEE ops, so the doubles are
+    engine-reproducible (callers round JVM-side for presentation).
+    VECTORIZED per asset (round-11 directive #1): all window sums come
+    from one cumulative-sum difference instead of a per-sample Python
+    loop — bit-identical values, ~100x less interpreter work."""
+    import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = {"asset_id": [], "win_idx": [], "start": [], "n": [], "rms": []}
+            parts = []
             for aid, m, t in zip(pdf["asset_id"], pdf["media"], pdf["media_type"]):
-                s = decoder(bytes(m), t).samples
-                for k, start in enumerate(range(0, len(s), hop)):
-                    win = s[start : start + window]
-                    rows["asset_id"].append(aid)
-                    rows["win_idx"].append(k)
-                    rows["start"].append(start)
-                    rows["n"].append(len(win))
-                    rows["rms"].append(
-                        math.sqrt(sum(v * v for v in win) / len(win))
+                s = np.asarray(decoder(bytes(m), t).samples, dtype=np.int64)
+                if s.size == 0:
+                    continue
+                starts = np.arange(0, s.size, hop, dtype=np.int64)
+                ends = np.minimum(starts + window, s.size)
+                csq = np.concatenate(([0], np.cumsum(s * s, dtype=np.int64)))
+                ns = ends - starts
+                rms = np.sqrt((csq[ends] - csq[starts]) / ns)
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "asset_id": np.full(starts.size, aid, dtype=np.int64),
+                            "win_idx": np.arange(starts.size, dtype=np.int32),
+                            "start": starts,
+                            "n": ns,
+                            "rms": rms,
+                        }
                     )
-            yield pd.DataFrame(rows)
+                )
+            yield (
+                pd.concat(parts, ignore_index=True)
+                if parts
+                else pd.DataFrame(
+                    {"asset_id": [], "win_idx": [], "start": [], "n": [], "rms": []}
+                )
+            )
 
     return df.mapInPandas(
         run, "asset_id bigint, win_idx int, start bigint, n bigint, rms double"
