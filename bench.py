@@ -5,6 +5,18 @@ Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {"q1": sec, ...}, "sf": <sf>}
 
+HEADLINE METRIC POLICY (round-11 VERDICT #2): ``value`` — the RAW
+per-query-median suite total from an IDLE-GATED (load<2 quiesce),
+CALIBRATION-GATED (probe median within ±15% of CALIB_REF) run — is the
+committed headline. ``value_normalized`` is DIAGNOSTIC ONLY: the
+calibration probe (a tiny fixed CPU job) does not share the suite's
+load sensitivity, so proportional normalization AMPLIFIES probe noise
+instead of absorbing it (same-code normalized spread 13.3→33.2 s in
+BENCHLOG while gated raw values sat at 26.9-29.1 s). Read
+cross-round comparisons as: raw ``value`` where ``calib_within_gate``
+is true; treat ``value_normalized`` as a host-drift annotation, never
+as the regression signal.
+
 Each query is forced with a noop write (full computation, no driver
 collect). The headline set spans the engine's surface: scan-agg, joins,
 windows, merge/upsert, dedup (exact + LSH), similarity, text, graph.
@@ -244,20 +256,20 @@ def main() -> None:
     run_totals = [round(sum(p.values()), 3) for p in per_pass]
 
     total = round(sum(timings.values()), 3)
-    # Normalized total: raw total scaled by CALIB_REF/median(calib) —
-    # what the suite WOULD have taken had the host run the calibration
-    # probe at its reference speed. CALIB_REF is the probe's median on
-    # the host state that produced BENCH_r09 (committed once, never
-    # retuned); cross-round comparisons should read value_normalized
-    # first and fall back to raw value + band when the probe itself
-    # moved >25% (a host that slow is drifting in ways one scalar
-    # can't correct).
+    # DIAGNOSTIC normalized total (round-11 VERDICT #2 demoted it from
+    # headline): raw total scaled by CALIB_REF/median(calib). The
+    # probe's load sensitivity is not the suite's, so this AMPLIFIES
+    # probe noise under contention — the committed headline is the raw
+    # `value` from a calib-gated idle run; this field only annotates
+    # how far the host's scalar compute speed sat from the reference.
     calib_med = median(calib_per_pass)
     value_normalized = round(total * (CALIB_REF / calib_med), 3) if calib_med else None
     result = {
         "metric": "headline_suite_total",
         "value": total,
         "unit": "sec",
+        "headline_policy": "value = raw idle+calib-gated per-query-median "
+                           "total; value_normalized is diagnostic only",
         "queries": timings,
         "sf": sf,
         "load_1m_at_start": load_at_start,

