@@ -1,0 +1,146 @@
+"""Unit tests for the round-12 additions: reputation-weighted
+budgeting, the RFC 9309 §2.3.1.2 redirect arm (covered in test_ext24),
+the §2.5 parse limit, IP-grain politeness, and conditional-GET
+revalidation economics."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_truncate_robots_body_line_boundary():
+    """The §2.5 cut lands on the LAST complete line inside the byte
+    budget — never mid-record — and in-limit bodies pass untouched."""
+    from vmware_graph_spark.operators.crawl import truncate_robots_body
+
+    small = "User-agent: *\nDisallow: /a\n"
+    assert truncate_robots_body(small) == small
+
+    # 9-byte lines; a 25-byte budget keeps exactly two of them
+    txt = "#2345678\n" * 4
+    assert truncate_robots_body(txt, 25) == "#2345678\n" * 2
+    # budget inside the first line -> empty body, not half a line
+    assert truncate_robots_body("Disallow: /secret-path\n", 10) == ""
+    # multi-byte characters: the cut is on a newline, so decode is safe
+    uni = "# héllo wörld\n" * 100
+    out = truncate_robots_body(uni, 64)
+    assert out and uni.startswith(out) and out.endswith("\n")
+    assert len(out.encode("utf-8")) <= 64
+
+
+def test_parse_robots_applies_parse_limit():
+    """Rules past the 500 KiB cap are ignored; rules before it bind."""
+    from vmware_graph_spark.operators.crawl import parse_robots_txt
+
+    pad = "#x\n" * 171_000  # 513 000 bytes
+    txt = "User-agent: a\nDisallow: /pre/\n" + pad + "Disallow: /late/\n"
+    assert parse_robots_txt(txt, "a") == [("/pre/", False)]
+    # the whole group past the cap -> no rules at all
+    assert parse_robots_txt(pad + "User-agent: a\nDisallow: /pre/\n", "a") == []
+
+
+def test_revalidation_policy_precedence(spark):
+    """ETag beats Last-Modified; empty-string validators are absent;
+    savings only on the conditional arms."""
+    from vmware_graph_spark.operators.crawl import revalidation_policy
+
+    df = spark.createDataFrame(
+        [
+            ('W/"abc"', "Fri, 01 Aug 2026 00:00:00 GMT", 0.25, 1000),
+            (None, "Fri, 01 Aug 2026 00:00:00 GMT", 0.5, 800),
+            ("", None, 0.0, 600),
+            (None, None, 0.9, 400),
+            ("", "Fri, 01 Aug 2026 00:00:00 GMT", 1.0, 200),
+        ],
+        "etag string, lm string, rate double, len bigint",
+    )
+    pol = revalidation_policy(
+        F.col("etag"), F.col("lm"), F.col("rate"), F.col("len")
+    )
+    got = [
+        (r.m, r.s)
+        for r in df.select(
+            pol["mode"].alias("m"), pol["expected_saved_bytes"].alias("s")
+        ).collect()
+    ]
+    assert got == [
+        ("if-none-match", 750.0),       # etag wins over lm
+        ("if-modified-since", 400.0),
+        ("unconditional", 0.0),         # empty etag, no lm
+        ("unconditional", 0.0),
+        ("if-modified-since", 0.0),     # certain change: nothing saved
+    ]
+
+
+def test_ip_politeness_waves_grouping_and_plan(spark):
+    """Waves schedule per IP (hosts sharing an address share the
+    domain), full waves everywhere but each IP's last, and the per-IP
+    rank is range-bucketed — no plain per-IP window."""
+    from vmware_graph_spark.queries_ext25 import ip_politeness_waves
+
+    df = ip_politeness_waves(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    rn_specs = re.findall(r"row_number\(\) windowspecdefinition\(([^)]*)\)", plan)
+    assert rn_specs
+    for spec in rn_specs:
+        assert "__range_bucket" in spec, spec
+
+    rows = df.collect()
+    assert {r.ip for r in rows} == {"10.0.0.0", "10.0.0.1"}
+    for ip in ("10.0.0.0", "10.0.0.1"):
+        waves = sorted((r.wave, r.n_urls) for r in rows if r.ip == ip)
+        assert [w for w, _ in waves] == list(range(1, len(waves) + 1))
+        assert all(n == 8 for _, n in waves[:-1])
+    # ip .0 fronts hosts {0,2,4}: some wave must mix multiple hosts
+    assert max(r.n_hosts for r in rows if r.ip == "10.0.0.0") >= 2
+
+
+def test_write_wet_target_member_bytes(spark, tmp_path):
+    """Member sizing: the sink splits into ~ceil(total/target) files,
+    every record survives the roundtrip, and the default (no target)
+    behavior is unchanged."""
+    import glob
+
+    from vmware_graph_spark.sources.warc import read_warc, write_wet
+
+    df = spark.createDataFrame(
+        [(f"http://h/{i}", "x" * 1000) for i in range(200)],
+        "uri string, text string",
+    )
+    out_dir = str(tmp_path / "wet_sized")
+    # ~200 * (1000 + 2*12 + 140) ~ 233 KB serialized; 50 KB target -> ~5
+    n = write_wet(df, out_dir, target_member_bytes=50_000)
+    assert n == 200
+    files = glob.glob(f"{out_dir}/*.warc.wet")
+    assert 3 <= len(files) <= 7, len(files)
+    back = read_warc(spark, f"{out_dir}/*.warc.wet", types=("conversion",))
+    assert back.count() == 200
+    assert back.select("uri").distinct().count() == 200
+
+
+def test_reputation_weighted_budget_conserves_and_orders(spark):
+    """Σalloc = 1000 exactly, and the dup-heavy content farm (host0)
+    gets the smallest share; the robots-blocking host1 sits between
+    the farm and the healthy hosts."""
+    from vmware_graph_spark.queries_ext25 import reputation_weighted_budget
+
+    rows = {r.host: r for r in reputation_weighted_budget(spark, SF).collect()}
+    assert len(rows) == 5
+    assert sum(r.alloc for r in rows.values()) == 1000
+    farm = rows["www.site0.example.com"]
+    blocker = rows["www.site1.example.com"]
+    healthy = [
+        rows[f"www.site{k}.example.com"] for k in (2, 3, 4)
+    ]
+    assert farm.alloc < blocker.alloc
+    assert all(blocker.alloc < h.alloc for h in healthy)
+    assert all(r.weight >= 0 for r in rows.values())

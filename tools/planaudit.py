@@ -128,8 +128,13 @@ AUDIT = [
     "audio_ulaw_rms_windows",
     "focused_crawl_priority",
     # round-12: reputation-weighted budgeting + redirect-policy arms
+    # + parse-limit cap + IP-grain politeness + revalidation economy
     "reputation_weighted_budget",
     "robots_redirect_policy_arms",
+    "robots_parse_limit_cap",
+    "ip_politeness_waves",
+    "revalidation_economy",
+    "multimodal_decode_gif_64px_stats",
 ]
 
 

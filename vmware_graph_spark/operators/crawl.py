@@ -194,6 +194,34 @@ def robots_filter(
 # robots.txt parsing + User-agent group selection (RFC 9309 §2.2.1).
 # ---------------------------------------------------------------------------
 
+#: RFC 9309 §2.5: a crawler SHOULD impose a parsing limit on
+#: robots.txt and that limit MUST be at least 500 kibibytes — content
+#: past it MAY be ignored. 512 000 bytes = the RFC floor exactly.
+ROBOTS_PARSE_LIMIT_BYTES = 512_000
+
+
+def truncate_robots_body(
+    txt: str, limit: int = ROBOTS_PARSE_LIMIT_BYTES
+) -> str:
+    """Apply the RFC 9309 §2.5 parse limit: keep complete LINES whose
+    cumulative UTF-8 byte length fits ``limit`` — a record straddling
+    the cap is dropped WHOLE (half a Disallow value is a different,
+    wrong rule, so the cut lands on the last newline inside the
+    budget; a single over-limit line yields the empty body). Bodies
+    within the limit pass through untouched, so the cap is invisible
+    to every normal robots.txt (real ones are a few KiB)."""
+    b = txt.encode("utf-8")
+    if len(b) <= limit:
+        return txt
+    cut = b[:limit]
+    nl = cut.rfind(b"\n")
+    if nl < 0:
+        return ""
+    # the slice ends on the single-byte newline of a complete line of
+    # valid UTF-8, so a strict decode cannot fail
+    return cut[: nl + 1].decode("utf-8")
+
+
 def parse_robots_txt_full(
     txt: str, user_agent: str
 ) -> tuple[list[tuple[str, bool]], float | None]:
@@ -233,15 +261,21 @@ def parse_robots_txt(txt: str, user_agent: str) -> list[tuple[str, bool]]:
     carrying the winning token merge. Empty
     Allow/Disallow values are no-ops per the RFC and are dropped here
     (so :func:`robots_filter` never sees a match-everything empty
-    pattern). Returns ``[(path_pattern, allow), ...]``.
+    pattern). Bodies are capped at the RFC 9309 §2.5 parse limit
+    (:func:`truncate_robots_body` — 500 KiB, whole-line cut) before
+    parsing. Returns ``[(path_pattern, allow), ...]``.
     """
     return _parse_robots_impl(txt, user_agent)[0]
 
 
 def _parse_robots_impl(
-    txt: str, user_agent: str
+    txt: str, user_agent: str, body_limit: int = ROBOTS_PARSE_LIMIT_BYTES
 ) -> tuple[list[tuple[str, bool]], float | None]:
     ua = user_agent.strip().lower()
+    # RFC 9309 §2.5 parse limit (round-12): rules past the cap are
+    # ignored — dropped at a line boundary, never half-parsed. A
+    # no-op for every body within 500 KiB.
+    txt = truncate_robots_body(txt, body_limit)
     # Real robots.txt files frequently begin with a UTF-8 BOM; left in
     # place it glues onto the first field name ('﻿User-agent'),
     # silently discarding the first group.
@@ -872,6 +906,44 @@ def robots_cache_policy(
         max_age.alias("max_age_s"),
         age.alias("age_s"),
         (age >= max_age).alias("refetch_due"),
+    )
+
+
+def revalidation_policy(
+    etag: Column,
+    last_modified: Column,
+    change_rate: Column,
+    content_len: Column,
+) -> Column:
+    """Conditional-GET revalidation economy (RFC 9110 §13.1 / §8.8.3
+    precedence): a recrawl of a URL whose previous response carried a
+    VALIDATOR should revalidate instead of refetch — ``If-None-Match``
+    when an ETag exists (entity tags are the stronger validator and
+    take precedence when both are present), else
+    ``If-Modified-Since`` from Last-Modified, else an unconditional
+    GET. A 304 saves the whole body, and the revisit finds the body
+    unchanged with probability ``1 - change_rate`` (the
+    :func:`recrawl_priority` estimate), so the expected bytes saved
+    per revisit is ``(1 - change_rate) × content_len`` on the
+    conditional arms and 0 on the unconditional one. Empty-string
+    validators count as absent (proxies emit them). Returns a struct
+    ``(mode, expected_saved_bytes)`` with the bytes rounded to 6 —
+    pure Catalyst over the per-URL fetch-state table, never the
+    frontier."""
+    has_etag = etag.isNotNull() & (etag != "")
+    has_lm = last_modified.isNotNull() & (last_modified != "")
+    mode = (
+        F.when(has_etag, F.lit("if-none-match"))
+        .when(has_lm, F.lit("if-modified-since"))
+        .otherwise(F.lit("unconditional"))
+    )
+    saved = F.when(
+        has_etag | has_lm,
+        (F.lit(1.0) - change_rate) * content_len,
+    ).otherwise(F.lit(0.0))
+    return F.struct(
+        mode.alias("mode"),
+        F.round(saved, 6).alias("expected_saved_bytes"),
     )
 
 

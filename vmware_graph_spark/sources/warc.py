@@ -261,6 +261,7 @@ def write_wet(
     uri_col: str = "uri",
     text_col: str = "text",
     gzip_members: bool = False,
+    target_member_bytes: int | None = None,
 ) -> int:
     """Distributed WET SINK: each partition's rows serialize into one
     ``.warc.wet[.gz]`` file written FROM THE EXECUTOR (the re-shard
@@ -269,14 +270,46 @@ def write_wet(
     sorted by URI within each file so file contents are deterministic
     given a partitioning; file NAMES carry the partition id. Returns
     the number of records written (from the executors' manifest rows).
-    Readers use ``read_warc(types=('conversion',))``."""
+    Readers use ``read_warc(types=('conversion',))``.
+
+    ``target_member_bytes`` (round-12, actioning the SCALING.md gz
+    read-back note: a ``.gz`` member decodes as ONE stream, so read
+    parallelism equals member count): when set, one cheap aggregate
+    estimates the total SERIALIZED size (per-record header overhead +
+    URI + UTF-8 text octets) and the frame repartitions to
+    ``ceil(total/target)`` members — hash-partitioned on the URI so
+    member contents stay deterministic for a given member count. The
+    target measures UNCOMPRESSED serialized bytes (the deterministic
+    quantity; gz ratios are data-dependent — Common Crawl's own WET
+    members target ~150 MB compressed the same way, by record
+    volume)."""
     import gzip
     import os
 
     import pandas as pd
 
+    from pyspark.sql import functions as F
+
     os.makedirs(out_dir, exist_ok=True)
     ext = ".warc.wet.gz" if gzip_members else ".warc.wet"
+
+    if target_member_bytes:
+        # per-record serialized estimate: fixed header lines ~140 B +
+        # the URI twice (Record-ID + Target-URI) + the text octets
+        est = (
+            df.select(
+                (
+                    F.lit(140)
+                    + 2 * F.octet_length(uri_col)
+                    + F.octet_length(text_col)
+                ).alias("__b")
+            )
+            .agg(F.sum("__b"))
+            .collect()[0][0]
+            or 0
+        )
+        n_parts = max(1, -(-int(est) // int(target_member_bytes)))
+        df = df.repartition(n_parts, uri_col)
 
     def write_part(batches):
         from pyspark import TaskContext
