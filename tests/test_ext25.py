@@ -127,6 +127,113 @@ def test_write_wet_target_member_bytes(spark, tmp_path):
     assert back.select("uri").distinct().count() == 200
 
 
+def _naive_gif_frame(pal_rgb, w, h, idx):
+    """One GIF image block (GCE + descriptor + LOCAL 4-color table +
+    clear-per-symbol 3-bit LZW) for the animation tests."""
+    import struct
+
+    pal = b"".join(bytes(c) for c in pal_rgb)
+    gce = b"!\xf9\x04\x00\x00\x00\x00\x00"
+    img = b"," + struct.pack("<HHHHB", 0, 0, w, h, 0x81)
+    bits = []
+
+    def emit(code):
+        for k in range(3):
+            bits.append((code >> k) & 1)
+
+    for p in idx:
+        emit(4)
+        emit(p)
+    emit(5)
+    by = bytearray()
+    for i in range(0, len(bits), 8):
+        v = 0
+        for j, bit in enumerate(bits[i : i + 8]):
+            v |= bit << j
+        by.append(v)
+    blocks = b""
+    for i in range(0, len(by), 255):
+        chunk = bytes(by[i : i + 255])
+        blocks += bytes([len(chunk)]) + chunk
+    return gce + img + pal + b"\x02" + blocks + b"\x00"
+
+
+def test_decode_gif_frames_multi_frame_local_tables():
+    """Every frame decodes; local color tables override the (decoy)
+    global one; frame dims may differ; truncation and frameless GIFs
+    fail loudly."""
+    import struct
+
+    import pytest as _pytest
+
+    from vmware_graph_spark.operators.multimodal import (
+        decode_gif_frames,
+        decode_image_stdlib,
+    )
+
+    head = b"GIF89a" + struct.pack("<HHBBB", 4, 2, 0x81, 0, 0) + b"\x00" * 12
+    f0 = _naive_gif_frame([(10, 20, 30)] * 4, 4, 2, [0] * 8)
+    f1 = _naive_gif_frame(
+        [(100, 0, 0), (200, 0, 0), (100, 0, 0), (200, 0, 0)], 2, 2, [0, 1, 2, 3]
+    )
+    g = head + f0 + f1 + b";"
+    frames = decode_gif_frames(g)
+    assert [(f[0], f[1], f[2]) for f in frames] == [(0, 4, 2), (1, 2, 2)]
+    assert frames[0][3:] == (10.0, 20.0, 30.0)   # local table, not the zeroed global
+    assert frames[1][3] == 150.0                  # (100+200+100+200)/4
+    # the single-frame decoder still reads exactly frame 0
+    d = decode_image_stdlib(g, "image/gif")
+    assert (d.width, d.height, d.mean_r) == (4, 2, 10.0)
+
+    with _pytest.raises(ValueError):
+        decode_gif_frames(head + b";")           # no image data
+    with _pytest.raises(ValueError):
+        decode_gif_frames(g[:-6])                # truncated mid-frame
+    with _pytest.raises(ValueError):
+        decode_gif_frames(b"NOTGIF")
+
+
+def test_page_directives_and_rel_links(spark):
+    """Meta/header directive grammar: restrictive union across sources,
+    'none' = both, attribute order free, decoy meta names inert,
+    'rel=' in anchor TEXT never fabricates a rel."""
+    from vmware_graph_spark.functions.url import extract_links_rel
+    from vmware_graph_spark.operators.crawl import page_directives
+
+    df = spark.createDataFrame(
+        [
+            # restrictive union: meta says nofollow, header says noindex
+            ('<meta name="robots" content="nofollow">', "noindex", True, True),
+            # 'none' implies both; decoy viewport meta inert
+            ('<meta content="none" name="robots"><meta name="viewport" '
+             'content="noindex">', None, True, True),
+            ('<meta name="viewport" content="noindex">', None, False, False),
+            (None, "NOINDEX", True, False),
+            ("<p>no directives</p>", "", False, False),
+            # substring must not match: 'nofollowed' is not 'nofollow'
+            ('<meta name="robots" content="nofollowed">', None, False, False),
+        ],
+        "html string, hdr string, want_noindex boolean, want_nofollow boolean",
+    )
+    pd_ = page_directives(F.col("html"), F.col("hdr"))
+    for r in df.select(
+        "want_noindex", "want_nofollow",
+        pd_["noindex"].alias("ni"), pd_["nofollow"].alias("nf"),
+    ).collect():
+        assert (r.ni, r.nf) == (r.want_noindex, r.want_nofollow), r
+
+    links = spark.createDataFrame(
+        [
+            ('<a rel="NoFollow" href="/a">x</a>'
+             '<a href="/b" rel="ugc sponsored">y</a>'
+             '<a href="/c">rel=nofollow in text</a>',),
+        ],
+        "html string",
+    ).select(F.explode(extract_links_rel("html")).alias("l")).collect()
+    got = [(r.l.href, r.l.rel) for r in links]
+    assert got == [("/a", "nofollow"), ("/b", "ugc sponsored"), ("/c", "")]
+
+
 def test_reputation_weighted_budget_conserves_and_orders(spark):
     """Σalloc = 1000 exactly, and the dup-heavy content farm (host0)
     gets the smallest share; the robots-blocking host1 sits between

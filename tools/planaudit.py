@@ -135,6 +135,8 @@ AUDIT = [
     "ip_politeness_waves",
     "revalidation_economy",
     "multimodal_decode_gif_64px_stats",
+    "multimodal_gif_frame_stats",
+    "page_directives_gate",
 ]
 
 

@@ -300,6 +300,54 @@ def extract_links(html: Column | str) -> Column:
     )
 
 
+def extract_links_rel(html: Column | str) -> Column:
+    """:func:`extract_links` plus each anchor's ``rel`` attribute —
+    ``array<struct<href,rel,text>>`` (rel lowercased, '' when absent).
+    The rel value is extracted from the SAME matched anchor tag, so
+    attribute order (rel before or after href) doesn't matter. This is
+    the page-level REP layer's per-link signal: a crawler honoring
+    ``rel="nofollow"`` (or its ``ugc``/``sponsored`` refinements)
+    excludes the link from frontier discovery — see
+    ``operators/crawl.py::page_directives`` for the page-wide meta /
+    X-Robots-Tag layer."""
+    h = F.col(html) if isinstance(html, str) else html
+    matches = F.regexp_extract_all(h, F.lit(_ANCHOR_RE), 0)
+    # rel is read from the OPENING TAG only (quote-atomic scan to the
+    # tag's real '>'), never from the anchor text — '<a href=x>rel=no
+    # follow</a>' must not fabricate a rel. rel is a SPACE-SEPARATED
+    # list ("ugc nofollow"), so the quoted forms capture the whole
+    # value; the unquoted form ends at whitespace by HTML grammar.
+    tag_re = r"""(?is)^(<a\s(?:[^>"']++|"[^"]*+"|'[^']*+')*+>)"""
+    rel_dq = r"""(?i)[\s"']rel\s*=\s*"([^"]*)\""""
+    rel_sq = r"""(?i)[\s"']rel\s*=\s*'([^']*)'"""
+    rel_uq = r"""(?i)[\s"']rel\s*=\s*([^"'\s>]+)"""
+
+    def _rel(tag):
+        dq = F.regexp_extract(tag, rel_dq, 1)
+        sq = F.regexp_extract(tag, rel_sq, 1)
+        uq = F.regexp_extract(tag, rel_uq, 1)
+        return F.lower(
+            F.when(dq != "", dq).when(sq != "", sq).otherwise(uq)
+        )
+
+    return F.transform(
+        matches,
+        lambda m: F.struct(
+            F.regexp_extract(m, _ANCHOR_RE, 1).alias("href"),
+            _rel(F.regexp_extract(m, tag_re, 1)).alias("rel"),
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.regexp_extract(m, _ANCHOR_RE, 2), r"<[^>]*>", " "
+                    ),
+                    r"\s+",
+                    " ",
+                )
+            ).alias("text"),
+        ),
+    )
+
+
 def resolve_href(scheme: Column, host: Column, href: Column) -> Column:
     """Resolve one href against its page's scheme://host: absolute
     http(s) passes through, protocol-relative ('//cdn.x.com/p') takes

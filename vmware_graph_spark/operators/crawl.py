@@ -909,6 +909,57 @@ def robots_cache_policy(
     )
 
 
+#: matches every <meta ... name="robots" ...> tag (attribute order
+#: free; quote-atomic to the tag's real '>'), case-insensitive.
+_META_ROBOTS_RE = (
+    r"""(?is)<meta\s(?:[^>"'\s]++|"[^"]*+"|'[^']*+'|\s++)*?"""
+    r"""name\s*=\s*["']?robots["'\s>](?:[^>"']++|"[^"]*+"|'[^']*+')*+>"""
+)
+_META_CONTENT_RE = r"""(?i)content\s*=\s*["']([^"']*)["']"""
+
+
+def _directive_in(value: Column, token: str) -> Column:
+    """True when a comma-separated robots directive list contains
+    ``token`` (case-insensitive, whitespace-tolerant) — the grammar
+    both <meta name=robots content=…> and X-Robots-Tag use."""
+    return F.lower(F.coalesce(value, F.lit(""))).rlike(
+        rf"(^|,)\s*{token}\s*(,|$)"
+    )
+
+
+def page_directives(html: Column, x_robots_tag: Column) -> Column:
+    """Page-level Robots Exclusion Protocol — the layer robots.txt
+    does NOT cover (a fetched page can still refuse indexing or link
+    following): ``<meta name="robots" content="...">`` tags in the
+    body and the ``X-Robots-Tag`` response header, with the directives
+    search engines document — ``noindex`` (drop the page from the
+    corpus/index), ``nofollow`` (exclude ALL its links from frontier
+    discovery), ``none`` (= noindex,nofollow). Multiple sources/tags
+    combine RESTRICTIVELY (any source saying noindex wins — the
+    documented engine behavior for conflicting directives). Returns a
+    struct ``(noindex, nofollow)`` of booleans; per-LINK rel=nofollow
+    is the companion signal (``functions/url.py::extract_links_rel``).
+    Pure Catalyst: one regexp_extract_all over the page, one header
+    scan — no UDF, no shuffle."""
+    tags = F.regexp_extract_all(
+        F.coalesce(html, F.lit("")), F.lit(_META_ROBOTS_RE), 0
+    )
+    metas = F.transform(tags, lambda t: F.regexp_extract(t, _META_CONTENT_RE, 1))
+    meta_has = lambda tok: F.exists(  # noqa: E731
+        metas, lambda c: _directive_in(c, tok)
+    )
+    hdr_has = lambda tok: _directive_in(x_robots_tag, tok)  # noqa: E731
+    noindex = (
+        meta_has("noindex") | meta_has("none")
+        | hdr_has("noindex") | hdr_has("none")
+    )
+    nofollow = (
+        meta_has("nofollow") | meta_has("none")
+        | hdr_has("nofollow") | hdr_has("none")
+    )
+    return F.struct(noindex.alias("noindex"), nofollow.alias("nofollow"))
+
+
 def revalidation_policy(
     etag: Column,
     last_modified: Column,

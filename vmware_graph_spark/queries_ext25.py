@@ -439,6 +439,190 @@ def multimodal_decode_gif_64px_stats(spark, sf_dir):
 
 
 @query(
+    "page_directives_gate",
+    """
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 5 IN (1, 3, 4) THEN 1 ELSE 0 END
+                AS INTEGER) AS noindex,
+           CAST(CASE WHEN doc_id % 5 IN (2, 3, 4) THEN 1 ELSE 0 END
+                AS INTEGER) AS nofollow,
+           CAST(2 AS BIGINT) AS n_links,
+           CAST(CASE WHEN doc_id % 5 IN (2, 3, 4) THEN 0 ELSE 1 END
+                AS BIGINT) AS n_followed
+    FROM documents
+    """,
+)
+def page_directives_gate(spark, sf_dir):
+    """Page-level Robots Exclusion Protocol (``page_directives`` +
+    ``extract_links_rel``) — the layer robots.txt does not cover: per
+    page, the noindex/nofollow verdict from ``<meta name=robots>``
+    tags and the ``X-Robots-Tag`` header, and the frontier effect —
+    followed links = 0 on a nofollow page, else anchors whose own
+    ``rel`` lacks nofollow. Five arms: clean (with a DECOY
+    ``<meta name=viewport content=noindex>`` that must not trigger),
+    meta 'noindex, follow', case-shuffled meta 'NOFOLLOW', header
+    'noindex, nofollow', and meta 'none' (= both). Every page carries
+    one plain anchor and one ``rel="nofollow"`` anchor. The oracle
+    writes all four columns from doc_id arithmetic."""
+    from vmware_graph_spark.functions.url import extract_links_rel
+    from vmware_graph_spark.operators.crawl import page_directives
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id").cast("string")
+    k = F.col("doc_id") % 5
+    meta = (
+        F.when(k == 1, F.lit('<meta name="robots" content="noindex, follow">'))
+        .when(k == 2, F.lit("<META NAME='ROBOTS' CONTENT=\"NOFOLLOW\">"))
+        .when(k == 4, F.lit('<meta content="none" name="robots">'))
+        .otherwise(F.lit('<meta name="viewport" content="noindex">'))
+    )
+    html = F.concat(
+        F.lit("<html><head>"), meta,
+        F.lit('</head><body><a href="/f/'), i, F.lit('">go</a>'),
+        F.lit('<a rel="nofollow" href="/n/'), i, F.lit('">ad</a>'),
+        F.lit("</body></html>"),
+    )
+    hdr = F.when(k == 3, F.lit("noindex, nofollow")).otherwise(
+        F.lit(None).cast("string")
+    )
+    pages = d.select("doc_id", html.alias("html"), hdr.alias("x_robots"))
+    pd_ = page_directives(F.col("html"), F.col("x_robots"))
+    links = extract_links_rel(F.col("html"))
+    followed = F.when(pd_["nofollow"], F.lit(0).cast("bigint")).otherwise(
+        F.size(
+            F.filter(
+                links,
+                lambda x: ~x["rel"].rlike(r"(^|\s)nofollow($|\s)"),
+            )
+        ).cast("bigint")
+    )
+    return pages.select(
+        "doc_id",
+        pd_["noindex"].cast("int").alias("noindex"),
+        pd_["nofollow"].cast("int").alias("nofollow"),
+        F.size(links).cast("bigint").alias("n_links"),
+        followed.alias("n_followed"),
+    )
+
+
+@query(
+    "multimodal_gif_frame_stats",
+    """
+    WITH d AS (SELECT doc_id, n_chars AS nc, 1 + doc_id % 3 AS nf
+               FROM documents WHERE doc_id % 20 = 3),
+    f AS (SELECT doc_id, nc, unnest(range(nf)) AS fi FROM d),
+    px AS (SELECT doc_id, nc, fi, unnest(range(48)) AS p FROM f),
+    m AS (
+      SELECT doc_id, fi,
+             avg((nc + fi * 7 + (p % 4) * 40) % 256) AS mr,
+             avg((nc + fi * 7 + (p % 4) * 40 + 85) % 256) AS mg,
+             avg((nc + fi * 7 + (p % 4) * 40 + 170) % 256) AS mb
+      FROM px GROUP BY doc_id, fi
+    )
+    SELECT doc_id AS asset_id, CAST(fi AS INTEGER) AS frame_idx,
+           CAST(8 AS INTEGER) AS width, CAST(6 AS INTEGER) AS height,
+           round(mr, 6) AS mean_r, round(mg, 6) AS mean_g,
+           round(mb, 6) AS mean_b
+    FROM m
+    """,
+)
+def multimodal_gif_frame_stats(spark, sf_dir):
+    """ANIMATED-GIF frame decode, end to end — the video family's
+    first REAL decode path (``decode_gif_frames``/``gif_frame_stats``;
+    ``extract_frames`` stays the codec-injection stub for true video
+    containers): sampled documents each synthesize a GIF89a with
+    1-3 frames, each frame carrying its OWN LOCAL color table (ramped
+    by frame index — the header advertises a zeroed GLOBAL table as a
+    decoy, so a local-table-override bug floods the means with zeros)
+    and a graphic-control extension between frames the walker must
+    skip. Every frame decodes through the production Arrow path at
+    the frame grain; the oracle recomputes each frame's channel means
+    from the palette/index formulas."""
+    import pandas as pd_
+
+    from vmware_graph_spark.operators.multimodal import (
+        as_media,
+        gif_frame_stats,
+    )
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 20 == 3)
+        .select("doc_id", "n_chars")
+    )
+
+    def build(batches):
+        import struct
+
+        def frame_block(nc, fi):
+            pal = b"".join(
+                bytes((
+                    (nc + fi * 7 + j * 40) % 256,
+                    (nc + fi * 7 + j * 40 + 85) % 256,
+                    (nc + fi * 7 + j * 40 + 170) % 256,
+                ))
+                for j in range(4)
+            )
+            gce = b"!\xf9\x04\x00\x00\x00\x00\x00"
+            img = b"," + struct.pack("<HHHHB", 0, 0, 8, 6, 0x81)
+            # naive valid LZW (clear before every literal, 3-bit codes)
+            bits = []
+            def emit(code):
+                for k in range(3):
+                    bits.append((code >> k) & 1)
+            for p in range(48):
+                emit(4)
+                emit(p % 4)
+            emit(5)
+            by = bytearray()
+            for i in range(0, len(bits), 8):
+                v = 0
+                for j, bit in enumerate(bits[i : i + 8]):
+                    v |= bit << j
+                by.append(v)
+            blocks = b""
+            for i in range(0, len(by), 255):
+                chunk = bytes(by[i : i + 255])
+                blocks += bytes([len(chunk)]) + chunk
+            return gce + img + pal + b"\x02" + blocks + b"\x00"
+
+        def gif(nc, nf):
+            head = (
+                b"GIF89a" + struct.pack("<HHBBB", 8, 6, 0x81, 0, 0)
+                + b"\x00" * 12  # zeroed 4-entry GLOBAL table (decoy)
+            )
+            return head + b"".join(frame_block(nc, f) for f in range(nf)) + b";"
+
+        for pdf in batches:
+            yield pd_.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "media": [
+                        gif(int(nc), 1 + int(did) % 3)
+                        for did, nc in zip(pdf["doc_id"], pdf["n_chars"])
+                    ],
+                }
+            )
+
+    assets = as_media(
+        d.mapInPandas(build, "asset_id bigint, media binary"),
+        "asset_id",
+        "media",
+        "image/gif",
+    )
+    out = gif_frame_stats(assets)
+    return out.select(
+        "asset_id",
+        "frame_idx",
+        "width",
+        "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
+@query(
     "revalidation_economy",
     """
     WITH d AS (
