@@ -212,6 +212,11 @@ def test_page_directives_and_rel_links(spark):
             ("<p>no directives</p>", "", False, False),
             # substring must not match: 'nofollowed' is not 'nofollow'
             ('<meta name="robots" content="nofollowed">', None, False, False),
+            # UNQUOTED content value is legal HTML (round-12 self-review)
+            ("<meta name=robots content=noindex>", None, True, False),
+            # single-quoted list with spaces
+            ("<meta name='robots' content='noindex , nofollow'>", None,
+             True, True),
         ],
         "html string, hdr string, want_noindex boolean, want_nofollow boolean",
     )

@@ -915,7 +915,20 @@ _META_ROBOTS_RE = (
     r"""(?is)<meta\s(?:[^>"'\s]++|"[^"]*+"|'[^']*+'|\s++)*?"""
     r"""name\s*=\s*["']?robots["'\s>](?:[^>"']++|"[^"]*+"|'[^']*+')*+>"""
 )
-_META_CONTENT_RE = r"""(?i)content\s*=\s*["']([^"']*)["']"""
+# content value: quoted forms take the whole value (directive lists
+# carry spaces); the unquoted form is legal HTML too ('content=noindex'
+# — no spaces possible by grammar, round-12 self-review) and ends at
+# whitespace/'>'.
+_META_CONTENT_DQ = r"""(?i)content\s*=\s*"([^"]*)\""""
+_META_CONTENT_SQ = r"""(?i)content\s*=\s*'([^']*)'"""
+_META_CONTENT_UQ = r"""(?i)content\s*=\s*([^"'\s>]+)"""
+
+
+def _meta_content(tag: Column) -> Column:
+    dq = F.regexp_extract(tag, _META_CONTENT_DQ, 1)
+    sq = F.regexp_extract(tag, _META_CONTENT_SQ, 1)
+    uq = F.regexp_extract(tag, _META_CONTENT_UQ, 1)
+    return F.when(dq != "", dq).when(sq != "", sq).otherwise(uq)
 
 
 def _directive_in(value: Column, token: str) -> Column:
@@ -944,7 +957,7 @@ def page_directives(html: Column, x_robots_tag: Column) -> Column:
     tags = F.regexp_extract_all(
         F.coalesce(html, F.lit("")), F.lit(_META_ROBOTS_RE), 0
     )
-    metas = F.transform(tags, lambda t: F.regexp_extract(t, _META_CONTENT_RE, 1))
+    metas = F.transform(tags, _meta_content)
     meta_has = lambda tok: F.exists(  # noqa: E731
         metas, lambda c: _directive_in(c, tok)
     )
