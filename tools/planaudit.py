@@ -137,6 +137,7 @@ AUDIT = [
     "multimodal_decode_gif_64px_stats",
     "multimodal_gif_frame_stats",
     "page_directives_gate",
+    "rep_aware_frontier_discovery",
 ]
 
 

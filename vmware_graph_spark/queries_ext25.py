@@ -506,6 +506,81 @@ def page_directives_gate(spark, sf_dir):
 
 
 @query(
+    "rep_aware_frontier_discovery",
+    """
+    WITH l AS (
+      SELECT doc_id, doc_id % 50 AS m FROM documents
+      WHERE doc_id % 4 IN (0, 3)
+    )
+    SELECT 'http://www.site' || (m % 5) || '.example.com/t/' || m AS target,
+           CAST(count(*) AS BIGINT) AS n_inlinks
+    FROM l GROUP BY m
+    """,
+)
+def rep_aware_frontier_discovery(spark, sf_dir):
+    """Frontier discovery honoring the FULL page-level REP
+    (``page_directives`` + ``extract_links_rel`` composed into the
+    link-frontier chain): a page contributes links only when neither
+    its ``<meta name=robots>`` (arm 1: meta nofollow) nor its
+    ``X-Robots-Tag`` header (arm 2: header nofollow) says nofollow,
+    and each surviving page's ``rel="nofollow"`` anchor is dropped
+    while its plain anchor flows through resolve → canonicalize →
+    one groupBy(target). Exactly the doc classes 0 and 3 contribute
+    exactly one in-link each; the oracle recomputes every target's
+    in-link count from doc_id arithmetic — a directive-source,
+    rel-token, or resolution slip all shift counts."""
+    from vmware_graph_spark.functions.url import (
+        extract_links_rel,
+        resolve_href,
+        url_canonical,
+        url_host,
+        url_scheme,
+    )
+    from vmware_graph_spark.operators.crawl import page_directives
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id").cast("string")
+    m = (F.col("doc_id") % 50).cast("string")
+    tm = F.concat(
+        F.lit("http://www.site"), ((F.col("doc_id") % 50) % 5).cast("string"),
+        F.lit(".example.com/t/"), m,
+    )
+    k4 = F.col("doc_id") % 4
+    meta = F.when(
+        k4 == 1, F.lit('<meta name="robots" content="nofollow">')
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head>"), meta,
+        F.lit('</head><body><a href="'), tm, F.lit('">go</a>'),
+        F.lit('<a rel="nofollow" href="'), tm, F.lit('?ad=1">ad</a>'),
+        F.lit("</body></html>"),
+    )
+    hdr = F.when(k4 == 2, F.lit("nofollow")).otherwise(F.lit(None).cast("string"))
+    page_url = F.concat(
+        F.lit("http://www.site"), (F.col("doc_id") % 5).cast("string"),
+        F.lit(".example.com/a/"), i,
+    )
+    pages = d.select(
+        page_url.alias("url"), html.alias("html"), hdr.alias("x_robots")
+    )
+    pd_ = page_directives(F.col("html"), F.col("x_robots"))
+    followable = pages.filter(~pd_["nofollow"])
+    links = followable.select(
+        url_scheme("url").alias("s"),
+        url_host("url").alias("h"),
+        F.explode(extract_links_rel("html")).alias("l"),
+    ).filter(~F.col("l.rel").rlike(r"(^|\s)nofollow($|\s)"))
+    resolved = links.select(
+        resolve_href(F.col("s"), F.col("h"), F.col("l.href")).alias("r")
+    ).filter(F.col("r").isNotNull())
+    return (
+        resolved.select(url_canonical("r").alias("target"))
+        .groupBy("target")
+        .agg(F.count("*").cast("bigint").alias("n_inlinks"))
+    )
+
+
+@query(
     "multimodal_gif_frame_stats",
     """
     WITH d AS (SELECT doc_id, n_chars AS nc, 1 + doc_id % 3 AS nf
