@@ -138,6 +138,7 @@ AUDIT = [
     "multimodal_gif_frame_stats",
     "page_directives_gate",
     "rep_aware_frontier_discovery",
+    "frontier_redirect_identity",
 ]
 
 

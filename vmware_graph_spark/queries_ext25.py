@@ -581,6 +581,71 @@ def rep_aware_frontier_discovery(spark, sf_dir):
 
 
 @query(
+    "frontier_redirect_identity",
+    """
+    WITH m AS (SELECT DISTINCT doc_id % 50 AS m FROM documents),
+    e AS (
+      SELECT m,
+             CASE WHEN m % 10 = 7 THEN m + 2
+                  WHEN m % 10 = 8 THEN m + 1 ELSE m END AS eff
+      FROM m
+    )
+    SELECT 'http://www.site' || (eff % 5) || '.example.com/t/' || eff
+             AS effective_target,
+           CAST(count(*) AS BIGINT) AS n_spellings
+    FROM e WHERE eff % 3 <> 0 GROUP BY eff
+    """,
+)
+def frontier_redirect_identity(spark, sf_dir):
+    """Redirect-aware frontier identity (``resolve_redirects`` composed
+    into the frontier chain): content lives at a redirect chain's END,
+    so a frontier that dedups on the DISCOVERED spelling re-fetches
+    every moved page — candidates map through the resolved redirect
+    table (pointer-doubled, log₂ rounds) to their effective target
+    BEFORE the crawled-set anti-join. Fixture: candidate targets m ∈
+    [0,50); targets with m%10=7 redirect two hops (7→8→9 — the
+    m%10=8 targets are themselves sources, exercising chain
+    composition), m%10=8 one hop; the crawled set holds every third
+    EFFECTIVE id, so a spelling whose chain lands on a crawled page
+    drops even though its own spelling was never fetched. Output: per
+    effective target, how many discovered spellings collapsed onto it.
+    The oracle rewrites the chain arithmetic and the crawled filter
+    from first principles."""
+    from vmware_graph_spark.operators.crawl import resolve_redirects
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    ms = d.select((F.col("doc_id") % 50).alias("m")).distinct()
+
+    def target(col):
+        return F.concat(
+            F.lit("http://www.site"), (col % 5).cast("string"),
+            F.lit(".example.com/t/"), col.cast("string"),
+        )
+
+    cands = ms.select(target(F.col("m")).alias("canon"))
+    edges = ms.filter((F.col("m") % 10).isin(7, 8)).select(
+        target(F.col("m")).alias("src"),
+        target(F.col("m") + 1).alias("dst"),
+    )
+    resolved = resolve_redirects(edges)
+    eff = cands.join(
+        F.broadcast(resolved.select(F.col("src").alias("canon"), "final_url")),
+        "canon",
+        "left",
+    ).select(F.coalesce("final_url", "canon").alias("effective_target"))
+    crawled = (
+        spark.range(50)
+        .filter(F.col("id") % 3 == 0)
+        .select(target(F.col("id")).alias("effective_target"))
+    )
+    return (
+        eff.join(F.broadcast(crawled), "effective_target", "left_anti")
+        .groupBy("effective_target")
+        .agg(F.count("*").cast("bigint").alias("n_spellings"))
+    )
+
+
+@query(
     "multimodal_gif_frame_stats",
     """
     WITH d AS (SELECT doc_id, n_chars AS nc, 1 + doc_id % 3 AS nf
