@@ -169,6 +169,19 @@ def main() -> None:
             entry["verdict_disagreements_vs_broadcast"] = disagree
             assert disagree == 0, disagree
 
+            # the COUNT-OFF-PERSIST path (round-12, verdict #6): omit
+            # rules_rows — the operator persists the per-host aggregate
+            # and counts input rows off it (the parse lineage runs
+            # once). Same verdict total, and the wall records what the
+            # self-counting gate costs at 1M hosts / 2.1M rules.
+            t0 = time.time()
+            self_counted = robots_filter(urls, rules)
+            allowed_sc = self_counted.filter(F.col("fetch_allowed")).count()
+            entry["self_counted_gate_s"] = round(time.time() - t0, 2)
+            entry["self_counted_allowed"] = allowed_sc
+            assert allowed_sc == want, (allowed_sc, want)
+            spark.catalog.clearCache()  # drop the operator's persist
+
         report["tiers"][str(n_hosts)] = entry
         print(json.dumps({str(n_hosts): entry}), file=sys.stderr)
 
