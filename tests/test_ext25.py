@@ -239,6 +239,140 @@ def test_page_directives_and_rel_links(spark):
     assert got == [("/a", "nofollow"), ("/b", "ugc sponsored"), ("/c", "")]
 
 
+def test_page_directives_property_vs_htmlparser(spark):
+    """page_directives vs an INDEPENDENT html.parser reference over
+    generated pages: random attribute order, quote style (double /
+    single / unquoted), case, decoy meta names, multiple robots metas,
+    and header arms — the meta extraction and the restrictive-union
+    directive logic must agree on every page."""
+    import random
+    from html.parser import HTMLParser
+
+    from vmware_graph_spark.operators.crawl import page_directives
+
+    rng = random.Random(42)
+    names = ["robots", "ROBOTS", "viewport", "description"]
+    contents = [
+        "noindex", "nofollow", "none", "all", "noindex, nofollow",
+        "NOINDEX , follow", "index,nofollow", "nofollowed", "",
+    ]
+    headers = [None, "", "noindex", "nofollow", "none", "index, archive"]
+
+    def attr(name, val):
+        q = rng.choice(['"', "'", ""])
+        if q == "" and (" " in val or val == ""):
+            q = '"'
+        return f"{name}={q}{val}{q}"
+
+    def meta_tag():
+        name = rng.choice(names)
+        content = rng.choice(contents)
+        a = [attr("name", name), attr("content", content)]
+        rng.shuffle(a)
+        return "<meta " + " ".join(a) + ">"
+
+    pages = []
+    for i in range(200):
+        body = "".join(meta_tag() for _ in range(rng.randint(0, 3)))
+        pages.append((i, f"<html><head>{body}</head><body>x</body></html>",
+                      rng.choice(headers)))
+
+    class MetaRef(HTMLParser):
+        def __init__(self):
+            super().__init__()
+            self.contents = []
+
+        def handle_startendtag(self, tag, attrs):
+            self.handle_starttag(tag, attrs)
+
+        def handle_starttag(self, tag, attrs):
+            if tag != "meta":
+                return
+            d = dict(attrs)
+            if (d.get("name") or "").lower() == "robots":
+                self.contents.append(d.get("content") or "")
+
+    def ref_directives(html, hdr):
+        p = MetaRef()
+        p.feed(html)
+        vals = list(p.contents) + ([hdr] if hdr else [])
+        toks = {
+            t.strip().lower()
+            for v in vals
+            for t in v.split(",")
+        }
+        return ("noindex" in toks or "none" in toks,
+                "nofollow" in toks or "none" in toks)
+
+    df = spark.createDataFrame(pages, "i int, html string, hdr string")
+    pd_ = page_directives(F.col("html"), F.col("hdr"))
+    got = {
+        r.i: (r.ni, r.nf)
+        for r in df.select(
+            "i", pd_["noindex"].alias("ni"), pd_["nofollow"].alias("nf")
+        ).collect()
+    }
+    for i, html, hdr in pages:
+        assert got[i] == ref_directives(html, hdr), (i, html, hdr, got[i])
+
+
+def test_extract_links_rel_property_vs_htmlparser(spark):
+    """extract_links_rel's (href, rel) pairs vs html.parser over
+    generated anchors: quote styles, attribute order, rel lists,
+    relless anchors, and 'rel=' inside anchor text."""
+    import random
+    from html.parser import HTMLParser
+
+    from vmware_graph_spark.functions.url import extract_links_rel
+
+    rng = random.Random(7)
+    rels = [None, "nofollow", "ugc nofollow", "sponsored", "UGC"]
+
+    def anchor(i):
+        href = f"/p/{i}"
+        rel = rng.choice(rels)
+        attrs = [f'href="{href}"']
+        if rel is not None:
+            q = rng.choice(['"', "'"])
+            attrs.append(f"rel={q}{rel}{q}")
+        rng.shuffle(attrs)
+        text = rng.choice(["go", "rel=nofollow decoy", "x y"])
+        return f"<a {' '.join(attrs)}>{text}</a>", href, (rel or "").lower()
+
+    pages = []
+    expect = {}
+    for i in range(100):
+        n = rng.randint(1, 4)
+        parts = []
+        exp = []
+        for k in range(n):
+            a, href, rel = anchor(i * 10 + k)
+            parts.append(a)
+            exp.append((href, rel))
+        pages.append((i, "<html><body>" + "".join(parts) + "</body></html>"))
+        expect[i] = exp
+
+    class RelRef(HTMLParser):
+        def __init__(self):
+            super().__init__()
+            self.out = []
+
+        def handle_starttag(self, tag, attrs):
+            if tag == "a":
+                d = dict(attrs)
+                self.out.append((d.get("href"), (d.get("rel") or "").lower()))
+
+    df = spark.createDataFrame(pages, "i int, html string")
+    got = {
+        r.i: [(x.href, x.rel) for x in r.ls]
+        for r in df.select("i", extract_links_rel("html").alias("ls")).collect()
+    }
+    for i, html in pages:
+        ref = RelRef()
+        ref.feed(html)
+        assert got[i] == ref.out == expect[i], (i, html, got[i], ref.out)
+
+
 def test_reputation_weighted_budget_conserves_and_orders(spark):
     """Σalloc = 1000 exactly, and the dup-heavy content farm (host0)
     gets the smallest share; the robots-blocking host1 sits between

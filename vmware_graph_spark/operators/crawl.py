@@ -911,9 +911,17 @@ def robots_cache_policy(
 
 #: matches every <meta ... name="robots" ...> tag (attribute order
 #: free; quote-atomic to the tag's real '>'), case-insensitive.
+#: the name value is matched PER QUOTE STYLE: quoted forms consume
+#: their closing quote (so the quote-atomic tail starts outside the
+#: value and quotes keep pairing), while the unquoted form ends at a
+#: LOOKAHEAD boundary — consuming the boundary would eat the tag's own
+#: '>' and let the tail run into the NEXT tag, stealing a neighbor's
+#: content attribute (round-12 property test vs html.parser caught
+#: exactly that glue-through on '<meta content=… name=robots><meta …>').
 _META_ROBOTS_RE = (
     r"""(?is)<meta\s(?:[^>"'\s]++|"[^"]*+"|'[^']*+'|\s++)*?"""
-    r"""name\s*=\s*["']?robots["'\s>](?:[^>"']++|"[^"]*+"|'[^']*+')*+>"""
+    r"""name\s*=\s*(?:"robots"|'robots'|robots(?=[\s>/]))"""
+    r"""(?:[^>"']++|"[^"]*+"|'[^']*+')*+>"""
 )
 # content value: quoted forms take the whole value (directive lists
 # carry spaces); the unquoted form is legal HTML too ('content=noindex'
