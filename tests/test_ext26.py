@@ -1,0 +1,241 @@
+"""Round-12 ext26 family: structural boilerplate blocks, mojibake
+audit, host-graph authority PageRank, CCNet perplexity buckets."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+def test_block_primitives_and_classification(spark):
+    from vmware_graph_spark.functions.text import (
+        anchor_text_chars,
+        classify_block,
+        html_blocks,
+        html_to_text,
+    )
+
+    doc_id, text = 13, "alpha beta gamma delta epsilon zeta eta theta iota"
+    m, q = doc_id % 9, doc_id % 10
+    html = (
+        '<html><body><div class="nav"><a href="/">Home</a>'
+        ' <a href="/about">About us</a> <a href="/contact">Contact</a></div>'
+        f"<h1>Doc {doc_id}</h1><p>{text}</p>"
+        f'<p>See <a href="/ref/{doc_id}">reference {q}</a>' + " pad" * m + "</p>"
+        '<div class="footer"><a href="/tos">Terms</a>'
+        ' <a href="/privacy">Privacy</a> (c) 2026</div></body></html>'
+    )
+    df = spark.createDataFrame([(doc_id, html)], "doc_id long, html string")
+    rows = (
+        df.select("doc_id", F.posexplode(html_blocks("html")).alias("pos", "frag"))
+        .select(
+            "pos",
+            F.length(html_to_text("frag")).alias("n"),
+            anchor_text_chars("frag").alias("a"),
+        )
+        .filter(F.col("n") > 0)
+        .withColumn("cls", classify_block(F.col("n"), F.col("a")))
+        .orderBy("pos")
+        .collect()
+    )
+    got = [(r.n, r.a, r.cls) for r in rows]
+    assert got == [
+        (21, 19, "boilerplate"),        # nav: density 19/21
+        (6, 0, "boilerplate"),          # h1: short
+        (len(text), 0, "content"),      # document prose
+        (15 + 4 * m, 11, "content"),    # m=4 -> density 11/31, len 31
+        (22, 12, "boilerplate"),        # footer: density 12/22
+    ]
+
+
+def test_classify_block_threshold_edges(spark):
+    from vmware_graph_spark.functions.text import classify_block
+
+    df = spark.createDataFrame(
+        [(20, 10), (20, 11), (19, 0), (20, 0)], "n int, a int"
+    )
+    got = [
+        r.cls
+        for r in df.select(
+            classify_block(F.col("n"), F.col("a")).alias("cls")
+        ).collect()
+    ]
+    # density == 0.5 is NOT boilerplate (rule is strict >); n == 20 is
+    # NOT short (rule is strict <); n == 19 is.
+    assert got == ["content", "boilerplate", "boilerplate", "content"]
+
+
+def test_anchor_text_chars_tag_name_anchored(spark):
+    from vmware_graph_spark.functions.text import anchor_text_chars
+
+    df = spark.createDataFrame(
+        [
+            ("<abbr title=x>abbrev</abbr> none", 0),
+            ("<a href=x>four</a>", 4),
+            ("<a\nhref=x>nl</a> <a>two</a>", 5),  # whitespace incl newline; bare <a>
+            ("<article>long tag</article>", 0),
+        ],
+        "frag string, want int",
+    )
+    rows = df.select("want", anchor_text_chars("frag").alias("got")).collect()
+    for r in rows:
+        assert r.got == r.want
+
+
+def test_mojibake_flags(spark):
+    from vmware_graph_spark.functions.text import (
+        has_c1_controls,
+        has_double_utf8,
+        has_replacement_char,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "clean text", False, False, False),
+            (2, "bad � here", True, False, False),
+            (3, "cafÃ© double", False, True, False),
+            (4, "nel \u0085 ctrl", False, False, True),
+            (5, "plain Ã alone", False, False, False),  # no continuation char
+        ],
+        "id long, text string, r boolean, d boolean, c boolean",
+    )
+    rows = df.select(
+        "id", "r", "d", "c",
+        has_replacement_char("text").alias("gr"),
+        has_double_utf8("text").alias("gd"),
+        has_c1_controls("text").alias("gc"),
+    ).collect()
+    for r in rows:
+        assert (r.gr, r.gd, r.gc) == (r.r, r.d, r.c), r.id
+
+
+def test_mojibake_audit_counts(spark):
+    from vmware_graph_spark.queries_ext26 import mojibake_artifact_audit
+
+    got = {
+        r.source: r
+        for r in mojibake_artifact_audit(spark, SF_SMALL).collect()
+    }
+    con = duckdb.connect()
+    ref = con.execute(
+        "SELECT source, count(*) AS n, "
+        "sum(CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END) AS r11, "
+        "sum(CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END) AS r13, "
+        "sum(CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END) AS r17 "
+        f"FROM '{SF_SMALL}/documents.parquet' GROUP BY source"
+    ).fetchall()
+    assert len(got) == len(ref)
+    for source, n, r11, r13, r17 in ref:
+        g = got[source]
+        assert (g.n_docs, g.n_replacement, g.n_double_utf8, g.n_c1_controls) == (
+            n, r11, r13, r17
+        )
+
+
+def _host_pagerank_reference(doc_ids, iters=4, scale=1_000_000, damping=85):
+    """Pure-Python integer replica of the fixture graph + weighted
+    fixpoint, independent of both Spark and DuckDB."""
+    from collections import Counter, defaultdict
+
+    e0 = Counter()
+    for did in doc_ids:
+        src = did % 23
+        e0[(src, (did * 7 + 3) % 23)] += 1
+        if did % 3 == 0:
+            e0[(src, (did * 5 + 11) % 23)] += 1
+    edges = {(s, t): w for (s, t), w in e0.items() if s != t}
+    verts = sorted({s for s, _ in edges} | {t for _, t in edges})
+    out_w = defaultdict(int)
+    for (s, _), w in edges.items():
+        out_w[s] += w
+    n = len(verts)
+    base = (100 - damping) * scale // 100
+    rank = {v: scale for v in verts}
+    for _ in range(iters):
+        dangling = sum(rank[v] for v in verts if v not in out_w)
+        in_sum = defaultdict(int)
+        for (s, t), w in edges.items():
+            in_sum[t] += (rank[s] * w) // out_w[s]
+        rank = {
+            v: base + (damping * (in_sum[v] + dangling // n)) // 100
+            for v in verts
+        }
+    return {f"site{v}.example.com": r for v, r in rank.items()}
+
+
+def test_host_authority_pagerank_vs_reference(spark):
+    from vmware_graph_spark.queries_ext26 import host_authority_pagerank
+
+    con = duckdb.connect()
+    doc_ids = [
+        r[0]
+        for r in con.execute(
+            f"SELECT doc_id FROM '{SF_SMALL}/documents.parquet'"
+        ).fetchall()
+    ]
+    want = _host_pagerank_reference(doc_ids)
+    got = {
+        r.host: r.rank_micros
+        for r in host_authority_pagerank(spark, SF_SMALL).collect()
+    }
+    assert got == want
+    # host 11's primary target is itself (7*11+3 = 80 = 11 mod 23): the
+    # self-link must have been dropped, leaving only the secondary edge.
+    assert "site11.example.com" in got
+
+
+def test_ccnet_buckets_invariants(spark):
+    from vmware_graph_spark.queries_ext26 import ccnet_perplexity_buckets
+    from vmware_graph_spark.sources.tables import load_table
+
+    rows = ccnet_perplexity_buckets(spark, SF_SMALL).collect()
+    d = load_table(spark, SF_SMALL, "documents")
+    lang_counts = {
+        r.lang: r.n for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, {})[r.bucket] = r
+    for lang, buckets in by_lang.items():
+        assert set(buckets) == {"head", "middle", "tail"}
+        ns = [buckets[b].n_docs for b in ("head", "middle", "tail")]
+        assert sum(ns) == lang_counts[lang]
+        assert max(ns) - min(ns) <= 1  # ntile balance
+        # head is the LEAST perplexed tertile: mean logprob ordered
+        assert (
+            buckets["head"].avg_logprob
+            >= buckets["middle"].avg_logprob
+            >= buckets["tail"].avg_logprob
+        )
+    # token totals conserve against the whole corpus
+    from vmware_graph_spark.operators.quality import unigram_logprob
+
+    total = unigram_logprob(d, "doc_id", "text").agg(
+        F.sum("n_tok").alias("t")
+    ).collect()[0].t
+    assert sum(r.total_tokens for r in rows) == total
+
+
+def test_boilerplate_query_matches_arithmetic(spark):
+    from vmware_graph_spark.queries_ext26 import boilerplate_block_classify
+
+    got = {
+        r.doc_id: r for r in boilerplate_block_classify(spark, SF_SMALL).collect()
+    }
+    con = duckdb.connect()
+    ref = con.execute(
+        f"SELECT doc_id, n_chars FROM '{SF_SMALL}/documents.parquet'"
+    ).fetchall()
+    assert len(got) == len(ref)
+    for doc_id, n_chars in ref:
+        m = doc_id % 9
+        exp_content = (1 if n_chars >= 20 else 0) + (1 if m >= 2 else 0)
+        g = got[doc_id]
+        assert g.n_blocks == 5
+        assert g.n_content == exp_content
+        assert g.n_boiler == 5 - exp_content
+        assert g.content_chars == (n_chars if n_chars >= 20 else 0) + (
+            15 + 4 * m if m >= 2 else 0
+        )

@@ -138,6 +138,12 @@ AUDIT = [
     "multimodal_gif_frame_stats",
     "page_directives_gate",
     "rep_aware_frontier_discovery",
+    # round-12 ext26: structural boilerplate + mojibake audit +
+    # host-graph authority + CCNet tertiles
+    "boilerplate_block_classify",
+    "mojibake_artifact_audit",
+    "host_authority_pagerank",
+    "ccnet_perplexity_buckets",
     "frontier_redirect_identity",
 ]
 

@@ -427,3 +427,111 @@ def sniff_charset_sql(ct: str, html: str) -> str:
         f"WHEN {meta} <> '' THEN {meta} "
         f"WHEN {equiv} <> '' THEN {equiv} ELSE 'utf-8' END"
     )
+
+
+# ---------------------------------------------------------------------------
+# In-page structural boilerplate (jusText / Boilerpipe family): a page
+# splits into BLOCKS at block-level tag boundaries, each block gets the
+# two classic shallow features — link density (share of its visible
+# text that sits inside <a> anchors) and raw text length — and the
+# published two-rule heuristic classifies nav bars, footers, and
+# link-list sidebars as boilerplate. This is the PER-PAGE structural
+# pass; the CORPUS-level pass (repeated lines across a host's pages)
+# is dedup_lines_corpus — the two compose, they don't compete.
+# Shallow-feature block classification is Kohlschütter et al. (WSDM
+# 2010, "Boilerplate Detection Using Shallow Text Features") and
+# Pomikálek's jusText (2011); both report link density + block length
+# carry most of the signal, which is exactly what survives at crawl
+# scale as a pure Catalyst expression chain (no DOM build, no UDF).
+# ---------------------------------------------------------------------------
+
+#: Block boundaries: closing block-level tags and <br>. Splitting on
+#: CLOSERS (not openers) keeps each block's own markup — including its
+#: anchors — inside the fragment, so per-block features see them.
+BLOCK_BREAK_RE = r"(?i)</p\s*>|</div\s*>|</h[1-6]\s*>|</li\s*>|</t[dh]\s*>|<br\s*/?>"
+
+#: Anchor inner text (group 1). `(?:\s[^>]*)?` — not `[^>]*` — so the
+#: tag NAME must be exactly `a` (`<abbr>`/`<article>` don't match).
+ANCHOR_TEXT_RE = r"(?is)<a(?:\s[^>]*)?>(.*?)</a\s*>"
+
+#: jusText-family thresholds: a block whose visible text is majority
+#: anchor text, or that is shorter than a sentence fragment, is
+#: boilerplate. Published defaults vary 0.33-0.5 / 20-80 chars; these
+#: sit at the permissive end (prefer keeping borderline content — the
+#: corpus-level line dedup catches what slips through).
+LINK_DENSITY_MAX = 0.5
+MIN_BLOCK_CHARS = 20
+
+
+def html_blocks(col: Column | str) -> Column:
+    """``array<string>`` of raw block fragments (markup preserved),
+    split at :data:`BLOCK_BREAK_RE` boundaries. Pure Catalyst."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, BLOCK_BREAK_RE)
+
+
+def anchor_text_chars(col: Column | str) -> Column:
+    """Total characters of anchor INNER text in the fragment (int,
+    0 when no anchors): the numerator of link density. Catalyst
+    ``regexp_extract_all`` + ``aggregate`` — no UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.aggregate(
+        F.regexp_extract_all(c, F.lit(ANCHOR_TEXT_RE), F.lit(1)),
+        F.lit(0),
+        lambda acc, x: acc + F.length(x),
+    )
+
+
+def classify_block(block_text_len: Column, anchor_chars: Column) -> Column:
+    """'boilerplate' | 'content' from the two shallow features (the
+    jusText two-rule core): majority-anchor blocks and sub-sentence
+    blocks are boilerplate, everything else is content. Both inputs
+    are per-block ints; the division guards empty blocks."""
+    density = anchor_chars.cast("double") / F.greatest(
+        block_text_len, F.lit(1)
+    ).cast("double")
+    return F.when(
+        (density > F.lit(float(LINK_DENSITY_MAX)))
+        | (block_text_len < F.lit(MIN_BLOCK_CHARS)),
+        F.lit("boilerplate"),
+    ).otherwise(F.lit("content"))
+
+
+# ---------------------------------------------------------------------------
+# Encoding-artifact (mojibake) detection: the three tells that survive
+# every hop of a broken decode chain, each a portable \x{....} class
+# (the one spelling Java regex and RE2 share, per SCRIPT_RANGES):
+#  - U+FFFD REPLACEMENT CHARACTER — a decoder already gave up;
+#  - a C2/C3 lead byte FOLLOWED BY a continuation-range char — the
+#    signature of UTF-8 bytes decoded as Latin-1 then re-encoded
+#    ("é" → "Ã©", the classic double-encode);
+#  - bare C1 controls U+0080-U+009F — valid in no textual encoding's
+#    output; their presence means a cp1252/Latin-1 mixup upstream.
+# ---------------------------------------------------------------------------
+
+REPLACEMENT_CHAR_RE = r"[\x{FFFD}]"
+DOUBLE_UTF8_RE = r"[\x{00C2}-\x{00C3}][\x{0080}-\x{00BF}]"
+C1_CONTROL_RE = r"[\x{0080}-\x{009F}]"
+
+
+def has_replacement_char(col: Column | str) -> Column:
+    """True when the text contains U+FFFD (a decoder substituted it
+    for undecodable bytes upstream)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.rlike(REPLACEMENT_CHAR_RE)
+
+
+def has_double_utf8(col: Column | str) -> Column:
+    """True on the double-encoded-UTF-8 signature (Ã/Â followed by a
+    Latin-1-supplement continuation char). A rare false positive on
+    genuine 'Ã©'-adjacent prose is the documented trade — CCNet-family
+    pipelines accept it because the pattern is pure filter, no UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.rlike(DOUBLE_UTF8_RE)
+
+
+def has_c1_controls(col: Column | str) -> Column:
+    """True when bare C1 control codepoints (U+0080-U+009F) appear —
+    no correct decode emits them; cp1252-as-Latin-1 mixups do."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.rlike(C1_CONTROL_RE)

@@ -7389,3 +7389,4 @@ from vmware_graph_spark import queries_ext22 as _queries_ext22  # noqa: E402,F40
 from vmware_graph_spark import queries_ext23 as _queries_ext23  # noqa: E402,F401
 from vmware_graph_spark import queries_ext24 as _queries_ext24  # noqa: E402,F401
 from vmware_graph_spark import queries_ext25 as _queries_ext25  # noqa: E402,F401
+from vmware_graph_spark import queries_ext26 as _queries_ext26  # noqa: E402,F401

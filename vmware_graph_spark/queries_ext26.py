@@ -1,0 +1,412 @@
+"""Round-12 continuation: the per-page half of boilerplate removal, a
+mojibake audit, host-graph authority for crawl ordering, and the CCNet
+perplexity-bucket split — four pipeline stages a 100 TB corpus build
+runs that the registry did not yet cover.
+
+(a) ``boilerplate_block_classify`` — jusText/Boilerpipe-style
+structural block classification (Kohlschütter et al., WSDM 2010;
+Pomikálek 2011): pages split at block-tag boundaries, each block is
+scored by link density + text length, nav/footer/link-list blocks
+drop. This is the PER-PAGE structural pass that
+``functions/text.py::html_to_text`` explicitly deferred; the
+corpus-level pass (``dedup_lines_corpus``) composes after it.
+
+(b) ``mojibake_artifact_audit`` — the three decode-chain tells
+(U+FFFD, the Ã/Â double-UTF-8 signature, bare C1 controls) counted
+per source: the data-quality census a crawl corpus runs before
+training, as pure Catalyst ``rlike`` over portable ``\\x{....}``
+classes.
+
+(c) ``host_authority_pagerank`` — the crawl-ordering signal of the
+original PageRank paper (Page et al., 1999 — "crawl in rank order"):
+extract_links → resolve → host-grain edge contraction → the engine's
+integer-fixpoint weighted PageRank, hash-exact against an
+unrolled-CTE oracle.
+
+(d) ``ccnet_perplexity_buckets`` — CCNet's head/middle/tail split
+(Wenzek et al., LREC 2020): per-language perplexity-proxy tertiles
+over the existing ``unigram_logprob`` score, the bucketing that lets
+a pipeline keep head+middle and drop tail by a single filter.
+
+All four oracles derive expected values from SOURCE-column arithmetic
+(or the shared unrolled fixpoint convention) — never by re-running the
+implementation's regexes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from vmware_graph_spark.queries import query
+from vmware_graph_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# (a) structural boilerplate
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "boilerplate_block_classify",
+    """
+    SELECT doc_id,
+           CAST(5 AS BIGINT) AS n_blocks,
+           CAST(CASE WHEN n_chars >= 20 THEN 1 ELSE 0 END
+                + CASE WHEN doc_id % 9 >= 2 THEN 1 ELSE 0 END AS BIGINT)
+             AS n_content,
+           CAST(5 - CASE WHEN n_chars >= 20 THEN 1 ELSE 0 END
+                - CASE WHEN doc_id % 9 >= 2 THEN 1 ELSE 0 END AS BIGINT)
+             AS n_boiler,
+           CAST(CASE WHEN n_chars >= 20 THEN n_chars ELSE 0 END
+                + CASE WHEN doc_id % 9 >= 2
+                       THEN 15 + 4 * (doc_id % 9) ELSE 0 END AS BIGINT)
+             AS content_chars
+    FROM documents
+    """,
+)
+def boilerplate_block_classify(spark, sf_dir):
+    """Per-page structural boilerplate classification (the jusText /
+    Boilerpipe shallow-feature core): each page splits at block-tag
+    CLOSERS (markup stays inside its fragment so per-block features
+    see the anchors), each block gets link density (anchor-text chars /
+    visible chars) and raw length, and the two-rule heuristic —
+    majority-anchor OR sub-sentence ⇒ boilerplate — drops nav bars,
+    footers and link lists while keeping prose.
+
+    Fixture: every document rides as the content ``<p>`` of a page
+    whose other four blocks are engineered from doc_id arithmetic —
+    a pure-link nav (density ≈ .90), a short ``<h1>``, a mixed
+    citation block whose padding ``doc_id % 9`` repetitions put it on
+    either side of BOTH thresholds (m ≤ 1 ⇒ boilerplate, m ≥ 2 ⇒
+    content: density 11/(15+4m), length 15+4m), and a link-heavy
+    footer (density 12/22) — so the oracle derives every count and
+    the content-char total from doc_id/n_chars arithmetic alone.
+
+    Scale: one generated column, one posexplode (blocks-per-page is a
+    small constant), per-block regexp features inside whole-stage
+    codegen, one groupBy(doc_id) — linear, no UDF, no driver work;
+    at 100 TB this is the same shape as html_to_text extraction."""
+    from vmware_graph_spark.functions.text import (
+        anchor_text_chars,
+        classify_block,
+        html_blocks,
+        html_to_text,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    i = F.col("doc_id").cast("string")
+    q = (F.col("doc_id") % 10).cast("string")
+    html = F.concat(
+        F.lit(
+            '<html><body><div class="nav"><a href="/">Home</a>'
+            ' <a href="/about">About us</a>'
+            ' <a href="/contact">Contact</a></div><h1>Doc '
+        ),
+        i,
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit('</p><p>See <a href="/ref/'),
+        i,
+        F.lit('">reference '),
+        q,
+        F.lit("</a>"),
+        F.repeat(F.lit(" pad"), (F.col("doc_id") % 9).cast("int")),
+        F.lit(
+            '</p><div class="footer"><a href="/tos">Terms</a>'
+            ' <a href="/privacy">Privacy</a> (c) 2026</div></body></html>'
+        ),
+    )
+    blocks = d.select(
+        "doc_id", F.explode(html_blocks(html)).alias("frag")
+    ).select(
+        "doc_id",
+        F.length(html_to_text("frag")).alias("n"),
+        anchor_text_chars("frag").alias("a"),
+    ).filter(F.col("n") > 0)
+    cls = blocks.withColumn("cls", classify_block(F.col("n"), F.col("a")))
+    is_content = (F.col("cls") == "content").cast("long")
+    return cls.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_blocks"),
+        F.sum(is_content).alias("n_content"),
+        (F.count("*") - F.sum(is_content)).cast("long").alias("n_boiler"),
+        F.sum(F.when(F.col("cls") == "content", F.col("n")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("content_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# (b) mojibake audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mojibake_artifact_audit",
+    """
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_replacement,
+           CAST(sum(CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_double_utf8,
+           CAST(sum(CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_c1_controls,
+           CAST(sum(CASE WHEN doc_id % 11 <> 0 AND doc_id % 13 <> 0
+                          AND doc_id % 17 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clean
+    FROM documents GROUP BY source
+    """,
+)
+def mojibake_artifact_audit(spark, sf_dir):
+    """Encoding-artifact census per source — the pre-training
+    data-quality pass that catches broken decode chains before they
+    poison a corpus: U+FFFD (a decoder already substituted), the
+    Ã/Â-plus-continuation double-UTF-8 signature, and bare C1
+    controls (no correct decode emits U+0080-U+009F; cp1252-as-Latin-1
+    mixups do). Detectors are pure Catalyst ``rlike`` over portable
+    ``\\x{....}`` classes (the SCRIPT_RANGES portability move).
+
+    Fixture: the base corpus is verified printable-ASCII, so injected
+    artifacts (every 11th doc gets U+FFFD, every 13th a double-encoded
+    "é", every 17th a NEL) are the ONLY matches and the oracle counts
+    them from doc_id arithmetic — intent-pinned, never re-running the
+    detector. Scale: three regexes in one codegen stage + one
+    groupBy(source); linear, broadcast-free."""
+    from vmware_graph_spark.functions.text import (
+        has_c1_controls,
+        has_double_utf8,
+        has_replacement_char,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    aug = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(" \ufffd")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 13 == 0, F.lit(" \u00c3\u00a9")).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("doc_id") % 17 == 0, F.lit(" \u0085")).otherwise(F.lit("")),
+    )
+    flags = d.select(
+        "source",
+        has_replacement_char(aug).cast("long").alias("f_repl"),
+        has_double_utf8(aug).cast("long").alias("f_dbl"),
+        has_c1_controls(aug).cast("long").alias("f_c1"),
+    )
+    clean = (
+        (F.col("f_repl") == 0) & (F.col("f_dbl") == 0) & (F.col("f_c1") == 0)
+    ).cast("long")
+    return flags.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("f_repl").alias("n_replacement"),
+        F.sum("f_dbl").alias("n_double_utf8"),
+        F.sum("f_c1").alias("n_c1_controls"),
+        F.sum(clean).alias("n_clean"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# (c) host-graph authority
+# ---------------------------------------------------------------------------
+
+
+def _host_pagerank_sql(iters: int) -> str:
+    """Unrolled weighted-PageRank oracle over the host link graph the
+    fixture's arithmetic defines: page on host ``site(doc_id%23)``
+    links to ``site((7·doc_id+3)%23)`` always and to
+    ``site((5·doc_id+11)%23)`` on every third doc; self-links drop.
+    Same integer-fixpoint convention as
+    ``queries.py::_pagerank_weighted_sql`` (scale 1e6, damping 85,
+    per-edge floor division, dangling mass redistributed)."""
+    ctes = [
+        "e0 AS (SELECT 'site' || (doc_id % 23) || '.example.com' AS src, "
+        "'site' || ((doc_id * 7 + 3) % 23) || '.example.com' AS dst "
+        "FROM documents "
+        "UNION ALL "
+        "SELECT 'site' || (doc_id % 23) || '.example.com', "
+        "'site' || ((doc_id * 5 + 11) % 23) || '.example.com' "
+        "FROM documents WHERE doc_id % 3 = 0)",
+        "e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM e0 "
+        "WHERE src <> dst GROUP BY src, dst)",
+        "v AS (SELECT src AS id FROM e UNION SELECT dst FROM e)",
+        "degw AS (SELECT src, sum(w) AS out_w FROM e GROUP BY src)",
+        "nv AS (SELECT count(*) AS n FROM v)",
+        "r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank FROM v)",
+    ]
+    for i in range(iters):
+        ctes.append(
+            f"d{i} AS (SELECT coalesce(sum(rank), 0) AS dm FROM r{i} "
+            "WHERE id NOT IN (SELECT src FROM degw))"
+        )
+        ctes.append(
+            f"r{i + 1} AS (SELECT v.id, CAST(150000 + (85 * (coalesce(s.in_sum, 0) "
+            f"+ (SELECT dm FROM d{i}) // (SELECT n FROM nv))) // 100 AS BIGINT) AS rank "
+            "FROM v LEFT JOIN (SELECT e.dst AS id, sum((r.rank * e.w) // degw.out_w) AS in_sum "
+            f"FROM e JOIN r{i} r ON e.src = r.id JOIN degw ON e.src = degw.src "
+            "GROUP BY e.dst) s ON v.id = s.id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id AS host, rank AS rank_micros FROM r{iters}"
+    )
+
+
+@query("host_authority_pagerank", _host_pagerank_sql(4))
+def host_authority_pagerank(spark, sf_dir):
+    """Crawl ordering by host authority — the original use of PageRank
+    (Page et al. 1999: fetch the frontier in rank order and important
+    pages arrive early): the REAL link-extraction chain
+    (``extract_links`` → ``resolve_href`` → ``url_host``) contracts
+    page links to the HOST grain, self-links drop, multiplicity
+    becomes integer edge weight, and the engine's integer-fixpoint
+    weighted PageRank (``pagerank_weighted_fixed``, 4 rounds) produces
+    a deterministic rank_micros per host — hash-exact against the
+    unrolled-CTE oracle, unlike float PageRank which is rows-only by
+    design.
+
+    Fixture arithmetic: host ``site(k)`` always links to
+    ``site((7k+3)%23)`` (7 is invertible mod 23 so every host has
+    in-links) and, on every third doc, to ``site((5k+11)%23)`` — two
+    distinct out-targets with UNEQUAL weights, so the weighted split
+    is genuinely exercised; host 11's primary target is itself, so
+    after the self-link filter its out-mass rides only the secondary
+    edge. Scale: host-grain contraction shrinks the graph by the
+    pages-per-host factor BEFORE the iteration (the only sane order at
+    100 TB — iterate on hosts, not pages); each round is one shuffle
+    on a hosts-sized table."""
+    from vmware_graph_spark.analytics.algos import pagerank_weighted_fixed
+    from vmware_graph_spark.functions.url import (
+        extract_links,
+        resolve_href,
+        url_host,
+        url_scheme,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    k = (F.col("doc_id") % 23).cast("string")
+    h1 = ((F.col("doc_id") * 7 + 3) % 23).cast("string")
+    h2 = ((F.col("doc_id") * 5 + 11) % 23).cast("string")
+    page_url = F.concat(
+        F.lit("http://site"), k, F.lit(".example.com/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    body = F.concat(
+        F.lit('<html><body><a href="http://site'), h1,
+        F.lit('.example.com/">primary</a>'),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit('<a href="http://site'), h2,
+                F.lit('.example.com/">secondary</a>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    pages = d.select(page_url.alias("url"), body.alias("html"))
+    links = pages.select(
+        url_scheme("url").alias("s"),
+        url_host("url").alias("src_host"),
+        F.explode(extract_links("html")).alias("l"),
+    )
+    resolved = links.select(
+        "src_host",
+        url_host(resolve_href(F.col("s"), F.col("src_host"), F.col("l.href"))).alias(
+            "dst_host"
+        ),
+    ).filter(F.col("dst_host").isNotNull() & (F.col("src_host") != F.col("dst_host")))
+    edges = resolved.groupBy(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    ).agg(F.count("*").cast("long").alias("w"))
+    vertices = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    ranks = pagerank_weighted_fixed(vertices, edges, iters=4)
+    return ranks.select(F.col("id").alias("host"), "rank_micros")
+
+
+# ---------------------------------------------------------------------------
+# (d) CCNet perplexity buckets
+# ---------------------------------------------------------------------------
+
+_TOKS_SQL = r"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
+
+
+@query(
+    "ccnet_perplexity_buckets",
+    rf"""
+    WITH tok AS (
+      SELECT doc_id AS id, unnest({_TOKS_SQL}) AS tok FROM documents
+    ),
+    vocab AS (SELECT tok, count(*) AS tf FROM tok GROUP BY tok),
+    total AS (SELECT sum(tf) AS n_total FROM vocab),
+    scored AS (
+      SELECT id, count(*) AS n_tok,
+             round(CAST(sum(round(ln(tf::DOUBLE / n_total::DOUBLE), 6)::DECIMAL(18,6)) AS DOUBLE)
+                   / count(*)::DOUBLE, 6) AS mean_logprob
+      FROM tok JOIN vocab USING (tok) CROSS JOIN total GROUP BY id
+    ),
+    tiled AS (
+      SELECT d.lang, s.n_tok, s.mean_logprob,
+             ntile(3) OVER (PARTITION BY d.lang
+                            ORDER BY s.mean_logprob DESC, s.id) AS tile
+      FROM scored s JOIN documents d ON d.doc_id = s.id
+    )
+    SELECT lang,
+           CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           round(CAST(sum(mean_logprob::DECIMAL(18,6)) AS DOUBLE)
+                 / count(*), 6) AS avg_logprob
+    FROM tiled GROUP BY lang, tile
+    """,
+)
+def ccnet_perplexity_buckets(spark, sf_dir):
+    """CCNet's head/middle/tail corpus split (Wenzek et al., LREC
+    2020): within each language, documents rank by a perplexity proxy
+    (the corpus-unigram mean log-probability that
+    ``unigram_logprob_quality`` already pins) and fall into tertiles —
+    ``head`` is the cleanest third a pipeline always keeps, ``tail``
+    the third it drops or down-samples. Per-language ntile(3) over
+    (score DESC, doc_id) is a total order, so the bucketing is a pure
+    function of the corpus; per-bucket aggregates accumulate
+    round(·,6) decimals so partition order cannot move low bits.
+
+    Scale: scoring is two hash aggs + a broadcast vocab join (linear);
+    the tertile window partitions by language — at 100 TB one would
+    swap ntile for the quantile-cutoff two-pass (approx threshold then
+    filter), but the per-language partition already bounds each window
+    to a language's documents, and the bucketing's downstream (keep
+    head+middle) is a single filter either way."""
+    from vmware_graph_spark.operators.quality import unigram_logprob
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = unigram_logprob(d, "doc_id", "text")
+    j = scored.join(
+        d.select("doc_id", "lang"), scored["id"] == F.col("doc_id")
+    ).select("lang", "n_tok", "mean_logprob", "id")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("mean_logprob").desc(), F.col("id")
+    )
+    tiled = j.withColumn("tile", F.ntile(3).over(w))
+    bucket = (
+        F.when(F.col("tile") == 1, F.lit("head"))
+        .when(F.col("tile") == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        tiled.withColumn("bucket", bucket)
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.round(
+                F.sum(F.col("mean_logprob").cast("decimal(18,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )
