@@ -239,3 +239,26 @@ def test_boilerplate_query_matches_arithmetic(spark):
         assert g.content_chars == (n_chars if n_chars >= 20 else 0) + (
             15 + 4 * m if m >= 2 else 0
         )
+
+
+def test_content_extraction_reassembly_order(spark):
+    from vmware_graph_spark.queries_ext26 import content_extraction_pipeline
+
+    got = {
+        r.doc_id: r for r in content_extraction_pipeline(spark, SF_SMALL).collect()
+    }
+    con = duckdb.connect()
+    ref = con.execute(
+        f"SELECT doc_id, text FROM '{SF_SMALL}/documents.parquet'"
+    ).fetchall()
+    assert len(got) == len(ref)
+    import hashlib
+
+    for doc_id, text in ref:
+        m = doc_id % 9
+        content = text
+        if m >= 2:
+            content += f" See reference {doc_id % 10}" + " pad" * m
+        g = got[doc_id]
+        assert g.content_md5 == hashlib.md5(content.encode()).hexdigest(), doc_id
+        assert g.content_tokens == len(content.split())

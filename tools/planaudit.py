@@ -144,6 +144,7 @@ AUDIT = [
     "mojibake_artifact_audit",
     "host_authority_pagerank",
     "ccnet_perplexity_buckets",
+    "content_extraction_pipeline",
     "frontier_redirect_identity",
 ]
 

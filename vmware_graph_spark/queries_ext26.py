@@ -28,9 +28,13 @@ unrolled-CTE oracle.
 over the existing ``unigram_logprob`` score, the bucketing that lets
 a pipeline keep head+middle and drop tail by a single filter.
 
-All four oracles derive expected values from SOURCE-column arithmetic
-(or the shared unrolled fixpoint convention) — never by re-running the
-implementation's regexes.
+(e) ``content_extraction_pipeline`` — (a) composed to its real
+output: boilerplate blocks dropped, content blocks reassembled in
+original order, the extracted text md5-pinned byte-for-byte.
+
+All oracles derive expected values from SOURCE-column arithmetic (or
+the shared unrolled fixpoint / whitespace-token conventions) — never
+by re-running the implementation's regexes.
 """
 
 from __future__ import annotations
@@ -45,6 +49,35 @@ from vmware_graph_spark.sources.tables import load_table
 # ---------------------------------------------------------------------------
 # (a) structural boilerplate
 # ---------------------------------------------------------------------------
+
+
+def _fixture_page_html():
+    """The ext26 page as a Catalyst concat over documents columns:
+    pure-link nav, short ``<h1>``, the document prose ``<p>``, a mixed
+    citation block whose ``doc_id % 9`` padding straddles both
+    classification thresholds, and a link-heavy footer."""
+    i = F.col("doc_id").cast("string")
+    q = (F.col("doc_id") % 10).cast("string")
+    return F.concat(
+        F.lit(
+            '<html><body><div class="nav"><a href="/">Home</a>'
+            ' <a href="/about">About us</a>'
+            ' <a href="/contact">Contact</a></div><h1>Doc '
+        ),
+        i,
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit('</p><p>See <a href="/ref/'),
+        i,
+        F.lit('">reference '),
+        q,
+        F.lit("</a>"),
+        F.repeat(F.lit(" pad"), (F.col("doc_id") % 9).cast("int")),
+        F.lit(
+            '</p><div class="footer"><a href="/tos">Terms</a>'
+            ' <a href="/privacy">Privacy</a> (c) 2026</div></body></html>'
+        ),
+    )
 
 
 @query(
@@ -95,28 +128,7 @@ def boilerplate_block_classify(spark, sf_dir):
     )
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
-    i = F.col("doc_id").cast("string")
-    q = (F.col("doc_id") % 10).cast("string")
-    html = F.concat(
-        F.lit(
-            '<html><body><div class="nav"><a href="/">Home</a>'
-            ' <a href="/about">About us</a>'
-            ' <a href="/contact">Contact</a></div><h1>Doc '
-        ),
-        i,
-        F.lit("</h1><p>"),
-        F.col("text"),
-        F.lit('</p><p>See <a href="/ref/'),
-        i,
-        F.lit('">reference '),
-        q,
-        F.lit("</a>"),
-        F.repeat(F.lit(" pad"), (F.col("doc_id") % 9).cast("int")),
-        F.lit(
-            '</p><div class="footer"><a href="/tos">Terms</a>'
-            ' <a href="/privacy">Privacy</a> (c) 2026</div></body></html>'
-        ),
-    )
+    html = _fixture_page_html()
     blocks = d.select(
         "doc_id", F.explode(html_blocks(html)).alias("frag")
     ).select(
@@ -409,4 +421,79 @@ def ccnet_perplexity_buckets(spark, sf_dir):
                 6,
             ).alias("avg_logprob"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# (e) composed: boilerplate-filtered content extraction
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "content_extraction_pipeline",
+    r"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+                + CASE WHEN doc_id % 9 >= 2 THEN 3 + doc_id % 9 ELSE 0 END
+                AS BIGINT) AS content_tokens,
+           md5(text || CASE WHEN doc_id % 9 >= 2
+                            THEN ' See reference ' || (doc_id % 10)
+                                 || repeat(' pad', doc_id % 9)
+                            ELSE '' END) AS content_md5
+    FROM documents
+    """,
+)
+def content_extraction_pipeline(spark, sf_dir):
+    """The composed extraction a WET-style corpus build runs per page:
+    split into blocks, classify (link density + length), DROP the
+    boilerplate blocks, and reassemble the surviving content text in
+    ORIGINAL block order — the output a text pipeline tokenizes. Order
+    preservation is the subtle part: posexplode carries each block's
+    position, and the per-page reassembly sorts collected (pos, text)
+    structs before joining — never relying on shuffle order.
+
+    On the ext26 fixture the content set is the document prose plus
+    (when ``doc_id % 9 >= 2``) the mixed citation block, so the oracle
+    rebuilds the exact reassembled string from source columns — the
+    md5 pins every byte, boundary whitespace included — and derives
+    the token count from the standard whitespace-token twin plus
+    3 + m citation tokens.
+
+    Scale: identical shape to ``boilerplate_block_classify`` plus one
+    collect_list per page (bounded by blocks-per-page, a small
+    constant) — linear, one shuffle, no UDF."""
+    from vmware_graph_spark.functions.text import (
+        anchor_text_chars,
+        classify_block,
+        html_blocks,
+        html_to_text,
+        tokens,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    html = _fixture_page_html()
+    blocks = d.select(
+        "doc_id", F.posexplode(html_blocks(html)).alias("pos", "frag")
+    ).select(
+        "doc_id",
+        "pos",
+        html_to_text("frag").alias("txt"),
+        anchor_text_chars("frag").alias("a"),
+    ).withColumn("n", F.length("txt")).filter(F.col("n") > 0)
+    content = blocks.filter(
+        classify_block(F.col("n"), F.col("a")) == "content"
+    )
+    pages = content.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "txt"))),
+                lambda s: s["txt"],
+            ),
+        ).alias("content_text")
+    )
+    return pages.select(
+        "doc_id",
+        F.size(tokens("content_text")).cast("long").alias("content_tokens"),
+        F.md5(F.col("content_text")).alias("content_md5"),
     )
