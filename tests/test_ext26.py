@@ -262,3 +262,56 @@ def test_content_extraction_reassembly_order(spark):
         g = got[doc_id]
         assert g.content_md5 == hashlib.md5(content.encode()).hexdigest(), doc_id
         assert g.content_tokens == len(content.split())
+
+
+def test_sniff_media_type_magic_bytes(spark):
+    from vmware_graph_spark.operators.multimodal import sniff_media_type
+
+    rows = [
+        (1, bytes.fromhex("474946383761") + b"xx", "image/gif"),
+        (2, bytes.fromhex("474946383961") + b"xx", "image/gif"),
+        (3, bytes.fromhex("89504E470D0A1A0A") + b"xx", "image/png"),
+        (4, bytes.fromhex("FFD8FFE0") + b"xx", "image/jpeg"),
+        (5, b"RIFF" + b"\x10\x00\x00\x00" + b"WAVE" + b"xx", "audio/x-wav"),
+        (6, b"RIFF" + b"\x10\x00\x00\x00" + b"AVI " + b"xx",
+         "application/octet-stream"),  # RIFF but not WAVE
+        (7, b"hello world", "application/octet-stream"),
+        (8, b"GIF", "application/octet-stream"),  # truncated magic
+    ]
+    df = spark.createDataFrame(
+        [(i, m) for i, m, _ in rows], "id long, media binary"
+    )
+    got = {r.id: r.mime for r in df.select(
+        "id", sniff_media_type("media").alias("mime")).collect()}
+    for i, _, want in rows:
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_idn_host_flags(spark):
+    from vmware_graph_spark.functions.url import (
+        host_has_punycode,
+        host_mixed_script,
+    )
+
+    rows = [
+        (1, "www.example.com", False, False),
+        (2, "xn--mnchen-3ya.example.com", True, False),
+        (3, "sаle.example.com", False, True),    # Cyrillic а among Latin
+        (4, "магазин.example.com",
+         False, True),  # pure-Cyrillic label but ASCII 'example.com' tail
+        (5, "teXN--am.example.com", False, False),    # xn-- not at label start
+        (6, "XN--test.example.com", True, False),     # case-insensitive ACE
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, h, _, _ in rows], "id long, host string"
+    )
+    got = {
+        r.id: (r.p, r.m)
+        for r in df.select(
+            "id",
+            host_has_punycode("host").alias("p"),
+            host_mixed_script("host").alias("m"),
+        ).collect()
+    }
+    for i, _, p, m in rows:
+        assert got[i] == (p, m), (i, got[i], (p, m))

@@ -145,6 +145,8 @@ AUDIT = [
     "host_authority_pagerank",
     "ccnet_perplexity_buckets",
     "content_extraction_pipeline",
+    "media_type_sniff",
+    "idn_host_audit",
     "frontier_redirect_identity",
 ]
 

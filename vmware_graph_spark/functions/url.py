@@ -366,3 +366,31 @@ def resolve_href(scheme: Column, host: Column, href: Column) -> Column:
         )
         .otherwise(F.lit(None).cast("string"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Frontier hygiene: internationalized-domain tells. A crawl frontier
+# mixes ASCII hosts with IDNs in two spellings — the ACE form (RFC 3490
+# 'xn--' labels) and raw Unicode — and the classic abuse pattern is the
+# homograph host: Latin letters with confusable non-ASCII codepoints
+# swapped in. The two detectors below are the cheap page-one screen
+# (full confusable tables are a curated-lookup concern, not a regex).
+# ---------------------------------------------------------------------------
+
+#: an ACE label anywhere in the host: start-of-string or after a dot.
+PUNYCODE_LABEL_RE = r"(?i)(^|\.)xn--"
+
+
+def host_has_punycode(col: Column | str) -> Column:
+    """True when any label of the host is ACE-encoded ('xn--...')."""
+    c = _c(col)
+    return c.rlike(PUNYCODE_LABEL_RE)
+
+
+def host_mixed_script(col: Column | str) -> Column:
+    """True when the host mixes ASCII letters with ANY non-ASCII
+    codepoint — the homograph precondition (a pure-Unicode IDN is a
+    legitimate spelling; a host with one Cyrillic confusable riding
+    among Latin letters is the signature worth flagging)."""
+    c = _c(col)
+    return c.rlike(r"[A-Za-z]") & c.rlike(r"[^\x00-\x7f]")

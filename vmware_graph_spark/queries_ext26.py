@@ -32,6 +32,11 @@ a pipeline keep head+middle and drop tail by a single filter.
 output: boilerplate blocks dropped, content blocks reassembled in
 original order, the extracted text md5-pinned byte-for-byte.
 
+(f) ``media_type_sniff`` — magic-byte typing of binary assets
+(published file signatures; transport metadata lies), and
+(g) ``idn_host_audit`` — ACE-label and mixed-script homograph tells
+for frontier hygiene (RFC 3490 spelling, confusable precondition).
+
 All oracles derive expected values from SOURCE-column arithmetic (or
 the shared unrolled fixpoint / whitespace-token conventions) — never
 by re-running the implementation's regexes.
@@ -496,4 +501,118 @@ def content_extraction_pipeline(spark, sf_dir):
         "doc_id",
         F.size(tokens("content_text")).cast("long").alias("content_tokens"),
         F.md5(F.col("content_text")).alias("content_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# (f) magic-byte media typing + (g) IDN frontier hygiene
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "media_type_sniff",
+    """
+    SELECT doc_id,
+           CASE doc_id % 5
+                WHEN 0 THEN 'image/gif'
+                WHEN 1 THEN 'image/png'
+                WHEN 2 THEN 'audio/x-wav'
+                WHEN 3 THEN 'image/jpeg'
+                ELSE 'application/octet-stream'
+           END AS mime
+    FROM documents
+    """,
+)
+def media_type_sniff(spark, sf_dir):
+    """Magic-byte media typing at ingestion — transport metadata lies
+    (mislabelled Content-Type, renamed extensions), so a multimodal
+    pipeline types every binary from its FIRST BYTES before routing to
+    a decoder. The fixture synthesizes the binary IN-ENGINE via
+    ``unhex`` from doc_id arithmetic: GIF (87a and 89a alternating by
+    parity — both must sniff as image/gif), PNG's 8-byte signature,
+    RIFF/WAVE with a doc-dependent size field the sniffer must skip,
+    JPEG SOI, and plain text for the octet-stream fallback; every
+    asset carries a doc-dependent payload tail so no two binaries are
+    equal. The oracle maps doc_id % 5 to the expected type — the
+    sniffer is never re-run. Pure Catalyst hex-prefix compare; linear,
+    no UDF (the point at 100 TB of assets)."""
+    from vmware_graph_spark.operators.multimodal import sniff_media_type
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    payload = F.lpad(F.hex(F.col("doc_id")), 16, "0")
+    gif = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("474946383761")).otherwise(
+            F.lit("474946383961")
+        ),
+        payload,
+    )
+    png = F.concat(F.lit("89504E470D0A1A0A"), payload)
+    wav = F.concat(
+        F.lit("52494646"), F.lpad(F.hex(F.col("doc_id") % 65536), 8, "0"),
+        F.lit("57415645"), payload,
+    )
+    jpg = F.concat(F.lit("FFD8FFE0"), payload)
+    txt = F.concat(F.lit("68656C6C6F20"), payload)  # "hello "
+    hexstr = (
+        F.when(F.col("doc_id") % 5 == 0, gif)
+        .when(F.col("doc_id") % 5 == 1, png)
+        .when(F.col("doc_id") % 5 == 2, wav)
+        .when(F.col("doc_id") % 5 == 3, jpg)
+        .otherwise(txt)
+    )
+    assets = d.select("doc_id", F.unhex(hexstr).alias("media"))
+    return assets.select("doc_id", sniff_media_type("media").alias("mime"))
+
+
+@query(
+    "idn_host_audit",
+    """
+    SELECT doc_id,
+           CASE doc_id % 4
+                WHEN 0 THEN 'www.site' || (doc_id % 5) || '.example.com'
+                WHEN 1 THEN 'xn--mnchen-3ya.example.com'
+                WHEN 2 THEN 's' || chr(1072) || 'le.example.com'
+                ELSE 'shop-24.example.com'
+           END AS host,
+           CAST(CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END AS INTEGER)
+             AS is_punycode,
+           CAST(CASE WHEN doc_id % 4 = 2 THEN 1 ELSE 0 END AS INTEGER)
+             AS is_mixed_script
+    FROM documents
+    """,
+)
+def idn_host_audit(spark, sf_dir):
+    """Frontier hygiene for internationalized hosts: flag ACE labels
+    ('xn--', the RFC 3490 encoding every IDN resolves through) and the
+    homograph precondition — ASCII letters mixed with non-ASCII
+    codepoints in one host ('s\\u0430le' rides a Cyrillic '\\u0430'
+    among Latin letters). Fixture hosts come from doc_id % 4 (clean
+    www, an ACE label, a mixed-script homograph, a clean
+    digit-hyphen host) so the oracle rebuilds the host strings and
+    derives both flags from arithmetic — the detectors are never
+    re-run. Two ``rlike`` per row, linear, no shuffle beyond the scan."""
+    from vmware_graph_spark.functions.url import (
+        host_has_punycode,
+        host_mixed_script,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    host = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("www.site"), (F.col("doc_id") % 5).cast("string"),
+                F.lit(".example.com"),
+            ),
+        )
+        .when(F.col("doc_id") % 4 == 1, F.lit("xn--mnchen-3ya.example.com"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("sаle.example.com"))
+        .otherwise(F.lit("shop-24.example.com"))
+    )
+    hosts = d.select("doc_id", host.alias("host"))
+    return hosts.select(
+        "doc_id",
+        "host",
+        host_has_punycode("host").cast("int").alias("is_punycode"),
+        host_mixed_script("host").cast("int").alias("is_mixed_script"),
     )
