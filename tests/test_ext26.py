@@ -315,3 +315,90 @@ def test_idn_host_flags(spark):
     }
     for i, _, p, m in rows:
         assert got[i] == (p, m), (i, got[i], (p, m))
+
+
+def test_anchor_text_chars_property_vs_htmlparser(spark):
+    """anchor_text_chars vs an html.parser reference over generated
+    anchors: quote styles, attribute order, multiple anchors per
+    fragment, tag-name lookalikes, and markup-free inner text."""
+    import random
+    from html.parser import HTMLParser
+
+    from vmware_graph_spark.functions.text import anchor_text_chars
+
+    rng = random.Random(11)
+    texts = ["go", "read the docs", "a b c", "x", "click here now"]
+    lookalikes = ["<abbr title=q>zz</abbr>", "<article>w w</article>", ""]
+
+    def anchor(i):
+        attrs = [f'href="/p/{i}"']
+        if rng.random() < 0.5:
+            q = rng.choice(['"', "'"])
+            attrs.append(f"rel={q}nofollow{q}")
+        rng.shuffle(attrs)
+        text = rng.choice(texts)
+        return f"<a {' '.join(attrs)}>{text}</a>", len(text)
+
+    frags = []
+    expect = {}
+    for i in range(100):
+        parts, total = [], 0
+        for k in range(rng.randint(1, 4)):
+            a, n = anchor(i * 10 + k)
+            parts.append(a)
+            parts.append(rng.choice(lookalikes))
+            total += n
+        frags.append((i, "".join(parts)))
+        expect[i] = total
+
+    class AnchorChars(HTMLParser):
+        def __init__(self):
+            super().__init__()
+            self.depth = 0
+            self.n = 0
+
+        def handle_starttag(self, tag, attrs):
+            if tag == "a":
+                self.depth += 1
+
+        def handle_endtag(self, tag):
+            if tag == "a" and self.depth:
+                self.depth -= 1
+
+        def handle_data(self, data):
+            if self.depth:
+                self.n += len(data)
+
+    df = spark.createDataFrame(frags, "i int, frag string")
+    got = {
+        r.i: r.n
+        for r in df.select("i", anchor_text_chars("frag").alias("n")).collect()
+    }
+    for i, frag in frags:
+        ref = AnchorChars()
+        ref.feed(frag)
+        assert got[i] == ref.n == expect[i], (i, frag, got[i], ref.n)
+
+
+def test_streaming_content_extract_matches_arithmetic(spark):
+    from vmware_graph_spark.queries_ext26 import streaming_content_extract
+
+    got = {
+        r.host: r for r in streaming_content_extract(spark, SF_SMALL).collect()
+    }
+    con = duckdb.connect()
+    ref = con.execute(
+        "SELECT 'www.site' || (doc_id % 5) || '.example.com' AS host, "
+        "count(*) AS n, "
+        "sum(n_chars + 18 + 2 * length(CAST(doc_id AS VARCHAR))) AS chars "
+        f"FROM '{SF_SMALL}/documents.parquet' "
+        "WHERE doc_id % 53 <> 0 GROUP BY host"
+    ).fetchall()
+    assert len(got) == len(ref)
+    for host, n, chars in ref:
+        g = got[host]
+        # the fleet template has exactly 3 non-empty blocks per page:
+        # head+h1 run (content), prose (content), tail div (boiler)
+        assert (g.n_pages, g.content_blocks, g.boiler_blocks, g.content_chars) == (
+            n, 2 * n, n, chars
+        )

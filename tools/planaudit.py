@@ -147,6 +147,7 @@ AUDIT = [
     "content_extraction_pipeline",
     "media_type_sniff",
     "idn_host_audit",
+    "streaming_content_extract",
     "frontier_redirect_identity",
 ]
 

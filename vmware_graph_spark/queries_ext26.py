@@ -37,6 +37,11 @@ original order, the extracted text md5-pinned byte-for-byte.
 (g) ``idn_host_audit`` — ACE-label and mixed-script homograph tells
 for frontier hygiene (RFC 3490 spelling, confusable precondition).
 
+(h) ``streaming_content_extract`` — the block chain as a REAL
+availableNow WARC stream: per-page higher-order array functions (no
+explode, no streaming aggregation), exactly-once parquet sink, rollup
+pinned to doc_id arithmetic on a SECOND page template.
+
 All oracles derive expected values from SOURCE-column arithmetic (or
 the shared unrolled fixpoint / whitespace-token conventions) — never
 by re-running the implementation's regexes.
@@ -615,4 +620,107 @@ def idn_host_audit(spark, sf_dir):
         "host",
         host_has_punycode("host").cast("int").alias("is_punycode"),
         host_mixed_script("host").cast("int").alias("is_mixed_script"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# (h) streaming twin: block classification over a live WARC stream
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "streaming_content_extract",
+    """
+    WITH d AS (
+      SELECT doc_id, n_chars, length(CAST(doc_id AS VARCHAR)) AS L
+      FROM documents WHERE doc_id % 53 <> 0
+    )
+    SELECT 'www.site' || (doc_id % 5) || '.example.com' AS host,
+           CAST(count(*) AS BIGINT) AS n_pages,
+           CAST(2 * count(*) AS BIGINT) AS content_blocks,
+           CAST(count(*) AS BIGINT) AS boiler_blocks,
+           CAST(sum(n_chars + 18 + 2 * L) AS BIGINT) AS content_chars
+    FROM d GROUP BY host
+    """,
+)
+def streaming_content_extract(spark, sf_dir):
+    """REAL streaming run of the structural-extraction chain over the
+    WARC fleet (the continuous-crawl shape: segments land, pages flow,
+    content accumulates): ``read_warc_stream`` (maxFilesPerTrigger=2 →
+    four micro-batches over eight archives) → HTTP status gate → block
+    split → per-block link-density/length classification — computed
+    PER PAGE with higher-order array functions (transform/filter/
+    aggregate), no explode and no streaming aggregation, so every page
+    is one append row and the sink drains exactly-once under the
+    checkpoint. The drained rollup must equal doc_id arithmetic: the
+    fleet's page template yields exactly three non-empty blocks — the
+    head+h1 run ('Doc {id} Doc "{id}" & more', 18+2·digits chars,
+    anchor-free ⇒ content), the document prose (content), and the
+    'tail {n_chars}' div (sub-sentence ⇒ boilerplate) — with every
+    53rd doc 404-gated. Different template from the ext26 page
+    fixture, so the block chain is pinned on a second, WARC-delivered
+    HTML shape."""
+    import os as _os
+
+    from vmware_graph_spark.crawl_fixture import _warc_fixture_dir
+    from vmware_graph_spark.functions.text import (
+        anchor_text_chars,
+        classify_block,
+        html_blocks,
+        html_to_text,
+    )
+    from vmware_graph_spark.functions.url import url_host
+    from vmware_graph_spark.sources.warc import read_warc_stream
+    from vmware_graph_spark.tmpcache import cache_dir, data_key
+
+    root = _warc_fixture_dir(spark, sf_dir)
+    run_dir = cache_dir("content_extract_stream", data_key(sf_dir, "documents"))
+    sink = _os.path.join(run_dir, "pages")
+    sentinel = _os.path.join(run_dir, "_COMPLETE")
+    if not _os.path.exists(sentinel):
+        _os.makedirs(run_dir, exist_ok=True)
+        recs = read_warc_stream(
+            spark, _os.path.join(root, "*.warc"), max_files_per_trigger=2
+        )
+        feats = F.transform(
+            html_blocks(F.col("body").cast("string")),
+            lambda b: F.struct(
+                F.length(html_to_text(b)).alias("n"),
+                anchor_text_chars(b).alias("a"),
+            ),
+        )
+        nonempty = F.filter(feats, lambda s: s["n"] > 0)
+        content = F.filter(
+            nonempty, lambda s: classify_block(s["n"], s["a"]) == "content"
+        )
+        page = recs.filter(F.col("http_status") == 200).select(
+            url_host("uri").alias("host"),
+            F.size(nonempty).cast("long").alias("blocks"),
+            F.size(content).cast("long").alias("content_blocks"),
+            F.aggregate(
+                content, F.lit(0).cast("long"), lambda acc, s: acc + s["n"]
+            ).alias("content_chars"),
+        )
+        q = (
+            page.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", _os.path.join(run_dir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            # a sentinel over a half-drained sink would cache a wrong
+            # answer forever — fail loudly instead
+            q.stop()
+            raise TimeoutError("streaming content extract did not drain in 600s")
+        with open(sentinel, "w") as f:
+            f.write("ok")
+    pages = spark.read.parquet(sink)
+    return pages.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_pages"),
+        F.sum("content_blocks").cast("long").alias("content_blocks"),
+        F.sum(F.col("blocks") - F.col("content_blocks"))
+        .cast("long")
+        .alias("boiler_blocks"),
+        F.sum("content_chars").cast("long").alias("content_chars"),
     )
