@@ -402,3 +402,23 @@ def test_streaming_content_extract_matches_arithmetic(spark):
         assert (g.n_pages, g.content_blocks, g.boiler_blocks, g.content_chars) == (
             n, 2 * n, n, chars
         )
+
+
+def test_authority_weighted_budget_conserves_and_weights(spark):
+    from vmware_graph_spark.queries_ext26 import (
+        authority_weighted_budget,
+        host_authority_pagerank,
+    )
+
+    rows = authority_weighted_budget(spark, SF_SMALL).collect()
+    ranks = {
+        r.host: r.rank_micros
+        for r in host_authority_pagerank(spark, SF_SMALL).collect()
+    }
+    assert len(rows) == len(ranks)
+    assert sum(r.alloc for r in rows) == 1000  # Hamilton conserves slots
+    for r in rows:
+        assert r.weight == ranks[r.host]  # rank IS the weight, unscaled
+        # largest-remainder never strays more than 1 from the quota
+        quota = 1000 * r.weight / sum(ranks.values())
+        assert abs(r.alloc - quota) < 1.0 + 1e-9

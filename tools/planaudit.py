@@ -148,6 +148,7 @@ AUDIT = [
     "media_type_sniff",
     "idn_host_audit",
     "streaming_content_extract",
+    "authority_weighted_budget",
     "frontier_redirect_identity",
 ]
 

@@ -1,7 +1,9 @@
-"""Round-12 continuation: the per-page half of boilerplate removal, a
-mojibake audit, host-graph authority for crawl ordering, and the CCNet
-perplexity-bucket split — four pipeline stages a 100 TB corpus build
-runs that the registry did not yet cover.
+"""Round-12 continuation: the page-structure family — per-page
+boilerplate removal and its compositions (batch, streaming, budget),
+a mojibake audit, host-graph authority for crawl ordering, magic-byte
+media typing, IDN frontier hygiene, and the CCNet perplexity-bucket
+split — pipeline stages a 100 TB corpus build runs that the registry
+did not yet cover.
 
 (a) ``boilerplate_block_classify`` — jusText/Boilerpipe-style
 structural block classification (Kohlschütter et al., WSDM 2010;
@@ -41,6 +43,11 @@ for frontier hygiene (RFC 3490 spelling, confusable precondition).
 availableNow WARC stream: per-page higher-order array functions (no
 explode, no streaming aggregation), exactly-once parquet sink, rollup
 pinned to doc_id arithmetic on a SECOND page template.
+
+(i) ``authority_weighted_budget`` — (c) composed to its purpose:
+rank_micros feeds Hamilton apportionment directly as integer weights
+("crawl in rank order" as fetch-slot allocation), the authority twin
+of ``reputation_weighted_budget``.
 
 All oracles derive expected values from SOURCE-column arithmetic (or
 the shared unrolled fixpoint / whitespace-token conventions) — never
@@ -233,11 +240,12 @@ def mojibake_artifact_audit(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def _host_pagerank_sql(iters: int) -> str:
-    """Unrolled weighted-PageRank oracle over the host link graph the
-    fixture's arithmetic defines: page on host ``site(doc_id%23)``
-    links to ``site((7·doc_id+3)%23)`` always and to
-    ``site((5·doc_id+11)%23)`` on every third doc; self-links drop.
+def _host_pagerank_ctes(iters: int) -> str:
+    """Unrolled weighted-PageRank oracle CTEs (no WITH, no final
+    SELECT — shared by the rank query and the budget composition) over
+    the host link graph the fixture's arithmetic defines: page on host
+    ``site(doc_id%23)`` links to ``site((7·doc_id+3)%23)`` always and
+    to ``site((5·doc_id+11)%23)`` on every third doc; self-links drop.
     Same integer-fixpoint convention as
     ``queries.py::_pagerank_weighted_sql`` (scale 1e6, damping 85,
     per-edge floor division, dangling mass redistributed)."""
@@ -268,8 +276,12 @@ def _host_pagerank_sql(iters: int) -> str:
             f"FROM e JOIN r{i} r ON e.src = r.id JOIN degw ON e.src = degw.src "
             "GROUP BY e.dst) s ON v.id = s.id)"
         )
+    return ",\n".join(ctes)
+
+
+def _host_pagerank_sql(iters: int) -> str:
     return (
-        "WITH " + ",\n".join(ctes)
+        "WITH " + _host_pagerank_ctes(iters)
         + f"\nSELECT id AS host, rank AS rank_micros FROM r{iters}"
     )
 
@@ -724,3 +736,57 @@ def streaming_content_extract(spark, sf_dir):
         .alias("boiler_blocks"),
         F.sum("content_chars").cast("long").alias("content_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# (i) composed: authority-weighted crawl budgeting
+# ---------------------------------------------------------------------------
+
+
+def _authority_budget_sql(iters: int, slots: int) -> str:
+    return (
+        "WITH " + _host_pagerank_ctes(iters) + f""",
+    s AS (SELECT id AS host, rank AS weight FROM r{iters}),
+    tot AS (SELECT sum(weight) AS w FROM s),
+    base AS (
+      SELECT host, weight,
+             ({slots} * weight) // w AS b, ({slots} * weight) % w AS rem
+      FROM s, tot
+    ),
+    rk AS (
+      SELECT *, row_number() OVER (ORDER BY rem DESC, host) AS r,
+             (SELECT {slots} - sum(b) FROM base) AS leftover
+      FROM base
+    )
+    SELECT host, weight,
+           CAST(b + CASE WHEN r <= leftover THEN 1 ELSE 0 END AS BIGINT)
+             AS alloc
+    FROM rk
+    """
+    )
+
+
+@query("authority_weighted_budget", _authority_budget_sql(4, 1000))
+def authority_weighted_budget(spark, sf_dir):
+    """Authority-weighted crawl budgeting — the second budget signal
+    beside ``reputation_weighted_budget``, and the original PageRank
+    use case closed end to end: "crawl in rank order" means important
+    hosts get fetch slots first, so the host-graph rank_micros (an
+    integer by construction — no floor/scaling step needed, unlike the
+    reputation score) feeds Hamilton apportionment directly as the
+    weight. ONE lineage: extract_links → host contraction → 4-round
+    integer-fixpoint weighted PageRank → ``apportion_budget`` over
+    1000 slots (exact integer div/mod, Σalloc = slots, remainder ties
+    on host). The oracle reuses the unrolled fixpoint CTEs and
+    replays the largest-remainder arithmetic, so a rank slip OR an
+    apportionment slip each break different rows. Scale shape: the
+    expensive part (page-grain extraction) is linear; apportionment
+    adds two broadcast scalars and the range-bucketed remainder rank
+    on a hosts-sized table."""
+    from vmware_graph_spark.operators.crawl import apportion_budget
+
+    ranks = host_authority_pagerank(spark, sf_dir)
+    weights = ranks.select(
+        "host", F.col("rank_micros").cast("bigint").alias("weight")
+    )
+    return apportion_budget(weights, 1000).select("host", "weight", "alloc")
