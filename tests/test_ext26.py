@@ -134,10 +134,13 @@ def test_mojibake_audit_counts(spark):
         )
 
 
-def _host_pagerank_reference(doc_ids, iters=4, scale=1_000_000, damping=85):
-    """Pure-Python integer replica of the fixture graph + weighted
-    fixpoint, independent of both Spark and DuckDB."""
-    from collections import Counter, defaultdict
+def _host_pagerank_reference(doc_ids, iters=4):
+    """Fixture edge dict from doc_ids + the CANONICAL pure-Python
+    fixpoint replica (shared with tools/boilerplate_scalebench.py —
+    the two references differ only in edge construction)."""
+    from collections import Counter
+
+    from tools.boilerplate_scalebench import weighted_pagerank_int_reference
 
     e0 = Counter()
     for did in doc_ids:
@@ -146,22 +149,7 @@ def _host_pagerank_reference(doc_ids, iters=4, scale=1_000_000, damping=85):
         if did % 3 == 0:
             e0[(src, (did * 5 + 11) % 23)] += 1
     edges = {(s, t): w for (s, t), w in e0.items() if s != t}
-    verts = sorted({s for s, _ in edges} | {t for _, t in edges})
-    out_w = defaultdict(int)
-    for (s, _), w in edges.items():
-        out_w[s] += w
-    n = len(verts)
-    base = (100 - damping) * scale // 100
-    rank = {v: scale for v in verts}
-    for _ in range(iters):
-        dangling = sum(rank[v] for v in verts if v not in out_w)
-        in_sum = defaultdict(int)
-        for (s, t), w in edges.items():
-            in_sum[t] += (rank[s] * w) // out_w[s]
-        rank = {
-            v: base + (damping * (in_sum[v] + dangling // n)) // 100
-            for v in verts
-        }
+    rank = weighted_pagerank_int_reference(edges, iters=iters)
     return {f"site{v}.example.com": r for v, r in rank.items()}
 
 
@@ -297,8 +285,9 @@ def test_idn_host_flags(spark):
         (1, "www.example.com", False, False),
         (2, "xn--mnchen-3ya.example.com", True, False),
         (3, "sаle.example.com", False, True),    # Cyrillic а among Latin
-        (4, "магазин.example.com",
-         False, True),  # pure-Cyrillic label but ASCII 'example.com' tail
+        (4, "магазин.example.com", False, False),
+        # ^ pure-Cyrillic LABEL under an ASCII TLD: a legitimate IDN,
+        #   must NOT flag (the mix check is per-label, not whole-host)
         (5, "teXN--am.example.com", False, False),    # xn-- not at label start
         (6, "XN--test.example.com", True, False),     # case-insensitive ACE
     ]
@@ -422,3 +411,94 @@ def test_authority_weighted_budget_conserves_and_weights(spark):
         # largest-remainder never strays more than 1 from the quota
         quota = 1000 * r.weight / sum(ranks.values())
         assert abs(r.alloc - quota) < 1.0 + 1e-9
+
+
+def test_mojibake_cp1252_class(spark):
+    """The dominant real-world mojibake — UTF-8 curly punctuation
+    decoded as cp1252 — must flag as double_utf8 (review finding)."""
+    from vmware_graph_spark.functions.text import has_double_utf8
+
+    df = spark.createDataFrame(
+        [
+            (1, "donâ€™t stop", True),      # U+2019 as cp1252
+            (2, "dashâ€”here", True),       # U+2014 as cp1252
+            (3, "cafÃ© latin1", True),      # 2-byte latin-1 arm still fires
+            (4, "plain ascii", False),
+            (5, "genuine émigré prose", False),  # real accents alone: clean
+        ],
+        "id long, text string, want boolean",
+    )
+    for r in df.select("want", has_double_utf8("text").alias("got")).collect():
+        assert r.got == r.want
+
+
+def test_html_blocks_strips_script_closer_first(spark):
+    """A block-break tag INSIDE a script/comment must not truncate the
+    construct and leak its payload into visible text (review finding)."""
+    from pyspark.sql import functions as F_
+
+    from vmware_graph_spark.functions.text import html_blocks, html_to_text
+
+    html = (
+        '<div><script>document.write("</div>")</script>Real prose here.</div>'
+        "<!-- trailing </p> comment --><p>Second block.</p>"
+    )
+    df = spark.createDataFrame([(html,)], "html string")
+    texts = [
+        r.t
+        for r in df.select(
+            F_.explode(html_blocks("html")).alias("frag")
+        ).select(html_to_text("frag").alias("t")).collect()
+        if r.t
+    ]
+    assert texts == ["Real prose here.", "Second block."]
+    assert not any("document.write" in t for t in texts)
+
+
+def test_anchor_chars_normalized_like_denominator(spark):
+    """Anchor inner text counts VISIBLE chars: nested tags stripped,
+    entities decoded, whitespace collapsed (review finding)."""
+    from vmware_graph_spark.functions.text import anchor_text_chars
+
+    df = spark.createDataFrame(
+        [
+            ("<a href=x>Q&amp;A</a>", 3),                 # entity decodes
+            ("<a href=x><strong>hi</strong></a>", 2),     # nested tag strips
+            ("<a href=x>the\n   annual\n   report</a>", 17),  # ws collapses
+        ],
+        "frag string, want int",
+    )
+    for r in df.select("want", anchor_text_chars("frag").alias("got")).collect():
+        assert r.got == r.want
+
+
+def test_html_blocks_semantic_closers(spark):
+    """<nav>/<ul>-style boilerplate must split into its own block, not
+    dilute into adjacent prose (review finding)."""
+    from pyspark.sql import functions as F_
+
+    from vmware_graph_spark.functions.text import (
+        anchor_text_chars,
+        classify_block,
+        html_blocks,
+        html_to_text,
+    )
+
+    html = (
+        '<nav><a href="/">Home</a> <a href="/a">About</a></nav>'
+        "<p>Two hundred imaginary characters of perfectly ordinary prose "
+        "carrying the actual content of this page onward.</p>"
+    )
+    df = spark.createDataFrame([(html,)], "html string")
+    rows = (
+        df.select(F_.explode(html_blocks("html")).alias("frag"))
+        .select(
+            html_to_text("frag").alias("t"),
+            anchor_text_chars("frag").alias("a"),
+        )
+        .filter(F_.length("t") > 0)
+        .withColumn("cls", classify_block(F_.length("t"), F_.col("a")))
+        .collect()
+    )
+    assert [r.cls for r in rows] == ["boilerplate", "content"]
+    assert rows[0].t == "Home About"

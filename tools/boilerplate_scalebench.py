@@ -56,37 +56,51 @@ def _expected_block_totals(n: int) -> tuple[int, int, int]:
     return n_blocks, n_content, content_chars
 
 
-def _host_pagerank_reference(n: int, h: int, iters: int = 4) -> dict[str, int]:
-    """Pure-Python integer replica of the contracted host graph +
-    weighted fixpoint (mirrors tests/test_ext26.py's reference, at the
-    closed-form weights the n % (3h) == 0 choice guarantees)."""
+def weighted_pagerank_int_reference(
+    edges: dict, *, iters: int = 4, scale: int = 1_000_000, damping: int = 85
+) -> dict:
+    """Pure-Python integer replica of
+    ``analytics.algos.pagerank_weighted_fixed`` over explicit
+    ``{(src, dst): weight}`` edges: per-edge ``(rank·w) // out_w``
+    floor contributions, dangling mass redistributed uniformly. The
+    ONE canonical reference — tests/test_ext26.py and this tool both
+    import it and differ only in how they build the edge dict."""
     from collections import defaultdict
 
-    assert n % (3 * h) == 0
-    w1, w2 = n // h, n // (3 * h)
-    edges: dict[tuple[int, int], int] = {}
-    for k in range(h):
-        t1, t2 = (7 * k + 3) % h, (5 * k + 11) % h
-        if t1 != k:
-            edges[(k, t1)] = edges.get((k, t1), 0) + w1
-        if t2 != k:
-            edges[(k, t2)] = edges.get((k, t2), 0) + w2
     verts = sorted({s for s, _ in edges} | {t for _, t in edges})
-    out_w: dict[int, int] = defaultdict(int)
+    out_w: dict = defaultdict(int)
     for (s, _), w in edges.items():
         out_w[s] += w
-    nv, scale, damping = len(verts), 1_000_000, 85
+    nv = len(verts)
     base = (100 - damping) * scale // 100
     rank = {v: scale for v in verts}
     for _ in range(iters):
         dangling = sum(rank[v] for v in verts if v not in out_w)
-        in_sum: dict[int, int] = defaultdict(int)
+        in_sum: dict = defaultdict(int)
         for (s, t), w in edges.items():
             in_sum[t] += (rank[s] * w) // out_w[s]
         rank = {
             v: base + (damping * (in_sum[v] + dangling // nv)) // 100
             for v in verts
         }
+    return rank
+
+
+def _host_pagerank_reference(n: int, h: int, iters: int = 4) -> tuple[dict, int]:
+    """(ranks-by-hostname, distinct-edge count) for the closed-form
+    contracted host graph the n % (3h) == 0 choice guarantees
+    (w1 = n/h, w2 = n/(3h); the k ≡ 4 (mod h/2) target collisions
+    merge the two classes into one weighted edge)."""
+    assert n % (3 * h) == 0
+    w1, w2 = n // h, n // (3 * h)
+    edges: dict = {}
+    for k in range(h):
+        t1, t2 = (7 * k + 3) % h, (5 * k + 11) % h
+        if t1 != k:
+            edges[(k, t1)] = edges.get((k, t1), 0) + w1
+        if t2 != k:
+            edges[(k, t2)] = edges.get((k, t2), 0) + w2
+    rank = weighted_pagerank_int_reference(edges, iters=iters)
     return {f"site{v}.example.com": r for v, r in rank.items()}, len(edges)
 
 
@@ -121,28 +135,17 @@ def main() -> None:
     report: dict = {"load_1m_at_start": load_at_start, "tiers": {}}
 
     # ---- (a) boilerplate chain at page volume -------------------------
+    # the page template is the registry fixture's own builder (shared,
+    # not copied — template drift would silently decouple the asserted
+    # arithmetic below from what the registry oracle pins)
+    from vmware_graph_spark.queries_ext26 import _fixture_page_html
+
     for n in tiers:
-        i = F.col("id")
-        s = i.cast("string")
-        html = F.concat(
-            F.lit(
-                '<html><body><div class="nav"><a href="/">Home</a>'
-                ' <a href="/about">About us</a>'
-                ' <a href="/contact">Contact</a></div><h1>Doc '
-            ),
-            s,
-            F.lit("</h1><p>" + CONTENT_TEXT + '</p><p>See <a href="/ref/'),
-            s,
-            F.lit('">reference '),
-            (i % 10).cast("string"),
-            F.lit("</a>"),
-            F.repeat(F.lit(" pad"), (i % 9).cast("int")),
-            F.lit(
-                '</p><div class="footer"><a href="/tos">Terms</a>'
-                ' <a href="/privacy">Privacy</a> (c) 2026</div></body></html>'
-            ),
+        pages = (
+            spark.range(n)
+            .select(F.col("id").alias("doc_id"))
+            .select(_fixture_page_html(text=F.lit(CONTENT_TEXT)).alias("html"))
         )
-        pages = spark.range(n).select(html.alias("html"))
 
         t0 = time.time()
         blocks = pages.select(F.explode(html_blocks("html")).alias("frag")).select(

@@ -448,7 +448,15 @@ def sniff_charset_sql(ct: str, html: str) -> str:
 #: Block boundaries: closing block-level tags and <br>. Splitting on
 #: CLOSERS (not openers) keeps each block's own markup — including its
 #: anchors — inside the fragment, so per-block features see them.
-BLOCK_BREAK_RE = r"(?i)</p\s*>|</div\s*>|</h[1-6]\s*>|</li\s*>|</t[dh]\s*>|<br\s*/?>"
+#: Covers the classic and semantic-HTML5 block set; an anchor that
+#: itself SPANS a block break (rare, e.g. <br> inside <a>) loses its
+#: closer at the split, so its text counts as visible but not anchor
+#: chars — a conservative, content-keeping failure mode.
+BLOCK_BREAK_RE = (
+    r"(?i)</p\s*>|</div\s*>|</h[1-6]\s*>|</li\s*>|</t[dhr]\s*>|<br\s*/?>"
+    r"|</(?:ul|ol|table|nav|section|article|blockquote|pre|header|footer"
+    r"|aside|main|form)\s*>"
+)
 
 #: Anchor inner text (group 1). `(?:\s[^>]*)?` — not `[^>]*` — so the
 #: tag NAME must be exactly `a` (`<abbr>`/`<article>` don't match).
@@ -464,21 +472,32 @@ MIN_BLOCK_CHARS = 20
 
 
 def html_blocks(col: Column | str) -> Column:
-    """``array<string>`` of raw block fragments (markup preserved),
-    split at :data:`BLOCK_BREAK_RE` boundaries. Pure Catalyst."""
+    """``array<string>`` of block fragments (inline markup preserved),
+    split at :data:`BLOCK_BREAK_RE` boundaries. Comments, script and
+    style blocks are stripped BEFORE the split — their content is not
+    text, and a block-break tag inside one (``document.write("</div>")``
+    is everywhere) would otherwise truncate the construct and leak its
+    payload into a visible block. Pure Catalyst."""
     c = F.col(col) if isinstance(col, str) else col
+    for pat, rep in HTML_STRIP_STEPS[:3]:  # comments, <script>, <style>
+        c = F.regexp_replace(c, pat, rep)
     return F.split(c, BLOCK_BREAK_RE)
 
 
 def anchor_text_chars(col: Column | str) -> Column:
-    """Total characters of anchor INNER text in the fragment (int,
-    0 when no anchors): the numerator of link density. Catalyst
-    ``regexp_extract_all`` + ``aggregate`` — no UDF."""
+    """Total VISIBLE characters of anchor inner text in the fragment
+    (int, 0 when no anchors): the numerator of link density. Each
+    captured inner text runs through the same normalization as the
+    density's denominator (:func:`html_to_text` — nested tags
+    stripped, entities decoded, whitespace collapsed, trimmed), so
+    density compares like with like and cannot exceed 1 by counting
+    raw markup. Catalyst ``regexp_extract_all`` + ``aggregate`` — no
+    UDF."""
     c = F.col(col) if isinstance(col, str) else col
     return F.aggregate(
         F.regexp_extract_all(c, F.lit(ANCHOR_TEXT_RE), F.lit(1)),
         F.lit(0),
-        lambda acc, x: acc + F.length(x),
+        lambda acc, x: acc + F.length(html_to_text(x)),
     )
 
 
@@ -502,15 +521,34 @@ def classify_block(block_text_len: Column, anchor_chars: Column) -> Column:
 # every hop of a broken decode chain, each a portable \x{....} class
 # (the one spelling Java regex and RE2 share, per SCRIPT_RANGES):
 #  - U+FFFD REPLACEMENT CHARACTER — a decoder already gave up;
-#  - a C2/C3 lead byte FOLLOWED BY a continuation-range char — the
-#    signature of UTF-8 bytes decoded as Latin-1 then re-encoded
-#    ("é" → "Ã©", the classic double-encode);
+#  - a UTF-8 lead byte's char FOLLOWED BY a continuation-range char
+#    (Latin-1 mis-decode, "é" → "Ã©") or by cp1252's 0x80-0x9F
+#    punctuation (cp1252 mis-decode, "'" → "â€™" — the dominant
+#    real-world class);
 #  - bare C1 controls U+0080-U+009F — valid in no textual encoding's
 #    output; their presence means a cp1252/Latin-1 mixup upstream.
 # ---------------------------------------------------------------------------
 
 REPLACEMENT_CHAR_RE = r"[\x{FFFD}]"
-DOUBLE_UTF8_RE = r"[\x{00C2}-\x{00C3}][\x{0080}-\x{00BF}]"
+
+#: UTF-8 bytes decoded as LATIN-1: any 2-byte lead (C2-DF) re-decoded
+#: as a Latin-1 char, followed by a continuation byte's Latin-1 char.
+DOUBLE_UTF8_RE = r"[\x{00C2}-\x{00DF}][\x{0080}-\x{00BF}]"
+
+#: UTF-8 bytes decoded as CP1252 — the MOST COMMON real-world class
+#: (curly quotes/dashes are 3-byte E2-lead sequences whose
+#: continuation bytes land on cp1252's PRINTABLE punctuation, so the
+#: Latin-1 tell above never fires): a lead-byte char (C2-EF) followed
+#: by one of the 27 punctuation/letter chars cp1252 maps into
+#: 0x80-0x9F ("â€™" for U+2019 is the canonical spelling).
+CP1252_MOJIBAKE_RE = (
+    r"[\x{00C2}-\x{00EF}]"
+    r"[\x{20AC}\x{201A}\x{0192}\x{201E}\x{2026}\x{2020}\x{2021}\x{02C6}"
+    r"\x{2030}\x{0160}\x{2039}\x{0152}\x{017D}\x{2018}\x{2019}\x{201C}"
+    r"\x{201D}\x{2022}\x{2013}\x{2014}\x{02DC}\x{2122}\x{0161}\x{203A}"
+    r"\x{0153}\x{017E}\x{0178}]"
+)
+
 C1_CONTROL_RE = r"[\x{0080}-\x{009F}]"
 
 
@@ -522,12 +560,15 @@ def has_replacement_char(col: Column | str) -> Column:
 
 
 def has_double_utf8(col: Column | str) -> Column:
-    """True on the double-encoded-UTF-8 signature (Ã/Â followed by a
-    Latin-1-supplement continuation char). A rare false positive on
-    genuine 'Ã©'-adjacent prose is the documented trade — CCNet-family
-    pipelines accept it because the pattern is pure filter, no UDF."""
+    """True on either mis-decode signature: UTF-8-as-Latin-1 (a C2-DF
+    lead char followed by a continuation-range char, 'Ã©') OR
+    UTF-8-as-cp1252 (lead char followed by cp1252's 0x80-0x9F
+    punctuation, 'â€™' — the curly-quote class that dominates real
+    mojibake). A rare false positive on genuine lead-char-adjacent
+    prose is the documented trade — CCNet-family pipelines accept it
+    because the pattern is pure filter, no UDF."""
     c = F.col(col) if isinstance(col, str) else col
-    return c.rlike(DOUBLE_UTF8_RE)
+    return c.rlike(DOUBLE_UTF8_RE) | c.rlike(CP1252_MOJIBAKE_RE)
 
 
 def has_c1_controls(col: Column | str) -> Column:

@@ -388,9 +388,14 @@ def host_has_punycode(col: Column | str) -> Column:
 
 
 def host_mixed_script(col: Column | str) -> Column:
-    """True when the host mixes ASCII letters with ANY non-ASCII
-    codepoint — the homograph precondition (a pure-Unicode IDN is a
-    legitimate spelling; a host with one Cyrillic confusable riding
-    among Latin letters is the signature worth flagging)."""
+    """True when any single LABEL of the host mixes ASCII letters with
+    non-ASCII codepoints — the homograph precondition. The check is
+    per-label, not whole-host: a pure-Unicode label under an ASCII TLD
+    ('münchen.de') is a legitimate IDN spelling and must NOT flag,
+    while one Cyrillic confusable riding among Latin letters inside a
+    label is the signature worth flagging."""
     c = _c(col)
-    return c.rlike(r"[A-Za-z]") & c.rlike(r"[^\x00-\x7f]")
+    return F.exists(
+        F.split(c, r"\."),
+        lambda lbl: lbl.rlike("[A-Za-z]") & lbl.rlike(r"[^\x00-\x7f]"),
+    )

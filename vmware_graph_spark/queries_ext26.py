@@ -68,13 +68,17 @@ from vmware_graph_spark.sources.tables import load_table
 # ---------------------------------------------------------------------------
 
 
-def _fixture_page_html():
+def _fixture_page_html(text=None):
     """The ext26 page as a Catalyst concat over documents columns:
-    pure-link nav, short ``<h1>``, the document prose ``<p>``, a mixed
-    citation block whose ``doc_id % 9`` padding straddles both
-    classification thresholds, and a link-heavy footer."""
+    pure-link nav, short ``<h1>``, the prose ``<p>`` (``text`` column
+    by default; pass a Column — e.g. a literal — to ride other prose,
+    as the scalebench does), a mixed citation block whose
+    ``doc_id % 9`` padding straddles both classification thresholds,
+    and a link-heavy footer."""
     i = F.col("doc_id").cast("string")
     q = (F.col("doc_id") % 10).cast("string")
+    if text is None:
+        text = F.col("text")
     return F.concat(
         F.lit(
             '<html><body><div class="nav"><a href="/">Home</a>'
@@ -83,7 +87,7 @@ def _fixture_page_html():
         ),
         i,
         F.lit("</h1><p>"),
-        F.col("text"),
+        text,
         F.lit('</p><p>See <a href="/ref/'),
         i,
         F.lit('">reference '),
