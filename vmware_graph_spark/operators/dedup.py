@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from vmware_graph_spark.functions.text import fingerprint, tokens, word_shingles
-from vmware_graph_spark.operators.pin import pinned_lazy
+from vmware_graph_spark.operators.pin import pinned, pinned_lazy
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -327,6 +327,22 @@ def _lsh_candidates_from(
     buckets = sig.select("id", F.explode(F.array(*band_cols)).alias("bb")).select(
         "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
+    # Pin the bucket table (EAGER) before the self-join: the two join
+    # branches canonicalize differently (one sits under a
+    # BroadcastExchange), so no exchange reuse fires — with or without
+    # AQE, and even hinted to a shuffled-hash join (tried; both
+    # partial_min subtrees stayed in the final plan) — and the WHOLE
+    # signature aggregation (md5 base per shingle row, the num_hashes
+    # min-aggregates, the hash exchange on id, the band-bucket
+    # Generate) executed TWICE per run (verified in the final adaptive
+    # plan, plans/r12/minhash_lsh_pairs_documents_*.txt; JVM CPU for
+    # the whole query dropped 19.7 -> 11.1 s with the pin). Bucket rows
+    # are bands-per-doc small (4/doc here) so the pin is cheap; EAGER
+    # on purpose — the self-join's broadcast-build and probe stages
+    # are scheduled concurrently, and a lazy pin was materialized
+    # racily by both (the round-8 shared-cut hazard, re-measured
+    # this round).
+    buckets = buckets.transform(pinned)
     a = buckets.alias("a")
     b_ = buckets.alias("b")
     return (

@@ -40,13 +40,31 @@ ENGINE_CONF = {
 }
 
 
+def shuffle_partitions() -> str:
+    """Scale-adaptive shuffle partition count, not a constant.
+
+    Locally it tracks the core count the driver granted (so an 8-core
+    bench run doesn't schedule 4 waves of 32 tiny tasks per exchange);
+    on a cluster SPARK_GRAFT_SHUFFLE_PARTITIONS / submit conf overrides
+    it so post-shuffle partitions land 128-256 MB (guide §2.2: fewer,
+    larger partitions as you scale out). AQE coalescing remains the
+    runtime corrector in both regimes.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    return (
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+        or (cpus if cpus.isdigit() else None)
+        or str(os.cpu_count() or 32)
+    )
+
+
 def get_spark(app_name: str = "vmware-graph-spark") -> SparkSession:
     """Build (or reuse) the engine's SparkSession for local runs."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.shuffle.partitions", shuffle_partitions())
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "12g"))
         .config("spark.ui.enabled", "false")
     )
@@ -60,9 +78,16 @@ def tune(spark: SparkSession) -> SparkSession:
 
     The correctness driver hands us its own SparkSession; runtime-settable
     confs (timezone, AQE) are applied so query semantics don't depend on
-    who built the session.
+    who built the session. Shuffle partitioning gets the same
+    scale-adaptive policy as :func:`get_spark` — an externally built
+    session otherwise runs Spark's default 200 partitions, which on a
+    32-core local box is 6x the tasks per exchange for identical
+    results (AQE coalesces the bytes but not the scheduling overhead of
+    pre-coalesce map tasks).
     """
-    for k, v in ENGINE_CONF.items():
+    conf = dict(ENGINE_CONF)
+    conf["spark.sql.shuffle.partitions"] = shuffle_partitions()
+    for k, v in conf.items():
         try:
             spark.conf.set(k, v)
         except Exception:
