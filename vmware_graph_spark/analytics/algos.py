@@ -85,8 +85,19 @@ def connected_components(
     whose diameter exceeds the cap. (The O(log n)-round large-star/
     small-star variant is the swap-in for web-scale diameters.)
     """
-    sym = _sym(edges).distinct().localCheckpoint(eager=True)
-    labels = vertices.select("id", F.col("id").alias("component")).localCheckpoint(eager=True)
+    # LAZY checkpoints + a FULL-count convergence probe: the probe job
+    # is the single action per iteration — it materializes the round's
+    # checkpoint blocks as a side effect (a full count computes every
+    # partition, so no localCheckpoint block can be left unmaterialized
+    # — the limit(1) short-circuit this replaces would be unsafe here)
+    # and reads the convergence signal from the same pass. The former
+    # shape paid TWO jobs per round (eager checkpoint, then the count);
+    # per-round job latency dominates wall-clock once the frontier is
+    # small relative to the cluster.
+    sym = _sym(edges).distinct().localCheckpoint(eager=False)
+    labels = vertices.select("id", F.col("id").alias("component")).localCheckpoint(
+        eager=False
+    )
     changed = -1
     for _ in range(max_iters):
         # candidate = min(own label, min over neighbors' labels)
@@ -99,13 +110,12 @@ def connected_components(
             .unionAll(nbr)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
             .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
             .count()
         )
         labels = new_labels

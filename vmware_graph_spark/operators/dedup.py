@@ -1143,16 +1143,22 @@ def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 64) -> Dat
     tok = df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok"))
     h = _md5_hash64(F.col("tok"), 0)
     tok = tok.withColumn("h", h)
+    # Per bit, sum the RAW bit (0/1) instead of a CASE-mapped ±1: the
+    # ±1 sum is 2·c_i − n for bit-count c_i and token count n, so the
+    # sign test s_i > 0 is exactly 2·c_i > n — identical fingerprints,
+    # one branch-free shift-and-mask per (row, bit) in the partial agg
+    # instead of a conditional, plus a single shared count.
     sums = [
-        F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(
-            f"b{i}"
-        )
+        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"b{i}")
         for i in range(bits)
     ]
-    agg = tok.groupBy("id").agg(*sums)
+    agg = tok.groupBy("id").agg(*sums, F.count("*").alias("__n"))
     sig = None
     for i in range(bits):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        bit = (
+            F.when(F.col(f"b{i}") * 2 > F.col("__n"), F.lit(1).cast("bigint"))
+            .otherwise(F.lit(0).cast("bigint"))
+        )
         term = F.shiftleft(bit, i)
         sig = term if sig is None else sig.bitwiseOR(term)
     return agg.select("id", sig.alias("simhash"))

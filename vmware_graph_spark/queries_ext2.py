@@ -131,6 +131,15 @@ def dup_span_removal_documents(spark, sf_dir):
             )
         ).alias("pos", "g"),
     )
+    # Pin the gram table: it feeds BOTH the duplicated-gram aggregate
+    # (broadcast side) and the hits probe side; the branches
+    # canonicalize differently so no exchange reuse fires and the
+    # tokenize + per-gram md5 Generate executed twice per run (final
+    # adaptive plan, plans/r12/dup_span_removal_documents_*.txt).
+    # Eager for the same concurrent-stage reason as the LSH bucket pin.
+    from vmware_graph_spark.operators.pin import pinned
+
+    grams = pinned(grams)
     dupg = (
         grams.groupBy("g")
         .agg(F.count_distinct("doc_id").alias("df"))
@@ -545,6 +554,8 @@ def bpe_train_merges(spark, sf_dir):
     (round, pair, count) table IS the merge artifact bpe_apply_pieces
     consumes. Scale: vocabulary-sized state, one shuffle per round, the
     1-row winner broadcast into the re-segmentation."""
+    from vmware_graph_spark.operators.pin import pinned
+
     d = load_table(spark, sf_dir, "documents")
     vocab = (
         d.select(
@@ -558,6 +569,16 @@ def bpe_train_merges(spark, sf_dir):
     seg = vocab.withColumn(
         "s", F.expr("' ' || trim(regexp_replace(token, '(.)', '$1 ')) || ' '")
     )
+    # Pin the base segmentation and each round's 1-row winner: the
+    # final union of the three winners otherwise re-derives every
+    # round's lineage per branch — the corpus explode + vocab agg ran
+    # 7x and the pair-explode 14x in one execution (final adaptive
+    # plan, plans/r12/bpe_train_merges_*.txt; no exchange reuse fires
+    # across the branches because each sits under a different
+    # broadcast). With the pins the corpus is scanned ONCE and each
+    # round's pair aggregation runs once — the shape the classic BPE
+    # trainer has at any scale (vocabulary-sized state per round).
+    seg = pinned(seg)
 
     wins = []
     for r in range(1, _BPE_ROUNDS + 1):
@@ -577,7 +598,10 @@ def bpe_train_merges(spark, sf_dir):
             .groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
             .agg(F.sum("f").cast("bigint").alias("cnt"))
         )
-        win = pairs.orderBy(F.desc("cnt"), "x", "y").limit(1)
+        # the 1-row winner is consumed by BOTH the output union and the
+        # next round's re-segmentation — pin it so each round's pair
+        # aggregation executes exactly once
+        win = pinned(pairs.orderBy(F.desc("cnt"), "x", "y").limit(1))
         wins.append(win.select(F.lit(r).alias("round"), F.col("x").alias("merge_x"), F.col("y").alias("merge_y"), F.col("cnt").alias("pair_count")))
         seg = seg.crossJoin(F.broadcast(win)).withColumn(
             "s",
