@@ -69,9 +69,19 @@ def triangle_count(edges: DataFrame) -> DataFrame:
 
 
 def _sym(edges: DataFrame) -> DataFrame:
-    return edges.select("src", "dst").unionAll(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    # Emit both directions from ONE pass over the input instead of a
+    # two-branch unionAll: the union shape executes the caller's edge
+    # lineage twice (the branches canonicalize differently, so no
+    # exchange reuse fires). Identical output multiset, half the
+    # upstream compute.
+    return edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src").alias("src"), F.col("dst").alias("dst")),
+                F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
 
 
 def connected_components(
@@ -291,8 +301,21 @@ def pagerank(
     Dangling mass is redistributed uniformly each round so ranks sum to
     |V| (GraphX convention is un-normalized; we normalize to sum=|V|).
     """
+    # Pin the loop invariants once: vertices, edges and out_deg sit in
+    # EVERY iteration's plan, so without truncation each round re-runs
+    # the caller's full graph-build lineage (vertices 1x, edges 1x,
+    # out_deg 2x per round). The vertices pin is materialized by the
+    # n-count it already pays; the out_deg count materializes both the
+    # edges pin (its input) and itself in one job.
+    vertices = vertices.localCheckpoint(eager=False)
     n = vertices.count()
-    out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    edges = edges.localCheckpoint(eager=False)
+    out_deg = (
+        edges.groupBy("src")
+        .agg(F.count("*").alias("out_deg"))
+        .localCheckpoint(eager=False)
+    )
+    out_deg.count()
     ranks = vertices.select("id", F.lit(1.0).alias("rank"))
     ranks = ranks.localCheckpoint(eager=True)
     for _ in range(iters):
@@ -352,9 +375,17 @@ def pagerank_fixed(
     Integer headroom: ranks stay O(scale·n/|dangling-free|); with
     scale=1e6 the 64-bit budget holds past 10^9 vertices.
     """
+    # Loop-invariant pins — same rationale as :func:`pagerank`.
+    vertices = vertices.localCheckpoint(eager=False)
     n = vertices.count()
     base = (100 - damping_pct) * scale // 100
-    out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    edges = edges.localCheckpoint(eager=False)
+    out_deg = (
+        edges.groupBy("src")
+        .agg(F.count("*").alias("out_deg"))
+        .localCheckpoint(eager=False)
+    )
+    out_deg.count()
     ranks = vertices.select("id", F.lit(scale).cast("long").alias("rank"))
     ranks = ranks.localCheckpoint(eager=True)
     for _ in range(iters):
@@ -405,9 +436,17 @@ def pagerank_weighted_fixed(
     ``(rank * w) div out_w`` floor contributions, dangling mass as a
     1-row broadcast, one shuffle per iteration. Headroom: rank ≤
     n·scale, so rank·w stays in int64 while n·scale·w_max < 2^63."""
+    # Loop-invariant pins — same rationale as :func:`pagerank`.
+    vertices = vertices.localCheckpoint(eager=False)
     n = vertices.count()
     base = (100 - damping_pct) * scale // 100
-    out_w = edges.groupBy("src").agg(F.sum("w").cast("long").alias("out_w"))
+    edges = edges.localCheckpoint(eager=False)
+    out_w = (
+        edges.groupBy("src")
+        .agg(F.sum("w").cast("long").alias("out_w"))
+        .localCheckpoint(eager=False)
+    )
+    out_w.count()
     ranks = vertices.select("id", F.lit(scale).cast("long").alias("rank"))
     ranks = ranks.localCheckpoint(eager=True)
     for _ in range(iters):
@@ -533,8 +572,16 @@ def personalized_pagerank_fixed(
         raise ValueError("personalized_pagerank_fixed needs a non-empty seed set")
     base = (100 - damping_pct) * scale // 100
     seed_flags = seeds.select("id").distinct().withColumn("__seed", F.lit(True))
-    v = vertices.join(F.broadcast(seed_flags), "id", "left")
-    out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    # Loop-invariant pins — same rationale as :func:`pagerank`. The v
+    # pin is materialized by the eager ranks-init checkpoint below.
+    v = vertices.join(F.broadcast(seed_flags), "id", "left").localCheckpoint(eager=False)
+    edges = edges.localCheckpoint(eager=False)
+    out_deg = (
+        edges.groupBy("src")
+        .agg(F.count("*").alias("out_deg"))
+        .localCheckpoint(eager=False)
+    )
+    out_deg.count()
     ranks = v.select(
         "id",
         F.when(F.col("__seed"), F.lit(scale)).otherwise(F.lit(0)).cast("long").alias("rank"),
@@ -873,7 +920,14 @@ def weighted_sssp(
     non-convergence raises instead of returning wrong distances —
     negative-weight cycles can never converge and are therefore
     surfaced, not silently looped over."""
-    e = edges.select("src", "dst", F.col("w").cast("bigint").alias("w"))
+    # Pin the edge table once: it sits in every relaxation round's plan
+    # and the caller's edge lineage (unions, weight derivations) would
+    # otherwise re-run up to max_iters times. Lazy — round 1's action
+    # materializes it; a single consumer stage per round, so no
+    # concurrent-materialization race.
+    e = edges.select("src", "dst", F.col("w").cast("bigint").alias("w")).localCheckpoint(
+        eager=False
+    )
     dist = sources.select(
         "id", "landmark", F.lit(0).cast("bigint").alias("dist")
     ).localCheckpoint(eager=True)

@@ -637,7 +637,14 @@ def knn_graph_nn_descent(
     Returns ``(src, dst, cosine, rank)`` — k rows per node (fewer only
     if a node's reachable candidate set is smaller).
     """
-    base = df.select(F.col(id_col).alias("id"), as_double_vec(vec_col).alias("__v"))
+    # Pin the (id, vector) table: it sits in every view's bucket
+    # self-join (2 refs/view) and both sides of every round's pair
+    # scoring (2 refs/round) — without truncation the caller's scan +
+    # vector conversion re-runs for each reference. Lazy: the planes
+    # count (or the first round's action) materializes it.
+    base = df.select(
+        F.col(id_col).alias("id"), as_double_vec(vec_col).alias("__v")
+    ).transform(iterpin_lazy)
     if planes is None:
         import math
 

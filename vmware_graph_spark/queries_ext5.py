@@ -455,7 +455,13 @@ def textrank_keywords_documents(spark, sf_dir):
         "doc_id",
         F.filter(F.split("text", r"\s+"), lambda x: x != "").alias("toks"),
     )
-    vocab = (
+    # Pin the vocabulary: it feeds two broadcast filters on the edge
+    # build AND the vertex set, and each reference otherwise re-runs
+    # the corpus-wide explode+aggregate (3 computes per reference
+    # chain before pagerank_fixed even starts iterating).
+    from vmware_graph_spark.operators.pin import pinned
+
+    vocab = pinned(
         t.select(F.explode("toks").alias("tok"))
         .groupBy("tok")
         .agg(F.count("*").alias("df"))
@@ -478,9 +484,19 @@ def textrank_keywords_documents(spark, sf_dir):
     va = vocab.select(F.col("tok").alias("a"))
     vb = vocab.select(F.col("tok").alias("b"))
     fwd = adj.join(F.broadcast(va), "a").join(F.broadcast(vb), "b")
+    # Symmetrize in ONE pass over fwd (explode both directions per
+    # row) instead of a two-branch union that executes the adjacency
+    # explode + vocabulary joins twice. Identical row multiset.
     edges = (
-        fwd.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .union(fwd.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        fwd.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                    F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
     )
     vertices = vocab.select(F.col("tok").alias("id"))
