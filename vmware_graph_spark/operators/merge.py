@@ -224,8 +224,14 @@ def merge_edges(
     refresh-vmware.cypher:187,212) ride along; when the same edge is
     asserted twice with different props, last-writer-wins applies.
     """
-    updates = canonical_edges(updates, undirected_types)
+    # Null-filter BEFORE canonicalization: {canon_src_key, canon_dst_key}
+    # is always a permutation of {src_key, dst_key}, so the conjunction
+    # of IS NOT NULL over the pair is permutation-invariant — identical
+    # rows survive. Ordered the other way, the pushed-down filter
+    # re-evaluated the whole canonicalization CASE chain below the
+    # exchange (the plan carried the swap expression twice per row).
     updates = _drop_null_keys(updates, ["src_key", "dst_key"])
+    updates = canonical_edges(updates, undirected_types)
     if existing is not None:
         existing = canonical_edges(existing, undirected_types)
     if not prop_cols:
@@ -293,8 +299,11 @@ def merge_edges_with_props(
         updates = updates.withColumn(ORDER_COL, F.col(order_col).cast("long"))
     else:
         updates = updates.withColumn(ORDER_COL, F.lit(0).cast("long"))
-    updates = _norm_props(canonical_edges(updates, undirected_types), keep=(ORDER_COL,))
+    # Null-filter first — permutation-invariant over the endpoint pair
+    # (see merge_edges); keeps the pushed-down filter off the
+    # canonicalization CASE chain.
     updates = _drop_null_keys(updates, ["src_key", "dst_key"])
+    updates = _norm_props(canonical_edges(updates, undirected_types), keep=(ORDER_COL,))
     if existing is not None:
         existing = _norm_props(canonical_edges(existing, undirected_types))
         updates = existing.withColumn(ORDER_COL, F.lit(-1).cast("long")).unionByName(
