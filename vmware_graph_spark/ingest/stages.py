@@ -923,16 +923,35 @@ def stage_vinfo_vms(store: GraphStore, sheets: Mapping[str, DataFrame]) -> None:
     )
 
     # hierarchy tail (:213-223) — all lookups against the store state
-    # AFTER this stage's upserts (Cypher sees its own MERGEs)
-    folders = store.vertices("Vfolder").select(F.col("path").alias("__flpath"))
-    pools = store.vertices("Vresourcepool").select(
-        F.col("vc").alias("__rpvc"), F.col("path").alias("__rppath")
+    # AFTER this stage's upserts (Cypher sees its own MERGEs).
+    # The four lookup sides are BROADCAST: they are vSphere INVENTORY
+    # dims (distinct folder paths, resource-pool paths, datacenters,
+    # clusters — bounded by vCenter object limits, ~10⁴ per VC, a few
+    # MB even fleet-wide), while the probe side is the per-VM row
+    # table. Without the hint every lookup planned as a SortMergeJoin:
+    # the store state behind them is a lineage of merges over
+    # LogicalRDD fixtures with NO size statistics, so the broadcast
+    # threshold can never fire on its own (guide §3.1 — estimates are
+    # wrong after UDFs/opaque nodes; hint when you know a side is
+    # small). Measured at sf0.1: 6 Exchange+Sort pairs drop out of the
+    # stage plan.
+    folders = F.broadcast(
+        store.vertices("Vfolder").select(F.col("path").alias("__flpath"))
     )
-    vdc = store.vertices("Vspheredatacenter").select(
-        F.col("name").alias("__dcname"), F.col("managedby").alias("__dcuid")
+    pools = F.broadcast(
+        store.vertices("Vresourcepool").select(
+            F.col("vc").alias("__rpvc"), F.col("path").alias("__rppath")
+        )
     )
-    vcc = store.vertices("Vcentercluster").select(
-        F.col("name").alias("__ccname"), F.col("managedby").alias("__ccuid")
+    vdc = F.broadcast(
+        store.vertices("Vspheredatacenter").select(
+            F.col("name").alias("__dcname"), F.col("managedby").alias("__dcuid")
+        )
+    )
+    vcc = F.broadcast(
+        store.vertices("Vcentercluster").select(
+            F.col("name").alias("__ccname"), F.col("managedby").alias("__ccuid")
+        )
     )
 
     t = (

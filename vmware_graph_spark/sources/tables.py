@@ -38,22 +38,43 @@ BROADCAST_TABLES = frozenset({"region", "nation"})
 # the checkpoint-heavy ingest stage queries at sf0.1).
 REBALANCE_TABLES = frozenset({"documents", "embeddings", "lineitem"})
 
+# Deterministic spread key per rebalanced table: a unique (or
+# near-unique, >=20x partition count — guide §2.5) row identity, so
+# hash partitioning spreads evenly. Hash-repartitioning on a REAL
+# column is retry-safe without round-robin's map-side sort
+# (spark.sql.execution.sortBeforeRepartition exists to make RETRIED
+# round-robin tasks reproduce their row→partition assignment; a
+# deterministic key needs no such sort), and it leaves the scan output
+# hash-clustered on the key, so downstream groupBy/join on the same
+# key reuses the exchange outright (guide §2.4).
+REBALANCE_KEYS = {
+    "lineitem": ("l_orderkey",),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+}
 
-def split_small_scan(df: DataFrame, spark: SparkSession) -> DataFrame:
-    """Round-robin repartition a scan that yields fewer partitions than
-    cores.
+
+def split_small_scan(
+    df: DataFrame, spark: SparkSession, keys: tuple[str, ...] = ()
+) -> DataFrame:
+    """Repartition a scan that yields fewer partitions than cores.
 
     Single-row-group parquet files cannot be split by byte range, so a
     small-SF fixture scans as ONE partition and every downstream
     CPU-heavy fan-out (shingling, hashing, mapInPandas) runs on one
-    core. The cure is one linear shuffle of the compact input rows. At
-    production scale the scan already yields >= cores partitions and
-    this is a no-op — the partition-count probe is planning-only, no
-    job. Catalyst still pushes filters/pruning through the repartition
-    into the scan (asserted in tests/test_plans.py).
+    core. The cure is one linear shuffle of the compact input rows —
+    hash-partitioned on ``keys`` when given (no map-side
+    sort-before-repartition, deterministic under retry, downstream
+    exchange reuse), round-robin otherwise. At production scale the
+    scan already yields >= cores partitions and this is a no-op — the
+    partition-count probe is planning-only, no job. Catalyst still
+    pushes filters/pruning through the repartition into the scan
+    (asserted in tests/test_plans.py).
     """
     target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
+        if keys:
+            return df.repartition(target, *[F.col(k) for k in keys])
         return df.repartition(target)
     return df
 
@@ -73,7 +94,7 @@ def load_table(
     if name in BROADCAST_TABLES:
         return F.broadcast(df)
     if rebalance and name in REBALANCE_TABLES:
-        return split_small_scan(df, spark)
+        return split_small_scan(df, spark, REBALANCE_KEYS.get(name, ()))
     return df
 
 
