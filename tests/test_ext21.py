@@ -717,7 +717,13 @@ def test_robots_group_gate_plan_never_shuffles_frontier(spark):
         df.explain("formatted")
     plan = buf.getvalue()
     assert "BroadcastHashJoin" in plan
-    assert "hashpartitioning(doc_id" not in plan
+    # the scan-level rebalance (REPARTITION_BY_NUM) may hash-SPREAD the
+    # frontier on doc_id; what must never appear is a JOIN-induced
+    # (ENSURE_REQUIREMENTS) hash exchange on the frontier key
+    assert not any(
+        "hashpartitioning(doc_id" in ln and "ENSURE_REQUIREMENTS" in ln
+        for ln in plan.splitlines()
+    )
     # the only Python node allowed is the robots-side parser
     assert plan.count("ArrowEvalPython") == 0
 
@@ -732,8 +738,12 @@ def test_robots_filter_plan_broadcasts_and_never_shuffles_frontier(spark):
     plan = buf.getvalue()
     assert "BroadcastHashJoin" in plan
     # the only allowed exchanges are on the tiny rules side (its groupBy
-    # + the broadcast); the frontier must not hash-partition on its key
-    assert "hashpartitioning(doc_id" not in plan
+    # + the broadcast) and the scan-level rebalance (REPARTITION_BY_NUM);
+    # the frontier must not hash-partition on its key FOR A JOIN
+    assert not any(
+        "hashpartitioning(doc_id" in ln and "ENSURE_REQUIREMENTS" in ln
+        for ln in plan.splitlines()
+    )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
