@@ -94,41 +94,65 @@ def connected_components(
     ``max_iters`` — a silent partial result would be wrong for any graph
     whose diameter exceeds the cap. (The O(log n)-round large-star/
     small-star variant is the swap-in for web-scale diameters.)
+
+    Contract: ``vertices`` must cover every edge endpoint (both in-tree
+    callers derive it that way); output rows are anchored on the vertex
+    table.
     """
     # LAZY checkpoints + a FULL-count convergence probe: the probe job
     # is the single action per iteration — it materializes the round's
     # checkpoint blocks as a side effect (a full count computes every
     # partition, so no localCheckpoint block can be left unmaterialized
-    # — the limit(1) short-circuit this replaces would be unsafe here)
-    # and reads the convergence signal from the same pass. The former
-    # shape paid TWO jobs per round (eager checkpoint, then the count);
-    # per-round job latency dominates wall-clock once the frontier is
-    # small relative to the cluster.
-    sym = _sym(edges).distinct().localCheckpoint(eager=False)
-    labels = vertices.select("id", F.col("id").alias("component")).localCheckpoint(
-        eager=False
+    # — a limit(1) short-circuit would be unsafe here) and reads the
+    # convergence signal from the same pass.
+    #
+    # CO-PARTITIONED round shape (guide §2.4 — establish the
+    # partitioning once, reuse it every round): both loop tables are
+    # hash-laid-out ONCE up front — sym by src (hashpartitioning(src)
+    # satisfies ClusteredDistribution([src, dst]), so the edge dedup
+    # runs partition-local behind the same single exchange) and labels
+    # by id. Each round then needs exactly ONE exchange (the
+    # neighbor-min aggregation re-keys src→dst); the sym⋈labels probe
+    # and the labels⟕nbr_min merge are both exchange-free because
+    # every operand already hashes on the join key, and checkpoints
+    # preserve the layout into the next round. The former union-agg
+    # shape re-exchanged sym per round AND paid a second old-vs-new
+    # join for the changed count; here the old label rides the merge
+    # row, so the convergence count folds into the round's only
+    # materializing action.
+    p = int(vertices.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    sym = (
+        _sym(edges)
+        .repartition(p, "src")
+        .dropDuplicates()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        vertices.select("id", F.col("id").alias("component"))
+        .repartition(p, "id")
+        .localCheckpoint(eager=False)
     )
     changed = -1
     for _ in range(max_iters):
         # candidate = min(own label, min over neighbors' labels)
-        nbr = (
+        nbr_min = (
             sym.join(labels, sym.src == labels.id)
-            .select(F.col("dst").alias("id"), "component")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("component").alias("__nbr"))
         )
-        new_labels = (
-            labels.select("id", "component")
-            .unionAll(nbr)
-            .groupBy("id")
-            .agg(F.min("component").alias("component"))
+        step = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.col("component").alias("__old"),
+                F.least(
+                    F.col("component"), F.coalesce("__nbr", "component")
+                ).alias("component"),
+            )
             .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = step.filter(F.col("component") != F.col("__old")).count()
+        labels = step.select("id", "component")
         if changed == 0:
             break
     if changed != 0:

@@ -1133,30 +1133,58 @@ def cosine_pairs_lsh(
     return pairs.filter(F.col("cos") >= threshold).select("id_a", "id_b", "cos")
 
 
+# Packed per-bit counters for simhash: 3 lanes of 20 bits per 64-bit
+# aggregation buffer. Lane sums stay exact while every document has
+# fewer than 2^20 tokens (guarded loudly below); 3×20=60 bits leaves
+# the long's sign bit and headroom untouched.
+_SIMHASH_LANES = 3
+_SIMHASH_LANE_W = 20
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 64) -> DataFrame:
     """(id, simhash: bigint) — sign-of-sum fingerprint over token hashes.
 
-    Implemented as ``bits`` conditional sums in ONE aggregation (single
-    shuffle, wide agg — Tungsten handles hundreds of agg buffers fine),
-    not a per-bit explode which would shuffle 64×.
+    One aggregation (single shuffle), with the per-bit counters PACKED
+    three-to-a-long in 20-bit lanes: summing longs adds the lanes
+    independently, so ⌈bits/3⌉+1 aggregation buffers replace bits+1 —
+    ~3× fewer buffer updates per token row and ~3× fewer shuffle bytes
+    through the partial agg (guide §2.3, narrower state). Per bit, the
+    lane holds the RAW bit-count c_i; the classic ±1 sign test is
+    2·c_i > n for token count n, so fingerprints are bit-identical to
+    the unpacked form. Lane arithmetic is exact below 2^20 tokens per
+    document — enforced with a loud raise_error, never silently wrong.
     """
     tok = df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok"))
     h = _md5_hash64(F.col("tok"), 0)
     tok = tok.withColumn("h", h)
-    # Per bit, sum the RAW bit (0/1) instead of a CASE-mapped ±1: the
-    # ±1 sum is 2·c_i − n for bit-count c_i and token count n, so the
-    # sign test s_i > 0 is exactly 2·c_i > n — identical fingerprints,
-    # one branch-free shift-and-mask per (row, bit) in the partial agg
-    # instead of a conditional, plus a single shared count.
-    sums = [
-        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"b{i}")
-        for i in range(bits)
-    ]
-    agg = tok.groupBy("id").agg(*sums, F.count("*").alias("__n"))
+    n_packs = (bits + _SIMHASH_LANES - 1) // _SIMHASH_LANES
+    packs = []
+    for j in range(n_packs):
+        expr = None
+        for k in range(_SIMHASH_LANES):
+            i = j * _SIMHASH_LANES + k
+            if i >= bits:
+                break
+            lane = F.shiftleft(
+                F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)), k * _SIMHASH_LANE_W
+            )
+            expr = lane if expr is None else expr.bitwiseOR(lane)
+        packs.append(F.sum(expr).alias(f"p{j}"))
+    agg = tok.groupBy("id").agg(*packs, F.count("*").alias("__n"))
+    guarded_n = F.when(
+        F.col("__n") >= F.lit(1 << _SIMHASH_LANE_W),
+        F.raise_error(
+            F.lit("simhash: document exceeds 2^20 tokens; packed lanes would overflow")
+        ),
+    ).otherwise(F.col("__n"))
     sig = None
     for i in range(bits):
+        j, k = divmod(i, _SIMHASH_LANES)
+        c = F.shiftright(F.col(f"p{j}"), k * _SIMHASH_LANE_W).bitwiseAND(
+            F.lit((1 << _SIMHASH_LANE_W) - 1)
+        )
         bit = (
-            F.when(F.col(f"b{i}") * 2 > F.col("__n"), F.lit(1).cast("bigint"))
+            F.when(c * 2 > guarded_n, F.lit(1).cast("bigint"))
             .otherwise(F.lit(0).cast("bigint"))
         )
         term = F.shiftleft(bit, i)
