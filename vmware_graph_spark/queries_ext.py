@@ -525,14 +525,17 @@ def streaming_interval_join_views_clicks(spark, sf_dir):
         "inner",
     )
     name = "stream_ijoin_" + uuid.uuid4().hex[:8]
-    q = (
-        pairs.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from vmware_graph_spark.streaming.events import drain_partitions
+
+    with drain_partitions(spark):
+        q = (
+            pairs.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(name)
         .groupBy(F.col("v_user").alias("user_id"))
@@ -1531,14 +1534,17 @@ def streaming_session_window_counts(spark, sf_dir):
         )
     )
     name = "stream_ssw_" + uuid.uuid4().hex[:8]
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from vmware_graph_spark.streaming.events import drain_partitions
+
+    with drain_partitions(spark):
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(name)
         .filter(F.col("user_id") >= 0)
@@ -1612,13 +1618,16 @@ def streaming_cdc_merge_into(spark, sf_dir):
         )
         table.merge(latest)
 
-    q = (
-        changes.writeStream.foreachBatch(handle)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from vmware_graph_spark.streaming.events import drain_partitions
+
+    with drain_partitions(spark):
+        q = (
+            changes.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return table.read().select("tenant", "user_id", "last_value", "last_ts")
 
 

@@ -1167,14 +1167,17 @@ def streaming_left_interval_join(spark, sf_dir):
         "left_outer",
     )
     name = "stream_ljoin_" + uuid.uuid4().hex[:8]
-    q = (
-        pairs.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from vmware_graph_spark.streaming.events import drain_partitions
+
+    with drain_partitions(spark):
+        q = (
+            pairs.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(name)
         .filter(F.col("v_user") >= 0)

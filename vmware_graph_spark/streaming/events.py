@@ -35,6 +35,45 @@ EVENT_SCHEMA = (
     "value double, props string"
 )
 
+# State-store parallelism for stream drains. A stateful streaming
+# operator creates ONE state store per shuffle partition per operator,
+# and every micro-batch pays each store's snapshot/commit I/O — with
+# the batch default (cores, e.g. 32 locally) the per-trigger fixed cost
+# dwarfs the data work for fixture-scale drains (measured 21→14 s on
+# streaming_left_interval_join at 4 vs 16 partitions, identical rows).
+# Partition count never changes WHAT a drain emits (grouping, watermark
+# advancement and join matching are partitioning-independent); it only
+# sizes the state layout, which should track key cardinality and
+# arrival rate, not the batch shuffle width. Production streams size it
+# via SPARK_GRAFT_STREAM_PARTITIONS (or keep their own session conf —
+# the scope below only ever LOWERS toward the target, never raises).
+STREAM_PARTITIONS_ENV = "SPARK_GRAFT_STREAM_PARTITIONS"
+
+
+class drain_partitions:
+    """Context manager: scope ``spark.sql.shuffle.partitions`` down to
+    the stream-drain target around a ``start()``+``awaitTermination()``
+    block, restoring the caller's value afterwards (exception-safe).
+    The conf is captured by the streaming query AT START, so the scope
+    must enclose ``start()``."""
+
+    def __init__(self, spark: SparkSession):
+        self._spark = spark
+        self._saved: str | None = None
+
+    def __enter__(self):
+        cur = int(self._spark.conf.get("spark.sql.shuffle.partitions"))
+        want = int(os.environ.get(STREAM_PARTITIONS_ENV, "4"))
+        if 0 < want < cur:
+            self._saved = str(cur)
+            self._spark.conf.set("spark.sql.shuffle.partitions", str(want))
+        return self
+
+    def __exit__(self, *exc):
+        if self._saved is not None:
+            self._spark.conf.set("spark.sql.shuffle.partitions", self._saved)
+        return False
+
 
 def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-source stream over an events parquet directory. One file per
@@ -211,13 +250,14 @@ def stream_merge_into(
             return
         table.merge(batch_df, delete_missing=delete_missing)
 
-    q = (
-        sdf.writeStream.foreachBatch(handle)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with drain_partitions(sdf.sparkSession):
+        q = (
+            sdf.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 def stream_windowed_counts_phased(
@@ -255,15 +295,16 @@ def stream_windowed_counts_phased(
         sdf = windowed_event_counts(
             read_event_stream(spark, stream_dir), window=window, watermark=watermark
         ).select("window_start", "event_type", "n")
-        q = (
-            sdf.writeStream.format("parquet")
-            .option("path", out_dir)
-            .option("checkpointLocation", checkpoint_dir)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with drain_partitions(sdf.sparkSession):
+            q = (
+                sdf.writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", checkpoint_dir)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         done.append(q)
     return done
 
@@ -271,14 +312,15 @@ def stream_windowed_counts_phased(
 def run_available_to_memory(sdf: DataFrame, name: str, *, output_mode: str = "append") -> None:
     """Drain all available input through the streaming query into a
     memory sink table ``name`` (test/driver harness helper)."""
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with drain_partitions(sdf.sparkSession):
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 def stream_dedup_against(
@@ -329,16 +371,17 @@ def stream_dedup_against(
         ).write.mode("append").parquet(out_dir)
         release_pins()
 
-    q = (
-        sdf.writeStream.foreachBatch(handle)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination()
-    finally:
-        release_dedup_reference(prepared)
+    with drain_partitions(sdf.sparkSession):
+        q = (
+            sdf.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            release_dedup_reference(prepared)
 
 
 def stream_cms_heavy_hitters(
@@ -376,13 +419,14 @@ def stream_cms_heavy_hitters(
             out_dir + "/probes"
         )
 
-    q = (
-        sdf.writeStream.foreachBatch(handle)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with drain_partitions(sdf.sparkSession):
+        q = (
+            sdf.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 def cms_merge_estimates(
@@ -445,13 +489,14 @@ def stream_kmv_partials(
         )
         kept.write.mode("append").parquet(out_dir)
 
-    q = (
-        sdf.writeStream.foreachBatch(handle)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with drain_partitions(sdf.sparkSession):
+        q = (
+            sdf.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 def kmv_merge_estimate(spark: SparkSession, out_dir: str, *, k: int = 256) -> DataFrame:
