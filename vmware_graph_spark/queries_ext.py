@@ -1104,7 +1104,6 @@ def streaming_stateful_sessionize(spark, sf_dir):
     sessionizer's millisecond resolution.
     """
     import tempfile
-    import time as _time
     import uuid
 
     from vmware_graph_spark.streaming.events import (
@@ -1115,16 +1114,9 @@ def streaming_stateful_sessionize(spark, sf_dir):
 
     path = tempfile.mkdtemp(prefix="vgs_ssess_") + "/ev"
     ev = load_table(spark, sf_dir, "events")
-    cuts = ev.select(
-        F.expr("percentile(unix_timestamp(ts), array(0.33D, 0.66D))").alias("c")
-    ).collect()[0]["c"]
-    lo, hi = float(cuts[0]), float(cuts[1])
-    t = F.unix_timestamp("ts")
-    ranges = [t <= lo, (t > lo) & (t <= hi), t > hi]
-    for i, cond in enumerate(ranges):
-        ev.filter(cond).coalesce(1).write.mode("append").parquet(path)
-        if i < len(ranges) - 1:
-            _time.sleep(1.1)  # distinct file mtimes → deterministic batch order
+    # same 0.33/0.66 percentile split this helper computes; batch order
+    # carried by explicit mtime stamps (no sleeps)
+    _write_time_ordered_batches(spark, sf_dir, path, ev, n=3)
 
     sess = sessionize_stream(read_event_stream(spark, path), gap_seconds=1800)
     name = "stream_sess_" + uuid.uuid4().hex[:8]
@@ -1437,9 +1429,18 @@ def pandas_udf_midrange_by_type(spark, sf_dir):
 
 
 def _write_time_ordered_batches(spark, sf_dir, path, df, n=3, extra=None):
-    """Write ``df`` as ``n`` sequential time-range parquet files (1.1 s
-    apart so the file source's mtime ordering is deterministic), plus an
-    optional ``extra`` final batch (e.g. a watermark-flush sentinel)."""
+    """Write ``df`` as ``n`` sequential time-range parquet files, plus
+    an optional ``extra`` final batch (e.g. a watermark-flush sentinel).
+
+    Batch ARRIVAL order is what the file stream source reads from file
+    modification time, so each batch's new files are explicitly
+    ``os.utime``-stamped one second after the previous batch's. The
+    former implementation slept 1.1 s of real time between writes to
+    separate the mtimes — 2–4 s of pure wait per streaming query;
+    stamping is deterministic at zero wall-clock. ``_SUCCESS``/hidden
+    files are ignored by the source's default path filter, so only the
+    data files need stamps."""
+    import os as _os
     import time as _time
 
     qs = [0.33, 0.66] if n == 3 else [i / n for i in range(1, n)]
@@ -1461,10 +1462,15 @@ def _write_time_ordered_batches(spark, sf_dir, path, df, n=3, extra=None):
     batches = [df.filter(c) for c in conds]
     if extra is not None:
         batches.append(extra)
+    base = _time.time()
+    seen: set[str] = set()
     for i, b in enumerate(batches):
         b.coalesce(1).write.mode("append").parquet(path)
-        if i < len(batches) - 1:
-            _time.sleep(1.1)
+        stamp = base + i
+        for f in _os.listdir(path):
+            if f not in seen and not f.startswith(("_", ".")):
+                _os.utime(_os.path.join(path, f), (stamp, stamp))
+                seen.add(f)
 
 
 @query(
