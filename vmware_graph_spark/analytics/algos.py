@@ -331,9 +331,19 @@ def pagerank(
     # out_deg 2x per round). The vertices pin is materialized by the
     # n-count it already pays; the out_deg count materializes both the
     # edges pin (its input) and itself in one job.
-    vertices = vertices.localCheckpoint(eager=False)
+    #
+    # CO-PARTITIONED layout (guide §2.4, same shape as
+    # connected_components): edges hash on src, vertices/ranks hash on
+    # id, established ONCE at pin time and preserved by every round's
+    # checkpoint — the edges⋈ranks probe, the out_deg join (and its
+    # aggregation, which runs exchange-free behind the src layout), the
+    # dangling anti-join and the vertices⟕contribs merge are then all
+    # exchange-free; the only per-round exchange is the contribution
+    # aggregation re-keying src→dst.
+    p = int(vertices.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    vertices = vertices.repartition(p, "id").localCheckpoint(eager=False)
     n = vertices.count()
-    edges = edges.localCheckpoint(eager=False)
+    edges = edges.repartition(p, "src").localCheckpoint(eager=False)
     out_deg = (
         edges.groupBy("src")
         .agg(F.count("*").alias("out_deg"))
@@ -399,11 +409,14 @@ def pagerank_fixed(
     Integer headroom: ranks stay O(scale·n/|dangling-free|); with
     scale=1e6 the 64-bit budget holds past 10^9 vertices.
     """
-    # Loop-invariant pins — same rationale as :func:`pagerank`.
-    vertices = vertices.localCheckpoint(eager=False)
+    # Loop-invariant pins + co-partitioned layout — same rationale as
+    # :func:`pagerank` (edges hash(src), vertices/ranks hash(id); the
+    # only per-round exchange is the src→dst contribution aggregation).
+    p = int(vertices.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    vertices = vertices.repartition(p, "id").localCheckpoint(eager=False)
     n = vertices.count()
     base = (100 - damping_pct) * scale // 100
-    edges = edges.localCheckpoint(eager=False)
+    edges = edges.repartition(p, "src").localCheckpoint(eager=False)
     out_deg = (
         edges.groupBy("src")
         .agg(F.count("*").alias("out_deg"))
@@ -460,11 +473,13 @@ def pagerank_weighted_fixed(
     ``(rank * w) div out_w`` floor contributions, dangling mass as a
     1-row broadcast, one shuffle per iteration. Headroom: rank ≤
     n·scale, so rank·w stays in int64 while n·scale·w_max < 2^63."""
-    # Loop-invariant pins — same rationale as :func:`pagerank`.
-    vertices = vertices.localCheckpoint(eager=False)
+    # Loop-invariant pins + co-partitioned layout — same rationale as
+    # :func:`pagerank`.
+    p = int(vertices.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    vertices = vertices.repartition(p, "id").localCheckpoint(eager=False)
     n = vertices.count()
     base = (100 - damping_pct) * scale // 100
-    edges = edges.localCheckpoint(eager=False)
+    edges = edges.repartition(p, "src").localCheckpoint(eager=False)
     out_w = (
         edges.groupBy("src")
         .agg(F.sum("w").cast("long").alias("out_w"))
@@ -596,10 +611,17 @@ def personalized_pagerank_fixed(
         raise ValueError("personalized_pagerank_fixed needs a non-empty seed set")
     base = (100 - damping_pct) * scale // 100
     seed_flags = seeds.select("id").distinct().withColumn("__seed", F.lit(True))
-    # Loop-invariant pins — same rationale as :func:`pagerank`. The v
-    # pin is materialized by the eager ranks-init checkpoint below.
-    v = vertices.join(F.broadcast(seed_flags), "id", "left").localCheckpoint(eager=False)
-    edges = edges.localCheckpoint(eager=False)
+    # Loop-invariant pins + co-partitioned layout — same rationale as
+    # :func:`pagerank`. The v pin is materialized by the eager
+    # ranks-init checkpoint below; the broadcast join preserves the
+    # repartitioned vertex layout.
+    p = int(vertices.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    v = (
+        vertices.repartition(p, "id")
+        .join(F.broadcast(seed_flags), "id", "left")
+        .localCheckpoint(eager=False)
+    )
+    edges = edges.repartition(p, "src").localCheckpoint(eager=False)
     out_deg = (
         edges.groupBy("src")
         .agg(F.count("*").alias("out_deg"))
@@ -949,15 +971,31 @@ def weighted_sssp(
     # otherwise re-run up to max_iters times. Lazy — round 1's action
     # materializes it; a single consumer stage per round, so no
     # concurrent-materialization race.
-    e = edges.select("src", "dst", F.col("w").cast("bigint").alias("w")).localCheckpoint(
-        eager=False
+    #
+    # CO-PARTITIONED layout (guide §2.4, the connected_components
+    # shape): edges hash(src), dist hash(id) — the relaxation probe is
+    # then exchange-free every round, the relaxed candidates take ONE
+    # repartition to hash(id) (which satisfies the (id, landmark)
+    # aggregation clustering, so the min-agg runs partition-local
+    # behind it), and the merge with the previous state is a
+    # co-partitioned full-outer join (identical rows to the former
+    # union+groupBy-min). The stats probe is the round's single
+    # materializing action (count+sum scans every partition of the
+    # lazy checkpoint).
+    p = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    e = (
+        edges.select("src", "dst", F.col("w").cast("bigint").alias("w"))
+        .repartition(p, "src")
+        .localCheckpoint(eager=False)
     )
-    dist = sources.select(
-        "id", "landmark", F.lit(0).cast("bigint").alias("dist")
-    ).localCheckpoint(eager=True)
+    dist = (
+        sources.select("id", "landmark", F.lit(0).cast("bigint").alias("dist"))
+        .repartition(p, "id")
+        .localCheckpoint(eager=False)
+    )
     stats = dist.agg(F.count("*"), F.sum("dist")).first()
     for _ in range(max_iters):
-        relaxed = (
+        relaxed_min = (
             dist.alias("d")
             .join(e.alias("e"), F.col("d.id") == F.col("e.src"))
             .select(
@@ -965,12 +1003,22 @@ def weighted_sssp(
                 F.col("d.landmark").alias("landmark"),
                 (F.col("d.dist") + F.col("e.w")).alias("dist"),
             )
-        )
-        new = (
-            dist.unionByName(relaxed)
+            .repartition(p, "id")
             .groupBy("id", "landmark")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
+        )
+        new = (
+            dist.alias("o")
+            .join(relaxed_min.alias("r"), ["id", "landmark"], "full")
+            .select(
+                "id",
+                "landmark",
+                F.least(
+                    F.coalesce(F.col("o.dist"), F.col("r.dist")),
+                    F.coalesce(F.col("r.dist"), F.col("o.dist")),
+                ).alias("dist"),
+            )
+            .localCheckpoint(eager=False)
         )
         # Cheap gate first (round-4 ADVICE: the two exceptAll probes
         # cost ~two extra scans every round): the reachable pair set
