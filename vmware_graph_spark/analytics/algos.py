@@ -186,11 +186,26 @@ def label_propagation(
     """
     from pyspark.sql import Window
 
-    sym = _sym(edges).distinct().localCheckpoint(eager=True)
-    labels = vertices.select("id", F.col("id").alias("label")).localCheckpoint(eager=True)
+    # Co-partitioned loop layout (guide §2.4, the connected_components
+    # shape): sym hash(dst) — the vote probe's join key — and labels
+    # hash(id), both established once (hash(dst) also satisfies the
+    # edge dedup's (src, dst) clustering). Per round the probe join and
+    # the winners merge are exchange-free; the single exchange is the
+    # vote repartition to hash(src), behind which the (src, label)
+    # count, the per-id window and the arg-max all run partition-local.
+    p = int(vertices.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    sym = (
+        _sym(edges).repartition(p, "dst").dropDuplicates().localCheckpoint(eager=True)
+    )
+    labels = (
+        vertices.select("id", F.col("id").alias("label"))
+        .repartition(p, "id")
+        .localCheckpoint(eager=True)
+    )
     for _ in range(iters):
         votes = (
             sym.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .repartition(p, "src")
             .groupBy(F.col("src").alias("id"), "label")
             .agg(F.count("*").alias("c"))
         )
