@@ -79,11 +79,29 @@ def split_small_scan(
     return df
 
 
+# Plan-handle cache: (session id, sf_dir, name, rebalance) → DataFrame.
+# A DataFrame is an immutable LOGICAL PLAN, not data — every action on
+# a cached handle still reads the parquet from disk, so this caches no
+# results. What it skips is the per-call DRIVER cost of rebuilding the
+# identical plan: file listing + footer/schema read (~0.13 s) and the
+# rebalance's .rdd partition-count probe (~0.07 s), paid ~30× per bench
+# pass across repeated load_table calls (guide §5 — the driver should
+# do almost no data work; measured build-time drop in
+# OPTIMIZATION_r12.md). Keyed by id(spark) so a driver-owned session
+# never shares handles with a test-local one; entries are a handful of
+# thin plan objects.
+_PLAN_CACHE: dict[tuple[int, str, str, bool], DataFrame] = {}
+
+
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, *, rebalance: bool = True
 ) -> DataFrame:
     """Load one fixture table; known-tiny dimension tables carry a
     broadcast hint so every downstream join plans broadcast-hash."""
+    key = (id(spark), sf_dir, name, rebalance)
+    cached = _PLAN_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # events.ts is parquet TIMESTAMP(NANOS): with nanosAsLong (session.py)
     # it arrives as bigint nanoseconds — convert to a proper timestamp
@@ -92,9 +110,10 @@ def load_table(
         if field.name == "ts" and field.dataType.simpleString() == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     if name in BROADCAST_TABLES:
-        return F.broadcast(df)
-    if rebalance and name in REBALANCE_TABLES:
-        return split_small_scan(df, spark, REBALANCE_KEYS.get(name, ()))
+        df = F.broadcast(df)
+    elif rebalance and name in REBALANCE_TABLES:
+        df = split_small_scan(df, spark, REBALANCE_KEYS.get(name, ()))
+    _PLAN_CACHE[key] = df
     return df
 
 
