@@ -180,12 +180,31 @@ def main() -> None:
         reps.sort()
         return reps[len(reps) // 2]
 
+    # MEASUREMENT FIX (round 12, documented in OPTIMIZATION_r12.md):
+    # several queries pin shared subtrees via persist(DISK_ONLY)
+    # (operators/pin.py). Spark's CacheManager substitutes a cached
+    # relation into ANY later plan that is structurally equal, so
+    # without an explicit release, pass 2/3 (and later queries in the
+    # same pass that share subtrees, e.g. near_dedup_clusters after
+    # minhash_lsh_pairs_documents) read pass-1 blocks instead of
+    # recomputing from parquet — the timings then measure the block
+    # store, not the engine. Releasing the pin registry after each
+    # timed query restores per-invocation isolation: every query
+    # computes from the parquet inputs every time. Within-invocation
+    # pin sharing (the legitimate single-materialization of a subtree
+    # used twice in ONE query) is untouched. The pre-fix series
+    # (BENCHLOG ≤ 2026-08-17, BENCH_r11 and earlier) was measured
+    # without the release and reads FASTER on the dedup/BPE family;
+    # kept as-is for the record, not comparable query-by-query.
+    from vmware_graph_spark.operators.pin import release_pins
+
     def _run_pass() -> dict[str, float]:
         t: dict[str, float] = {}
         for name in HEADLINE:
             t0 = time.time()
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             t[name] = round(time.time() - t0, 3)
+            release_pins()
         return t
 
     # UNCOUNTED warmup pass (round-8 VERDICT #7): every committed

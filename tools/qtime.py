@@ -63,6 +63,11 @@ def main() -> None:
             parts = f.read().split()
         return (int(parts[13]) + int(parts[14])) / tick
 
+    # Same per-invocation isolation as bench.py: release persisted pins
+    # after every timed rep so rep 2+ recomputes from parquet instead of
+    # reading rep 1's DISK_ONLY blocks via CacheManager plan matching.
+    from vmware_graph_spark.operators.pin import release_pins
+
     for name in names:
         ts = []
         cs = []
@@ -75,6 +80,7 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             ts.append(round(time.time() - t0, 3))
             cs.append(round(_jvm_cpu() - c0, 2))
+            release_pins()
         print(f"TIMES {name}: {ts}")
         print(f"JVMCPU {name}: {cs}")
         if show_plan and df is not None:

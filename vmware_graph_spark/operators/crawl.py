@@ -148,8 +148,13 @@ def robots_filter(
         # (Σ array sizes — collect_list keeps every row, so the sum
         # equals the input count): one job materializes the parse, and
         # the join below reads the cached table instead of re-running
-        # the lineage.
-        per_host = per_host.persist()
+        # the lineage. Registered in the pin registry so bench/batch
+        # loops can reclaim the blocks (release_pins) — otherwise the
+        # cached relation outlives the call and later invocations read
+        # it via CacheManager plan matching instead of recomputing.
+        from vmware_graph_spark.operators.pin import pinned_lazy
+
+        per_host = pinned_lazy(per_host)
         n_rules = (
             per_host.agg(
                 F.coalesce(F.sum(F.size("__rules")), F.lit(0)).alias("n")

@@ -541,10 +541,17 @@ def kcenter_coreset_embeddings(spark, sf_dir):
     point's distance at selection time, the k-center covering bound."""
     from vmware_graph_spark.functions.vector import as_double_vec, cosine
 
+    from vmware_graph_spark.operators.pin import pinned_lazy
+
+    # pinned_lazy, not a bare .cache(): each of the 4 rounds re-reads
+    # the vector table, so one materialization is the point — but the
+    # registry keeps the blocks reclaimable (release_pins), where a
+    # raw cache would outlive the call and feed later invocations via
+    # CacheManager plan matching instead of recomputing from parquet.
     e = (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", as_double_vec("embedding").alias("v"))
-        .cache()
+        .transform(pinned_lazy)
     )
     seed = e.orderBy("vec_id").limit(1).collect()[0]
     centers = [(seed.vec_id, seed.v)]
