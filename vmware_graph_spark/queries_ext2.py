@@ -553,9 +553,23 @@ def bpe_train_merges(spark, sf_dir):
     count: classic BPE trains on the word-frequency table). The learned
     (round, pair, count) table IS the merge artifact bpe_apply_pieces
     consumes. Scale: vocabulary-sized state, one shuffle per round, the
-    1-row winner broadcast into the re-segmentation."""
-    from vmware_graph_spark.operators.pin import pinned
+    1-row winner held on the driver (a bounded scalar — the repo's
+    established convergence-probe convention) and inlined as literals
+    into the re-segmentation.
 
+    Plan shape (round 12, honest per-invocation timing): the base
+    segmentation is localCheckpoint-pinned ONCE (the corpus explode +
+    vocab agg never re-derives — without the pin the final plan scanned
+    the corpus 7x and ran the pair-explode 14x across the union
+    branches), and each round is exactly one job: the pair aggregation
+    under the winner's limit(1) collect. The learned 3-row table is
+    then a driver-local DataFrame, so nothing re-executes at the sink.
+    An eager persist(DISK_ONLY)+count pin per winner was measured
+    SLOWER honestly (2.1-2.8 s vs 1.48 s at sf0.1): its apparent win
+    came from CacheManager block reuse across invocations, which the
+    bench no longer permits. Cluster note (same contract as
+    analytics/algos.py): swap localCheckpoint for reliable
+    ``checkpoint()`` on shared storage off-box."""
     d = load_table(spark, sf_dir, "documents")
     vocab = (
         d.select(
@@ -568,19 +582,9 @@ def bpe_train_merges(spark, sf_dir):
     )
     seg = vocab.withColumn(
         "s", F.expr("' ' || trim(regexp_replace(token, '(.)', '$1 ')) || ' '")
-    )
-    # Pin the base segmentation and each round's 1-row winner: the
-    # final union of the three winners otherwise re-derives every
-    # round's lineage per branch — the corpus explode + vocab agg ran
-    # 7x and the pair-explode 14x in one execution (final adaptive
-    # plan, plans/r12/bpe_train_merges_*.txt; no exchange reuse fires
-    # across the branches because each sits under a different
-    # broadcast). With the pins the corpus is scanned ONCE and each
-    # round's pair aggregation runs once — the shape the classic BPE
-    # trainer has at any scale (vocabulary-sized state per round).
-    seg = pinned(seg)
+    ).localCheckpoint(eager=True)
 
-    wins = []
+    out_rows = []
     for r in range(1, _BPE_ROUNDS + 1):
         pairs = (
             seg.select(
@@ -598,23 +602,20 @@ def bpe_train_merges(spark, sf_dir):
             .groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
             .agg(F.sum("f").cast("bigint").alias("cnt"))
         )
-        # the 1-row winner is consumed by BOTH the output union and the
-        # next round's re-segmentation — pin it so each round's pair
-        # aggregation executes exactly once
-        win = pinned(pairs.orderBy(F.desc("cnt"), "x", "y").limit(1))
-        wins.append(win.select(F.lit(r).alias("round"), F.col("x").alias("merge_x"), F.col("y").alias("merge_y"), F.col("cnt").alias("pair_count")))
-        seg = seg.crossJoin(F.broadcast(win)).withColumn(
-            "s",
-            F.expr(
-                "replace(replace(s, ' ' || x || ' ' || y || ' ', ' ' || x || y || ' '),"
-                " ' ' || x || ' ' || y || ' ', ' ' || x || y || ' ')"
-            ),
+        won = pairs.orderBy(F.desc("cnt"), "x", "y").limit(1).collect()
+        if not won:  # empty corpus: no pairs left to merge
+            break
+        w = won[0]
+        out_rows.append((r, w.x, w.y, int(w.cnt)))
+        pat = F.concat(F.lit(" "), F.lit(w.x), F.lit(" "), F.lit(w.y), F.lit(" "))
+        rep = F.concat(F.lit(" "), F.lit(w.x), F.lit(w.y), F.lit(" "))
+        seg = seg.withColumn(
+            "s", F.replace(F.replace(F.col("s"), pat, rep), pat, rep)
         ).select("token", "f", "s")
 
-    out = wins[0]
-    for w in wins[1:]:
-        out = out.unionByName(w)
-    return out
+    return spark.createDataFrame(
+        out_rows, "round int, merge_x string, merge_y string, pair_count bigint"
+    )
 
 
 # ---------------------------------------------------------------------------
