@@ -451,3 +451,44 @@ def test_prepared_reference_decisions_identical_and_caller_owned(spark):
     finally:
         release_dedup_reference(prepared)
     assert not prepared["shingles"].storageLevel.useDisk
+
+
+def test_release_pins_leaves_no_cached_relations(spark):
+    """Bench-honesty contract (round 12): every persist-based pin a
+    query builder creates must be registered with operators.pin, so
+    release_pins() between timed invocations (bench.py/tools/qtime.py)
+    restores per-invocation isolation — Spark's CacheManager matches
+    cached relations by canonicalized PLAN, so an unregistered persist
+    would let a later structurally-equal invocation read the previous
+    invocation's blocks instead of recomputing from parquet. Covers the
+    registry pins on the dedup hot path and the two formerly-raw
+    persist sites (robots_filter's self-counted rules table; kcenter's
+    vector table is the same pinned_lazy call path)."""
+    from vmware_graph_spark.operators.crawl import robots_filter
+    from vmware_graph_spark.operators.dedup import minhash_lsh_pairs
+    from vmware_graph_spark.operators.pin import release_pins
+
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    release_pins()
+    assert cm.isEmpty(), "leftover cached relations from another test"
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(80)
+    minhash_lsh_pairs(docs, "doc_id", "text").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    assert not cm.isEmpty()  # in-flight pins are cached during the run...
+    assert release_pins() > 0
+    assert cm.isEmpty()  # ...and fully reclaimed at the boundary
+
+    urls = spark.createDataFrame(
+        [("h", "/a"), ("h", "/b")], "host string, path string"
+    )
+    rules = spark.createDataFrame(
+        [("h", "/a", False)], "host string, path_prefix string, allow boolean"
+    )
+    # rules_rows omitted -> the self-counting path persists the per-host
+    # aggregate; it must register for release like every other pin
+    robots_filter(urls, rules).write.format("noop").mode("overwrite").save()
+    assert not cm.isEmpty()
+    release_pins()
+    assert cm.isEmpty()
