@@ -761,11 +761,16 @@ def connected_components_star(
     construction. Labeling is identical (min id per component). Set
     ``local_finish_edges=0`` to force pure dataflow to the fixpoint.
     """
+    # LAZY checkpoint folded into the count action (the min-label CC
+    # shape): the count materializes the checkpoint blocks as a side
+    # effect, so edge prep is ONE job instead of two (eager checkpoint
+    # then a count over the cached blocks). A full count touches every
+    # partition, so no block is left unmaterialized.
     e = (
         edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     e_cnt = e.count()
 
@@ -792,12 +797,16 @@ def connected_components_star(
         if e_cnt == 0:
             converged = True  # no edges — every vertex is a singleton
             break
-        new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # Lazy checkpoint + the count as the round's single
+        # materializing action (one job per round instead of two).
+        new_e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         # Cheap gate first: distinct edge SETS can't be equal if their
         # counts differ, and early contraction rounds always shrink the
         # set — the exact (two-sided exceptAll) fixpoint check only
         # runs in rounds where the count is stable. Same convergence
-        # point, ~one scan instead of three for most rounds.
+        # point, ~one scan instead of three for most rounds. Both sides
+        # of the exceptAll read already-materialized checkpoint blocks
+        # (this round's count and last round's).
         new_cnt = new_e.count()
         same = False
         if new_cnt == e_cnt:
