@@ -27,7 +27,7 @@ embarrassingly parallel, no driver iteration, 100 TB-safe.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from collections.abc import Mapping
+from collections.abc import Callable, Mapping
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -70,8 +70,29 @@ def run_ingest(
 
 @dataclass
 class RefreshResult:
-    store: GraphStore
+    """Refresh outcome: the post-sweep store plus the orphan id set.
+
+    ``store`` is assembled LAZILY on first access. Its edge tables are
+    built from ``sweep_edges`` over BOTH snapshots' full edge unions —
+    ~11 s of pure driver-side plan construction at sf0.1 (the edge
+    batches are lazy-checkpoint chains, and ``edges_with_props`` flushes
+    and re-plans every one of them) — and consumers that only read
+    ``orphans`` (the sweep audit query, the incremental diff paths)
+    never execute any of it. Accessing ``.store`` builds exactly the
+    store the former eager field held: node tables were attached during
+    the label loop; only the edge sweep + merge moves to first use.
+    """
+
+    _store: GraphStore
     orphans: DataFrame  # (label, key) removed by the sweep
+    _finish_edges: "Callable[[GraphStore], None] | None" = None
+
+    @property
+    def store(self) -> GraphStore:
+        if self._finish_edges is not None:
+            fin, self._finish_edges = self._finish_edges, None
+            fin(self._store)
+        return self._store
 
 
 def _empty_ids(spark: SparkSession) -> DataFrame:
@@ -133,7 +154,10 @@ def refresh(
 
     # edge refresh: drop every prev edge incident to a marked node
     # (cypher:30-31), then merge the rebuilt edges in. Props ride along
-    # (sweep_edges anti-joins preserve every edge column).
-    final.add_edges(sweep_edges(prev.edges_with_props(), marked))
-    final.add_edges(curr.edges_with_props())
-    return RefreshResult(final, orphans)
+    # (sweep_edges anti-joins preserve every edge column). Deferred to
+    # first ``.store`` access — see RefreshResult.
+    def _finish_edges(final_store: GraphStore) -> None:
+        final_store.add_edges(sweep_edges(prev.edges_with_props(), marked))
+        final_store.add_edges(curr.edges_with_props())
+
+    return RefreshResult(final, orphans, _finish_edges)
