@@ -144,6 +144,63 @@ def test_fuzzy_pairs_never_crosses_blocks(spark):
     assert fuzzy_pairs(df, "id", "name", max_distance=10).count() == 0
 
 
+def test_fuzzy_pairs_banded_threshold_matches_plain_levenshtein(spark):
+    """The banded levenshtein(threshold) rewrite must be row-identical
+    to the plain form: beyond-threshold pairs return -1 and are dropped
+    by the >= 0 guard exactly as the old <= max_distance filter dropped
+    them, and surviving pairs carry their EXACT distance. Checked
+    against an independently computed plain-Levenshtein reference over
+    every same-block pair."""
+    from pyspark.sql import functions as F
+
+    from vmware_graph_spark.operators.dedup import fuzzy_pairs
+
+    names = [
+        (1, "silver metallic ring"),
+        (2, "salver metallic ring"),   # distance 1
+        (3, "silvery metallic ring"),  # distance 1 to 1, 2 to 2
+        (4, "golden polished ring"),   # far from all, same block
+        (5, "silver metallic rung"),   # different block (rung)
+    ]
+    df = spark.createDataFrame(names, ["id", "name"])
+    got = {
+        (r.id_a, r.id_b): r.distance
+        for r in fuzzy_pairs(df, "id", "name", max_distance=2).collect()
+    }
+    # independent reference: plain levenshtein on every same-block pair
+    t = df.select("id", "name", F.element_at(F.split("name", r"\s+"), -1).alias("blk"))
+    ref_rows = (
+        t.alias("a")
+        .join(t.alias("b"), (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.levenshtein(F.col("a.name"), F.col("b.name")).alias("d"),
+        )
+        .collect()
+    )
+    ref = {(r.id_a, r.id_b): r.d for r in ref_rows if r.d <= 2}
+    assert got == ref
+    assert (1, 2) in got and got[(1, 2)] == 1
+    assert all(v >= 0 for v in got.values())  # no -1 sentinel leaks
+
+
+def test_fuzzy_pairs_spreads_underparallel_probe_side(spark):
+    """A single-partition input must not serialize the kernel: the plan
+    carries a repartition exchange on the probe branch while the build
+    side stays broadcastable (no second shuffle of the same rows)."""
+    from vmware_graph_spark.operators.dedup import fuzzy_pairs
+
+    df = spark.createDataFrame(
+        [(i, f"name {i % 3}") for i in range(50)], ["id", "name"]
+    ).coalesce(1)
+    out = fuzzy_pairs(df, "id", "name", max_distance=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_NUM" in plan, plan[:2000]
+    # results unaffected by the spread: same pair set as the 1-partition input implies
+    assert out.count() > 0
+
+
 def test_minhash_estimate_tracks_exact_jaccard(spark, docs):
     """Signature-only estimation: exact dups estimate 1.0; near-dups
     (8/10 shared tokens per 3-gram shift) land within 0.4 of exact; the

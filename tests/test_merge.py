@@ -307,3 +307,49 @@ def test_node_key_null_propagation_and_int_rendering(spark):
     assert rows[1].k2 is None and rows[1].k1 == "17"
     assert rows[2].k2 is None
     assert rows[3].k2 is None and rows[3].k1 is None and rows[3].km is None
+
+
+def test_merge_edges_spread_identical_rows_single_exchange(spark):
+    """merge_edges(spread=True) on an under-parallel input must (a)
+    return EXACTLY the rows of the unspread form (two-sided exceptAll)
+    and (b) plan ONE exchange total — the canonical-key repartition
+    satisfies the distinct's clustering, so no ENSURE_REQUIREMENTS
+    exchange follows it."""
+    import re
+
+    from vmware_graph_spark.operators.merge import merge_edges
+
+    rows = [
+        ("a", f"k{i % 7}", "REL", "b", f"m{i % 5}") if i % 2 == 0
+        else ("b", f"m{i % 5}", "REL", "a", f"k{i % 7}")  # reversed assertion
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows, "src_label string, src_key string, rel_type string, dst_label string, dst_key string"
+    ).coalesce(1)
+    plain = merge_edges(None, df, undirected_types=["REL"])
+    spread = merge_edges(None, df, undirected_types=["REL"], spread=True)
+    assert spread.exceptAll(plain).count() == 0
+    assert plain.exceptAll(spread).count() == 0
+    plan = spread._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = len(re.findall(r"\bExchange (hash|range|Single)", plan))
+    assert n_exchanges == 1, plan[:2000]
+
+
+def test_refresh_result_store_is_lazy_and_idempotent(spark):
+    """RefreshResult defers the final store's edge sweep to first
+    .store access; repeated access returns the same store and the
+    finisher runs once (second access must not re-append edge batches)."""
+    from vmware_graph_spark.ingest.refresh import RefreshResult
+    from vmware_graph_spark.store.graph import GraphStore
+
+    final = GraphStore(spark)
+    calls = []
+
+    def _finish(store):
+        calls.append(1)
+
+    res = RefreshResult(final, spark.createDataFrame([], "label string, key string"), _finish)
+    assert not calls  # construction must not run the finisher
+    assert res.store is final and calls == [1]
+    assert res.store is final and calls == [1]  # idempotent

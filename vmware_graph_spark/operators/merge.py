@@ -217,12 +217,24 @@ def merge_edges(
     *,
     undirected_types: Sequence[str] = (),
     prop_cols: Sequence[str] = (),
+    spread: bool = False,
 ) -> DataFrame:
     """Relationship MERGE (M4): distinct edge per (endpoints, type).
 
     Edge properties (only ``HW_VERSION.upgradestatus`` in the reference,
     refresh-vmware.cypher:187,212) ride along; when the same edge is
     asserted twice with different props, last-writer-wins applies.
+
+    ``spread=True`` (opt-in — the partition-count probe plans the
+    updates lineage, so it must stay off the driver-planning-bound
+    GraphStore path): when the updates scan yields fewer partitions
+    than cores, repartition the CANONICALIZED edges on the endpoint
+    keys before the dedup. hashpartitioning(src_key, dst_key) satisfies
+    the distinct's clustering on the full 5-tuple, so the spread
+    exchange IS the dedup exchange — one shuffle of the edge rows total
+    instead of a generic rebalance plus the distinct's ENSURE exchange
+    (2 Exchange → 1 in the plan; identical rows, exceptAll-checked both
+    ways). Planning-only no-op at production scale.
     """
     # Null-filter BEFORE canonicalization: {canon_src_key, canon_dst_key}
     # is always a permutation of {src_key, dst_key}, so the conjunction
@@ -232,6 +244,12 @@ def merge_edges(
     # exchange (the plan carried the swap expression twice per row).
     updates = _drop_null_keys(updates, ["src_key", "dst_key"])
     updates = canonical_edges(updates, undirected_types)
+    if spread:
+        target = updates.sparkSession.sparkContext.defaultParallelism
+        if updates.rdd.getNumPartitions() < target:
+            updates = updates.repartition(
+                target, F.col("src_key"), F.col("dst_key")
+            )
     if existing is not None:
         existing = canonical_edges(existing, undirected_types)
     if not prop_cols:

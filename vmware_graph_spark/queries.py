@@ -783,7 +783,12 @@ def merge_edges_undirected_canonical(spark, sf_dir):
     """Undirected relationship MERGE: the same edge asserted in both
     directions collapses to one canonical row (M4,
     refresh-vmware.cypher:41,76 undirected patterns)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    # rebalance=False + merge_edges(spread=True): the operator spreads
+    # the CANONICALIZED rows on the endpoint keys, so the one exchange
+    # that parallelizes the single-row-group scan is the same exchange
+    # the distinct needs (2 Exchange → 1; −18% wall, exceptAll-identical
+    # rows — see OPTIMIZATION_r12.md and plans/r12/).
+    li = load_table(spark, sf_dir, "lineitem", rebalance=False)
     fwd = li.select(
         F.lit("supplier").alias("src_label"),
         F.concat(F.lit("s"), F.col("l_suppkey")).alias("src_key"),
@@ -799,7 +804,7 @@ def merge_edges_undirected_canonical(spark, sf_dir):
         F.when(F.col("l_linenumber") % 2 == 1, F.col("src_label")).otherwise(F.col("dst_label")).alias("dst_label"),
         F.when(F.col("l_linenumber") % 2 == 1, F.col("src_key")).otherwise(F.col("dst_key")).alias("dst_key"),
     )
-    return merge_edges(None, flipped, undirected_types=["SUPPLIES"])
+    return merge_edges(None, flipped, undirected_types=["SUPPLIES"], spread=True)
 
 
 @query(
