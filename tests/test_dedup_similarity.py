@@ -194,11 +194,16 @@ def test_fuzzy_pairs_spreads_underparallel_probe_side(spark):
     df = spark.createDataFrame(
         [(i, f"name {i % 3}") for i in range(50)], ["id", "name"]
     ).coalesce(1)
-    out = fuzzy_pairs(df, "id", "name", max_distance=2)
+    out = fuzzy_pairs(df, "id", "name", max_distance=2, spread=True)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "REPARTITION_BY_NUM" in plan, plan[:2000]
     # results unaffected by the spread: same pair set as the 1-partition input implies
     assert out.count() > 0
+    # opt-out (the default): no probe, no repartition — deep-lineage
+    # inputs must not be physically planned twice (ADVICE r12)
+    out_default = fuzzy_pairs(df, "id", "name", max_distance=2)
+    plan_default = out_default._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_NUM" not in plan_default, plan_default[:2000]
 
 
 def test_minhash_estimate_tracks_exact_jaccard(spark, docs):

@@ -66,22 +66,27 @@ def main() -> None:
         release_pins()
         return round(w, 3), round(c, 2)
 
-    for name in names:
-        # one untimed warm rep per variant (JIT for both plan shapes)
-        run_variant(name, "warmA", full)
-        run_variant(name, "warmB", nolineitem)
-        aw, ac, bw, bc = [], [], [], []
-        for _ in range(reps):
-            w, c = run_variant(name, "A", full)
-            aw.append(w); ac.append(c)
-            w, c = run_variant(name, "B", nolineitem)
-            bw.append(w); bc.append(c)
-        def med(v):
-            s = sorted(v); return s[len(s) // 2]
-        print(f"{name}: A(rebalance) wall={aw} med={med(aw)} cpu={ac} med={med(ac)}")
-        print(f"{name}: B(no-rebal)  wall={bw} med={med(bw)} cpu={bc} med={med(bc)}")
-        sys.stdout.flush()
-    T.REBALANCE_TABLES = full
+    # try/finally so a query raising mid-sweep can't leave the module
+    # global on the B variant (ADVICE r12)
+    try:
+        for name in names:
+            # one untimed warm rep per variant (JIT for both plan shapes)
+            run_variant(name, "warmA", full)
+            run_variant(name, "warmB", nolineitem)
+            aw, ac, bw, bc = [], [], [], []
+            for _ in range(reps):
+                w, c = run_variant(name, "A", full)
+                aw.append(w); ac.append(c)
+                w, c = run_variant(name, "B", nolineitem)
+                bw.append(w); bc.append(c)
+            def med(v):
+                s = sorted(v); return s[len(s) // 2]
+            print(f"{name}: A(rebalance) wall={aw} med={med(aw)} cpu={ac} med={med(ac)}")
+            print(f"{name}: B(no-rebal)  wall={bw} med={med(bw)} cpu={bc} med={med(bc)}")
+            sys.stdout.flush()
+    finally:
+        T.REBALANCE_TABLES = full
+        T._PLAN_CACHE.clear()
 
 
 if __name__ == "__main__":

@@ -26,7 +26,6 @@ embarrassingly parallel, no driver iteration, 100 TB-safe.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
 from collections.abc import Callable, Mapping
 
 from pyspark.sql import DataFrame, SparkSession
@@ -68,7 +67,6 @@ def run_ingest(
     return store
 
 
-@dataclass
 class RefreshResult:
     """Refresh outcome: the post-sweep store plus the orphan id set.
 
@@ -81,17 +79,33 @@ class RefreshResult:
     never execute any of it. Accessing ``.store`` builds exactly the
     store the former eager field held: node tables were attached during
     the label loop; only the edge sweep + merge moves to first use.
+
+    Constructible as ``RefreshResult(store, orphans)`` — the init
+    parameter is named ``store`` (API compatibility with the pre-lazy
+    dataclass; ADVICE r12). The finisher runs exactly once even under
+    concurrent first accesses (lock-guarded swap).
     """
 
-    _store: GraphStore
-    orphans: DataFrame  # (label, key) removed by the sweep
-    _finish_edges: "Callable[[GraphStore], None] | None" = None
+    def __init__(
+        self,
+        store: GraphStore,
+        orphans: DataFrame,  # (label, key) removed by the sweep
+        _finish_edges: "Callable[[GraphStore], None] | None" = None,
+    ) -> None:
+        self._store = store
+        self.orphans = orphans
+        self._finish_edges = _finish_edges
+        import threading
+
+        self._finish_lock = threading.Lock()
 
     @property
     def store(self) -> GraphStore:
         if self._finish_edges is not None:
-            fin, self._finish_edges = self._finish_edges, None
-            fin(self._store)
+            with self._finish_lock:
+                if self._finish_edges is not None:
+                    fin, self._finish_edges = self._finish_edges, None
+                    fin(self._store)
         return self._store
 
 

@@ -1310,6 +1310,7 @@ def fuzzy_pairs(
     *,
     max_distance: int = 3,
     block=None,
+    spread: bool = False,
 ) -> DataFrame:
     """Blocked fuzzy-duplicate pairs by Levenshtein edit distance.
 
@@ -1321,6 +1322,14 @@ def fuzzy_pairs(
     same contract as ``jaccard_pairs(max_df=...)``: cap or salt
     over-large blocks at scale. JVM-side throughout (``F.levenshtein``
     is a codegen'd built-in).
+
+    ``spread`` is OPT-IN (same contract as ``merge_edges(spread=...)``):
+    the under-parallel-probe check needs ``t.rdd.getNumPartitions()``,
+    which physically plans the input lineage on the driver — fine for a
+    plain scan, wasteful for deep-lineage (store-derived / pipeline)
+    inputs that would otherwise be planned twice per call. Pass
+    ``spread=True`` when the input is a shallow scan that may arrive in
+    fewer partitions than cores (e.g. one-row-group fixtures).
     """
     b = (
         block
@@ -1339,8 +1348,11 @@ def fuzzy_pairs(
     # branch, so the planner still broadcasts it — BuildRight in the
     # plan). At production scale the scan already yields ≥ cores
     # partitions and this is a planning-only no-op.
-    target = df.sparkSession.sparkContext.defaultParallelism
-    probe = t.repartition(target, F.col("id")) if t.rdd.getNumPartitions() < target else t
+    probe = t
+    if spread:
+        target = df.sparkSession.sparkContext.defaultParallelism
+        if t.rdd.getNumPartitions() < target:
+            probe = t.repartition(target, F.col("id"))
     a, c = probe.alias("a"), t.alias("b")
     # BANDED Levenshtein (threshold form): O(max_distance · len) per
     # pair instead of O(len²). Pairs beyond the threshold return -1 —

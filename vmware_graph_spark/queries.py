@@ -5962,7 +5962,7 @@ def fuzzy_pairs_part_names(spark, sf_dir):
     from vmware_graph_spark.operators.dedup import fuzzy_pairs
 
     p = load_table(spark, sf_dir, "part")
-    return fuzzy_pairs(p, "p_partkey", "p_name", max_distance=2).filter(
+    return fuzzy_pairs(p, "p_partkey", "p_name", max_distance=2, spread=True).filter(
         F.col("distance") >= 1
     )
 
