@@ -133,24 +133,28 @@ def connected_components(
         .localCheckpoint(eager=False)
     )
     changed = -1
+    spark = vertices.sparkSession
     for _ in range(max_iters):
-        # candidate = min(own label, min over neighbors' labels)
-        nbr_min = (
-            sym.join(labels, sym.src == labels.id)
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.min("component").alias("__nbr"))
-        )
-        step = (
-            labels.join(nbr_min, "id", "left")
-            .select(
-                "id",
-                F.col("component").alias("__old"),
-                F.least(
-                    F.col("component"), F.coalesce("__nbr", "component")
-                ).alias("component"),
-            )
-            .localCheckpoint(eager=False)
-        )
+        # candidate = min(own label, min over neighbors' labels). The
+        # whole round body is ONE templated spark.sql call: the
+        # DataFrame-API form (join → groupBy/agg → join → select) ran
+        # eager analysis on every intermediate, and ~70% of a round's
+        # wall at bench scale was that driver-side planning, not the
+        # count job (measured r13: round construction 0.31-0.53 s vs
+        # 0.11 s execution). Identical logical plan, one analysis.
+        step = spark.sql(
+            """
+            SELECT l.id, l.component AS __old,
+                   least(l.component, coalesce(m.__nbr, l.component)) AS component
+            FROM {labels} l LEFT JOIN (
+              SELECT s.dst AS id, min(l2.component) AS __nbr
+              FROM {sym} s JOIN {labels} l2 ON s.src = l2.id
+              GROUP BY s.dst
+            ) m ON l.id = m.id
+            """,
+            labels=labels,
+            sym=sym,
+        ).localCheckpoint(eager=False)
         changed = step.filter(F.col("component") != F.col("__old")).count()
         labels = step.select("id", "component")
         if changed == 0:
@@ -184,8 +188,6 @@ def label_propagation(
     join-aggregate skeleton as PageRank, lineage-cut per round.
     Isolated vertices keep their own label.
     """
-    from pyspark.sql import Window
-
     # Co-partitioned loop layout (guide §2.4, the connected_components
     # shape): sym hash(dst) — the vote probe's join key — and labels
     # hash(id), both established once (hash(dst) also satisfies the
@@ -202,25 +204,31 @@ def label_propagation(
         .repartition(p, "id")
         .localCheckpoint(eager=True)
     )
+    # One templated SQL statement per round (same driver-cost cut as
+    # the CC/PageRank rounds, r13): identical plan — the REPARTITION
+    # hint reproduces the pre-aggregation hash(src) layout behind which
+    # the vote count and the arg-max window run partition-local.
     for _ in range(iters):
-        votes = (
-            sym.join(labels.withColumnRenamed("id", "dst"), "dst")
-            .repartition(p, "src")
-            .groupBy(F.col("src").alias("id"), "label")
-            .agg(F.count("*").alias("c"))
-        )
-        w = Window.partitionBy("id").orderBy(F.col("c").desc(), F.col("label").asc())
-        winners = (
-            votes.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select("id", "label")
-        )
-        labels = (
-            labels.select("id", F.col("label").alias("__old"))
-            .join(winners, "id", "left")
-            .select("id", F.coalesce("label", "__old").alias("label"))
-            .localCheckpoint(eager=True)
-        )
+        labels = labels.sparkSession.sql(
+            f"""
+            SELECT l.id, coalesce(w.label, l.label) AS label
+            FROM {{labels}} l LEFT JOIN (
+              SELECT id, label FROM (
+                SELECT id, label,
+                       row_number() OVER (PARTITION BY id
+                                          ORDER BY c DESC, label ASC) AS __rn
+                FROM (
+                  SELECT src AS id, label, count(*) AS c FROM (
+                    SELECT /*+ REPARTITION({p}, src) */ s.src, l2.label
+                    FROM {{sym}} s JOIN {{labels}} l2 ON s.dst = l2.id
+                  ) GROUP BY src, label
+                )
+              ) WHERE __rn = 1
+            ) w ON l.id = w.id
+            """,
+            labels=labels,
+            sym=sym,
+        ).localCheckpoint(eager=True)
     return labels
 
 
@@ -328,6 +336,47 @@ def k_core(
     )
 
 
+def _pagerank_round(
+    vertices: DataFrame,
+    edges: DataFrame,
+    ranks: DataFrame,
+    out_tab: DataFrame,
+    *,
+    contrib_sql: str,
+    dangling_sql: str,
+    update_sql: str,
+) -> DataFrame:
+    """One PageRank-family round as a single templated spark.sql call.
+
+    The DataFrame-API round (2 joins + agg + anti-join agg + cross join
+    + select) eagerly analyzed ~12 intermediates per iteration; fusing
+    the round into one SQL statement keeps the identical logical plan
+    (verified: same exchanges, broadcast hint preserved) at one analysis
+    pass — the same driver-cost cut measured for the CC round (r13).
+    Aliases available to the fragments: e/r/o (contribution subquery),
+    r2/o2 (dangling subquery), v/c/dg (update row)."""
+    return vertices.sparkSession.sql(
+        f"""
+        SELECT /*+ BROADCAST(dg) */ v.id, {update_sql} AS rank
+        FROM {{vertices}} v
+        LEFT JOIN (
+          SELECT e.dst AS id, sum({contrib_sql}) AS in_sum
+          FROM {{edges}} e JOIN {{ranks}} r ON e.src = r.id
+          JOIN {{out_tab}} o ON e.src = o.src
+          GROUP BY e.dst
+        ) c ON v.id = c.id
+        CROSS JOIN (
+          SELECT {dangling_sql} AS __dangling
+          FROM {{ranks}} r2 LEFT ANTI JOIN {{out_tab}} o2 ON r2.id = o2.src
+        ) dg
+        """,
+        vertices=vertices,
+        edges=edges,
+        ranks=ranks,
+        out_tab=out_tab,
+    ).localCheckpoint(eager=True)
+
+
 def pagerank(
     vertices: DataFrame,
     edges: DataFrame,
@@ -367,35 +416,21 @@ def pagerank(
     out_deg.count()
     ranks = vertices.select("id", F.lit(1.0).alias("rank"))
     ranks = ranks.localCheckpoint(eager=True)
+    # Dangling mass stays in the plan: a 1-row aggregate broadcast into
+    # the update — no driver collect, one job per iteration. The round
+    # itself is one templated SQL statement (see _pagerank_round).
     for _ in range(iters):
-        contribs = (
-            edges.join(ranks, edges.src == ranks.id)
-            .join(out_deg, "src")
-            .select(F.col("dst").alias("id"), (F.col("rank") / F.col("out_deg")).alias("c"))
-            .groupBy("id")
-            .agg(F.sum("c").alias("in_sum"))
-        )
-        # Dangling mass stays in the plan: a 1-row aggregate broadcast
-        # into the update — no driver collect, one job per iteration.
-        dangling = (
-            ranks.join(out_deg, ranks.id == out_deg.src, "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dangling"))
-        )
-        ranks = (
-            vertices.join(contribs, "id", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "id",
-                (
-                    F.lit(1.0 - damping)
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("in_sum"), F.lit(0.0))
-                        + F.col("__dangling") / F.lit(float(n))
-                    )
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
+        ranks = _pagerank_round(
+            vertices,
+            edges,
+            ranks,
+            out_deg,
+            contrib_sql="r.rank / o.out_deg",
+            dangling_sql="coalesce(sum(r2.rank), 0.0D)",
+            update_sql=(
+                f"{1.0 - damping!r}D + {damping!r}D * "
+                f"(coalesce(c.in_sum, 0.0D) + dg.__dangling / {float(n)!r}D)"
+            ),
         )
     return ranks
 
@@ -441,31 +476,18 @@ def pagerank_fixed(
     ranks = vertices.select("id", F.lit(scale).cast("long").alias("rank"))
     ranks = ranks.localCheckpoint(eager=True)
     for _ in range(iters):
-        contribs = (
-            edges.join(ranks, edges.src == ranks.id)
-            .join(out_deg, "src")
-            .select(F.col("dst").alias("id"), F.expr("rank div out_deg").alias("c"))
-            .groupBy("id")
-            .agg(F.sum("c").alias("in_sum"))
-        )
-        dangling = ranks.join(out_deg, ranks.id == out_deg.src, "left_anti").agg(
-            F.coalesce(F.sum("rank"), F.lit(0)).cast("long").alias("__dangling")
-        )
-        ranks = (
-            vertices.join(contribs, "id", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "id",
-                (
-                    F.lit(base)
-                    + F.expr(
-                        f"({damping_pct} * (coalesce(in_sum, cast(0 as long))"
-                        f" + (__dangling div {n}))) div 100"
-                    )
-                ).cast("long").alias("rank_micros"),
-            )
-            .withColumnRenamed("rank_micros", "rank")
-            .localCheckpoint(eager=True)
+        ranks = _pagerank_round(
+            vertices,
+            edges,
+            ranks,
+            out_deg,
+            contrib_sql="r.rank div o.out_deg",
+            dangling_sql="CAST(coalesce(sum(r2.rank), 0) AS LONG)",
+            update_sql=(
+                f"CAST({base} + (({damping_pct} * "
+                f"(coalesce(c.in_sum, cast(0 as long))"
+                f" + (dg.__dangling div {n}))) div 100) AS LONG)"
+            ),
         )
     return ranks.select("id", F.col("rank").alias("rank_micros"))
 
@@ -504,33 +526,18 @@ def pagerank_weighted_fixed(
     ranks = vertices.select("id", F.lit(scale).cast("long").alias("rank"))
     ranks = ranks.localCheckpoint(eager=True)
     for _ in range(iters):
-        contribs = (
-            edges.join(ranks, edges.src == ranks.id)
-            .join(out_w, "src")
-            .select(
-                F.col("dst").alias("id"),
-                F.expr("(rank * w) div out_w").alias("c"),
-            )
-            .groupBy("id")
-            .agg(F.sum("c").alias("in_sum"))
-        )
-        dangling = ranks.join(out_w, ranks.id == out_w.src, "left_anti").agg(
-            F.coalesce(F.sum("rank"), F.lit(0)).cast("long").alias("__dangling")
-        )
-        ranks = (
-            vertices.join(contribs, "id", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "id",
-                (
-                    F.lit(base)
-                    + F.expr(
-                        f"({damping_pct} * (coalesce(in_sum, cast(0 as long))"
-                        f" + (__dangling div {n}))) div 100"
-                    )
-                ).cast("long").alias("rank"),
-            )
-            .localCheckpoint(eager=True)
+        ranks = _pagerank_round(
+            vertices,
+            edges,
+            ranks,
+            out_w,
+            contrib_sql="(r.rank * e.w) div o.out_w",
+            dangling_sql="CAST(coalesce(sum(r2.rank), 0) AS LONG)",
+            update_sql=(
+                f"CAST({base} + (({damping_pct} * "
+                f"(coalesce(c.in_sum, cast(0 as long))"
+                f" + (dg.__dangling div {n}))) div 100) AS LONG)"
+            ),
         )
     return ranks.select("id", F.col("rank").alias("rank_micros"))
 
@@ -648,31 +655,19 @@ def personalized_pagerank_fixed(
         F.when(F.col("__seed"), F.lit(scale)).otherwise(F.lit(0)).cast("long").alias("rank"),
     ).localCheckpoint(eager=True)
     for _ in range(iters):
-        contribs = (
-            edges.join(ranks, edges.src == ranks.id)
-            .join(out_deg, "src")
-            .select(F.col("dst").alias("id"), F.expr("rank div out_deg").alias("c"))
-            .groupBy("id")
-            .agg(F.sum("c").alias("in_sum"))
-        )
-        dangling = ranks.join(out_deg, ranks.id == out_deg.src, "left_anti").agg(
-            F.coalesce(F.sum("rank"), F.lit(0)).cast("long").alias("__dangling")
-        )
-        ranks = (
-            v.join(contribs, "id", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "id",
-                (
-                    F.when(F.col("__seed"), F.lit(base)).otherwise(F.lit(0))
-                    + F.expr(
-                        f"({damping_pct} * (coalesce(in_sum, cast(0 as long))"
-                        f" + (case when __seed then __dangling div {s_n}"
-                        f" else cast(0 as long) end))) div 100"
-                    )
-                ).cast("long").alias("rank"),
-            )
-            .localCheckpoint(eager=True)
+        ranks = _pagerank_round(
+            v,
+            edges,
+            ranks,
+            out_deg,
+            contrib_sql="r.rank div o.out_deg",
+            dangling_sql="CAST(coalesce(sum(r2.rank), 0) AS LONG)",
+            update_sql=(
+                f"CAST((CASE WHEN v.__seed THEN {base} ELSE 0 END) + "
+                f"(({damping_pct} * (coalesce(c.in_sum, cast(0 as long))"
+                f" + (case when v.__seed then dg.__dangling div {s_n}"
+                f" else cast(0 as long) end))) div 100) AS LONG)"
+            ),
         )
     return ranks.select("id", F.col("rank").alias("rank_micros"))
 
@@ -1018,32 +1013,28 @@ def weighted_sssp(
         .localCheckpoint(eager=False)
     )
     stats = dist.agg(F.count("*"), F.sum("dist")).first()
+    spark = edges.sparkSession
     for _ in range(max_iters):
-        relaxed_min = (
-            dist.alias("d")
-            .join(e.alias("e"), F.col("d.id") == F.col("e.src"))
-            .select(
-                F.col("e.dst").alias("id"),
-                F.col("d.landmark").alias("landmark"),
-                (F.col("d.dist") + F.col("e.w")).alias("dist"),
-            )
-            .repartition(p, "id")
-            .groupBy("id", "landmark")
-            .agg(F.min("dist").alias("dist"))
-        )
-        new = (
-            dist.alias("o")
-            .join(relaxed_min.alias("r"), ["id", "landmark"], "full")
-            .select(
-                "id",
-                "landmark",
-                F.least(
-                    F.coalesce(F.col("o.dist"), F.col("r.dist")),
-                    F.coalesce(F.col("r.dist"), F.col("o.dist")),
-                ).alias("dist"),
-            )
-            .localCheckpoint(eager=False)
-        )
+        # One templated SQL statement per round (same driver-cost cut
+        # as the CC/PageRank rounds, r13): identical plan — the
+        # REPARTITION hint reproduces the hash(id) layout behind which
+        # the (id, landmark) min-agg runs partition-local.
+        new = spark.sql(
+            f"""
+            SELECT id, landmark,
+                   least(coalesce(o.dist, r.dist),
+                         coalesce(r.dist, o.dist)) AS dist
+            FROM {{dist}} o FULL OUTER JOIN (
+              SELECT id, landmark, min(dist) AS dist FROM (
+                SELECT /*+ REPARTITION({p}, id) */
+                       e.dst AS id, d.landmark, d.dist + e.w AS dist
+                FROM {{dist}} d JOIN {{edges}} e ON d.id = e.src
+              ) GROUP BY id, landmark
+            ) r USING (id, landmark)
+            """,
+            dist=dist,
+            edges=e,
+        ).localCheckpoint(eager=False)
         # Cheap gate first (round-4 ADVICE: the two exceptAll probes
         # cost ~two extra scans every round): the reachable pair set
         # only GROWS and each pair's dist only DECREASES under min-plus

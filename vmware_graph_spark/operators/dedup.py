@@ -314,19 +314,8 @@ def _lsh_candidates_from(
     table: signature aggregation, per-band bucket keys, bucket
     self-join. Shared by ``minhash_lsh_pairs`` (which verifies) and
     ``minhash_lsh_candidates`` (recall evaluation wants the raw set)."""
-    rows = num_hashes // bands
     sig = _minhash_sig(sh, num_hashes)
-    band_cols = []
-    for b in range(bands):
-        piece = F.slice(F.col("sig"), b * rows + 1, rows)
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(",", *[
-                F.element_at(piece, i + 1).cast("string") for i in range(rows)
-            ])).alias("bucket"))
-        )
-    buckets = sig.select("id", F.explode(F.array(*band_cols)).alias("bb")).select(
-        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
+    buckets = _band_buckets(sig, num_hashes, bands)
     # Pin the bucket table (EAGER) before the self-join: the two join
     # branches canonicalize differently (one sits under a
     # BroadcastExchange), so no exchange reuse fires — with or without
@@ -441,20 +430,9 @@ def minhash_estimate_pairs(
     dedup sweep later re-verified exactly on the survivors); the
     exact-verification variant is the no-false-positives path.
     """
-    rows = num_hashes // bands
     sh = _shingle_table(df, id_col, text_col, n)
     sig = _minhash_sig(sh, num_hashes).transform(pinned_lazy)
-    band_cols = []
-    for b in range(bands):
-        piece = F.slice(F.col("sig"), b * rows + 1, rows)
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(",", *[
-                F.element_at(piece, i + 1).cast("string") for i in range(rows)
-            ])).alias("bucket"))
-        )
-    buckets = sig.select("id", F.explode(F.array(*band_cols)).alias("bb")).select(
-        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
+    buckets = _band_buckets(sig, num_hashes, bands)
     a = buckets.alias("a")
     b_ = buckets.alias("b")
     cands = (
@@ -621,16 +599,30 @@ def _minhash_sig(sh: DataFrame, num_hashes: int) -> DataFrame:
 
     One md5 per shingle row (projected once as the base), the
     ``num_hashes`` family members derived by per-seed affine maps
-    inside the min-aggregates — see :func:`_seeded_hash64`."""
+    inside the min-aggregates — see :func:`_seeded_hash64`. The per-seed
+    min expressions are SQL strings parsed in one py4j call each (the
+    Column-API chains cost ~7 driver roundtrips per seed per call —
+    measured r13, same finding as ``simhash``)."""
     based = sh.withColumn("__hb", _md5_base64(F.col("shingle")))
-    mins = [
-        F.min(_seeded_hash64(F.col("__hb"), i)).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
+    lo_mask = (1 << 30) - 1
+    mins = []
+    for i in range(num_hashes):
+        a, b, c = _affine_consts(i)
+        mins.append(
+            F.expr(
+                f"min((shiftright(__hb, 30) * {a} + (__hb & {lo_mask}) * {b} "
+                f"+ {c}) % {_H61_MOD})"
+            ).alias(f"h{i}")
+        )
     return (
         based.groupBy("id")
         .agg(*mins)
-        .select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+        .select(
+            "id",
+            F.expr(
+                "array(" + ",".join(f"h{i}" for i in range(num_hashes)) + ")"
+            ).alias("sig"),
+        )
     )
 
 
@@ -639,11 +631,15 @@ def _band_buckets(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     rows = num_hashes // bands
     band_cols = []
     for b in range(bands):
-        piece = F.slice(F.col("sig"), b * rows + 1, rows)
+        elems = ", ".join(
+            f"cast(element_at(sig, {b * rows + i + 1}) as string)"
+            for i in range(rows)
+        )
         band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(",", *[
-                F.element_at(piece, i + 1).cast("string") for i in range(rows)
-            ])).alias("bucket"))
+            F.expr(
+                f"named_struct('band', {b}, "
+                f"'bucket', md5(concat_ws(',', {elems})))"
+            )
         )
     return sig.select("id", F.explode(F.array(*band_cols)).alias("bb")).select(
         "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
@@ -1158,38 +1154,39 @@ def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 64) -> Dat
     h = _md5_hash64(F.col("tok"), 0)
     tok = tok.withColumn("h", h)
     n_packs = (bits + _SIMHASH_LANES - 1) // _SIMHASH_LANES
+    # The pack/sig expression trees are built as SQL strings parsed in
+    # ONE py4j call each, not per-bit Column-API chains: the chain form
+    # issued ~650 py4j roundtrips per invocation (~1.2 s of driver time
+    # at bits=48, ~70% of this operator's wall — measured, r13) while
+    # producing the same Catalyst expressions.
     packs = []
     for j in range(n_packs):
-        expr = None
-        for k in range(_SIMHASH_LANES):
-            i = j * _SIMHASH_LANES + k
-            if i >= bits:
-                break
-            lane = F.shiftleft(
-                F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)), k * _SIMHASH_LANE_W
-            )
-            expr = lane if expr is None else expr.bitwiseOR(lane)
-        packs.append(F.sum(expr).alias(f"p{j}"))
-    agg = tok.groupBy("id").agg(*packs, F.count("*").alias("__n"))
-    guarded_n = F.when(
-        F.col("__n") >= F.lit(1 << _SIMHASH_LANE_W),
-        F.raise_error(
-            F.lit("simhash: document exceeds 2^20 tokens; packed lanes would overflow")
-        ),
-    ).otherwise(F.col("__n"))
-    sig = None
+        terms = [
+            f"shiftleft(shiftright(h, {i}) & 1, {k * _SIMHASH_LANE_W})"
+            for k in range(_SIMHASH_LANES)
+            if (i := j * _SIMHASH_LANES + k) < bits
+        ]
+        packs.append(F.expr(" | ".join(terms)))
+    agg = tok.groupBy("id").agg(
+        *[F.sum(p).alias(f"p{j}") for j, p in enumerate(packs)],
+        F.count("*").alias("__n"),
+    )
+    guard = (
+        f"CASE WHEN __n >= {1 << _SIMHASH_LANE_W} THEN "
+        "raise_error('simhash: document exceeds 2^20 tokens; packed lanes "
+        "would overflow') ELSE __n END"
+    )
+    mask = (1 << _SIMHASH_LANE_W) - 1
+    bit_terms = []
     for i in range(bits):
         j, k = divmod(i, _SIMHASH_LANES)
-        c = F.shiftright(F.col(f"p{j}"), k * _SIMHASH_LANE_W).bitwiseAND(
-            F.lit((1 << _SIMHASH_LANE_W) - 1)
+        c = f"(shiftright(p{j}, {k * _SIMHASH_LANE_W}) & {mask})"
+        bit_terms.append(
+            f"shiftleft(CASE WHEN ({c} * 2) > ({guard}) "
+            "THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END, "
+            f"{i})"
         )
-        bit = (
-            F.when(c * 2 > guarded_n, F.lit(1).cast("bigint"))
-            .otherwise(F.lit(0).cast("bigint"))
-        )
-        term = F.shiftleft(bit, i)
-        sig = term if sig is None else sig.bitwiseOR(term)
-    return agg.select("id", sig.alias("simhash"))
+    return agg.select("id", F.expr(" | ".join(bit_terms)).alias("simhash"))
 
 
 def ngram_contamination(
