@@ -304,25 +304,33 @@ def k_core(
     )
     n_rounds = rounds if rounds is not None else max_iters
     converged = rounds is not None  # fixed-round mode needs no fixpoint
+    prev_cnt = e.count() if rounds is None else None
+    spark = edges.sparkSession
     for _ in range(n_rounds):
-        deg = (
-            e.select(F.col("u").alias("id"))
-            .unionAll(e.select(F.col("v").alias("id")))
-            .groupBy("id")
-            .agg(F.count("*").alias("degree"))
-        )
-        keep = deg.filter(F.col("degree") >= k).select("id")
-        e2 = (
-            e.join(keep.withColumnRenamed("id", "u"), "u", "left_semi")
-            .join(keep.withColumnRenamed("id", "v"), "v", "left_semi")
-            .select("u", "v")
-            .localCheckpoint(eager=True)
-        )
+        # One templated SQL statement per peel round (r13 driver-cost
+        # cut; identical plan) and the previous edge count carried in a
+        # variable instead of re-counting the materialized checkpoint.
+        e2 = spark.sql(
+            f"""
+            WITH deg AS (
+              SELECT id, count(*) AS degree FROM (
+                SELECT u AS id FROM {{e}} UNION ALL SELECT v AS id FROM {{e}}
+              ) GROUP BY id
+            ),
+            keep AS (SELECT id FROM deg WHERE degree >= {int(k)})
+            SELECT u, v FROM {{e}} e
+            LEFT SEMI JOIN keep k1 ON e.u = k1.id
+            LEFT SEMI JOIN keep k2 ON e.v = k2.id
+            """,
+            e=e,
+        ).localCheckpoint(eager=True)
         if rounds is None:
-            if e2.count() == e.count():
+            new_cnt = e2.count()
+            if new_cnt == prev_cnt:
                 e = e2
                 converged = True
                 break
+            prev_cnt = new_cnt
         e = e2
     if not converged:
         raise RuntimeError(
@@ -567,20 +575,25 @@ def transitive_closure(
     See DEPLOY.md "Sizing the graph algorithms"."""
     closure = edges.select("src", "dst", F.lit(1).alias("dist")).distinct()
     closure = closure.localCheckpoint(eager=True)
+    prev_cnt = closure.count()
+    spark = edges.sparkSession
     rounds = max(1, math.ceil(math.log2(max_depth)) if max_depth > 1 else 1)
     for _ in range(rounds):
-        a, b = closure.alias("a"), closure.alias("b")
-        doubled = a.join(b, F.col("a.dst") == F.col("b.src")).select(
-            F.col("a.src").alias("src"),
-            F.col("b.dst").alias("dst"),
-            (F.col("a.dist") + F.col("b.dist")).alias("dist"),
-        )
-        new = (
-            closure.unionByName(doubled)
-            .groupBy("src", "dst")
-            .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
-        )
+        # One templated SQL statement per round (same driver-cost cut
+        # as the CC/PageRank rounds, r13) and the previous pair count
+        # carried in a variable instead of re-counting the (already
+        # materialized) previous checkpoint — one job per round.
+        new = spark.sql(
+            """
+            SELECT src, dst, min(dist) AS dist FROM (
+              SELECT src, dst, dist FROM {closure}
+              UNION ALL
+              SELECT a.src AS src, b.dst AS dst, a.dist + b.dist AS dist
+              FROM {closure} a JOIN {closure} b ON a.dst = b.src
+            ) GROUP BY src, dst
+            """,
+            closure=closure,
+        ).localCheckpoint(eager=True)
         n_new = new.count()
         if max_pairs is not None and n_new > max_pairs:
             raise RuntimeError(
@@ -589,9 +602,9 @@ def transitive_closure(
                 "hierarchy — use connected_components / pagerank-style "
                 "iteration instead, or raise the budget deliberately"
             )
-        if n_new == closure.count():
+        if n_new == prev_cnt:
             return new
-        closure = new
+        closure, prev_cnt = new, n_new
     # one more doubling must add nothing, else the depth bound was wrong
     a, b = closure.alias("a"), closure.alias("b")
     extra = (

@@ -65,19 +65,28 @@ def shortest_paths(
         .localCheckpoint(eager=True)
     )
     frontier = visited
+    spark = vertices.sparkSession
     for hop in range(1, max_hops + 1):
-        nxt = (
-            e.join(frontier.withColumnRenamed("id", "src"), "src")
-            .select(F.col("dst").alias("id"), "landmark")
-            .distinct()
-            .join(visited.select("id", "landmark"), ["id", "landmark"], "left_anti")
-            .withColumn("dist", F.lit(hop))
-            .localCheckpoint(eager=True)
+        # One templated SQL per hop, and ONE materialization per hop:
+        # nxt stays lazy inside the union's eager checkpoint (it used to
+        # be checkpointed separately — two full writes of the frontier),
+        # and the next frontier is a filter over the new checkpoint's
+        # blocks, so nothing recomputes (r13 driver/job-cost cut).
+        nxt = spark.sql(
+            f"""
+            SELECT id, landmark, {hop} AS dist FROM (
+              SELECT DISTINCT e.dst AS id, f.landmark
+              FROM {{e}} e JOIN {{frontier}} f ON e.src = f.id
+            ) n LEFT ANTI JOIN {{visited}} v USING (id, landmark)
+            """,
+            e=e,
+            frontier=frontier,
+            visited=visited,
         )
-        if nxt.isEmpty():
-            break
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
-        frontier = nxt
+        frontier = visited.filter(F.col("dist") == hop)
+        if frontier.isEmpty():
+            break
     return visited.join(vertices.select("id"), "id", "left_semi")
 
 
@@ -104,19 +113,26 @@ def bfs_distances(
         sources.select("id").distinct().withColumn("dist", F.lit(0)).localCheckpoint(eager=True)
     )
     frontier = visited
+    spark = vertices.sparkSession
     for hop in range(1, max_hops + 1):
-        nxt = (
-            e.join(frontier.withColumnRenamed("id", "src"), "src")
-            .select(F.col("dst").alias("id"))
-            .distinct()
-            .join(visited.select("id"), "id", "left_anti")
-            .withColumn("dist", F.lit(hop))
-            .localCheckpoint(eager=True)
+        # Same shape as shortest_paths: one SQL per hop, one
+        # materialization per hop (nxt lazy inside the union
+        # checkpoint; next frontier filters the checkpoint blocks).
+        nxt = spark.sql(
+            f"""
+            SELECT id, {hop} AS dist FROM (
+              SELECT DISTINCT e.dst AS id
+              FROM {{e}} e JOIN {{frontier}} f ON e.src = f.id
+            ) n LEFT ANTI JOIN {{visited}} v USING (id)
+            """,
+            e=e,
+            frontier=frontier,
+            visited=visited,
         )
-        if nxt.isEmpty():
-            break
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
-        frontier = nxt
+        frontier = visited.filter(F.col("dist") == hop)
+        if frontier.isEmpty():
+            break
     return visited.join(vertices.select("id"), "id", "left_semi")
 
 

@@ -433,8 +433,24 @@ def hyperplane_bucket(vec_col, dim: int, planes: int = 8, seed: int = 7):
     distribution is anisotropic — the scale-safe coarse quantizer
     (VERDICT r1 item 10).
     """
-    v = as_double_vec(vec_col)
     hp = _hyperplanes(dim, planes, seed)
+    if isinstance(vec_col, str):
+        # SQL-string fast path (one py4j parse): the Column-API form
+        # issued planes×dim F.lit roundtrips (~512 at dim=64/planes=8,
+        # ~0.5 s of driver time per call — and the NN-Descent paths
+        # call this once per view). Identical Catalyst expressions:
+        # aggregate(zip_with(...)) is exactly functions.vector.dot.
+        v = f"cast(`{vec_col.replace('`', '``')}` AS array<double>)"
+        bits = []
+        for row in hp:
+            arr = "array(" + ",".join(f"{x!r}D" for x in row) + ")"
+            proj = (
+                f"aggregate(zip_with({v}, {arr}, (x, y) -> x * y), "
+                "0.0D, (acc, x) -> acc + x)"
+            )
+            bits.append(f"CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END")
+        return F.expr("concat(" + ", ".join(bits) + ")")
+    v = as_double_vec(vec_col)
     bits = []
     for row in hp:
         arr = F.array(*[F.lit(x) for x in row])
@@ -653,7 +669,7 @@ def knn_graph_nn_descent(
     cand = None
     for view in range(views):
         b = base.withColumn(
-            "__b", hyperplane_bucket(F.col("__v"), dim, planes, seed + view)
+            "__b", hyperplane_bucket("__v", dim, planes, seed + view)
         ).select("id", "__b")
         a, c = b.alias("a"), b.alias("c")
         half = a.join(
@@ -728,7 +744,7 @@ def knn_graph_extend(
     cand = None
     for view in range(views):
         allb = allv.withColumn(
-            "__b", hyperplane_bucket(F.col("__v"), dim, planes, seed + view)
+            "__b", hyperplane_bucket("__v", dim, planes, seed + view)
         ).select("id", "__b")
         newb = allb.join(new_ids, "id", "left_semi")
         pairs = newb.alias("a").join(

@@ -285,6 +285,16 @@ def adamic_adar_suppliers(spark, sf_dir):
     )
     a = sp.select(F.col("s").alias("s1"), "p")
     b = sp.select(F.col("s").alias("s2"), "p")
+    # Join order measured, kept as-is (r13): moving the pdeg cap join
+    # BEFORE the self-join (what the "cap first" reading of the
+    # docstring suggests, guide §3.2) was 2.5× SLOWER here — 6-7 s →
+    # 15-17 s interleaved A/B at sf0.1, with or without a pinned
+    # repartition before the exploding join — because this shape keeps
+    # the pair expansion on the b-side probe partitions. At this SF the
+    # cap prunes almost nothing (most parts sit inside deg 2..50), so
+    # the early prune buys no row reduction to offset the worse
+    # distribution; on a corpus with real hubs the cap's placement is
+    # the feasibility knob and belongs before the self-join.
     return (
         a.join(b, "p")
         .filter(F.col("s1") < F.col("s2"))
